@@ -1,0 +1,149 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Fixture-table loaders plus the reference's constant dimension data.
+  *
+  * The driver fixtures (`TESTDATA.md`) are a TPC-H-ish star schema; the
+  * reference→fixture mapping is specified in `FIXTURES.md §C`:
+  * companies→customer, company_sends→orders, clay_webhooks→supplier.
+  *
+  * Loaders are thin `spark.read.parquet` wrappers so Catalyst sees the
+  * Parquet relation directly (vectorized scan, filter/column pushdown,
+  * partition pruning all stay available). Do NOT cache here — at 100 TB
+  * the tables don't fit, and caching would pin the wrong plan.
+  */
+object Tables {
+  private def p(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = p(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
+}
+
+/** The reference's one constant dimension: employee-range → capacity.
+  *
+  * Values from `/root/reference/src/types/index.ts:52-85`
+  * (`EMPLOYEE_RANGES`, `EMPLOYEE_RANGE_MAX`, `SAFE_PEOPLE_LIMIT`,
+  * `getMaxCompaniesForRange`). 10 rows — always broadcastable; any join
+  * against it must stay a BroadcastHashJoin (no shuffle).
+  */
+object Dims {
+  /** SAFE_PEOPLE_LIMIT — "40k instead of 50k for buffer" (index.ts:66-67). */
+  val SafePeopleLimit: Int = 40000
+
+  /** Fallback divisor when a range is unknown (index.ts:83 `|| 10`). */
+  val DefaultMaxEmployees: Int = 10
+
+  /** (employee_range, ord, max_employees) — ord is the UI/battle order of
+    * `EMPLOYEE_RANGES` (index.ts:52-64); max from `EMPLOYEE_RANGE_MAX`
+    * (index.ts:69-80).
+    */
+  val employeeRanges: Seq[(String, Int, Int)] = Seq(
+    ("1-10", 0, 10),
+    ("11-50", 1, 50),
+    ("51-100", 2, 100),
+    ("101-250", 3, 250),
+    ("251-500", 4, 500),
+    ("501-1000", 5, 1000),
+    ("1001-5000", 6, 5000),
+    ("5001-10000", 7, 10000),
+    ("10001+", 8, 15000),
+    ("not sure", 9, 50000)
+  )
+
+  def employeeRangeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    employeeRanges.toDF("employee_range", "ord", "max_employees")
+  }
+
+  /** `getMaxCompaniesForRange` (index.ts:82-85) as a pure expression:
+    * floor(40000 / max_employees), computed per-row downstream.
+    */
+  val employeeRangeDimSqlValues: String =
+    employeeRanges
+      .map { case (r, o, m) => s"('$r', $o, $m)" }
+      .mkString("(VALUES ", ", ", ") AS dim(employee_range, ord, max_employees)")
+
+  /** Schemas of the reference warehouse tables (FIXTURES.md §A) — used by
+    * ingest/sink paths and unit tests on literal DataFrames.
+    */
+  object Schemas {
+    val companies: StructType = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("company_name", StringType),
+      StructField("company_domain", StringType),
+      StructField("company_linkedin_url", StringType),
+      StructField("full_description", StringType),
+      StructField("short_description", StringType),
+      StructField("employee_range", StringType),
+      StructField("city", StringType),
+      StructField("state", StringType),
+      StructField("country", StringType),
+      StructField("notes", StringType),
+      StructField("created_at", TimestampType),
+      StructField("updated_at", TimestampType)
+    ))
+
+    val clayWebhooks: StructType = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("webhook_url", StringType, nullable = false),
+      StructField("description", StringType),
+      StructField("employee_range", StringType), // drift: used but absent from DDL
+      StructField("is_active", BooleanType),
+      StructField("created_at", TimestampType),
+      StructField("updated_at", TimestampType)
+    ))
+
+    val companySends: StructType = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("company_id", StringType, nullable = false),
+      StructField("webhook_id", StringType),
+      StructField("employee_range", StringType),
+      StructField("batch_id", StringType), // drift: send/route.ts:145
+      StructField("sent_at", TimestampType),
+      StructField("status", StringType)
+    ))
+
+    /** Whitelist of the 14 person fields the ingest projection keeps
+      * (clay-webhook/index.ts:76-91).
+      */
+    val clayFindPeopleColumns: Seq[String] = Seq(
+      "first_name", "last_name", "full_name", "company_name",
+      "company_domain", "job_title", "location", "domain",
+      "person_linkedin_url", "last_experience_title",
+      "last_experience_company", "last_experience_start_date",
+      "notes", "company_linkedin_url")
+
+    val clayFindPeople: StructType =
+      StructType(clayFindPeopleColumns.map(StructField(_, StringType)))
+
+    val enrichmentLogs: StructType = StructType(Seq(
+      StructField("batch_id", StringType),
+      StructField("records_received", IntegerType),
+      StructField("records_inserted", IntegerType),
+      StructField("status", StringType),
+      StructField("error_message", StringType),
+      StructField("source_ip", StringType)
+    ))
+
+    /** `_batch_metadata` envelope (send/route.ts:104-110). */
+    val batchMetadata: StructType = StructType(Seq(
+      StructField("batch_id", StringType),
+      StructField("batch_timestamp", StringType),
+      StructField("employee_range", StringType),
+      StructField("webhook_name", StringType),
+      StructField("source", StringType)
+    ))
+  }
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Creates a DuckDB view per fixture table, runs each oracle_sql.json entry,
+and compares against the Spark-written parquet in <verifyOutDir>/<name>/:
+column names (sorted), row count, and values (columns sorted by name,
+doubles rounded to 6 places for display; exact-equality check first, then
+tolerant check).
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            exp = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        ok = True
+        for c in got.columns:
+            a, b = got[c], exp[c]
+            try:
+                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                    af = a.astype(float); bf = b.astype(float)
+                    same = ((af == bf) | (af.isna() & bf.isna()) |
+                            (abs(af - bf) <= 1e-9 * (1 + abs(bf)))).all()
+                else:
+                    same = (a.astype(str) == b.astype(str)).all()
+            except Exception as e:
+                same = False
+            if not same:
+                ok = False
+                bad = (a.astype(str) != b.astype(str))
+                print(f"FAIL {name}: col {c} differs; first diffs:")
+                print(pd.DataFrame({"got": a[bad][:5], "exp": b[bad][:5]}))
+                # exact-match note for floats
+                break
+        if ok:
+            # exactness probe for floats (what the driver's hash likely needs)
+            exact = all((got[c] == exp[c]).all() or got[c].dtype.kind not in 'f'
+                        for c in got.columns)
+            tag = "PASS" if exact else "PASS(~float)"
+            print(f"{tag} {name}: {len(got)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
