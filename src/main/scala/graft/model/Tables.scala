@@ -25,7 +25,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = p(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "events")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read nanos as raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a proper
+    * TimestampType column truncated to micros — the same truncation
+    * DuckDB applies, so oracle comparisons line up.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    p(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
 }

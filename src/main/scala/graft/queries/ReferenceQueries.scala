@@ -1,24 +1,39 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.model.{Dims, Tables}
 import graft.ops.Relational
 
 /** Oracle-registered restatements of the reference's query surface over the
   * driver fixtures (mapping in FIXTURES.md §C: companies→customer,
-  * company_sends→orders, clay_webhooks→supplier).
+  * company_sends→orders filtered to completed status, clay_webhooks→supplier).
   *
   * Conventions for the DuckDB hash-compare gate:
   *  - every output column aliased identically in Spark and oracle SQL;
   *  - every query totally ordered (unique tiebreaker) so row order is
   *    deterministic on both sides;
-  *  - double aggregates rounded to 2 decimals on both sides (float sums
-  *    are order-dependent; rounding removes ulp noise);
+  *  - double aggregates go through an exact decimal sum then cast back to
+  *    double (`CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`): float sums
+  *    are order-dependent, decimal sums are exact, and the final
+  *    decimal→double conversion is identical in both engines — so the
+  *    hashes match bit-for-bit;
+  *  - derived integer columns cast to BIGINT (Spark's row_number etc. are
+  *    32-bit, DuckDB's are 64-bit);
+  *  - integer counts in DuckDB use `count(*) FILTER` not `sum(CASE)`
+  *    (DuckDB's sum(int) is HUGEINT → float in pandas);
+  *  - no timestamps in outputs (parquet INT96 vs DuckDB µs dtype mismatch)
+  *    — dates/times are emitted as formatted strings;
   *  - no uuid()/current_timestamp in oracle-registered outputs
   *    (SURVEY §7.4.1).
   */
 object ReferenceQueries {
+
+  // ---------------------------------------------------------------------
+  // Shared building blocks
+  // ---------------------------------------------------------------------
 
   /** The send-ledger stand-in: completed orders only ('F' = fulfilled =
     * "sent"). Every customer has ≥1 order in the fixtures, so the raw
@@ -28,11 +43,43 @@ object ReferenceQueries {
   private def sends(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
 
-  private val sendsSqlPred = "o_orderstatus = 'F'"
+  /** Market-segment → employee-range assignment, the fixture analog of the
+    * companies.employee_range column. Literal 5-row dim; always broadcast.
+    */
+  private val segmentRanges: Seq[(String, String)] = Seq(
+    ("AUTOMOBILE", "1-10"),
+    ("BUILDING", "11-50"),
+    ("FURNITURE", "51-100"),
+    ("HOUSEHOLD", "501-1000"),
+    ("MACHINERY", "10001+")
+  )
+
+  private def segmentRangeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    segmentRanges.toDF("c_mktsegment", "employee_range")
+  }
+
+  private val segmentRangeSqlValues: String =
+    segmentRanges.map { case (s, r) => s"('$s', '$r')" }
+      .mkString("(VALUES ", ", ", ")")
+
+  private val dimSqlCte: String =
+    s"""dim AS (SELECT * FROM ${Dims.employeeRangeDimSqlValues}),
+       |seg AS (SELECT * FROM $segmentRangeSqlValues AS seg(c_mktsegment, employee_range))""".stripMargin
+
+  /** Exact double aggregation: cast to decimal, sum exactly, back to
+    * double. See class doc. */
+  private def decSum(c: Column, precision: Int = 16, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
 
   /** S1+J1+A1+X4+O1 — the minimum slice (SURVEY §7.2): customers with no
     * completed order ("companies never sent"), counted per market segment
-    * ("employee range"), NULL-safe bucket.
+    * ("employee range"), NULL-safe bucket. Reference: the dashboard's
+    * available-companies count (companies/route.ts:28-37,55-79).
     */
   def availableByRange(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -52,11 +99,500 @@ object ReferenceQueries {
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** F1+F6+J1+O1+O3 — the paginated company listing
+    * (companies/route.ts:4-47): optional segment filter + exclude-sent
+    * anti-join + ORDER BY name + OFFSET/LIMIT, with the unique tiebreaker
+    * the reference lacks (SURVEY §7.4.2).
+    */
+  def pagedListing(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val filtered = Relational.conditionalFilter(c, Seq(
+      Some(col("c_mktsegment") === "BUILDING"), // employee_range=… param present
+      None // search param absent — F6: predicate only appended when present
+    ))
+    val avail = Relational.excludeSent(filtered, sends(spark, dir), "c_custkey", "o_custkey")
+    Relational.page(avail, Seq(col("c_name"), col("c_custkey")), offset = 10, n = 20)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+  }
+
+  private val pagedListingSql =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM customer c
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_name, c_custkey LIMIT 20 OFFSET 10""".stripMargin
+
+  /** A1+F2+F3 — the reference's 11-bucket dashboard count loop
+    * (companies/route.ts:55-79) collapsed to one grouped aggregate:
+    * NULL bucket, fuzzy ilike bucket, raw passthrough — over ALL rows.
+    */
+  def fuzzyBucketCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(Relational.rangeBucket(col("c_mktsegment")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  private val fuzzyBucketCountsSql =
+    """SELECT CASE WHEN c_mktsegment IS NULL THEN 'unknown'
+      |            WHEN lower(c_mktsegment) LIKE '%not sure%' THEN 'not sure'
+      |            ELSE c_mktsegment END AS bucket,
+      |       count(*) AS cnt
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A2+J4+A5 — total vs sent per bucket with `remaining = total − sent`
+    * (companies/route.ts:56-94 merged key-by-key in JS; page.tsx:204-208):
+    * two grouped counts full-outer-joined on the bucket key, NULL-safe.
+    */
+  def sentVsTotal(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val bucket = Relational.rangeBucket(col("c_mktsegment")).as("bucket")
+    val totals = c.groupBy(bucket).agg(count(lit(1)).as("total"))
+    val sentCounts = Relational
+      .fetchByIds(c, sends(spark, dir), "c_custkey", "o_custkey") // semi: has ≥1 send
+      .groupBy(bucket).agg(count(lit(1)).as("sent"))
+    totals.join(sentCounts, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("sent"), lit(0L)).as("sent"),
+        (coalesce(col("total"), lit(0L)) - coalesce(col("sent"), lit(0L))).as("remaining"))
+      .orderBy("bucket")
+  }
+
+  private val sentVsTotalSql =
+    """WITH b AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_mktsegment IS NULL THEN 'unknown'
+      |              WHEN lower(c_mktsegment) LIKE '%not sure%' THEN 'not sure'
+      |              ELSE c_mktsegment END AS bucket,
+      |         EXISTS (SELECT 1 FROM orders o
+      |                 WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS is_sent
+      |  FROM customer c)
+      |SELECT bucket, count(*) AS total,
+      |       count(*) FILTER (WHERE is_sent) AS sent,
+      |       count(*) - count(*) FILTER (WHERE is_sent) AS remaining
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** S2+S3+F3 — scan statistics: exact rowcount, count-only predicate scan
+    * (head:true), NULL-predicate count (companies/route.ts:15,64-69).
+    * Catalyst prunes count(*) on parquet to a metadata-only scan.
+    */
+  def scanStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("c_mktsegment") === "BUILDING", 1)).as("n_building"),
+      count(when(col("c_mktsegment").isNull, 1)).as("n_null_segment"),
+      countDistinct(col("c_mktsegment")).as("n_segments"))
+  }
+
+  private val scanStatsSql =
+    """SELECT count(*) AS n_rows,
+      |       count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n_building,
+      |       count(*) FILTER (WHERE c_mktsegment IS NULL) AS n_null_segment,
+      |       count(DISTINCT c_mktsegment) AS n_segments
+      |FROM customer""".stripMargin
+
+  /** S4+O2 — ordered dimension scan: all webhooks newest-first
+    * (webhooks/route.ts:8-11); suppliers stand in, keyed order.
+    */
+  def orderedDimScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir).orderBy(desc("s_suppkey"))
+
+  private val orderedDimScanSql =
+    "SELECT * FROM supplier ORDER BY s_suppkey DESC"
+
+  /** F2 — case-insensitive LIKE bucket match (ilike '%not sure%',
+    * companies/route.ts:19-22) restated over part types.
+    */
+  def filterIlike(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_type").ilike("%eCoNoMy%"))
+      .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+
+  private val filterIlikeSql =
+    """SELECT p_brand, count(*) AS cnt FROM part
+      |WHERE p_type ILIKE '%eCoNoMy%' GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** F4+J2 — fetch companies whose id ∈ batch (send/route.ts:39-42). The
+    * reference chunks ids 100-per-query for URL limits (D2); one `isin`
+    * (or semi-join at scale) replaces the chunking.
+    */
+  def fetchByIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey").isin(3L, 7L, 11L, 19L, 23L, 42L, 77L, 101L))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val fetchByIdsSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey IN (3, 7, 11, 19, 23, 42, 77, 101)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J3 — the FK lookup the reference declares but never joins
+    * (supabase-schema.sql:18, sends→webhooks): ledger rows joined to their
+    * dimension, grouped per webhook. lineitem⋈supplier stands in; the dim
+    * side is broadcast (1000 rows at sf0.1).
+    */
+  def fkLookupJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"), "left")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice"), 18, 2).as("revenue"))
+      .orderBy("s_name")
+  }
+
+  private val fkLookupJoinSql =
+    """SELECT s_name, count(*) AS n_items,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
+  /** J5+X1+D9+X9 — capacity planning over the constant dimension
+    * (types/index.ts:69-85, page.tsx:152-155): per-range
+    * `capacity = floor(40000 / max_employees)` and
+    * `will_send = min(batchSize, capacity × numWebhooks)`.
+    */
+  def rangeCapacity(spark: SparkSession, dir: String): DataFrame = {
+    val numWebhooks = lit(10L)
+    val batchSize = lit(500L)
+    Dims.employeeRangeDim(spark)
+      .select(col("employee_range"), col("ord").cast("long").as("ord"),
+        col("max_employees").cast("long").as("max_employees"))
+      .withColumn("capacity", expr(s"${Dims.SafePeopleLimit} div max_employees"))
+      .withColumn("will_send", least(batchSize, col("capacity") * numWebhooks))
+      .orderBy("ord")
+  }
+
+  private val rangeCapacitySql =
+    s"""SELECT employee_range, CAST(ord AS BIGINT) AS ord,
+       |       CAST(max_employees AS BIGINT) AS max_employees,
+       |       CAST(40000 // max_employees AS BIGINT) AS capacity,
+       |       least(500, CAST(40000 // max_employees AS BIGINT) * 10) AS will_send
+       |FROM ${Dims.employeeRangeDimSqlValues}
+       |ORDER BY ord""".stripMargin
+
+  /** D1+J5+J6+X1 — the heart of the app: capacity-bounded greedy
+    * distribution (send/route.ts:63-81). Companies of one range, in the
+    * reference's order (name, then unique key), are sliced into
+    * consecutive buckets of `capacity = floor(40000/max_employees)` and
+    * each bucket is assigned to the webhook with that index; companies
+    * whose bucket ≥ numWebhooks stay unassigned.
+    *
+    * Spark shape: global `row_number` window → integer-div bucket →
+    * equi-join to the indexed webhook dim. The global window is the one
+    * single-partition shuffle in the engine (SURVEY §4.3); at 100 TB the
+    * same semantics come from per-partition offsets (see
+    * `Distribution.assignScalable`).
+    */
+  def distributionAssign(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "MACHINERY")
+    val withRange = c.join(broadcast(segmentRangeDim(spark)), Seq("c_mktsegment"))
+      .join(broadcast(Dims.employeeRangeDim(spark)), Seq("employee_range"))
+      .withColumn("capacity", expr(s"CAST(${Dims.SafePeopleLimit} div max_employees AS BIGINT)"))
+    val rn = row_number().over(Window.orderBy("c_name", "c_custkey")).cast("long")
+    val ranked = withRange.withColumn("rn", rn)
+      .withColumn("bucket", expr("(rn - 1) div capacity"))
+    val webhooks = Tables.supplier(spark, dir)
+      .withColumn("widx", row_number().over(Window.orderBy("s_suppkey")).cast("long") - 1)
+    ranked.join(webhooks, ranked("bucket") === webhooks("widx"), "inner")
+      .select(col("c_custkey"), col("c_name"),
+        col("s_suppkey").as("webhook_key"), col("s_name").as("webhook_name"),
+        col("rn"), col("bucket"))
+      .orderBy("rn")
+  }
+
+  private val distributionAssignSql =
+    s"""WITH $dimSqlCte,
+       |comp AS (
+       |  SELECT c.c_custkey, c.c_name,
+       |         CAST(40000 // d.max_employees AS BIGINT) AS capacity,
+       |         row_number() OVER (ORDER BY c.c_name, c.c_custkey) AS rn
+       |  FROM customer c
+       |  JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+       |  JOIN dim d ON seg.employee_range = d.employee_range
+       |  WHERE c.c_mktsegment = 'MACHINERY'),
+       |wh AS (SELECT s_suppkey, s_name,
+       |              row_number() OVER (ORDER BY s_suppkey) - 1 AS widx
+       |       FROM supplier)
+       |SELECT comp.c_custkey, comp.c_name, wh.s_suppkey AS webhook_key,
+       |       wh.s_name AS webhook_name, CAST(comp.rn AS BIGINT) AS rn,
+       |       CAST((comp.rn - 1) // capacity AS BIGINT) AS bucket
+       |FROM comp JOIN wh ON (comp.rn - 1) // capacity = wh.widx
+       |ORDER BY rn""".stripMargin
+
+  /** D1 remainder — `companiesNotAssigned` (send/route.ts:170): companies
+    * whose bucket exceeds the webhook count stay behind.
+    */
+  def distributionUnassigned(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "MACHINERY")
+    val withRange = c.join(broadcast(segmentRangeDim(spark)), Seq("c_mktsegment"))
+      .join(broadcast(Dims.employeeRangeDim(spark)), Seq("employee_range"))
+      .withColumn("capacity", expr(s"CAST(${Dims.SafePeopleLimit} div max_employees AS BIGINT)"))
+    val rn = row_number().over(Window.orderBy("c_name", "c_custkey")).cast("long")
+    val nWebhooks = Tables.supplier(spark, dir).count() // tiny dim; driver-side scalar
+    withRange.withColumn("rn", rn)
+      .withColumn("bucket", expr("(rn - 1) div capacity"))
+      .filter(col("bucket") >= nWebhooks)
+      .agg(count(lit(1)).as("unassigned"))
+  }
+
+  private val distributionUnassignedSql =
+    s"""WITH $dimSqlCte,
+       |comp AS (
+       |  SELECT CAST(40000 // d.max_employees AS BIGINT) AS capacity,
+       |         row_number() OVER (ORDER BY c.c_name, c.c_custkey) AS rn
+       |  FROM customer c
+       |  JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+       |  JOIN dim d ON seg.employee_range = d.employee_range
+       |  WHERE c.c_mktsegment = 'MACHINERY')
+       |SELECT count(*) AS unassigned FROM comp
+       |WHERE (rn - 1) // capacity >= (SELECT count(*) FROM supplier)""".stripMargin
+
+  /** A4+A5 — per-webhook send-result tally (send/route.ts:88-92,125-128):
+    * ok/failed counts per target. Events stand in: an 'error' event is a
+    * failed POST, everything else succeeded.
+    */
+  def sendSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(concat(lit("wh-"), (col("user_id") % 5).cast("string")).as("webhook"))
+      .agg(
+        count(when(col("event_type") =!= "error", 1)).as("sent"),
+        count(when(col("event_type") === "error", 1)).as("failed"),
+        count(lit(1)).as("attempted"))
+      .orderBy("webhook")
+
+  private val sendSummarySql =
+    """SELECT 'wh-' || CAST(user_id % 5 AS VARCHAR) AS webhook,
+      |       count(*) FILTER (WHERE event_type <> 'error') AS sent,
+      |       count(*) FILTER (WHERE event_type = 'error') AS failed,
+      |       count(*) AS attempted
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** D6+P2+X4+X8 — the ingest normalization path (clay-webhook/index.ts:
+    * 47-91): parse the JSON payload, whitelist-project with null-coalesce,
+    * then aggregate per record type.
+    */
+  def ingestNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(spark, dir)
+      .withColumn("p", from_json(col("props"), propsSchema))
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("p.k"), lit(-1)).as("k")) // P2: whitelist + null default
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("received"),
+        count(when(col("k") >= 0, 1)).as("with_key"),
+        sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  private val ingestNormalizeSql =
+    """WITH p AS (
+      |  SELECT event_id, event_type,
+      |         coalesce(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT), -1) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS received,
+      |       count(*) FILTER (WHERE k >= 0) AS with_key,
+      |       CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** D7+D8 — per-batch ingest audit rows (clay-webhook/index.ts:58-140):
+    * batch id propagated through the envelope, received/inserted counts,
+    * success/partial status.
+    */
+  def ingestAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(concat(lit("batch-"), (col("user_id") % 7).cast("string")).as("batch_id"))
+      .agg(
+        count(lit(1)).as("records_received"),
+        count(when(col("event_type") =!= "error", 1)).as("records_inserted"))
+      .withColumn("status",
+        when(col("records_received") === col("records_inserted"), "success")
+          .otherwise("partial"))
+      .orderBy("batch_id")
+
+  private val ingestAuditSql =
+    """SELECT 'batch-' || CAST(user_id % 7 AS VARCHAR) AS batch_id,
+      |       count(*) AS records_received,
+      |       count(*) FILTER (WHERE event_type <> 'error') AS records_inserted,
+      |       CASE WHEN count(*) = count(*) FILTER (WHERE event_type <> 'error')
+      |            THEN 'success' ELSE 'partial' END AS status
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** D4+X8+X6 — outbound payload assembly (send/route.ts:102-111): each
+    * row wrapped with a `_batch_metadata` struct and serialized to JSON.
+    * Batch id/timestamp are fixed literals here (minting is sink-side,
+    * SURVEY §7.4.1).
+    */
+  def batchMetadataJson(spark: SparkSession, dir: String): DataFrame = {
+    val meta = struct(
+      lit("batch-0001").as("batch_id"),
+      lit("2026-01-01T00:00:00.000Z").as("batch_timestamp"),
+      lit("11-50").as("employee_range"),
+      lit("wh-0").as("webhook_name"),
+      lit("hq-data-warehouse").as("source"))
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .orderBy("c_custkey").limit(5)
+      .select(col("c_custkey"),
+        to_json(struct(col("c_custkey"), col("c_name"), meta.as("_batch_metadata")))
+          .as("payload"))
+      .orderBy("c_custkey")
+  }
+
+  private val batchMetadataJsonSql =
+    """SELECT c_custkey,
+      |       '{"c_custkey":' || CAST(c_custkey AS VARCHAR) ||
+      |       ',"c_name":"' || c_name ||
+      |       '","_batch_metadata":{"batch_id":"batch-0001",' ||
+      |       '"batch_timestamp":"2026-01-01T00:00:00.000Z",' ||
+      |       '"employee_range":"11-50","webhook_name":"wh-0",' ||
+      |       '"source":"hq-data-warehouse"}}' AS payload
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey LIMIT 5""".stripMargin
+
+  /** X5+X6+X7 — scalar string/parse functions (page.tsx:341, send/route.ts
+    * :155, companies/route.ts:8-9): 1-based substring truncation, concat,
+    * try_cast-with-default.
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .orderBy("p_partkey").limit(50)
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 12).as("short_name"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("label"),
+        coalesce(regexp_extract(col("p_brand"), "(\\d+)", 1).try_cast("long"), lit(100L))
+          .as("brand_num"))
+      .orderBy("p_partkey")
+
+  private val stringFuncsSql =
+    """SELECT p_partkey, substring(p_name, 1, 12) AS short_name,
+      |       p_brand || ':' || p_type AS label,
+      |       coalesce(TRY_CAST(regexp_extract(p_brand, '(\d+)', 1) AS BIGINT), 100) AS brand_num
+      |FROM part ORDER BY p_partkey LIMIT 50""".stripMargin
+
+  /** Headline aggregate (TPC-H Q1 shape): pricing summary over lineitem.
+    * Not a reference operator per se — the scan+group+multi-agg shape the
+    * dashboard counts (A1/A2) take at warehouse scale; the bench workhorse.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integral doubles: exact
+        decSum(col("l_extendedprice"), 18, 2).as("sum_base"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20, 4)
+          .as("sum_disc_price"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |       SUM(l_quantity) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+      |       SUM(l_quantity) / count(*) AS avg_qty,
+      |       count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Headline join (TPC-H Q3 shape): top-10 orders by revenue for one
+    * segment — customer⋈orders⋈lineitem with O4 head limit. Exercises the
+    * multi-join shuffle path AQE plans at scale.
+    */
+  def revenueTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "AUTOMOBILE")
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20, 4)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val revenueTopkSql =
+    """SELECT o_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'AUTOMOBILE'
+      |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** §2.8 batch-equivalent of the streaming ingest: per-minute × type
+    * event counts (the windowed aggregation the streaming wrapper runs;
+    * timestamps emitted as strings — see class doc).
+    */
+  def eventsMinuteWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm").as("minute"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("value"), 18, 6).as("sum_value"))
+      .orderBy("minute", "event_type")
+
+  private val eventsMinuteWindowSql =
+    """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+      |       event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "available_by_range" -> ((s, d) => availableByRange(s, d))
+    "available_by_range" -> availableByRange _,
+    "paged_listing" -> pagedListing _,
+    "fuzzy_bucket_counts" -> fuzzyBucketCounts _,
+    "sent_vs_total" -> sentVsTotal _,
+    "scan_stats" -> scanStats _,
+    "ordered_dim_scan" -> orderedDimScan _,
+    "filter_ilike" -> filterIlike _,
+    "fetch_by_ids" -> fetchByIds _,
+    "fk_lookup_join" -> fkLookupJoin _,
+    "range_capacity" -> rangeCapacity _,
+    "distribution_assign" -> distributionAssign _,
+    "distribution_unassigned" -> distributionUnassigned _,
+    "send_summary" -> sendSummary _,
+    "ingest_normalize" -> ingestNormalize _,
+    "ingest_audit" -> ingestAudit _,
+    "batch_metadata_json" -> batchMetadataJson _,
+    "string_funcs" -> stringFuncs _,
+    "pricing_summary" -> pricingSummary _,
+    "revenue_topk" -> revenueTopk _,
+    "events_minute_window" -> eventsMinuteWindow _
   )
 
   val oracles: Map[String, String] = Map(
-    "available_by_range" -> availableByRangeSql
+    "available_by_range" -> availableByRangeSql,
+    "paged_listing" -> pagedListingSql,
+    "fuzzy_bucket_counts" -> fuzzyBucketCountsSql,
+    "sent_vs_total" -> sentVsTotalSql,
+    "scan_stats" -> scanStatsSql,
+    "ordered_dim_scan" -> orderedDimScanSql,
+    "filter_ilike" -> filterIlikeSql,
+    "fetch_by_ids" -> fetchByIdsSql,
+    "fk_lookup_join" -> fkLookupJoinSql,
+    "range_capacity" -> rangeCapacitySql,
+    "distribution_assign" -> distributionAssignSql,
+    "distribution_unassigned" -> distributionUnassignedSql,
+    "send_summary" -> sendSummarySql,
+    "ingest_normalize" -> ingestNormalizeSql,
+    "ingest_audit" -> ingestAuditSql,
+    "batch_metadata_json" -> batchMetadataJsonSql,
+    "string_funcs" -> stringFuncsSql,
+    "pricing_summary" -> pricingSummarySql,
+    "revenue_topk" -> revenueTopkSql,
+    "events_minute_window" -> eventsMinuteWindowSql
   )
 }
