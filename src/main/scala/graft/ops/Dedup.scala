@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard — each expressed as
+  * shuffle-lean DataFrame programs.
+  *
+  * Scale design: signatures/fingerprints are computed in a single narrow
+  * projection (no shuffle); candidate generation shuffles ONLY on band/
+  * bucket keys (tiny vs. all-pairs); exact verification runs on the
+  * candidate set, never the cross product. At 100 TB the cross product is
+  * 10²³ pairs — banding is what makes near-dedup feasible at all.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup via hash-groupBy: first row per key wins (here: lowest
+    * id, deterministic — `dropDuplicates` keeps an arbitrary row, which
+    * is fine in practice but not oracle-testable).
+    */
+  def exactCanonical(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------------
+  // Shingling
+  // ------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles of the text. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Distinct character n-gram shingles (for short/dense text). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      when(length(text) >= n,
+        transform(sequence(lit(1), length(text) - n + 1),
+          i => text.substr(i, lit(n))))
+        .otherwise(array(text)))
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** MinHash signature: element j is min over shingles of xxhash64(j, s).
+    * One narrow pass; signature length = numHashes.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, s => xxhash64(j, s))))
+
+  /** LSH band keys: the signature split into `bands` slices of
+    * `rowsPerBand`, each hashed. Two docs share a band key iff a whole
+    * band of their signatures agrees — the classic S-curve knob
+    * (bands↑ → recall↑, precision↓).
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing
+    * positions.
+    */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), e => e))
+      .cast("double") / numHashes
+
+  /** Exact Jaccard of two shingle sets. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+      .otherwise(lit(1.0))
+
+  /** Candidate pairs via LSH banding: pos-explode the band-hash array
+    * (position = band index), self-join on (band, bandhash), keep
+    * id_l < id_r, distinct. The join shuffles on the band key —
+    * cardinality ≈ docs × bands, NOT docs².
+    */
+  def candidatePairs(df: DataFrame, idCol: String, bandHashesCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      posexplode(col(bandHashesCol)).as(Seq("band", "bh")))
+    val l = exploded.alias("l")
+    val r = exploded.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+      .distinct()
+  }
+
+  /** Shingle → signature → band keys in ONE projection of custom
+    * single-pass expressions (graft.functions.Sketches).
+    *
+    * The HOF composition of the same pipeline is quadratic in practice:
+    * Catalyst inlines a referenced column expression into every lambda
+    * that mentions it (reference count is 1 even when the enclosing
+    * `transform` evaluates the lambda 64×), and interpreted HOFs have no
+    * common-subexpression elimination — each row re-tokenized thousands
+    * of times (observed: one verify task burning 10+ CPU-minutes on 500
+    * docs). The custom expressions tokenize once per row per column, so
+    * no materialization barrier is needed at any scale.
+    */
+  def prepareMinhash(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    import graft.functions.Sketches
+    df.select(col(idCol).as("id"),
+      Sketches.word_shingles(col(textCol), shingleN).as("shingles"),
+      Sketches.minhash_sig(col(textCol), shingleN, numHashes).as("sig"),
+      Sketches.minhash_bands(col(textCol), shingleN, numHashes, bands).as("bands"))
+  }
+
+  /** Full MinHash near-dup pipeline: shingle → sign → band → candidates →
+    * verify with exact Jaccard on shingle sets. Returns (id_l, id_r,
+    * jaccard) for pairs ≥ threshold.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val prepared = prepareMinhash(df, idCol, textCol, shingleN, numHashes, bands)
+    val cands = candidatePairs(prepared, "id", "bands")
+    val side = prepared.select(col("id"), col("shingles"))
+    cands
+      .join(side.withColumnRenamed("id", "id_l").withColumnRenamed("shingles", "sh_l"), "id_l")
+      .join(side.withColumnRenamed("id", "id_r").withColumnRenamed("shingles", "sh_r"), "id_r")
+      .withColumn("jaccard", jaccard(col("sh_l"), col("sh_r")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over tokens: bit i is the sign of Σ_tokens ±1 where
+    * the sign is bit i of xxhash64(token). O(64·T) per doc, one narrow
+    * pass. Bit masks are a literal array (HOF lambda variables can't be
+    * shift amounts).
+    */
+  def simhash(toks: Column): Column = {
+    val masks = typedlit((0 until 64).map(1L << _))
+    val bitSums = transform(sequence(lit(0), lit(63)), i =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(xxhash64(t).bitwiseAND(element_at(masks, i + 1)) =!= 0, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming ≤ maxDist, candidates from
+    * 16-bit band equality (any doc pair within Hamming ≤ 3 shares at
+    * least one of 4 bands — pigeonhole).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"),
+      graft.functions.Sketches.simhash64(col(textCol)).as("sh"))
+    val banded = withSim.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        hamming(col("l.sh"), col("r.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `BINARY` columns with typed
+  * metadata, batch-shaped decode/feature-extract over partitions.
+  *
+  * The Spark-side plumbing is real — schema, partitioning, batch shape —
+  * while the decoder itself is a clearly-marked deterministic stub
+  * (codec libraries aren't in this container). Swapping `decodeStub` for
+  * a real JNI/FFmpeg/libvips call changes nothing upstream: partitions
+  * arrive as bounded batches sized for decoder memory, exactly how a
+  * vectorized (pandas-style) UDF would receive them.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, media: Array[Byte], format: String,
+                         n_bytes: Long, source: String)
+
+  case class MediaFeatures(media_id: Long, format: String, n_bytes: Long,
+                           byte_mean: Double, head: Array[Byte],
+                           features: Array[Float])
+
+  /** Wrap the documents fixture as a media table: text bytes as the
+    * opaque payload, format derived from the source id. At 100 TB the
+    * payload column stays unread unless projected — parquet column
+    * pruning is what makes a mixed relational/media table workable.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav"), lit("mp4")),
+        (col("doc_id") % 4 + 1).cast("int")).as("format"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      col("source"))
+
+  /** Batch-shaped feature extraction: partitions are processed in bounded
+    * batches (the decode working set), each batch "decoded" by the stub.
+    * This is the Scala analog of `mapInPandas` — same batch contract,
+    * JVM-native instead of Arrow+Python.
+    */
+  def extractFeatures(records: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(decodeStub)
+    }
+  }
+
+  /** STUB decoder — deterministic fake in place of a real codec.
+    * Real implementation would hand `batch.map(_.media)` to the codec
+    * library here; everything around it (batching, schema, laziness)
+    * is production-shaped.
+    */
+  private[ops] def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val bytes = r.media
+      val mean = if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / bytes.length
+      // fake "embedding": 4 coarse byte-histogram buckets, normalized
+      val hist = new Array[Float](4)
+      bytes.foreach(b => hist((b & 0xFF) / 64) += 1f)
+      val n = math.max(1, bytes.length).toFloat
+      MediaFeatures(r.media_id, r.format, bytes.length.toLong, mean,
+        bytes.take(4), hist.map(_ / n))
+    }
+
+  /** Frame sampling for time-based media: every `stride`-th block of
+    * `frameBytes` bytes, as (frame_idx, frame) rows. Pure column algebra
+    * — the slice happens where the data lives.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        floor(col("n_bytes") / frameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .otherwise(array())))
+      .withColumn("frame",
+        col("media").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .select("media_id", "format", "frame_idx", "frame")
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths, same output contract (query_id, neighbor_id, sim, rank):
+  *  - `bruteForceTopK` — exact: broadcast the (small) query set, one
+  *    narrow pass over the corpus, per-query top-k via window. Linear in
+  *    corpus size, embarrassingly parallel: the right baseline even at
+  *    100 TB when the query set is small.
+  *  - `lshTopK` — approximate: sign-random-projection buckets computed in
+  *    the same narrow pass; the candidate join shuffles only same-bucket
+  *    rows. Multi-probe (flipping each bucket bit) trades one more probe
+  *    per plane for much better recall on boundary vectors.
+  *
+  * Norms are precomputed per side BEFORE any join — cosine inside the
+  * join condition/projection would recompute ‖v‖ once per PAIR instead of
+  * once per vector (N× waste for the corpus side).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of each query vector. `queries` must be
+    * small (broadcast); excludes self-matches by id.
+    */
+  /** `roundTo`: round similarities to that many decimals BEFORE ranking —
+    * engines computing the same cosine differ at ~1e-15, so ranking on the
+    * rounded value (ties broken by id) makes top-k reproducible anywhere.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int,
+                     roundTo: Option[Int] = None): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val rawSim = when(col("qn") * col("cn") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Approximate top-k via SRP-LSH with 1-bit multi-probe: a corpus row is
+    * a candidate for a query if its bucket equals the query's bucket or
+    * differs in exactly one of `nPlanes` bits. Candidates are then scored
+    * exactly and ranked like the brute-force path. The corpus-side bucket
+    * is computed in the same narrow pass as the norm (one corpus scan).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, nPlanes: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("bucket", srpBucket(col("cv"), dim, nPlanes))
+    // each query probes its own bucket plus the nPlanes one-bit flips
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qbucket", srpBucket(col("qv"), dim, nPlanes))
+      .withColumn("probe", explode(array(
+        col("qbucket") +:
+          (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
+    val cands = c.join(broadcast(q),
+      col("bucket") === col("probe") && col("query_id") =!= col("neighbor_id"))
+    cands
+      .withColumn("sim",
+        when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Nearest neighbor per corpus vector (all-pairs collapsed to argmax) —
+    * the embedding-cosine near-dup primitive: pairs with sim ≥ threshold
+    * are duplicates; emitting the NN keeps the output non-degenerate even
+    * when a corpus has no near-dups. Quadratic in corpus size — cap with
+    * LSH bucketing (`lshTopK` with corpus as queries) beyond ~10⁵ rows.
+    */
+  def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    // spread the probe side across all cores: the broadcast-nested-loop
+    // join parallelizes by the stream side's partitioning, and a single
+    // parquet file would otherwise score all pairs in one task
+    val a = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
+      .repartition(nPart)
+      .withColumn("na", l2Norm(col("va")))
+    val b = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
+    a.join(b, col("vec_id") =!= col("nn_id"))
+      .withColumn("sim",
+        when(col("na") * col("nb") > 0, dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), col("nn_id"))))
+      .filter(col("rank") === 1)
+      .select("vec_id", "nn_id", "sim")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: tokenization, quality scoring, language ID,
+  * fingerprinting. All built from codegen'd expressions — one narrow
+  * projection pass per document, no shuffle, no UDFs — so a 100 TB corpus
+  * scan stays scan-bound.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** A BPE-ish subword count: alphanumeric runs (the cheap pre-tokenizer
+    * pass of a byte-pair encoder — count only, no merges). RE2-compatible
+    * pattern so the same regex runs in any engine.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^a-zA-Z0-9]+"), t => length(t) > 0)).cast("long")
+
+  /** Characters matching a class, counted via strip-and-diff (codegen'd,
+    * no regex scan per char).
+    */
+  def charClassCount(text: Column, charClassRegex: String): Column =
+    (length(text) - length(regexp_replace(text, charClassRegex, ""))).cast("long")
+
+  def punctCount(text: Column): Column = charClassCount(text, "[.,;:!?'\"()\\-]")
+
+  /** Occurrences of any word from `words` among the tokens. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast("long")
+
+  /** Small per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — language ID at corpus scale wants a
+    * cheap first pass; anything smarter runs on the disagreement residue.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这")
+  )
+
+  /** Predicted language: the first language (in fixed alphabetical order)
+    * whose stopword-hit count is ≥ every other — deterministic argmax with
+    * alphabetical tie-break, 'und' (undetermined) when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (lang, words) => lang -> wordHits(text, words) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val anyHit = maxScore > 0
+    scores.foldRight(lit("und")) { case ((lang, s), elseExpr) =>
+      when(anyHit && s === maxScore, lit(lang)).otherwise(elseExpr)
+    }
+  }
+
+  /** Composite quality score in [0,1] from cheap surface statistics —
+    * the length / punctuation / stopword-ratio heuristics of C4-style
+    * corpus filtering, composed so each term is a ratio of exact integer
+    * counts (deterministic across engines).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val meanTokLen = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
+    val stopRatio = when(nTokens > 0,
+      wordHits(text, langStopwords.flatMap(_._2)).cast("double") / nTokens).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      punctCount(text).cast("double") / nChars).otherwise(lit(0.0))
+    val lengthTerm = least(nChars / lit(500.0), lit(1.0))
+    val tokLenTerm = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    val stopTerm = least(stopRatio * 3.0, lit(1.0))
+    val punctTerm = when(punctRatio <= 0.1, lit(1.0)).otherwise(lit(0.5))
+    lengthTerm * 0.3 + tokLenTerm * 0.2 + stopTerm * 0.3 + punctTerm * 0.2
+  }
+
+  /** Polynomial rolling-hash document fingerprint:
+    * h = fold(chars)(h·31 + code mod 1e9+7). The modulus keeps every
+    * intermediate < 2^35 so the fold is portable to any engine with exact
+    * 64-bit ints (DuckDB list_reduce mirrors it for the oracle).
+    */
+  val FingerprintMod: Long = 1000000007L
+
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % FingerprintMod)
+}

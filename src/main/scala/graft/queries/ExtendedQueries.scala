@@ -1,12 +1,378 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators over the `documents` and
-  * `embeddings` fixtures (dedup, similarity search, text analysis,
-  * multimodal). Populated in the extended-ops phase.
+  * `embeddings` fixtures: dedup, similarity search, text analysis,
+  * multimodal plumbing.
+  *
+  * Queries whose computation is portable (integer counts, ratio-of-int
+  * divisions, left-fold hashes, rounded cosines) carry DuckDB oracle SQL;
+  * hash-based sketches (MinHash/SimHash use Spark's xxhash64) are
+  * rows-only here and verified against executable specs in ScalaTest
+  * instead.
   */
 object ExtendedQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  // ------------------------------------------------------------------
+  // Dedup (oracle where portable)
+  // ------------------------------------------------------------------
+
+  /** Exact-dedup statistics over the corpus. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_unique"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_dup_rows"))
+
+  private val dedupStatsSql =
+    """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+      |       count(*) - count(DISTINCT text) AS n_dup_rows
+      |FROM documents""".stripMargin
+
+  /** Exact dedup: canonical (lowest) id per distinct text + copy count. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(Tables.documents(spark, dir), "text", "doc_id")
+      .select("canonical_id", "n_copies")
+      .orderBy("canonical_id")
+
+  private val dedupCanonicalSql =
+    """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Text analysis (oracle)
+  // ------------------------------------------------------------------
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+      length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+      |                            x -> len(x) > 0)) AS BIGINT) AS n_subwords,
+      |       CAST(length(text) AS BIGINT) AS n_chars_m
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Surface-statistics quality scoring (C4-style): all terms are ratios
+    * of exact integer counts → bit-identical across engines.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.punctCount(col("text")).as("n_punct"),
+      TextAnalysis.wordHits(col("text"), TextAnalysis.langStopwords.flatMap(_._2))
+        .as("n_stopwords"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private val allStopwordsSqlList: String =
+    TextAnalysis.langStopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+
+  private val textQualitySql =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         CAST(length(text) AS DOUBLE) AS n_chars,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS BIGINT) AS n_punct,
+       |         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                              x -> x IN ($allStopwordsSqlList))) AS BIGINT) AS n_stopwords
+       |  FROM documents)
+       |SELECT doc_id, n_punct, n_stopwords,
+       |       least(n_chars / 500.0, 1.0) * 0.3
+       |       + (CASE WHEN n_tokens > 0 AND n_chars / n_tokens BETWEEN 3 AND 10
+       |               THEN 1.0 ELSE 0.5 END) * 0.2
+       |       + least((CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens ELSE 0.0 END) * 3.0, 1.0) * 0.3
+       |       + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1
+       |               THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Language-ID confusion: labeled language × predicted language. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  private val langConfusionSql: String = {
+    val scoreExprs = TextAnalysis.langStopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextAnalysis.langStopwords.map(_._1)
+    val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |         $scoreExprs
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, CASE WHEN mx = 0 THEN 'und' $caseArms END AS pred_lang
+       |  FROM (SELECT *, $maxExpr AS mx FROM s))
+       |SELECT lang, pred_lang, count(*) AS n FROM p
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Polynomial rolling-hash fingerprint — left fold, portable modulus. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val docFingerprintSql =
+    s"""SELECT doc_id,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |         (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Embeddings / similarity (oracle for brute-force & norms)
+  // ------------------------------------------------------------------
+
+  /** Exact top-5 cosine neighbors for the first 10 vectors. Similarity is
+    * rounded to 6 decimals on BOTH sides before ranking: double dot
+    * products agree to ~1e-15 across engines, so the rounded values (and
+    * therefore ranks, tie-broken by id) are identical.
+    */
+  def annTopkBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, roundTo = Some(6))
+      .withColumnRenamed("sim", "sim_r")
+      .orderBy("query_id", "rank")
+  }
+
+  private val annTopkBruteSql =
+    """WITH flat AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM flat GROUP BY vec_id),
+      |dots AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+      |  FROM flat q JOIN flat c ON q.i = c.i
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(dot / (nq.nrm * nc.nrm), 6) AS sim_r
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = query_id
+      |  JOIN norms nc ON nc.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim_r DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, sim_r, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Per-vector L2 norm and dimensionality. */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2Norm
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(l2Norm(col("embedding")), 6).as("norm_r"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingNormsSql =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |       round(sqrt(list_reduce(
+      |         list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |         (a, b) -> a + b)), 6) AS norm_r
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Multimodal (oracle for metadata; features are stub-backed rows-only)
+  // ------------------------------------------------------------------
+
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .select("media_id", "format", "n_bytes", "source")
+      .orderBy("media_id")
+
+  private val mediaMetadataSql =
+    """SELECT doc_id AS media_id,
+      |       (['png', 'jpeg', 'wav', 'mp4'])[CAST(doc_id % 4 + 1 AS INT)] AS format,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       source
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sketch-based / stub-based ops (rows-only: Spark hash functions are
+  // engine-specific; verified in ScalaTest against executable specs)
+  // ------------------------------------------------------------------
+
+  /** MinHash signatures + shingle counts (barriered narrow passes —
+    * see Dedup.prepareMinhash).
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prepareMinhash(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16)
+      .select(col("id").as("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        col("sig"))
+      .orderBy("doc_id")
+
+  /** Top candidate pairs by estimated Jaccard (high-recall banding so the
+    * output is non-empty even on a corpus with no true near-dups).
+    */
+  def minhashTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 64
+    val prepared = Dedup.prepareMinhash(Tables.documents(spark, dir),
+      "doc_id", "text", shingleN = 2, numHashes = numHashes, bands = 32)
+    val cands = Dedup.candidatePairs(prepared, "id", "bands")
+    val sigs = prepared.select(col("id"), col("sig"))
+    cands
+      .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+      .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
+      .withColumn("est_jaccard", Dedup.estJaccard(col("sig_l"), col("sig_r"), numHashes))
+      .select("id_l", "id_r", "est_jaccard")
+      .orderBy(desc("est_jaccard"), col("id_l"), col("id_r"))
+      .limit(20)
+  }
+
+  /** Exact n-gram Jaccard on LSH candidates, top 20. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val prepared = Dedup.prepareMinhash(Tables.documents(spark, dir),
+      "doc_id", "text", shingleN = 2, numHashes = 64, bands = 32)
+    val cands = Dedup.candidatePairs(prepared, "id", "bands")
+    val side = prepared.select(col("id"), col("shingles"))
+    cands
+      .join(side.withColumnRenamed("id", "id_l").withColumnRenamed("shingles", "sh_l"), "id_l")
+      .join(side.withColumnRenamed("id", "id_r").withColumnRenamed("shingles", "sh_r"), "id_r")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_l"), col("sh_r")))
+      .select("id_l", "id_r", "jaccard")
+      .orderBy(desc("jaccard"), col("id_l"), col("id_r"))
+      .limit(20)
+  }
+
+  /** SimHash 64-bit fingerprints (single-pass custom expression). */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.Sketches.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Nearest neighbor by SimHash Hamming distance for the first 25 docs
+    * (brute force over the corpus — the verification primitive for the
+    * banded variant).
+    */
+  def simhashNn(spark: SparkSession, dir: String): DataFrame = {
+    val sims = Tables.documents(spark, dir).select(
+      col("doc_id"), graft.functions.Sketches.simhash64(col("text")).as("sh"))
+    val q = sims.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("id_l"), col("sh").as("sh_l"))
+    val c = sims.select(col("doc_id").as("id_r"), col("sh").as("sh_r"))
+    q.join(c, col("id_l") =!= col("id_r"))
+      .withColumn("dist", Dedup.hamming(col("sh_l"), col("sh_r")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id_l").orderBy(col("dist"), col("id_r"))))
+      .filter(col("rank") === 1)
+      .select(col("id_l").as("doc_id"), col("id_r").as("nn_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
+  /** Approximate ANN via SRP-LSH with multi-probe (same contract as
+    * ann_topk_brute; recall measured in ScalaTest).
+    */
+  def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .select("query_id", "neighbor_id", "sim_r", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine nearest neighbor per vector (near-dup primitive). */
+  def embeddingNn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearestNeighbor(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .withColumn("sim_r", round(col("sim"), 6))
+      .select("vec_id", "nn_id", "sim_r")
+      .orderBy("vec_id")
+
+  /** Batch-shaped stub feature extraction over the media wrapping. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .as[Multimodal.MediaRecord]
+    Multimodal.extractFeatures(media)
+      .toDF()
+      .select(col("media_id"), col("format"), col("n_bytes"),
+        round(col("byte_mean"), 4).as("byte_mean_r"))
+      .orderBy("media_id")
+  }
+
+  /** Frame sampling over byte blocks (stride-2 64-byte frames). */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.fromDocuments(Tables.documents(spark, dir)), 64, 2)
+      .groupBy("media_id", "format")
+      .agg(count(lit(1)).as("n_frames_sampled"))
+      .orderBy("media_id")
+
+  /** Cardinality sketches: exact vs approx distinct per source. */
+  def cardinalitySketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique_exact"),
+        approx_count_distinct(col("text")).as("n_unique_approx"))
+      .orderBy("source")
+
+  // ------------------------------------------------------------------
+  // Registry
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_stats" -> dedupStats _,
+    "dedup_canonical" -> dedupCanonical _,
+    "token_stats" -> tokenStats _,
+    "text_quality" -> textQuality _,
+    "lang_confusion" -> langConfusion _,
+    "doc_fingerprint" -> docFingerprint _,
+    "ann_topk_brute" -> annTopkBrute _,
+    "embedding_norms" -> embeddingNorms _,
+    "media_metadata" -> mediaMetadata _,
+    "minhash_signatures" -> minhashSignatures _,
+    "minhash_top_pairs" -> minhashTopPairs _,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs _,
+    "simhash_fingerprints" -> simhashFingerprints _,
+    "simhash_nn" -> simhashNn _,
+    "ann_topk_lsh" -> annTopkLsh _,
+    "embedding_nn" -> embeddingNn _,
+    "media_features" -> mediaFeatures _,
+    "media_frames" -> mediaFrames _,
+    "cardinality_sketch" -> cardinalitySketch _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_stats" -> dedupStatsSql,
+    "dedup_canonical" -> dedupCanonicalSql,
+    "token_stats" -> tokenStatsSql,
+    "text_quality" -> textQualitySql,
+    "lang_confusion" -> langConfusionSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "ann_topk_brute" -> annTopkBruteSql,
+    "embedding_norms" -> embeddingNormsSql,
+    "media_metadata" -> mediaMetadataSql
+  )
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.ops.{Multimodal, Similarity}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random corpus: 3 tight clusters + noise. */
+  private def clustered(n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(3, dim)(rnd.nextGaussian().toFloat)
+    (0 until n).map { i =>
+      val c = centers(i % 3)
+      val v = c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+  }
+
+  test("cosine HOF matches a Scala double computation") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val exp = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b")).as[Double].collect().head
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("brute-force top-k: planted duplicate is its twin's top neighbor") {
+    val base = clustered(60, 16)
+    val withDup = base :+ (999L, base.head._2.clone()) // exact dup of vec 0
+    val df = withDup.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 999L),
+        "vec_id", "embedding", k = 1)
+      .select($"neighbor_id").as[Long].collect()
+    assert(top.head == 0L)
+  }
+
+  test("LSH top-k recall ≥ 0.6 vs brute force on clustered data") {
+    val df = clustered(120, 16).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 15)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(df, queries, "vec_id", "embedding",
+        k = 3, dim = 16, nPlanes = 6)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("nearestNeighbor pairs planted twins") {
+    val base = clustered(40, 16)
+    val withDup = base :+ (999L, base.head._2.clone())
+    val nn = Similarity.nearestNeighbor(withDup.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .select($"vec_id", $"nn_id", $"sim").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(nn(999L)._1 == 0L && nn(999L)._2 > 0.9999)
+    assert(nn(0L)._1 == 999L)
+  }
+
+  test("multimodal: batch decode stub is deterministic and batch-shaped") {
+    val docs = Seq((1L, "aaaa"), (2L, "bbbbbbbb"), (3L, "")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val media = Multimodal.fromDocuments(docs).as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 4 && feats(1L).byte_mean == 'a'.toInt.toDouble)
+    assert(feats(2L).n_bytes == 8)
+    assert(feats(3L).n_bytes == 0 && feats(3L).byte_mean == 0.0)
+    // feature vector: histogram of 'a' bytes lands entirely in bucket 1
+    assert(feats(1L).features(1) == 1.0f)
+  }
+
+  test("frame sampling: stride-2 64-byte frames with correct count") {
+    val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val frames = Multimodal.sampleFrames(Multimodal.fromDocuments(docs), 64, 2)
+    // 300 bytes → 4 whole frames (0..3) → sampled idx 0, 2
+    assert(frames.select($"frame_idx").as[Int].collect().sorted.toSeq == Seq(0, 2))
+  }
+
+  test("approx_count_distinct within 5% of exact on documents fixture") {
+    val docs = Tables.documents
+    val (exact, approx) = docs.agg(
+      countDistinct($"text").cast("double"),
+      approx_count_distinct($"text").cast("double"))
+      .as[(Double, Double)].collect().head
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  private object Tables {
+    def documents = spark.read.parquet(s"$sfDir/documents.parquet")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Custom sketch expressions vs executable specs / HOF formulations. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "one"), // fewer tokens than shingle size
+    (5L, "spark engines about different completely shuffles and content")
+  ).toDF("doc_id", "text")
+
+  test("custom minhash_sig == HOF formulation (same xxhash64 chain)") {
+    val viaHof = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.wordShingles($"text", 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = docs.select($"doc_id",
+      Sketches.minhash_sig($"text", 3, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaHof == viaExpr)
+  }
+
+  test("custom simhash64 == HOF formulation") {
+    val viaHof = docs.select($"doc_id",
+      Dedup.simhash(TextAnalysis.tokens($"text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = docs.select($"doc_id", Sketches.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaHof == viaExpr)
+  }
+
+  test("custom word_shingles == HOF wordShingles") {
+    val viaHof = docs.select($"doc_id",
+      Dedup.wordShingles($"text", 3).as("sh")).as[(Long, Seq[String])].collect().toMap
+    val viaExpr = docs.select($"doc_id",
+      Sketches.word_shingles($"text", 3).as("sh")).as[(Long, Seq[String])].collect().toMap
+    assert(viaHof.view.mapValues(_.toSet).toMap == viaExpr.view.mapValues(_.toSet).toMap)
+  }
+
+  test("minhash near-dup pipeline finds planted exact and near duplicates") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"id_l", $"id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)), "exact duplicate pair missed")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)), "near-dup pair missed")
+    assert(!pairs.contains((0L, 2L)), "unrelated pair flagged")
+  }
+
+  test("exact jaccard matches a Scala set computation") {
+    def shingles(s: String, n: Int): Set[String] =
+      s.split("\\s+").sliding(n).map(_.mkString(" ")).toSet
+    val exp = {
+      val a = shingles("the quick brown fox jumps over the lazy dog", 2)
+      val b = shingles("the quick brown fox jumps over the lazy cat", 2)
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val got = docs.filter($"doc_id".isin(0L, 1L))
+      .agg(collect_list($"text")).as[Seq[String]].collect().head
+    val gotJ = Seq((got(0), got(1))).toDF("a", "b")
+      .select(Dedup.jaccard(Dedup.wordShingles($"a", 2), Dedup.wordShingles($"b", 2)))
+      .as[Double].collect().head
+    assert(math.abs(gotJ - exp) < 1e-12)
+  }
+
+  test("simhash near-dup: exact dups at distance 0, near-dups close, unrelated far") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 12)
+      .select($"id_l", $"id_r", $"dist").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 3L)) == 0)
+    assert(pairs.get((0L, 1L)).forall(_ <= 12))
+  }
+
+  test("fingerprint: identical texts collide, distinct texts don't (on fixture)") {
+    val fps = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(2L))
+  }
+
+  test("langId picks the majority-stopword language deterministically") {
+    val rows = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("el gato y la casa de un perro que", "es"),
+      ("der hund und die katze ist nicht ein", "de"),
+      ("xyzzy plugh qwerty", "und")
+    ).toDF("text", "expected")
+    val got = rows.select(TextAnalysis.langId($"text").as("got"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
+}
