@@ -1,0 +1,134 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Writers and side-effecting sinks (SURVEY §2.1 S5-S9, §2.6 D3/D5).
+  *
+  * Everything here is OUTSIDE the oracle set by design: writes and HTTP
+  * calls are side effects. The HTTP fan-out is a trait so tests inject a
+  * mock (mirroring the reference's own `skipWebhooks` test affordance,
+  * send/route.ts:13).
+  */
+object Sinks {
+
+  /** S5 — append insert. */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** S6 — insert-returning: append and hand back the appended batch
+    * (the reference's `.insert(x).select()`); in Spark the DataFrame IS
+    * the returned rows — no read-back round trip.
+    */
+  def appendReturning(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("append").parquet(path)
+    df
+  }
+
+  /** S7 — keyed update as a snapshot transform: read, rewrite matching
+    * rows, overwrite. Correct at fixture scale; at production scale this
+    * is a Delta/Iceberg `UPDATE` (copy-on-write on the same principle).
+    * Writes to `outPath` (parquet can't atomically overwrite its own
+    * input).
+    */
+  def keyedUpdate(spark: SparkSession, path: String, outPath: String,
+                  keyCol: String, keyValue: Any,
+                  updates: Map[String, Column]): Unit = {
+    val df = spark.read.parquet(path)
+    val updated = updates.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, when(col(keyCol) === keyValue, v).otherwise(col(c)))
+    }
+    updated.write.mode("overwrite").parquet(outPath)
+  }
+
+  /** S8 — keyed delete as a snapshot transform (Delta `DELETE` at scale). */
+  def keyedDelete(spark: SparkSession, path: String, outPath: String,
+                  keyCol: String, keyValue: Any): Unit =
+    spark.read.parquet(path).filter(col(keyCol) =!= keyValue)
+      .write.mode("overwrite").parquet(outPath)
+
+  /** D5 — send-ledger append: one row per assigned company, status always
+    * 'sent' regardless of HTTP outcome — a faithful reproduction of the
+    * reference's quirk (send/route.ts:140-158 never records failures).
+    */
+  def ledgerRows(assigned: DataFrame, employeeRange: String,
+                 batchId: String): DataFrame =
+    assigned.select(
+      col("c_custkey").cast("string").as("company_id"),
+      col("webhook_key").cast("string").as("webhook_id"),
+      lit(employeeRange).as("employee_range"),
+      lit(batchId).as("batch_id"),
+      lit("sent").as("status"))
+}
+
+/** The HTTP POST seam (S9/D3). Implementations must be Serializable —
+  * they ship to executors.
+  */
+trait HttpPoster extends Serializable {
+  /** @return true when the POST succeeded */
+  def post(url: String, body: String): Boolean
+}
+
+/** Test double mirroring the reference's `skipWebhooks` flag: records
+  * every would-be POST with its timestamp. Tasks deserialize closure
+  * COPIES of the poster, so the buffer lives in a JVM-static registry
+  * keyed by instance id — all copies in a local-mode JVM share it
+  * (single-JVM scope only, exactly the scope of the tests).
+  */
+class MockPoster(failUrls: Set[String] = Set.empty) extends HttpPoster {
+  val id: String = java.util.UUID.randomUUID().toString
+  MockPoster.register(id)
+  def calls: java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)] =
+    MockPoster.buffers.get(id)
+  override def post(url: String, body: String): Boolean = {
+    MockPoster.register(id).add((url, body, System.nanoTime()))
+    !failUrls.contains(url)
+  }
+}
+
+object MockPoster {
+  import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+  private[sinks] val buffers =
+    new ConcurrentHashMap[String, ConcurrentLinkedQueue[(String, String, Long)]]()
+  private def register(id: String): ConcurrentLinkedQueue[(String, String, Long)] =
+    buffers.computeIfAbsent(id, _ => new ConcurrentLinkedQueue[(String, String, Long)]())
+}
+
+/** D3 — rate-limited HTTP fan-out: within each partition, POST rows in
+  * sub-batches of `rateLimit`, sleeping `intervalMs` between sub-batches —
+  * the reference's 10-requests-then-sleep-1s loop (send/route.ts:94-134),
+  * generalized to a partition-parallel sink. Partition the input by
+  * webhook so each webhook's ceiling is enforced independently (the
+  * reference processes webhooks sequentially; partition-parallelism keeps
+  * per-webhook ordering while webhooks proceed concurrently).
+  *
+  * Returns (sent, failed) per-row outcomes collected via the driver —
+  * callers at scale should instead write outcomes to a ledger path from
+  * within the partition.
+  */
+object RateLimitedFanout {
+
+  def run(payloads: Dataset[(String, String)], poster: HttpPoster,
+          rateLimit: Int = 10, intervalMs: Long = 1000): (Long, Long) = {
+    val spark = payloads.sparkSession
+    val sent = spark.sparkContext.longAccumulator("sent")
+    val failed = spark.sparkContext.longAccumulator("failed")
+    payloads.foreachPartition { it: Iterator[(String, String)] =>
+      it.grouped(rateLimit).foreach { batch =>
+        val t0 = System.nanoTime()
+        batch.foreach { case (url, body) =>
+          val ok = try poster.post(url, body) catch { case _: Exception => false }
+          if (ok) sent.add(1) else failed.add(1)
+        }
+        // token-bucket: wait out the remainder of the interval, but only
+        // if more rows follow (the reference sleeps between batches too;
+        // skipping the trailing sleep just finishes earlier)
+        if (it.hasNext) {
+          val elapsedMs = (System.nanoTime() - t0) / 1000000
+          if (elapsedMs < intervalMs) Thread.sleep(intervalMs - elapsedMs)
+        }
+      }
+    }
+    (sent.value, failed.value)
+  }
+}
