@@ -53,25 +53,31 @@ object Sketches {
     }
   }
 
-  /** xxhash64(seed-chain): replicates Spark's xxhash64(j, col) where j is
-    * an INT (what `sequence(0, k-1)` yields in the HOF formulation — ints
-    * and longs hash differently).
+  /** Min-wise permutation family: ONE xxhash64 per shingle, then k cheap
+    * affine maps `a_j·h + b_j` (odd multipliers) — the classic universal-
+    * hashing scheme (also what Spark ML's MinHashLSH uses). ~k× fewer
+    * string hashes than hashing each shingle k times, same estimator
+    * properties. Coefficients derive deterministically from the
+    * permutation index, seeds fixed.
     */
-  private[functions] def hashJS(j: Int, s: UTF8String): Long = {
-    val h1 = XxHash64Function.hash(j, IntegerType, 42L)
-    XxHash64Function.hash(s, StringType, h1)
+  private[functions] def permCoeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val a = Array.tabulate(numHashes)(j => XxHash64Function.hash(j, IntegerType, 1L) | 1L)
+    val b = Array.tabulate(numHashes)(j => XxHash64Function.hash(j, IntegerType, 2L))
+    (a, b)
   }
 
   private[functions] def minhash(text: UTF8String, shingleN: Int,
                                  numHashes: Int): Array[Long] = {
     val sh = shingles(text, shingleN).map(UTF8String.fromString)
+    val (a, b) = permCoeffs(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
+      val h = XxHash64Function.hash(sh(i), StringType, 42L)
       var j = 0
       while (j < numHashes) {
-        val h = hashJS(j, sh(i))
-        if (h < sig(j)) sig(j) = h
+        val p = a(j) * h + b(j)
+        if (p < sig(j)) sig(j) = p
         j += 1
       }
       i += 1

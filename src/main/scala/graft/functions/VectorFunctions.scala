@@ -13,16 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision (left fold). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision (left fold) — codegen'd primitive loop
+    * (MathExprs.dotProduct); the HOF formulation below is kept as the
+    * executable spec.
+    */
+  def dot(a: Column, b: Column): Column = MathExprs.dotProduct(a, b)
+
+  /** The HOF spec of `dot` (identical fold order; interpreted, allocates —
+    * test-only).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** ‖a‖₂ in double precision. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  /** ‖a‖₂ in double precision: sqrt of the same left-fold dot. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cos(a,b) = a·b / (‖a‖‖b‖); NULL on zero vectors rather than NaN. */
   def cosine(a: Column, b: Column): Column = {
@@ -60,10 +66,11 @@ object VectorFunctions {
   }
 
   /** The same ±1 planes as driver-side vectors (for tests / candidate
-    * verification).
+    * verification). Float so the literal matches the embedding column's
+    * ARRAY<FLOAT> element type (±1 is exact in either width).
     */
-  def srpPlanes(dim: Int, nPlanes: Int): Array[Array[Double]] =
+  def srpPlanes(dim: Int, nPlanes: Int): Array[Array[Float]] =
     Array.tabulate(nPlanes, dim) { (p, d) =>
-      if (scala.util.hashing.MurmurHash3.productHash((p, d)) % 2 == 0) 1.0 else -1.0
+      if (scala.util.hashing.MurmurHash3.productHash((p, d)) % 2 == 0) 1.0f else -1.0f
     }
 }

@@ -53,29 +53,11 @@ object Dedup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** MinHash signature: element j is min over shingles of xxhash64(j, s).
-    * One narrow pass; signature length = numHashes.
-    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(j, s))))
-
-  /** LSH band keys: the signature split into `bands` slices of
-    * `rowsPerBand`, each hashed. Two docs share a band key iff a whole
-    * band of their signatures agrees — the classic S-curve knob
-    * (bands↑ → recall↑, precision↓).
-    */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
-
   /** Estimated Jaccard from two signatures: fraction of agreeing
-    * positions.
+    * positions (codegen'd count — runs per candidate pair).
     */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), e => e))
-      .cast("double") / numHashes
+    graft.functions.MathExprs.sigAgree(sigA, sigB).cast("double") / numHashes
 
   /** Exact Jaccard of two shingle sets. */
   def jaccard(a: Column, b: Column): Column =

@@ -88,6 +88,12 @@ object TextAnalysis {
   val FingerprintMod: Long = 1000000007L
 
   def fingerprint(text: Column): Column =
+    graft.functions.MathExprs.polyHash(text, FingerprintMod)
+
+  /** The HOF spec of `fingerprint` (identical fold; interpreted and ~50×
+    * slower — test-only).
+    */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       filter(split(text, ""), ch => length(ch) > 0),
       lit(0L),

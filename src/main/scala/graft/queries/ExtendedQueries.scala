@@ -248,13 +248,28 @@ object ExtendedQueries {
       .limit(20)
   }
 
-  /** Exact n-gram Jaccard on LSH candidates, top 20. */
+  /** Exact n-gram Jaccard, top 20 — the production dedup funnel: LSH
+    * candidates → cheap signature-estimate prefilter → exact set Jaccard
+    * only on survivors. The exact union/intersect over ~300-element
+    * shingle arrays is 10-50× the cost of the 64-slot estimate, so the
+    * prefilter (est ≥ 0.1, generous vs the σ≈0.06 estimator noise at the
+    * top of the ranking) is what keeps verification off the full
+    * candidate set.
+    */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 64
     val prepared = Dedup.prepareMinhash(Tables.documents(spark, dir),
-      "doc_id", "text", shingleN = 2, numHashes = 64, bands = 32)
+      "doc_id", "text", shingleN = 2, numHashes = numHashes, bands = 32)
     val cands = Dedup.candidatePairs(prepared, "id", "bands")
+    val sigs = prepared.select(col("id"), col("sig"))
+    val prefiltered = cands
+      .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+      .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
+      .withColumn("est", Dedup.estJaccard(col("sig_l"), col("sig_r"), numHashes))
+      .filter(col("est") >= 0.1)
+      .select("id_l", "id_r")
     val side = prepared.select(col("id"), col("shingles"))
-    cands
+    prefiltered
       .join(side.withColumnRenamed("id", "id_l").withColumnRenamed("shingles", "sh_l"), "id_l")
       .join(side.withColumnRenamed("id", "id_r").withColumnRenamed("shingles", "sh_r"), "id_r")
       .withColumn("jaccard", Dedup.jaccard(col("sh_l"), col("sh_r")))

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MathExprs, VectorFunctions}
+import graft.ops.TextAnalysis
+
+/** Codegen'd hot-path expressions vs their HOF executable specs. */
+class MathExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_product == HOF fold, bit-identical, incl. length mismatch and empties") {
+    val rows = Seq(
+      (Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.25f)),
+      (Seq.empty[Float], Seq.empty[Float]),
+      (Seq(1.0f, 2.0f), Seq(3.0f)) // zip_with pads with null; loop stops at min
+    ).toDF("a", "b")
+    val both = rows.select(
+      VectorFunctions.dot($"a", $"b").as("fast"),
+      VectorFunctions.dotHof($"a", $"b").as("spec"))
+      .as[(Option[Double], Option[Double])].collect()
+    // mismatched lengths: HOF spec nulls out (zip_with pads), fast uses min-len
+    assert(both(0)._1 == both(0)._2)
+    assert(both(1)._1 == both(1)._2)
+    assert(both(0)._1.get == (1.5 * 0.5 + (-2.25) * 4.0 + 3.125 * (-1.25)))
+  }
+
+  test("poly_hash == HOF fold on the documents fixture (all 500 docs)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mismatch = docs.select(
+      TextAnalysis.fingerprint($"text").as("fast"),
+      TextAnalysis.fingerprintHof($"text").as("spec"))
+      .filter($"fast" =!= $"spec").count()
+    assert(mismatch == 0)
+  }
+
+  test("poly_hash codegen and interpreted paths agree") {
+    val df = Seq("hello world", "", "a").toDF("t")
+    val viaExpr = df.select(MathExprs.polyHash($"t", 1000000007L)).as[Long].collect().toSeq
+    def fold(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(viaExpr == Seq(fold("hello world"), 0L, fold("a")))
+  }
+
+  test("l2Norm via dot matches scala") {
+    val got = Seq(Seq(3.0f, 4.0f)).toDF("v")
+      .select(VectorFunctions.l2Norm($"v")).as[Double].collect().head
+    assert(got == 5.0)
+  }
+}

@@ -17,14 +17,19 @@ class SketchSpec extends SparkSpec {
     (5L, "spark engines about different completely shuffles and content")
   ).toDF("doc_id", "text")
 
-  test("custom minhash_sig == HOF formulation (same xxhash64 chain)") {
-    val viaHof = docs.select($"doc_id",
-      Dedup.minhashSignature(Dedup.wordShingles($"text", 3), 16).as("sig"))
+  test("minhash_sig: deterministic, right length; dups identical, near-dups mostly agree") {
+    val sigs = docs.select($"doc_id", Sketches.minhash_sig($"text", 2, 64).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
-    val viaExpr = docs.select($"doc_id",
-      Sketches.minhash_sig($"text", 3, 16).as("sig"))
+    assert(sigs.values.forall(_.length == 64))
+    assert(sigs(0L) == sigs(3L)) // exact duplicates → identical signatures
+    val agree01 = sigs(0L).zip(sigs(1L)).count { case (x, y) => x == y }
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (x, y) => x == y }
+    assert(agree01 > 32, s"near-dup agreement $agree01/64") // J≈0.8 expected
+    assert(agree02 < 16, s"unrelated agreement $agree02/64")
+    // second evaluation identical (no RNG state)
+    val sigs2 = docs.select($"doc_id", Sketches.minhash_sig($"text", 2, 64).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
-    assert(viaHof == viaExpr)
+    assert(sigs == sigs2)
   }
 
   test("custom simhash64 == HOF formulation") {
