@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{ExtendedQueries, ReferenceQueries}
+
+/** Plan-quality regressions: the physical plans we shipped are the ones
+  * we designed — filters reach the parquet scan, small dims broadcast,
+  * no accidental cartesian products, custom kernels present. These are
+  * the properties that decide whether a query survives a 100× scale-up,
+  * so they are pinned like behavior.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("paged_listing: segment filter and ledger-status filter push to parquet") {
+    val p = plan(ReferenceQueries.pagedListing(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p.take(500))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+  }
+
+  test("available_by_range: anti-join, not a cartesian/filter emulation") {
+    val p = plan(ReferenceQueries.availableByRange(spark, sfDir))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fk_lookup_join: dimension side broadcasts (no shuffle of the fact table for the join)") {
+    val p = plan(ReferenceQueries.fkLookupJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("distribution_assign: both dims broadcast; bucket join is not a cartesian") {
+    val p = plan(ReferenceQueries.distributionAssign(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embedding_norms: codegen'd dot_product inline over a pruned scan") {
+    val df = ExtendedQueries.embeddingNorms(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("dot_product"))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p.take(800))
+  }
+
+  test("pricing_summary: partial aggregation before the single shuffle") {
+    val p = plan(ReferenceQueries.pricingSummary(spark, sfDir))
+    // map-side combine: a partial_ aggregate below the exchange
+    assert(p.contains("partial_"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("ann_topk_brute: queries broadcast; corpus side is streamed not shuffled") {
+    val p = plan(ExtendedQueries.annTopkBrute(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("token_stats: narrow one-pass projection (no exchange before the sort)") {
+    val p = plan(ExtendedQueries.tokenStats(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+}
