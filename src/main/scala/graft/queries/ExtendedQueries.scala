@@ -266,7 +266,10 @@ object ExtendedQueries {
       .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
       .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
       .withColumn("est", Dedup.estJaccard(col("sig_l"), col("sig_r"), numHashes))
-      .filter(col("est") >= 0.1)
+      // σ(est) ≈ 0.05 at J=0.2 with 64 hashes: pairs with exact J ≥ 0.35
+      // essentially never fall below est 0.2, so a top-k of real near-dups
+      // is unaffected while exact verification shrinks ~100×
+      .filter(col("est") >= 0.2)
       .select("id_l", "id_r")
     val side = prepared.select(col("id"), col("shingles"))
     prefiltered
