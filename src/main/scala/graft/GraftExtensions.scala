@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
+
+/** Registers graft's custom expressions as SQL functions, so
+  * `spark.sql("SELECT minhash_sig(text, 3, 64) ...")` works alongside the
+  * Scala Column API.
+  *
+  * Two entry points:
+  *  - session build: `.withExtensions(new GraftExtensions)` or
+  *    `--conf spark.sql.extensions=graft.GraftExtensions`;
+  *  - existing session: `GraftExtensions.register(spark)` (temp
+  *    functions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name must be a long literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> (es => DotProductExpr(es(0), es(1))),
+    "sig_agree" -> (es => SigAgreeExpr(es(0), es(1))),
+    "poly_hash" -> (es => PolyHashExpr(es(0), longArg(es(1), "mod"))),
+    "simhash64" -> (es => SimHash64Expr(es.head)),
+    "word_shingles" -> (es => WordShinglesExpr(es(0), intArg(es(1), "n"))),
+    "minhash_sig" -> (es => MinHashSigExpr(es(0),
+      intArg(es(1), "shingleN"), intArg(es(2), "numHashes"))),
+    "minhash_bands" -> (es => MinHashBandsExpr(es(0),
+      intArg(es(1), "shingleN"), intArg(es(2), "numHashes"), intArg(es(3), "bands")))
+  )
+
+  /** Register into an already-built session as temp functions. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path beside SRP-LSH (`Similarity.lshTopK`):
+  *
+  *  1. TRAIN: k-means-style centroids from a deterministic sample —
+  *     initialized by hashed row pick, refined with a few Lloyd
+  *     iterations. Centroids are tiny (k × dim floats) and live on the
+  *     driver / in broadcasts, like any dimension table.
+  *  2. INDEX: one narrow pass assigns each corpus vector to its nearest
+  *     centroid (`list_id`) — at 100 TB this is the partitioning/bucket
+  *     key you'd persist with the data.
+  *  3. SEARCH: each query probes its `nProbe` nearest lists; the
+  *     candidate join shuffles only rows of probed lists (~nProbe/k of
+  *     the corpus), then exact-scores and ranks like the brute path.
+  *
+  * Determinism: sample selection, init, and iteration order are all
+  * hash/index-derived — the same corpus always yields the same index.
+  */
+object Ivf {
+
+  case class Model(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+  }
+
+  private def cosineSim(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestSim = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      val s = cosineSim(v, cs(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train on a deterministic sample (hash-picked, ≤ maxSample rows
+    * pulled to the driver — k and dim are small; the corpus is not).
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+            iterations: Int = 5, maxSample: Int = 2000): Model = {
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(maxSample)
+      .select("id", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "empty corpus")
+    // init: deterministic farthest-point (k-means++ without randomness) —
+    // first pick is the lowest-hash row, each next pick is the sample row
+    // least similar to its nearest chosen centroid. Avoids the classic
+    // two-seeds-in-one-cluster split of naive init.
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2.clone())
+    while (chosen.length < math.min(k, sample.length)) {
+      val next = sample.minBy { case (_, v) =>
+        chosen.map(c => cosineSim(v, c)).max
+      }
+      chosen += next._2.clone()
+    }
+    var centroids = chosen.toArray
+    (1 to iterations).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head._2.length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { case (_, v) =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+    }
+    Model(centroids)
+  }
+
+  /** One narrow pass: nearest-centroid list assignment per vector. */
+  def index(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val listId = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(col(vecCol), typedlit(c.toSeq))
+        .divide(l2Norm(col(vecCol)) * math.sqrt(c.map(x => x.toDouble * x).sum))
+        .as("sim"), lit(i).as("cid"))
+    }
+    corpus.withColumn("list_id",
+      element_at(array_sort(array(listId: _*), (a, b) =>
+        when(a.getField("sim") > b.getField("sim"), -1)
+          .when(a.getField("sim") < b.getField("sim"), 1)
+          .otherwise(0)), 1).getField("cid"))
+  }
+
+  /** Probe the nProbe nearest lists per query, exact-score candidates. */
+  def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, model: Model,
+                 nProbe: Int = 3): DataFrame = {
+    val indexed = index(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("cn", l2Norm(col("cv"))), "cv", model)
+    // driver-side probe computation happens per query ROW inside the
+    // plan: rank all centroids, explode the top nProbe list ids
+    val probes = index(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qn", l2Norm(col("qv"))), "qv", model)
+      .drop("list_id")
+      .withColumn("probe", explode(probeLists(col("qv"), model, nProbe)))
+    val cands = indexed.join(broadcast(probes),
+      col("list_id") === col("probe") && col("query_id") =!= col("neighbor_id"))
+    cands
+      .withColumn("sim",
+        when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Array of the nProbe nearest centroid ids for a vector column. */
+  private def probeLists(vec: org.apache.spark.sql.Column, model: Model,
+                         nProbe: Int): org.apache.spark.sql.Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(vec, typedlit(c.toSeq))
+        .divide(l2Norm(vec) * math.sqrt(c.map(x => x.toDouble * x).sum))
+        .as("sim"), lit(i).as("cid"))
+    }
+    slice(
+      transform(
+        array_sort(array(scored: _*), (a, b) =>
+          when(a.getField("sim") > b.getField("sim"), -1)
+            .when(a.getField("sim") < b.getField("sim"), 1)
+            .otherwise(0)),
+        s => s.getField("cid")),
+      1, nProbe)
+  }
+}

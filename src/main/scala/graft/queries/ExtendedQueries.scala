@@ -320,6 +320,19 @@ object ExtendedQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Approximate ANN via IVF (trained inverted lists, nProbe=2) — the
+    * second scale path beside SRP-LSH; same output contract.
+    */
+  def annTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
+    graft.ops.Ivf.searchTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, model, nProbe = 2)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .select("query_id", "neighbor_id", "sim_r", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine nearest neighbor per vector (near-dup primitive). */
   def embeddingNn(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearestNeighbor(Tables.embeddings(spark, dir), "vec_id", "embedding")
@@ -376,6 +389,7 @@ object ExtendedQueries {
     "simhash_fingerprints" -> simhashFingerprints _,
     "simhash_nn" -> simhashNn _,
     "ann_topk_lsh" -> annTopkLsh _,
+    "ann_topk_ivf" -> annTopkIvf _,
     "embedding_nn" -> embeddingNn _,
     "media_features" -> mediaFeatures _,
     "media_frames" -> mediaFrames _,

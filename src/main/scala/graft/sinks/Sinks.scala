@@ -50,14 +50,19 @@ object Sinks {
   /** D5 — send-ledger append: one row per assigned company, status always
     * 'sent' regardless of HTTP outcome — a faithful reproduction of the
     * reference's quirk (send/route.ts:140-158 never records failures).
+    * Row ids and sent_at are minted HERE (X2 `uuid()` / X3
+    * `current_timestamp()`): nondeterminism lives only in sink paths,
+    * never in oracle-registered queries (SURVEY §7.4.1).
     */
   def ledgerRows(assigned: DataFrame, employeeRange: String,
                  batchId: String): DataFrame =
     assigned.select(
+      expr("uuid()").as("id"),
       col("c_custkey").cast("string").as("company_id"),
       col("webhook_key").cast("string").as("webhook_id"),
       lit(employeeRange).as("employee_range"),
       lit(batchId).as("batch_id"),
+      current_timestamp().as("sent_at"),
       lit("sent").as("status"))
 }
 

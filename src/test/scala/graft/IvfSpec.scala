@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Ivf, Similarity}
+import graft.GraftExtensions
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered(n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian().toFloat)
+    (0 until n).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+  }
+
+  test("IVF: train is deterministic; index assigns cluster-mates to the same list") {
+    val df = clustered(200, 12).toDF("vec_id", "embedding")
+    val m1 = Ivf.train(df, "vec_id", "embedding", k = 4)
+    val m2 = Ivf.train(df, "vec_id", "embedding", k = 4)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    val assigned = Ivf.index(df, "embedding", m1)
+      .select($"vec_id", $"list_id").as[(Long, Int)].collect().toMap
+    // vectors from the same generator cluster should mostly co-locate
+    val byTrueCluster = assigned.groupBy { case (id, _) => id % 4 }
+      .map { case (_, m) =>
+        val counts = m.values.groupBy(identity).map(_._2.size)
+        counts.max.toDouble / m.size
+      }
+    assert(byTrueCluster.forall(_ >= 0.9), s"purity $byTrueCluster")
+  }
+
+  test("IVF search recall ≥ 0.8 vs brute force on clustered data") {
+    val df = clustered(200, 12).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 12)
+    val model = Ivf.train(df, "vec_id", "embedding", k = 4)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.searchTopK(df, queries, "vec_id", "embedding", k = 3,
+        model, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("SQL registration: custom expressions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, poly_hash(text, 1000000007) AS fp,
+        |       simhash64(text) AS sh,
+        |       minhash_sig(text, 2, 8) AS sig
+        |FROM docs_sql ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(viaSql.length == 5)
+    assert(viaSql.forall(_.getAs[Seq[Long]]("sig").length == 8))
+    val dotViaSql = spark.sql(
+      "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .as[Double].collect().head
+    assert(dotViaSql == 11.0)
+  }
+}
