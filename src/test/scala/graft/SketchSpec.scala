@@ -89,6 +89,16 @@ class SketchSpec extends SparkSpec {
     assert(fps(0L) != fps(2L))
   }
 
+  test("sf0.1 fixture: the near-dup funnel finds the planted duplicates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val pairs = graft.queries.ExtendedQueries
+      .ngramJaccardPairs(spark, "/root/testdata/sf0.1")
+      .select($"jaccard").as[Double].collect()
+    assert(pairs.length == 20)
+    assert(pairs.max >= 0.99, s"max jaccard ${pairs.max}")
+    assert(pairs.count(_ >= 0.9) >= 10, "expected ≥10 planted near-dup pairs")
+  }
+
   test("langId picks the majority-stopword language deterministically") {
     val rows = Seq(
       ("the cat and the dog of a house", "en"),
