@@ -55,7 +55,8 @@ object Similarity {
     * is computed in the same narrow pass as the norm (one corpus scan).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, dim: Int, nPlanes: Int = 12): DataFrame = {
+              vecCol: String, k: Int, dim: Int, nPlanes: Int = 12,
+              roundTo: Option[Int] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
       .withColumn("bucket", srpBucket(col("cv"), dim, nPlanes))
@@ -68,9 +69,10 @@ object Similarity {
           (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
     val cands = c.join(broadcast(q),
       col("bucket") === col("probe") && col("query_id") =!= col("neighbor_id"))
+    val rawSim = when(col("qn") * col("cn") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     cands
-      .withColumn("sim",
-        when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))).cast("long"))
       .filter(col("rank") <= k)

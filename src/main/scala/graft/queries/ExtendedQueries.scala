@@ -309,15 +309,69 @@ object ExtendedQueries {
   }
 
   /** Approximate ANN via SRP-LSH with multi-probe (same contract as
-    * ann_topk_brute; recall measured in ScalaTest).
+    * ann_topk_brute; recall measured in ScalaTest). Oracle-registered:
+    * the ±1 projection planes are deterministic constants, embedded into
+    * the DuckDB SQL as a VALUES table, so both engines compute identical
+    * buckets, probes, candidates, and (rounded) rankings.
     */
   def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8)
-      .withColumn("sim_r", round(col("sim"), 6))
-      .select("query_id", "neighbor_id", "sim_r", "rank")
+        "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8, roundTo = Some(6))
+      .withColumnRenamed("sim", "sim_r")
       .orderBy("query_id", "rank")
+  }
+
+  private val annTopkLshSql: String = {
+    val planes = graft.functions.VectorFunctions.srpPlanes(dim = 64, nPlanes = 8)
+    val planeValues = (for {
+      p <- planes.indices
+      d <- planes(p).indices
+    } yield s"(${p}, ${d + 1}, ${planes(p)(d).toInt})").mkString(", ")
+    s"""WITH planes(p, i, w) AS (VALUES $planeValues),
+       |flat AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+       |  FROM flat GROUP BY vec_id),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN pd >= 0 THEN POW(2, p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (SELECT f.vec_id, pl.p, sum(CAST(f.x AS DOUBLE) * pl.w) AS pd
+       |        FROM flat f JOIN planes pl ON f.i = pl.i
+       |        GROUP BY f.vec_id, pl.p)
+       |  GROUP BY vec_id),
+       |probes AS (
+       |  SELECT b.vec_id AS query_id, b.bucket AS probe FROM buckets b WHERE b.vec_id < 10
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, CAST(POW(2, gs.g) AS BIGINT))
+       |  FROM buckets b, (SELECT unnest(range(0, 8)) AS g) gs
+       |  WHERE b.vec_id < 10),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, cb.vec_id AS neighbor_id
+       |  FROM probes p JOIN buckets cb ON cb.bucket = p.probe
+       |  WHERE p.query_id <> cb.vec_id),
+       |dots AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         sum(CAST(q.x AS DOUBLE) * CAST(n.x AS DOUBLE)) AS dot
+       |  FROM cands c
+       |  JOIN flat q ON q.vec_id = c.query_id
+       |  JOIN flat n ON n.vec_id = c.neighbor_id AND n.i = q.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         round(dot / (nq.nrm * nn.nrm), 6) AS sim_r
+       |  FROM dots
+       |  JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nn ON nn.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim_r DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Approximate ANN via IVF (trained inverted lists, nProbe=2) — the
@@ -360,6 +414,23 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_frames_sampled"))
       .orderBy("media_id")
 
+  /** Exact per-source cardinalities (the oracle-able half of
+    * cardinality_sketch).
+    */
+  def sourceDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique_exact"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+
+  private val sourceDistinctSql =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT text) AS n_unique_exact,
+      |       count(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Cardinality sketches: exact vs approx distinct per source. */
   def cardinalitySketch(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -390,6 +461,7 @@ object ExtendedQueries {
     "simhash_nn" -> simhashNn _,
     "ann_topk_lsh" -> annTopkLsh _,
     "ann_topk_ivf" -> annTopkIvf _,
+    "source_distinct" -> sourceDistinct _,
     "embedding_nn" -> embeddingNn _,
     "media_features" -> mediaFeatures _,
     "media_frames" -> mediaFrames _,
@@ -404,6 +476,8 @@ object ExtendedQueries {
     "lang_confusion" -> langConfusionSql,
     "doc_fingerprint" -> docFingerprintSql,
     "ann_topk_brute" -> annTopkBruteSql,
+    "ann_topk_lsh" -> annTopkLshSql,
+    "source_distinct" -> sourceDistinctSql,
     "embedding_norms" -> embeddingNormsSql,
     "media_metadata" -> mediaMetadataSql
   )
