@@ -546,6 +546,119 @@ object ReferenceQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Headline multi-join (TPC-H Q5 shape): revenue by nation within one
+    * region — the full star-schema path region→nation→(customer, supplier)
+    * →orders→lineitem. The two small dims broadcast; the fact joins
+    * shuffle on their keys once each.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20, 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val regionRevenueSql =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Window aggregation: per-customer running order spend and order index
+    * (the generic warehouse analytic the dashboard's per-segment counters
+    * grow into). Partitioned window — shuffles once on the customer key,
+    * no global bottleneck.
+    */
+  def customerRunningSpend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") < 100)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).cast("long").as("order_idx"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+        .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val customerRunningSpendSql =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(row_number() OVER w AS BIGINT) AS order_idx,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Gap-based sessionization over the events stream (30-minute
+    * inactivity gap): lag → gap flag → running session index, then
+    * per-user session stats. The batch form of the sessionizer a
+    * streaming pipeline runs with state; one shuffle on user_id.
+    */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMicros = 1800L * 1000000L // exact integer micros on both engines
+    val sessions = e
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        decSum(col("value"), 18, 6).as("sum_value"))
+      .groupBy("user_id")
+      .agg(max(col("session_idx")).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        decSum(col("sum_value"), 20, 6).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  private val eventSessionsSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_idx, count(*) AS n_events,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  FROM sess GROUP BY user_id, session_idx)
+      |SELECT user_id, CAST(max(session_idx) AS BIGINT) AS n_sessions,
+      |       max(n_events) AS max_session_events,
+      |       CAST(SUM(CAST(sum_value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -570,7 +683,10 @@ object ReferenceQueries {
     "string_funcs" -> stringFuncs _,
     "pricing_summary" -> pricingSummary _,
     "revenue_topk" -> revenueTopk _,
-    "events_minute_window" -> eventsMinuteWindow _
+    "events_minute_window" -> eventsMinuteWindow _,
+    "region_revenue" -> regionRevenue _,
+    "customer_running_spend" -> customerRunningSpend _,
+    "event_sessions" -> eventSessions _
   )
 
   val oracles: Map[String, String] = Map(
@@ -593,6 +709,9 @@ object ReferenceQueries {
     "string_funcs" -> stringFuncsSql,
     "pricing_summary" -> pricingSummarySql,
     "revenue_topk" -> revenueTopkSql,
-    "events_minute_window" -> eventsMinuteWindowSql
+    "events_minute_window" -> eventsMinuteWindowSql,
+    "region_revenue" -> regionRevenueSql,
+    "customer_running_spend" -> customerRunningSpendSql,
+    "event_sessions" -> eventSessionsSql
   )
 }

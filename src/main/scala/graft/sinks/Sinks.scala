@@ -47,6 +47,15 @@ object Sinks {
     spark.read.parquet(path).filter(col(keyCol) =!= keyValue)
       .write.mode("overwrite").parquet(outPath)
 
+  /** Batch upsert (MERGE): rows of `updates` replace same-key rows of
+    * `existing`, new keys append — the copy-on-write shape of a Delta
+    * `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`. One anti-join
+    * + union; both sides keep their partitioning on the key.
+    */
+  def merge(existing: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
+    existing.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+
   /** D5 — send-ledger append: one row per assigned company, status always
     * 'sent' regardless of HTTP outcome — a faithful reproduction of the
     * reference's quirk (send/route.ts:140-158 never records failures).
