@@ -56,6 +56,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("region_revenue: region/nation dims broadcast, no cartesian") {
+    val p = plan(ReferenceQueries.regionRevenue(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("customer_running_spend: single partitioned-window shuffle") {
+    val p = plan(ReferenceQueries.customerRunningSpend(spark, sfDir))
+    assert(p.contains("Window"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+  }
+
   test("token_stats: narrow one-pass projection (no exchange before the sort)") {
     val p = plan(ExtendedQueries.tokenStats(spark, sfDir))
     assert(!p.contains("Exchange hashpartitioning"), p.take(800))
