@@ -67,6 +67,36 @@ object Multimodal {
         bytes.take(4), hist.map(_ / n))
     }
 
+  case class ResizedMedia(media_id: Long, format: String, width: Int,
+                          height: Int, pixels: Array[Byte])
+
+  /** STUB resize — nearest-neighbor downsample treating the payload as a
+    * 1-D byte signal resampled to width×height. A real implementation
+    * swaps the inner loop for the codec's scaler; the batch shape,
+    * schema, and determinism contract are the production-shaped parts.
+    */
+  def resizeStub(records: Dataset[MediaRecord], width: Int,
+                 height: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import records.sparkSession.implicits._
+    val n = width * height
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val src = r.media
+          val out = new Array[Byte](n)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < n) {
+              out(i) = src((i.toLong * src.length / n).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(r.media_id, r.format, width, height, out)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for time-based media: every `stride`-th block of
     * `frameBytes` bytes, as (frame_idx, frame) rows. Pure column algebra
     * — the slice happens where the data lives.

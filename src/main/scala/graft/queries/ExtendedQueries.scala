@@ -406,6 +406,20 @@ object ExtendedQueries {
       .orderBy("media_id")
   }
 
+  /** Deterministic resize stub over the media wrapping: 8×8 "thumbnails"
+    * with a checksum of the resampled bytes.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .as[Multimodal.MediaRecord]
+    Multimodal.resizeStub(media, width = 8, height = 8)
+      .toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        crc32(col("pixels")).as("pixels_crc"))
+      .orderBy("media_id")
+  }
+
   /** Frame sampling over byte blocks (stride-2 64-byte frames). */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -465,6 +479,7 @@ object ExtendedQueries {
     "embedding_nn" -> embeddingNn _,
     "media_features" -> mediaFeatures _,
     "media_frames" -> mediaFrames _,
+    "media_resize" -> mediaResize _,
     "cardinality_sketch" -> cardinalitySketch _
   )
 

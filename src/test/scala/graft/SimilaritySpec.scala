@@ -77,6 +77,19 @@ class SimilaritySpec extends SparkSpec {
     assert(feats(1L).features(1) == 1.0f)
   }
 
+  test("resize stub: deterministic nearest-neighbor byte resample") {
+    val docs = Seq((1L, "abcdefgh" * 16)).toDF("doc_id", "text") // 128 bytes
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val media = Multimodal.fromDocuments(docs).as[Multimodal.MediaRecord]
+    val r1 = Multimodal.resizeStub(media, 4, 4).collect().head
+    val r2 = Multimodal.resizeStub(media, 4, 4).collect().head
+    assert(r1.pixels.toSeq == r2.pixels.toSeq) // deterministic
+    assert(r1.pixels.length == 16)
+    // nearest-neighbor: pixel i = src[i*128/16] = src[i*8] = 'a' each block
+    assert(r1.pixels.forall(_ == 'a'.toByte))
+  }
+
   test("frame sampling: stride-2 64-byte frames with correct count") {
     val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
