@@ -659,6 +659,65 @@ object ReferenceQueries {
       |       CAST(SUM(CAST(sum_value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Exact percentiles per group (type-7 linear interpolation — the same
+    * definition in Spark's `percentile` and DuckDB's `quantile_cont`, so
+    * the interpolated doubles match bit-for-bit).
+    */
+  def orderValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderstatus")
+
+  private val orderValueQuantilesSql =
+    """SELECT o_orderstatus,
+      |       quantile_cont(o_totalprice, 0.5) AS p50,
+      |       quantile_cont(o_totalprice, 0.9) AS p90,
+      |       min(o_totalprice) AS min_price,
+      |       max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** ROLLUP over segment × nation: subtotal and grand-total rows with the
+    * standard NULL group markers, identical in both engines.
+    */
+  def segmentNationRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .rollup("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        decSum(col("c_acctbal"), 18, 2).as("sum_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+        col("c_nationkey").asc_nulls_first)
+
+  private val segmentNationRollupSql =
+    """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+      |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin
+
+  /** Pivot: event counts per user bucket × event type as columns (the
+    * oracle mirrors it with FILTER aggregates — same result, portable).
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 10).cast("long").as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
+  private val eventsPivotSql =
+    """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -686,7 +745,10 @@ object ReferenceQueries {
     "events_minute_window" -> eventsMinuteWindow _,
     "region_revenue" -> regionRevenue _,
     "customer_running_spend" -> customerRunningSpend _,
-    "event_sessions" -> eventSessions _
+    "event_sessions" -> eventSessions _,
+    "order_value_quantiles" -> orderValueQuantiles _,
+    "segment_nation_rollup" -> segmentNationRollup _,
+    "events_pivot" -> eventsPivot _
   )
 
   val oracles: Map[String, String] = Map(
@@ -712,6 +774,9 @@ object ReferenceQueries {
     "events_minute_window" -> eventsMinuteWindowSql,
     "region_revenue" -> regionRevenueSql,
     "customer_running_spend" -> customerRunningSpendSql,
-    "event_sessions" -> eventSessionsSql
+    "event_sessions" -> eventSessionsSql,
+    "order_value_quantiles" -> orderValueQuantilesSql,
+    "segment_nation_rollup" -> segmentNationRollupSql,
+    "events_pivot" -> eventsPivotSql
   )
 }

@@ -58,8 +58,11 @@ def main(sf_dir, out_dir):
                 # exact-match note for floats
                 break
         if ok:
-            # exactness probe for floats (what the driver's hash likely needs)
-            exact = all((got[c] == exp[c]).all() or got[c].dtype.kind not in 'f'
+            # exactness probe for floats (what the driver's hash likely
+            # needs); NaN==NaN counts as equal (NULL markers from rollup
+            # land as NaN in pandas float columns)
+            exact = all(((got[c] == exp[c]) | (got[c].isna() & exp[c].isna())).all()
+                        or got[c].dtype.kind not in 'f'
                         for c in got.columns)
             tag = "PASS" if exact else "PASS(~float)"
             print(f"{tag} {name}: {len(got)} rows")
