@@ -718,6 +718,42 @@ object ReferenceQueries {
       |       count(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of join: each event carries its user's most recent order at event
+    * time (backward, '<='). Right side deduped to one row per (customer,
+    * date) — highest order key wins — so the match is unique and both
+    * engines agree. Oracle uses DuckDB's native ASOF JOIN; per-user event
+    * counts keep the output compact.
+    */
+  def eventsLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val r = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("last_orderkey"),
+        max("o_totalprice").as("last_price"))
+    val joined = graft.ops.AsOf.joinBackward(
+      e.select("event_id", "user_id", "ts"), r,
+      key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+      rightVals = Seq("last_orderkey", "last_price"),
+      rightTiebreak = Some("last_orderkey"))
+    joined.groupBy(col("user_id"), col("asof_last_orderkey").as("last_orderkey"),
+        col("asof_last_price").as("last_price"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val eventsLastOrderSql =
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, o_orderdate,
+      |         max(o_orderkey) AS last_orderkey,
+      |         max(o_totalprice) AS last_price
+      |  FROM orders GROUP BY 1, 2),
+      |j AS (
+      |  SELECT e.user_id, r.last_orderkey, r.last_price
+      |  FROM events e ASOF LEFT JOIN r
+      |    ON e.user_id = r.user_id AND e.ts >= r.o_orderdate)
+      |SELECT user_id, last_orderkey, last_price, count(*) AS n_events
+      |FROM j GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -748,7 +784,8 @@ object ReferenceQueries {
     "event_sessions" -> eventSessions _,
     "order_value_quantiles" -> orderValueQuantiles _,
     "segment_nation_rollup" -> segmentNationRollup _,
-    "events_pivot" -> eventsPivot _
+    "events_pivot" -> eventsPivot _,
+    "events_last_order" -> eventsLastOrder _
   )
 
   val oracles: Map[String, String] = Map(
@@ -777,6 +814,7 @@ object ReferenceQueries {
     "event_sessions" -> eventSessionsSql,
     "order_value_quantiles" -> orderValueQuantilesSql,
     "segment_nation_rollup" -> segmentNationRollupSql,
-    "events_pivot" -> eventsPivotSql
+    "events_pivot" -> eventsPivotSql,
+    "events_last_order" -> eventsLastOrderSql
   )
 }
