@@ -754,6 +754,32 @@ object ReferenceQueries {
       |SELECT user_id, last_orderkey, last_price, count(*) AS n_events
       |FROM j GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin
 
+  /** Interval self-join: per-user pairs of events within 60 s of each
+    * other, summarized per user (burst detection — the range-join shape).
+    * Bucketed equi-join, not a theta join; oracle is the plain inequality
+    * join (fine at fixture scale).
+    */
+  def eventBursts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tm"), col("event_id"))
+    val pairs = graft.ops.RangeJoin.withinTolerance(
+      e, e, key = "user_id", lTimeMicros = "tm", rTimeMicros = "tm",
+      lId = "event_id", rId = "event_id", tolMicros = 60L * 1000000L)
+    pairs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("delta_micros"))).as("min_gap_micros"))
+      .orderBy("user_id")
+  }
+
+  private val eventBurstsSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tm, event_id FROM events)
+      |SELECT l.user_id, count(*) AS n_pairs,
+      |       CAST(min(abs(r.tm - l.tm)) AS BIGINT) AS min_gap_micros
+      |FROM e l JOIN e r
+      |  ON l.user_id = r.user_id AND l.event_id < r.event_id
+      | AND abs(l.tm - r.tm) <= 60000000
+      |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -785,7 +811,8 @@ object ReferenceQueries {
     "order_value_quantiles" -> orderValueQuantiles _,
     "segment_nation_rollup" -> segmentNationRollup _,
     "events_pivot" -> eventsPivot _,
-    "events_last_order" -> eventsLastOrder _
+    "events_last_order" -> eventsLastOrder _,
+    "event_bursts" -> eventBursts _
   )
 
   val oracles: Map[String, String] = Map(
@@ -815,6 +842,7 @@ object ReferenceQueries {
     "order_value_quantiles" -> orderValueQuantilesSql,
     "segment_nation_rollup" -> segmentNationRollupSql,
     "events_pivot" -> eventsPivotSql,
-    "events_last_order" -> eventsLastOrderSql
+    "events_last_order" -> eventsLastOrderSql,
+    "event_bursts" -> eventBurstsSql
   )
 }
