@@ -123,6 +123,52 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Duplicate clusters (connected components over near-dup pairs)
+  // ------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list by iterative
+    * minimum-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until fixpoint. Each iteration
+    * is one join + one min-aggregation (shuffles on the node id); label
+    * count shrinks geometrically, and `maxIter` bounds the cost (chain
+    * diameter > 2^maxIter would need a checkpointed loop — at that point
+    * use the classic large-star/small-star algorithm, same skeleton).
+    *
+    * Returns (id, cluster) where cluster = min id of the component —
+    * singletons keep their own id. This is the step AFTER near-dup pair
+    * detection in a dedup pipeline: pairs → clusters → keep one canonical
+    * doc per cluster.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    // undirected edge list, both directions
+    val edges = pairs.select(c("id_l").as("src"), c("id_r").as("dst"))
+      .union(pairs.select(c("id_r").as("src"), c("id_l").as("dst")))
+      .distinct()
+    var labels = nodes.select(c(idCol).as("id"), c(idCol).as("cluster"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels: for each dst, the labels of its srcs
+      val neighborLabels = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(c("dst").as("id"), c("cluster"))
+      val updated = labels.select(c("id"), c("cluster"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), "id")
+        .filter(c("u.cluster") =!= c("l.cluster"))
+        .limit(1).count() > 0
+      labels = updated.localCheckpoint(eager = true) // cut the growing lineage
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

@@ -281,6 +281,29 @@ object ExtendedQueries {
       .limit(20)
   }
 
+  /** Duplicate clusters: near-dup pairs (est-Jaccard ≥ 0.5 on LSH
+    * candidates) → connected components → per-cluster stats. Singletons
+    * keep their own id, so the output covers every doc at every scale.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prepared = Dedup.prepareMinhash(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32)
+    val cands = Dedup.candidatePairs(prepared, "id", "bands")
+    val sigs = prepared.select(col("id"), col("sig"))
+    val pairs = cands
+      .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+      .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
+      .filter(Dedup.estJaccard(col("sig_l"), col("sig_r"), 64) >= 0.5)
+      .select("id_l", "id_r")
+    Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+      .groupBy("n_members")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("n_members")
+  }
+
   /** SimHash 64-bit fingerprints (single-pass custom expression). */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -470,6 +493,7 @@ object ExtendedQueries {
     "media_metadata" -> mediaMetadata _,
     "minhash_signatures" -> minhashSignatures _,
     "minhash_top_pairs" -> minhashTopPairs _,
+    "dedup_clusters" -> dedupClusters _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "simhash_fingerprints" -> simhashFingerprints _,
     "simhash_nn" -> simhashNn _,

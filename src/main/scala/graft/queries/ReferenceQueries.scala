@@ -698,6 +698,21 @@ object ReferenceQueries {
       |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
       |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin
 
+  /** CUBE over status × priority: all grouping-set combinations. */
+  def orderStatusCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        decSum(col("o_totalprice"), 18, 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val orderStatusCubeSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** Pivot: event counts per user bucket × event type as columns (the
     * oracle mirrors it with FILTER aggregates — same result, portable).
     */
@@ -811,6 +826,7 @@ object ReferenceQueries {
     "order_value_quantiles" -> orderValueQuantiles _,
     "segment_nation_rollup" -> segmentNationRollup _,
     "events_pivot" -> eventsPivot _,
+    "order_status_cube" -> orderStatusCube _,
     "events_last_order" -> eventsLastOrder _,
     "event_bursts" -> eventBursts _
   )
@@ -842,6 +858,7 @@ object ReferenceQueries {
     "order_value_quantiles" -> orderValueQuantilesSql,
     "segment_nation_rollup" -> segmentNationRollupSql,
     "events_pivot" -> eventsPivotSql,
+    "order_status_cube" -> orderStatusCubeSql,
     "events_last_order" -> eventsLastOrderSql,
     "event_bursts" -> eventBurstsSql
   )

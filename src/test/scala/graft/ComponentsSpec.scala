@@ -1,0 +1,29 @@
+package graft
+
+import graft.ops.Dedup
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains merge transitively, singletons stay") {
+    val nodes = (1L to 10L).toDF("id")
+    // chain 1-2-3-4, pair 6-7, singletons 5, 8, 9, 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_l", "id_r")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(got(6L) == 6L && got(7L) == 6L)
+    assert(Seq(5L, 8L, 9L, 10L).forall(i => got(i) == i))
+  }
+
+  test("connected components: cycle and long chain converge") {
+    val nodes = (1L to 8L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), // cycle
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L) // chain of 5
+    ).toDF("id_l", "id_r")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+    assert(Seq(4L, 5L, 6L, 7L, 8L).forall(got(_) == 4L))
+  }
+}
