@@ -136,6 +136,71 @@ object ExtendedQueries {
        |         (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary: top-50 terms by total frequency with document
+    * frequency — the explode-shaped corpus scan (flatMap → two grouped
+    * counts). Exact integer counts; deterministic tiebreak.
+    */
+  def vocabularyTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    toks.groupBy("term")
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), col("term"))
+      .limit(50)
+  }
+
+  private val vocabularyTopkSql =
+    """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |      FROM documents)
+      |GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin
+
+  /** TF-IDF top-3 terms per document (doc_id < 25): term frequency ×
+    * smoothed inverse document frequency. The idf log is computed in
+    * double on both engines and the score rounded to 6 decimals before
+    * ranking (libm log implementations agree far beyond 1e-6 here).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count().toDouble // corpus size: small scalar, driver-side
+    val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n + 1.0) / (col("df") + 1.0)), 6))
+      .filter(col("doc_id") < 25)
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("score"), col("term"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfTopTermsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id < 25),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // ------------------------------------------------------------------
   // Embeddings / similarity (oracle for brute-force & norms)
   // ------------------------------------------------------------------
@@ -488,6 +553,8 @@ object ExtendedQueries {
     "text_quality" -> textQuality _,
     "lang_confusion" -> langConfusion _,
     "doc_fingerprint" -> docFingerprint _,
+    "vocabulary_topk" -> vocabularyTopk _,
+    "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
     "media_metadata" -> mediaMetadata _,
@@ -514,6 +581,8 @@ object ExtendedQueries {
     "text_quality" -> textQualitySql,
     "lang_confusion" -> langConfusionSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "vocabulary_topk" -> vocabularyTopkSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "source_distinct" -> sourceDistinctSql,
