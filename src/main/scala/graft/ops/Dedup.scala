@@ -142,27 +142,42 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    // undirected edge list, both directions
-    val edges = pairs.select(c("id_l").as("src"), c("id_r").as("dst"))
-      .union(pairs.select(c("id_r").as("src"), c("id_l").as("dst")))
-      .distinct()
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // Materialize a DataFrame for the loop: a reliable checkpoint (HDFS/
+    // object store) when the session has a checkpoint dir — survives
+    // executor loss, the requirement for long chains on a real cluster —
+    // else an executor-local checkpoint (fine in local mode / short loops).
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+
+    // Undirected edge list, both directions, materialized ONCE: the pair
+    // pipeline upstream (shingle → sign → band join) is the expensive
+    // part, and every iteration would otherwise recompute it from scratch.
+    val edges = materialize(
+      pairs.select(c("id_l").as("src"), c("id_r").as("dst"))
+        .union(pairs.select(c("id_r").as("src"), c("id_l").as("dst")))
+        .distinct())
     var labels = nodes.select(c(idCol).as("id"), c(idCol).as("cluster"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels: for each dst, the labels of its srcs
-      val neighborLabels = edges
+      // min neighbor label per node, pre-aggregated (map-side combine on
+      // the edge join output keeps the shuffle narrow)
+      val neighborMin = edges
         .join(labels, edges("src") === labels("id"))
         .select(c("dst").as("id"), c("cluster"))
-      val updated = labels.select(c("id"), c("cluster"))
-        .union(neighborLabels)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), "id")
-        .filter(c("u.cluster") =!= c("l.cluster"))
-        .limit(1).count() > 0
-      labels = updated.localCheckpoint(eager = true) // cut the growing lineage
-      converged = !changed
+        .groupBy("id").agg(min("cluster").as("ncluster"))
+      // one pass computes BOTH the new label and the changed flag; the
+      // single materialization below is the only real job per iteration —
+      // the convergence probe then scans the cached result, recomputing
+      // nothing.
+      val next = materialize(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(c("id"),
+            least(c("cluster"), coalesce(c("ncluster"), c("cluster"))).as("cluster"),
+            (coalesce(c("ncluster"), c("cluster")) < c("cluster")).as("changed")))
+      converged = next.filter(c("changed")).limit(1).count() == 0
+      labels = next.select("id", "cluster")
       iter += 1
     }
     labels

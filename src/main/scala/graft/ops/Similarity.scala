@@ -85,7 +85,8 @@ object Similarity {
     * when a corpus has no near-dups. Quadratic in corpus size — cap with
     * LSH bucketing (`lshTopK` with corpus as queries) beyond ~10⁵ rows.
     */
-  def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String,
+                      roundTo: Option[Int] = None): DataFrame = {
     val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions
     // spread the probe side across all cores: the broadcast-nested-loop
     // join parallelizes by the stream side's partitioning, and a single
@@ -95,9 +96,10 @@ object Similarity {
       .withColumn("na", l2Norm(col("va")))
     val b = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("vb"))
       .withColumn("nb", l2Norm(col("vb")))
+    val rawSim = when(col("na") * col("nb") > 0,
+      dot(col("va"), col("vb")) / (col("na") * col("nb")))
     a.join(b, col("vec_id") =!= col("nn_id"))
-      .withColumn("sim",
-        when(col("na") * col("nb") > 0, dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
       .withColumn("rank", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("sim"), col("nn_id"))))
       .filter(col("rank") === 1)

@@ -31,27 +31,32 @@ object TextAnalysis {
 
   def punctCount(text: Column): Column = charClassCount(text, "[.,;:!?'\"()\\-]")
 
-  /** Occurrences of any word from `words` among the tokens. */
+  /** Occurrences of any word from `words` among the tokens — the HOF
+    * executable spec (interpreted `isin` scan per token; test-only —
+    * production paths use the single-pass `TextKernels` expressions).
+    */
   def wordHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast("long")
 
-  /** Small per-language stopword sets for the n-gram/stopword language-ID
-    * heuristic. Deliberately tiny — language ID at corpus scale wants a
-    * cheap first pass; anything smarter runs on the disagreement residue.
+  /** Per-language stopword sets — single source of truth lives with the
+    * kernel (graft.functions.TextKernels); re-exported here for the query
+    * layer's oracle-SQL generation and the specs.
     */
-  val langStopwords: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "von"),
-    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
-    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这")
-  )
+  val langStopwords: Seq[(String, Seq[String])] =
+    graft.functions.TextKernels.langStopwords
 
   /** Predicted language: the first language (in fixed alphabetical order)
     * whose stopword-hit count is ≥ every other — deterministic argmax with
     * alphabetical tie-break, 'und' (undetermined) when nothing hits.
+    * Single tokenize+lookup pass (TextKernels.lang_id); `langIdHof` below
+    * is the executable spec.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.functions.TextKernels.lang_id(text)
+
+  /** The HOF spec of `langId` (one interpreted stopword scan per language
+    * — test-only).
+    */
+  def langIdHof(text: Column): Column = {
     val scores = langStopwords.map { case (lang, words) => lang -> wordHits(text, words) }
     val maxScore = greatest(scores.map(_._2): _*)
     val anyHit = maxScore > 0
@@ -59,6 +64,12 @@ object TextAnalysis {
       when(anyHit && s === maxScore, lit(lang)).otherwise(elseExpr)
     }
   }
+
+  /** Count of tokens in the union of all language stopword sets — the
+    * single-pass kernel behind quality scoring.
+    */
+  def stopwordHits(text: Column): Column =
+    graft.functions.TextKernels.stopword_hits(text)
 
   /** Composite quality score in [0,1] from cheap surface statistics —
     * the length / punctuation / stopword-ratio heuristics of C4-style
@@ -70,7 +81,7 @@ object TextAnalysis {
     val nTokens = tokenCount(text).cast("double")
     val meanTokLen = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
     val stopRatio = when(nTokens > 0,
-      wordHits(text, langStopwords.flatMap(_._2)).cast("double") / nTokens).otherwise(lit(0.0))
+      stopwordHits(text).cast("double") / nTokens).otherwise(lit(0.0))
     val punctRatio = when(nChars > 0,
       punctCount(text).cast("double") / nChars).otherwise(lit(0.0))
     val lengthTerm = least(nChars / lit(500.0), lit(1.0))

@@ -70,8 +70,7 @@ object ExtendedQueries {
     Tables.documents(spark, dir).select(
       col("doc_id"),
       TextAnalysis.punctCount(col("text")).as("n_punct"),
-      TextAnalysis.wordHits(col("text"), TextAnalysis.langStopwords.flatMap(_._2))
-        .as("n_stopwords"),
+      TextAnalysis.stopwordHits(col("text")).as("n_stopwords"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
@@ -284,15 +283,18 @@ object ExtendedQueries {
   // engine-specific; verified in ScalaTest against executable specs)
   // ------------------------------------------------------------------
 
-  /** MinHash signatures + shingle counts (barriered narrow passes —
-    * see Dedup.prepareMinhash).
+  /** MinHash signatures + shingle counts (single narrow pass — see
+    * Dedup.prepareMinhash). The 64-slot signature is exported as a scalar
+    * xxhash64 digest: the driver's comparator sorts scalar columns (a raw
+    * `array<long>` crashes its pandas sort), and a digest pins the full
+    * signature content just as hard. SketchSpec covers the array form.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Dedup.prepareMinhash(Tables.documents(spark, dir), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16)
       .select(col("id").as("doc_id"),
         size(col("shingles")).cast("long").as("n_shingles"),
-        col("sig"))
+        xxhash64(col("sig")).as("sig_digest"))
       .orderBy("doc_id")
 
   /** Top candidate pairs by estimated Jaccard (high-recall banding so the
@@ -475,12 +477,45 @@ object ExtendedQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine nearest neighbor per vector (near-dup primitive). */
+  /** Embedding-cosine nearest neighbor per vector (near-dup primitive).
+    * Oracle-registered: similarity is rounded to 6 decimals BEFORE the
+    * argmax on both engines (the round-before-rank recipe of
+    * ann_topk_brute), and both engines sum the dot product as a
+    * sequential left fold, so rounded sims — and therefore the ranked
+    * winner, tie-broken by nn_id — agree exactly.
+    */
   def embeddingNn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearestNeighbor(Tables.embeddings(spark, dir), "vec_id", "embedding")
-      .withColumn("sim_r", round(col("sim"), 6))
+    Similarity.nearestNeighbor(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        roundTo = Some(6))
+      .withColumnRenamed("sim", "sim_r")
       .select("vec_id", "nn_id", "sim_r")
       .orderBy("vec_id")
+
+  private val embeddingNnSql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, e,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |                list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM v),
+      |scored AS (
+      |  SELECT a.vec_id, b.vec_id AS nn_id,
+      |         CASE WHEN a.nrm * b.nrm > 0 THEN
+      |           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |                   list_transform(range(1, len(a.e) + 1),
+      |                     i -> a.e[i] * b.e[i])), (x, y) -> x + y)
+      |                 / (a.nrm * b.nrm), 6)
+      |         END AS sim_r
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                               ORDER BY sim_r DESC, nn_id) AS rk
+      |  FROM scored)
+      |SELECT vec_id, nn_id, sim_r FROM ranked WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
 
   /** Batch-shaped stub feature extraction over the media wrapping. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -508,13 +543,58 @@ object ExtendedQueries {
       .orderBy("media_id")
   }
 
-  /** Frame sampling over byte blocks (stride-2 64-byte frames). */
+  /** Frame sampling over byte blocks (stride-2 64-byte frames). The byte
+    * slicing is pure deterministic algebra, so it carries a full oracle:
+    * one row per sampled frame with the hex of its first 8 bytes — DuckDB
+    * mirrors the slice with blob `substring`, pinning both the sampled
+    * index set and the slice boundaries.
+    */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
         Multimodal.fromDocuments(Tables.documents(spark, dir)), 64, 2)
-      .groupBy("media_id", "format")
-      .agg(count(lit(1)).as("n_frames_sampled"))
-      .orderBy("media_id")
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        hex(col("frame").substr(lit(1), lit(8))).as("frame_head"))
+      .orderBy("media_id", "frame_idx")
+
+  private val mediaFramesSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS media_hex,
+      |         octet_length(CAST(text AS BLOB)) // 64 AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, media_hex, unnest(range(0, n_frames, 2)) AS frame_idx
+      |  FROM m WHERE n_frames > 0)
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       substring(media_hex, CAST(frame_idx * 128 + 1 AS BIGINT), 16) AS frame_head
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
+  /** IVF recall gate: recall@5 of the IVF path against the exact
+    * brute-force top-5, both computed in-plan — the accuracy of the
+    * approximate index is a measured number in the artifact, not a claim.
+    * Rows-only (IVF centroids are data-dependent); IvfSpec asserts the
+    * mean ≥ 0.8.
+    */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, roundTo = Some(6))
+      .select("query_id", "neighbor_id")
+    // nProbe=4 of 8 lists: the fixture embeddings are near-uniform (no
+    // cluster structure), the worst case for IVF — probing half the lists
+    // is what a real index would do at this recall target on such data
+    val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
+    val ivf = graft.ops.Ivf.searchTopK(emb, queries, "vec_id", "embedding",
+        k = 5, model, nProbe = 4)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall_at_5"))
+      .orderBy("query_id")
+  }
 
   /** Exact per-source cardinalities (the oracle-able half of
     * cardinality_sketch).
@@ -566,6 +646,7 @@ object ExtendedQueries {
     "simhash_nn" -> simhashNn _,
     "ann_topk_lsh" -> annTopkLsh _,
     "ann_topk_ivf" -> annTopkIvf _,
+    "ivf_recall" -> ivfRecall _,
     "source_distinct" -> sourceDistinct _,
     "embedding_nn" -> embeddingNn _,
     "media_features" -> mediaFeatures _,
@@ -587,6 +668,8 @@ object ExtendedQueries {
     "ann_topk_lsh" -> annTopkLshSql,
     "source_distinct" -> sourceDistinctSql,
     "embedding_norms" -> embeddingNormsSql,
-    "media_metadata" -> mediaMetadataSql
+    "media_metadata" -> mediaMetadataSql,
+    "embedding_nn" -> embeddingNnSql,
+    "media_frames" -> mediaFramesSql
   )
 }

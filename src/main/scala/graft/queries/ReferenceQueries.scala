@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.model.{Dims, Tables}
-import graft.ops.Relational
+import graft.ops.{Distribution, Relational}
 
 /** Oracle-registered restatements of the reference's query surface over the
   * driver fixtures (mapping in FIXTURES.md §C: companies→customer,
@@ -282,23 +282,27 @@ object ReferenceQueries {
     * each bucket is assigned to the webhook with that index; companies
     * whose bucket ≥ numWebhooks stay unassigned.
     *
-    * Spark shape: global `row_number` window → integer-div bucket →
-    * equi-join to the indexed webhook dim. The global window is the one
-    * single-partition shuffle in the engine (SURVEY §4.3); at 100 TB the
-    * same semantics come from per-partition offsets (see
-    * `Distribution.assignScalable`).
+    * Spark shape: scalable global rank (range-partition + per-partition
+    * index offsets, `Distribution.rankGlobalScalable` — no single-
+    * partition window at any scale) → integer-div bucket → equi-join to
+    * the indexed webhook dim. The rank is deterministic (total order on
+    * name + unique key), so the query stays oracle-registered.
     */
   def distributionAssign(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "MACHINERY")
     val withRange = c.join(broadcast(segmentRangeDim(spark)), Seq("c_mktsegment"))
       .join(broadcast(Dims.employeeRangeDim(spark)), Seq("employee_range"))
       .withColumn("capacity", expr(s"CAST(${Dims.SafePeopleLimit} div max_employees AS BIGINT)"))
-    val rn = row_number().over(Window.orderBy("c_name", "c_custkey")).cast("long")
-    val ranked = withRange.withColumn("rn", rn)
+    val ranked = Distribution
+      .rankGlobalScalable(withRange, Seq(col("c_name"), col("c_custkey")))
       .withColumn("bucket", expr("(rn - 1) div capacity"))
-    val webhooks = Tables.supplier(spark, dir)
-      .withColumn("widx", row_number().over(Window.orderBy("s_suppkey")).cast("long") - 1)
-    ranked.join(webhooks, ranked("bucket") === webhooks("widx"), "inner")
+    val webhooks = Distribution
+      .rankGlobalScalable(Tables.supplier(spark, dir), Seq(col("s_suppkey")))
+      .withColumn("widx", col("rn") - 1)
+      .drop("rn")
+    // the rank's RDD boundary hides source stats — keep the tiny webhook
+    // dim explicitly broadcast so the bucket join never shuffles the fact
+    ranked.join(broadcast(webhooks), ranked("bucket") === webhooks("widx"), "inner")
       .select(col("c_custkey"), col("c_name"),
         col("s_suppkey").as("webhook_key"), col("s_name").as("webhook_name"),
         col("rn"), col("bucket"))
@@ -332,11 +336,13 @@ object ReferenceQueries {
     val withRange = c.join(broadcast(segmentRangeDim(spark)), Seq("c_mktsegment"))
       .join(broadcast(Dims.employeeRangeDim(spark)), Seq("employee_range"))
       .withColumn("capacity", expr(s"CAST(${Dims.SafePeopleLimit} div max_employees AS BIGINT)"))
-    val rn = row_number().over(Window.orderBy("c_name", "c_custkey")).cast("long")
-    val nWebhooks = Tables.supplier(spark, dir).count() // tiny dim; driver-side scalar
-    withRange.withColumn("rn", rn)
+    // webhook count as a broadcast scalar subquery — query construction
+    // stays lazy (no driver action while building the plan)
+    val nWebhooks = Tables.supplier(spark, dir).agg(count(lit(1)).as("n_webhooks"))
+    Distribution.rankGlobalScalable(withRange, Seq(col("c_name"), col("c_custkey")))
       .withColumn("bucket", expr("(rn - 1) div capacity"))
-      .filter(col("bucket") >= nWebhooks)
+      .crossJoin(broadcast(nWebhooks))
+      .filter(col("bucket") >= col("n_webhooks"))
       .agg(count(lit(1)).as("unassigned"))
   }
 
@@ -474,6 +480,27 @@ object ReferenceQueries {
       |       p_brand || ':' || p_type AS label,
       |       coalesce(TRY_CAST(regexp_extract(p_brand, '(\d+)', 1) AS BIGINT), 100) AS brand_num
       |FROM part ORDER BY p_partkey LIMIT 50""".stripMargin
+
+  /** X10 — locale number formatting (page.tsx:378-384 `toLocaleString`):
+    * thousands-grouped presentation of integer counts/keys. Spark
+    * `format_number(n, 0)` vs DuckDB fmt-syntax `format('{:,}', n)` —
+    * pure integer grouping with no rounding in play, so the rendered
+    * strings agree exactly.
+    */
+  def numberFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy("o_orderkey").limit(50)
+      .select(
+        col("o_orderkey"),
+        format_number(col("o_orderkey") * lit(12345L), 0).as("key_fmt"),
+        format_number(col("o_custkey"), 0).as("cust_fmt"))
+      .orderBy("o_orderkey")
+
+  private val numberFormatSql =
+    """SELECT o_orderkey,
+      |       format('{:,}', o_orderkey * 12345) AS key_fmt,
+      |       format('{:,}', o_custkey) AS cust_fmt
+      |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin
 
   /** Headline aggregate (TPC-H Q1 shape): pricing summary over lineitem.
     * Not a reference operator per se — the scan+group+multi-agg shape the
@@ -817,6 +844,7 @@ object ReferenceQueries {
     "ingest_audit" -> ingestAudit _,
     "batch_metadata_json" -> batchMetadataJson _,
     "string_funcs" -> stringFuncs _,
+    "number_format" -> numberFormat _,
     "pricing_summary" -> pricingSummary _,
     "revenue_topk" -> revenueTopk _,
     "events_minute_window" -> eventsMinuteWindow _,
@@ -849,6 +877,7 @@ object ReferenceQueries {
     "ingest_audit" -> ingestAuditSql,
     "batch_metadata_json" -> batchMetadataJsonSql,
     "string_funcs" -> stringFuncsSql,
+    "number_format" -> numberFormatSql,
     "pricing_summary" -> pricingSummarySql,
     "revenue_topk" -> revenueTopkSql,
     "events_minute_window" -> eventsMinuteWindowSql,

@@ -16,13 +16,21 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
-  /** S6 — insert-returning: append and hand back the appended batch
-    * (the reference's `.insert(x).select()`); in Spark the DataFrame IS
-    * the returned rows — no read-back round trip.
+  /** S6 — insert-returning: append and hand back the appended batch WITH
+    * its generated row ids (the reference's `.insert(x).select()` returns
+    * the DB row including the minted id, webhooks/route.ts:34-38). Rows
+    * lacking an `id` column get a fresh UUID; the batch is pinned (eager
+    * local checkpoint) BEFORE the write so the returned rows carry exactly
+    * the ids that hit disk — `uuid()` is nondeterministic, and a lazy
+    * plan re-evaluated later would re-mint different ids.
     */
   def appendReturning(df: DataFrame, path: String): DataFrame = {
-    df.write.mode("append").parquet(path)
-    df
+    val withId =
+      if (df.columns.contains("id")) df
+      else df.select(expr("uuid()").as("id") +: df.columns.map(col): _*)
+    val pinned = withId.localCheckpoint(eager = true)
+    pinned.write.mode("append").parquet(path)
+    pinned
   }
 
   /** S7 — keyed update as a snapshot transform: read, rewrite matching

@@ -45,6 +45,15 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivf_recall gate query: mean recall@5 ≥ 0.8 on the fixture embeddings") {
+    val recalls = graft.queries.ExtendedQueries
+      .ivfRecall(spark, sfDir)
+      .select($"recall_at_5").as[Double].collect()
+    assert(recalls.length == 10)
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8 - 1e-9, s"mean recall@5 $mean (per-query: ${recalls.toSeq})")
+  }
+
   test("SQL registration: custom expressions callable from spark.sql") {
     GraftExtensions.register(spark)
     spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("docs_sql")

@@ -17,6 +17,20 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("S6: insert-returning mints unique ids that match what hit disk") {
+    val dir = tmp() + "/t"
+    val ret = Sinks.appendReturning(
+      Seq("a", "b", "c").toDF("v"), dir)
+    assert(ret.columns.head == "id")
+    val retIds = ret.select("id").as[String].collect().toSet
+    assert(retIds.size == 3 && retIds.forall(id => id != null && id.nonEmpty))
+    // a second read of the SAME returned frame yields the SAME ids
+    // (uuid() is pinned, not lazily re-minted)
+    assert(ret.select("id").as[String].collect().toSet == retIds)
+    val onDisk = spark.read.parquet(dir).select("id").as[String].collect().toSet
+    assert(onDisk == retIds)
+  }
+
   test("S7/S8: snapshot update mutates only the keyed row; delete removes it") {
     val dir = tmp() + "/t"
     Seq((1L, "a", true), (2L, "b", true)).toDF("id", "name", "is_active")

@@ -110,4 +110,21 @@ class SketchSpec extends SparkSpec {
       .as[(String, String)].collect()
     got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
   }
+
+  test("text kernels match their HOF executable specs on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // lang_id kernel ≡ the per-language HOF argmax
+    val langDiff = docs.select(
+      TextAnalysis.langId($"text").as("kernel"),
+      TextAnalysis.langIdHof($"text").as("spec"))
+      .filter($"kernel" =!= $"spec").count()
+    assert(langDiff == 0, s"$langDiff lang_id mismatches vs HOF spec")
+    // stopword_hits kernel ≡ wordHits over the flattened union list
+    val stopDiff = docs.select(
+      TextAnalysis.stopwordHits($"text").as("kernel"),
+      TextAnalysis.wordHits($"text",
+        TextAnalysis.langStopwords.flatMap(_._2)).as("spec"))
+      .filter($"kernel" =!= $"spec").count()
+    assert(stopDiff == 0, s"$stopDiff stopword_hits mismatches vs HOF spec")
+  }
 }
