@@ -109,4 +109,37 @@ object TextAnalysis {
       filter(split(text, ""), ch => length(ch) > 0),
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % FingerprintMod)
+
+  // ------------------------------------------------------------------
+  // PII scrubbing & normalization (training-data hygiene passes)
+  // ------------------------------------------------------------------
+
+  /** PII patterns, RE2-compatible (no lookarounds, no backrefs) so the
+    * identical regex runs under Spark's Java engine and the oracle's RE2.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe: String = "\\+\\d[\\d-]{7,}"
+
+  /** Redact emails, then IPv4s, then phone-shaped digit runs (fixed
+    * order: the replacements are disjoint by construction, but a stable
+    * order keeps the output deterministic if patterns ever overlap).
+    * Spark's `regexp_replace` is global; the oracle needs the 'g' flag.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** C4-style surface normalization: lowercase, non-alphanumeric → space,
+    * collapse runs, trim. ASCII-only classes so Java and RE2 agree;
+    * non-Latin scripts normalize to empty (they'd route to a
+    * script-specific pass in a full pipeline).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
 }

@@ -135,6 +135,71 @@ object ExtendedQueries {
        |         (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing over the corpus: deterministic PII (email / IPv4 /
+    * phone derived from doc_id) is planted into each document, then
+    * redacted with the shared RE2-safe patterns; counts come from
+    * `regexp_count`. Oracle: identical regexes under DuckDB with the 'g'
+    * replace flag — the scrubbed TEXT itself is hash-compared, not just
+    * the counts.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".77 or +1-555-01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        regexp_count(enriched, lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
+        regexp_count(enriched, lit(TextAnalysis.Ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(enriched, lit(TextAnalysis.PhoneRe)).cast("long").as("n_phones"),
+        TextAnalysis.scrubPii(enriched).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |              || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |              || '.77 or +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+       |  FROM documents WHERE doc_id < 100)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+       |       CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+       |       regexp_replace(regexp_replace(regexp_replace(t,
+       |         '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+       |         '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+       |         '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+       |FROM e ORDER BY doc_id""".stripMargin
+
+  /** Surface normalization + portable fingerprint of the normalized text
+    * — the "have I seen this doc modulo case/punctuation" dedup key.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = TextAnalysis.normalize(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(norm).cast("long").as("norm_len"),
+        TextAnalysis.fingerprint(norm).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeSql =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |         trim(regexp_replace(regexp_replace(lower(text),
+       |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(t) AS BIGINT) AS norm_len,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(t, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |         (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS norm_fp
+       |FROM n ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: top-50 terms by total frequency with document
     * frequency — the explode-shaped corpus scan (flatMap → two grouped
     * counts). Exact integer counts; deterministic tiebreak.
@@ -517,7 +582,12 @@ object ExtendedQueries {
       |SELECT vec_id, nn_id, sim_r FROM ranked WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
-  /** Batch-shaped stub feature extraction over the media wrapping. */
+  /** Batch-shaped stub feature extraction over the media wrapping.
+    * Oracle-registered: `byte_mean` is an exact integer byte-sum divided
+    * by the length — DuckDB recovers the bytes from the hex encoding
+    * (nibble lookup), so the stub's arithmetic is hash-verified, not just
+    * row-counted.
+    */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Multimodal.fromDocuments(Tables.documents(spark, dir))
@@ -529,8 +599,30 @@ object ExtendedQueries {
       .orderBy("media_id")
   }
 
+  private val hexNibble =
+    "strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS BIGINT), 1)) - 1"
+  private val hexNibbleLo =
+    "strpos('0123456789ABCDEF', substring(h, CAST(2*i+2 AS BIGINT), 1)) - 1"
+
+  private val mediaFeaturesSql =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         (['png', 'jpeg', 'wav', 'mp4'])[CAST(doc_id % 4 + 1 AS INT)] AS format,
+       |         hex(CAST(text AS BLOB)) AS h,
+       |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+       |  FROM documents)
+       |SELECT media_id, format, n_bytes,
+       |       round(CASE WHEN n_bytes > 0 THEN
+       |         CAST(list_sum(list_transform(range(0, n_bytes), i ->
+       |           ($hexNibble) * 16 + ($hexNibbleLo))) AS DOUBLE) / n_bytes
+       |       ELSE 0.0 END, 4) AS byte_mean_r
+       |FROM m ORDER BY media_id""".stripMargin
+
   /** Deterministic resize stub over the media wrapping: 8×8 "thumbnails"
-    * with a checksum of the resampled bytes.
+    * exported as the hex of the resampled bytes. Oracle-registered: the
+    * nearest-neighbor index map `out[i] = src[(i·len) div 64]` is pure
+    * integer algebra, so DuckDB reproduces the full pixel content from
+    * the hex encoding — content-level verification of the resize path.
     */
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -539,9 +631,24 @@ object ExtendedQueries {
     Multimodal.resizeStub(media, width = 8, height = 8)
       .toDF()
       .select(col("media_id"), col("format"), col("width"), col("height"),
-        crc32(col("pixels")).as("pixels_crc"))
+        hex(col("pixels")).as("pixels_hex"))
       .orderBy("media_id")
   }
+
+  private val mediaResizeSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         (['png', 'jpeg', 'wav', 'mp4'])[CAST(doc_id % 4 + 1 AS INT)] AS format,
+      |         hex(CAST(text AS BLOB)) AS h,
+      |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT media_id, format,
+      |       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |       CASE WHEN n_bytes > 0 THEN
+      |         array_to_string(list_transform(range(0, 64), i ->
+      |           substring(h, CAST(2 * ((i * n_bytes) // 64) + 1 AS BIGINT), 2)), '')
+      |       ELSE repeat('00', 64) END AS pixels_hex
+      |FROM m ORDER BY media_id""".stripMargin
 
   /** Frame sampling over byte blocks (stride-2 64-byte frames). The byte
     * slicing is pure deterministic algebra, so it carries a full oracle:
@@ -633,6 +740,8 @@ object ExtendedQueries {
     "text_quality" -> textQuality _,
     "lang_confusion" -> langConfusion _,
     "doc_fingerprint" -> docFingerprint _,
+    "pii_scrub" -> piiScrub _,
+    "text_normalize" -> textNormalize _,
     "vocabulary_topk" -> vocabularyTopk _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -662,6 +771,8 @@ object ExtendedQueries {
     "text_quality" -> textQualitySql,
     "lang_confusion" -> langConfusionSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "pii_scrub" -> piiScrubSql,
+    "text_normalize" -> textNormalizeSql,
     "vocabulary_topk" -> vocabularyTopkSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
@@ -670,6 +781,8 @@ object ExtendedQueries {
     "embedding_norms" -> embeddingNormsSql,
     "media_metadata" -> mediaMetadataSql,
     "embedding_nn" -> embeddingNnSql,
-    "media_frames" -> mediaFramesSql
+    "media_frames" -> mediaFramesSql,
+    "media_features" -> mediaFeaturesSql,
+    "media_resize" -> mediaResizeSql
   )
 }

@@ -502,6 +502,72 @@ object ReferenceQueries {
       |       format('{:,}', o_custkey) AS cust_fmt
       |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin
 
+  /** Window dedup — latest event per user (the keep-newest-version scan
+    * every CDC/warehouse pipeline runs). Partitioned window: shuffles on
+    * user_id only, no global ordering anywhere.
+    */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  private val latestEventPerUserSql =
+    """SELECT user_id, event_id AS last_event_id,
+      |       event_type AS last_event_type,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** TPC-H Q3 shape — top unshipped orders by revenue for one segment:
+    * the classic 3-table star probe (filter both fact sides by date,
+    * broadcast nothing — customer and orders shuffle on their join keys,
+    * AQE picks the small side). Exact decimal revenue, key tiebreak.
+    */
+  def topUnshippedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1996-06-30"
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20, 4)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"), col("revenue"))
+  }
+
+  private val topUnshippedOrdersSql =
+    """SELECT o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |       o_orderpriority,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-30'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
   /** Headline aggregate (TPC-H Q1 shape): pricing summary over lineitem.
     * Not a reference operator per se — the scan+group+multi-agg shape the
     * dashboard counts (A1/A2) take at warehouse scale; the bench workhorse.
@@ -856,7 +922,9 @@ object ReferenceQueries {
     "events_pivot" -> eventsPivot _,
     "order_status_cube" -> orderStatusCube _,
     "events_last_order" -> eventsLastOrder _,
-    "event_bursts" -> eventBursts _
+    "event_bursts" -> eventBursts _,
+    "latest_event_per_user" -> latestEventPerUser _,
+    "top_unshipped_orders" -> topUnshippedOrders _
   )
 
   val oracles: Map[String, String] = Map(
@@ -889,6 +957,8 @@ object ReferenceQueries {
     "events_pivot" -> eventsPivotSql,
     "order_status_cube" -> orderStatusCubeSql,
     "events_last_order" -> eventsLastOrderSql,
-    "event_bursts" -> eventBurstsSql
+    "event_bursts" -> eventBurstsSql,
+    "latest_event_per_user" -> latestEventPerUserSql,
+    "top_unshipped_orders" -> topUnshippedOrdersSql
   )
 }
