@@ -85,6 +85,38 @@ object Similarity {
     * when a corpus has no near-dups. Quadratic in corpus size — cap with
     * LSH bucketing (`lshTopK` with corpus as queries) beyond ~10⁵ rows.
     */
+  /** Nearest neighbor per corpus vector through SRP-LSH buckets — the
+    * 100 TB path for full-corpus near-dup detection: each vector is
+    * compared only against its own bucket and the one-bit-flip probes
+    * (same candidate generation as `lshTopK`, corpus as its own query
+    * set, NO broadcast — both sides shuffle on the bucket key, so the
+    * join stays an equi-join at any corpus size). Vectors whose probes
+    * find no candidate fall out (NULL-free result); exactness only up to
+    * LSH recall — `nearestNeighbor` below is the quadratic verification
+    * primitive.
+    */
+  def nearestNeighborLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, nPlanes: Int = 8,
+                         roundTo: Option[Int] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("bucket", srpBucket(col("cv"), dim, nPlanes))
+    val q = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qbucket", srpBucket(col("qv"), dim, nPlanes))
+      .withColumn("probe", explode(array(
+        col("qbucket") +:
+          (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
+    val rawSim = when(col("qn") * col("cn") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    q.join(c, col("probe") === col("bucket") && col("vec_id") =!= col("nn_id"))
+      .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), col("nn_id"))))
+      .filter(col("rank") === 1)
+      .select("vec_id", "nn_id", "sim")
+  }
+
   def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String,
                       roundTo: Option[Int] = None): DataFrame = {
     val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions

@@ -477,12 +477,19 @@ object ExtendedQueries {
       .orderBy("query_id", "rank")
   }
 
-  private val annTopkLshSql: String = {
-    val planes = graft.functions.VectorFunctions.srpPlanes(dim = 64, nPlanes = 8)
-    val planeValues = (for {
+  /** The deterministic ±1 SRP planes as a DuckDB VALUES table — both
+    * engines share the one Scala constant, so buckets/probes agree.
+    */
+  private def srpPlanesValuesSql(dim: Int, nPlanes: Int): String = {
+    val planes = graft.functions.VectorFunctions.srpPlanes(dim, nPlanes)
+    (for {
       p <- planes.indices
       d <- planes(p).indices
     } yield s"(${p}, ${d + 1}, ${planes(p)(d).toInt})").mkString(", ")
+  }
+
+  private val annTopkLshSql: String = {
+    val planeValues = srpPlanesValuesSql(dim = 64, nPlanes = 8)
     s"""WITH planes(p, i, w) AS (VALUES $planeValues),
        |flat AS (
        |  SELECT vec_id, unnest(embedding) AS x,
@@ -581,6 +588,70 @@ object ExtendedQueries {
       |  FROM scored)
       |SELECT vec_id, nn_id, sim_r FROM ranked WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
+
+  /** Full-corpus nearest neighbor through SRP-LSH buckets — the scale
+    * path for corpus-wide embedding near-dup (the quadratic
+    * `embedding_nn` above is the verification primitive; THIS is what
+    * runs at 100 TB: candidates shuffle on the bucket key only). Fully
+    * oracle-registered — the deterministic planes are embedded in the
+    * SQL, so bucketing, probing, candidate sets, and rounded rankings
+    * are identical on both engines.
+    */
+  def embeddingNnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearestNeighborLsh(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", dim = 64, nPlanes = 8, roundTo = Some(6))
+      .withColumnRenamed("sim", "sim_r")
+      .orderBy("vec_id")
+
+  private val embeddingNnLshSql: String = {
+    val planeValues = srpPlanesValuesSql(dim = 64, nPlanes = 8)
+    s"""WITH planes(p, i, w) AS (VALUES $planeValues),
+       |flat AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN pd >= 0 THEN POW(2, p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (SELECT f.vec_id, pl.p, sum(CAST(f.x AS DOUBLE) * pl.w) AS pd
+       |        FROM flat f JOIN planes pl ON f.i = pl.i
+       |        GROUP BY f.vec_id, pl.p)
+       |  GROUP BY vec_id),
+       |probes AS (
+       |  SELECT b.vec_id AS query_id, b.bucket AS probe FROM buckets b
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, CAST(POW(2, gs.g) AS BIGINT))
+       |  FROM buckets b, (SELECT unnest(range(0, 8)) AS g) gs),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, cb.vec_id AS neighbor_id
+       |  FROM probes p JOIN buckets cb ON cb.bucket = p.probe
+       |  WHERE p.query_id <> cb.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         CASE WHEN a.nrm * b.nrm > 0 THEN
+       |           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                   list_transform(range(1, len(a.e) + 1),
+       |                     i -> a.e[i] * b.e[i])), (x, y) -> x + y)
+       |                 / (a.nrm * b.nrm), 6)
+       |         END AS sim_r
+       |  FROM cands c
+       |  JOIN n a ON a.vec_id = c.query_id
+       |  JOIN n b ON b.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim_r DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id AS vec_id, neighbor_id AS nn_id, sim_r
+       |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }
 
   /** Batch-shaped stub feature extraction over the media wrapping.
     * Oracle-registered: `byte_mean` is an exact integer byte-sum divided
@@ -758,6 +829,7 @@ object ExtendedQueries {
     "ivf_recall" -> ivfRecall _,
     "source_distinct" -> sourceDistinct _,
     "embedding_nn" -> embeddingNn _,
+    "embedding_nn_lsh" -> embeddingNnLsh _,
     "media_features" -> mediaFeatures _,
     "media_frames" -> mediaFrames _,
     "media_resize" -> mediaResize _,
@@ -781,6 +853,7 @@ object ExtendedQueries {
     "embedding_norms" -> embeddingNormsSql,
     "media_metadata" -> mediaMetadataSql,
     "embedding_nn" -> embeddingNnSql,
+    "embedding_nn_lsh" -> embeddingNnLshSql,
     "media_frames" -> mediaFramesSql,
     "media_features" -> mediaFeaturesSql,
     "media_resize" -> mediaResizeSql

@@ -63,6 +63,17 @@ class SimilaritySpec extends SparkSpec {
     assert(nn(0L)._1 == 999L)
   }
 
+  test("nearestNeighborLsh finds planted twins through the bucket join") {
+    val base = clustered(40, 16)
+    val withDup = base :+ (999L, base.head._2.clone()) // identical vector → identical bucket
+    val nn = Similarity.nearestNeighborLsh(withDup.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 16, nPlanes = 6)
+      .select($"vec_id", $"nn_id", $"sim").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(nn(999L)._1 == 0L && nn(999L)._2 > 0.9999)
+    assert(nn(0L)._1 == 999L)
+  }
+
   test("multimodal: batch decode stub is deterministic and batch-shaped") {
     val docs = Seq((1L, "aaaa"), (2L, "bbbbbbbb"), (3L, "")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
