@@ -200,6 +200,37 @@ object ExtendedQueries {
        |         (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS norm_fp
        |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Reproducible train/val/test assignment by CONTENT hash (the
+    * fingerprint, not a random seed): the same document always lands in
+    * the same split, on any engine, at any scale, regardless of row
+    * order or partitioning — the property training pipelines need so a
+    * re-run (or a different engine) can't leak val docs into train.
+    * 80/10/10 on fp mod 100; per-source counts keep the output compact.
+    */
+  def hashSplitStats(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextAnalysis.fingerprint(col("text")) % 100
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("source"), split.as("split"))
+      .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
+  private val hashSplitStatsSql =
+    s"""WITH f AS (
+       |  SELECT source,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) % 100 AS b
+       |  FROM documents)
+       |SELECT source,
+       |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs
+       |FROM f GROUP BY source, split ORDER BY source, split""".stripMargin
+
   /** Corpus vocabulary: top-50 terms by total frequency with document
     * frequency — the explode-shaped corpus scan (flatMap → two grouped
     * counts). Exact integer counts; deterministic tiebreak.
@@ -813,6 +844,7 @@ object ExtendedQueries {
     "doc_fingerprint" -> docFingerprint _,
     "pii_scrub" -> piiScrub _,
     "text_normalize" -> textNormalize _,
+    "hash_split_stats" -> hashSplitStats _,
     "vocabulary_topk" -> vocabularyTopk _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -845,6 +877,7 @@ object ExtendedQueries {
     "doc_fingerprint" -> docFingerprintSql,
     "pii_scrub" -> piiScrubSql,
     "text_normalize" -> textNormalizeSql,
+    "hash_split_stats" -> hashSplitStatsSql,
     "vocabulary_topk" -> vocabularyTopkSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,

@@ -55,6 +55,24 @@ object Sinks {
     spark.read.parquet(path).filter(col(keyCol) =!= keyValue)
       .write.mode("overwrite").parquet(outPath)
 
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ceil(size / targetBytes) files. The small-files problem is the
+    * steady-state failure mode of every append-heavy warehouse path
+    * (S5/D5 above append one file per micro-batch/task); compaction is
+    * the maintenance op that keeps scan parallelism aligned with data
+    * size instead of file count. Size comes from the optimizer's scan
+    * statistics (file footer sum — no data read to plan the rewrite).
+    * Returns the output file count.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(path)
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((sizeBytes + targetBytes - 1) / targetBytes).toInt.max(1)
+    df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Batch upsert (MERGE): rows of `updates` replace same-key rows of
     * `existing`, new keys append — the copy-on-write shape of a Delta
     * `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`. One anti-join

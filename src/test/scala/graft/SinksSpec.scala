@@ -47,6 +47,19 @@ class SinksSpec extends SparkSpec {
       == Seq((2L, "b", true)))
   }
 
+  test("compact: many small appended files rewrite to the computed count") {
+    val dir = tmp() + "/t"
+    (1 to 20).foreach { i =>
+      Sinks.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir)
+    }
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 20)
+    val out = tmp() + "/c"
+    val n = Sinks.compact(spark, dir, out, targetBytes = 1L << 30)
+    assert(n == 1)
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(out).count() == 20)
+  }
+
   test("D5: ledger rows mirror assignments with status 'sent' regardless of outcome") {
     val assigned = Seq((10L, 1L), (11L, 2L)).toDF("c_custkey", "webhook_key")
     val ledger = Sinks.ledgerRows(assigned, "1-10", "batch-1").collect()
