@@ -258,14 +258,17 @@ object ExtendedQueries {
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count().toDouble // corpus size: small scalar, driver-side
+    // corpus size as a broadcast scalar subquery — query construction
+    // stays lazy (no driver action while building the plan)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_corpus"))
     val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        round(col("tf") * log(lit(n + 1.0) / (col("df") + 1.0)), 6))
+        round(col("tf") * log((col("n_corpus") + 1.0) / (col("df") + 1.0)), 6))
       .filter(col("doc_id") < 25)
     scored
       .withColumn("rank", row_number().over(

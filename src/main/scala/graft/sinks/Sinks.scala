@@ -73,6 +73,15 @@ object Sinks {
     nFiles
   }
 
+  /** Date-partitioned layout: the 100 TB fact-table write path. Each
+    * day lands in its own directory, so time-ranged queries prune whole
+    * partitions at planning time (PartitionFilters — zero I/O for
+    * out-of-range days) instead of relying on row-group statistics.
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode("append").partitionBy("event_date").parquet(path)
+
   /** Batch upsert (MERGE): rows of `updates` replace same-key rows of
     * `existing`, new keys append — the copy-on-write shape of a Delta
     * `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`. One anti-join

@@ -60,6 +60,27 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 20)
   }
 
+  test("date-partitioned write: a day filter prunes partitions at plan time") {
+    val dir = tmp() + "/t"
+    val events = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+    Sinks.writeDatePartitioned(events, "ts", dir)
+    val all = spark.read.parquet(dir)
+    val oneDay = all.filter($"event_date" === "2024-01-03")
+    assert(oneDay.count() > 0)
+    // planning-time pruning: execute ONE plan instance and read the
+    // scan's own metrics — only that day's files are touched
+    val qe = oneDay.queryExecution
+    assert(qe.executedPlan.execute().count() > 0)
+    val scan = qe.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead < all.inputFiles.length,
+      s"read $filesRead of ${all.inputFiles.length} files")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan.take(800))
+  }
+
   test("D5: ledger rows mirror assignments with status 'sent' regardless of outcome") {
     val assigned = Seq((10L, 1L), (11L, 2L)).toDF("c_custkey", "webhook_key")
     val ledger = Sinks.ledgerRows(assigned, "1-10", "batch-1").collect()
