@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** Exact quantiles at scale.
+  *
+  * Spark's `percentile()` (like DuckDB's `quantile_cont`) buffers EVERY
+  * value of a group inside one aggregation buffer — O(group size) memory
+  * in a single task, which is exactly the operator shape that dies first
+  * on a 100 TB fact table with a handful of groups. This module computes
+  * the same type-7 (linear interpolation) quantiles by distributed sort +
+  * rank selection instead:
+  *
+  *   1. range-partition on (group, value) and sort within partitions —
+  *      every partition holds a contiguous slice of some group's sorted
+  *      values, sized by data volume, not by group count;
+  *   2. count rows per (partition, group) — bounded metadata
+  *      (≤ partitions × groups rows) collected to the driver and turned
+  *      into per-partition starting offsets per group;
+  *   3. a second pass assigns each row its within-group rank from the
+  *      broadcast offsets (the sort is deterministic, so both passes see
+  *      identical partition contents);
+  *   4. for each requested q, keep only the two rows straddling
+  *      h = q·(n-1) and interpolate with the WEIGHTED form
+  *      v = (hi - h)·v_lo + (h - lo)·v_hi — the exact expression
+  *      Spark's `Percentile` evaluates, so results agree to the last
+  *      bit (the algebraically-equal v_lo + frac·Δ form rounds
+  *      differently in the final ulp).
+  *
+  * The arithmetic is bit-identical to `percentile`/`quantile_cont`
+  * (same h, same interpolation, all in doubles), so oracle queries keep
+  * hash-matching — QuantilesSpec asserts exact equality against the
+  * buffering built-in on the fixtures.
+  */
+object Quantiles {
+
+  /** Sorted values of `valueCol` with a dense 1-based within-group rank
+    * (`g`, `v`, `rn`) — no per-group buffering anywhere; NULL values are
+    * dropped (the `percentile` convention).
+    */
+  def groupRanked(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val s = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+    // pass 1: per-(partition, group) counts — bounded metadata, the same
+    // kind of small driver job rankGlobalScalable's range sampling runs
+    val counts = s.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { r => val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L }
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+    val offsets: Map[(Int, String), Long] = counts.groupBy(_._2).flatMap {
+      case (g, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, c) =>
+          val o = acc; acc += c; ((pid, g), o)
+        }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("v", DoubleType), StructField("rn", LongType)))
+    // pass 2: same deterministic sort, ranks = broadcast offset + local idx
+    val rdd = s.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[String, Long]()
+      it.map { r =>
+        val g = r.getString(0)
+        val i = local.getOrElse(g, 0L)
+        local(g) = i + 1L
+        Row(g, r.getDouble(1), bc.value((pid, g)) + i + 1L)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Exact type-7 quantiles per group: one output row per
+    * (group, quantile name). `qs` maps output names to fractions.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[(String, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    val ranked = groupRanked(df, groupCol, valueCol)
+    val n = ranked.groupBy("g").agg(max("rn").as("n"))
+    import spark.implicits._
+    val spec = qs.toDF("qname", "q")
+    ranked.join(broadcast(n), "g")
+      .crossJoin(broadcast(spec))
+      .withColumn("h", col("q") * (col("n") - 1))
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("hi", ceil(col("h")).cast("long"))
+      .filter(col("rn") === col("lo") + 1 || col("rn") === col("hi") + 1)
+      .groupBy("g", "qname")
+      .agg(
+        min(when(col("rn") === col("lo") + 1, col("v"))).as("vlo"),
+        min(when(col("rn") === col("hi") + 1, col("v"))).as("vhi"),
+        first("h").as("h"), first("lo").as("lo"))
+      .withColumn("value",
+        when(col("lo") === ceil(col("h")).cast("long"), col("vlo"))
+          .otherwise((ceil(col("h")) - col("h")) * col("vlo")
+            + (col("h") - col("lo")) * col("vhi")))
+      .select(col("g").as(groupCol), col("qname"), col("value"))
+  }
+}

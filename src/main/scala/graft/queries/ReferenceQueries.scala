@@ -756,15 +756,22 @@ object ReferenceQueries {
     * definition in Spark's `percentile` and DuckDB's `quantile_cont`, so
     * the interpolated doubles match bit-for-bit).
     */
-  def orderValueQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy("o_orderstatus")
-      .agg(
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"),
-        min("o_totalprice").as("min_price"),
+  def orderValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    // distributed sort + rank selection (ops.Quantiles), NOT the
+    // buffering percentile() aggregate: same type-7 math bit-for-bit
+    // (QuantilesSpec asserts exact equality, the oracle hash agrees),
+    // but memory per task is O(partition), not O(group)
+    val orders = Tables.orders(spark, dir)
+    val q = graft.ops.Quantiles.exactQuantiles(orders, "o_orderstatus",
+      "o_totalprice", Seq("p50" -> 0.5, "p90" -> 0.9))
+    val wide = q.groupBy("o_orderstatus")
+      .agg(min(when(col("qname") === "p50", col("value"))).as("p50"),
+        min(when(col("qname") === "p90", col("value"))).as("p90"))
+    val mm = orders.groupBy("o_orderstatus")
+      .agg(min("o_totalprice").as("min_price"),
         max("o_totalprice").as("max_price"))
-      .orderBy("o_orderstatus")
+    wide.join(mm, Seq("o_orderstatus")).orderBy("o_orderstatus")
+  }
 
   private val orderValueQuantilesSql =
     """SELECT o_orderstatus,
