@@ -72,4 +72,33 @@ class PlanSpec extends SparkSpec {
     val p = plan(ExtendedQueries.tokenStats(spark, sfDir))
     assert(!p.contains("Exchange hashpartitioning"), p.take(800))
   }
+
+  test("pii_scrub / text_normalize: single-pass narrow scans, kernels inline") {
+    val pScrub = plan(ExtendedQueries.piiScrub(spark, sfDir))
+    assert(!pScrub.contains("Exchange hashpartitioning"), pScrub.take(800))
+    assert(pScrub.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)"),
+      pScrub.take(800))
+    val pNorm = plan(ExtendedQueries.textNormalize(spark, sfDir))
+    assert(!pNorm.contains("Exchange hashpartitioning"), pNorm.take(800))
+    assert(pNorm.contains("poly_hash"), pNorm.take(800))
+  }
+
+  test("hash_split_stats: map-side partial aggregation, one hash shuffle") {
+    val p = plan(ExtendedQueries.hashSplitStats(spark, sfDir))
+    assert(p.contains("partial_"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("top_unshipped_orders: date filters pushed to both fact scans") {
+    val p = plan(ReferenceQueries.topUnshippedOrders(spark, sfDir))
+    assert(p.contains("LessThan(o_orderdate"), p.take(1200))
+    assert(p.contains("GreaterThan(l_shipdate"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lang_confusion: the lang_id kernel runs in the scan projection (one pass, one shuffle for the groupBy)") {
+    val p = plan(ExtendedQueries.langConfusion(spark, sfDir))
+    assert(p.contains("lang_id"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
 }
