@@ -26,11 +26,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Sketches {
 
-  private val WS = "\\s+".r
+  /** Exactly Java's regex `\s` class (the spec is `split(trim(s), "\s+")`
+    * — ASCII-only: tab..carriage-return plus space). A manual scan, not
+    * the regex engine: these kernels run once per row over the whole
+    * corpus, and the regex `split` was the largest constant factor left
+    * in the sketch pass.
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
 
   private[functions] def tokenize(text: UTF8String): Array[String] = {
-    val trimmed = text.toString.trim
-    if (trimmed.isEmpty) Array.empty[String] else WS.split(trimmed)
+    val s = text.toString
+    // String.trim semantics first (strips chars <= ' ' at the ends — a
+    // SUPERSET of \s; mid-string control chars stay token chars, exactly
+    // like the regex spec)
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) <= ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) <= ' ') hi -= 1
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < hi && !isWs(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
   }
 
   /** Distinct word n-gram shingles; whole text as one shingle when there
