@@ -502,6 +502,30 @@ object ReferenceQueries {
       |       format('{:,}', o_custkey) AS cust_fmt
       |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin
 
+  /** Time-based rolling aggregate — a RANGE window frame over event time
+    * (per user: how many events in the trailing 30 minutes, including
+    * this one). Frames are defined on epoch SECONDS (floored identically
+    * by both engines), so sub-second timestamp noise can't shift frame
+    * membership. Partitioned window: shuffles on user_id only.
+    */
+  def eventsRolling30m(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-1800, 0)
+    Tables.events(spark, dir)
+      .withColumn("ts_sec", col("ts").cast("long"))
+      .withColumn("n_last_30m", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_last_30m"))
+      .orderBy("event_id")
+  }
+
+  private val eventsRolling30mSql =
+    """SELECT event_id, user_id,
+      |       count(*) OVER (PARTITION BY user_id
+      |                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |                      RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+      |         AS n_last_30m
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Window dedup — latest event per user (the keep-newest-version scan
     * every CDC/warehouse pipeline runs). Partitioned window: shuffles on
     * user_id only, no global ordering anywhere.
@@ -931,7 +955,8 @@ object ReferenceQueries {
     "events_last_order" -> eventsLastOrder _,
     "event_bursts" -> eventBursts _,
     "latest_event_per_user" -> latestEventPerUser _,
-    "top_unshipped_orders" -> topUnshippedOrders _
+    "top_unshipped_orders" -> topUnshippedOrders _,
+    "events_rolling_30m" -> eventsRolling30m _
   )
 
   val oracles: Map[String, String] = Map(
@@ -966,6 +991,7 @@ object ReferenceQueries {
     "events_last_order" -> eventsLastOrderSql,
     "event_bursts" -> eventBurstsSql,
     "latest_event_per_user" -> latestEventPerUserSql,
-    "top_unshipped_orders" -> topUnshippedOrdersSql
+    "top_unshipped_orders" -> topUnshippedOrdersSql,
+    "events_rolling_30m" -> eventsRolling30mSql
   )
 }
