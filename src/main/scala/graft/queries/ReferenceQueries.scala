@@ -502,6 +502,38 @@ object ReferenceQueries {
       |       format('{:,}', o_custkey) AS cust_fmt
       |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin
 
+  /** Grouped top-k — top-3 customers by total spend per market segment:
+    * the per-group ranking scan (partitioned window over a pre-aggregated
+    * frame — the aggregation shrinks the data BEFORE the window, so the
+    * rank sorts groups' summaries, never raw facts). Exact decimal spend.
+    */
+  def segmentTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(decSum(col("o_totalprice"), 18, 2).as("spend"))
+    spend
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("c_mktsegment")
+          .orderBy(desc("spend"), col("c_custkey"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("c_mktsegment", "rank", "c_custkey", "spend")
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  private val segmentTopCustomersSql =
+    """WITH spend AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, c_custkey)
+      |SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, c_custkey, spend
+      |FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+      |                                   ORDER BY spend DESC, c_custkey) AS rank
+      |      FROM spend)
+      |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
+
   /** Time-based rolling aggregate — a RANGE window frame over event time
     * (per user: how many events in the trailing 30 minutes, including
     * this one). Frames are defined on epoch SECONDS (floored identically
@@ -956,7 +988,8 @@ object ReferenceQueries {
     "event_bursts" -> eventBursts _,
     "latest_event_per_user" -> latestEventPerUser _,
     "top_unshipped_orders" -> topUnshippedOrders _,
-    "events_rolling_30m" -> eventsRolling30m _
+    "events_rolling_30m" -> eventsRolling30m _,
+    "segment_top_customers" -> segmentTopCustomers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -992,6 +1025,7 @@ object ReferenceQueries {
     "event_bursts" -> eventBurstsSql,
     "latest_event_per_user" -> latestEventPerUserSql,
     "top_unshipped_orders" -> topUnshippedOrdersSql,
-    "events_rolling_30m" -> eventsRolling30mSql
+    "events_rolling_30m" -> eventsRolling30mSql,
+    "segment_top_customers" -> segmentTopCustomersSql
   )
 }

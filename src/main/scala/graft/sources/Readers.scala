@@ -53,4 +53,15 @@ object Readers {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path)
+
+  /** Schema-evolved parquet read: batches written before a column was
+    * added coexist with batches written after (the steady state of any
+    * append path that ever ships a new field). `mergeSchema` unions the
+    * per-file footers at planning time; rows from old files surface the
+    * new columns as NULL — no rewrite of historical data. At 100 TB,
+    * footer-merge cost scales with FILE count, not data size (and a table
+    * format's catalog amortizes even that).
+    */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

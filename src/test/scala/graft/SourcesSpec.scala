@@ -12,6 +12,19 @@ class SourcesSpec extends SparkSpec {
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("name", StringType)))
 
+  test("parquetEvolved: old and new schema batches read as one table, old rows null-fill") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", "extra")).toDF("id", "name", "note")
+      .write.mode("append").parquet(dir)
+    val evolved = Readers.parquetEvolved(spark, dir)
+    assert(evolved.columns.toSet == Set("id", "name", "note"))
+    val rows = evolved.orderBy("id")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("extra"))))
+  }
+
   test("jsonLines: valid rows parse, malformed lines surface as corrupt") {
     val dir = Files.createTempDirectory("graft-src").toString
     Files.writeString(Paths.get(s"$dir/a.json"),
