@@ -1,9 +1,46 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.streaming.{DedupStream, IngestStream}
+import graft.streaming.{DedupStream, IngestStream, WindowStream}
 
 class StreamingSpec extends SparkSpec {
+
+  test("window stream: watermark finalizes closed minutes exactly once, late data dropped") {
+    val base = Files.createTempDirectory("graft-window-stream").toString
+    val landing = s"$base/landing"
+    Files.createDirectories(Paths.get(landing))
+    val t0 = 1700000040L // aligned to a minute boundary
+    // minute 0: two clicks, one view
+    Files.writeString(Paths.get(s"$landing/a.txt"),
+      s"$t0,click\n${t0 + 10},click\n${t0 + 20},view\n")
+    val q = WindowStream.start(spark, landing, s"$base/out", s"$base/ckpt")
+    q.awaitTermination(60000)
+    // nothing finalized yet: watermark = max(ts) - 2 min hasn't passed
+    // the window end
+    val out0 = spark.read.schema("minute STRING, event_type STRING, n LONG")
+      .parquet(s"$base/out")
+    assert(out0.count() == 0)
+
+    // advance event time 5 minutes: the watermark passes minute-0's end,
+    // so its windows finalize and emit
+    Files.writeString(Paths.get(s"$landing/b.txt"), s"${t0 + 300},click\n")
+    val q2 = WindowStream.start(spark, landing, s"$base/out", s"$base/ckpt")
+    q2.awaitTermination(60000)
+    val rows = spark.read.parquet(s"$base/out")
+      .orderBy("minute", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.map(t => (t._2, t._3)) == Seq(("click", 2L), ("view", 1L)),
+      rows.toString)
+
+    // a minute-0 event arriving AFTER the watermark closed that window is
+    // dropped — the already-emitted result is final, never retracted
+    Files.writeString(Paths.get(s"$landing/c.txt"), s"${t0 + 5},late_click\n")
+    val q3 = WindowStream.start(spark, landing, s"$base/out", s"$base/ckpt")
+    q3.awaitTermination(60000)
+    val rows3 = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows3.toSet == rows.toSet, rows3.toString)
+  }
 
   test("dedup stream: first-seen-wins per fingerprint, state survives restart") {
     val base = Files.createTempDirectory("graft-dedup-stream").toString
