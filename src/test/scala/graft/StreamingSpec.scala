@@ -1,9 +1,30 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.streaming.{DedupStream, IngestStream, WindowStream}
+import graft.streaming.{DedupStream, IngestStream, JoinStream, WindowStream}
 
 class StreamingSpec extends SparkSpec {
+
+  test("stream-stream interval join: purchases attribute trailing clicks per user") {
+    val base = Files.createTempDirectory("graft-join-stream").toString
+    val (clicks, purchases) = (s"$base/clicks", s"$base/purchases")
+    Files.createDirectories(Paths.get(clicks))
+    Files.createDirectories(Paths.get(purchases))
+    val t0 = 1700000000L
+    Files.writeString(Paths.get(s"$clicks/a.txt"),
+      s"$t0,alice\n${t0 + 60},alice\n${t0 + 60},bob\n${t0 - 700},alice\n")
+    Files.writeString(Paths.get(s"$purchases/a.txt"),
+      s"${t0 + 120},alice,9.5\n")
+    val q = JoinStream.start(spark, clicks, purchases,
+      s"$base/out", s"$base/ckpt")
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(s"$base/out")
+      .orderBy("click_at")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    // both alice clicks inside [purchase-10min, purchase] match; bob's
+    // click has no purchase; alice's 700s-old click is outside the window
+    assert(rows == Seq(("alice", 9.5), ("alice", 9.5)), rows.toString)
+  }
 
   test("window stream: watermark finalizes closed minutes exactly once, late data dropped") {
     val base = Files.createTempDirectory("graft-window-stream").toString
