@@ -33,6 +33,24 @@ class QuantilesSpec extends SparkSpec {
     assert(viaScalable == viaBuiltin) // exact double equality, no tolerance
   }
 
+  test("property (seeded): exactQuantiles ≡ percentile() on random grouped data") {
+    val rnd = new scala.util.Random(13)
+    (1 to 8).foreach { trial =>
+      val n = 1 + rnd.nextInt(400)
+      val rows = Seq.fill(n)(
+        (s"g${rnd.nextInt(3)}", (rnd.nextDouble() - 0.5) * 2e6))
+      val q = rnd.nextDouble()
+      val df = rows.toDF("g0", "v0")
+      val builtin = df.groupBy("g0")
+        .agg(expr(s"percentile(v0, $q)").as("p"))
+        .orderBy("g0").as[(String, Double)].collect().toSeq
+      val scalable = Quantiles.exactQuantiles(df, "g0", "v0", Seq("p" -> q))
+        .select(col("g0"), col("value")).orderBy("g0")
+        .as[(String, Double)].collect().toSeq
+      assert(scalable == builtin, s"trial $trial, q=$q") // exact, no tolerance
+    }
+  }
+
   test("exactQuantiles: interpolation and exact-hit cases on a known vector") {
     // values 10,20,30,40 → p25: h = 0.25·3 = 0.75 → 10 + 0.75·10 = 17.5;
     // p50: h = 1.5 → 25.0; p100 exact hit → 40
