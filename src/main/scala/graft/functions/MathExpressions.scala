@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -34,6 +34,66 @@ object MathExprs {
 
   def sigAgree(a: Column, b: Column): Column =
     column(SigAgreeExpr(expression(a), expression(b)))
+
+  def quantizeStats(vec: Column): Column =
+    column(QuantizeStatsExpr(expression(vec)))
+}
+
+/** Symmetric int8 quantization statistics of an ARRAY<FLOAT> vector in
+  * ONE pass: returns [scale, q_sum, q_sumsq, mean_abs_err] where
+  * scale = max|x|/127 and q_i = round(x_i/scale) half-away-from-zero
+  * (the convention Spark's `round` and DuckDB's `round` share — ties
+  * are decided on the EXACT binary value: floor-diff arithmetic is
+  * exact for |v| < 2^52, so no epsilon ambiguity). A composed-HOF
+  * formulation would inline the scale subexpression into every lambda
+  * (re-folding max|x| per element — the documented Catalyst trap);
+  * this kernel folds everything once per row. CodegenFallback: one
+  * virtual call per row around a primitive loop, off the
+  * whole-stage-codegen critical path by construction.
+  */
+case class QuantizeStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def roundHalfAway(v: Double): Long = {
+    val f = math.floor(v)
+    val diff = v - f // exact for |v| < 2^52
+    if (diff > 0.5) f.toLong + 1L
+    else if (diff < 0.5) f.toLong
+    else if (v >= 0) f.toLong + 1L
+    else f.toLong
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(arr.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var qSum = 0L
+    var qSumSq = 0L
+    var err = 0.0
+    i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      val q = if (scale == 0.0) 0L else roundHalfAway(x / scale)
+      qSum += q
+      qSumSq += q * q
+      err += math.abs(q.toDouble * scale - x)
+      i += 1
+    }
+    new GenericArrayData(Array(scale, qSum.toDouble, qSumSq.toDouble,
+      if (n > 0) err / n else 0.0))
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantizeStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "quantize_stats"
 }
 
 /** Count of positions where two ARRAY<LONG> signatures agree — the

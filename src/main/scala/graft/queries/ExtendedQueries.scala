@@ -623,6 +623,52 @@ object ExtendedQueries {
       |SELECT vec_id, nn_id, sim_r FROM ranked WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * op for a 100 TB vector store (4× smaller, SIMD-friendly dot
+    * products): per-vector scale = max|x|/127, q_i = round(x_i/scale).
+    * Everything is deterministic arithmetic (integer sums exact, error
+    * fold left-to-right, rounded), so the whole path — scale, quantized
+    * checksums, reconstruction error — is oracle-verified.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val stats = graft.functions.MathExprs.quantizeStats(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .withColumn("qs", stats)
+      .select(col("vec_id"),
+        round(element_at(col("qs"), 1), 6).as("scale_r"),
+        element_at(col("qs"), 2).cast("long").as("q_sum"),
+        element_at(col("qs"), 3).cast("long").as("q_sumsq"),
+        round(element_at(col("qs"), 4), 6).as("mean_abs_err_r"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingQuantizeSql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, e,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(e, x -> abs(x))),
+      |           (a, b) -> greatest(a, b)) / 127.0 AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, e, scale,
+      |         list_transform(e, x -> CASE WHEN scale <> 0.0
+      |           THEN CAST(round(x / scale) AS BIGINT) ELSE 0 END) AS qv
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale_r,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+      |         (a, b) -> a + b) AS q_sum,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(qv, x -> x * x)), (a, b) -> a + b) AS q_sumsq,
+      |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |         list_transform(range(1, len(e) + 1),
+      |           i -> abs(CAST(qv[i] AS DOUBLE) * scale - e[i]))),
+      |         (a, b) -> a + b) / len(e), 6) AS mean_abs_err_r
+      |FROM q ORDER BY vec_id""".stripMargin
+
   /** Full-corpus nearest neighbor through SRP-LSH buckets — the scale
     * path for corpus-wide embedding near-dup (the quadratic
     * `embedding_nn` above is the verification primitive; THIS is what
@@ -865,6 +911,7 @@ object ExtendedQueries {
     "source_distinct" -> sourceDistinct _,
     "embedding_nn" -> embeddingNn _,
     "embedding_nn_lsh" -> embeddingNnLsh _,
+    "embedding_quantize" -> embeddingQuantize _,
     "media_features" -> mediaFeatures _,
     "media_frames" -> mediaFrames _,
     "media_resize" -> mediaResize _,
@@ -890,6 +937,7 @@ object ExtendedQueries {
     "media_metadata" -> mediaMetadataSql,
     "embedding_nn" -> embeddingNnSql,
     "embedding_nn_lsh" -> embeddingNnLshSql,
+    "embedding_quantize" -> embeddingQuantizeSql,
     "media_frames" -> mediaFramesSql,
     "media_features" -> mediaFeaturesSql,
     "media_resize" -> mediaResizeSql

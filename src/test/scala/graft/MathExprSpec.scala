@@ -8,6 +8,27 @@ import graft.ops.TextAnalysis
 class MathExprSpec extends SparkSpec {
   import spark.implicits._
 
+  test("quantize_stats: scale, integer checksums, and tie rounding away from zero") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f)), // zero vector → scale 0, all q = 0
+      (3L, Seq(2.0f))) // exact max → q = 127, zero error
+      .toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        graft.functions.MathExprs.quantizeStats($"embedding").as("qs"))
+      .select($"vec_id", $"qs" (0), $"qs" (1), $"qs" (2), $"qs" (3))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // vec 1: scale = 2/127; q = round(x·127/2) = (64 [tie → away], -127, 32)
+    val (s1, qSum1, qSumSq1, err1) = got(1L)
+    assert(s1 == 2.0 / 127.0)
+    assert(qSum1 == (64 - 127 + 32).toDouble && qSumSq1 == (64 * 64 + 127 * 127 + 32 * 32).toDouble)
+    assert(err1 >= 0.0 && err1 < s1) // reconstruction error under one quant step
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0)))
+    val (s3, qSum3, qSumSq3, err3) = got(3L)
+    assert(s3 == 2.0 / 127.0 && qSum3 == 127.0 && qSumSq3 == 127.0 * 127.0 && err3 == 0.0)
+  }
+
   test("dot_product == HOF fold, bit-identical, incl. length mismatch and empties") {
     val rows = Seq(
       (Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.25f)),
