@@ -143,11 +143,29 @@ object Sketches {
     out
   }
 
+  /** ALL adjacent word n-grams, with repeats (unlike `shingles`, which
+    * dedups and falls back to the whole text): the multiplicity-carrying
+    * scan a BPE-style pair-frequency count needs.
+    */
+  private[functions] def ngrams(text: UTF8String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array.empty[String]
+    else Array.tabulate(toks.length - n + 1) { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.toString
+    }
+  }
+
   // ---------------------------------------------------------------- API
   import org.apache.spark.sql.GraftColumnBridge.{toColumn => column, toExpression => expression}
 
   def word_shingles(text: Column, n: Int): Column =
     column(WordShinglesExpr(expression(text), n))
+
+  def word_ngrams(text: Column, n: Int): Column =
+    column(WordNgramsExpr(expression(text), n))
 
   def minhash_sig(text: Column, shingleN: Int, numHashes: Int): Column =
     column(MinHashSigExpr(expression(text), shingleN, numHashes))
@@ -167,6 +185,20 @@ case class WordShinglesExpr(child: Expression, n: Int)
       .map(UTF8String.fromString(_: String)).asInstanceOf[Array[Any]])
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** All adjacent word n-grams with repeats (one tokenize pass — the HOF
+  * `transform(sequence(...), element_at(toks, ...))` form re-splits the
+  * text per element).
+  */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Sketches.ngrams(v.asInstanceOf[UTF8String], n)
+      .map(UTF8String.fromString(_: String)).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr = copy(child = c)
+  override def prettyName: String = "word_ngrams"
 }
 
 /** MinHash signature (numHashes × min over shingles of xxhash64(j, s)). */

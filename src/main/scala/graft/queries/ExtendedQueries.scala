@@ -231,6 +231,30 @@ object ExtendedQueries {
        |       count(*) AS n_docs
        |FROM f GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  /** BPE-style pair statistics: the top-20 most frequent ADJACENT token
+    * pairs across the corpus (with multiplicity) — the inner scan of
+    * byte-pair/wordpiece tokenizer training, where each merge round
+    * picks the most frequent pair. One explode-shaped aggregation per
+    * round at any scale; the pair extraction is a single-pass kernel
+    * (`word_ngrams` — the HOF formulation re-tokenizes per element).
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.Sketches.word_ngrams(col("text"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(20)
+
+  private val bpePairCountsSql =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      |  FROM t WHERE len(toks) >= 2)
+      |SELECT pair, count(*) AS n FROM p
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   /** Corpus vocabulary: top-50 terms by total frequency with document
     * frequency — the explode-shaped corpus scan (flatMap → two grouped
     * counts). Exact integer counts; deterministic tiebreak.
@@ -894,6 +918,7 @@ object ExtendedQueries {
     "pii_scrub" -> piiScrub _,
     "text_normalize" -> textNormalize _,
     "hash_split_stats" -> hashSplitStats _,
+    "bpe_pair_counts" -> bpePairCounts _,
     "vocabulary_topk" -> vocabularyTopk _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -928,6 +953,7 @@ object ExtendedQueries {
     "pii_scrub" -> piiScrubSql,
     "text_normalize" -> textNormalizeSql,
     "hash_split_stats" -> hashSplitStatsSql,
+    "bpe_pair_counts" -> bpePairCountsSql,
     "vocabulary_topk" -> vocabularyTopkSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
