@@ -31,6 +31,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoint dir — same setup as Verify, so the benched
+    // dedup_clusters runs the branch a real cluster would
+    spark.sparkContext.setCheckpointDir(
+      s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
 
     def execute(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -40,19 +44,35 @@ object Bench {
     SparkEntry.queries.keys
       .foreach { q => try execute(q) catch { case _: Throwable => () } }
 
-    def measuredPass(): Map[String, Double] =
+    // a failed pass records NO timing (min over failures would report a
+    // fast crash as a fast query); failed queries are listed separately
+    def measuredPass(): Map[String, Either[String, Double]] =
       SparkEntry.queries.keys.map { name =>
         val t0 = System.nanoTime()
-        try execute(name) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          execute(name)
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => name -> Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }.toMap
 
     val (p1, p2) = (measuredPass(), measuredPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = SparkEntry.queries.keys.flatMap { k =>
+      (p1(k), p2(k)) match {
+        case (Right(a), Right(b)) => Some(k -> math.min(a, b))
+        case (Right(a), Left(_))  => Some(k -> a)
+        case (Left(_), Right(b))  => Some(k -> b)
+        case (Left(_), Left(_))   => None
+      }
+    }.toMap
+    val failed = SparkEntry.queries.keys
+      .filter(k => p1(k).isLeft && p2(k).isLeft).toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

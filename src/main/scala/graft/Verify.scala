@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoint dir (local FS here; HDFS/object store on a real
+    // cluster) so iterative ops (Dedup.connectedComponents) take their
+    // fault-tolerant branch in gate runs, not the executor-local fallback
+    spark.sparkContext.setCheckpointDir(
+      s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -55,6 +55,20 @@ case class QuantizeStatsExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // misuse (e.g. ARRAY<DOUBLE>) must fail at analysis, not silently
+  // return garbage from getFloat on the wrong layout. containsNull=true
+  // is accepted — parquet list schemas default to nullable elements even
+  // when no null ever occurs — and actual null elements read as 0.0f
+  // (ArrayData convention), which the quantizer treats as a zero sample.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_stats requires ARRAY<FLOAT>, got ${other.sql}")
+    }
+
   private def roundHalfAway(v: Double): Long = {
     val f = math.floor(v)
     val diff = v - f // exact for |v| < 2^52

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.functions.{aggregate, lit}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,11 +21,49 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage to sub-second work and removes the need for any materialization
   * barrier between pipeline steps.
   *
-  * Hashing matches Spark's built-in `xxhash64`: seed 42, values folded in
-  * argument order (so `MinHashSig` element j == `xxhash64(j, shingle)`
-  * folded min — verified against the HOF formulation in ScalaTest).
+  * Hashing is the PORTABLE polynomial family (`(acc·31 + codeunit) mod
+  * prime`, primes < 2³⁰), not an engine hash like xxhash64: every
+  * intermediate fits exact 64-bit integer arithmetic, so any engine with
+  * BIGINTs (the DuckDB oracle, a second Spark cluster, a Python checker)
+  * reproduces signatures, band keys, and fingerprints bit-for-bit. That
+  * turns the whole sketch pipeline — signatures, LSH candidates, near-dup
+  * pairs, duplicate clusters — into hash-verifiable queries instead of
+  * trust-me engine internals, at the same O(chars + shingles·k) kernel
+  * cost (an affine map per permutation, exactly like the xxhash scheme it
+  * replaces).
   */
 object Sketches {
+
+  /** Modulus of the portable hash family: prime < 2³⁰, so `a·h + b` with
+    * `a, h < P1` stays < 2⁶⁰ — exact in Java longs and DuckDB BIGINTs
+    * alike, no wrapping semantics anywhere. (Same value as
+    * `TextAnalysis.FingerprintMod` — one portable family across the
+    * engine.)
+    */
+  val P1: Long = 1000000007L
+
+  /** Second prime for the high half of the SimHash fingerprint (two
+    * independent 30-bit hashes → 60 usable bits).
+    */
+  val P2: Long = 998244353L
+
+  /** SimHash width: 30 bits from each of the two hash families, packed
+    * into one long (bits 60-63 always zero).
+    */
+  val SimBits: Int = 60
+
+  /** Left-fold polynomial hash over UTF-16 code units — the portable base
+    * hash (mirrors `MathExprs.polyHash` / DuckDB `list_reduce` exactly).
+    */
+  def polyHash(s: CharSequence, mod: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i)) % mod
+      i += 1
+    }
+    acc
+  }
 
   /** Exactly Java's regex `\s` class (the spec is `split(trim(s), "\s+")`
     * — ASCII-only: tab..carriage-return plus space). A manual scan, not
@@ -75,30 +114,32 @@ object Sketches {
     }
   }
 
-  /** Min-wise permutation family: ONE xxhash64 per shingle, then k cheap
-    * affine maps `a_j·h + b_j` (odd multipliers) — the classic universal-
-    * hashing scheme (also what Spark ML's MinHashLSH uses). ~k× fewer
-    * string hashes than hashing each shingle k times, same estimator
-    * properties. Coefficients derive deterministically from the
-    * permutation index, seeds fixed.
+  /** Min-wise permutation family: ONE polyHash per shingle, then k cheap
+    * affine maps `(a_j·h + b_j) mod P1` (a_j ≠ 0 — affine mod a prime is
+    * a bijection) — the classic universal-hashing scheme (also what Spark
+    * ML's MinHashLSH uses). ~k× fewer string hashes than hashing each
+    * shingle k times, same estimator properties. Coefficients derive
+    * deterministically from the permutation index via the same portable
+    * hash, so the DuckDB oracle embeds them as literals from this one
+    * source of truth.
     */
-  private[functions] def permCoeffs(numHashes: Int): (Array[Long], Array[Long]) = {
-    val a = Array.tabulate(numHashes)(j => XxHash64Function.hash(j, IntegerType, 1L) | 1L)
-    val b = Array.tabulate(numHashes)(j => XxHash64Function.hash(j, IntegerType, 2L))
+  def permCoeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val a = Array.tabulate(numHashes)(j => polyHash(s"graft-minhash-a-$j", P1 - 1) + 1L)
+    val b = Array.tabulate(numHashes)(j => polyHash(s"graft-minhash-b-$j", P1))
     (a, b)
   }
 
   private[functions] def minhash(text: UTF8String, shingleN: Int,
                                  numHashes: Int): Array[Long] = {
-    val sh = shingles(text, shingleN).map(UTF8String.fromString)
+    val sh = shingles(text, shingleN)
     val (a, b) = permCoeffs(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
-      val h = XxHash64Function.hash(sh(i), StringType, 42L)
+      val h = polyHash(sh(i), P1)
       var j = 0
       while (j < numHashes) {
-        val p = a(j) * h + b(j)
+        val p = (a(j) * h + b(j)) % P1
         if (p < sig(j)) sig(j) = p
         j += 1
       }
@@ -107,36 +148,41 @@ object Sketches {
     sig
   }
 
-  /** Band hash b = xxhash64 fold of signature rows [b·r, (b+1)·r). */
+  /** Band hash b = polyHash fold of signature rows [b·r, (b+1)·r),
+    * seeded with the band index (so equal values in different bands
+    * can't collide into one join key by construction).
+    */
   private[functions] def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
     val r = sig.length / bands
     Array.tabulate(bands) { b =>
-      var h = XxHash64Function.hash(b.toLong, LongType, 42L)
+      var h = b.toLong
       var i = b * r
       while (i < (b + 1) * r) {
-        h = XxHash64Function.hash(sig(i), LongType, h)
+        h = (h * 31 + sig(i)) % P1
         i += 1
       }
       h
     }
   }
 
-  private[functions] def simhash64(text: UTF8String): Long = {
+  private[functions] def simhash(text: UTF8String): Long = {
     val toks = tokenize(text)
-    val counters = new Array[Int](64)
+    val counters = new Array[Int](SimBits)
     var i = 0
     while (i < toks.length) {
-      val h = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
+      val h1 = polyHash(toks(i), P1)
+      val h2 = polyHash(toks(i), P2)
       var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+      while (b < 30) {
+        if (((h1 >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        if (((h2 >>> b) & 1L) == 1L) counters(30 + b) += 1 else counters(30 + b) -= 1
         b += 1
       }
       i += 1
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < SimBits) {
       if (counters(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -173,7 +219,17 @@ object Sketches {
   def minhash_bands(text: Column, shingleN: Int, numHashes: Int, bands: Int): Column =
     column(MinHashBandsExpr(expression(text), shingleN, numHashes, bands))
 
-  def simhash64(text: Column): Column = column(SimHash64Expr(expression(text)))
+  def simhash(text: Column): Column = column(SimHashExpr(expression(text)))
+
+  /** Portable scalar digest of an ARRAY<LONG> signature: left fold
+    * `(acc·31 + elem) mod P1` — pins the whole array content into one
+    * oracle-comparable BIGINT. Safe as a HOF: the array is the
+    * aggregate's collection operand (evaluated once per row), not a
+    * lambda-body reference, so Catalyst inlining can't multiply the
+    * producer.
+    */
+  def sigDigest(sig: Column): Column =
+    aggregate(sig, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P1))
 }
 
 /** Distinct word n-gram shingles of a string column. */
@@ -201,7 +257,9 @@ case class WordNgramsExpr(child: Expression, n: Int)
   override def prettyName: String = "word_ngrams"
 }
 
-/** MinHash signature (numHashes × min over shingles of xxhash64(j, s)). */
+/** MinHash signature: element j = min over shingles of the j-th affine
+  * permutation of the shingle's portable polyHash (see Sketches doc).
+  */
 case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -211,8 +269,9 @@ case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
-/** LSH band hashes of the MinHash signature: element b is the hash of
-  * signature slice [b·r, (b+1)·r). Tokenize→shingle→sign→band in ONE pass.
+/** LSH band hashes of the MinHash signature: element b is the seeded
+  * polyHash fold of signature slice [b·r, (b+1)·r). Tokenize→shingle→
+  * sign→band in ONE pass.
   */
 case class MinHashBandsExpr(child: Expression, shingleN: Int, numHashes: Int,
                             bands: Int) extends UnaryExpression with CodegenFallback {
@@ -225,13 +284,14 @@ case class MinHashBandsExpr(child: Expression, shingleN: Int, numHashes: Int,
   override def prettyName: String = "minhash_bands"
 }
 
-/** 64-bit SimHash over whitespace tokens (bit i = sign of Σ ±1 by bit i of
-  * xxhash64(token)).
+/** 60-bit SimHash over whitespace tokens (bit i = sign of Σ ±1 by bit i
+  * of the token's two portable polyHashes — low 30 bits from the P1
+  * family, high 30 from P2).
   */
-case class SimHash64Expr(child: Expression)
+case class SimHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = Sketches.simhash64(v.asInstanceOf[UTF8String])
-  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
-  override def prettyName: String = "simhash64"
+  override def nullSafeEval(v: Any): Any = Sketches.simhash(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+  override def prettyName: String = "simhash"
 }

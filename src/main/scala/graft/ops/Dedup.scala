@@ -187,37 +187,42 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash over tokens: bit i is the sign of Σ_tokens ±1 where
-    * the sign is bit i of xxhash64(token). O(64·T) per doc, one narrow
-    * pass. Bit masks are a literal array (HOF lambda variables can't be
-    * shift amounts).
+  /** 60-bit SimHash over tokens — the HOF executable spec of
+    * `Sketches.simhash` (test-only; interpreted, re-hashes per bit): bit
+    * i is the sign of Σ_tokens ±1 where the sign is bit i of the token's
+    * portable polyHash (low half P1 family, high half P2). Bit masks are
+    * a literal array (HOF lambda variables can't be shift amounts).
     */
   def simhash(toks: Column): Column = {
-    val masks = typedlit((0 until 64).map(1L << _))
-    val bitSums = transform(sequence(lit(0), lit(63)), i =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(xxhash64(t).bitwiseAND(element_at(masks, i + 1)) =!= 0, 1L)
-          .otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    import graft.functions.{MathExprs, Sketches}
+    val masks = typedlit((0 until 30).map(1L << _))
+    def half(mod: Long): Column = {
+      val bitSums = transform(sequence(lit(0), lit(29)), i =>
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(MathExprs.polyHash(t, mod)
+            .bitwiseAND(element_at(masks, i + 1)) =!= 0, 1L).otherwise(-1L)))
+      aggregate(
+        zip_with(bitSums, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc.bitwiseOR(v))
+    }
+    half(Sketches.P1).bitwiseOR(shiftleft(half(Sketches.P2), 30))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with Hamming ≤ maxDist, candidates from
-    * 16-bit band equality (any doc pair within Hamming ≤ 3 shares at
-    * least one of 4 bands — pigeonhole).
+    * 15-bit band equality over the 60-bit fingerprint (any doc pair
+    * within Hamming ≤ 3 shares at least one of 4 bands — pigeonhole).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxDist: Int = 3): DataFrame = {
     val withSim = df.select(col(idCol).as("id"),
-      graft.functions.Sketches.simhash64(col(textCol)).as("sh"))
+      graft.functions.Sketches.simhash(col(textCol)).as("sh"))
     val banded = withSim.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("bk"))
+          shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
     val l = banded.alias("l")
     val r = banded.alias("r")

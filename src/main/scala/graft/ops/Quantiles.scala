@@ -38,7 +38,20 @@ object Quantiles {
 
   /** Sorted values of `valueCol` with a dense 1-based within-group rank
     * (`g`, `v`, `rn`) — no per-group buffering anywhere; NULL values are
-    * dropped (the `percentile` convention).
+    * dropped (the `percentile` convention — note a group whose values are
+    * ALL null therefore disappears entirely, where `percentile()` would
+    * emit it with a NULL quantile; callers that need such groups must
+    * left-join the result back to the distinct keys).
+    *
+    * The range-shuffled sort is PERSISTED before the two passes: pass 1
+    * (counts) and pass 2 (rank assignment) read the same materialized
+    * partitions, so the dominant sort cost is paid once and the
+    * partition-content agreement between passes is guaranteed by the
+    * cache rather than by re-execution determinism. The driver-side
+    * offset map is bounded by partitions × groups — fine for the
+    * low-cardinality group keys quantiles are computed over; a
+    * high-cardinality key would make `exactQuantiles`' broadcast of
+    * per-group counts the wrong tool anyway.
     */
   def groupRanked(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -47,9 +60,14 @@ object Quantiles {
         col(valueCol).cast("double").as("v"))
       .repartitionByRange(col("g"), col("v"))
       .sortWithinPartitions(col("g"), col("v"))
+    // one sort, two readers: persist the sorted RDD (spillable), then run
+    // the counts pass and the rank pass against the cached partitions.
+    // The cache is released by Spark's ContextCleaner once the plan built
+    // on it is dereferenced.
+    val sorted = s.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-(partition, group) counts — bounded metadata, the same
     // kind of small driver job rankGlobalScalable's range sampling runs
-    val counts = s.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap[String, Long]()
       it.foreach { r => val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L }
       m.iterator.map { case (g, c) => (pid, g, c) }
@@ -64,14 +82,19 @@ object Quantiles {
     val bc = spark.sparkContext.broadcast(offsets)
     val schema = StructType(Seq(StructField("g", StringType),
       StructField("v", DoubleType), StructField("rn", LongType)))
-    // pass 2: same deterministic sort, ranks = broadcast offset + local idx
-    val rdd = s.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // pass 2: the cached partitions, ranks = broadcast offset + local idx.
+    // Every (pid, g) here was observed by pass 1 on the same cached data;
+    // a miss means the cache invariant broke — fail loudly, never misrank.
+    val rdd = sorted.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.HashMap[String, Long]()
       it.map { r =>
         val g = r.getString(0)
         val i = local.getOrElse(g, 0L)
         local(g) = i + 1L
-        Row(g, r.getDouble(1), bc.value((pid, g)) + i + 1L)
+        val off = bc.value.getOrElse((pid, g),
+          sys.error(s"quantile rank pass saw unknown (partition=$pid, group=$g): " +
+            "sorted input changed between the counts and rank passes"))
+        Row(g, r.getDouble(1), off + i + 1L)
       }
     }
     spark.createDataFrame(rdd, schema)

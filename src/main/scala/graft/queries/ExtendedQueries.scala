@@ -10,10 +10,13 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   * multimodal plumbing.
   *
   * Queries whose computation is portable (integer counts, ratio-of-int
-  * divisions, left-fold hashes, rounded cosines) carry DuckDB oracle SQL;
-  * hash-based sketches (MinHash/SimHash use Spark's xxhash64) are
-  * rows-only here and verified against executable specs in ScalaTest
-  * instead.
+  * divisions, left-fold hashes, rounded cosines) carry DuckDB oracle SQL.
+  * Since round 3 that includes the whole MinHash/SimHash sketch family:
+  * the kernels hash with the portable polynomial family
+  * (graft.functions.Sketches), so signatures, LSH candidate pairs,
+  * near-dup rankings, and duplicate clusters are all reproduced
+  * bit-for-bit by the DuckDB SQL here (permutation coefficients are
+  * embedded as VALUES from the one Scala source of truth).
   */
 object ExtendedQueries {
 
@@ -247,7 +250,8 @@ object ExtendedQueries {
 
   private val bpePairCountsSql =
     """WITH t AS (
-      |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |  SELECT list_filter(string_split_regex(text, '[ \t-\r]+'), x -> x <> '') AS toks
+      |  FROM documents),
       |p AS (
       |  SELECT unnest(list_transform(range(1, len(toks)),
       |           i -> toks[i] || ' ' || toks[i + 1])) AS pair
@@ -402,23 +406,106 @@ object ExtendedQueries {
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ------------------------------------------------------------------
-  // Sketch-based / stub-based ops (rows-only: Spark hash functions are
-  // engine-specific; verified in ScalaTest against executable specs)
+  // Sketch-based ops — fully oracle-verified since round 3: the portable
+  // polyHash family (Sketches.P1/P2) is reproduced in DuckDB SQL, with
+  // the permutation coefficients embedded as VALUES from the Scala
+  // constants. The generators below mirror the kernels CTE-for-kernel:
+  // toks → shingles → shingle hashes → signature → bands → candidate
+  // pairs → estimate, exactly the Spark funnel.
   // ------------------------------------------------------------------
+
+  import graft.functions.Sketches.{P1, P2}
+
+  private def permsValuesSql(numHashes: Int): String = {
+    val (a, b) = graft.functions.Sketches.permCoeffs(numHashes)
+    (0 until numHashes).map(j => s"($j, ${a(j)}, ${b(j)})").mkString(", ")
+  }
+
+  /** CTE chain `perms, toks, sh, hs, sigv, sig`: whitespace tokens,
+    * distinct word n-gram shingles (whole text fallback below n tokens),
+    * portable polyHash per shingle, and the minhash signature list —
+    * the SQL mirror of `Sketches.minhash`.
+    */
+  private def minhashCtes(shingleN: Int, numHashes: Int): String = {
+    val concat = (0 until shingleN)
+      .map(k => if (k == 0) "toks[i]" else s"toks[i + $k]")
+      .mkString(" || ' ' || ")
+    s"""perms(j, a, b) AS (VALUES ${permsValuesSql(numHashes)}),
+       |toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '[ \\t-\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) < $shingleN
+       |              THEN [coalesce(array_to_string(toks, ' '), '')]
+       |              ELSE list_distinct(list_transform(range(1, len(toks) - $shingleN + 2),
+       |                     i -> $concat)) END AS shingles
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(shingles, s -> list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |           (x, y) -> (x * 31 + y) % $P1)) AS hl
+       |  FROM sh),
+       |sigv AS (
+       |  SELECT u.doc_id, p.j, min((p.a * u.h + p.b) % $P1) AS s
+       |  FROM (SELECT doc_id, unnest(hl) AS h FROM hs) u
+       |  CROSS JOIN perms p GROUP BY u.doc_id, p.j),
+       |sig AS (SELECT doc_id, list(s ORDER BY j) AS sig FROM sigv GROUP BY doc_id)""".stripMargin
+  }
+
+  /** CTE chain `bands, cand, est`: seeded band folds of the signature,
+    * banded LSH candidate pairs, and the agreeing-position Jaccard
+    * estimate — the SQL mirror of `Sketches.bandHashes` +
+    * `Dedup.candidatePairs` + `Dedup.estJaccard`.
+    */
+  private def bandCtes(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    s"""bands AS (
+       |  SELECT doc_id, bb.b AS band,
+       |         list_reduce(list_prepend(CAST(bb.b AS BIGINT),
+       |           list_slice(sig, bb.b * $r + 1, (bb.b + 1) * $r)),
+       |           (x, y) -> (x * 31 + y) % $P1) AS bh
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT c.id_l, c.id_r,
+       |         CAST(list_sum(list_transform(range(1, ${numHashes + 1}),
+       |           i -> CASE WHEN sl.sig[i] = sr.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |           / $numHashes AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sl ON sl.doc_id = c.id_l
+       |  JOIN sig sr ON sr.doc_id = c.id_r)""".stripMargin
+  }
 
   /** MinHash signatures + shingle counts (single narrow pass — see
     * Dedup.prepareMinhash). The 64-slot signature is exported as a scalar
-    * xxhash64 digest: the driver's comparator sorts scalar columns (a raw
-    * `array<long>` crashes its pandas sort), and a digest pins the full
-    * signature content just as hard. SketchSpec covers the array form.
+    * portable fold digest: the driver's comparator sorts scalar columns
+    * (a raw `array<long>` crashes its pandas sort), and the digest pins
+    * the full signature content just as hard — and, being the portable
+    * fold, the ORACLE recomputes it from scratch. SketchSpec covers the
+    * array form.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Dedup.prepareMinhash(Tables.documents(spark, dir), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16)
       .select(col("id").as("doc_id"),
         size(col("shingles")).cast("long").as("n_shingles"),
-        xxhash64(col("sig")).as("sig_digest"))
+        graft.functions.Sketches.sigDigest(col("sig")).as("sig_digest"))
       .orderBy("doc_id")
+
+  private val minhashSignaturesSql =
+    s"""WITH ${minhashCtes(3, 64)}
+       |SELECT h.doc_id, CAST(len(h.shingles) AS BIGINT) AS n_shingles,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), g.sig),
+       |         (x, y) -> (x * 31 + y) % $P1) AS sig_digest
+       |FROM hs h JOIN sig g ON g.doc_id = h.doc_id
+       |ORDER BY h.doc_id""".stripMargin
 
   /** Top candidate pairs by estimated Jaccard (high-recall banding so the
     * output is non-empty even on a corpus with no true near-dups).
@@ -437,6 +524,12 @@ object ExtendedQueries {
       .orderBy(desc("est_jaccard"), col("id_l"), col("id_r"))
       .limit(20)
   }
+
+  private val minhashTopPairsSql =
+    s"""WITH ${minhashCtes(2, 64)},
+       |${bandCtes(64, 32)}
+       |SELECT id_l, id_r, est_jaccard FROM est
+       |ORDER BY est_jaccard DESC, id_l, id_r LIMIT 20""".stripMargin
 
   /** Exact n-gram Jaccard, top 20 — the production dedup funnel: LSH
     * candidates → cheap signature-estimate prefilter → exact set Jaccard
@@ -471,6 +564,18 @@ object ExtendedQueries {
       .limit(20)
   }
 
+  private val ngramJaccardPairsSql =
+    s"""WITH ${minhashCtes(2, 64)},
+       |${bandCtes(64, 32)}
+       |SELECT e.id_l, e.id_r,
+       |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+       |FROM est e
+       |JOIN hs a ON a.doc_id = e.id_l
+       |JOIN hs b ON b.doc_id = e.id_r
+       |WHERE e.est_jaccard >= 0.2
+       |ORDER BY jaccard DESC, id_l, id_r LIMIT 20""".stripMargin
+
   /** Duplicate clusters: near-dup pairs (est-Jaccard ≥ 0.5 on LSH
     * candidates) → connected components → per-cluster stats. Singletons
     * keep their own id, so the output covers every doc at every scale.
@@ -494,12 +599,72 @@ object ExtendedQueries {
       .orderBy("n_members")
   }
 
-  /** SimHash 64-bit fingerprints (single-pass custom expression). */
+  /** Oracle: the same candidate funnel, then components via a recursive
+    * transitive-closure CTE (min reachable id ≡ the min-label fixpoint
+    * the Spark loop converges to — near-dup clusters are small and dense,
+    * far below the loop's iteration bound).
+    */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE ${minhashCtes(2, 64)},
+       |${bandCtes(64, 32)},
+       |edges(src, dst) AS (
+       |  SELECT id_l, id_r FROM est WHERE est_jaccard >= 0.5
+       |  UNION
+       |  SELECT id_r, id_l FROM est WHERE est_jaccard >= 0.5),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, count(*) AS n_members FROM comp GROUP BY cluster)
+       |SELECT n_members, count(*) AS n_clusters FROM sizes
+       |GROUP BY n_members ORDER BY n_members""".stripMargin
+
+  /** SimHash fingerprints (single-pass custom expression; 60 portable
+    * bits — see Sketches.simhash).
+    */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      graft.functions.Sketches.simhash64(col("text")).as("simhash"))
+      graft.functions.Sketches.simhash(col("text")).as("simhash"))
       .orderBy("doc_id")
+
+  /** CTE chain `stoks, th, bits, fp0, fp`: per-token portable hashes, the
+    * per-bit ±1 counters, and the packed fingerprint — the relational
+    * mirror of `Sketches.simhash` (docs with no tokens coalesce to 0).
+    */
+  private val simhashCtes =
+    s"""stoks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(text, '[ \\t-\\r]+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |           (x, y) -> (x * 31 + y) % $P1) AS h1,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |           (x, y) -> (x * 31 + y) % $P2) AS h2
+       |  FROM stoks),
+       |bits AS (
+       |  SELECT doc_id, bb.b AS bit,
+       |         sum(CASE WHEN ((CASE WHEN bb.b < 30 THEN h1 >> bb.b
+       |                              ELSE h2 >> (bb.b - 30) END) & 1) = 1
+       |                  THEN 1 ELSE -1 END) AS cnt
+       |  FROM th, (SELECT unnest(range(0, 60)) AS b) bb
+       |  GROUP BY doc_id, bb.b),
+       |fp0 AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS fp
+       |  FROM bits GROUP BY doc_id),
+       |fp AS (
+       |  SELECT d.doc_id, CAST(coalesce(f.fp, 0) AS BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN fp0 f ON f.doc_id = d.doc_id)""".stripMargin
+
+  private val simhashFingerprintsSql =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
 
   /** Nearest neighbor by SimHash Hamming distance for the first 25 docs
     * (brute force over the corpus — the verification primitive for the
@@ -507,12 +672,12 @@ object ExtendedQueries {
     */
   def simhashNn(spark: SparkSession, dir: String): DataFrame = {
     val sims = Tables.documents(spark, dir).select(
-      col("doc_id"), graft.functions.Sketches.simhash64(col("text")).as("sh"))
+      col("doc_id"), graft.functions.Sketches.simhash(col("text")).as("sh"))
     val q = sims.filter(col("doc_id") < 25)
       .select(col("doc_id").as("id_l"), col("sh").as("sh_l"))
     val c = sims.select(col("doc_id").as("id_r"), col("sh").as("sh_r"))
     q.join(c, col("id_l") =!= col("id_r"))
-      .withColumn("dist", Dedup.hamming(col("sh_l"), col("sh_r")))
+      .withColumn("dist", Dedup.hamming(col("sh_l"), col("sh_r")).cast("long"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("id_l").orderBy(col("dist"), col("id_r"))))
@@ -520,6 +685,20 @@ object ExtendedQueries {
       .select(col("id_l").as("doc_id"), col("id_r").as("nn_id"), col("dist"))
       .orderBy("doc_id")
   }
+
+  private val simhashNnSql =
+    s"""WITH $simhashCtes,
+       |pairs AS (
+       |  SELECT q.doc_id, c.doc_id AS nn_id,
+       |         CAST(bit_count(xor(q.simhash, c.simhash)) AS BIGINT) AS dist
+       |  FROM fp q JOIN fp c ON q.doc_id <> c.doc_id
+       |  WHERE q.doc_id < 25),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY dist, nn_id) AS rk
+       |  FROM pairs)
+       |SELECT doc_id, nn_id, dist FROM ranked WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
 
   /** Approximate ANN via SRP-LSH with multi-probe (same contract as
     * ann_topk_brute; recall measured in ScalaTest). Oracle-registered:
@@ -607,19 +786,26 @@ object ExtendedQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine nearest neighbor per vector (near-dup primitive).
+  /** Embedding-cosine nearest neighbor for a bounded query slice
+    * (vec_id < 50) against the FULL corpus — the exact-NN verification
+    * primitive, gate-registered in its scale-safe shape: the 50-row query
+    * side broadcasts, so the plan is one linear corpus scan (O(|slice|·n),
+    * never O(n²) — the full-corpus gate is `embedding_nn_lsh`; the
+    * unbounded all-pairs form stays test-only in SimilaritySpec).
     * Oracle-registered: similarity is rounded to 6 decimals BEFORE the
     * argmax on both engines (the round-before-rank recipe of
     * ann_topk_brute), and both engines sum the dot product as a
     * sequential left fold, so rounded sims — and therefore the ranked
     * winner, tie-broken by nn_id — agree exactly.
     */
-  def embeddingNn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearestNeighbor(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        roundTo = Some(6))
-      .withColumnRenamed("sim", "sim_r")
-      .select("vec_id", "nn_id", "sim_r")
+  def embeddingNn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 1, roundTo = Some(6))
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"),
+        col("sim").as("sim_r"))
       .orderBy("vec_id")
+  }
 
   private val embeddingNnSql =
     """WITH v AS (
@@ -639,7 +825,8 @@ object ExtendedQueries {
       |                     i -> a.e[i] * b.e[i])), (x, y) -> x + y)
       |                 / (a.nrm * b.nrm), 6)
       |         END AS sim_r
-      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 50),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id
       |                               ORDER BY sim_r DESC, nn_id) AS rk
@@ -878,6 +1065,19 @@ object ExtendedQueries {
       .orderBy("query_id")
   }
 
+  /** Hard gate on IVF accuracy IN THE DRIVER ARTIFACT: one row with the
+    * mean recall@5 — but ONLY when it clears the 0.8 threshold, so a
+    * recall collapse shows up as `spark_rows: 0` in the correctness
+    * artifact (and an empty bench result), not just as a ScalaTest
+    * failure. Rows-only by necessity (IVF centroids are data-dependent);
+    * IvfSpec asserts the same bound with the exact value.
+    */
+  def ivfRecallGate(spark: SparkSession, dir: String): DataFrame =
+    ivfRecall(spark, dir)
+      .agg(count(lit(1)).as("n_queries"),
+        avg(col("recall_at_5")).as("mean_recall_at_5"))
+      .filter(col("mean_recall_at_5") >= 0.8)
+
   /** Exact per-source cardinalities (the oracle-able half of
     * cardinality_sketch).
     */
@@ -933,6 +1133,7 @@ object ExtendedQueries {
     "ann_topk_lsh" -> annTopkLsh _,
     "ann_topk_ivf" -> annTopkIvf _,
     "ivf_recall" -> ivfRecall _,
+    "ivf_recall_gate" -> ivfRecallGate _,
     "source_distinct" -> sourceDistinct _,
     "embedding_nn" -> embeddingNn _,
     "embedding_nn_lsh" -> embeddingNnLsh _,
@@ -958,6 +1159,12 @@ object ExtendedQueries {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
+    "minhash_signatures" -> minhashSignaturesSql,
+    "minhash_top_pairs" -> minhashTopPairsSql,
+    "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "simhash_fingerprints" -> simhashFingerprintsSql,
+    "simhash_nn" -> simhashNnSql,
     "source_distinct" -> sourceDistinctSql,
     "embedding_norms" -> embeddingNormsSql,
     "media_metadata" -> mediaMetadataSql,

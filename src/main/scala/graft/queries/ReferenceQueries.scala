@@ -651,6 +651,39 @@ object ReferenceQueries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** The pricing aggregate routed through `Skew.saltedAgg`: phase 1
+    * groups by (l_returnflag, salt) — a known-hot key (3 distinct values
+    * over the whole fact table) spreads over 16 tasks each — phase 2
+    * merges the partials by key. At 100 TB this is the shape that keeps
+    * one straggler task from holding the shuffle hostage when partial
+    * aggregation is defeated (collect_set-like states). The result is
+    * algebraically ≡ the direct groupBy — count merges by sum, decimal
+    * partial sums are exact under reassociation, and the quantity doubles
+    * are integral (< 2^53, exact in any order) — so the skew machinery is
+    * HASH-VERIFIED against the plain SQL GROUP BY, not just unit-tested.
+    */
+  def saltedGroupStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    graft.ops.Skew.saltedAgg(li, col("l_returnflag"), saltBuckets = 16,
+        partials = Seq(
+          count(lit(1)).as("pc"),
+          sum(col("l_quantity")).as("pq"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("pe")),
+        merges = Seq(
+          sum(col("pc")).as("n_rows"),
+          sum(col("pq")).as("sum_qty"),
+          sum(col("pe")).cast("double").as("sum_base")))
+      .select(col("_key").as("l_returnflag"),
+        col("n_rows"), col("sum_qty"), col("sum_base"))
+      .orderBy("l_returnflag")
+  }
+
+  private val saltedGroupStatsSql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |       SUM(l_quantity) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Headline join (TPC-H Q3 shape): top-10 orders by revenue for one
     * segment — customer⋈orders⋈lineitem with O4 head limit. Exercises the
     * multi-join shuffle path AQE plans at scale.
@@ -975,6 +1008,7 @@ object ReferenceQueries {
     "string_funcs" -> stringFuncs _,
     "number_format" -> numberFormat _,
     "pricing_summary" -> pricingSummary _,
+    "salted_group_stats" -> saltedGroupStats _,
     "revenue_topk" -> revenueTopk _,
     "events_minute_window" -> eventsMinuteWindow _,
     "region_revenue" -> regionRevenue _,
@@ -1012,6 +1046,7 @@ object ReferenceQueries {
     "string_funcs" -> stringFuncsSql,
     "number_format" -> numberFormatSql,
     "pricing_summary" -> pricingSummarySql,
+    "salted_group_stats" -> saltedGroupStatsSql,
     "revenue_topk" -> revenueTopkSql,
     "events_minute_window" -> eventsMinuteWindowSql,
     "region_revenue" -> regionRevenueSql,

@@ -39,8 +39,10 @@ object SendStream {
       .option("checkpointLocation", s"$ledgerPath-ckpt")
       .foreachBatch { (batch: DataFrame, batchNum: Long) =>
         if (!batch.isEmpty) {
+          // scalable rank for consistency with the batch gate path (micro-
+          // batches are bounded, but no single-partition window anywhere)
           val ranked = Distribution
-            .rankGlobal(batch, Seq(col("c_name"), col("c_custkey")))
+            .rankGlobalScalable(batch, Seq(col("c_name"), col("c_custkey")))
             .withColumn("capacity", lit(capacity))
           val assigned = Distribution.assign(ranked, widx)
           val batchId = s"stream-batch-$batchNum"

@@ -26,4 +26,23 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
     assert(Seq(4L, 5L, 6L, 7L, 8L).forall(got(_) == 4L))
   }
+
+  test("reliable-checkpoint branch actually runs: dir set, checkpoint files written") {
+    // the session (like Verify/Bench) sets a checkpoint dir, so the loop
+    // must take df.checkpoint (reliable), not localCheckpoint
+    val ckptDir = spark.sparkContext.getCheckpointDir
+    assert(ckptDir.isDefined, "harness session must define a checkpoint dir")
+    def ckptFiles(): Long = {
+      val d = new java.io.File(new java.net.URI(ckptDir.get))
+      if (d.exists()) java.nio.file.Files.walk(d.toPath).count() else 0L
+    }
+    val before = ckptFiles()
+    val nodes = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_l", "id_r")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) == 1L && got(4L) == 3L && got(5L) == 5L)
+    assert(ckptFiles() > before,
+      "no files appeared under the checkpoint dir — the loop took the local branch")
+  }
 }

@@ -59,7 +59,7 @@ class IvfSpec extends SparkSpec {
     spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("docs_sql")
     val viaSql = spark.sql(
       """SELECT doc_id, poly_hash(text, 1000000007) AS fp,
-        |       simhash64(text) AS sh,
+        |       simhash(text) AS sh,
         |       minhash_sig(text, 2, 8) AS sig
         |FROM docs_sql ORDER BY doc_id LIMIT 5""".stripMargin).collect()
     assert(viaSql.length == 5)

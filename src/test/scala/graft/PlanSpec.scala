@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("salted_group_stats: two-stage aggregate — salt spreads the hot key, then a tiny merge shuffle") {
+    val p = plan(ReferenceQueries.saltedGroupStats(spark, sfDir))
+    // stage 1 shuffles on (key, salt); stage 2 re-shuffles the tiny
+    // partials on the key alone — exactly two hash exchanges
+    assert(p.contains("_salt"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(800))
+    assert(p.contains("partial_"))
+  }
+
   test("lang_confusion: the lang_id kernel runs in the scan projection (one pass, one shuffle for the groupBy)") {
     val p = plan(ExtendedQueries.langConfusion(spark, sfDir))
     assert(p.contains("lang_id"), p.take(800))

@@ -32,13 +32,44 @@ class SketchSpec extends SparkSpec {
     assert(sigs == sigs2)
   }
 
-  test("custom simhash64 == HOF formulation") {
+  test("custom simhash == HOF formulation, and fits the portable 60 bits") {
     val viaHof = docs.select($"doc_id",
       Dedup.simhash(TextAnalysis.tokens($"text")).as("sh"))
       .as[(Long, Long)].collect().toMap
-    val viaExpr = docs.select($"doc_id", Sketches.simhash64($"text").as("sh"))
+    val viaExpr = docs.select($"doc_id", Sketches.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
     assert(viaHof == viaExpr)
+    assert(viaExpr.values.forall(v => v >= 0L && (v >>> 60) == 0L))
+  }
+
+  test("portable minhash/band kernels match an independent Scala fold") {
+    // independent reimplementation of the portable family (no shared code
+    // with the kernel beyond the published constants)
+    val P = Sketches.P1
+    def ph(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    val (pa, pb) = Sketches.permCoeffs(8)
+    def sigOf(text: String, n: Int): Seq[Long] = {
+      val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val sh = if (toks.length < n) Seq(toks.mkString(" "))
+               else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      (0 until 8).map(j => sh.map(s => (pa(j) * ph(s) + pb(j)) % P).min)
+    }
+    val got = docs.select($"doc_id", Sketches.minhash_sig($"text", 2, 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == sigOf(t, 2), s"sig mismatch for doc $id")
+    }
+    // band fold: seeded with the band index, polyHash-folded over the slice
+    val bandsGot = docs.select($"doc_id",
+      Sketches.minhash_bands($"text", 2, 8, 4).as("b")).as[(Long, Seq[Long])]
+      .collect().toMap
+    texts.foreach { case (id, t) =>
+      val sig = sigOf(t, 2)
+      val exp = (0 until 4).map(b =>
+        sig.slice(b * 2, b * 2 + 2).foldLeft(b.toLong)((a, x) => (a * 31 + x) % P))
+      assert(bandsGot(id) == exp, s"band mismatch for doc $id")
+    }
   }
 
   test("custom word_shingles == HOF wordShingles") {

@@ -19,6 +19,10 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // mirror the gate harness: a reliable checkpoint dir, so suites
+    // exercise the same connectedComponents branch as Verify/Bench
+    s.sparkContext.setCheckpointDir(
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-checkpoints")
     s
   }
 }
