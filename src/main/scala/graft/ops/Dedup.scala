@@ -140,24 +140,27 @@ object Dedup {
     * doc per cluster.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
-                          pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+                          pairs: DataFrame, maxIter: Int = 10,
+                          checkpointInterval: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    // Materialize a DataFrame for the loop: a reliable checkpoint (HDFS/
-    // object store) when the session has a checkpoint dir — survives
-    // executor loss, the requirement for long chains on a real cluster —
-    // else an executor-local checkpoint (fine in local mode / short loops).
-    def materialize(df: DataFrame): DataFrame =
+    // Durable materialization: a reliable checkpoint (HDFS/object store)
+    // when the session has a checkpoint dir — survives executor loss, the
+    // requirement for long chains on a real cluster — else an
+    // executor-local checkpoint (fine in local mode / short loops).
+    def durable(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
 
-    // Undirected edge list, both directions, materialized ONCE: the pair
-    // pipeline upstream (shingle → sign → band join) is the expensive
-    // part, and every iteration would otherwise recompute it from scratch.
-    val edges = materialize(
+    // Undirected edge list, both directions, durably materialized ONCE:
+    // the pair pipeline upstream (shingle → sign → band join) is the
+    // expensive part, every iteration reads it, and it is the recompute
+    // anchor for the cached iterations below.
+    val edges = durable(
       pairs.select(c("id_l").as("src"), c("id_r").as("dst"))
         .union(pairs.select(c("id_r").as("src"), c("id_l").as("dst")))
         .distinct())
     var labels = nodes.select(c(idCol).as("id"), c(idCol).as("cluster"))
+    var cached: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -169,14 +172,32 @@ object Dedup {
         .groupBy("id").agg(min("cluster").as("ncluster"))
       // one pass computes BOTH the new label and the changed flag; the
       // single materialization below is the only real job per iteration —
-      // the convergence probe then scans the cached result, recomputing
-      // nothing.
-      val next = materialize(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(c("id"),
-            least(c("cluster"), coalesce(c("ncluster"), c("cluster"))).as("cluster"),
-            (coalesce(c("ncluster"), c("cluster")) < c("cluster")).as("changed")))
-      converged = next.filter(c("changed")).limit(1).count() == 0
+      // the convergence probe scans the cached result, recomputing nothing.
+      val step = labels.join(neighborMin, Seq("id"), "left")
+        .select(c("id"),
+          least(c("cluster"), coalesce(c("ncluster"), c("cluster"))).as("cluster"),
+          (coalesce(c("ncluster"), c("cluster")) < c("cluster")).as("changed"))
+      // checkpoint-INTERVAL pattern (GraphX-style): a durable checkpoint
+      // every `checkpointInterval`-th iteration bounds both the recompute
+      // window after executor loss and the lineage the analyzer carries;
+      // iterations in between land in a spillable cache, which is what
+      // feeds the probe and the next join — per-iteration durable writes
+      // would pay distributed-FS IO on every step for no extra safety.
+      val next =
+        if (reliable && (iter + 1) % checkpointInterval != 0)
+          step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else durable(step)
+      // full-scan probe (no limit): the one job per iteration that both
+      // materializes EVERY partition of `next` (checkpoint write or cache
+      // fill — a limit(1) probe would early-exit and leave the cache
+      // partial, pushing recompute through already-unpersisted parents)
+      // and returns the convergence flag
+      val probe = next.agg(org.apache.spark.sql.functions.max(c("changed"))).head()
+      converged = probe.isNullAt(0) || !probe.getBoolean(0)
+      // the previous iteration's cache fed `next`'s materialization; once
+      // the probe has run, nothing re-reads it
+      cached.foreach(_.unpersist(blocking = false))
+      cached = if (next ne step) None else Some(next)
       labels = next.select("id", "cluster")
       iter += 1
     }

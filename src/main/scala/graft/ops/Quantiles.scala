@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Exact quantiles at scale.
   *
@@ -102,24 +102,78 @@ object Quantiles {
 
   /** Exact type-7 quantiles per group: one output row per
     * (group, quantile name). `qs` maps output names to fractions.
+    *
+    * Uses the same sorted-once prelude as `groupRanked`, but the second
+    * pass emits ONLY the rows straddling each requested quantile: the
+    * driver already knows n per group from the counts metadata, so the
+    * target ranks lo+1 / hi+1 are computed up front and broadcast —
+    * every other row is dropped inside the scan of the cached sort. That
+    * replaces the full-rank materialization → broadcast-join(n) →
+    * crossJoin(spec) → filter chain (five stages over the whole input)
+    * with one cheap filtered pass emitting groups × quantiles × 2 rows.
     */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      qs: Seq[(String, Double)]): DataFrame = {
     val spark = df.sparkSession
-    val ranked = groupRanked(df, groupCol, valueCol)
-    val n = ranked.groupBy("g").agg(max("rn").as("n"))
-    import spark.implicits._
-    val spec = qs.toDF("qname", "q")
-    ranked.join(broadcast(n), "g")
-      .crossJoin(broadcast(spec))
-      .withColumn("h", col("q") * (col("n") - 1))
-      .withColumn("lo", floor(col("h")).cast("long"))
-      .withColumn("hi", ceil(col("h")).cast("long"))
-      .filter(col("rn") === col("lo") + 1 || col("rn") === col("hi") + 1)
+    val s = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+    val sorted = s.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { r => val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L }
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+    val offsets: Map[(Int, String), Long] = counts.groupBy(_._2).flatMap {
+      case (g, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, c) =>
+          val o = acc; acc += c; ((pid, g), o)
+        }
+    }
+    val nByG: Map[String, Long] =
+      counts.groupBy(_._2).map { case (g, arr) => g -> arr.map(_._3).sum }
+    // (group, rank) → the quantile rows that need this rank's value;
+    // h = q·(n-1) in the exact double arithmetic the Column form used
+    val needed: Map[(String, Long), Seq[(String, Double, Long, Boolean)]] =
+      nByG.toSeq.flatMap { case (g, n) =>
+        qs.flatMap { case (qname, q) =>
+          val h = q * (n - 1).toDouble
+          val lo = math.floor(h).toLong
+          val hi = math.ceil(h).toLong
+          Seq(((g, lo + 1), (qname, h, lo, true)),
+            ((g, hi + 1), (qname, h, lo, false)))
+        }
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcNeeded = spark.sparkContext.broadcast(needed)
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("qname", StringType), StructField("h", DoubleType),
+      StructField("lo", LongType), StructField("is_lo", BooleanType),
+      StructField("v", DoubleType)))
+    val hits = sorted.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[String, Long]()
+      it.flatMap { r =>
+        val g = r.getString(0)
+        val i = local.getOrElse(g, 0L)
+        local(g) = i + 1L
+        val off = bcOff.value.getOrElse((pid, g),
+          sys.error(s"quantile pass saw unknown (partition=$pid, group=$g): " +
+            "sorted input changed between the counts and selection passes"))
+        bcNeeded.value.getOrElse((g, off + i + 1L), Nil).map {
+          case (qname, h, lo, isLo) => Row(g, qname, h, lo, isLo, r.getDouble(1))
+        }
+      }
+    }
+    // identical interpolation arithmetic to Spark's Percentile: the
+    // weighted (hi-h)·v_lo + (h-lo)·v_hi form, h/lo unchanged
+    spark.createDataFrame(hits, schema)
       .groupBy("g", "qname")
       .agg(
-        min(when(col("rn") === col("lo") + 1, col("v"))).as("vlo"),
-        min(when(col("rn") === col("hi") + 1, col("v"))).as("vhi"),
+        min(when(col("is_lo"), col("v"))).as("vlo"),
+        min(when(!col("is_lo"), col("v"))).as("vhi"),
         first("h").as("h"), first("lo").as("lo"))
       .withColumn("value",
         when(col("lo") === ceil(col("h")).cast("long"), col("vlo"))

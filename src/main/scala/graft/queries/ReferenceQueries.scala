@@ -685,15 +685,24 @@ object ReferenceQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Headline join (TPC-H Q3 shape): top-10 orders by revenue for one
-    * segment — customer⋈orders⋈lineitem with O4 head limit. Exercises the
-    * multi-join shuffle path AQE plans at scale.
+    * segment — customer⋈orders⋈lineitem with O4 head limit.
+    *
+    * Shaped so LINEITEM is the stream side: the filter joins
+    * (orders⋈customer-segment) reduce first, then the fact table joins
+    * against that result. The previous `c.join(o).join(li)` order let the
+    * static planner pick BuildRight = lineitem — broadcasting the FACT
+    * table (the one plan that cannot survive any scale-up, and 1.3 s of
+    * the local bench). No join hints: AQE picks broadcast vs shuffle from
+    * runtime sizes, which is the decision that stays correct at 100 TB
+    * where neither side of the filter join is broadcastable either.
     */
   def revenueTopk(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "AUTOMOBILE")
-    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"))
-      .join(li, o("o_orderkey") === li("l_orderkey"))
+    val co = o.join(c, o("o_custkey") === c("c_custkey")).select("o_orderkey")
+    li.join(co, li("l_orderkey") === co("o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20, 4)
         .as("revenue"))
