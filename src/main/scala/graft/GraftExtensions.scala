@@ -45,6 +45,7 @@ object GraftExtensions {
     "sig_agree" -> (es => SigAgreeExpr(es(0), es(1))),
     "poly_hash" -> (es => PolyHashExpr(es(0), longArg(es(1), "mod"))),
     "simhash" -> (es => SimHashExpr(es.head)),
+    "repetition_stats" -> (es => RepetitionStatsExpr(es.head)),
     "word_shingles" -> (es => WordShinglesExpr(es(0), intArg(es(1), "n"))),
     "minhash_sig" -> (es => MinHashSigExpr(es(0),
       intArg(es(1), "shingleN"), intArg(es(2), "numHashes"))),

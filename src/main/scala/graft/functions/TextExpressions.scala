@@ -108,6 +108,13 @@ object TextKernels {
     * sets (each matching token counts once).
     */
   def stopword_hits(text: Column): Column = column(StopwordHitsExpr(expression(text)))
+
+  /** Repetition statistics in one tokenize pass:
+    * [n_tokens, n_distinct_tokens, top_token_count, n_bigrams,
+    * n_distinct_bigrams]. See RepetitionStatsExpr.
+    */
+  def repetition_stats(text: Column): Column =
+    column(RepetitionStatsExpr(expression(text)))
 }
 
 /** Language ID in one tokenize+lookup pass (spec: TextAnalysis.langId's
@@ -121,6 +128,46 @@ case class LangIdExpr(child: Expression)
     TextKernels.langIdOf(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
   override def prettyName: String = "lang_id"
+}
+
+/** Repetition signals of a document in ONE tokenize pass — the
+  * Gopher/MassiveText-style quality filters (high duplicate-token or
+  * duplicate-n-gram fractions mark boilerplate/spam for removal before
+  * LLM training): returns ARRAY<LONG>
+  * [n_tokens, n_distinct_tokens, top_token_count, n_bigrams,
+  * n_distinct_bigrams]. All exact integer counts, so every derived
+  * fraction is an int/int division any engine reproduces bit-for-bit.
+  * The relational formulation (explode → two grouped counts per doc)
+  * shuffles the whole exploded corpus; this kernel is a narrow scan.
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = Sketches.tokenize(v.asInstanceOf[UTF8String])
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0L
+    var i = 0
+    while (i < toks.length) {
+      val prev = counts.get(toks(i))
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(toks(i), Integer.valueOf(c))
+      if (c > top) top = c
+      i += 1
+    }
+    val grams = new java.util.HashSet[String]()
+    i = 0
+    while (i < toks.length - 1) {
+      grams.add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    val nBigrams = math.max(toks.length - 1, 0).toLong
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Long](
+      toks.length.toLong, counts.size.toLong, top, nBigrams, grams.size.toLong))
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "repetition_stats"
 }
 
 /** Combined-stopword-set hit count in one tokenize+lookup pass (spec:

@@ -67,19 +67,29 @@ object Dedup {
       .otherwise(lit(1.0))
 
   /** Candidate pairs via LSH banding: pos-explode the band-hash array
-    * (position = band index), self-join on (band, bandhash), keep
-    * id_l < id_r, distinct. The join shuffles on the band key —
-    * cardinality ≈ docs × bands, NOT docs².
+    * (position = band index), group by (band, bandhash), and expand each
+    * multi-doc bucket into its ordered pairs (id_l < id_r), distinct.
+    *
+    * One shuffle of docs × bands rows — a band self-join would shuffle
+    * the exploded set TWICE and build a join hash table for the ~all-
+    * singleton buckets; the aggregation drops singletons before any pair
+    * exists. Pair expansion is quadratic per bucket on BOTH formulations
+    * (same key → same task), so the skew profile is unchanged; `ids` is
+    * a plain post-aggregation attribute, so the lambda references below
+    * are attribute lookups, not re-computed expressions (the Catalyst
+    * inlining trap doesn't apply).
     */
   def candidatePairs(df: DataFrame, idCol: String, bandHashesCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       posexplode(col(bandHashesCol)).as(Seq("band", "bh")))
-    val l = exploded.alias("l")
-    val r = exploded.alias("r")
-    l.join(r,
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
+    val buckets = exploded.groupBy("band", "bh")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val ids = col("ids")
+    val pairs = flatten(transform(ids, x =>
+      transform(filter(ids, y => y > x), y => struct(x.as("id_l"), y.as("id_r")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_l"), col("p.id_r"))
       .distinct()
   }
 

@@ -98,6 +98,59 @@ object ExtendedQueries {
        |               THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Repetition signals per document — the Gopher/MassiveText quality
+    * filters (duplicate-token and duplicate-n-gram fractions flag
+    * boilerplate/spam before LLM training). One narrow kernel pass
+    * (`repetition_stats`) per doc, no shuffle; every emitted fraction is
+    * an exact-int division, so the whole query is hash-verified (the
+    * oracle recomputes the counts relationally from the token lists).
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val rs = graft.functions.TextKernels.repetition_stats(col("text"))
+    val nTok = element_at(col("rs"), 1)
+    val nBg = element_at(col("rs"), 4)
+    Tables.documents(spark, dir)
+      .withColumn("rs", rs)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        when(nTok > 0, element_at(col("rs"), 2).cast("double") / nTok)
+          .as("distinct_frac"),
+        when(nTok > 0, element_at(col("rs"), 3).cast("double") / nTok)
+          .as("top_token_frac"),
+        when(nBg > 0, lit(1.0) - element_at(col("rs"), 5).cast("double") / nBg)
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val docRepetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '[ \t-\r]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+      |         CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n_distinct_bigrams
+      |  FROM t),
+      |tc AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_count
+      |  FROM (SELECT doc_id, tok, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      |        GROUP BY doc_id, tok)
+      |  GROUP BY doc_id)
+      |SELECT s.doc_id, s.n_tokens,
+      |       CASE WHEN s.n_tokens > 0
+      |            THEN CAST(s.n_distinct AS DOUBLE) / s.n_tokens END AS distinct_frac,
+      |       CASE WHEN s.n_tokens > 0
+      |            THEN CAST(tc.top_count AS DOUBLE) / s.n_tokens END AS top_token_frac,
+      |       CASE WHEN s.n_bigrams > 0
+      |            THEN 1.0 - CAST(s.n_distinct_bigrams AS DOUBLE) / s.n_bigrams END AS dup_bigram_frac
+      |FROM s LEFT JOIN tc ON tc.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Language-ID confusion: labeled language × predicted language. */
   def langConfusion(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -291,8 +344,9 @@ object ExtendedQueries {
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_corpus"))
     val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df derived FROM tf (one row per (doc, term) already) — the corpus
+    // is exploded and shuffled once, not twice
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(nDf))
       .withColumn("score",
@@ -1113,6 +1167,7 @@ object ExtendedQueries {
     "dedup_canonical" -> dedupCanonical _,
     "token_stats" -> tokenStats _,
     "text_quality" -> textQuality _,
+    "doc_repetition" -> docRepetition _,
     "lang_confusion" -> langConfusion _,
     "doc_fingerprint" -> docFingerprint _,
     "pii_scrub" -> piiScrub _,
@@ -1149,6 +1204,7 @@ object ExtendedQueries {
     "dedup_canonical" -> dedupCanonicalSql,
     "token_stats" -> tokenStatsSql,
     "text_quality" -> textQualitySql,
+    "doc_repetition" -> docRepetitionSql,
     "lang_confusion" -> langConfusionSql,
     "doc_fingerprint" -> docFingerprintSql,
     "pii_scrub" -> piiScrubSql,

@@ -130,6 +130,22 @@ class SketchSpec extends SparkSpec {
     assert(pairs.count(_ >= 0.9) >= 10, "expected ≥10 planted near-dup pairs")
   }
 
+  test("repetition_stats kernel matches a direct Scala computation") {
+    val got = docs.select($"doc_id",
+      graft.functions.TextKernels.repetition_stats($"text").as("rs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val exp = Seq(toks.length.toLong, toks.distinct.length.toLong,
+        if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.size).max.toLong,
+        bigrams.length.toLong, bigrams.distinct.length.toLong)
+      assert(got(id) == exp, s"repetition stats mismatch for doc $id")
+    }
+  }
+
   test("langId picks the majority-stopword language deterministically") {
     val rows = Seq(
       ("the cat and the dog of a house", "en"),
