@@ -633,11 +633,20 @@ object ExtendedQueries {
   /** Duplicate clusters: near-dup pairs (est-Jaccard ≥ 0.5 on LSH
     * candidates) → connected components → per-cluster stats. Singletons
     * keep their own id, so the output covers every doc at every scale.
+    *
+    * Banding is TUNED TO THE JOIN THRESHOLD: bands=16 over 64 hashes
+    * (rows r=4) puts the LSH S-curve's threshold (1/b)^(1/r) at ≈0.5 —
+    * exactly the est-Jaccard cut applied afterward — so candidate volume
+    * tracks the pairs the query can actually keep (~10× fewer than the
+    * r=2 banding the 0.2-threshold pair queries use; recall ≈100% at
+    * J≥0.8 where real duplicate clusters live, by design lossy near the
+    * 0.5 boundary). The oracle mirrors the same banding, so the funnel
+    * stays hash-verified.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val prepared = Dedup.prepareMinhash(docs, "doc_id", "text",
-      shingleN = 2, numHashes = 64, bands = 32)
+      shingleN = 2, numHashes = 64, bands = 16)
     val cands = Dedup.candidatePairs(prepared, "id", "bands")
     val sigs = prepared.select(col("id"), col("sig"))
     val pairs = cands
@@ -660,7 +669,7 @@ object ExtendedQueries {
     */
   private val dedupClustersSql =
     s"""WITH RECURSIVE ${minhashCtes(2, 64)},
-       |${bandCtes(64, 32)},
+       |${bandCtes(64, 16)},
        |edges(src, dst) AS (
        |  SELECT id_l, id_r FROM est WHERE est_jaccard >= 0.5
        |  UNION

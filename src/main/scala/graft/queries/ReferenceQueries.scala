@@ -745,15 +745,21 @@ object ReferenceQueries {
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val n = Tables.nation(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
     val s = Tables.supplier(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"))
-      .join(li, o("o_orderkey") === li("l_orderkey"))
-      .join(s, li("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+    // LINEITEM is the stream side (see revenueTopk): the filter chain
+    // reduces first, the fact table joins last — the old
+    // c.join(o).join(li) order let the static planner put the fact table
+    // under a BroadcastExchange. Region/nation broadcast by hint (bounded
+    // dims); the rest is AQE's size-based call.
+    val co = o.join(c, o("o_custkey") === c("c_custkey")).select("o_orderkey")
+    val sn = s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("s_suppkey", "n_name")
+    li.join(co, li("l_orderkey") === co("o_orderkey"))
+      .join(sn, li("l_suppkey") === sn("s_suppkey"))
       .groupBy(col("n_name"))
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20, 4)
         .as("revenue"),
