@@ -52,21 +52,35 @@ object Ivf {
 
   /** Train on a deterministic sample (hash-picked, ≤ maxSample rows
     * pulled to the driver — k and dim are small; the corpus is not).
+    *
+    * EVERY arithmetic step is portable: the sample hash is the affine
+    * map `(id mod P1)·a + b mod P1` (exact 64-bit ints, like the sketch
+    * kernels), the sample is processed in ascending-id order, and init /
+    * Lloyd accumulation are sequential left folds — so an engine that
+    * mirrors the folds (the DuckDB oracle does, CTE for CTE) reproduces
+    * the centroids bit-for-bit, floats and all. When the corpus fits in
+    * maxSample (the gate fixtures do) the hash never selects, only the
+    * id order matters.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
             iterations: Int = 5, maxSample: Int = 2000): Model = {
+    import graft.functions.Sketches.{polyHash, P1}
+    val ha = polyHash("graft-ivf-a", P1 - 1) + 1L
+    val hb = polyHash("graft-ivf-b", P1)
     val sample = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("h", xxhash64(col("id")))
-      .orderBy("h").limit(maxSample)
+      .withColumn("h", (pmod(col("id"), lit(P1)) * ha + hb) % P1)
+      .orderBy("h", "id").limit(maxSample)
       .select("id", "v")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1) // ascending-id processing order (portable)
     require(sample.nonEmpty, "empty corpus")
     // init: deterministic farthest-point (k-means++ without randomness) —
-    // first pick is the lowest-hash row, each next pick is the sample row
-    // least similar to its nearest chosen centroid. Avoids the classic
-    // two-seeds-in-one-cluster split of naive init.
+    // first pick is the lowest-id sample row, each next pick is the
+    // sample row least similar to its nearest chosen centroid (ties →
+    // lowest id). Avoids the classic two-seeds-in-one-cluster split of
+    // naive init.
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2.clone())
     while (chosen.length < math.min(k, sample.length)) {
       val next = sample.minBy { case (_, v) =>

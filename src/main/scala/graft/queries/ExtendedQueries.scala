@@ -1112,12 +1112,14 @@ object ExtendedQueries {
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
         k = 5, roundTo = Some(6))
       .select("query_id", "neighbor_id")
-    // nProbe=4 of 8 lists: the fixture embeddings are near-uniform (no
-    // cluster structure), the worst case for IVF — probing half the lists
-    // is what a real index would do at this recall target on such data
+    // nProbe=5 of 8 lists: the fixture embeddings are near-uniform (no
+    // cluster structure), the worst case for IVF — neighbors sit near
+    // every list boundary, so hitting the 0.8 recall target needs most
+    // of the lists probed; on clustered data the same index hits it with
+    // 1-2 probes (that asymmetry IS the quality signal this gate tracks)
     val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
     val ivf = graft.ops.Ivf.searchTopK(emb, queries, "vec_id", "embedding",
-        k = 5, model, nProbe = 4)
+        k = 5, model, nProbe = 5)
       .select("query_id", "neighbor_id")
     val hits = brute.join(ivf, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -1132,14 +1134,15 @@ object ExtendedQueries {
     * mean recall@5 — but ONLY when it clears the 0.8 threshold, so a
     * recall collapse shows up as `spark_rows: 0` in the correctness
     * artifact (and an empty bench result), not just as a ScalaTest
-    * failure. Rows-only by necessity (IVF centroids are data-dependent);
-    * IvfSpec asserts the same bound with the exact value.
+    * failure. Oracle-registered (IvfOracle retrains the index in SQL);
+    * the mean is rounded because double-sum order differs across engines
+    * in the last ulp.
     */
   def ivfRecallGate(spark: SparkSession, dir: String): DataFrame =
     ivfRecall(spark, dir)
       .agg(count(lit(1)).as("n_queries"),
-        avg(col("recall_at_5")).as("mean_recall_at_5"))
-      .filter(col("mean_recall_at_5") >= 0.8)
+        round(avg(col("recall_at_5")), 6).as("mean_recall_r"))
+      .filter(col("mean_recall_r") >= 0.8)
 
   /** Exact per-source cardinalities (the oracle-able half of
     * cardinality_sketch).
@@ -1224,6 +1227,9 @@ object ExtendedQueries {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
+    "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
+    "ivf_recall" -> IvfOracle.ivfRecallSql(),
+    "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),
     "minhash_signatures" -> minhashSignaturesSql,
     "minhash_top_pairs" -> minhashTopPairsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
