@@ -255,12 +255,19 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
-        hamming(col("l.sh"), col("r.sh")).as("dist"))
+    // same bucket-aggregation shape as candidatePairs: one shuffle,
+    // singleton buckets dropped before any pair exists
+    val buckets = banded.groupBy("band", "bh")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val ms = col("ms")
+    val pairs = flatten(transform(ms, x =>
+      transform(filter(ms, y => y.getField("id") > x.getField("id")),
+        y => struct(x.getField("id").as("id_l"), y.getField("id").as("id_r"),
+          x.getField("sh").as("sh_l"), y.getField("sh").as("sh_r")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_l"), col("p.id_r"),
+        hamming(col("p.sh_l"), col("p.sh_r")).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

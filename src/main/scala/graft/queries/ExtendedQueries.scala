@@ -312,6 +312,61 @@ object ExtendedQueries {
       |SELECT pair, count(*) AS n FROM p
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** Benchmark decontamination — the n-gram-overlap check run before LLM
+    * training (à la the GPT-3 report): a training document is
+    * contaminated if it shares any word 5-gram with the held-out
+    * eval/benchmark set. Fixture split: doc_id ≥ 450 plays the benchmark
+    * suite, the rest is the training corpus. Scale shape: eval suites
+    * are tiny next to a 100 TB corpus, so the eval gram set BROADCASTS
+    * and the corpus is never shuffled except the per-doc count — one
+    * narrow kernel pass + broadcast semi-join. Exact string n-grams (no
+    * hashing), so the whole check is oracle-verified.
+    */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val docs = Tables.documents(spark, dir)
+    val tg = docs.filter(col("doc_id") < 450)
+      .select(col("doc_id"),
+        explode(array_distinct(Sketches.word_ngrams(col("text"), 5))).as("gram"))
+    val eg = broadcast(
+      docs.filter(col("doc_id") >= 450)
+        .select(explode(Sketches.word_ngrams(col("text"), 5)).as("gram"))
+        .distinct())
+    // ONE corpus pass: left-join the broadcast eval grams as an
+    // indicator, then total and shared counts come out of a single
+    // per-doc aggregation (a separate semi-join branch would explode
+    // and scan the training corpus twice)
+    tg.join(eg.withColumn("hit", lit(1)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_shared"))
+      .filter(col("n_shared") > 0) // only contaminated docs surface
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminationSql =
+    """WITH toks5 AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '[ \t-\r]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) < 5 THEN []
+      |              ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS gs
+      |  FROM toks5),
+      |tg AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id < 450),
+      |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id >= 450),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+      |sh AS (SELECT t.doc_id, count(*) AS n_shared
+      |       FROM tg t JOIN eg ON eg.gram = t.gram GROUP BY t.doc_id)
+      |SELECT tot.doc_id, tot.n_grams, sh.n_shared,
+      |       CAST(sh.n_shared AS DOUBLE) / tot.n_grams AS overlap_frac
+      |FROM tot JOIN sh ON sh.doc_id = tot.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   /** Corpus vocabulary: top-50 terms by total frequency with document
     * frequency — the explode-shaped corpus scan (flatMap → two grouped
     * counts). Exact integer counts; deterministic tiebreak.
@@ -1186,6 +1241,7 @@ object ExtendedQueries {
     "text_normalize" -> textNormalize _,
     "hash_split_stats" -> hashSplitStats _,
     "bpe_pair_counts" -> bpePairCounts _,
+    "decontamination" -> decontamination _,
     "vocabulary_topk" -> vocabularyTopk _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -1223,6 +1279,7 @@ object ExtendedQueries {
     "text_normalize" -> textNormalizeSql,
     "hash_split_stats" -> hashSplitStatsSql,
     "bpe_pair_counts" -> bpePairCountsSql,
+    "decontamination" -> decontaminationSql,
     "vocabulary_topk" -> vocabularyTopkSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,

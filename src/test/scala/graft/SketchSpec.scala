@@ -146,6 +146,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: shared-gram counts bounded and positive, ordered by doc") {
+    val rows = graft.queries.ExtendedQueries.decontamination(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "no contaminated docs found in the fixture")
+    rows.foreach { case (id, nGrams, nShared, frac) =>
+      assert(id < 450, "eval docs must not appear in the output")
+      assert(nShared >= 1 && nShared <= nGrams)
+      assert(math.abs(frac - nShared.toDouble / nGrams) == 0.0)
+    }
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+  }
+
   test("langId picks the majority-stopword language deterministically") {
     val rows = Seq(
       ("the cat and the dog of a house", "en"),
