@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming NEAR-dup detection — the online counterpart of
+  * `ops.Dedup.simhashNearDupPairs` (the exact-dup stream is
+  * `DedupStream`): documents arrive as a stream, and the query
+  * continuously emits every pair within SimHash Hamming ≤ maxDist among
+  * all documents seen so far, regardless of how arrivals interleave.
+  *
+  * Shape: each doc fans out to its 4 fifteen-bit SimHash band keys, and
+  * keyed state per (band, bandhash) bucket holds that bucket's members —
+  * a new doc compares ONLY against its own buckets (the same pigeonhole
+  * guarantee as the batch operator: Hamming ≤ 3 ⇒ ≥ 1 shared band), so
+  * per-doc work is bucket-occupancy, never corpus-size. State scales out
+  * on the band-key shuffle exactly like the batch candidate join; a
+  * production deployment with a finite dedup horizon bounds it with a
+  * state timeout, same note as `DedupStream`.
+  *
+  * A pair that shares several bands would surface once per shared band
+  * (and Spark disallows chaining a second stateful dedup behind
+  * `flatMapGroupsWithState`), so the sink makes the output exactly-once
+  * instead: each micro-batch is deduped and anti-joined against the
+  * already-written pairs before appending — an idempotent upsert, which
+  * also makes re-deliveries after a restart no-ops.
+  */
+object NearDupStream {
+
+  case class BandedDoc(band: Int, bh: Long, doc_id: Long, sh: Long)
+  case class BucketState(members: List[(Long, Long)]) // (doc_id, simhash)
+  case class NearDupPair(id_l: Long, id_r: Long, dist: Int)
+
+  /** Per-bucket matcher: compare each arriving doc against the bucket's
+    * members (state + earlier rows of this batch, in ascending-id order
+    * so in-batch results are arrival-order-independent), then add it.
+    */
+  private[streaming] def matchBucket(maxDist: Int)(
+      key: (Int, Long), docs: Iterator[BandedDoc],
+      state: GroupState[BucketState]): Iterator[NearDupPair] = {
+    var members = state.getOption.map(_.members).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+    docs.toSeq.sortBy(_.doc_id).foreach { d =>
+      if (!members.exists(_._1 == d.doc_id)) {
+        members.foreach { case (pid, psh) =>
+          val dist = java.lang.Long.bitCount(psh ^ d.sh)
+          if (dist <= maxDist)
+            out += NearDupPair(math.min(pid, d.doc_id), math.max(pid, d.doc_id), dist)
+        }
+        members = (d.doc_id, d.sh) :: members
+      }
+    }
+    state.update(BucketState(members))
+    out.iterator
+  }
+
+  /** The banded matching transform on any (doc_id, text) Dataset. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Sketches.simhash(col(textCol)).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))): _*)).as("bk"))
+      .select(col("bk.band"), col("bk.bh"), col("doc_id"), col("sh"))
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchBucket(maxDist))
+  }
+
+  /** Start the stream: one `doc_id<TAB>text` line per document under
+    * `landingDir` → `outPath` accumulates the distinct near-dup pairs
+    * (exactly-once via the idempotent sink; keyed bucket state survives
+    * restarts through the checkpoint).
+    */
+  def start(spark: SparkSession, landingDir: String, outPath: String,
+            checkpoint: String, maxDist: Int = 3): StreamingQuery = {
+    val docs = spark.readStream
+      .schema("value STRING")
+      .text(landingDir)
+      .select(
+        split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\t").getItem(1).as("text"))
+    nearDupPairs(docs, "doc_id", "text", maxDist).writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[NearDupPair], _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.dropDuplicates("id_l", "id_r")
+        val existing =
+          try spark.read.parquet(outPath).select("id_l", "id_r")
+          catch { case _: Exception => null }
+        val toWrite =
+          if (existing == null) fresh.toDF()
+          else fresh.join(existing, Seq("id_l", "id_r"), "left_anti")
+        toWrite.write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+  }
+}

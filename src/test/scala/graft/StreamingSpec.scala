@@ -1,9 +1,44 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.streaming.{DedupStream, IngestStream, JoinStream, WindowStream}
+import graft.streaming.{DedupStream, IngestStream, JoinStream, NearDupStream, WindowStream}
 
 class StreamingSpec extends SparkSpec {
+
+  test("near-dup stream: banded simhash pairs match the batch operator across restarts") {
+    val base = Files.createTempDirectory("graft-neardup-stream").toString
+    val landing = s"$base/landing"
+    Files.createDirectories(Paths.get(landing))
+    val first = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox jumps over the lazy cat",
+      2L -> "completely different content about spark engines and shuffles",
+      3L -> "the quick brown fox jumps over the lazy dog")
+    val second = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog", // re-landed
+      4L -> "the quick brown fox jumps over the lazy dogs",
+      5L -> "spark engines about different completely shuffles and content")
+    Files.writeString(Paths.get(s"$landing/a.txt"),
+      first.map { case (i, t) => s"$i\t$t" }.mkString("", "\n", "\n"))
+    NearDupStream.start(spark, landing, s"$base/out", s"$base/ckpt", maxDist = 12)
+      .awaitTermination(60000)
+    // second chunk (including a re-landed duplicate of doc 0), restarted
+    // from the checkpoint — bucket state must carry over
+    Files.writeString(Paths.get(s"$landing/b.txt"),
+      second.map { case (i, t) => s"$i\t$t" }.mkString("", "\n", "\n"))
+    NearDupStream.start(spark, landing, s"$base/out", s"$base/ckpt", maxDist = 12)
+      .awaitTermination(60000)
+
+    import spark.implicits._
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("id_l", "id_r", "dist").as[(Long, Long, Int)].collect().toSet
+    val batch = graft.ops.Dedup.simhashNearDupPairs(
+        (first ++ second.tail).toDF("doc_id", "text"), "doc_id", "text", maxDist = 12)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch,
+      s"stream $streamed != batch $batch")
+    assert(streamed.contains((0L, 3L, 0)), "exact-dup pair missing")
+  }
 
   test("stream-stream interval join: purchases attribute trailing clicks per user") {
     val base = Files.createTempDirectory("graft-join-stream").toString
