@@ -46,6 +46,10 @@ object GraftExtensions {
     "poly_hash" -> (es => PolyHashExpr(es(0), longArg(es(1), "mod"))),
     "simhash" -> (es => SimHashExpr(es.head)),
     "repetition_stats" -> (es => RepetitionStatsExpr(es.head)),
+    "lang_id" -> (es => LangIdExpr(es.head)),
+    "stopword_hits" -> (es => StopwordHitsExpr(es.head)),
+    "quantize_stats" -> (es => QuantizeStatsExpr(es.head)),
+    "word_ngrams" -> (es => WordNgramsExpr(es(0), intArg(es(1), "n"))),
     "word_shingles" -> (es => WordShinglesExpr(es(0), intArg(es(1), "n"))),
     "minhash_sig" -> (es => MinHashSigExpr(es(0),
       intArg(es(1), "shingleN"), intArg(es(2), "numHashes"))),

@@ -105,6 +105,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"))
   }
 
+  test("decontamination: eval grams broadcast — the training corpus is never shuffled on grams") {
+    val p = plan(ExtendedQueries.decontamination(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // exactly two hash exchanges: the per-doc count aggregation and the
+    // (tiny) eval-side gram distinct feeding the broadcast — neither is
+    // the training corpus partitioned on grams
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(800))
+  }
+
+  test("doc_repetition: single narrow kernel pass, no shuffle before the sort") {
+    val p = plan(ExtendedQueries.docRepetition(spark, sfDir))
+    assert(p.contains("repetition_stats"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
   test("lang_confusion: the lang_id kernel runs in the scan projection (one pass, one shuffle for the groupBy)") {
     val p = plan(ExtendedQueries.langConfusion(spark, sfDir))
     assert(p.contains("lang_id"), p.take(800))
