@@ -23,8 +23,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (and Spark disallows chaining a second stateful dedup behind
   * `flatMapGroupsWithState`), so the sink makes the output exactly-once
   * instead: each micro-batch is deduped and anti-joined against the
-  * already-written pairs before appending — an idempotent upsert, which
-  * also makes re-deliveries after a restart no-ops.
+  * already-written pairs before appending — an idempotent upsert. The
+  * anti-join re-reads the accumulated output per micro-batch, which is
+  * the plain-parquet stand-in for what is a keyed MERGE on an ACID table
+  * (Delta/Iceberg) in production — same note as the keyed sinks in
+  * `Sinks`.
   */
 object NearDupStream {
 

@@ -27,6 +27,17 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(4L, 5L, 6L, 7L, 8L).forall(got(_) == 4L))
   }
 
+  test("long chain converges across several checkpoint-interval cycles") {
+    // a 12-node path needs ~11 min-label iterations — the loop passes
+    // through the durable-checkpoint branch (every 3rd iter) four times
+    // with cached iterations in between, all on one lineage
+    val nodes = (1L to 12L).toDF("id")
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_l", "id_r")
+    val got = Dedup.connectedComponents(nodes, "id", pairs, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 12L).forall(got(_) == 1L), s"labels $got")
+  }
+
   test("reliable-checkpoint branch actually runs: dir set, checkpoint files written") {
     // the session (like Verify/Bench) sets a checkpoint dir, so the loop
     // must take df.checkpoint (reliable), not localCheckpoint
