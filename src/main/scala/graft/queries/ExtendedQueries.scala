@@ -287,6 +287,91 @@ object ExtendedQueries {
        |       count(*) AS n_docs
        |FROM f GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  /** Token-budget packing — training-set assembly under a per-source
+    * token budget: docs are taken in a CONTENT-DERIVED order (portable
+    * fingerprint, doc_id tiebreak — the same order on any engine, any
+    * partitioning, any scale; an incidental file order would not
+    * reproduce) and kept while the running token total stays within the
+    * budget. One partitioned window (shuffles once on source, no global
+    * bottleneck), then a per-source rollup.
+    */
+  def tokenBudgetPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val nt = TextAnalysis.tokenCount(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("fp"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), nt.as("nt"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("cum") <= budget, 1)).as("n_kept"),
+        coalesce(sum(when(col("cum") <= budget, col("nt"))), lit(0L))
+          .as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val tokenBudgetPackSql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(list_filter(string_split_regex(text, '[ \\t-\\r]+'),
+       |                              x -> x <> '')) AS BIGINT) AS nt,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, nt,
+       |         sum(nt) OVER (PARTITION BY source ORDER BY fp, doc_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |       count(*) FILTER (WHERE cum <= 800) AS n_kept,
+       |       coalesce(sum(nt) FILTER (WHERE cum <= 800), 0) AS n_tokens_kept
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** Deterministic mixture sampling — per-source sampling rates applied
+    * by CONTENT hash, not RNG: doc kept iff fingerprint mod 100 < rate,
+    * rate derived from the source name by the portable hash. The same
+    * doc always makes the same cut on any engine at any scale (the
+    * reproducibility property a training mixture needs — re-runs and
+    * incremental appends can't flip membership), and the whole thing is
+    * one narrow scan + per-source count.
+    */
+  def mixtureSampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MathExprs
+    // rate in [20, 90): portable per-source weight from the name hash
+    val rate = lit(20L) + MathExprs.polyHash(col("source"), 70L)
+    val keep = TextAnalysis.fingerprint(col("text")) % 100 < rate
+    Tables.documents(spark, dir)
+      .select(col("source"), rate.as("rate"), keep.as("keep"))
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_sampled"))
+      .orderBy("source")
+  }
+
+  private val mixtureSampleStatsSql =
+    s"""WITH t AS (
+       |  SELECT source,
+       |         20 + list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(source, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % 70) AS rate,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) % 100 AS b
+       |  FROM documents)
+       |SELECT source, rate, count(*) AS n_docs,
+       |       count(*) FILTER (WHERE b < rate) AS n_sampled
+       |FROM t GROUP BY source, rate ORDER BY source""".stripMargin
+
   /** BPE-style pair statistics: the top-20 most frequent ADJACENT token
     * pairs across the corpus (with multiplicity) — the inner scan of
     * byte-pair/wordpiece tokenizer training, where each merge round
@@ -1242,6 +1327,8 @@ object ExtendedQueries {
     "hash_split_stats" -> hashSplitStats _,
     "bpe_pair_counts" -> bpePairCounts _,
     "decontamination" -> decontamination _,
+    "token_budget_pack" -> tokenBudgetPack _,
+    "mixture_sample_stats" -> mixtureSampleStats _,
     "vocabulary_topk" -> vocabularyTopk _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -1280,6 +1367,8 @@ object ExtendedQueries {
     "hash_split_stats" -> hashSplitStatsSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "decontamination" -> decontaminationSql,
+    "token_budget_pack" -> tokenBudgetPackSql,
+    "mixture_sample_stats" -> mixtureSampleStatsSql,
     "vocabulary_topk" -> vocabularyTopkSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
