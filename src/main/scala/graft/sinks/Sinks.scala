@@ -34,10 +34,11 @@ object Sinks {
   }
 
   /** S7 — keyed update as a snapshot transform: read, rewrite matching
-    * rows, overwrite. Correct at fixture scale; at production scale this
-    * is a Delta/Iceberg `UPDATE` (copy-on-write on the same principle).
-    * Writes to `outPath` (parquet can't atomically overwrite its own
-    * input).
+    * rows, overwrite. Correct at fixture scale; the SCALE path is
+    * `BucketedTable.update` — hash-bucketed copy-on-write that rewrites
+    * only the touched keys' buckets (Delta/Iceberg `UPDATE` adds the
+    * atomic commit on the same layout). Writes to `outPath` (parquet
+    * can't atomically overwrite its own input).
     */
   def keyedUpdate(spark: SparkSession, path: String, outPath: String,
                   keyCol: String, keyValue: Any,
@@ -49,7 +50,9 @@ object Sinks {
     updated.write.mode("overwrite").parquet(outPath)
   }
 
-  /** S8 — keyed delete as a snapshot transform (Delta `DELETE` at scale). */
+  /** S8 — keyed delete as a snapshot transform (`BucketedTable.delete`
+    * at scale — touched buckets only).
+    */
   def keyedDelete(spark: SparkSession, path: String, outPath: String,
                   keyCol: String, keyValue: Any): Unit =
     spark.read.parquet(path).filter(col(keyCol) =!= keyValue)

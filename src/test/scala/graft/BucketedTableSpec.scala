@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions.lit
+import graft.sinks.BucketedTable
+
+/** Copy-on-write semantics AND IO scope of the bucketed keyed table:
+  * correctness of merge/update/delete, plus the property that makes it
+  * the S7/S8 scale path — maintenance touches ONLY the buckets holding
+  * the touched keys (asserted on the actual bucket directories).
+  */
+class BucketedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filesOf(path: String, b: Int): Set[String] = {
+    val d = new java.io.File(s"$path/bucket=$b")
+    if (d.exists) d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    else Set.empty
+  }
+
+  test("upsert/update/delete rewrite only the touched buckets; lookup prunes to one") {
+    val base = Files.createTempDirectory("graft-bucketed").toString
+    val path = s"$base/tbl"
+    val nB = 8
+    val df = (0L until 100L).map(i => (i, s"name-$i", i * 10.0))
+      .toDF("id", "name", "score")
+    BucketedTable.write(df, path, "id", nB)
+    val before = (0 until nB).map(b => b -> filesOf(path, b)).toMap
+
+    // merge: one key updated, one inserted
+    val ups = Seq((3L, "updated-3", 999.0), (200L, "new-200", 1.0))
+      .toDF("id", "name", "score")
+    BucketedTable.upsert(spark, path, ups, "id", nB)
+    val after = (0 until nB).map(b => b -> filesOf(path, b)).toMap
+    val rewritten = (0 until nB).filter(b => before(b) != after(b))
+    assert(rewritten.size <= 2,
+      s"upsert of 2 keys rewrote buckets $rewritten — IO not bounded by touched keys")
+
+    val all = BucketedTable.read(spark, path)
+    assert(all.count() == 101)
+    assert(all.filter($"id" === 3L).select("name").as[String].head() == "updated-3")
+    assert(all.filter($"id" === 200L).count() == 1)
+    assert(all.filter($"id" === 5L).select("name").as[String].head() == "name-5")
+
+    // keyed column update (S7)
+    BucketedTable.update(spark, path, "id", 7L, Map("score" -> lit(-1.0)), nB)
+    assert(BucketedTable.read(spark, path)
+      .filter($"id" === 7L).select("score").as[Double].head() == -1.0)
+
+    // point lookup prunes to the key's single bucket directory
+    val lk = BucketedTable.lookup(spark, path, "id", 42L, nB)
+    assert(lk.select("name").as[String].head() == "name-42")
+    val plan = lk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan.take(600))
+
+    // keyed delete (S8)
+    BucketedTable.delete(spark, path, "id", 3L, nB)
+    val left = BucketedTable.read(spark, path)
+    assert(left.filter($"id" === 3L).count() == 0 && left.count() == 100)
+  }
+
+  test("delete that empties a bucket removes its directory") {
+    val base = Files.createTempDirectory("graft-bucketed-empty").toString
+    val path = s"$base/tbl"
+    val nB = 16
+    BucketedTable.write((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, "id", nB)
+    // find a key alone in its bucket
+    val byBucket = BucketedTable.read(spark, path)
+      .groupBy("bucket").count().filter($"count" === 1)
+      .select("bucket").as[Int].collect()
+    assert(byBucket.nonEmpty, "fixture has no singleton bucket")
+    val b = byBucket.head
+    val lone = BucketedTable.read(spark, path)
+      .filter($"bucket" === b).select("id").as[Long].head()
+    BucketedTable.delete(spark, path, "id", lone, nB)
+    assert(!new java.io.File(s"$path/bucket=$b").exists,
+      "emptied bucket directory must be removed")
+    assert(BucketedTable.read(spark, path).count() == 9)
+  }
+}
