@@ -121,6 +121,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(800))
   }
 
+  test("token_budget_pack: one partitioned window — no single-partition bottleneck") {
+    val p = plan(ExtendedQueries.all("token_budget_pack")(spark, sfDir))
+    assert(p.contains("Window"), p.take(800))
+    // window and rollup both partition by source: exactly one hash shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("lang_confusion: the lang_id kernel runs in the scan projection (one pass, one shuffle for the groupBy)") {
     val p = plan(ExtendedQueries.langConfusion(spark, sfDir))
     assert(p.contains("lang_id"), p.take(800))

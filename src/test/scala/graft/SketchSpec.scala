@@ -158,6 +158,33 @@ class SketchSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
   }
 
+  test("portable kernels on degenerate text: empty, whitespace-only, single token") {
+    val edge = Seq((0L, ""), (1L, "   \t\n  "), (2L, "solo"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    // tokenize of empty/whitespace → no tokens: simhash 0, repetition all-0
+    val sh = edge.select($"doc_id", Sketches.simhash($"text")).as[(Long, Long)]
+      .collect().toMap
+    assert(sh(0L) == 0L && sh(1L) == 0L && sh(2L) != 0L)
+    val rs = edge.select($"doc_id",
+      graft.functions.TextKernels.repetition_stats($"text"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rs(0L) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(rs(1L) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(rs(2L) == Seq(1L, 1L, 1L, 0L, 0L))
+    assert(rs(3L) == Seq(2L, 2L, 1L, 1L, 1L))
+    // minhash below-shingle-size fallback: whole text is the one shingle,
+    // empty text hashes the empty string (h=0 → sig_j = b_j)
+    val (_, pb) = Sketches.permCoeffs(4)
+    val sig = edge.select($"doc_id", Sketches.minhash_sig($"text", 2, 4))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(0L) == pb.toSeq, "empty text: sig must be the b_j constants")
+    assert(sig(0L) == sig(1L), "whitespace-only ≡ empty after tokenize")
+    // n-grams of a doc shorter than n: empty, not a fallback shingle
+    val ng = edge.select($"doc_id", Sketches.word_ngrams($"text", 2))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(ng(0L).isEmpty && ng(2L).isEmpty && ng(3L) == Seq("a b"))
+  }
+
   test("langId picks the majority-stopword language deterministically") {
     val rows = Seq(
       ("the cat and the dog of a house", "en"),
