@@ -177,6 +177,80 @@ object ExtendedQueries {
        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
 
+  /** The composed corpus-filter funnel — what an LLM training-data
+    * pipeline actually runs before tokenization: language filter (keep
+    * English), quality filter (C4-style score ≥ 0.5), repetition filter
+    * (duplicate-bigram fraction ≤ 0.08), applied in that precedence;
+    * per-(source, reason) counts make the funnel auditable. EVERY filter
+    * is a single-pass kernel (lang_id, stopword counts, repetition
+    * stats), so the whole funnel is one narrow corpus scan + one count
+    * shuffle — composition adds no extra passes. All decisions are
+    * int-ratio comparisons, so the funnel is hash-verified end to end.
+    */
+  def corpusFilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val repFrac = when(element_at(col("rs"), 4) > 0,
+      lit(1.0) - element_at(col("rs"), 5).cast("double") / element_at(col("rs"), 4))
+      .otherwise(lit(0.0))
+    val reason = when(TextAnalysis.langId(col("text")) =!= "en", "non_english")
+      .when(TextAnalysis.qualityScore(col("text")) < 0.5, "low_quality")
+      .when(repFrac > 0.08, "repetitive")
+      .otherwise("kept")
+    Tables.documents(spark, dir)
+      .withColumn("rs", graft.functions.TextKernels.repetition_stats(col("text")))
+      .select(col("source"), reason.as("reason"))
+      .groupBy("source", "reason").agg(count(lit(1)).as("n"))
+      .orderBy("source", "reason")
+  }
+
+  private val corpusFilterFunnelSql: String = {
+    val scoreExprs = TextAnalysis.langStopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextAnalysis.langStopwords.map(_._1)
+    val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, source, text,
+       |         $scoreExprs
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, text, s_en,
+       |         CASE WHEN mx = 0 THEN 'und' $caseArms END AS pred_lang
+       |  FROM (SELECT *, $maxExpr AS mx FROM s)),
+       |q AS (
+       |  SELECT doc_id, source, pred_lang,
+       |         least(n_chars / 500.0, 1.0) * 0.3
+       |         + (CASE WHEN n_tokens > 0 AND n_chars / n_tokens BETWEEN 3 AND 10
+       |                 THEN 1.0 ELSE 0.5 END) * 0.2
+       |         + least((CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens ELSE 0.0 END) * 3.0, 1.0) * 0.3
+       |         + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1
+       |                 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality,
+       |         rep
+       |  FROM (
+       |    SELECT p.doc_id, p.source, p.pred_lang,
+       |           CAST(length(text) AS DOUBLE) AS n_chars,
+       |           CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+       |           CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS BIGINT) AS n_punct,
+       |           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                                x -> x IN ($allStopwordsSqlList))) AS BIGINT) AS n_stopwords,
+       |           CASE WHEN len(toks) >= 2
+       |                THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+       |                       i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE) / (len(toks) - 1)
+       |                ELSE 0.0 END AS rep
+       |    FROM p, LATERAL (SELECT list_filter(string_split_regex(text, '[ \\t-\\r]+'),
+       |                            x -> x <> '') AS toks))),
+       |f AS (
+       |  SELECT source,
+       |         CASE WHEN pred_lang <> 'en' THEN 'non_english'
+       |              WHEN quality < 0.5 THEN 'low_quality'
+       |              WHEN rep > 0.08 THEN 'repetitive'
+       |              ELSE 'kept' END AS reason
+       |  FROM q)
+       |SELECT source, reason, count(*) AS n FROM f
+       |GROUP BY source, reason ORDER BY source, reason""".stripMargin
+  }
+
   /** Polynomial rolling-hash fingerprint — left fold, portable modulus. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1320,6 +1394,7 @@ object ExtendedQueries {
     "token_stats" -> tokenStats _,
     "text_quality" -> textQuality _,
     "doc_repetition" -> docRepetition _,
+    "corpus_filter_funnel" -> corpusFilterFunnel _,
     "lang_confusion" -> langConfusion _,
     "doc_fingerprint" -> docFingerprint _,
     "pii_scrub" -> piiScrub _,
@@ -1360,6 +1435,7 @@ object ExtendedQueries {
     "token_stats" -> tokenStatsSql,
     "text_quality" -> textQualitySql,
     "doc_repetition" -> docRepetitionSql,
+    "corpus_filter_funnel" -> corpusFilterFunnelSql,
     "lang_confusion" -> langConfusionSql,
     "doc_fingerprint" -> docFingerprintSql,
     "pii_scrub" -> piiScrubSql,
