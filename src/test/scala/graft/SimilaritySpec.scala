@@ -63,6 +63,25 @@ class SimilaritySpec extends SparkSpec {
     assert(nn(0L)._1 == 999L)
   }
 
+  test("bounded embedding_nn gate ≡ unbounded nearestNeighbor on the query slice") {
+    // the gate runs bruteForceTopK k=1 over a bounded broadcast slice;
+    // it must produce exactly what the quadratic verification primitive
+    // says for those same queries
+    val gate = graft.queries.ExtendedQueries.embeddingNn(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val full = Similarity.nearestNeighbor(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+        roundTo = Some(6))
+      .filter($"vec_id" < 50)
+      .select($"vec_id", $"nn_id", $"sim").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(gate.size == full.size && gate.keySet == full.keySet)
+    full.foreach { case (id, (nnId, sim)) =>
+      assert(gate(id) == (nnId, sim), s"gate/full mismatch for vec $id")
+    }
+  }
+
   test("nearestNeighborLsh finds planted twins through the bucket join") {
     val base = clustered(40, 16)
     val withDup = base :+ (999L, base.head._2.clone()) // identical vector → identical bucket
