@@ -59,6 +59,29 @@ class BucketedTableSpec extends SparkSpec {
     assert(left.filter($"id" === 3L).count() == 0 && left.count() == 100)
   }
 
+  test("model check (seeded): random upsert/delete sequence matches a Map model") {
+    val base = Files.createTempDirectory("graft-bucketed-model").toString
+    val path = s"$base/tbl"
+    val nB = 4
+    val rnd = new scala.util.Random(20260812L)
+    var model = (0L until 20L).map(i => i -> s"v$i-0").toMap
+    BucketedTable.write(model.toSeq.toDF("id", "v"), path, "id", nB)
+    (1 to 12).foreach { step =>
+      val key = rnd.nextInt(26).toLong // some keys never exist
+      if (rnd.nextBoolean()) {
+        val value = s"v$key-$step"
+        BucketedTable.upsert(spark, path, Seq((key, value)).toDF("id", "v"), "id", nB)
+        model += key -> value
+      } else {
+        BucketedTable.delete(spark, path, "id", key, nB)
+        model -= key
+      }
+    }
+    val got = BucketedTable.read(spark, path)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == model, s"table diverged from model after 12 ops")
+  }
+
   test("delete that empties a bucket removes its directory") {
     val base = Files.createTempDirectory("graft-bucketed-empty").toString
     val path = s"$base/tbl"
