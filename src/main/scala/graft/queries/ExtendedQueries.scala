@@ -50,6 +50,20 @@ object ExtendedQueries {
   // Text analysis (oracle)
   // ------------------------------------------------------------------
 
+  /** DuckDB mirror of the kernel tokenizer (`Sketches.tokenize`),
+    * EXACT including edge cases: Java `String.trim` first (strip chars
+    * <= 0x20 at both ends — the regexp_replace), then split on the
+    * ASCII `\s` class dropping empty tokens. Without the edge strip the
+    * formula diverges from the kernel on control chars < 0x09 or in
+    * 0x0E..0x1F at the string edges (TokenizerSpec pins both sides);
+    * round 3's only hash-FAIL came from pairing an oracle with the
+    * WRONG tokenizer, so every kernel-tokenizer oracle routes through
+    * this one definition.
+    */
+  private def kernelToksSql(col: String): String =
+    s"list_filter(string_split_regex(regexp_replace($col, " +
+      "'^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g'), '[ \\t-\\r]+'), x -> x <> '')"
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -123,9 +137,9 @@ object ExtendedQueries {
   }
 
   private val docRepetitionSql =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |         list_filter(string_split_regex(text, '[ \t-\r]+'), x -> x <> '') AS toks
+      |         ${kernelToksSql("text")} AS toks
       |  FROM documents),
       |s AS (
       |  SELECT doc_id,
@@ -238,8 +252,7 @@ object ExtendedQueries {
        |                THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
        |                       i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE) / (len(toks) - 1)
        |                ELSE 0.0 END AS rep
-       |    FROM p, LATERAL (SELECT list_filter(string_split_regex(text, '[ \\t-\\r]+'),
-       |                            x -> x <> '') AS toks))),
+       |    FROM p, LATERAL (SELECT ${kernelToksSql("text")} AS toks))),
        |f AS (
        |  SELECT source,
        |         CASE WHEN pred_lang <> 'en' THEN 'non_english'
@@ -392,8 +405,7 @@ object ExtendedQueries {
   private val tokenBudgetPackSql =
     s"""WITH t AS (
        |  SELECT source, doc_id,
-       |         CAST(len(list_filter(string_split_regex(text, '[ \\t-\\r]+'),
-       |                              x -> x <> '')) AS BIGINT) AS nt,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
        |         list_reduce(
        |           list_prepend(CAST(0 AS BIGINT),
        |             list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
@@ -461,8 +473,8 @@ object ExtendedQueries {
       .limit(20)
 
   private val bpePairCountsSql =
-    """WITH t AS (
-      |  SELECT list_filter(string_split_regex(text, '[ \t-\r]+'), x -> x <> '') AS toks
+    s"""WITH t AS (
+      |  SELECT ${kernelToksSql("text")} AS toks
       |  FROM documents),
       |p AS (
       |  SELECT unnest(list_transform(range(1, len(toks)),
@@ -505,9 +517,9 @@ object ExtendedQueries {
   }
 
   private val decontaminationSql =
-    """WITH toks5 AS (
+    s"""WITH toks5 AS (
       |  SELECT doc_id,
-      |         list_filter(string_split_regex(text, '[ \t-\r]+'), x -> x <> '') AS toks
+      |         ${kernelToksSql("text")} AS toks
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id,
@@ -701,7 +713,7 @@ object ExtendedQueries {
     s"""perms(j, a, b) AS (VALUES ${permsValuesSql(numHashes)}),
        |toks AS (
        |  SELECT doc_id,
-       |         list_filter(string_split_regex(text, '[ \\t-\\r]+'), x -> x <> '') AS toks
+       |         ${kernelToksSql("text")} AS toks
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id,
@@ -913,7 +925,7 @@ object ExtendedQueries {
   private val simhashCtes =
     s"""stoks AS (
        |  SELECT doc_id,
-       |         unnest(list_filter(string_split_regex(text, '[ \\t-\\r]+'), x -> x <> '')) AS tok
+       |         unnest(${kernelToksSql("text")}) AS tok
        |  FROM documents),
        |th AS (
        |  SELECT doc_id,
