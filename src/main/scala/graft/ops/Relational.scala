@@ -52,6 +52,29 @@ object Relational {
   def conditionalFilter(df: DataFrame, preds: Seq[Option[Column]]): DataFrame =
     preds.flatten.foldLeft(df)((d, p) => d.filter(p))
 
+  /** Stats-gated broadcast hint: hint `df` for broadcast ONLY when a
+    * provable upper bound on its size — the optimized-plan estimate of
+    * `bound` (file size × column-pruning ratio for a scan) — is under
+    * the threshold. The caller supplies `bound` = a plan whose size the
+    * output of `df` cannot exceed (e.g. the fact side of an FK join
+    * against a unique key: output rows ≤ fact rows).
+    *
+    * Why not let the planner decide? Without CBO, Spark estimates a join
+    * output as the BYTE PRODUCT of its inputs, so a join branch can
+    * never win static build-side selection against a small pruned scan —
+    * at small SF the static planner broadcasts the FACT table instead
+    * (round 3's region_revenue regression). This helper makes the
+    * decision a real-stats one at plan-construction time: under the
+    * bound → broadcast (the plan a CBO would pick); over it — any real
+    * cluster scale — no hint, so the shuffle join stands and AQE still
+    * gets to demote from true runtime sizes.
+    */
+  def broadcastIfBounded(df: DataFrame, bound: DataFrame,
+                         thresholdBytes: Long = 10L << 20): DataFrame =
+    if (bound.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= BigInt(thresholdBytes)) broadcast(df)
+    else df
+
   /** O3 — deterministic pagination: ORDER BY + OFFSET/LIMIT
     * (companies/route.ts:39-41). The reference orders by a non-unique
     * column; we always append a unique tiebreaker so pages are stable

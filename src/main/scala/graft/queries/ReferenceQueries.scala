@@ -749,17 +749,27 @@ object ReferenceQueries {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
     val s = Tables.supplier(spark, dir)
-    // LINEITEM is the stream side (see revenueTopk): the filter chain
-    // reduces first, the fact table joins last — the old
-    // c.join(o).join(li) order let the static planner put the fact table
-    // under a BroadcastExchange. Region/nation broadcast by hint (bounded
-    // dims); the rest is AQE's size-based call.
-    val co = o.join(c, o("o_custkey") === c("c_custkey")).select("o_orderkey")
-    val sn = s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .select("s_suppkey", "n_name")
-    li.join(co, li("l_orderkey") === co("o_orderkey"))
-      .join(sn, li("l_suppkey") === sn("s_suppkey"))
+    // LINEITEM is the stream side (see revenueTopk), and the SELECTIVE
+    // join comes first: the region filter lives on the supplier branch,
+    // so li⋈sn shrinks the fact stream ~|regions|× before the orderkey
+    // join. The r3 regression: the static planner BROADCAST LINEITEM
+    // (its 4-column pruned-size estimate at small SF is under 10 MB,
+    // while the join branches' product-of-bytes estimates can never
+    // look smaller). Both branches have provable output bounds —
+    // |co| ≤ |orders| (c_custkey unique), |sn| ≤ |supplier| — so
+    // broadcastIfBounded hints them from real scan stats when the
+    // bound fits, and at cluster scale leaves the shuffle join + AQE's
+    // runtime size call (verified: AQE demotes the co SMJ to broadcast
+    // with a local shuffle read at sf0.1 when unhinted).
+    // Region/nation broadcast by hint (bounded dims).
+    val co = Relational.broadcastIfBounded(
+      o.join(c, o("o_custkey") === c("c_custkey")).select("o_orderkey"), o)
+    val sn = Relational.broadcastIfBounded(
+      s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("s_suppkey", "n_name"), s)
+    li.join(sn, li("l_suppkey") === sn("s_suppkey"))
+      .join(co, li("l_orderkey") === co("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20, 4)
         .as("revenue"),

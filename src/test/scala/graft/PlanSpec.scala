@@ -62,6 +62,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("region_revenue: the fact table is NEVER the broadcast build side (r3 regression)") {
+    // the static planner's pruned-size estimate of lineitem at small SF
+    // is broadcastable, and it broadcast the FACT table in r3. Pin the
+    // designed shape: both fact joins keep lineitem's l_* keys on the
+    // stream (left) side with the build on the right, and lineitem
+    // neither broadcasts nor shuffles at fixture scale (the
+    // stats-gated broadcastIfBounded hints fire here; over the bound
+    // the same code degrades to SMJ + AQE).
+    val p = plan(ReferenceQueries.regionRevenue(spark, sfDir))
+    val factJoins = p.split("\n").filter(l =>
+      l.contains("BroadcastHashJoin [l_"))
+    assert(factJoins.length == 2, p.take(1200))
+    assert(factJoins.forall(_.contains("BuildRight")), factJoins.mkString("\n"))
+    assert(!p.contains("Exchange hashpartitioning(l_"), p.take(1200))
+  }
+
   test("customer_running_spend: single partitioned-window shuffle") {
     val p = plan(ReferenceQueries.customerRunningSpend(spark, sfDir))
     assert(p.contains("Window"))
