@@ -73,22 +73,47 @@ object Dedup {
     * One shuffle of docs × bands rows — a band self-join would shuffle
     * the exploded set TWICE and build a join hash table for the ~all-
     * singleton buckets; the aggregation drops singletons before any pair
-    * exists. Pair expansion is quadratic per bucket on BOTH formulations
-    * (same key → same task), so the skew profile is unchanged; `ids` is
-    * a plain post-aggregation attribute, so the lambda references below
-    * are attribute lookups, not re-computed expressions (the Catalyst
-    * inlining trap doesn't apply).
+    * exists. `ids` is a plain post-aggregation attribute, so the lambda
+    * references below are attribute lookups, not re-computed expressions
+    * (the Catalyst inlining trap doesn't apply).
+    *
+    * Memory shape: pairs are emitted one MEMBER-row at a time — position
+    * p pairs with every later position via a slice — so no single row
+    * ever holds more than |bucket| structs (the old single
+    * flatten(transform(…)) value was |bucket|², an executor-OOM / 2 GB
+    * array risk on a skewed bucket).
+    *
+    * Skew guard: a bucket larger than `maxBucketSize` is BY CONSTRUCTION
+    * a mass-duplicate cluster (≥ cap docs agreeing on a band hash — the
+    * boilerplate-duplicated-10⁶-times shape that web-scale dedup exists
+    * to catch), and its k² pair expansion on one task is the one
+    * genuine scale-killer in the family. Those buckets short-circuit to
+    * a linear STAR around the min-id hub: k−1 edges that preserve
+    * exactly the connectivity the downstream cluster step needs.
+    * Downstream exact verification still checks every emitted edge, so
+    * a rare heterogeneous mega-bucket (hash collision) degrades to
+    * possibly missing some cross-pairs — it cannot produce a false
+    * positive.
     */
-  def candidatePairs(df: DataFrame, idCol: String, bandHashesCol: String): DataFrame = {
+  def candidatePairs(df: DataFrame, idCol: String, bandHashesCol: String,
+                     maxBucketSize: Int = 4096): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       posexplode(col(bandHashesCol)).as(Seq("band", "bh")))
     val buckets = exploded.groupBy("band", "bh")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
     val ids = col("ids")
-    val pairs = flatten(transform(ids, x =>
-      transform(filter(ids, y => y > x), y => struct(x.as("id_l"), y.as("id_r")))))
-    buckets.select(explode(pairs).as("p"))
+    val normal = buckets.filter(size(ids) <= maxBucketSize)
+      .select(ids, posexplode(ids).as(Seq("pos", "x")))
+      .select(explode(transform(
+        slice(ids, col("pos") + 2, size(ids)),
+        y => struct(least(col("x"), y).as("id_l"),
+          greatest(col("x"), y).as("id_r")))).as("p"))
+    val hub = array_min(ids)
+    val mega = buckets.filter(size(ids) > maxBucketSize)
+      .select(explode(transform(filter(ids, y => y =!= hub),
+        y => struct(hub.as("id_l"), y.as("id_r")))).as("p"))
+    normal.union(mega)
       .select(col("p.id_l"), col("p.id_r"))
       .distinct()
   }
@@ -245,9 +270,15 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming ≤ maxDist, candidates from
     * 15-bit band equality over the 60-bit fingerprint (any doc pair
     * within Hamming ≤ 3 shares at least one of 4 bands — pigeonhole).
+    *
+    * Same memory/skew guards as `candidatePairs`: per-member pair rows
+    * (≤ |bucket| structs per row, never |bucket|²) and a min-id-hub
+    * star for buckets over `maxBucketSize` — identical fingerprints
+    * collide on ALL bands, so the degenerate mass-duplicate shape lands
+    * here too, and its star edges are at distance 0 (kept).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3): DataFrame = {
+                          maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     val withSim = df.select(col(idCol).as("id"),
       graft.functions.Sketches.simhash(col(textCol)).as("sh"))
     val banded = withSim.select(col("id"), col("sh"),
@@ -261,11 +292,27 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
       .filter(size(col("ms")) > 1)
     val ms = col("ms")
-    val pairs = flatten(transform(ms, x =>
-      transform(filter(ms, y => y.getField("id") > x.getField("id")),
-        y => struct(x.getField("id").as("id_l"), y.getField("id").as("id_r"),
-          x.getField("sh").as("sh_l"), y.getField("sh").as("sh_r")))))
-    buckets.select(explode(pairs).as("p"))
+    def ordered(a: Column, b: Column): Column =
+      when(a.getField("id") < b.getField("id"),
+        struct(a.getField("id").as("id_l"), b.getField("id").as("id_r"),
+          a.getField("sh").as("sh_l"), b.getField("sh").as("sh_r")))
+        .otherwise(
+          struct(b.getField("id").as("id_l"), a.getField("id").as("id_r"),
+            b.getField("sh").as("sh_l"), a.getField("sh").as("sh_r")))
+    val normal = buckets.filter(size(ms) <= maxBucketSize)
+      .select(ms, posexplode(ms).as(Seq("pos", "x")))
+      .select(explode(transform(
+        slice(ms, col("pos") + 2, size(ms)),
+        y => ordered(col("x"), y))).as("p"))
+    // array_min over an array of structs orders by the leading field, so
+    // the hub is the min-id member
+    val hub = array_min(ms)
+    val mega = buckets.filter(size(ms) > maxBucketSize)
+      .select(explode(transform(
+        filter(ms, m => m.getField("id") =!= hub.getField("id")),
+        m => struct(hub.getField("id").as("id_l"), m.getField("id").as("id_r"),
+          hub.getField("sh").as("sh_l"), m.getField("sh").as("sh_r")))).as("p"))
+    normal.union(mega)
       .select(col("p.id_l"), col("p.id_r"),
         hamming(col("p.sh_l"), col("p.sh_r")).as("dist"))
       .distinct()

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** The mega-bucket skew guard (r3 "What's wrong #3"): buckets over the
+  * cap short-circuit to a linear star instead of O(k²) pair expansion,
+  * and the normal path's per-member rows never hold a quadratic array.
+  */
+class DedupCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the degenerate shape web-scale dedup exists to catch: one boilerplate
+  // string duplicated en masse, plus a few honest documents
+  val nDup = 500
+  val boiler = "click here to accept cookies and continue to the site"
+  val planted = (
+    (0 until nDup).map(i => (i.toLong, boiler)) ++ Seq(
+      (9000L, "a genuinely unique document about spark shuffle internals"),
+      (9001L, "another distinct text concerning parquet column pruning"))
+  ).toDF("doc_id", "text")
+
+  test("minhash candidatePairs: per-member expansion == self-join reference on the fixture") {
+    val prepared = Dedup.prepareMinhash(
+      graft.model.Tables.documents(spark, sfDir), "doc_id", "text", 3, 64, 16)
+    val got = Dedup.candidatePairs(prepared, "id", "bands")
+      .as[(Long, Long)].collect().toSet
+    val exploded = prepared.select($"id", posexplode($"bands").as(Seq("band", "bh")))
+    val expected = exploded.as("a").join(exploded.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.id" < $"b.id")
+      .select($"a.id", $"b.id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the fixture plants duplicates — pairs must exist
+  }
+
+  test("minhash mega-bucket short-circuits to a min-id star, one cluster survives") {
+    val prepared = Dedup.prepareMinhash(planted, "doc_id", "text", 3, 64, 16)
+    val capped = Dedup.candidatePairs(prepared, "id", "bands", maxBucketSize = 50)
+      .as[(Long, Long)].collect().toSet
+    // star around the hub: k-1 edges, not k(k-1)/2 ≈ 125k
+    assert(capped == (1 until nDup).map(i => (0L, i.toLong)).toSet, s"got ${capped.size} pairs")
+    // connectivity is exactly preserved: every duplicate lands in the
+    // hub's cluster after label propagation
+    val clusters = Dedup.connectedComponents(
+        planted.select($"doc_id"), "doc_id", capped.toSeq.toDF("id_l", "id_r"))
+      .as[(Long, Long)].collect().toMap
+    assert((0 until nDup).forall(i => clusters(i.toLong) == 0L))
+    assert(clusters(9000L) == 9000L && clusters(9001L) == 9001L)
+  }
+
+  test("minhash full verify pipeline on the mega-bucket: star edges all at jaccard 1.0") {
+    val out = Dedup.minhashNearDupPairs(planted, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    // the default 4096 cap is NOT hit by 500 dups — full expansion
+    val full = out.count()
+    assert(full == nDup.toLong * (nDup - 1) / 2, s"full expansion expected, got $full")
+  }
+
+  test("simhash mega-bucket: star at distance 0; capped output == star edge set") {
+    val capped = Dedup.simhashNearDupPairs(planted, "doc_id", "text",
+        maxDist = 3, maxBucketSize = 50)
+      .select($"id_l", $"id_r").as[(Long, Long)].collect().toSet
+    assert(capped == (1 until nDup).map(i => (0L, i.toLong)).toSet, s"got ${capped.size} pairs")
+  }
+
+  test("simhash per-member expansion == previous all-pairs semantics on the fixture") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    // reference: banded self-join, then hamming + threshold
+    val withSim = docs.select($"doc_id".as("id"),
+      graft.functions.Sketches.simhash($"text").as("sh"))
+    val banded = withSim.select($"id", $"sh",
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright($"sh", b * 15).bitwiseAND(0x7FFFL).as("bh"))): _*)).as("bk"))
+      .select($"id", $"sh", $"bk.band", $"bk.bh")
+    val expected = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_l"), $"b.id".as("id_r"),
+        Dedup.hamming($"a.sh", $"b.sh").cast("int").as("dist"))
+      .distinct().filter($"dist" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+}
