@@ -68,11 +68,26 @@ object Bench {
     }.toMap
     val failed = SparkEntry.queries.keys
       .filter(k => p1(k).isLeft && p2(k).isLeft).toSeq.sorted
+    // a query that succeeded in ONE pass but failed the other is flaky —
+    // its single timing is reported, but min-of-two must not silently
+    // absorb the failure (a fast crash is not a fast query)
+    val flaky = SparkEntry.queries.keys
+      .filter(k => p1(k).isLeft != p2(k).isLeft).toSeq.sorted
+      .map { k =>
+        val msg = (p1(k).left.toSeq ++ p2(k).left.toSeq).head
+        s"\"" + k + "\":\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":${flaky.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    println(json)
+    // stdout of a driver-run sbt process gets tail-truncated (~11 of 73
+    // per-query timings were lost in round 3) — the file is the durable,
+    // machine-readable copy for round-over-round regression tracking
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }
