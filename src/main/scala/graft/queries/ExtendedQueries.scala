@@ -1387,14 +1387,32 @@ object ExtendedQueries {
       |       count(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  /** Cardinality sketches: exact vs approx distinct per source. */
+  /** Cardinality sketches: approx distinct per source, gated against the
+    * exact count IN-PLAN (the `ivf_recall_gate` pattern for
+    * data-dependent results): a source row survives only when the HLL++
+    * estimate lands within 15% of the exact cardinality (default
+    * rsd 5% → 3σ), so the DuckDB oracle — which computes exact-only and
+    * emits every source — hash-verifies the sketch's accuracy contract
+    * without reproducing HLL internals. An estimator collapse shows up
+    * as missing rows in the correctness artifact, not a trust-me note.
+    */
   def cardinalitySketch(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("text")).as("n_unique_exact"),
         approx_count_distinct(col("text")).as("n_unique_approx"))
+      .filter(abs(col("n_unique_approx") - col("n_unique_exact"))
+        <= col("n_unique_exact") * 0.15)
+      .select(col("source"), col("n_docs"), col("n_unique_exact"),
+        lit(true).as("approx_within_3sigma"))
       .orderBy("source")
+
+  private val cardinalitySketchSql =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT text) AS n_unique_exact,
+      |       TRUE AS approx_within_3sigma
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
   // Registry
@@ -1471,6 +1489,7 @@ object ExtendedQueries {
     "simhash_fingerprints" -> simhashFingerprintsSql,
     "simhash_nn" -> simhashNnSql,
     "source_distinct" -> sourceDistinctSql,
+    "cardinality_sketch" -> cardinalitySketchSql,
     "embedding_norms" -> embeddingNormsSql,
     "media_metadata" -> mediaMetadataSql,
     "embedding_nn" -> embeddingNnSql,
