@@ -119,6 +119,17 @@ case class SigAgreeExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
 
+  // same analysis-time guard as QuantizeStatsExpr: getLong on a non-LONG
+  // array layout returns garbage, never throws
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sig_agree requires two ARRAY<BIGINT>, got ${l.sql} and ${r.sql}")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -155,6 +166,17 @@ case class SigAgreeExpr(left: Expression, right: Expression)
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  // getFloat on an ARRAY<DOUBLE> layout reads half a double as a float —
+  // garbage, not an error; reject at analysis
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product requires two ARRAY<FLOAT>, got ${l.sql} and ${r.sql}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -153,6 +153,11 @@ object Quantiles {
       StructField("qname", StringType), StructField("h", DoubleType),
       StructField("lo", LongType), StructField("is_lo", BooleanType),
       StructField("v", DoubleType)))
+    // the selection pass emits only groups × quantiles × 2 rows — small
+    // enough to land driver-side, which lets the sorted cache be released
+    // HERE instead of leaking until the ContextCleaner notices (repeated
+    // quantile queries in a long-lived session would otherwise accumulate
+    // MEMORY_AND_DISK partitions)
     val hits = sorted.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.HashMap[String, Long]()
       it.flatMap { r =>
@@ -166,10 +171,11 @@ object Quantiles {
           case (qname, h, lo, isLo) => Row(g, qname, h, lo, isLo, r.getDouble(1))
         }
       }
-    }
+    }.collect().toIndexedSeq
+    sorted.unpersist(blocking = false)
     // identical interpolation arithmetic to Spark's Percentile: the
     // weighted (hi-h)·v_lo + (h-lo)·v_hi form, h/lo unchanged
-    spark.createDataFrame(hits, schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(hits, 1), schema)
       .groupBy("g", "qname")
       .agg(
         min(when(col("is_lo"), col("v"))).as("vlo"),

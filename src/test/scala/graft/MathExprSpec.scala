@@ -66,4 +66,20 @@ class MathExprSpec extends SparkSpec {
       .select(VectorFunctions.l2Norm($"v")).as[Double].collect().head
     assert(got == 5.0)
   }
+
+  test("array kernels reject wrong element types at ANALYSIS, not as runtime garbage") {
+    // ArrayData.getFloat/getLong on the wrong layout silently misreads
+    // bytes — these must die in the analyzer
+    val dbl = Seq(Seq(1.0, 2.0)).toDF("v") // ARRAY<DOUBLE>
+    val flt = Seq(Seq(1.0f, 2.0f)).toDF("v") // ARRAY<FLOAT>
+    def analysisFails(bad: => org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException](bad.collect())
+      assert(e.getMessage.toLowerCase.contains(name), e.getMessage)
+    }
+    analysisFails(dbl.select(MathExprs.quantizeStats($"v")), "quantize_stats")
+    analysisFails(dbl.select(MathExprs.dotProduct($"v", $"v")), "dot_product")
+    analysisFails(flt.select(MathExprs.sigAgree($"v", $"v")), "sig_agree")
+    // the correct types still pass analysis
+    assert(flt.select(MathExprs.quantizeStats($"v")).count() == 1)
+  }
 }

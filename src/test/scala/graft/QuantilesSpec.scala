@@ -51,6 +51,35 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("NULL contract: null values dropped; an all-NULL group disappears (vs percentile's NULL row)") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None), ("b", None)).toDF("g0", "v0")
+    val got = Quantiles.exactQuantiles(df, "g0", "v0", Seq("p50" -> 0.5))
+      .select($"g0", $"value").as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 2.0)) // b has no non-null values -> no row
+    // the buffering built-in emits b with a NULL quantile — the
+    // documented divergence; callers needing those groups left-join the
+    // result back to the distinct keys
+    val builtin = df.groupBy("g0").agg(expr("percentile(v0, 0.5)").as("p"))
+      .orderBy("g0").as[(String, Option[Double])].collect().toSeq
+    assert(builtin == Seq(("a", Some(2.0)), ("b", None)))
+    // the recovery recipe from the scaladoc restores parity
+    val recovered = df.select($"g0").distinct()
+      .join(Quantiles.exactQuantiles(df, "g0", "v0", Seq("p50" -> 0.5))
+        .select($"g0", $"value"), Seq("g0"), "left")
+      .orderBy("g0").as[(String, Option[Double])].collect().toSeq
+    assert(recovered == builtin)
+  }
+
+  test("exactQuantiles releases its sorted cache (no RDD accumulation across calls)") {
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0)).toDF("k", "x")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Quantiles.exactQuantiles(df, "k", "x", Seq("p50" -> 0.5)).collect()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("exactQuantiles: interpolation and exact-hit cases on a known vector") {
     // values 10,20,30,40 → p25: h = 0.25·3 = 0.75 → 10 + 0.75·10 = 17.5;
     // p50: h = 1.5 → 25.0; p100 exact hit → 40
