@@ -215,26 +215,35 @@ case class PolyHashExpr(child: Expression, mod: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i)) % mod
-      i += 1
-    }
-    acc
-  }
+  // the modulo defers across 6-char Horner blocks (acc < mod < 2^30 and
+  // 31^6 < 2^30 keep the block < 2^60 + 2^41 — exact in a long, so
+  // bit-identical to the per-char fold; see Sketches.polyHash)
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.Sketches.polyHash(v.asInstanceOf[UTF8String].toString, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       val str = ctx.freshName("str")
       val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val blk = ctx.freshName("blk")
       s"""
          |java.lang.String $str = $s.toString();
+         |int $n = $str.length();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $str.length(); $i++) {
+         |int $i = 0;
+         |for (; $i + 6 <= $n; $i += 6) {
+         |  long $blk = $acc;
+         |  $blk = $blk * 31L + (long) $str.charAt($i);
+         |  $blk = $blk * 31L + (long) $str.charAt($i + 1);
+         |  $blk = $blk * 31L + (long) $str.charAt($i + 2);
+         |  $blk = $blk * 31L + (long) $str.charAt($i + 3);
+         |  $blk = $blk * 31L + (long) $str.charAt($i + 4);
+         |  $blk = $blk * 31L + (long) $str.charAt($i + 5);
+         |  $acc = $blk % ${mod}L;
+         |}
+         |for (; $i < $n; $i++) {
          |  $acc = ($acc * 31L + (long) $str.charAt($i)) % ${mod}L;
          |}
          |${ev.value} = $acc;

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{aggregate, lit}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -54,11 +54,30 @@ object Sketches {
 
   /** Left-fold polynomial hash over UTF-16 code units — the portable base
     * hash (mirrors `MathExprs.polyHash` / DuckDB `list_reduce` exactly).
+    *
+    * The modulo is deferred across 6-char Horner blocks: acc < mod < 2³⁰
+    * and 31⁶ < 2³⁰, so `acc·31⁶ + Σ cᵢ·31^j` < 2⁶⁰ + 2⁴¹ — exact in a
+    * long, hence bit-identical to the per-char reduction (SketchSpec
+    * pins the kernels to the per-char HOF/DuckDB folds). One `%` per 6
+    * chars instead of per char — the fold is the dominant kernel cost
+    * on every sketch query.
     */
   def polyHash(s: CharSequence, mod: Long): Long = {
+    val n = s.length
     var acc = 0L
     var i = 0
-    while (i < s.length) {
+    while (i + 6 <= n) {
+      var block = acc
+      block = block * 31 + s.charAt(i)
+      block = block * 31 + s.charAt(i + 1)
+      block = block * 31 + s.charAt(i + 2)
+      block = block * 31 + s.charAt(i + 3)
+      block = block * 31 + s.charAt(i + 4)
+      block = block * 31 + s.charAt(i + 5)
+      acc = block % mod
+      i += 6
+    }
+    while (i < n) {
       acc = (acc * 31 + s.charAt(i)) % mod
       i += 1
     }
@@ -123,15 +142,19 @@ object Sketches {
     * hash, so the DuckDB oracle embeds them as literals from this one
     * source of truth.
     */
-  def permCoeffs(numHashes: Int): (Array[Long], Array[Long]) = {
-    val a = Array.tabulate(numHashes)(j => polyHash(s"graft-minhash-a-$j", P1 - 1) + 1L)
-    val b = Array.tabulate(numHashes)(j => polyHash(s"graft-minhash-b-$j", P1))
-    (a, b)
-  }
+  // coefficient derivation is deterministic, so the arrays are cached per
+  // numHashes — the previous per-row recomputation hashed 2·k seed
+  // strings and allocated two arrays for EVERY document
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
-  private[functions] def minhash(text: UTF8String, shingleN: Int,
-                                 numHashes: Int): Array[Long] = {
-    val sh = shingles(text, shingleN)
+  def permCoeffs(numHashes: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(numHashes, k => (
+      Array.tabulate(k)(j => polyHash(s"graft-minhash-a-$j", P1 - 1) + 1L),
+      Array.tabulate(k)(j => polyHash(s"graft-minhash-b-$j", P1))))
+
+  private[functions] def minhashOfShingles(sh: Array[String],
+                                           numHashes: Int): Array[Long] = {
     val (a, b) = permCoeffs(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -147,6 +170,10 @@ object Sketches {
     }
     sig
   }
+
+  private[functions] def minhash(text: UTF8String, shingleN: Int,
+                                 numHashes: Int): Array[Long] =
+    minhashOfShingles(shingles(text, shingleN), numHashes)
 
   /** Band hash b = polyHash fold of signature rows [b·r, (b+1)·r),
     * seeded with the band index (so equal values in different bands
@@ -219,6 +246,23 @@ object Sketches {
   def minhash_bands(text: Column, shingleN: Int, numHashes: Int, bands: Int): Column =
     column(MinHashBandsExpr(expression(text), shingleN, numHashes, bands))
 
+  /** Signature from an already-shingled column — lets a pipeline that
+    * also exports the shingles (e.g. for exact-Jaccard verification)
+    * tokenize/shingle each document ONCE instead of once per derived
+    * column.
+    */
+  def minhash_from_shingles(shingles: Column, numHashes: Int): Column =
+    column(MinHashFromShinglesExpr(expression(shingles), numHashes))
+
+  /** Band hashes from an already-computed signature column — a k-long
+    * fold instead of re-running the whole text kernel.
+    */
+  def band_hashes(sig: Column, bands: Int): Column =
+    column(SigBandHashesExpr(expression(sig), bands))
+
+  def jaccard(a: Column, b: Column): Column =
+    column(JaccardExpr(expression(a), expression(b)))
+
   def simhash(text: Column): Column = column(SimHashExpr(expression(text)))
 
   /** Portable scalar digest of an ARRAY<LONG> signature: left fold
@@ -282,6 +326,97 @@ case class MinHashBandsExpr(child: Expression, shingleN: Int, numHashes: Int,
       Sketches.minhash(v.asInstanceOf[UTF8String], shingleN, numHashes), bands))
   override protected def withNewChildInternal(c: Expression): MinHashBandsExpr = copy(child = c)
   override def prettyName: String = "minhash_bands"
+}
+
+/** MinHash signature computed from an ARRAY<STRING> shingle column (one
+  * affine-family pass; the shingling/tokenizing happened upstream).
+  */
+case class MinHashFromShinglesExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_from_shingles requires ARRAY<STRING>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sh = Array.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+    new GenericArrayData(Sketches.minhashOfShingles(sh, numHashes))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashFromShinglesExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_from_shingles"
+}
+
+/** LSH band hashes computed from an ARRAY<LONG> signature column (a
+  * bands × r fold over longs; no text kernel re-run).
+  */
+case class SigBandHashesExpr(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"band_hashes requires ARRAY<BIGINT>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sig = arr.toLongArray()
+    require(sig.length % bands == 0, "bands must divide the signature length")
+    new GenericArrayData(Sketches.bandHashes(sig, bands))
+  }
+  override protected def withNewChildInternal(c: Expression): SigBandHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "band_hashes"
+}
+
+/** Exact Jaccard similarity of two ARRAY<STRING> shingle sets in ONE
+  * pass: hash-set the left side, then classify each distinct right
+  * element as intersection or right-only — no intermediate
+  * intersect/union arrays (the HOF `array_intersect`/`array_union`
+  * formulation allocates both per candidate pair, the dominant cost of
+  * the near-dup verify join). Inputs need not be pre-deduplicated;
+  * empty∪empty follows the HOF convention of jaccard = 1.
+  */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaccard requires two ARRAY<STRING>, got ${l.sql} and ${r.sql}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val setA = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) { setA.add(x.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[UTF8String](y.numElements() * 2)
+    var inter = 0
+    var bOnly = 0
+    i = 0
+    while (i < y.numElements()) {
+      val e = y.getUTF8String(i)
+      if (seenB.add(e)) { if (setA.contains(e)) inter += 1 else bOnly += 1 }
+      i += 1
+    }
+    val union = setA.size + bOnly
+    if (union > 0) inter.toDouble / union.toDouble else 1.0
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard"
 }
 
 /** 60-bit SimHash over whitespace tokens (bit i = sign of Σ ±1 by bit i

@@ -59,7 +59,11 @@ object Dedup {
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
     graft.functions.MathExprs.sigAgree(sigA, sigB).cast("double") / numHashes
 
-  /** Exact Jaccard of two shingle sets. */
+  /** Exact Jaccard of two shingle sets — HOF executable spec of the
+    * single-pass `JaccardExpr` kernel (SketchSpec pins equality); the
+    * pipelines use the kernel, which skips the per-pair
+    * intersect/union array allocations.
+    */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) > 0,
       size(array_intersect(a, b)).cast("double") /
@@ -133,10 +137,18 @@ object Dedup {
   def prepareMinhash(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     import graft.functions.Sketches
+    // chained narrow projections so each document is tokenized/shingled
+    // ONCE and hashed ONCE: text → shingles → sig → bands, each stage
+    // deriving from the previous column. CollapseProject cannot inline
+    // the producers (each is a non-cheap custom expression referenced
+    // both as an output column and as the next stage's input), so the
+    // per-row work is exactly one kernel pass per stage — the previous
+    // flat select ran the tokenize+shingle pass three times and the
+    // full hash pass twice per row.
     df.select(col(idCol).as("id"),
-      Sketches.word_shingles(col(textCol), shingleN).as("shingles"),
-      Sketches.minhash_sig(col(textCol), shingleN, numHashes).as("sig"),
-      Sketches.minhash_bands(col(textCol), shingleN, numHashes, bands).as("bands"))
+        Sketches.word_shingles(col(textCol), shingleN).as("shingles"))
+      .withColumn("sig", Sketches.minhash_from_shingles(col("shingles"), numHashes))
+      .withColumn("bands", Sketches.band_hashes(col("sig"), bands))
   }
 
   /** Full MinHash near-dup pipeline: shingle → sign → band → candidates →
@@ -152,7 +164,7 @@ object Dedup {
     cands
       .join(side.withColumnRenamed("id", "id_l").withColumnRenamed("shingles", "sh_l"), "id_l")
       .join(side.withColumnRenamed("id", "id_r").withColumnRenamed("shingles", "sh_r"), "id_r")
-      .withColumn("jaccard", jaccard(col("sh_l"), col("sh_r")))
+      .withColumn("jaccard", graft.functions.Sketches.jaccard(col("sh_l"), col("sh_r")))
       .filter(col("jaccard") >= threshold)
       .select("id_l", "id_r", "jaccard")
   }

@@ -838,7 +838,7 @@ object ExtendedQueries {
     prefiltered
       .join(side.withColumnRenamed("id", "id_l").withColumnRenamed("shingles", "sh_l"), "id_l")
       .join(side.withColumnRenamed("id", "id_r").withColumnRenamed("shingles", "sh_r"), "id_r")
-      .withColumn("jaccard", Dedup.jaccard(col("sh_l"), col("sh_r")))
+      .withColumn("jaccard", graft.functions.Sketches.jaccard(col("sh_l"), col("sh_r")))
       .select("id_l", "id_r", "jaccard")
       .orderBy(desc("jaccard"), col("id_l"), col("id_r"))
       .limit(20)

@@ -72,6 +72,19 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("chained shingles→sig→bands path == the direct text kernels (prepareMinhash shape)") {
+    val direct = docs.select($"doc_id",
+        Sketches.minhash_sig($"text", 3, 64).as("sig"),
+        Sketches.minhash_bands($"text", 3, 64, 16).as("bands"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map { case (i, s, b) => i -> ((s, b)) }.toMap
+    val chained = Dedup.prepareMinhash(docs, "doc_id", "text", 3, 64, 16)
+      .select($"id", $"sig", $"bands")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map { case (i, s, b) => i -> ((s, b)) }.toMap
+    assert(chained == direct)
+  }
+
   test("custom word_shingles == HOF wordShingles") {
     val viaHof = docs.select($"doc_id",
       Dedup.wordShingles($"text", 3).as("sh")).as[(Long, Seq[String])].collect().toMap
@@ -103,6 +116,26 @@ class SketchSpec extends SparkSpec {
       .select(Dedup.jaccard(Dedup.wordShingles($"a", 2), Dedup.wordShingles($"b", 2)))
       .as[Double].collect().head
     assert(math.abs(gotJ - exp) < 1e-12)
+  }
+
+  test("jaccard kernel == HOF spec on the fixture corpus (all pairs of shingle sets)") {
+    val sh = graft.model.Tables.documents(spark, sfDir)
+      .select($"doc_id", Sketches.word_shingles($"text", 2).as("sh"))
+    val pairs = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .limit(5000)
+      .select(
+        Dedup.jaccard($"a.sh", $"b.sh").as("hof"),
+        Sketches.jaccard($"a.sh", $"b.sh").as("kernel"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    // bit-identical: same integer counts, same double division
+    assert(pairs.forall { case (h, k) => h == k })
+    // degenerate empty sets: HOF convention jaccard = 1
+    val empty = Seq(("", "")).toDF("a", "b")
+      .select(Sketches.jaccard(
+        Sketches.word_shingles($"a", 2), Sketches.word_shingles($"b", 2)))
+      .as[Double].collect().head
+    assert(empty == 1.0)
   }
 
   test("simhash near-dup: exact dups at distance 0, near-dups close, unrelated far") {
