@@ -24,10 +24,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `flatMapGroupsWithState`), so the sink makes the output exactly-once
   * instead: each micro-batch is deduped and anti-joined against the
   * already-written pairs before appending — an idempotent upsert. The
-  * anti-join re-reads the accumulated output per micro-batch, which is
-  * the plain-parquet stand-in for what is a keyed MERGE on an ACID table
-  * (Delta/Iceberg) in production — same note as the keyed sinks in
-  * `Sinks`.
+  * accumulated output is HASH-BUCKETED on the pair key
+  * (`bucket = pmod(xxhash64(id_l, id_r), nBuckets)`, hive-partition
+  * directories — the `BucketedTable` layout), and each micro-batch
+  * anti-joins only the buckets its own pairs hash into: the re-read is
+  * bounded by the batch's bucket fan-out, not by the total accumulated
+  * output. This is the plain-parquet stand-in for a keyed MERGE on an
+  * ACID table (Delta/Iceberg) in production — same note as the keyed
+  * sinks in `Sinks`.
   */
 object NearDupStream {
 
@@ -82,7 +86,8 @@ object NearDupStream {
     * restarts through the checkpoint).
     */
   def start(spark: SparkSession, landingDir: String, outPath: String,
-            checkpoint: String, maxDist: Int = 3): StreamingQuery = {
+            checkpoint: String, maxDist: Int = 3,
+            nBuckets: Int = 64): StreamingQuery = {
     val docs = spark.readStream
       .schema("value STRING")
       .text(landingDir)
@@ -96,13 +101,28 @@ object NearDupStream {
       .foreachBatch { (batch: Dataset[NearDupPair], _: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.dropDuplicates("id_l", "id_r")
-        val existing =
-          try spark.read.parquet(outPath).select("id_l", "id_r")
-          catch { case _: Exception => null }
+          .withColumn("bucket", pmod(xxhash64(col("id_l"), col("id_r")), lit(nBuckets)))
+          .localCheckpoint() // two readers below (bucket probe + write)
+        // existence is checked EXPLICITLY: a transient read failure
+        // (listing error, corrupt footer) must abort the batch — the
+        // old catch-all treated it as "no output yet" and re-appended
+        // duplicates, silently breaking the exactly-once contract
+        val hadoopPath = new org.apache.hadoop.fs.Path(outPath)
+        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val toWrite =
-          if (existing == null) fresh.toDF()
-          else fresh.join(existing, Seq("id_l", "id_r"), "left_anti")
-        toWrite.write.mode("append").parquet(outPath)
+          if (!fs.exists(hadoopPath)) fresh.toDF()
+          else {
+            // read ONLY the hive-partition buckets this batch touches —
+            // partition pruning keeps the anti-join input proportional
+            // to the batch, not to everything accumulated so far
+            val touched = fresh.select("bucket").distinct()
+              .collect().map(_.getLong(0)) // bounded by nBuckets
+            val existing = spark.read.parquet(outPath)
+              .filter(col("bucket").isin(touched: _*))
+              .select("id_l", "id_r")
+            fresh.join(existing, Seq("id_l", "id_r"), "left_anti")
+          }
+        toWrite.write.mode("append").partitionBy("bucket").parquet(outPath)
         ()
       }
       .start()

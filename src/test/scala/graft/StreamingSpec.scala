@@ -38,6 +38,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream $streamed != batch $batch")
     assert(streamed.contains((0L, 3L, 0)), "exact-dup pair missing")
+
+    // the sink's accumulated output is hash-bucketed (BucketedTable
+    // layout) and the per-batch anti-join re-read prunes to the touched
+    // buckets: a filtered read lists only its bucket's files
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dirs = new java.io.File(s"$base/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.nonEmpty, "output is not bucket-partitioned")
+    val one = dirs.head.stripPrefix("bucket=").toLong
+    val pruned = spark.read.parquet(s"$base/out").filter(col("bucket") === one)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(600))
+    val prunedFiles = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(prunedFiles.nonEmpty && prunedFiles.forall(_.contains(s"bucket=$one")))
+    if (dirs.length > 1) {
+      val allFiles = spark.read.parquet(s"$base/out")
+        .select(input_file_name()).distinct().count()
+      assert(prunedFiles.length < allFiles)
+    }
   }
 
   test("stream-stream interval join: purchases attribute trailing clicks per user") {
