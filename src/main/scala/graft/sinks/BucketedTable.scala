@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
   * for concurrent readers. Single-writer pipelines (this warehouse's
   * shape) get the full IO-scaling benefit from the layout alone.
   *
-  * The merged slice is pinned (eager local checkpoint) before the
-  * overwrite: Spark refuses to overwrite a path it is simultaneously
-  * reading, and the pin both breaks that cycle and freezes the rows
-  * that hit disk (same device as `Sinks.appendReturning`).
+  * Durability: rewrites are STAGED — the merged buckets land in a
+  * sibling staging directory (so the job reads the live table and
+  * writes elsewhere; no read-overwrite cycle, no executor-memory pin),
+  * and only after the write succeeds are the touched bucket
+  * directories swapped in. A failed job leaves the table exactly as it
+  * was; a crash mid-swap leaves each bucket at either the old or the
+  * new version with nothing lost (re-run the merge to converge) — the
+  * earlier localCheckpoint+dynamic-overwrite path could permanently
+  * lose touched buckets on executor failure, since the only copy of
+  * the merged slice lived in executor storage while the source files
+  * were being deleted. What ACID formats still add: the multi-bucket
+  * swap as ONE atomic commit.
   */
 object BucketedTable {
 
@@ -41,17 +49,52 @@ object BucketedTable {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Keyed point lookup (long keys): the key's bucket is computed
-    * driver-side with the same xxhash64(seed 42) Spark's `xxhash64`
-    * column function evaluates, so the literal bucket predicate prunes
-    * the scan to one directory — zero IO against every other bucket.
+  /** Keyed point lookup: the key's bucket is computed driver-side with
+    * the same xxhash64(seed 42) Spark's `xxhash64` column function
+    * evaluates — AGAINST THE TABLE'S ACTUAL KEY TYPE, read from the
+    * parquet schema. A literal typed differently from the column (e.g.
+    * a Long probe against an INT key column) hashes differently and
+    * would silently return empty, so the mismatch throws instead.
+    * The literal bucket predicate prunes the scan to one directory —
+    * zero IO against every other bucket.
     */
   def lookup(spark: SparkSession, path: String, keyCol: String,
-             keyValue: Long, nBuckets: Int): DataFrame = {
+             keyValue: Any, nBuckets: Int): DataFrame = {
+    val df = read(spark, path)
+    val dt = df.schema(keyCol).dataType
+    val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(keyValue)
+    require(lit0.dataType == dt,
+      s"lookup key ${lit0.dataType.sql} does not match table column " +
+        s"$keyCol: ${dt.sql} — the driver-side bucket hash would diverge " +
+        "from the written one and silently miss")
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-      .hash(keyValue, org.apache.spark.sql.types.LongType, 42L)
+      .hash(lit0.value, dt, 42L)
     val b = (((h % nBuckets) + nBuckets) % nBuckets).toInt
-    read(spark, path).filter(col("bucket") === b && col(keyCol) === keyValue)
+    df.filter(col("bucket") === b && col(keyCol) === keyValue)
+  }
+
+  /** Write the rewritten slice to a sibling staging dir, then swap the
+    * touched bucket directories into the live table. `touched` buckets
+    * with no staged output (every row deleted) are removed. The staged
+    * copy exists on disk before any source directory is disturbed.
+    */
+  private def stageAndSwap(spark: SparkSession, path: String,
+                           touched: Seq[Int], slice: DataFrame): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(path + ".staging-" + java.util.UUID.randomUUID())
+    try {
+      slice.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+      val staged =
+        if (fs.exists(stage))
+          fs.listStatus(stage).map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+        else Set.empty[String]
+      touched.foreach { b =>
+        val name = s"bucket=$b"
+        val dst = new Path(path, name)
+        fs.delete(dst, true)
+        if (staged(name)) fs.rename(new Path(stage, name), dst)
+      }
+    } finally fs.delete(stage, true)
   }
 
   /** MERGE: rows of `updates` replace same-key rows, new keys insert —
@@ -66,10 +109,7 @@ object BucketedTable {
     val merged = existing
       .join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(u.select(existing.columns.map(col): _*))
-      .localCheckpoint(eager = true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
+    stageAndSwap(spark, path, touched.toSeq, merged)
   }
 
   /** Keyed update expressed as a merge: read the touched buckets, apply
@@ -85,31 +125,18 @@ object BucketedTable {
   }
 
   /** Keyed delete (S8 at scale): rewrite only the keys' buckets without
-    * the matching rows. Dynamic overwrite can't write an EMPTY
-    * partition, so a bucket whose rows are all deleted is removed
-    * directly (the per-directory delete is atomic enough for the
-    * single-writer contract; ACID formats make it transactional).
+    * the matching rows; a bucket whose rows are all deleted produces no
+    * staged output and is removed in the swap.
     */
   def delete(spark: SparkSession, path: String, keyCol: String,
              keyValue: Any, nBuckets: Int): Unit = {
     val victims = read(spark, path).filter(col(keyCol) === keyValue)
     val touched = victims.select("bucket").distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
-      val slice = read(spark, path)
+      val remaining = read(spark, path)
         .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-      val remaining = slice.filter(col(keyCol) =!= keyValue)
-        .localCheckpoint(eager = true)
-      val keptBuckets = remaining.select("bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (keptBuckets.nonEmpty)
-        remaining.filter(col("bucket").isin(keptBuckets.toSeq.map(Integer.valueOf): _*))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket").parquet(path)
-      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(keptBuckets).foreach { b =>
-        fs.delete(new Path(s"$path/bucket=$b"), true)
-      }
+        .filter(col(keyCol) =!= keyValue)
+      stageAndSwap(spark, path, touched.toSeq, remaining)
     }
   }
 }

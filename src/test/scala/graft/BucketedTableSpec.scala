@@ -100,5 +100,29 @@ class BucketedTableSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/bucket=$b").exists,
       "emptied bucket directory must be removed")
     assert(BucketedTable.read(spark, path).count() == 9)
+    // staged rewrite leaves no staging directories behind
+    assert(!new java.io.File(base).listFiles().exists(_.getName.contains(".staging-")))
+  }
+
+  test("lookup hashes with the table's ACTUAL key type; mismatched probe type throws") {
+    val base = Files.createTempDirectory("graft-bucketed-int").toString
+    val path = s"$base/tbl"
+    // INT key column: the old driver-side hash assumed LongType and
+    // silently returned empty for every probe
+    BucketedTable.write((0 until 20).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, "id", 8)
+    val hit = BucketedTable.lookup(spark, path, "id", 7, 8)
+      .select("v").as[String].collect().toSeq
+    assert(hit == Seq("v7"))
+    val e = intercept[IllegalArgumentException] {
+      BucketedTable.lookup(spark, path, "id", 7L, 8).collect()
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    // string keys work too — Literal converts, hash dispatches on type
+    val base2 = Files.createTempDirectory("graft-bucketed-str").toString
+    val path2 = s"$base2/tbl"
+    BucketedTable.write(Seq(("alpha", 1), ("beta", 2)).toDF("k", "n"), path2, "k", 4)
+    assert(BucketedTable.lookup(spark, path2, "k", "beta", 4)
+      .select("n").as[Int].collect().toSeq == Seq(2))
   }
 }
