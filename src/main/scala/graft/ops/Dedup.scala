@@ -27,6 +27,46 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** C4-style LINE-level dedup: a line occurring more than `maxOccur`
+    * times across the whole corpus is removed from EVERY document
+    * (boilerplate navigation, cookie banners, licence headers — the
+    * C4 paper removed any span occurring more than once), and each
+    * document is reassembled from its surviving lines in order.
+    *
+    * Returns (idCol, n_lines, n_kept, cleaned).
+    *
+    * Scale shape: two natural shuffles — the global line-frequency
+    * count (map-side partial aggregation, so the shuffle carries one
+    * row per distinct line per map partition) and the per-document
+    * reassembly. The exploded lines join the over-limit counts on the
+    * line key; at 100 TB the group/join key would be a 128-bit line
+    * fingerprint instead of the raw string to keep shuffle payloads
+    * narrow (raw strings here keep the operator hash-verifiable
+    * against the DuckDB oracle with zero collision caveats).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxOccur: Long = 1L): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val counts = lines.groupBy("line")
+      .agg(count(lit(1)).as("line_n"))
+    val kept = lines.join(counts, Seq("line"))
+      .filter(col("line_n") <= maxOccur)
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("cleaned"))
+    // docs whose every line was boilerplate survive with empty cleaned
+    // text (they'd otherwise vanish from the groupBy)
+    df.select(col(idCol),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   // ------------------------------------------------------------------
   // Shingling
   // ------------------------------------------------------------------

@@ -165,6 +165,76 @@ object ExtendedQueries {
       |FROM s LEFT JOIN tc ON tc.doc_id = s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** C4-style line-level dedup over the corpus (`Dedup.lineDedup`): a
+    * line occurring more than once across ALL documents is boilerplate
+    * (navigation, banners, licence headers) and is removed from every
+    * document; documents are reassembled from their surviving lines.
+    * Two natural shuffles (global line count with map-side combine,
+    * per-doc reassembly); fully hash-verified including the
+    * reassembled text.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val lineDedupSql =
+    """WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+      |l AS (SELECT doc_id, unnest(ls) AS line,
+      |             unnest(range(1, len(ls) + 1)) AS pos FROM t),
+      |c AS (SELECT line, count(*) AS n FROM l GROUP BY line),
+      |k AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN c USING (line) WHERE c.n <= 1),
+      |r AS (SELECT doc_id, count(*) AS n_kept,
+      |             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      |      FROM k GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.ls) AS BIGINT) AS n_lines,
+      |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       COALESCE(r.cleaned, '') AS cleaned
+      |FROM t LEFT JOIN r ON r.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Per-source document cap — the per-domain cap every web-scale
+    * pipeline applies so one crawl domain can't dominate the mixture:
+    * keep the top 5 documents per source by quality score
+    * (deterministic doc_id tiebreak). One partitioned window — no
+    * global sort, no single-partition stage; at 100 TB the window
+    * shuffles once on the source key (a skewed mega-source would take
+    * the same two-phase rank as `Distribution`'s scalable rank).
+    */
+  def perSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("quality"), col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("source"), col("quality"), col("rk").cast("long").as("rk"))
+      .orderBy("source", "rk")
+  }
+
+  private val perSourceCapSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(length(text) AS DOUBLE) AS n_chars,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS BIGINT) AS n_punct,
+       |         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                              x -> x IN ($allStopwordsSqlList))) AS BIGINT) AS n_stopwords
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |         least(n_chars / 500.0, 1.0) * 0.3
+       |         + (CASE WHEN n_tokens > 0 AND n_chars / n_tokens BETWEEN 3 AND 10
+       |                 THEN 1.0 ELSE 0.5 END) * 0.2
+       |         + least((CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens ELSE 0.0 END) * 3.0, 1.0) * 0.3
+       |         + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1
+       |                 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |  FROM t),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |                ORDER BY quality DESC, doc_id) AS rk FROM q)
+       |SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
   /** Language-ID confusion: labeled language × predicted language. */
   def langConfusion(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1421,6 +1491,8 @@ object ExtendedQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_stats" -> dedupStats _,
     "dedup_canonical" -> dedupCanonical _,
+    "line_dedup" -> lineDedup _,
+    "per_source_cap" -> perSourceCap _,
     "token_stats" -> tokenStats _,
     "text_quality" -> textQuality _,
     "doc_repetition" -> docRepetition _,
@@ -1462,6 +1534,8 @@ object ExtendedQueries {
   val oracles: Map[String, String] = Map(
     "dedup_stats" -> dedupStatsSql,
     "dedup_canonical" -> dedupCanonicalSql,
+    "line_dedup" -> lineDedupSql,
+    "per_source_cap" -> perSourceCapSql,
     "token_stats" -> tokenStatsSql,
     "text_quality" -> textQualitySql,
     "doc_repetition" -> docRepetitionSql,

@@ -64,6 +64,28 @@ class DedupCapSpec extends SparkSpec {
     assert(capped == (1 until nDup).map(i => (0L, i.toLong)).toSet, s"got ${capped.size} pairs")
   }
 
+  test("line dedup: corpus-duplicated lines removed, unique lines kept in order") {
+    val docs = Seq(
+      (0L, "unique opening line\nclick to accept cookies\nreal content zero"),
+      (1L, "real content one\nclick to accept cookies\nmore content one"),
+      (2L, "click to accept cookies"), // only boilerplate -> empty survivor
+      (3L, "alpha\nbeta\ngamma")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 2L, "unique opening line\nreal content zero"),
+      (1L, 3L, 2L, "real content one\nmore content one"),
+      (2L, 1L, 0L, ""),
+      (3L, 3L, 3L, "alpha\nbeta\ngamma")))
+    // a line repeated WITHIN one document also counts as duplicated
+    val selfDup = Dedup.lineDedup(
+        Seq((9L, "same\nsame\nother")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(selfDup == ((9L, 3L, 1L, "other")))
+  }
+
   test("simhash per-member expansion == previous all-pairs semantics on the fixture") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text")

@@ -78,6 +78,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(l_"), p.take(1200))
   }
 
+  test("per_source_cap: partitioned window, no single-partition stage") {
+    val p = plan(ExtendedQueries.perSourceCap(spark, sfDir))
+    assert(p.contains("Window"))
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("customer_running_spend: single partitioned-window shuffle") {
     val p = plan(ReferenceQueries.customerRunningSpend(spark, sfDir))
     assert(p.contains("Window"))
