@@ -54,7 +54,11 @@ object GraftExtensions {
     "minhash_sig" -> (es => MinHashSigExpr(es(0),
       intArg(es(1), "shingleN"), intArg(es(2), "numHashes"))),
     "minhash_bands" -> (es => MinHashBandsExpr(es(0),
-      intArg(es(1), "shingleN"), intArg(es(2), "numHashes"), intArg(es(3), "bands")))
+      intArg(es(1), "shingleN"), intArg(es(2), "numHashes"), intArg(es(3), "bands"))),
+    "minhash_from_shingles" -> (es =>
+      MinHashFromShinglesExpr(es(0), intArg(es(1), "numHashes"))),
+    "band_hashes" -> (es => SigBandHashesExpr(es(0), intArg(es(1), "bands"))),
+    "jaccard" -> (es => JaccardExpr(es(0), es(1)))
   )
 
   /** Register into an already-built session as temp functions. */

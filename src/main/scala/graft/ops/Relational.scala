@@ -69,11 +69,19 @@ object Relational {
     * cluster scale — no hint, so the shuffle join stands and AQE still
     * gets to demote from true runtime sizes.
     */
-  def broadcastIfBounded(df: DataFrame, bound: DataFrame,
-                         thresholdBytes: Long = 10L << 20): DataFrame =
-    if (bound.queryExecution.optimizedPlan.stats.sizeInBytes
-          <= BigInt(thresholdBytes)) broadcast(df)
+  def broadcastIfBounded(df: DataFrame, bound: DataFrame): DataFrame = {
+    // gate on the session's own broadcast threshold (-1 disables), so
+    // the hint obeys the same knob every other broadcast decision does
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+    val threshold =
+      if (raw.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    if (threshold > 0 &&
+        bound.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold))
+      broadcast(df)
     else df
+  }
 
   /** O3 — deterministic pagination: ORDER BY + OFFSET/LIMIT
     * (companies/route.ts:39-41). The reference orders by a non-unique

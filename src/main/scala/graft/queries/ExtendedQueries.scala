@@ -608,6 +608,61 @@ object ExtendedQueries {
       |FROM tot JOIN sh ON sh.doc_id = tot.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  /** Cross-source overlap matrix — the dataset-level contamination
+    * audit run before mixing corpora: for every source pair, the count
+    * and Jaccard of shared distinct word 5-grams. Shape: ONE shuffle
+    * on the gram key with an in-aggregate `collect_set(source)` whose
+    * size is bounded by |sources| (so the per-gram pair expansion is
+    * bounded by construction — no mega-bucket concern), then two tiny
+    * aggregations over |sources| and |sources|² rows. A gram self-join
+    * would shuffle the exploded grams twice for the same answer.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), explode(Sketches.word_ngrams(col("text"), 5)).as("gram"))
+    val byGram = grams.groupBy("gram")
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+    val totals = byGram.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val ss = col("ss")
+    val pairs = byGram.filter(size(ss) > 1)
+      .select(explode(flatten(transform(ss, x =>
+        transform(filter(ss, y => y > x),
+          y => struct(x.as("source_l"), y.as("source_r")))))).as("p"))
+      .groupBy(col("p.source_l").as("source_l"), col("p.source_r").as("source_r"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(totals.select(col("source").as("source_l"), col("n").as("n_l")), "source_l")
+      .join(totals.select(col("source").as("source_r"), col("n").as("n_r")), "source_r")
+      .select(col("source_l"), col("source_r"), col("n_shared"),
+        col("n_l"), col("n_r"),
+        (col("n_shared").cast("double") / (col("n_l") + col("n_r") - col("n_shared")))
+          .as("jaccard"))
+      .orderBy("source_l", "source_r")
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH toks5 AS (
+       |  SELECT source, ${kernelToksSql("text")} AS toks FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, unnest(
+       |    CASE WHEN len(toks) < 5 THEN []
+       |         ELSE list_transform(range(1, len(toks) - 3),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                     || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS gram
+       |  FROM toks5),
+       |t AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+       |s AS (SELECT a.source AS source_l, b.source AS source_r, count(*) AS n_shared
+       |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT s.source_l, s.source_r, s.n_shared, tl.n AS n_l, tr.n AS n_r,
+       |       CAST(s.n_shared AS DOUBLE) / (tl.n + tr.n - s.n_shared) AS jaccard
+       |FROM s
+       |JOIN t tl ON tl.source = s.source_l
+       |JOIN t tr ON tr.source = s.source_r
+       |ORDER BY source_l, source_r""".stripMargin
+
   /** Corpus vocabulary: top-50 terms by total frequency with document
     * frequency — the explode-shaped corpus scan (flatMap → two grouped
     * counts). Exact integer counts; deterministic tiebreak.
@@ -1493,6 +1548,7 @@ object ExtendedQueries {
     "dedup_canonical" -> dedupCanonical _,
     "line_dedup" -> lineDedup _,
     "per_source_cap" -> perSourceCap _,
+    "source_overlap" -> sourceOverlap _,
     "token_stats" -> tokenStats _,
     "text_quality" -> textQuality _,
     "doc_repetition" -> docRepetition _,
@@ -1536,6 +1592,7 @@ object ExtendedQueries {
     "dedup_canonical" -> dedupCanonicalSql,
     "line_dedup" -> lineDedupSql,
     "per_source_cap" -> perSourceCapSql,
+    "source_overlap" -> sourceOverlapSql,
     "token_stats" -> tokenStatsSql,
     "text_quality" -> textQualitySql,
     "doc_repetition" -> docRepetitionSql,
