@@ -117,6 +117,34 @@ object Similarity {
       .select("vec_id", "nn_id", "sim")
   }
 
+  /** All corpus pairs above a cosine threshold, candidates from the
+    * same SRP buckets + one-bit probes as `nearestNeighborLsh` (both
+    * sides shuffle on the bucket key — no broadcast, the 100 TB
+    * semantic-dedup shape). Multi-probe can surface one pair through
+    * several probes, hence the distinct. Feeds
+    * `Dedup.connectedComponents` for semantic duplicate clusters.
+    */
+  def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nPlanes: Int = 8, threshold: Double = 0.95,
+                      roundTo: Option[Int] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("bucket", srpBucket(col("cv"), dim, nPlanes))
+    val q = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qbucket", srpBucket(col("qv"), dim, nPlanes))
+      .withColumn("probe", explode(array(
+        col("qbucket") +:
+          (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
+    val rawSim = when(col("qn") * col("cn") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    q.join(c, col("probe") === col("bucket") && col("vec_id") < col("nn_id"))
+      .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_id").as("id_l"), col("nn_id").as("id_r"), col("sim"))
+      .distinct()
+  }
+
   def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String,
                       roundTo: Option[Int] = None): DataFrame = {
     val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions

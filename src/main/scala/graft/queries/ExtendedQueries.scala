@@ -619,8 +619,12 @@ object ExtendedQueries {
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Sketches
+    // per-document dedup BEFORE the explode (narrow, in the scan
+    // projection) — the shuffle then carries each (doc, gram) once
+    // instead of once per occurrence
     val grams = Tables.documents(spark, dir)
-      .select(col("source"), explode(Sketches.word_ngrams(col("text"), 5)).as("gram"))
+      .select(col("source"),
+        explode(array_distinct(Sketches.word_ngrams(col("text"), 5))).as("gram"))
     val byGram = grams.groupBy("gram")
       .agg(array_sort(collect_set(col("source"))).as("ss"))
     val totals = byGram.select(explode(col("ss")).as("source"))
@@ -1308,9 +1312,14 @@ object ExtendedQueries {
       .withColumnRenamed("sim", "sim_r")
       .orderBy("vec_id")
 
-  private val embeddingNnLshSql: String = {
+  /** CTE chain `planes → flat → v → n → buckets → probes → cands →
+    * scored` shared by the SRP-LSH oracles (`embedding_nn_lsh`,
+    * `embedding_dup_clusters`): buckets and probes reconstructed from
+    * the plane VALUES, candidate pairs scored with the rounded cosine.
+    */
+  private def srpScoredCtes: String = {
     val planeValues = srpPlanesValuesSql(dim = 64, nPlanes = 8)
-    s"""WITH planes(p, i, w) AS (VALUES $planeValues),
+    s"""planes(p, i, w) AS (VALUES $planeValues),
        |flat AS (
        |  SELECT vec_id, unnest(embedding) AS x,
        |         generate_subscripts(embedding, 1) AS i
@@ -1349,14 +1358,58 @@ object ExtendedQueries {
        |         END AS sim_r
        |  FROM cands c
        |  JOIN n a ON a.vec_id = c.query_id
-       |  JOIN n b ON b.vec_id = c.neighbor_id),
+       |  JOIN n b ON b.vec_id = c.neighbor_id)""".stripMargin
+  }
+
+  private val embeddingNnLshSql: String =
+    s"""WITH $srpScoredCtes,
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY sim_r DESC, neighbor_id) AS rk
        |  FROM scored)
        |SELECT query_id AS vec_id, neighbor_id AS nn_id, sim_r
        |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
+  /** Semantic duplicate clusters over the embedding corpus: SRP-LSH
+    * candidate pairs at rounded cosine ≥ 0.4 (the fixture embeddings
+    * are near-uniform — max pairwise cosine ≈ 0.47 — so the threshold
+    * sits where real pair structure exists) → connected components →
+    * cluster-size histogram — the embedding-space counterpart of
+    * `dedup_clusters`, completing the near-dup family (text sketches
+    * AND embedding space both end in verified clusters). Candidate
+    * generation is the no-broadcast bucket join; components are the
+    * same checkpointed min-label loop.
+    */
+  def embeddingDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
+        dim = 64, nPlanes = 8, threshold = 0.4, roundTo = Some(6))
+      .select("id_l", "id_r")
+    Dedup.connectedComponents(emb.select("vec_id"), "vec_id", pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+      .groupBy("n_members")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("n_members")
   }
+
+  private val embeddingDupClustersSql: String =
+    s"""WITH RECURSIVE $srpScoredCtes,
+       |pairs AS (
+       |  SELECT query_id AS id_l, neighbor_id AS id_r
+       |  FROM scored WHERE sim_r >= 0.4 AND query_id < neighbor_id),
+       |edges(src, dst) AS (
+       |  SELECT id_l, id_r FROM pairs
+       |  UNION
+       |  SELECT id_r, id_l FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, count(*) AS n_members FROM comp GROUP BY cluster)
+       |SELECT n_members, count(*) AS n_clusters FROM sizes
+       |GROUP BY n_members ORDER BY n_members""".stripMargin
 
   /** Batch-shaped stub feature extraction over the media wrapping.
     * Oracle-registered: `byte_mean` is an exact integer byte-sum divided
@@ -1549,6 +1602,7 @@ object ExtendedQueries {
     "line_dedup" -> lineDedup _,
     "per_source_cap" -> perSourceCap _,
     "source_overlap" -> sourceOverlap _,
+    "embedding_dup_clusters" -> embeddingDupClusters _,
     "token_stats" -> tokenStats _,
     "text_quality" -> textQuality _,
     "doc_repetition" -> docRepetition _,
@@ -1593,6 +1647,7 @@ object ExtendedQueries {
     "line_dedup" -> lineDedupSql,
     "per_source_cap" -> perSourceCapSql,
     "source_overlap" -> sourceOverlapSql,
+    "embedding_dup_clusters" -> embeddingDupClustersSql,
     "token_stats" -> tokenStatsSql,
     "text_quality" -> textQualitySql,
     "doc_repetition" -> docRepetitionSql,

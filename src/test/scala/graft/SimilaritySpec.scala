@@ -93,6 +93,27 @@ class SimilaritySpec extends SparkSpec {
     assert(nn(0L)._1 == 999L)
   }
 
+  test("nearDupPairsLsh: planted twins pair up; clusters form over the pair graph") {
+    val base = clustered(40, 16)
+    // two planted duplicate groups: {0, 900, 901} identical and {1, 902}
+    val withDups = base ++ Seq(
+      (900L, base(0)._2.clone()), (901L, base(0)._2.clone()),
+      (902L, base(1)._2.clone()))
+    val df = withDups.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairsLsh(df, "vec_id", "embedding",
+        dim = 16, nPlanes = 6, threshold = 0.9999)
+      .select($"id_l", $"id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 900L)) && pairs.contains((0L, 901L)))
+    assert(pairs.contains((1L, 902L)))
+    // every pair is ordered and deduplicated
+    assert(pairs.forall { case (l, r) => l < r })
+    val clusters = graft.ops.Dedup.connectedComponents(
+        df.select($"vec_id"), "vec_id", pairs.toSeq.toDF("id_l", "id_r"))
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(900L) == 0L && clusters(901L) == 0L)
+    assert(clusters(902L) == 1L)
+  }
+
   test("multimodal: batch decode stub is deterministic and batch-shaped") {
     val docs = Seq((1L, "aaaa"), (2L, "bbbbbbbb"), (3L, "")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
