@@ -1548,6 +1548,41 @@ object ExtendedQueries {
         round(avg(col("recall_at_5")), 6).as("mean_recall_r"))
       .filter(col("mean_recall_r") >= 0.8)
 
+  /** Quantile sketch accuracy gate (the `cardinality_sketch` pattern
+    * for KLL-style summaries): `percentile_approx` (Spark's
+    * ApproximatePercentile, accuracy 10⁴) is gated IN-PLAN against the
+    * scalable exact quantiles (`ops.Quantiles` — distributed sort +
+    * rank selection, not the buffering `percentile()`), and a group
+    * row survives only when both estimates land within 1% relative
+    * error. The oracle computes the exact side (`quantile_cont`) over
+    * every group, so a sketch accuracy collapse surfaces as missing
+    * rows in the correctness artifact.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val exact = graft.ops.Quantiles.exactQuantiles(orders, "o_orderstatus",
+        "o_totalprice", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .groupBy("o_orderstatus")
+      .agg(min(when(col("qname") === "p50", col("value"))).as("p50"),
+        min(when(col("qname") === "p90", col("value"))).as("p90"))
+    val approx = orders.groupBy("o_orderstatus")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("a90"))
+    exact.join(approx, Seq("o_orderstatus"))
+      .filter(abs(col("a50") - col("p50")) <= abs(col("p50")) * 0.01 &&
+        abs(col("a90") - col("p90")) <= abs(col("p90")) * 0.01)
+      .select(col("o_orderstatus"), col("p50"), col("p90"),
+        lit(true).as("approx_within_1pct"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val quantileSketchSql =
+    """SELECT o_orderstatus,
+      |       quantile_cont(o_totalprice, 0.5) AS p50,
+      |       quantile_cont(o_totalprice, 0.9) AS p90,
+      |       TRUE AS approx_within_1pct
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Exact per-source cardinalities (the oracle-able half of
     * cardinality_sketch).
     */
@@ -1638,7 +1673,8 @@ object ExtendedQueries {
     "media_features" -> mediaFeatures _,
     "media_frames" -> mediaFrames _,
     "media_resize" -> mediaResize _,
-    "cardinality_sketch" -> cardinalitySketch _
+    "cardinality_sketch" -> cardinalitySketch _,
+    "quantile_sketch" -> quantileSketch _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1676,6 +1712,7 @@ object ExtendedQueries {
     "simhash_nn" -> simhashNnSql,
     "source_distinct" -> sourceDistinctSql,
     "cardinality_sketch" -> cardinalitySketchSql,
+    "quantile_sketch" -> quantileSketchSql,
     "embedding_norms" -> embeddingNormsSql,
     "media_metadata" -> mediaMetadataSql,
     "embedding_nn" -> embeddingNnSql,

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.streaming.{DedupStream, IngestStream, JoinStream, NearDupStream, WindowStream}
+import graft.streaming.{DedupStream, IngestStream, JoinStream, NearDupStream, PackStream, WindowStream}
 
 class StreamingSpec extends SparkSpec {
 
@@ -57,6 +57,41 @@ class StreamingSpec extends SparkSpec {
         .select(input_file_name()).distinct().count()
       assert(prunedFiles.length < allFiles)
     }
+  }
+
+  test("pack stream: greedy per-source packing, state carries across restarts") {
+    val base = Files.createTempDirectory("graft-pack-stream").toString
+    val landing = s"$base/landing"
+    Files.createDirectories(Paths.get(landing))
+    def doc(src: String, id: Long, words: Int): (String, Long, String) =
+      (src, id, Seq.fill(words)(s"w$id").mkString(" "))
+    val first = Seq(doc("a", 0, 4), doc("a", 1, 5), doc("b", 10, 9), doc("a", 2, 3))
+    val second = Seq(doc("a", 3, 6), doc("b", 11, 2), doc("a", 4, 12))
+    Files.writeString(Paths.get(s"$landing/a.txt"),
+      first.map { case (s, i, t) => s"$s\t$i\t$t" }.mkString("", "\n", "\n"))
+    PackStream.start(spark, landing, s"$base/out", s"$base/ckpt", budget = 10)
+      .awaitTermination(60000)
+    Files.writeString(Paths.get(s"$landing/b.txt"),
+      second.map { case (s, i, t) => s"$s\t$i\t$t" }.mkString("", "\n", "\n"))
+    PackStream.start(spark, landing, s"$base/out", s"$base/ckpt", budget = 10)
+      .awaitTermination(60000)
+
+    import spark.implicits._
+    val got = spark.read.parquet(s"$base/out")
+      .select("source", "doc_id", "n_tokens", "pack_id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // executable spec: the same greedy fold over each chunk in doc_id
+    // order, state carried across the chunk boundary
+    // source a: chunk1 sees 0(4),1(5),2(3) -> packs 0:[0,1] (9), 1:[2];
+    //           chunk2 sees 3(6),4(12) -> pack 1:[2(3),3(6)] (9), 2:[4]
+    assert(got(("a", 0L)) == ((4L, 0L)) && got(("a", 1L)) == ((5L, 0L)))
+    assert(got(("a", 2L)) == ((3L, 1L)))
+    assert(got(("a", 3L)) == ((6L, 1L)))
+    assert(got(("a", 4L)) == ((12L, 2L))) // over budget -> its own pack
+    // source b: 10(9) fills pack 0; 11(2) opens pack 1 across the restart
+    assert(got(("b", 10L)) == ((9L, 0L)))
+    assert(got(("b", 11L)) == ((2L, 1L)))
   }
 
   test("stream-stream interval join: purchases attribute trailing clicks per user") {
