@@ -78,6 +78,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(l_"), p.take(1200))
   }
 
+  test("source_overlap: gram aggregation shuffle, no self-join of the exploded grams") {
+    val p = plan(ExtendedQueries.sourceOverlap(spark, sfDir))
+    // the per-gram source sets come from ONE aggregation; a gram
+    // self-join (SortMergeJoin on gram) would shuffle the grams twice
+    assert(!p.contains("SortMergeJoin [gram"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embedding_dup_clusters pair generation: bucket equi-join, no broadcast of the corpus") {
+    // pin the pair stage (the clusters loop materializes eagerly, so the
+    // full query can't be planned without running it)
+    val p = plan(graft.ops.Similarity.nearDupPairsLsh(
+      graft.model.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      dim = 64, nPlanes = 8, threshold = 0.4, roundTo = Some(6)))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("Join") || p.contains("join"), p.take(400))
+  }
+
   test("per_source_cap: partitioned window, no single-partition stage") {
     val p = plan(ExtendedQueries.perSourceCap(spark, sfDir))
     assert(p.contains("Window"))
