@@ -246,7 +246,14 @@ object Dedup {
       pairs.select(c("id_l").as("src"), c("id_r").as("dst"))
         .union(pairs.select(c("id_r").as("src"), c("id_l").as("dst")))
         .distinct())
-    var labels = nodes.select(c(idCol).as("id"), c(idCol).as("cluster"))
+    // Iterate ONLY over nodes that touch an edge: a node with no edges
+    // is its own cluster from the start (a fixed point of the loop), so
+    // carrying it through every join+agg wastes |V|/|V(edges)|× the
+    // work — in dedup the pair graph is sparse (most documents are
+    // unique), so this is the dominant constant factor of the loop.
+    // Singletons rejoin in the final left join below.
+    var labels = edges.select(c("src").as("id")).distinct()
+      .select(c("id"), c("id").as("cluster"))
     var cached: Option[DataFrame] = None
     var converged = false
     var iter = 0
@@ -288,7 +295,10 @@ object Dedup {
       labels = next.select("id", "cluster")
       iter += 1
     }
-    labels
+    // singletons (no edges) keep their own id as cluster
+    nodes.select(c(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster", "_c"), Seq("id"), "left")
+      .select(c("id"), coalesce(c("_c"), c("id")).as("cluster"))
   }
 
   // ------------------------------------------------------------------
