@@ -214,12 +214,16 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Connected components over an undirected pair list by iterative
-    * minimum-label propagation: every node repeatedly adopts the smallest
-    * label among itself and its neighbors until fixpoint. Each iteration
-    * is one join + one min-aggregation (shuffles on the node id); label
-    * count shrinks geometrically, and `maxIter` bounds the cost (chain
-    * diameter > 2^maxIter would need a checkpointed loop — at that point
-    * use the classic large-star/small-star algorithm, same skeleton).
+    * minimum-label propagation WITH POINTER DOUBLING: each iteration a
+    * node adopts the min label among itself and its neighbors (one
+    * edge join + min-aggregation), then labels compress through one
+    * label-of-label lookup (`cluster := min(cluster, label(cluster))`)
+    * — the hash-to-min/pointer-jumping step that makes convergence
+    * O(log diameter) instead of O(diameter). A plain 1-hop loop
+    * needs as many iterations as the longest chain: a 235-member
+    * Hamming-chain cluster in the sf0.01 fixture (empty/boilerplate
+    * docs) has diameter far over any sane iteration bound, and an
+    * unconverged loop silently SPLITS clusters.
     *
     * Returns (id, cluster) where cluster = min id of the component —
     * singletons keep their own id. This is the step AFTER near-dup pair
@@ -264,13 +268,23 @@ object Dedup {
         .join(labels, edges("src") === labels("id"))
         .select(c("dst").as("id"), c("cluster"))
         .groupBy("id").agg(min("cluster").as("ncluster"))
-      // one pass computes BOTH the new label and the changed flag; the
-      // single materialization below is the only real job per iteration —
-      // the convergence probe scans the cached result, recomputing nothing.
-      val step = labels.join(neighborMin, Seq("id"), "left")
-        .select(c("id"),
-          least(c("cluster"), coalesce(c("ncluster"), c("cluster"))).as("cluster"),
-          (coalesce(c("ncluster"), c("cluster")) < c("cluster")).as("changed"))
+      // 1-hop step: min of own and neighbor labels
+      val hop = labels.join(neighborMin, Seq("id"), "left")
+        .select(c("id"), c("cluster").as("old_cluster"),
+          least(c("cluster"), coalesce(c("ncluster"), c("cluster"))).as("hcluster"))
+      // pointer doubling: look the label up as a node id and take ITS
+      // label too — every label value is a node id present in `labels`
+      // (labels are mins over edge-node ids), so the lookup is a self
+      // equi-join on the same small set. One pass computes both the
+      // compressed label and the changed flag; the single
+      // materialization below is the only real job per iteration — the
+      // convergence probe scans the cached result, recomputing nothing.
+      val byId = hop.select(c("id").as("lid"), c("hcluster").as("lcluster"))
+      val step = hop.join(byId, hop("hcluster") === byId("lid"), "left")
+        .select(hop("id"),
+          least(c("hcluster"), coalesce(c("lcluster"), c("hcluster"))).as("cluster"),
+          (least(c("hcluster"), coalesce(c("lcluster"), c("hcluster")))
+            < c("old_cluster")).as("changed"))
       // checkpoint-INTERVAL pattern (GraphX-style): a durable checkpoint
       // every `checkpointInterval`-th iteration bounds both the recompute
       // window after executor loss and the lineage the analyzer carries;

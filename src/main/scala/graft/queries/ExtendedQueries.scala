@@ -212,9 +212,13 @@ object ExtendedQueries {
       .orderBy("source", "rk")
   }
 
-  private val perSourceCapSql =
-    s"""WITH t AS (
-       |  SELECT doc_id, source,
+  /** CTE pair `qt → q` computing the C4-style quality score per doc
+    * (the `text_quality` formula) with `extraCols` carried through —
+    * shared by the per_source_cap and dedup_keep_best oracles.
+    */
+  private def qualitySqlCtes(extraCols: String): String =
+    s"""qt AS (
+       |  SELECT doc_id$extraCols,
        |         CAST(length(text) AS DOUBLE) AS n_chars,
        |         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
        |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS BIGINT) AS n_punct,
@@ -222,14 +226,17 @@ object ExtendedQueries {
        |                              x -> x IN ($allStopwordsSqlList))) AS BIGINT) AS n_stopwords
        |  FROM documents),
        |q AS (
-       |  SELECT doc_id, source,
+       |  SELECT doc_id$extraCols,
        |         least(n_chars / 500.0, 1.0) * 0.3
        |         + (CASE WHEN n_tokens > 0 AND n_chars / n_tokens BETWEEN 3 AND 10
        |                 THEN 1.0 ELSE 0.5 END) * 0.2
        |         + least((CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens ELSE 0.0 END) * 3.0, 1.0) * 0.3
        |         + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1
        |                 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
-       |  FROM t),
+       |  FROM qt)""".stripMargin
+
+  private val perSourceCapSql =
+    s"""WITH ${qualitySqlCtes(", source")},
        |r AS (SELECT *, row_number() OVER (PARTITION BY source
        |                ORDER BY quality DESC, doc_id) AS rk FROM q)
        |SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
@@ -1038,6 +1045,63 @@ object ExtendedQueries {
        |SELECT n_members, count(*) AS n_clusters FROM sizes
        |GROUP BY n_members ORDER BY n_members""".stripMargin
 
+  /** The KEEP decision that follows near-dup clustering: per multi-member
+    * SimHash cluster (Hamming ≤ 3, pigeonhole-complete banded
+    * candidates), keep the HIGHEST-QUALITY member (doc_id tiebreak) —
+    * min-id canonicals throw away the best copy whenever boilerplate
+    * landed first. Pairs → components → one partitioned window over
+    * cluster members (a vanishing fraction of the corpus).
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_l", "id_r")
+    val clusters = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+    val quality = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val members = clusters.join(quality, clusters("id") === quality("doc_id"))
+    val sizes = clusters.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    members
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster").orderBy(desc("quality"), col("doc_id"))))
+      .filter(col("rk") === 1)
+      .join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("n_members"),
+        col("doc_id").as("canonical_id"), col("quality").as("canonical_quality"))
+      .orderBy("cluster")
+  }
+
+  // lazy: simhashCtes is declared later in the file (vals initialize in
+  // declaration order; a forward reference would interpolate null)
+  private lazy val dedupKeepBestSql =
+    s"""WITH RECURSIVE $simhashCtes,
+       |prs AS (
+       |  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |edges(src, dst) AS (
+       |  SELECT id_l, id_r FROM prs UNION SELECT id_r, id_l FROM prs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, count(*) AS n_members FROM comp
+       |          GROUP BY cluster HAVING count(*) > 1),
+       |${qualitySqlCtes("")},
+       |best AS (
+       |  SELECT comp.cluster, q.doc_id, q.quality,
+       |         row_number() OVER (PARTITION BY comp.cluster
+       |                            ORDER BY q.quality DESC, q.doc_id) AS rk
+       |  FROM comp JOIN q ON q.doc_id = comp.id)
+       |SELECT s.cluster, s.n_members, b.doc_id AS canonical_id,
+       |       b.quality AS canonical_quality
+       |FROM sizes s JOIN best b ON b.cluster = s.cluster AND b.rk = 1
+       |ORDER BY s.cluster""".stripMargin
+
   /** SimHash fingerprints (single-pass custom expression; 60 portable
     * bits — see Sketches.simhash).
     */
@@ -1638,6 +1702,7 @@ object ExtendedQueries {
     "per_source_cap" -> perSourceCap _,
     "source_overlap" -> sourceOverlap _,
     "embedding_dup_clusters" -> embeddingDupClusters _,
+    "dedup_keep_best" -> dedupKeepBest _,
     "token_stats" -> tokenStats _,
     "text_quality" -> textQuality _,
     "doc_repetition" -> docRepetition _,
@@ -1684,6 +1749,7 @@ object ExtendedQueries {
     "per_source_cap" -> perSourceCapSql,
     "source_overlap" -> sourceOverlapSql,
     "embedding_dup_clusters" -> embeddingDupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "token_stats" -> tokenStatsSql,
     "text_quality" -> textQualitySql,
     "doc_repetition" -> docRepetitionSql,

@@ -38,6 +38,20 @@ class ComponentsSpec extends SparkSpec {
     assert((1L to 12L).forall(got(_) == 1L), s"labels $got")
   }
 
+  test("pointer doubling: a 300-node chain converges within the DEFAULT iteration bound") {
+    // diameter 299 ≫ maxIter=10 — the plain 1-hop loop would silently
+    // SPLIT this component (the r4 dedup_keep_best bug: a 235-member
+    // hamming-chain cluster in the sf0.01 fixture); label-of-label
+    // compression converges in O(log diameter)
+    val n = 300L
+    val nodes = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_l", "id_r")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to n).forall(got(_) == 1L),
+      s"chain split into ${got.values.toSet.size} labels")
+  }
+
   test("reliable-checkpoint branch actually runs: dir set, checkpoint files written") {
     // the session (like Verify/Bench) sets a checkpoint dir, so the loop
     // must take df.checkpoint (reliable), not localCheckpoint
