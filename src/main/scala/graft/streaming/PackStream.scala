@@ -30,7 +30,7 @@ object PackStream {
   /** The per-source packer — also the batch executable spec (the spec
     * runs it over a plain sorted iterator and compares).
     */
-  private[streaming] def packDocs(budget: Long)(
+  private[graft] def packDocs(budget: Long)(
       source: String, docs: Iterator[DocTokens],
       state: GroupState[PackState]): Iterator[Packed] = {
     var st = state.getOption.getOrElse(PackState(0L, 0L))

@@ -86,6 +86,28 @@ class DedupCapSpec extends SparkSpec {
     assert(selfDup == ((9L, 3L, 1L, "other")))
   }
 
+  test("line dedup property (seeded): matches a brute-force Scala model on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "")
+    (1 to 6).foreach { trial =>
+      val docs = (0 until 20).map { i =>
+        val nLines = rnd.nextInt(5)
+        (i.toLong, Seq.fill(nLines)(vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+      }
+      // brute-force model
+      val allLines = docs.flatMap { case (_, t) => t.split("\n", -1).toSeq }
+      val counts = allLines.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = docs.map { case (id, t) =>
+        val ls = t.split("\n", -1).toSeq
+        val kept = ls.filter(counts(_) <= 1L)
+        (id, ls.size.toLong, kept.size.toLong, kept.mkString("\n"))
+      }.toSet
+      val got = Dedup.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("simhash per-member expansion == previous all-pairs semantics on the fixture") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text")

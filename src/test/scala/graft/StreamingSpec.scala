@@ -3,6 +3,27 @@ package graft
 import java.nio.file.{Files, Paths}
 import graft.streaming.{DedupStream, IngestStream, JoinStream, NearDupStream, PackStream, WindowStream}
 
+/** Minimal in-memory GroupState for driving stateful functions directly. */
+class FakeGroupState[S](initial: Option[S])
+    extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var cur: Option[S] = initial
+  def updated: Option[S] = cur
+  override def exists: Boolean = cur.isDefined
+  override def get: S = cur.get
+  override def getOption: Option[S] = cur
+  override def update(newState: S): Unit = { cur = Some(newState) }
+  override def remove(): Unit = { cur = None }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
+
 class StreamingSpec extends SparkSpec {
 
   test("near-dup stream: banded simhash pairs match the batch operator across restarts") {
@@ -92,6 +113,41 @@ class StreamingSpec extends SparkSpec {
     // source b: 10(9) fills pack 0; 11(2) opens pack 1 across the restart
     assert(got(("b", 10L)) == ((9L, 0L)))
     assert(got(("b", 11L)) == ((2L, 1L)))
+  }
+
+  test("pack invariants (seeded): budget respected, pack ids contiguous, tokens conserved") {
+    import graft.streaming.PackStream.{DocTokens, packDocs, PackState}
+    val rnd = new scala.util.Random(23)
+    (1 to 8).foreach { trial =>
+      val budget = 1 + rnd.nextInt(30)
+      val docs = (0 until 40).map(i => DocTokens("s", i.toLong, 1L + rnd.nextInt(20)))
+      // drive the packer directly through a fake in-order state sequence
+      var st: Option[PackState] = None
+      val out = docs.grouped(7).flatMap { chunk =>
+        val state = new FakeGroupState(st)
+        val res = packDocs(budget)("s", chunk.iterator, state).toSeq
+        st = state.updated
+        res
+      }.toSeq
+      // tokens conserved, ids covered
+      assert(out.map(_.doc_id).sorted == docs.map(_.doc_id))
+      // pack ids start at 0 and are contiguous
+      val packs = out.groupBy(_.pack_id)
+      assert(packs.keySet == (0L until packs.size.toLong).toSet, s"trial $trial")
+      // budget respected unless a pack is a single over-budget doc
+      packs.values.foreach { members =>
+        val tot = members.map(_.n_tokens).sum
+        assert(tot <= budget || members.size == 1, s"trial $trial pack over budget: $members")
+      }
+      // greedy: a doc only opens a new pack when it did not fit
+      val byPack = out.sortBy(d => (d.pack_id, d.doc_id))
+      byPack.sliding(2).foreach {
+        case Seq(a, b) if b.pack_id == a.pack_id + 1 =>
+          val usedInA = byPack.filter(_.pack_id == a.pack_id).map(_.n_tokens).sum
+          assert(usedInA + b.n_tokens > budget, s"trial $trial premature new pack")
+        case _ => ()
+      }
+    }
   }
 
   test("stream-stream interval join: purchases attribute trailing clicks per user") {
