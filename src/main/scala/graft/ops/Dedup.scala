@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines: exact,
@@ -229,12 +229,22 @@ object Dedup {
     * singletons keep their own id. This is the step AFTER near-dup pair
     * detection in a dedup pipeline: pairs → clusters → keep one canonical
     * doc per cluster.
+    *
+    * Two physical strategies behind one result, picked by a materialized
+    * edge count (never a guess): at or below `driverEdgeLimit` LONG-keyed
+    * edges the component problem is solved with union-find on the driver
+    * (one collect of broadcast-scale data instead of O(log diameter)
+    * multi-stage jobs); above it, or for non-long ids, the distributed
+    * pointer-doubling loop runs. Set `driverEdgeLimit = 0` to force the
+    * loop.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 10,
-                          checkpointInterval: Int = 3): DataFrame = {
+                          checkpointInterval: Int = 3,
+                          driverEdgeLimit: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     // Durable materialization: a reliable checkpoint (HDFS/object store)
     // when the session has a checkpoint dir — survives executor loss, the
     // requirement for long chains on a real cluster — else an
@@ -242,20 +252,94 @@ object Dedup {
     def durable(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
 
-    // Undirected edge list, both directions, durably materialized ONCE:
-    // the pair pipeline upstream (shingle → sign → band join) is the
-    // expensive part, every iteration reads it, and it is the recompute
-    // anchor for the cached iterations below.
-    val edges = durable(
-      pairs.select(c("id_l").as("src"), c("id_r").as("dst"))
-        .union(pairs.select(c("id_r").as("src"), c("id_l").as("dst")))
+    // Canonical undirected edge list (src < dst, self-loops dropped),
+    // durably materialized ONCE: the pair pipeline upstream (shingle →
+    // sign → band join) is the expensive part; everything below — the
+    // size probe, the driver fast path's collect, or every loop
+    // iteration — reads this checkpoint, never the pipeline.
+    val undirected = durable(
+      pairs.select(least(c("id_l"), c("id_r")).as("src"),
+          greatest(c("id_l"), c("id_r")).as("dst"))
+        .where(c("src") =!= c("dst"))
         .distinct())
+    val edgeCount = undirected.count() // scans the checkpoint, not the pipeline
+
+    // SMALL-GRAPH FAST PATH (the common case, even at 100 TB): after
+    // LSH/banded candidate generation the duplicate-pair graph is a
+    // vanishing fraction of the corpus — typically well under the size
+    // of a broadcastable join side. Solving it with union-find on the
+    // driver replaces O(log diameter) distributed jobs (each several
+    // shuffle stages of scheduling overhead) with one collect of data
+    // we could have broadcast anyway. Same stats-gated philosophy as
+    // Relational.broadcastIfBounded: take the cheap plan only when a
+    // MATERIALIZED count proves it safe, fall back to the scalable
+    // loop otherwise. 4M edges ≈ 64 MB of packed longs — the same
+    // order as spark.sql.autoBroadcastJoinThreshold'd build sides.
+    val longIds = undirected.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    val labels: DataFrame =
+      if (longIds && edgeCount <= driverEdgeLimit)
+        driverUnionFindLabels(spark, undirected)
+      else
+        loopLabels(undirected, maxIter, checkpointInterval, reliable, durable)
+
+    // singletons (no edges) keep their own id as cluster
+    nodes.select(c(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster", "_c"), Seq("id"), "left")
+      .select(c("id"), coalesce(c("_c"), c("id")).as("cluster"))
+  }
+
+  /** Driver-side union-find over a proven-small edge list. Union-by-min
+    * (the smaller root adopts the larger) keeps the invariant that every
+    * root IS the minimum id of its set, so labels match the distributed
+    * loop's min-label fixpoint exactly. Path compression bounds the find
+    * chains. Emits only non-root mappings — roots and singletons coalesce
+    * to their own id in the caller's final left join.
+    */
+  private def driverUnionFindLabels(spark: SparkSession,
+                                    undirected: DataFrame): DataFrame = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var cur = x // compress the chain we just walked
+      while (parent.getOrElse(cur, cur) != cur) {
+        val nxt = parent(cur); parent(cur) = r; cur = nxt
+      }
+      r
+    }
+    val it = undirected.toLocalIterator() // streams the checkpoint partition-at-a-time
+    while (it.hasNext) {
+      val row = it.next()
+      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = parent.keysIterator.map(id => (id, find(id))).toSeq
+    import spark.implicits._
+    out.toDF("id", "cluster")
+  }
+
+  /** Distributed min-label propagation with pointer doubling — the
+    * large-graph path; see connectedComponents for the iteration
+    * invariants. `undirected` must be durably materialized by the caller.
+    */
+  private def loopLabels(undirected: DataFrame, maxIter: Int,
+                         checkpointInterval: Int, reliable: Boolean,
+                         durable: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    // both directions, derived from the checkpointed undirected list
+    // (a map-side union — no distinct needed, src<dst keeps the halves
+    // disjoint)
+    val edges = undirected.union(
+      undirected.select(c("dst").as("src"), c("src").as("dst")))
     // Iterate ONLY over nodes that touch an edge: a node with no edges
     // is its own cluster from the start (a fixed point of the loop), so
     // carrying it through every join+agg wastes |V|/|V(edges)|× the
     // work — in dedup the pair graph is sparse (most documents are
     // unique), so this is the dominant constant factor of the loop.
-    // Singletons rejoin in the final left join below.
+    // Singletons rejoin in the caller's final left join.
     var labels = edges.select(c("src").as("id")).distinct()
       .select(c("id"), c("id").as("cluster"))
     var cached: Option[DataFrame] = None
@@ -309,10 +393,7 @@ object Dedup {
       labels = next.select("id", "cluster")
       iter += 1
     }
-    // singletons (no edges) keep their own id as cluster
-    nodes.select(c(idCol).as("id"))
-      .join(labels.withColumnRenamed("cluster", "_c"), Seq("id"), "left")
-      .select(c("id"), coalesce(c("_c"), c("id")).as("cluster"))
+    labels
   }
 
   // ------------------------------------------------------------------

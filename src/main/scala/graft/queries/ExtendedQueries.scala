@@ -1058,17 +1058,22 @@ object ExtendedQueries {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_l", "id_r")
     val clusters = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
-    val quality = docs.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
-    val members = clusters.join(quality, clusters("id") === quality("doc_id"))
     val sizes = clusters.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
+    // Restrict to multi-member clusters BEFORE scoring and ranking: the
+    // inner join against `sizes` prunes the corpus down to actual dup
+    // cluster members, so qualityScore runs on that sliver (post-join
+    // projection, never a full-corpus pass) and the window shuffles
+    // member rows only — not all documents partitioned by their own id.
+    val members = clusters.join(sizes, Seq("cluster"))
+      .join(docs.select(col("doc_id"), col("text")),
+        clusters("id") === docs("doc_id"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
     members
       .withColumn("rk", row_number().over(
         Window.partitionBy("cluster").orderBy(desc("quality"), col("doc_id"))))
       .filter(col("rk") === 1)
-      .join(sizes, Seq("cluster"))
       .select(col("cluster"), col("n_members"),
         col("doc_id").as("canonical_id"), col("quality").as("canonical_quality"))
       .orderBy("cluster")

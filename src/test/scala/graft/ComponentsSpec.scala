@@ -31,9 +31,11 @@ class ComponentsSpec extends SparkSpec {
     // a 12-node path needs ~11 min-label iterations — the loop passes
     // through the durable-checkpoint branch (every 3rd iter) four times
     // with cached iterations in between, all on one lineage
+    // (driverEdgeLimit = 0 forces the distributed loop under test)
     val nodes = (1L to 12L).toDF("id")
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_l", "id_r")
-    val got = Dedup.connectedComponents(nodes, "id", pairs, maxIter = 20)
+    val got = Dedup.connectedComponents(nodes, "id", pairs, maxIter = 20,
+        driverEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert((1L to 12L).forall(got(_) == 1L), s"labels $got")
   }
@@ -43,13 +45,41 @@ class ComponentsSpec extends SparkSpec {
     // SPLIT this component (the r4 dedup_keep_best bug: a 235-member
     // hamming-chain cluster in the sf0.01 fixture); label-of-label
     // compression converges in O(log diameter)
+    // (driverEdgeLimit = 0 forces the distributed loop under test)
     val n = 300L
     val nodes = (1L to n).toDF("id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_l", "id_r")
-    val got = Dedup.connectedComponents(nodes, "id", pairs)
+    val got = Dedup.connectedComponents(nodes, "id", pairs,
+        driverEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert((1L to n).forall(got(_) == 1L),
       s"chain split into ${got.values.toSet.size} labels")
+  }
+
+  test("driver union-find path ≡ distributed loop on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rng.nextInt(40)
+      val nodes = (1L to n.toLong).toDF("id")
+      val m = rng.nextInt(60)
+      val raw = Seq.fill(m)((rng.nextInt(n) + 1L, rng.nextInt(n) + 1L))
+      // self-loops and duplicate/reversed edges included on purpose
+      val pairs = raw.toDF("id_l", "id_r")
+      val fast = Dedup.connectedComponents(nodes, "id", pairs)
+        .as[(Long, Long)].collect().toMap
+      val loop = Dedup.connectedComponents(nodes, "id", pairs, maxIter = 20,
+          driverEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == loop, s"trial $trial: driver $fast vs loop $loop")
+    }
+  }
+
+  test("non-long ids fall back to the distributed loop (same result)") {
+    val nodes = Seq(1, 2, 3, 4, 5).toDF("id") // IntegerType
+    val pairs = Seq((1, 2), (2, 3)).toDF("id_l", "id_r")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Int, Int)].collect().toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 5))
   }
 
   test("reliable-checkpoint branch actually runs: dir set, checkpoint files written") {
@@ -64,7 +94,8 @@ class ComponentsSpec extends SparkSpec {
     val before = ckptFiles()
     val nodes = (1L to 6L).toDF("id")
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_l", "id_r")
-    val got = Dedup.connectedComponents(nodes, "id", pairs)
+    val got = Dedup.connectedComponents(nodes, "id", pairs,
+        driverEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got(2L) == 1L && got(4L) == 3L && got(5L) == 5L)
     assert(ckptFiles() > before,
