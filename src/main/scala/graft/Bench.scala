@@ -36,18 +36,23 @@ object Bench {
     spark.sparkContext.setCheckpointDir(
       s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
 
+    // optional arg: regex filter over query names (local profiling; the
+    // driver always runs argless = the full set)
+    val nameFilter = args.headOption.map(_.r).getOrElse(".*".r)
+    val queryNames = SparkEntry.queries.keys.filter(nameFilter.matches(_)).toSeq
+
     def execute(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
     // warmup: every plan once, uncounted
-    SparkEntry.queries.keys
+    queryNames
       .foreach { q => try execute(q) catch { case _: Throwable => () } }
 
     // a failed pass records NO timing (min over failures would report a
     // fast crash as a fast query); failed queries are listed separately
     def measuredPass(): Map[String, Either[String, Double]] =
-      SparkEntry.queries.keys.map { name =>
+      queryNames.map { name =>
         val t0 = System.nanoTime()
         try {
           execute(name)
@@ -58,7 +63,7 @@ object Bench {
       }.toMap
 
     val (p1, p2) = (measuredPass(), measuredPass())
-    val results = SparkEntry.queries.keys.flatMap { k =>
+    val results = queryNames.flatMap { k =>
       (p1(k), p2(k)) match {
         case (Right(a), Right(b)) => Some(k -> math.min(a, b))
         case (Right(a), Left(_))  => Some(k -> a)
@@ -66,12 +71,12 @@ object Bench {
         case (Left(_), Left(_))   => None
       }
     }.toMap
-    val failed = SparkEntry.queries.keys
+    val failed = queryNames
       .filter(k => p1(k).isLeft && p2(k).isLeft).toSeq.sorted
     // a query that succeeded in ONE pass but failed the other is flaky —
     // its single timing is reported, but min-of-two must not silently
     // absorb the failure (a fast crash is not a fast query)
-    val flaky = SparkEntry.queries.keys
+    val flaky = queryNames
       .filter(k => p1(k).isLeft != p2(k).isLeft).toSeq.sorted
       .map { k =>
         val msg = (p1(k).left.toSeq ++ p2(k).left.toSeq).head

@@ -428,9 +428,11 @@ object Dedup {
     * 15-bit band equality over the 60-bit fingerprint (any doc pair
     * within Hamming ≤ 3 shares at least one of 4 bands — pigeonhole).
     *
-    * Same memory/skew guards as `candidatePairs`: per-member pair rows
-    * (≤ |bucket| structs per row, never |bucket|²) and a min-id-hub
-    * star for buckets over `maxBucketSize` — identical fingerprints
+    * Memory/skew guards: normal buckets pair via a within-bucket
+    * self-join whose candidates stream through the join iterator (the
+    * Hamming test is a residual join predicate — no O(|bucket|²)
+    * intermediate ever materializes), and buckets over `maxBucketSize`
+    * short-circuit to a min-id-hub star — identical fingerprints
     * collide on ALL bands, so the degenerate mass-duplicate shape lands
     * here too, and its star edges are at distance 0 (kept).
     */
@@ -449,30 +451,41 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
       .filter(size(col("ms")) > 1)
     val ms = col("ms")
-    def ordered(a: Column, b: Column): Column =
-      when(a.getField("id") < b.getField("id"),
-        struct(a.getField("id").as("id_l"), b.getField("id").as("id_r"),
-          a.getField("sh").as("sh_l"), b.getField("sh").as("sh_r")))
-        .otherwise(
-          struct(b.getField("id").as("id_l"), a.getField("id").as("id_r"),
-            b.getField("sh").as("sh_l"), a.getField("sh").as("sh_r")))
-    val normal = buckets.filter(size(ms) <= maxBucketSize)
-      .select(ms, posexplode(ms).as(Seq("pos", "x")))
-      .select(explode(transform(
-        slice(ms, col("pos") + 2, size(ms)),
-        y => ordered(col("x"), y))).as("p"))
-    // array_min over an array of structs orders by the leading field, so
-    // the hub is the min-id member
+    // NORMAL buckets (≤ maxBucketSize): within-bucket self-join on the
+    // bucket key with id-order + Hamming as codegen'd residual
+    // predicates. The k(k-1)/2 candidate combinations per bucket STREAM
+    // through the sort-merge-join iterator — no per-member candidate
+    // arrays (the previous transform+filter shape built O(k²) structs
+    // per dense bucket: ~5.4M for the fixture's hamming-chain cluster
+    // at sf0.1, which alone cost ~3 s); only pairs that survive the
+    // Hamming test ever materialize as rows.
+    val normMembers = buckets.filter(size(ms) <= maxBucketSize)
+      .select(col("band"), col("bh"), explode(ms).as("m"))
+      .select(col("band"), col("bh"),
+        col("m.id").as("id"), col("m.sh").as("sh"))
+    val l = normMembers.alias("l")
+    val r = normMembers.alias("r")
+    val normal = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id") &&
+          hamming(col("l.sh"), col("r.sh")) <= maxDist)
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        col("l.sh").as("sh_l"), col("r.sh").as("sh_r"))
+    // MEGA buckets: min-id-hub star (connectivity-preserving bound —
+    // array_min over an array of structs orders by the leading field,
+    // so the hub is the min-id member). Star edges can exceed maxDist
+    // for merely-colliding members, hence the post-filter below.
     val hub = array_min(ms)
     val mega = buckets.filter(size(ms) > maxBucketSize)
       .select(explode(transform(
         filter(ms, m => m.getField("id") =!= hub.getField("id")),
         m => struct(hub.getField("id").as("id_l"), m.getField("id").as("id_r"),
           hub.getField("sh").as("sh_l"), m.getField("sh").as("sh_r")))).as("p"))
+      .select(col("p.id_l"), col("p.id_r"), col("p.sh_l"), col("p.sh_r"))
     normal.union(mega)
-      .select(col("p.id_l"), col("p.id_r"),
-        hamming(col("p.sh_l"), col("p.sh_r")).as("dist"))
-      .distinct()
+      .select(col("id_l"), col("id_r"),
+        hamming(col("sh_l"), col("sh_r")).as("dist"))
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 }

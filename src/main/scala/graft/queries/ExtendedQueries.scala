@@ -495,7 +495,7 @@ object ExtendedQueries {
        |  FROM t)
        |SELECT source, count(*) AS n_docs,
        |       count(*) FILTER (WHERE cum <= 800) AS n_kept,
-       |       coalesce(sum(nt) FILTER (WHERE cum <= 800), 0) AS n_tokens_kept
+       |       CAST(coalesce(sum(nt) FILTER (WHERE cum <= 800), 0) AS BIGINT) AS n_tokens_kept
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   /** Deterministic mixture sampling — per-source sampling rates applied
@@ -563,21 +563,28 @@ object ExtendedQueries {
   /** Benchmark decontamination — the n-gram-overlap check run before LLM
     * training (à la the GPT-3 report): a training document is
     * contaminated if it shares any word 5-gram with the held-out
-    * eval/benchmark set. Fixture split: doc_id ≥ 450 plays the benchmark
-    * suite, the rest is the training corpus. Scale shape: eval suites
-    * are tiny next to a 100 TB corpus, so the eval gram set BROADCASTS
-    * and the corpus is never shuffled except the per-doc count — one
-    * narrow kernel pass + broadcast semi-join. Exact string n-grams (no
-    * hashing), so the whole check is oracle-verified.
+    * eval/benchmark set. Fixture split: the top 10% of the doc_id range
+    * plays the benchmark suite, the rest is the training corpus (a FIXED
+    * id cutoff written for one SF silently inverts the split at the
+    * next: ≥450 made the "eval suite" 91% of the sf0.1 corpus and
+    * broadcast its whole gram set). The cutoff scan is parquet-stats
+    * metadata, not a data pass. Scale shape: eval suites are tiny next
+    * to a 100 TB corpus, so the eval gram set BROADCASTS and the corpus
+    * is never shuffled except the per-doc count — one narrow kernel
+    * pass + broadcast semi-join. Exact string n-grams (no hashing), so
+    * the whole check is oracle-verified.
     */
   def decontamination(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Sketches
     val docs = Tables.documents(spark, dir)
-    val tg = docs.filter(col("doc_id") < 450)
+    // top-10%-of-id-range split (450 at the sf0.01 oracle gate)
+    val cutoff = docs.agg(floor(((max(col("doc_id")) + 1) * 9) / 10).cast("long"))
+      .first().getLong(0)
+    val tg = docs.filter(col("doc_id") < cutoff)
       .select(col("doc_id"),
         explode(array_distinct(Sketches.word_ngrams(col("text"), 5))).as("gram"))
     val eg = broadcast(
-      docs.filter(col("doc_id") >= 450)
+      docs.filter(col("doc_id") >= cutoff)
         .select(explode(Sketches.word_ngrams(col("text"), 5)).as("gram"))
         .distinct())
     // ONE corpus pass: left-join the broadcast eval grams as an
@@ -605,8 +612,11 @@ object ExtendedQueries {
       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                          || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS gs
       |  FROM toks5),
-      |tg AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id < 450),
-      |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id >= 450),
+      |cut AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS c FROM documents),
+      |tg AS (SELECT doc_id, unnest(gs) AS gram FROM grams
+      |       WHERE doc_id < (SELECT c FROM cut)),
+      |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM grams
+      |       WHERE doc_id >= (SELECT c FROM cut)),
       |tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
       |sh AS (SELECT t.doc_id, count(*) AS n_shared
       |       FROM tg t JOIN eg ON eg.gram = t.gram GROUP BY t.doc_id)

@@ -58,6 +58,18 @@ def main(sf_dir, out_dir):
                 # exact-match note for floats
                 break
         if ok:
+            # A numeric-KIND mismatch (Spark int64 vs DuckDB HUGEINT->float64)
+            # stringifies differently under the driver's value hash even when
+            # the numbers are equal — this exact class shipped round 4's only
+            # hash-FAIL, masked by the tolerant float compare above. Hard-fail.
+            kind_bad = [c for c in got.columns
+                        if {got[c].dtype.kind, exp[c].dtype.kind} == {'i', 'f'}
+                        or {got[c].dtype.kind, exp[c].dtype.kind} == {'u', 'f'}]
+            if kind_bad:
+                print(f"FAIL {name}: dtype kind mismatch (driver hash will differ): "
+                      + ", ".join(f"{c} {got[c].dtype}vs{exp[c].dtype}" for c in kind_bad))
+                n_fail += 1
+                continue
             # exactness probe for floats (what the driver's hash likely
             # needs); NaN==NaN counts as equal (NULL markers from rollup
             # land as NaN in pandas float columns)
