@@ -114,18 +114,14 @@ object Dedup {
     * (position = band index), group by (band, bandhash), and expand each
     * multi-doc bucket into its ordered pairs (id_l < id_r), distinct.
     *
-    * One shuffle of docs × bands rows — a band self-join would shuffle
-    * the exploded set TWICE and build a join hash table for the ~all-
-    * singleton buckets; the aggregation drops singletons before any pair
-    * exists. `ids` is a plain post-aggregation attribute, so the lambda
-    * references below are attribute lookups, not re-computed expressions
-    * (the Catalyst inlining trap doesn't apply).
-    *
-    * Memory shape: pairs are emitted one MEMBER-row at a time — position
-    * p pairs with every later position via a slice — so no single row
-    * ever holds more than |bucket| structs (the old single
-    * flatten(transform(…)) value was |bucket|², an executor-OOM / 2 GB
-    * array risk on a skewed bucket).
+    * The bucket aggregation (one shuffle of docs × bands rows) drops
+    * singleton buckets BEFORE any pair exists — a direct self-join of
+    * the raw exploded set would shuffle it twice and probe the ~all-
+    * singleton buckets for nothing. Multi-member buckets then re-explode
+    * and self-join within the bucket key: the k(k-1)/2 combinations per
+    * bucket stream through the join iterator into distinct(), and no
+    * operator ever holds a quadratic (or even linear-in-bucket)
+    * candidate array in one value.
     *
     * Skew guard: a bucket larger than `maxBucketSize` is BY CONSTRUCTION
     * a mass-duplicate cluster (≥ cap docs agreeing on a band hash — the
@@ -147,18 +143,26 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
     val ids = col("ids")
-    val normal = buckets.filter(size(ids) <= maxBucketSize)
-      .select(ids, posexplode(ids).as(Seq("pos", "x")))
-      .select(explode(transform(
-        slice(ids, col("pos") + 2, size(ids)),
-        y => struct(least(col("x"), y).as("id_l"),
-          greatest(col("x"), y).as("id_r")))).as("p"))
+    // NORMAL buckets: within-bucket self-join — the k(k-1)/2 pair
+    // combinations per bucket stream through the sort-merge-join
+    // iterator straight into the distinct() shuffle, instead of first
+    // materializing O(k) candidate structs per member row (O(k²) per
+    // bucket; the array-building dominated this operator's cost on
+    // dense near-dup corpora).
+    val normMembers = buckets.filter(size(ids) <= maxBucketSize)
+      .select(col("band"), col("bh"), explode(ids).as("id"))
+    val nl = normMembers.alias("l")
+    val nr = normMembers.alias("r")
+    val normal = nl.join(nr,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
     val hub = array_min(ids)
     val mega = buckets.filter(size(ids) > maxBucketSize)
       .select(explode(transform(filter(ids, y => y =!= hub),
         y => struct(hub.as("id_l"), y.as("id_r")))).as("p"))
-    normal.union(mega)
       .select(col("p.id_l"), col("p.id_r"))
+    normal.union(mega)
       .distinct()
   }
 

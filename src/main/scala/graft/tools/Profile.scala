@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.Dedup
 
 /** Ad-hoc stage-by-stage timing of composite queries (local profiling
   * only — not part of the driver contract).
@@ -31,45 +31,59 @@ object Profile {
       df.write.mode("overwrite").format("noop").save()
 
     val docs = Tables.documents(spark, sfDir)
-    // warmup pass
-    noop(docs.select(count(lit(1))))
+    noop(docs.select(count(lit(1)))) // warmup
 
-    // structure probe: distinct fingerprints and band-bucket occupancy
-    val withSim = docs.select(col("doc_id").as("id"),
-      graft.functions.Sketches.simhash(col("text")).as("sh"))
-    withSim.agg(count(lit(1)).as("n"), countDistinct(col("sh")).as("n_sh")).show()
-    val banded = withSim.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))): _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    banded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("k"), countDistinct(col("sh")).as("k_sh"))
-      .orderBy(desc("k")).show(10)
-    val pairs0 = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
-    println(s"[prof] near-dup pairs: ${pairs0.count()}")
+    // bucket structure probe: pre-distinct pair volume
+    {
+      val prepared = Dedup.prepareMinhash(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 32)
+      val exploded = prepared.select(col("id"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+      val bk = exploded.groupBy("band", "bh").agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1)
+      bk.agg(sum(col("k") * (col("k") - 1) / 2).as("pre_distinct_pairs"),
+        max(col("k")).as("max_bucket"), count(lit(1)).as("n_buckets")).show()
+    }
 
+    // source_overlap breakdown
+    {
+      import graft.functions.Sketches
+      (1 to 2).foreach { pass =>
+        println(s"--- so pass $pass ---")
+        val grams = docs.select(col("source"),
+          explode(array_distinct(Sketches.word_ngrams(col("text"), 5))).as("gram"))
+        time("so_grams")(noop(grams))
+        val byGram = grams.groupBy("gram")
+          .agg(array_sort(collect_set(col("source"))).as("ss"))
+        time("so_bygram")(noop(byGram))
+        time("so_full")(noop(graft.queries.ExtendedQueries.sourceOverlap(spark, sfDir)))
+      }
+    }
+
+    val numHashes = 64
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass ---")
-      val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
-        .select("id_l", "id_r")
-      time("simhash_pairs")(noop(pairs))
-      val clusters = time("connected_components")(
-        Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs))
-      time("cc_materialize")(noop(clusters))
-      val sizes = clusters.groupBy("cluster")
-        .agg(count(lit(1)).as("n_members")).filter(col("n_members") > 1)
-      val members = clusters.join(sizes, Seq("cluster"))
-        .join(docs.select(col("doc_id"), col("text")),
-          clusters("id") === docs("doc_id"))
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      time("rank_and_window") {
-        import org.apache.spark.sql.expressions.Window
-        noop(members
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("cluster").orderBy(desc("quality"), col("doc_id"))))
-          .filter(col("rk") === 1))
-      }
+      val prepared = Dedup.prepareMinhash(docs, "doc_id", "text",
+        shingleN = 2, numHashes = numHashes, bands = 32)
+      time("prepare_minhash")(noop(prepared))
+      time("prep_no_shingles")(noop(prepared.select(col("id"), col("sig"), col("bands"))))
+      val exploded = prepared.select(col("id"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+      time("exploded")(noop(exploded))
+      val bkt = exploded.groupBy("band", "bh")
+        .agg(collect_list(col("id")).as("ids")).filter(size(col("ids")) > 1)
+      time("buckets")(noop(bkt))
+      val cands = Dedup.candidatePairs(prepared, "id", "bands")
+      time("candidate_pairs")(noop(cands))
+      println(s"[prof] n_cands = ${cands.count()}")
+      val sigs = prepared.select(col("id"), col("sig"))
+      val joined = cands
+        .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+        .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
+        .withColumn("est_jaccard", Dedup.estJaccard(col("sig_l"), col("sig_r"), numHashes))
+        .select("id_l", "id_r", "est_jaccard")
+      time("full_top_pairs")(noop(joined
+        .orderBy(desc("est_jaccard"), col("id_l"), col("id_r")).limit(20)))
     }
     spark.stop()
   }
