@@ -492,4 +492,65 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .distinct()
   }
+
+  // ------------------------------------------------------------------
+  // Exact repeated substrings
+  // ------------------------------------------------------------------
+
+  /** Exact repeated-substring detection (the substring-level exact
+    * dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", §3.1 ExactSubstr): a w-token window that
+    * occurs more than once ANYWHERE in the corpus (another document or
+    * another position of the same document) marks its tokens as
+    * duplicated text; overlapping/adjacent repeated windows merge into
+    * maximal spans. Returns one row per document that contains at least
+    * one repeated window: `id, n_windows, n_repeated, n_spans,
+    * max_span_tokens, n_rep_tokens`.
+    *
+    * Scale shape (suffix arrays, the paper's single-node tool, don't
+    * distribute; this is the shuffle-native equivalent):
+    *  - windows come from ONE narrow kernel pass (`word_ngrams`) —
+    *    docs × windows rows, no corpus materialization;
+    *  - corpus-repeated windows use groupBy+count then an inner join
+    *    back, NOT a count-over-gram-partition window: partial (map-side)
+    *    aggregation absorbs the degenerate gram repeated 10⁶ times,
+    *    where a window function would hand one task the whole gram
+    *    partition;
+    *  - the join prunes every non-repeated window before any per-doc
+    *    work, so span assembly touches only duplicated text — a
+    *    vanishing fraction of a real corpus;
+    *  - span merging is lag/cumsum windows partitioned BY DOCUMENT
+    *    (gaps-and-islands), bounded by per-doc window counts.
+    */
+  def repeatedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                             w: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.Sketches.word_ngrams(col(textCol), w))
+        .as(Seq("pos", "gram")))
+    val repGrams = wins.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select("gram")
+    val rep = wins.join(repGrams, "gram").select("id", "pos")
+    // windows at positions p, p' (p < p') merge iff p' - p <= w: their
+    // token intervals [p, p+w) overlap or touch. lag+cumsum assigns
+    // span ids; both windows share the (id, pos) sort, one shuffle.
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagPos = lag(col("pos"), 1).over(byDoc)
+    val flagged = rep
+      .withColumn("f",
+        when(lagPos.isNull || col("pos") - lagPos > w, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("f")).over(run))
+    val spans = flagged.groupBy("id", "sid")
+      .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("k"))
+    val perDoc = spans.groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + w).as("n_rep_tokens"),
+        max(col("e") - col("s") + w).cast("long").as("max_span_tokens"),
+        sum(col("k")).as("n_repeated"))
+    val totals = wins.groupBy("id").agg(count(lit(1)).as("n_windows"))
+    perDoc.join(totals, "id")
+      .select(col("id"), col("n_windows"), col("n_repeated"), col("n_spans"),
+        col("max_span_tokens"), col("n_rep_tokens"))
+  }
 }

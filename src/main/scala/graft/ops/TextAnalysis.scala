@@ -71,6 +71,22 @@ object TextAnalysis {
   def stopwordHits(text: Column): Column =
     graft.functions.TextKernels.stopword_hits(text)
 
+  /** Linear document-classifier inference (the fastText-style quality
+    * filter of the GPT-3/CCNet pipelines: a bag-of-words linear model
+    * scored per document, corpus-scale): score = Σ_tokens weight(token),
+    * where the per-token weight is derived deterministically from the
+    * portable token hash — centered to [-(m-1)/2, (m-1)/2] — standing in
+    * for learned weights (no trained artifact ships with the repo; a
+    * real deployment swaps the hash for a broadcast weight map without
+    * touching the plan shape). All-integer arithmetic → exact on any
+    * engine, and the whole thing is one narrow codegen'd pass: inference
+    * over 100 TB is scan-bound, shuffle-free.
+    */
+  def linearClassifierScore(text: Column, weightMod: Long = 2001L): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      acc + (graft.functions.MathExprs.polyHash(t, weightMod)
+        - (weightMod - 1) / 2))
+
   /** Composite quality score in [0,1] from cheap surface statistics —
     * the length / punctuation / stopword-ratio heuristics of C4-style
     * corpus filtering, composed so each term is a ratio of exact integer

@@ -625,6 +625,78 @@ object ExtendedQueries {
       |FROM tot JOIN sh ON sh.doc_id = tot.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  /** Exact repeated-substring spans (Lee et al. ExactSubstr dedup) over
+    * the corpus: per document containing duplicated text, the repeated
+    * 15-token-window count and the merged maximal span statistics. See
+    * `Dedup.repeatedSubstringSpans` for the shuffle-native design
+    * (suffix arrays don't distribute).
+    */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = 15
+    Dedup.repeatedSubstringSpans(Tables.documents(spark, dir),
+        "doc_id", "text", w)
+      .select(col("id").as("doc_id"), col("n_windows"), col("n_repeated"),
+        col("n_spans"), col("max_span_tokens"), col("n_rep_tokens"),
+        (col("n_rep_tokens").cast("double") /
+          (col("n_windows") + lit(w - 1))).as("repeated_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val substringSpansSql =
+    s"""WITH t AS (SELECT doc_id, ${kernelToksSql("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(toks) < 15 THEN []
+       |        ELSE list_transform(range(1, len(toks) - 13),
+       |          i -> list_aggregate(toks[i:i+14], 'string_agg', ' ')) END AS gs
+       |      FROM t),
+       |wins AS (SELECT doc_id, i - 1 AS pos, gs[i] AS gram
+       |         FROM g, unnest(range(1, len(gs) + 1)) AS r(i)),
+       |occ AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) > 1),
+       |rep AS (SELECT w.doc_id, w.pos FROM wins w JOIN occ USING (gram)),
+       |sp AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |             OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 15
+       |        THEN 1 ELSE 0 END AS f FROM rep),
+       |sp2 AS (SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM sp),
+       |spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) AS e, count(*) AS k
+       |          FROM sp2 GROUP BY 1, 2),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |                  CAST(sum(e - s + 15) AS BIGINT) AS n_rep_tokens,
+       |                  CAST(max(e - s + 15) AS BIGINT) AS max_span_tokens,
+       |                  CAST(sum(k) AS BIGINT) AS n_repeated
+       |           FROM spans GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1)
+       |SELECT p.doc_id, t.n_windows, p.n_repeated, p.n_spans, p.max_span_tokens,
+       |       p.n_rep_tokens,
+       |       CAST(p.n_rep_tokens AS DOUBLE) / (t.n_windows + 14) AS repeated_frac
+       |FROM perdoc p JOIN tot t USING (doc_id) ORDER BY p.doc_id""".stripMargin
+
+  /** Linear classifier inference over the corpus (fastText-style quality
+    * filter): per-doc integer score from deterministic per-token weights
+    * and the resulting keep/drop label — the model-scoring-at-scale
+    * shape (one narrow pass, no shuffle; see
+    * `TextAnalysis.linearClassifierScore`).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.linearClassifierScore(col("text")).as("score"))
+      .withColumn("label", col("score") > 0)
+      .orderBy("doc_id")
+
+  private val qualityClassifierSql =
+    s"""WITH t AS (SELECT doc_id,
+       |             string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(list_sum(list_transform(toks, tk ->
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(tk, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % 2001) - 1000)) AS BIGINT) AS score
+       |      FROM t)
+       |SELECT doc_id, n_tokens, score, score > 0 AS label
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** Cross-source overlap matrix — the dataset-level contamination
     * audit run before mixing corpora: for every source pair, the count
     * and Jaccard of shared distinct word 5-grams. Shape: ONE shuffle
@@ -1714,6 +1786,8 @@ object ExtendedQueries {
     "dedup_stats" -> dedupStats _,
     "dedup_canonical" -> dedupCanonical _,
     "line_dedup" -> lineDedup _,
+    "substring_spans" -> substringSpans _,
+    "quality_classifier" -> qualityClassifier _,
     "per_source_cap" -> perSourceCap _,
     "source_overlap" -> sourceOverlap _,
     "embedding_dup_clusters" -> embeddingDupClusters _,
@@ -1761,6 +1835,8 @@ object ExtendedQueries {
     "dedup_stats" -> dedupStatsSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "line_dedup" -> lineDedupSql,
+    "substring_spans" -> substringSpansSql,
+    "quality_classifier" -> qualityClassifierSql,
     "per_source_cap" -> perSourceCapSql,
     "source_overlap" -> sourceOverlapSql,
     "embedding_dup_clusters" -> embeddingDupClustersSql,
