@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CountMin, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** North-star LLM-data-pipeline operators over the `documents` and
   * `embeddings` fixtures: dedup, similarity search, text analysis,
@@ -696,6 +696,56 @@ object ExtendedQueries {
        |      FROM t)
        |SELECT doc_id, n_tokens, score, score > 0 AS label
        |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Count-Min heavy hitters with an in-plan accuracy gate: the top-20
+    * exact token counts next to their CMS estimates (d=4, w=512,
+    * portable row-salted hash), plus the CMS ε-guarantee asserted as
+    * data — `within_eps` is `(est − true) · w ≤ 3 · N` (3 > e, integer
+    * arithmetic, so the bound itself is engine-exact). The oracle
+    * REBUILDS the sketch in DuckDB cell-for-cell (the `IvfOracle`
+    * pattern: verification re-derives the structure, it doesn't trust
+    * it). The sketch path shuffles a fixed d×w cells per task at any
+    * corpus size (see `CountMin`); the exact counts here are the gate's
+    * comparison baseline, not part of the sketch.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 512)
+    val occurrences = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val sketch = CountMin.buildSketch(occurrences, "tok", d, w)
+    val total = occurrences.agg(count(lit(1)).as("total_n"))
+    val trueTop = occurrences.groupBy("tok").agg(count(lit(1)).as("true_n"))
+      .orderBy(desc("true_n"), col("tok")).limit(20)
+      .crossJoin(broadcast(total))
+    CountMin.estimate(sketch, trueTop, "tok", d, w)
+      .select(col("tok"), col("true_n"), col("est_n"),
+        ((col("est_n") - col("true_n")) * w <= lit(3L) * col("total_n"))
+          .as("within_eps"))
+      .orderBy(desc("true_n"), col("tok"))
+  }
+
+  private def cmsBucketSql(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($expr, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % ${CountMin.HashMod}) % 512""".stripMargin
+
+  private val cmsHeavyHittersSql =
+    s"""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |           FROM documents),
+       |cells AS (SELECT j, ${cmsBucketSql("CAST(j AS VARCHAR) || '#' || tok")} AS bucket,
+       |                 count(*) AS n
+       |          FROM t, unnest([0, 1, 2, 3]) AS jj(j) GROUP BY 1, 2),
+       |occ AS (SELECT tok, count(*) AS true_n FROM t GROUP BY 1),
+       |total AS (SELECT count(*) AS total_n FROM t),
+       |top AS (SELECT tok, true_n FROM occ ORDER BY true_n DESC, tok LIMIT 20),
+       |est AS (SELECT top.tok, top.true_n, min(c.n) AS est_n
+       |        FROM top, unnest([0, 1, 2, 3]) AS jj(j)
+       |        JOIN cells c ON c.j = jj.j
+       |         AND c.bucket = ${cmsBucketSql("CAST(jj.j AS VARCHAR) || '#' || top.tok")}
+       |        GROUP BY 1, 2)
+       |SELECT tok, true_n, est_n,
+       |       (est_n - true_n) * 512 <= 3 * (SELECT total_n FROM total) AS within_eps
+       |FROM est ORDER BY true_n DESC, tok""".stripMargin
 
   /** Cross-source overlap matrix — the dataset-level contamination
     * audit run before mixing corpora: for every source pair, the count
@@ -1788,6 +1838,7 @@ object ExtendedQueries {
     "line_dedup" -> lineDedup _,
     "substring_spans" -> substringSpans _,
     "quality_classifier" -> qualityClassifier _,
+    "cms_heavy_hitters" -> cmsHeavyHitters _,
     "per_source_cap" -> perSourceCap _,
     "source_overlap" -> sourceOverlap _,
     "embedding_dup_clusters" -> embeddingDupClusters _,
@@ -1837,6 +1888,7 @@ object ExtendedQueries {
     "line_dedup" -> lineDedupSql,
     "substring_spans" -> substringSpansSql,
     "quality_classifier" -> qualityClassifierSql,
+    "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "per_source_cap" -> perSourceCapSql,
     "source_overlap" -> sourceOverlapSql,
     "embedding_dup_clusters" -> embeddingDupClustersSql,
