@@ -522,12 +522,24 @@ object Dedup {
     *  - span merging is lag/cumsum windows partitioned BY DOCUMENT
     *    (gaps-and-islands), bounded by per-doc window counts.
     */
-  def repeatedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
-                             w: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = df.select(col(idCol).as("id"),
+  /** The corpus's repeated w-token windows as per-document exploded
+    * positions: `(id, pos, gram)` for every window position. Shared by
+    * span detection and span removal.
+    */
+  private def explodedWindows(df: DataFrame, idCol: String, textCol: String,
+                              w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
       posexplode(graft.functions.Sketches.word_ngrams(col(textCol), w))
         .as(Seq("pos", "gram")))
+
+  /** Merged maximal repeated spans `(id, sid, s, e, k)` from the exploded
+    * window set: positions of corpus-repeated windows, merged when their
+    * w-token intervals overlap or touch. The token interval of a span is
+    * `[s, e + w)`. See `repeatedSubstringSpans` for the scale rationale
+    * of each step.
+    */
+  private def mergedSpans(wins: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val repGrams = wins.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("gram")
     val rep = wins.join(repGrams, "gram").select("id", "pos")
@@ -541,8 +553,14 @@ object Dedup {
       .withColumn("f",
         when(lagPos.isNull || col("pos") - lagPos > w, 1L).otherwise(0L))
       .withColumn("sid", sum(col("f")).over(run))
-    val spans = flagged.groupBy("id", "sid")
+    flagged.groupBy("id", "sid")
       .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("k"))
+  }
+
+  def repeatedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                             w: Int = 15): DataFrame = {
+    val wins = explodedWindows(df, idCol, textCol, w)
+    val spans = mergedSpans(wins, w)
     val perDoc = spans.groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + w).as("n_rep_tokens"),
@@ -552,5 +570,48 @@ object Dedup {
     perDoc.join(totals, "id")
       .select(col("id"), col("n_windows"), col("n_repeated"), col("n_spans"),
         col("max_span_tokens"), col("n_rep_tokens"))
+  }
+
+  /** Exact repeated-substring REMOVAL — the operation Lee et al.'s
+    * ExactSubstr dedup actually performs (not just measures): every token
+    * covered by a merged repeated span is cut from its document, and the
+    * survivors reassemble in order into cleaned text. Returns one row per
+    * input document: `(id, n_tokens, n_removed, n_kept, cleaned)` —
+    * untouched documents pass through with their tokens rejoined
+    * (single-space normalized, same as the cleaned docs) and
+    * `n_removed = 0`.
+    *
+    * Scale shape: span detection is `repeatedSubstringSpans`'s pipeline
+    * (groupBy+count+join, per-doc merge windows — see there). Removal
+    * adds NO new corpus shuffle: spans aggregate to one bounded array per
+    * affected document (a vanishing fraction of a real corpus), and that
+    * tiny side broadcasts into a left join against a single narrow
+    * re-tokenization pass. The per-token span-membership test runs only
+    * on documents that actually carry spans (the CASE short-circuits the
+    * rest), and spans within a doc are disjoint by construction (merge
+    * distance = w), so `n_removed` is a plain sum of span widths.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 15): DataFrame = {
+    val wins = explodedWindows(df, idCol, textCol, w)
+    val spanAgg = mergedSpans(wins, w).groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        sum(col("e") - col("s") + w).as("n_removed"))
+    // tokens via the same kernel tokenization the windows came from
+    // (word_ngrams with n=1), so span positions index this array exactly
+    val docs = df.select(col(idCol).as("id"),
+      graft.functions.Sketches.word_ngrams(col(textCol), 1).as("toks"))
+    val sp = col("spans")
+    docs.join(spanAgg, Seq("id"), "left")
+      .withColumn("kept",
+        when(sp.isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, i) =>
+            !exists(sp, s => i >= s.getField("s") &&
+              i < s.getField("e") + lit(w)))))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("cleaned"))
   }
 }

@@ -671,6 +671,53 @@ object ExtendedQueries {
        |       CAST(p.n_rep_tokens AS DOUBLE) / (t.n_windows + 14) AS repeated_frac
        |FROM perdoc p JOIN tot t USING (doc_id) ORDER BY p.doc_id""".stripMargin
 
+  /** Exact repeated-substring REMOVAL (Lee et al. ExactSubstr, completed):
+    * cut every merged repeated span's tokens and reassemble the cleaned
+    * document — the full corpus-hygiene operation, hash-verified on the
+    * reassembled text itself. Untouched docs pass through single-space
+    * normalized. See `Dedup.substringDedup`.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(Tables.documents(spark, dir), "doc_id", "text", 15)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("n_kept"), col("cleaned"))
+      .orderBy("doc_id")
+
+  private val substringDedupSql =
+    s"""WITH t AS (SELECT doc_id, ${kernelToksSql("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(toks) < 15 THEN []
+       |        ELSE list_transform(range(1, len(toks) - 13),
+       |          i -> list_aggregate(toks[i:i+14], 'string_agg', ' ')) END AS gs
+       |      FROM t),
+       |wins AS (SELECT doc_id, i - 1 AS pos, gs[i] AS gram
+       |         FROM g, unnest(range(1, len(gs) + 1)) AS r(i)),
+       |occ AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) > 1),
+       |rep AS (SELECT w.doc_id, w.pos FROM wins w JOIN occ USING (gram)),
+       |sp AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |             OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 15
+       |        THEN 1 ELSE 0 END AS f FROM rep),
+       |sp2 AS (SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM sp),
+       |spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) AS e
+       |          FROM sp2 GROUP BY 1, 2),
+       |tokpos AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |           FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans s2
+       |                           WHERE s2.doc_id = tp.doc_id
+       |                             AND tp.pos >= s2.s AND tp.pos < s2.e + 15)),
+       |ka AS (SELECT doc_id, count(*) AS n_kept,
+       |              string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |       FROM kept GROUP BY doc_id),
+       |rm AS (SELECT doc_id, sum(e - s + 15) AS n_removed FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed,
+       |       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       |       coalesce(ka.cleaned, '') AS cleaned
+       |FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN ka USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Linear classifier inference over the corpus (fastText-style quality
     * filter): per-doc integer score from deterministic per-token weights
     * and the resulting keep/drop label — the model-scoring-at-scale
@@ -1837,6 +1884,7 @@ object ExtendedQueries {
     "dedup_canonical" -> dedupCanonical _,
     "line_dedup" -> lineDedup _,
     "substring_spans" -> substringSpans _,
+    "substring_dedup" -> substringDedup _,
     "quality_classifier" -> qualityClassifier _,
     "cms_heavy_hitters" -> cmsHeavyHitters _,
     "per_source_cap" -> perSourceCap _,
@@ -1887,6 +1935,7 @@ object ExtendedQueries {
     "dedup_canonical" -> dedupCanonicalSql,
     "line_dedup" -> lineDedupSql,
     "substring_spans" -> substringSpansSql,
+    "substring_dedup" -> substringDedupSql,
     "quality_classifier" -> qualityClassifierSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "per_source_cap" -> perSourceCapSql,

@@ -66,6 +66,36 @@ class SubstringSpanSpec extends SparkSpec {
     assert(got == ((2L, 4L))) // two 4-token islands, not one merged span
   }
 
+  test("substringDedup cuts exactly the repeated spans and reassembles") {
+    // brute model: remove tokens covered by any merged span, rejoin
+    val toks = docs.as[(Long, String)].collect().toMap
+      .view.mapValues(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).toMap
+    val spansOf = bruteModel() // only used for span membership below
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.size < w) Seq.empty
+      else (0 to ts.size - w).map(p => (id, p, ts.slice(p, p + w).mkString(" ")))
+    }
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val covered: Map[Long, Set[Int]] = wins
+      .filter(x => counts(x._3) > 1)
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(x => x._2 until x._2 + w).toSet).toMap
+    val expected = toks.map { case (id, ts) =>
+      val cov = covered.getOrElse(id, Set.empty)
+      val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+      id -> (ts.size.toLong, (ts.size - kept.size).toLong,
+        kept.size.toLong, kept.mkString(" "))
+    }
+    val got = Dedup.substringDedup(docs, "doc_id", "text", w)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == expected)
+    // all 5 docs survive; untouched docs keep their full text
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(4L)._2 == 0L && got(4L)._4 == toks(4L).mkString(" "))
+    assert(spansOf.keySet.forall(id => got(id)._2 > 0L))
+  }
+
   test("linearClassifierScore == per-token polyHash sum") {
     val expected = docs.as[(Long, String)].collect().map { case (id, t) =>
       val toks = t.trim.split("\\s+", -1).toSeq
