@@ -231,6 +231,32 @@ object Sketches {
     }
   }
 
+  /** One BPE merge pass: left-to-right, non-overlapping replacement of
+    * every adjacent (first, second) symbol pair with the joined symbol
+    * `first + " " + second`. A just-merged symbol is strictly longer than
+    * `first`, so it can never start another match in the same pass —
+    * the greedy scan equals a simple fold (BpeSpec pins this against the
+    * run-parity window formulation the DuckDB oracle uses).
+    */
+  private[functions] def bpeMerge(syms: org.apache.spark.sql.catalyst.util.ArrayData,
+                                  first: UTF8String, second: UTF8String,
+                                  merged: UTF8String): GenericArrayData = {
+    val n = syms.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur == first && syms.getUTF8String(i + 1) == second) {
+        out += merged
+        i += 2
+      } else {
+        out += cur
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // ---------------------------------------------------------------- API
   import org.apache.spark.sql.GraftColumnBridge.{toColumn => column, toExpression => expression}
 
@@ -262,6 +288,13 @@ object Sketches {
 
   def jaccard(a: Column, b: Column): Column =
     column(JaccardExpr(expression(a), expression(b)))
+
+  /** One BPE merge pass over an ARRAY<STRING> symbol column (the merge
+    * pair arrives as driver-side literals — the broadcast-merge-table
+    * shape of tokenizer training, collapsed to the round's single pair).
+    */
+  def bpe_merge(syms: Column, first: String, second: String): Column =
+    column(BpeMergeExpr(expression(syms), first, second))
 
   def simhash(text: Column): Column = column(SimHashExpr(expression(text)))
 
@@ -429,4 +462,31 @@ case class SimHashExpr(child: Expression)
   override def nullSafeEval(v: Any): Any = Sketches.simhash(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
   override def prettyName: String = "simhash"
+}
+
+/** One left-to-right non-overlapping BPE merge pass over a symbol array
+  * (see `Sketches.bpeMerge`). The pair is a pair of literals: BPE training
+  * picks one global top pair per round, so the "merge table" of the round
+  * is driver-side by construction.
+  */
+case class BpeMergeExpr(child: Expression, first: String, second: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge requires ARRAY<STRING>, got ${t.sql}")
+    }
+  private lazy val f = UTF8String.fromString(first)
+  private lazy val s = UTF8String.fromString(second)
+  private lazy val merged = UTF8String.fromString(first + " " + second)
+  override def nullSafeEval(v: Any): Any =
+    Sketches.bpeMerge(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      f, s, merged)
+  override protected def withNewChildInternal(c: Expression): BpeMergeExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_merge"
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative BPE-style merge training over word symbols: each round
+  * counts adjacent symbol pairs across the corpus, picks the single most
+  * frequent pair (ties broken by the pair itself — fully deterministic),
+  * and applies a left-to-right non-overlapping merge to every document.
+  * `bpe_pair_counts` is one round's counting scan; this is the loop a
+  * real tokenizer trainer runs (Sennrich et al. 2016 operate on
+  * characters within words; word symbols keep the fixture's loop
+  * identical in shape while staying oracle-verifiable).
+  *
+  * Scale design:
+  *  - per round, ONE aggregation shuffle whose map side pre-combines to
+  *    distinct-pairs-per-partition; only the global top-1 row reaches the
+  *    driver (the "merge table" of the round — broadcast by construction,
+  *    it rides into the next round's kernel as literals);
+  *  - the merge pass is a narrow single-pass kernel
+  *    (`Sketches.bpe_merge`) — no shuffle between rounds;
+  *  - iterate-with-materialization (the `Dedup.loopLabels` pattern): each
+  *    round's state lands in a spillable cache, with a durable checkpoint
+  *    every `checkpointInterval`-th round when the session has a
+  *    checkpoint dir — bounding lineage and the recompute window after
+  *    executor loss on long trainings;
+  *  - documents that can no longer pair (< 2 symbols) drop out of the
+  *    working set permanently.
+  */
+object Bpe {
+
+  /** Train `rounds` merges over whitespace-token symbols of `textCol`.
+    * Returns `(round, first, second, n)` — the merge chosen each round
+    * and its pair frequency at selection time. Stops early if the corpus
+    * runs out of pairs.
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+            checkpointInterval: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val syms = col("syms")
+    // one kernel tokenization; docs that can never pair leave up front
+    var state = docs
+      .select(graft.functions.Sketches.word_ngrams(col(textCol), 1).as("syms"))
+      .filter(size(syms) >= 2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: Option[DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // adjacent pairs with multiplicity; `syms` is referenced by both
+      // size() and the lambda, so Catalyst can't inline the producer
+      // into the (interpreted) HOF body
+      val top = state
+        .select(explode(transform(sequence(lit(1), size(syms) - 1), i =>
+          struct(element_at(syms, i).as("first"),
+            element_at(syms, i + 1).as("second")))).as("p"))
+        .groupBy(col("p.first").as("first"), col("p.second").as("second"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("first"), col("second"))
+        .limit(1)
+        .collect() // exactly one row per round — the round's merge table
+      // the job above also materialized `state`'s cache; the previous
+      // round's state fed it and is never read again
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(state)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (f, s, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, f, s, n))
+        if (r < rounds) {
+          val next = state
+            .select(graft.functions.Sketches.bpe_merge(syms, f, s).as("syms"))
+            .filter(size(syms) >= 2)
+          state =
+            if (reliable && r % checkpointInterval == 0) next.checkpoint(eager = false)
+            else next.persist(StorageLevel.MEMORY_AND_DISK)
+        }
+      }
+      r += 1
+    }
+    prev.foreach(_.unpersist(blocking = false))
+    if (state ne null) state.unpersist(blocking = false)
+    toMergesDf(spark, merges.toSeq)
+  }
+
+  private def toMergesDf(spark: SparkSession,
+                         merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("round", "first", "second", "n")
+  }
+}

@@ -560,6 +560,64 @@ object ExtendedQueries {
       |SELECT pair, count(*) AS n FROM p
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** Iterative BPE merge training — the loop `bpe_pair_counts` computes
+    * one round of: 10 rounds of count-top-pair → apply-merge → recount
+    * (see `Bpe.train` for the per-round shuffle shape and the
+    * iterate-with-checkpoint state handling). The oracle replays the
+    * SAME 10 fixed rounds as a DuckDB CTE chain, applying each round's
+    * merge with the run-parity window formulation (left-to-right
+    * non-overlapping: within each consecutive run of matching positions,
+    * the 1st, 3rd, … apply — provably equal to the kernel's greedy scan,
+    * BpeSpec pins it).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.train(Tables.documents(spark, dir), "text", BpeTrainRounds)
+      .orderBy("round")
+
+  private val BpeTrainRounds = 10
+
+  /** The fixed-round CTE chain: s0 = tokenized corpus; per round r,
+    * `t_r` picks the top pair from state `s_(r-1)` and `s_r` applies it.
+    * Generated from the one rounds constant the Spark loop uses.
+    */
+  private def bpeTrainSqlGen(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH s0 AS MATERIALIZED (SELECT doc_id, ${kernelToksSql("text")} AS syms FROM documents)")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+m$r AS MATERIALIZED (SELECT doc_id, i AS pos, syms[i] AS sym,
+        CASE WHEN i < len(syms) THEN syms[i+1] ELSE NULL END AS nxt
+        FROM s${r - 1}, unnest(range(1, len(syms) + 1)) AS r_(i)),
+t$r AS MATERIALIZED (SELECT sym AS f, nxt AS sec, count(*) AS n FROM m$r
+        WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ORDER BY n DESC, f, sec LIMIT 1)""")
+      if (r < rounds) sb.append(s""",
+x$r AS MATERIALIZED (SELECT doc_id, pos, sym, nxt,
+        coalesce(sym = (SELECT f FROM t$r)
+             AND nxt = (SELECT sec FROM t$r), FALSE) AS mt
+        FROM m$r),
+y$r AS MATERIALIZED (SELECT *, pos - row_number() OVER (PARTITION BY doc_id, mt ORDER BY pos) AS grp
+        FROM x$r),
+z$r AS MATERIALIZED (SELECT doc_id, pos, sym, nxt,
+        mt AND (row_number() OVER (PARTITION BY doc_id, mt, grp ORDER BY pos)) % 2 = 1 AS ap
+        FROM y$r),
+w$r AS MATERIALIZED (SELECT doc_id, pos, sym, nxt, ap,
+        coalesce(lag(ap) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS consumed
+        FROM z$r),
+s$r AS MATERIALIZED (SELECT doc_id,
+        list(CASE WHEN ap THEN sym || ' ' || nxt ELSE sym END ORDER BY pos) AS syms
+        FROM w$r WHERE NOT consumed GROUP BY doc_id)""")
+    }
+    sb.append("\n")
+    sb.append((1 to rounds).map(r =>
+      s"SELECT $r AS round, f AS first, sec AS second, n FROM t$r")
+      .mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY round")
+    sb.toString
+  }
+
+  private val bpeTrainSql = bpeTrainSqlGen(BpeTrainRounds)
+
   /** Benchmark decontamination — the n-gram-overlap check run before LLM
     * training (à la the GPT-3 report): a training document is
     * contaminated if it shares any word 5-gram with the held-out
@@ -1901,6 +1959,7 @@ object ExtendedQueries {
     "text_normalize" -> textNormalize _,
     "hash_split_stats" -> hashSplitStats _,
     "bpe_pair_counts" -> bpePairCounts _,
+    "bpe_train" -> bpeTrain _,
     "decontamination" -> decontamination _,
     "token_budget_pack" -> tokenBudgetPack _,
     "mixture_sample_stats" -> mixtureSampleStats _,
@@ -1952,6 +2011,7 @@ object ExtendedQueries {
     "text_normalize" -> textNormalizeSql,
     "hash_split_stats" -> hashSplitStatsSql,
     "bpe_pair_counts" -> bpePairCountsSql,
+    "bpe_train" -> bpeTrainSql,
     "decontamination" -> decontaminationSql,
     "token_budget_pack" -> tokenBudgetPackSql,
     "mixture_sample_stats" -> mixtureSampleStatsSql,

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+import graft.ops.Bpe
+
+/** BPE merge-training: the single-pass merge kernel against the
+  * run-parity window formulation the DuckDB oracle uses, plus the full
+  * training loop against an in-memory reference trainer.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run-parity model (the oracle's formulation): within each maximal
+    * run of consecutive matching positions, the 1st, 3rd, … matches
+    * apply; a position right after an applied match is consumed.
+    */
+  private def runParityMerge(syms: Seq[String], f: String, s: String): Seq[String] = {
+    val mt = syms.indices.map(i =>
+      i + 1 < syms.size && syms(i) == f && syms(i + 1) == s)
+    val ap = Array.fill(syms.size)(false)
+    var i = 0
+    while (i < syms.size) {
+      if (mt(i)) {
+        var j = i
+        var odd = true
+        while (j < syms.size && mt(j)) { ap(j) = odd; odd = !odd; j += 1 }
+        i = j
+      } else i += 1
+    }
+    syms.indices
+      .filterNot(i => i > 0 && ap(i - 1)) // consumed
+      .map(i => if (ap(i)) s"${syms(i)} ${syms(i + 1)}" else syms(i))
+  }
+
+  /** Greedy scan model (what the kernel implements). */
+  private def greedyMerge(syms: Seq[String], f: String, s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.size) {
+      if (i + 1 < syms.size && syms(i) == f && syms(i + 1) == s) {
+        out += s"$f $s"; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  test("bpe_merge kernel == greedy == run-parity, incl. overlap runs") {
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a"),            // odd overlap run
+      (Seq("a", "a", "a", "a"), "a", "a"),       // even overlap run
+      (Seq("a", "b", "a", "b", "a"), "a", "b"),  // alternating
+      (Seq("x", "a", "b", "y", "a", "b"), "a", "b"),
+      (Seq("a"), "a", "a"),                      // too short
+      (Seq("a b", "c", "a b", "c"), "a b", "c")  // merged symbols re-merge
+    )
+    for ((syms, f, s) <- cases) {
+      val expected = greedyMerge(syms, f, s)
+      assert(runParityMerge(syms, f, s) == expected,
+        s"run-parity diverges on $syms + ($f,$s)")
+      val got = Seq(Tuple1(syms)).toDF("syms")
+        .select(Sketches.bpe_merge($"syms", f, s).as("m"))
+        .as[Seq[String]].head()
+      assert(got == expected, s"kernel diverges on $syms + ($f,$s)")
+    }
+  }
+
+  test("bpe_merge kernel == greedy on random symbol streams") {
+    val rnd = new scala.util.Random(42)
+    val alpha = Vector("a", "b", "c")
+    val docs = (1 to 60).map(_ =>
+      Seq.fill(1 + rnd.nextInt(20))(alpha(rnd.nextInt(alpha.size))))
+    for (f <- alpha; s <- alpha) {
+      val got = docs.map(Tuple1(_)).toDF("syms")
+        .select(Sketches.bpe_merge($"syms", f, s).as("m"))
+        .as[Seq[String]].collect().toSeq
+      val expected = docs.map(greedyMerge(_, f, s))
+      assert(got == expected, s"mismatch for pair ($f,$s)")
+      assert(docs.map(runParityMerge(_, f, s)) == expected)
+    }
+  }
+
+  /** In-memory reference trainer mirroring Bpe.train exactly. */
+  private def refTrain(corpus: Seq[Seq[String]],
+                       rounds: Int): Seq[(Int, String, String, Long)] = {
+    var state = corpus.filter(_.size >= 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds if state.nonEmpty) {
+      val counts = state.flatMap(ts => ts.zip(ts.tail))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (counts.nonEmpty) {
+        val ((f, s), n) = counts.toSeq
+          .sortBy { case ((f, s), n) => (-n, f, s) }.head
+        out += ((r, f, s, n))
+        state = state.map(greedyMerge(_, f, s)).filter(_.size >= 2)
+      }
+    }
+    out.toSeq
+  }
+
+  test("Bpe.train matches the in-memory trainer on a planted corpus") {
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the cat ran to the cat",
+      "a cat and the cat sat",
+      "the cat sat on a log",
+      "dogs bark")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", 5)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val expected = refTrain(texts.map(_.split(" ").toSeq), 5)
+    assert(got == expected)
+    // the first merge must be the dominant pair and later rounds must
+    // be able to pick pairs involving merged symbols
+    assert(got.head._2 == "the" && got.head._3 == "cat")
+    assert(got.exists(m => m._2.contains(" ") || m._3.contains(" ")))
+  }
+}
