@@ -52,8 +52,16 @@ object Quantiles {
     * low-cardinality group keys quantiles are computed over; a
     * high-cardinality key would make `exactQuantiles`' broadcast of
     * per-group counts the wrong tool anyway.
+    *
+    * EXECUTABLE-SPEC ONLY (`private[graft]`): the returned DataFrame
+    * lazily reads the cached sort, so the cache cannot be released until
+    * the plan is dereferenced (ContextCleaner). Production queries use
+    * `exactQuantiles`, which lands its tiny selection pass driver-side
+    * and unpersists the sort eagerly; QuantilesSpec keeps this full-rank
+    * variant as the reference model the selection pass is checked
+    * against.
     */
-  def groupRanked(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  private[graft] def groupRanked(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     val s = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),

@@ -16,8 +16,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * guarantee as the batch operator: Hamming ≤ 3 ⇒ ≥ 1 shared band), so
   * per-doc work is bucket-occupancy, never corpus-size. State scales out
   * on the band-key shuffle exactly like the batch candidate join; a
-  * production deployment with a finite dedup horizon bounds it with a
-  * state timeout, same note as `DedupStream`.
+  * finite dedup horizon is available through `ttlMs`: bucket members
+  * older than the TTL are pruned before matching (lazy, per-member), and
+  * buckets idle past the TTL are evicted wholesale through
+  * `GroupStateTimeout.ProcessingTimeTimeout` — same two-pronged scheme
+  * as `DedupStream`. Default (`ttlMs = None`) keeps unbounded state.
   *
   * A pair that shares several bands would surface once per shared band
   * (and Spark disallows chaining a second stateful dedup behind
@@ -36,35 +39,46 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object NearDupStream {
 
   case class BandedDoc(band: Int, bh: Long, doc_id: Long, sh: Long)
-  case class BucketState(members: List[(Long, Long)]) // (doc_id, simhash)
+  case class BucketState(members: List[(Long, Long, Long)]) // (doc_id, simhash, seenMs)
   case class NearDupPair(id_l: Long, id_r: Long, dist: Int)
 
   /** Per-bucket matcher: compare each arriving doc against the bucket's
-    * members (state + earlier rows of this batch, in ascending-id order
-    * so in-batch results are arrival-order-independent), then add it.
+    * live members (state + earlier rows of this batch, in ascending-id
+    * order so in-batch results are arrival-order-independent), then add
+    * it. With a TTL, members older than the horizon are pruned first —
+    * they no longer match, and a re-arrival of the same id is treated as
+    * a fresh document.
     */
-  private[streaming] def matchBucket(maxDist: Int)(
+  private[graft] def matchBucket(maxDist: Int, ttlMs: Option[Long] = None)(
       key: (Int, Long), docs: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[NearDupPair] = {
-    var members = state.getOption.map(_.members).getOrElse(Nil)
-    val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
-    docs.toSeq.sortBy(_.doc_id).foreach { d =>
-      if (!members.exists(_._1 == d.doc_id)) {
-        members.foreach { case (pid, psh) =>
-          val dist = java.lang.Long.bitCount(psh ^ d.sh)
-          if (dist <= maxDist)
-            out += NearDupPair(math.min(pid, d.doc_id), math.max(pid, d.doc_id), dist)
+    if (state.hasTimedOut) { // bucket idle past the TTL: evict wholesale
+      state.remove()
+      Iterator.empty
+    } else {
+      val now = ttlMs.map(_ => state.getCurrentProcessingTimeMs()).getOrElse(0L)
+      var members = state.getOption.map(_.members).getOrElse(Nil)
+      ttlMs.foreach(t => members = members.filter(m => now - m._3 <= t))
+      val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+      docs.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (!members.exists(_._1 == d.doc_id)) {
+          members.foreach { case (pid, psh, _) =>
+            val dist = java.lang.Long.bitCount(psh ^ d.sh)
+            if (dist <= maxDist)
+              out += NearDupPair(math.min(pid, d.doc_id), math.max(pid, d.doc_id), dist)
+          }
+          members = (d.doc_id, d.sh, now) :: members
         }
-        members = (d.doc_id, d.sh) :: members
       }
+      state.update(BucketState(members))
+      ttlMs.foreach(t => state.setTimeoutDuration(t))
+      out.iterator
     }
-    state.update(BucketState(members))
-    out.iterator
   }
 
   /** The banded matching transform on any (doc_id, text) Dataset. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): Dataset[NearDupPair] = {
+                   maxDist: Int = 3, ttlMs: Option[Long] = None): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     val banded = docs
       .select(col(idCol).as("doc_id"),
@@ -75,9 +89,12 @@ object NearDupStream {
             shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))): _*)).as("bk"))
       .select(col("bk.band"), col("bk.bh"), col("doc_id"), col("sh"))
       .as[BandedDoc]
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded.groupByKey(d => (d.band, d.bh))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        matchBucket(maxDist))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        matchBucket(maxDist, ttlMs))
   }
 
   /** Start the stream: one `doc_id<TAB>text` line per document under
@@ -87,14 +104,14 @@ object NearDupStream {
     */
   def start(spark: SparkSession, landingDir: String, outPath: String,
             checkpoint: String, maxDist: Int = 3,
-            nBuckets: Int = 64): StreamingQuery = {
+            nBuckets: Int = 64, ttlMs: Option[Long] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema("value STRING")
       .text(landingDir)
       .select(
         split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
         split(col("value"), "\t").getItem(1).as("text"))
-    nearDupPairs(docs, "doc_id", "text", maxDist).writeStream
+    nearDupPairs(docs, "doc_id", "text", maxDist, ttlMs).writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)

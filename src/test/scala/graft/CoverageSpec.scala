@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the prose in COVERAGE.md to the code: the "ALL N queries" count
+  * must equal `SparkEntry.queries.size` (it drifted 81 vs 82 in round 5
+  * when two queries landed after the count was written). Every query must
+  * also carry an oracle — the suite has had zero rows-only entries since
+  * round 4 and this keeps it that way mechanically.
+  */
+class CoverageSpec extends AnyFunSuite {
+
+  test("COVERAGE.md query count matches SparkEntry.queries") {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get("COVERAGE.md"))
+    val m = "Oracle-registered: ALL (\\d+) queries".r.findFirstMatchIn(text)
+      .getOrElse(fail("COVERAGE.md lost its 'Oracle-registered: ALL N queries' line"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"COVERAGE.md says ${m.group(1)} but SparkEntry.queries has " +
+        s"${SparkEntry.queries.size} — update COVERAGE.md")
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle SQL: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracle SQL without a query: ${(o -- q).toSeq.sorted}")
+  }
+}

@@ -3,25 +3,30 @@ package graft
 import java.nio.file.{Files, Paths}
 import graft.streaming.{DedupStream, IngestStream, JoinStream, NearDupStream, PackStream, WindowStream}
 
-/** Minimal in-memory GroupState for driving stateful functions directly. */
-class FakeGroupState[S](initial: Option[S])
+/** Minimal in-memory GroupState for driving stateful functions directly.
+  * `timedOut` simulates a ProcessingTimeTimeout callback; `nowMs` is the
+  * clock the function sees through `getCurrentProcessingTimeMs`.
+  */
+class FakeGroupState[S](initial: Option[S], timedOut: Boolean = false,
+                        nowMs: Long = 0L)
     extends org.apache.spark.sql.streaming.GroupState[S] {
   private var cur: Option[S] = initial
+  var lastTimeoutMs: Option[Long] = None
   def updated: Option[S] = cur
   override def exists: Boolean = cur.isDefined
   override def get: S = cur.get
   override def getOption: Option[S] = cur
   override def update(newState: S): Unit = { cur = Some(newState) }
   override def remove(): Unit = { cur = None }
-  override def hasTimedOut: Boolean = false
-  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def hasTimedOut: Boolean = timedOut
+  override def setTimeoutDuration(durationMs: Long): Unit = { lastTimeoutMs = Some(durationMs) }
   override def setTimeoutDuration(duration: String): Unit = ()
   override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
   override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
   override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
   override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
   override def getCurrentWatermarkMs(): Long = 0L
-  override def getCurrentProcessingTimeMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = nowMs
 }
 
 class StreamingSpec extends SparkSpec {
@@ -231,6 +236,93 @@ class StreamingSpec extends SparkSpec {
       .select("text").collect().map(_.getString(0)).toSeq
     assert(texts.length == 3 && texts.count(_ == "alpha doc") == 1
       && texts.contains("gamma doc"))
+  }
+
+  test("dedup stream TTL: state evicted past the horizon, dedup holds within it") {
+    import graft.streaming.DedupStream.{Doc, SeenState, firstSeen}
+    val ttl = Some(2000L)
+
+    // timeout callback (bucket idle past TTL): state is removed
+    val idle = new FakeGroupState[SeenState](Some(SeenState(3L, 0L)), timedOut = true)
+    assert(firstSeen(ttl)(42L, Iterator.empty, idle).isEmpty && idle.updated.isEmpty)
+
+    // within the horizon: a re-arrival is swallowed, counter bumps,
+    // timeout re-armed to the TTL
+    val live = new FakeGroupState[SeenState](Some(SeenState(1L, 1000L)), nowMs = 2500L)
+    assert(firstSeen(ttl)(42L, Iterator.single(Doc(42L, "x")), live).isEmpty)
+    assert(live.updated.contains(SeenState(2L, 2500L)) && live.lastTimeoutMs.contains(2000L))
+
+    // past the horizon but data arrived before the timeout fired: the
+    // lazy check treats the key as first-seen again (exact horizon)
+    val stale = new FakeGroupState[SeenState](Some(SeenState(5L, 1000L)), nowMs = 4000L)
+    val out = firstSeen(ttl)(42L, Iterator.single(Doc(42L, "x")), stale).toSeq
+    assert(out.map(_.n_dups_swallowed) == Seq(0L), out.toString)
+    assert(stale.updated.contains(SeenState(1L, 4000L)))
+
+    // no TTL: original unbounded behavior, no timeout armed
+    val noTtl = new FakeGroupState[SeenState](Some(SeenState(1L, 0L)))
+    assert(firstSeen(None)(42L, Iterator.single(Doc(42L, "x")), noTtl).isEmpty)
+    assert(noTtl.lastTimeoutMs.isEmpty)
+
+    // end-to-end through real streaming queries. Wall-clock between two
+    // AvailableNow runs is seconds and uncontrollable, so the horizons
+    // are chosen to make the outcome timing-independent: a 10-minute TTL
+    // cannot elapse between batches (dup swallowed), a 1 ms TTL cannot
+    // survive the gap (state expired, doc re-emitted). The exact-clock
+    // arithmetic is pinned by the FakeGroupState cases above.
+    val base = Files.createTempDirectory("graft-dedup-ttl").toString
+    val (longL, shortL) = (s"$base/long/landing", s"$base/short/landing")
+    Files.createDirectories(Paths.get(longL))
+    Files.createDirectories(Paths.get(shortL))
+    val longTtl = Some(600000L)
+    Files.writeString(Paths.get(s"$longL/a.txt"), "alpha doc\nbeta doc\n")
+    DedupStream.start(spark, longL, s"$base/long/out", s"$base/long/ckpt", longTtl)
+      .awaitTermination(60000)
+    Files.writeString(Paths.get(s"$longL/b.txt"), "alpha doc\n") // within TTL
+    DedupStream.start(spark, longL, s"$base/long/out", s"$base/long/ckpt", longTtl)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(s"$base/long/out").count() == 2) // dup swallowed
+
+    val shortTtl = Some(1L)
+    Files.writeString(Paths.get(s"$shortL/a.txt"), "alpha doc\n")
+    DedupStream.start(spark, shortL, s"$base/short/out", s"$base/short/ckpt", shortTtl)
+      .awaitTermination(60000)
+    Files.writeString(Paths.get(s"$shortL/b.txt"), "alpha doc\n") // past TTL
+    DedupStream.start(spark, shortL, s"$base/short/out", s"$base/short/ckpt", shortTtl)
+      .awaitTermination(60000)
+    val alphas = spark.read.parquet(s"$base/short/out").collect()
+    assert(alphas.length == 2, s"expired key not re-emitted: ${alphas.toSeq}")
+    assert(alphas.forall(_.getAs[Long]("n_dups_swallowed") == 0L))
+  }
+
+  test("near-dup stream TTL: stale bucket members pruned, idle buckets evicted") {
+    import graft.streaming.NearDupStream.{BandedDoc, BucketState, matchBucket}
+    val ttl = Some(2000L)
+
+    // idle bucket past TTL: wholesale eviction
+    val idle = new FakeGroupState[BucketState](
+      Some(BucketState(List((1L, 7L, 0L)))), timedOut = true)
+    assert(matchBucket(3, ttl)((0, 1L), Iterator.empty, idle).isEmpty
+      && idle.updated.isEmpty)
+
+    // a member seen at t=0 no longer matches at t=5000 even though its
+    // simhash is identical — but a live member still does
+    val st = new FakeGroupState[BucketState](
+      Some(BucketState(List((1L, 7L, 0L), (2L, 7L, 4000L)))), nowMs = 5000L)
+    val pairs = matchBucket(3, ttl)((0, 1L),
+      Iterator.single(BandedDoc(0, 1L, 9L, 7L)), st).toSeq
+    assert(pairs == Seq(graft.streaming.NearDupStream.NearDupPair(2L, 9L, 0)),
+      pairs.toString)
+    // pruned state: stale member gone, live + new remain, timeout re-armed
+    val members = st.updated.get.members.map(m => (m._1, m._2)).toSet
+    assert(members == Set((2L, 7L), (9L, 7L)) && st.lastTimeoutMs.contains(2000L))
+
+    // no TTL: nothing pruned, nothing armed (original behavior)
+    val keep = new FakeGroupState[BucketState](Some(BucketState(List((1L, 7L, 0L)))))
+    val p2 = matchBucket(3, None)((0, 1L),
+      Iterator.single(BandedDoc(0, 1L, 9L, 7L)), keep).toSeq
+    assert(p2.nonEmpty && keep.updated.get.members.size == 2
+      && keep.lastTimeoutMs.isEmpty)
   }
 
   test("ingest stream: landing JSON → people + audit appended per micro-batch") {
