@@ -39,10 +39,10 @@ object Bench {
     // optional arg: regex filter over query names (local profiling; the
     // driver always runs argless = the full set)
     val nameFilter = args.headOption.map(_.r).getOrElse(".*".r)
-    val queryNames = SparkEntry.queries.keys.filter(nameFilter.matches(_)).toSeq
+    val queryNames = SparkEntry.benchQueries.keys.filter(nameFilter.matches(_)).toSeq
 
     def execute(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.benchQueries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
     // warmup: every plan once, uncounted

@@ -39,18 +39,27 @@ object Dedup {
     * count (map-side partial aggregation, so the shuffle carries one
     * row per distinct line per map partition) and the per-document
     * reassembly. The exploded lines join the over-limit counts on the
-    * line key; at 100 TB the group/join key would be a 128-bit line
-    * fingerprint instead of the raw string to keep shuffle payloads
-    * narrow (raw strings here keep the operator hash-verifiable
-    * against the DuckDB oracle with zero collision caveats).
+    * line key. `fingerprintKeys = true` is the 100 TB shape: the
+    * count/join key becomes a 128-bit line fingerprint (two
+    * independent xxhash64 lanes) so the frequency shuffle carries 16
+    * bytes per distinct line instead of the full string; the default
+    * raw-string key keeps the operator hash-verifiable against the
+    * DuckDB oracle with zero collision caveats (engine-internal
+    * hashes aren't portable SQL), and FingerprintKeySpec pins the two
+    * variants equal on the fixtures.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                maxOccur: Long = 1L): DataFrame = {
+                maxOccur: Long = 1L, fingerprintKeys: Boolean = false): DataFrame = {
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-    val counts = lines.groupBy("line")
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("lk",
+        if (fingerprintKeys)
+          struct(xxhash64(col("line")).as("h1"),
+            xxhash64(col("line"), lit(1)).as("h2"))
+        else col("line"))
+    val counts = lines.groupBy("lk")
       .agg(count(lit(1)).as("line_n"))
-    val kept = lines.join(counts, Seq("line"))
+    val kept = lines.join(counts, Seq("lk"))
       .filter(col("line_n") <= maxOccur)
     val reassembled = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),

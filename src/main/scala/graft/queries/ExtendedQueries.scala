@@ -860,15 +860,27 @@ s$r AS MATERIALIZED (SELECT doc_id,
     * bounded by construction — no mega-bucket concern), then two tiny
     * aggregations over |sources| and |sources|² rows. A gram self-join
     * would shuffle the exploded grams twice for the same answer.
+    *
+    * `fingerprintKeys = true` is the 100 TB shape: the gram key is a
+    * 128-bit fingerprint (two xxhash64 lanes), so the one big shuffle
+    * carries 16 bytes per (source, gram) instead of the ~30-byte raw
+    * 5-gram string — nothing downstream ever needs the gram text. The
+    * default raw key keeps the query DuckDB-verifiable;
+    * FingerprintKeySpec pins the variants equal.
     */
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    fingerprintKeys: Boolean = false): DataFrame = {
     import graft.functions.Sketches
     // per-document dedup BEFORE the explode (narrow, in the scan
     // projection) — the shuffle then carries each (doc, gram) once
     // instead of once per occurrence
-    val grams = Tables.documents(spark, dir)
+    val raw = Tables.documents(spark, dir)
       .select(col("source"),
-        explode(array_distinct(Sketches.word_ngrams(col("text"), 5))).as("gram"))
+        explode(array_distinct(Sketches.word_ngrams(col("text"), 5))).as("g0"))
+    val grams = raw.select(col("source"),
+      (if (fingerprintKeys)
+        struct(xxhash64(col("g0")).as("h1"), xxhash64(col("g0"), lit(1)).as("h2"))
+      else col("g0")).as("gram"))
     val byGram = grams.groupBy("gram")
       .agg(array_sort(collect_set(col("source"))).as("ss"))
     val totals = byGram.select(explode(col("ss")).as("source"))
@@ -1946,7 +1958,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "quality_classifier" -> qualityClassifier _,
     "cms_heavy_hitters" -> cmsHeavyHitters _,
     "per_source_cap" -> perSourceCap _,
-    "source_overlap" -> sourceOverlap _,
+    "source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "embedding_dup_clusters" -> embeddingDupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
     "token_stats" -> tokenStats _,
@@ -1988,6 +2000,19 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "cardinality_sketch" -> cardinalitySketch _,
     "quantile_sketch" -> quantileSketch _
   )
+
+  /** Bench/plan-only 100 TB variants: the narrow-shuffle shapes of the
+    * raw-string-keyed oracled queries. Engine-internal hash keys are not
+    * portable DuckDB SQL, so these are NOT oracle-registered; equality
+    * with the oracled raw-key results is pinned by FingerprintKeySpec.
+    */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "line_dedup_fp" -> ((s: SparkSession, d: String) =>
+      Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text",
+        maxOccur = 1L, fingerprintKeys = true)
+        .orderBy("doc_id")),
+    "source_overlap_fp" -> ((s: SparkSession, d: String) =>
+      sourceOverlap(s, d, fingerprintKeys = true)))
 
   val oracles: Map[String, String] = Map(
     "dedup_stats" -> dedupStatsSql,

@@ -28,7 +28,7 @@ object ExplainRun {
 
     def once(): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.benchQueries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
@@ -37,7 +37,7 @@ object ExplainRun {
     // the noop write runs a CLONED QueryExecution, so read the final
     // adaptive plan from a frame executed via its OWN QueryExecution
     // (collect) — otherwise this prints the initial plan, pre-AQE
-    val df = SparkEntry.queries(name)(spark, sfDir)
+    val df = SparkEntry.benchQueries(name)(spark, sfDir)
     df.collect()
     val executed = df.queryExecution.executedPlan
     val finalPlan = executed match {
