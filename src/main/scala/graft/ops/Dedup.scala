@@ -166,11 +166,16 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"))
-    val hub = array_min(ids)
+    // hub computed ONCE per bucket in its own projection, then explode —
+    // NEVER inside a lambda: interpreted HOFs re-evaluate a referenced
+    // array_min per element (no CSE), turning the linear star back into
+    // the O(k²) blowup it exists to avoid (50k-member bucket ≈ 40×10⁹
+    // element visits; caught by DegenerateCorpusSpec).
     val mega = buckets.filter(size(ids) > maxBucketSize)
-      .select(explode(transform(filter(ids, y => y =!= hub),
-        y => struct(hub.as("id_l"), y.as("id_r")))).as("p"))
-      .select(col("p.id_l"), col("p.id_r"))
+      .withColumn("hub", array_min(ids))
+      .select(col("hub"), explode(ids).as("m"))
+      .filter(col("m") =!= col("hub"))
+      .select(col("hub").as("id_l"), col("m").as("id_r"))
     normal.union(mega)
       .distinct()
   }
@@ -488,13 +493,15 @@ object Dedup {
     // array_min over an array of structs orders by the leading field,
     // so the hub is the min-id member). Star edges can exceed maxDist
     // for merely-colliding members, hence the post-filter below.
-    val hub = array_min(ms)
+    // hub in its own projection then explode — an array_min referenced
+    // inside a lambda is re-evaluated per element by the interpreted HOF
+    // path (O(k²) per bucket; see candidatePairs / DegenerateCorpusSpec)
     val mega = buckets.filter(size(ms) > maxBucketSize)
-      .select(explode(transform(
-        filter(ms, m => m.getField("id") =!= hub.getField("id")),
-        m => struct(hub.getField("id").as("id_l"), m.getField("id").as("id_r"),
-          hub.getField("sh").as("sh_l"), m.getField("sh").as("sh_r")))).as("p"))
-      .select(col("p.id_l"), col("p.id_r"), col("p.sh_l"), col("p.sh_r"))
+      .withColumn("hub", array_min(ms))
+      .select(col("hub"), explode(ms).as("m"))
+      .filter(col("m.id") =!= col("hub.id"))
+      .select(col("hub.id").as("id_l"), col("m.id").as("id_r"),
+        col("hub.sh").as("sh_l"), col("m.sh").as("sh_r"))
     normal.union(mega)
       .select(col("id_l"), col("id_r"),
         hamming(col("sh_l"), col("sh_r")).as("dist"))

@@ -128,7 +128,8 @@ object Quantiles {
         col(valueCol).cast("double").as("v"))
       .repartitionByRange(col("g"), col("v"))
       .sortWithinPartitions(col("g"), col("v"))
-    val sorted = s.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = s.rdd.setName("graft-quantiles-sorted")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap[String, Long]()
       it.foreach { r => val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L }

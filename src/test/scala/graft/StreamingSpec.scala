@@ -354,4 +354,64 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/people").count() == 3)
     assert(spark.read.parquet(s"$base/audit").count() == 2)
   }
+
+  test("pack stream at sf0.1 scale: two-restart stream equals the batch greedy fold [slow]") {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import graft.streaming.PackStream.{DocTokens, PackState, packDocs}
+    val base = Files.createTempDirectory("graft-pack-sf01").toString
+    val landing = s"$base/landing"
+    Files.createDirectories(Paths.get(landing))
+
+    // The landing format is one TSV line per doc, so tabs/newlines inside
+    // document text are flattened to spaces on BOTH sides of the
+    // comparison (token counts must come from identical strings).
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("source"), col("doc_id"),
+        regexp_replace(col("text"), "[\\t\\n\\r]+", " ").as("text"))
+    import spark.implicits._
+    val rows = docs.as[(String, Long, String)].collect().sortBy(_._2)
+    assert(rows.length >= 1000, s"sf0.1 documents unexpectedly small: ${rows.length}")
+
+    // land in two doc_id-ordered chunks with a stream restart between
+    // them: per-source arrival order equals global doc_id order, so the
+    // carried PackState must reproduce the single-pass batch fold exactly
+    val mid = rows(rows.length / 2)._2
+    def land(file: String, chunk: Array[(String, Long, String)]): Unit =
+      Files.writeString(Paths.get(s"$landing/$file"),
+        chunk.map { case (s, i, t) => s"$s\t$i\t$t" }.mkString("", "\n", "\n"))
+    val budget = 2048L
+    land("chunk1.tsv", rows.filter(_._2 < mid))
+    PackStream.start(spark, landing, s"$base/out", s"$base/ckpt", budget)
+      .awaitTermination(120000)
+    land("chunk2.tsv", rows.filter(_._2 >= mid))
+    PackStream.start(spark, landing, s"$base/out", s"$base/ckpt", budget)
+      .awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("source", "doc_id", "n_tokens", "pack_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    // batch reference: the same token kernel, then the greedy fold per
+    // source over ALL docs in one in-order pass (packDocs doubles as the
+    // executable spec — driven here with a fresh empty state per source)
+    val withTokens = docs
+      .select(col("source"), col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .as[DocTokens].collect()
+    val batch = withTokens.groupBy(_.source).iterator.flatMap { case (src, ds) =>
+      packDocs(budget)(src, ds.sortBy(_.doc_id).iterator,
+        new FakeGroupState[PackState](None))
+    }.map(p => (p.source, p.doc_id, p.n_tokens, p.pack_id)).toSet
+
+    assert(streamed.size == rows.length, s"row drop: ${streamed.size} vs ${rows.length}")
+    assert(streamed == batch,
+      s"stream != batch; examples only in stream: ${(streamed -- batch).take(3)}, " +
+        s"only in batch: ${(batch -- streamed).take(3)}")
+
+    // scale sanity: budget respected for every multi-doc pack
+    val over = streamed.groupBy(t => (t._1, t._4)).filter { case (_, ms) =>
+      ms.map(_._3).sum > budget && ms.size > 1
+    }
+    assert(over.isEmpty, s"packs over budget: ${over.keys.take(3)}")
+  }
 }
