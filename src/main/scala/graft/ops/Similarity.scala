@@ -145,6 +145,47 @@ object Similarity {
       .distinct()
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, then within each cluster drop
+    * every vector that has a LOWER-ID member at rounded cosine ≥ `tau` —
+    * exactly one deterministic survivor per semantic-duplicate group
+    * (the paper keeps the member least similar to the centroid; min-id
+    * is the engine's portable, tie-proof "pick one" used by the whole
+    * dedup family). Returns one row per vector: (id, cluster, kept).
+    *
+    * Scale shape: clustering bounds the candidate-pair space the way LSH
+    * banding does for MinHash — the self-join key is the cluster id, so
+    * the wide shuffle carries each vector once and within-cluster pairs
+    * stream through the join iterator (never materialized per row). At
+    * 100 TB, k grows with the corpus so cluster width N/k stays the
+    * bounded within-key join size; centroids stay a broadcast-scale
+    * model either way. Similarities are rounded to `roundTo` decimals
+    * BEFORE the threshold compare so the kept set is reproducible across
+    * engines (the ~1e-15 cosine divergence recipe used by the ANN
+    * family).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    model: graft.ops.Ivf.Model, tau: Double,
+                    roundTo: Int = 6): DataFrame = {
+    val indexed = graft.ops.Ivf.index(
+        emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          .withColumn("vn", l2Norm(col("v"))), "v", model)
+      .select(col("id"), col("v"), col("vn"), col("list_id"))
+    val a = indexed.alias("a")
+    val b = indexed.alias("b")
+    val sim = when(col("a.vn") * col("b.vn") > 0,
+      dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")))
+    val dropped = a.join(b,
+        col("a.list_id") === col("b.list_id") && col("b.id") < col("a.id") &&
+          round(sim, roundTo) >= tau, "left_semi")
+      .select(col("id"))
+      .withColumn("kept", lit(false))
+    indexed.select(col("id"), col("list_id"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("list_id").cast("long").as("cluster"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
+
   def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String,
                       roundTo: Option[Int] = None): DataFrame = {
     val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions

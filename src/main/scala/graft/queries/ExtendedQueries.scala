@@ -1711,6 +1711,22 @@ s$r AS MATERIALIZED (SELECT doc_id,
       .orderBy("n_members")
   }
 
+  /** SemDeDup over the embeddings table: IVF-trained k-means clusters,
+    * then within-cluster min-id-survivor pruning at rounded cosine ≥ 0.4
+    * (the threshold the synthetic fixture's planted near-dups sit above —
+    * production would run ~0.95). One row per vector: kept=false means a
+    * lower-id semantic duplicate exists in the same cluster. The oracle
+    * retrains the identical k-means (IvfOracle CTEs) and applies the same
+    * drop rule.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
+    Similarity.semanticDedup(emb, "vec_id", "embedding", model, tau = 0.4)
+      .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+      .orderBy("vec_id")
+  }
+
   private val embeddingDupClustersSql: String =
     s"""WITH RECURSIVE $srpScoredCtes,
        |pairs AS (
@@ -1960,6 +1976,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "per_source_cap" -> perSourceCap _,
     "source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "embedding_dup_clusters" -> embeddingDupClusters _,
+    "semantic_dedup" -> semanticDedup _,
     "dedup_keep_best" -> dedupKeepBest _,
     "token_stats" -> tokenStats _,
     "text_quality" -> textQuality _,
@@ -2047,6 +2064,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
     "ivf_recall" -> IvfOracle.ivfRecallSql(),
     "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),
+    "semantic_dedup" -> IvfOracle.semanticDedupSql(),
     "minhash_signatures" -> minhashSignaturesSql,
     "minhash_top_pairs" -> minhashTopPairsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,

@@ -159,6 +159,44 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("semanticDedup: drop rule matches a brute-force model; one survivor per dup group") {
+    val base = clustered(60, 16)
+    // plant exact dups of three members — each group must keep exactly
+    // its min-id member
+    val withDups = base ++ Seq(
+      (200L, base(0)._2.clone()), (201L, base(0)._2.clone()),
+      (210L, base(1)._2.clone()))
+    val df = withDups.toDF("vec_id", "embedding")
+    val model = graft.ops.Ivf.train(df, "vec_id", "embedding", k = 4)
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding", model, tau = 0.999)
+      .select($"id", $"cluster", $"kept").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == withDups.size)
+    // brute-force model: same cluster assignment (from the plan), drop iff
+    // a lower-id same-cluster member has rounded cosine >= tau
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb > 0) d / (na * nb) else Double.NaN
+    }
+    val vecs = withDups.toMap
+    withDups.foreach { case (id, v) =>
+      val (cl, kept) = got(id)
+      val expectDrop = withDups.exists { case (oid, ov) =>
+        oid < id && got(oid)._1 == cl &&
+          BigDecimal(cos(ov, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.999
+      }
+      assert(kept == !expectDrop, s"vec $id kept=$kept, model says drop=$expectDrop")
+    }
+    // exact-dup groups: min id survives, the rest don't
+    assert(got(0L)._2 && !got(200L)._2 && !got(201L)._2)
+    assert(got(1L)._2 && !got(210L)._2)
+    // dup groups share their survivor's cluster
+    assert(got(200L)._1 == got(0L)._1 && got(201L)._1 == got(0L)._1)
+    assert(got(210L)._1 == got(1L)._1)
+  }
+
   private object Tables {
     def documents = spark.read.parquet(s"$sfDir/documents.parquet")
   }
