@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+import graft.sinks.ManifestTable
+
+/** Incremental near-duplicate detection against a PERSISTED LSH index —
+  * the batch-pipeline shape the streaming `NearDupStream` keeps in
+  * executor state, made durable: a production corpus is not rebuilt
+  * per run, it accumulates (a daily crawl lands next to a 100 TB
+  * corpus), and re-sharding the accumulated corpus to dedup each new
+  * batch is exactly the O(corpus)-per-batch cost this operator removes.
+  *
+  * The index is a [[ManifestTable]] keyed by the LSH band key
+  * (`band * P1 + bandhash`), rows `(bandkey, id, sig)` — the compact
+  * probe side of MinHash dedup (64 longs per doc per band), NOT the
+  * documents themselves. Per batch:
+  *
+  *  1. `probe` prepares the batch (one kernel pass: shingle → sign →
+  *     band), reads ONLY the index buckets the batch's band keys hash
+  *     into (manifest-level pruning — a small batch against a large
+  *     index touches a fraction of its directories), joins on the band
+  *     key, and verifies candidates INLINE with the agreeing-position
+  *     Jaccard estimate carried by both rows — corpus-vs-batch near-dup
+  *     pairs with zero extra verification shuffle. Batch-internal pairs
+  *     come from the same prepared frame via a straight band self-join.
+  *  2. `append` adds the batch's own band entries to the index —
+  *     O(batch) IO regardless of index size (each touched bucket's
+  *     directory list grows by one staged dir; nothing is read or
+  *     rewritten), with `ManifestTable.compact` bounding read fan-out
+  *     after many batches.
+  *
+  * At cluster scale the join still shuffles the touched index slice
+  * (Spark cannot see the custom layout's partitioning); registering the
+  * index as a DSv2 source reporting hash partitioning on `bandkey`
+  * would remove that too. The IO story — probe reads O(touched
+  * buckets), append writes O(batch) — is the layout's contribution and
+  * holds as-is.
+  */
+object IncrementalDedup {
+
+  /** One row per (band, doc): the doc's band key and full signature.
+    * Carrying the 64-slot signature on every band row trades ×bands
+    * storage for verification WITHOUT a signature-fetch join at probe
+    * time — the index is still orders of magnitude smaller than the
+    * corpus text it stands in for.
+    */
+  private def entriesFromPrepared(prepared: DataFrame): DataFrame =
+    prepared
+      .select(col("id"), col("sig"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .select(
+        (col("band").cast("long") * Sketches.P1 + col("bh")).as("bandkey"),
+        col("id"), col("sig"))
+
+  def indexEntries(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, numHashes: Int, bands: Int): DataFrame =
+    entriesFromPrepared(
+      Dedup.prepareMinhash(docs, idCol, textCol, shingleN, numHashes, bands))
+
+  /** Create the index over an initial corpus. */
+  def buildIndex(docs: DataFrame, path: String, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                 nBuckets: Int = 16): Unit =
+    ManifestTable.write(
+      indexEntries(docs, idCol, textCol, shingleN, numHashes, bands),
+      path, "bandkey", nBuckets)
+
+  /** Append a batch's entries after it has been probed — the O(batch)
+    * accumulation step.
+    */
+  def appendBatch(spark: SparkSession, path: String, docs: DataFrame,
+                  idCol: String, textCol: String,
+                  shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
+    ManifestTable.append(spark, path,
+      indexEntries(docs, idCol, textCol, shingleN, numHashes, bands), "bandkey")
+
+  /** Near-dup pairs touching the batch: corpus-vs-batch (via the index)
+    * plus batch-internal (via self-join), est-Jaccard ≥ `threshold`,
+    * normalized to `id_l < id_r` and distinct. The corpus side reads
+    * only the index buckets the batch's band keys map to.
+    */
+  def probe(spark: SparkSession, path: String, batch: DataFrame,
+            idCol: String, textCol: String,
+            shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+            threshold: Double = 0.5): DataFrame = {
+    val prepared = Dedup.prepareMinhash(batch, idCol, textCol,
+      shingleN, numHashes, bands)
+    val entries = entriesFromPrepared(prepared)
+    // manifest-level pruning: the batch's band keys resolve (driver-side,
+    // ≤ nBuckets ints) to the only index directories worth reading
+    val slice = ManifestTable.readBuckets(spark, path,
+      entries.select("bandkey").distinct())
+    // corpus-vs-batch: bipartite band join, one row per matching band,
+    // deduped by the final grouping. A batch doc hitting a mass-dup
+    // corpus bucket emits its matches linearly (never k² — the batch
+    // side of each band key is the batch's occupancy, not the bucket's).
+    val cross = slice.alias("o").join(entries.alias("n"),
+        col("o.bandkey") === col("n.bandkey"))
+      .filter(col("o.id") =!= col("n.id"))
+      .select(
+        least(col("o.id"), col("n.id")).as("id_l"),
+        greatest(col("o.id"), col("n.id")).as("id_r"),
+        Dedup.estJaccard(col("o.sig"), col("n.sig"), numHashes).as("est_jaccard"))
+    // batch-internal pairs go through candidatePairs for its singleton
+    // drop and mega-bucket star — a degenerate batch (thousands of
+    // identical docs sharing every band) stays linear, same as the
+    // whole-corpus pipelines
+    val sigs = prepared.select(col("id"), col("sig"))
+    val intra = Dedup.candidatePairs(prepared, "id", "bands")
+      .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+      .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
+      .select(col("id_l"), col("id_r"),
+        Dedup.estJaccard(col("sig_l"), col("sig_r"), numHashes).as("est_jaccard"))
+    cross.unionByName(intra)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_l", "id_r").agg(max("est_jaccard").as("est_jaccard"))
+  }
+}

@@ -1294,6 +1294,37 @@ s$r AS MATERIALIZED (SELECT doc_id,
        |SELECT n_members, count(*) AS n_clusters FROM sizes
        |GROUP BY n_members ORDER BY n_members""".stripMargin
 
+  /** Batch-incremental near-dup against a PERSISTED LSH index
+    * (ops.IncrementalDedup over sinks.ManifestTable): the corpus slice
+    * (doc_id % 10 < 8) is indexed once — band keys + signatures, not
+    * text — and the arriving batch (the rest) is probed against it plus
+    * itself, without re-preparing the corpus. Same banding/threshold
+    * tuning as `dedup_clusters`; the oracle computes all band-collision
+    * pairs over the whole table and keeps those touching the batch, so
+    * the index round-trip (write → manifest read → bucket-pruned scan →
+    * join) is hash-verified against a from-scratch computation.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft-incdedup")
+      .toString + "/index"
+    graft.ops.IncrementalDedup.buildIndex(corpus, idx, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16, nBuckets = 16)
+    graft.ops.IncrementalDedup.probe(spark, idx, batch, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_l", "id_r")
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH ${minhashCtes(2, 64)},
+       |${bandCtes(64, 16)}
+       |SELECT id_l, id_r, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5
+       |  AND NOT (id_l % 10 < 8 AND id_r % 10 < 8)
+       |ORDER BY id_l, id_r""".stripMargin
+
   /** The KEEP decision that follows near-dup clustering: per multi-member
     * SimHash cluster (Hamming ≤ 3, pigeonhole-complete banded
     * candidates), keep the HIGHEST-QUALITY member (doc_id tiebreak) —
@@ -2000,6 +2031,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "minhash_signatures" -> minhashSignatures _,
     "minhash_top_pairs" -> minhashTopPairs _,
     "dedup_clusters" -> dedupClusters _,
+    "incremental_dedup" -> incrementalDedup _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "simhash_fingerprints" -> simhashFingerprints _,
     "simhash_nn" -> simhashNn _,
@@ -2069,6 +2101,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "minhash_top_pairs" -> minhashTopPairsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "incremental_dedup" -> incrementalDedupSql,
     "simhash_fingerprints" -> simhashFingerprintsSql,
     "simhash_nn" -> simhashNnSql,
     "source_distinct" -> sourceDistinctSql,

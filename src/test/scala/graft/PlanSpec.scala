@@ -175,4 +175,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("lang_id"), p.take(800))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
   }
+
+  test("incremental_dedup probe: equi-joins on the band key, no cartesian; documents never re-read for the corpus side") {
+    val p = plan(ExtendedQueries.incrementalDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the corpus side comes from the INDEX parquet (bandkey,id,sig) —
+    // the documents table appears only as the batch (doc_id filter) and
+    // never feeds a second full preparation pass for the corpus slice
+    assert(p.contains("bandkey"), p.take(1200))
+  }
 }
