@@ -451,6 +451,87 @@ object ExtendedQueries {
        |       count(*) AS n_docs
        |FROM f GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  /** Exact stratified sampling — k docs per source in CONTENT-HASH order
+    * (portable fingerprint, doc_id tiebreak): the reproducible eval-set
+    * draw. Unlike rate-based `mixture_sample_stats` this is an exact
+    * per-stratum count, and unlike a random sample it is engine/order/
+    * scale-invariant — the same k docs come back on any cluster. One
+    * partitioned window; the per-source top-k never concentrates on one
+    * task.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("fp"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("source", "doc_id", "rk")
+      .orderBy("source", "rk")
+  }
+
+  private val stratifiedSampleSql =
+    s"""WITH f AS (
+       |  SELECT source, doc_id,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rk
+       |  FROM f)
+       |SELECT source, doc_id, rk FROM r WHERE rk <= 5
+       |ORDER BY source, rk""".stripMargin
+
+  /** Leakage-safe train/val/test split: near-dup CLUSTERS (same funnel
+    * and tuning as `dedup_clusters`) are assigned to splits atomically —
+    * every member inherits its cluster's bucket — so a near-duplicate of
+    * a test document can never land in train (the contamination that
+    * per-doc hash splits like `hash_split_stats` cannot rule out).
+    * Singletons hash on their own id, so the 80/10/10 proportions hold
+    * corpus-wide.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prepared = Dedup.prepareMinhash(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16)
+    val cands = Dedup.candidatePairs(prepared, "id", "bands")
+    val sigs = prepared.select(col("id"), col("sig"))
+    val pairs = cands
+      .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+      .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
+      .filter(Dedup.estJaccard(col("sig_l"), col("sig_r"), 64) >= 0.5)
+      .select("id_l", "id_r")
+    val bucket = pmod(col("cluster"), lit(100L))
+    Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("cluster"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val leakageSafeSplitSql =
+    s"""WITH RECURSIVE ${minhashCtes(2, 64)},
+       |${bandCtes(64, 16)},
+       |edges(src, dst) AS (
+       |  SELECT id_l, id_r FROM est WHERE est_jaccard >= 0.5
+       |  UNION
+       |  SELECT id_r, id_l FROM est WHERE est_jaccard >= 0.5),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+       |SELECT doc_id, cluster,
+       |       CASE WHEN cluster % 100 < 80 THEN 'train'
+       |            WHEN cluster % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   /** Token-budget packing — training-set assembly under a per-source
     * token budget: docs are taken in a CONTENT-DERIVED order (portable
     * fingerprint, doc_id tiebreak — the same order on any engine, any
@@ -2018,6 +2099,8 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "pii_scrub" -> piiScrub _,
     "text_normalize" -> textNormalize _,
     "hash_split_stats" -> hashSplitStats _,
+    "stratified_sample" -> stratifiedSample _,
+    "leakage_safe_split" -> leakageSafeSplit _,
     "bpe_pair_counts" -> bpePairCounts _,
     "bpe_train" -> bpeTrain _,
     "decontamination" -> decontamination _,
@@ -2084,6 +2167,8 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "pii_scrub" -> piiScrubSql,
     "text_normalize" -> textNormalizeSql,
     "hash_split_stats" -> hashSplitStatsSql,
+    "stratified_sample" -> stratifiedSampleSql,
+    "leakage_safe_split" -> leakageSafeSplitSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "bpe_train" -> bpeTrainSql,
     "decontamination" -> decontaminationSql,

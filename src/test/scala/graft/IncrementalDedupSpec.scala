@@ -83,6 +83,38 @@ class IncrementalDedupSpec extends SparkSpec {
         s"missing=${(scratch -- inc).take(5)} extra=${(inc -- scratch).take(5)}")
   }
 
+  test("sf0.1 batched accumulation: 5 probe+append rounds find exactly the from-scratch pair set [slow]") {
+    import org.apache.spark.sql.functions._
+    val idx = s"${Files.createTempDirectory("graft-inc-sf01")}/index"
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.1")
+    def batch(k: Int) = docs.filter($"doc_id" % 5 === k)
+    // seed with batch 0 and probe it against itself (cross ≡ intra after
+    // least/greatest normalization), then land batches 1..4 the way a
+    // daily pipeline would: probe against everything accumulated, append
+    IncrementalDedup.buildIndex(batch(0), idx, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16, nBuckets = 16)
+    var found = Set.empty[(Long, Long)]
+    (0 to 4).foreach { k =>
+      found ++= IncrementalDedup.probe(spark, idx, batch(k), "doc_id", "text",
+          shingleN = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("id_l", "id_r").as[(Long, Long)].collect()
+      if (k > 0) IncrementalDedup.appendBatch(spark, idx, batch(k),
+        "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16)
+    }
+    val prepared = Dedup.prepareMinhash(docs, "doc_id", "text", 2, 64, 16)
+    val e = prepared.select(col("id"), col("sig"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    val scratch = e.alias("l").join(e.alias("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .filter(Dedup.estJaccard(col("l.sig"), col("r.sig"), 64) >= 0.5)
+      .select(col("l.id"), col("r.id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(found == scratch,
+      s"incremental=${found.size} scratch=${scratch.size}; " +
+        s"missing=${(scratch -- found).take(5)} extra=${(found -- scratch).take(5)}")
+  }
+
   test("append never rewrites existing index files; compact folds wide buckets") {
     val idx = s"${Files.createTempDirectory("graft-inc")}/index"
     IncrementalDedup.buildIndex(corpus, idx, "doc_id", "text",
