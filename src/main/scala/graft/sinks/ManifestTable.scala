@@ -310,6 +310,51 @@ object ManifestTable {
     }
   }
 
+  /** Keyed change capture between two committed versions, reading ONLY
+    * the buckets whose directory lists differ between the manifests —
+    * the manifest diff bounds the IO the way Iceberg's snapshot diff
+    * does: an upsert that touched 3 of 4096 buckets is diffed by
+    * scanning 3 buckets twice, not the table twice. Returns one row per
+    * changed key: `change` ∈ insert | delete | update, the key, and the
+    * row's before/after as JSON (schema-stable across any column set).
+    */
+  def diff(spark: SparkSession, path: String, keyCol: String,
+           fromV: Int, toV: Int): DataFrame = {
+    val m1 = readManifest(spark, path, fromV)
+    val m2 = readManifest(spark, path, toV)
+    require(m1.nBuckets == m2.nBuckets,
+      s"cannot diff across a re-bucketing ($fromV:${m1.nBuckets} vs $toV:${m2.nBuckets})")
+    val changed = (m1.buckets.keySet ++ m2.buckets.keySet)
+      .filter(b => m1.buckets.getOrElse(b, Seq.empty) != m2.buckets.getOrElse(b, Seq.empty))
+    def side(m: Manifest): Option[DataFrame] = {
+      val dirs = changed.toSeq.sorted
+        .flatMap(b => m.buckets.getOrElse(b, Seq.empty)).map(d => s"$path/$d")
+      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    }
+    (side(m1), side(m2)) match {
+      case (None, None) =>
+        spark.emptyDataFrame.select(lit("").as("change"), lit("").as("key"),
+          lit("").as("before"), lit("").as("after")).limit(0)
+      case (before, after) =>
+        val schema = before.orElse(after).get.schema
+        val cols = schema.fieldNames.filter(_ != "bucket").map(col).toSeq
+        def shaped(df: Option[DataFrame]) = df
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+          .select(col(keyCol).as("key"), to_json(struct(cols: _*)).as("row"))
+        val l = shaped(before).withColumnRenamed("row", "before")
+        val r = shaped(after).withColumnRenamed("row", "after")
+        l.join(r, Seq("key"), "full_outer")
+          .withColumn("change",
+            when(col("before").isNull, "insert")
+              .when(col("after").isNull, "delete")
+              .when(col("before") =!= col("after"), "update")
+              .otherwise("unchanged"))
+          .filter(col("change") =!= "unchanged")
+          .select("change", "key", "before", "after")
+    }
+  }
+
   /** Retire history: keep the latest `keepVersions` manifests, delete
     * older ones, then delete every `data/<uuid>` directory no kept
     * manifest references (which also reclaims orphans from crashed

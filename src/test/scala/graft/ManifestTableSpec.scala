@@ -118,6 +118,29 @@ class ManifestTableSpec extends SparkSpec {
     assert(err.getMessage.contains("does not match"))
   }
 
+  test("diff between versions: insert/update/delete recovered from changed buckets only") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path)
+    ManifestTable.upsert(spark, path,
+      Seq((3L, "updated-3", 999.0), (200L, "new-200", 1.0))
+        .toDF("id", "name", "score"), "id")
+    val victim = 7L
+    ManifestTable.delete(spark, path, "id", victim)
+
+    val d = ManifestTable.diff(spark, path, "id", 1, 3)
+    val changes = d.select("change", "key").as[(String, Long)].collect().toSet
+    assert(changes == Set(("update", 3L), ("insert", 200L), ("delete", victim)),
+      s"unexpected change set: $changes")
+    // IO scope: the diff reads only files under CHANGED buckets' dirs
+    val scannedBuckets = d.inputFiles
+      .flatMap(f => "b=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    val expected = Set(3L, 200L, victim).map(k =>
+      (((org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(k, org.apache.spark.sql.types.LongType, 42L) % 8) + 8) % 8).toInt)
+    assert(scannedBuckets == expected,
+      s"diff scanned buckets $scannedBuckets, touched keys live in $expected")
+  }
+
   test("vacuum keeps the retention window readable and deletes beyond it") {
     val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
     seed(path)

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.streaming.{DedupStream, IngestStream, JoinStream, NearDupStream, PackStream, WindowStream}
+import graft.streaming.{DedupStream, IndexedDedupStream, IngestStream, JoinStream, NearDupStream, PackStream, WindowStream}
 
 /** Minimal in-memory GroupState for driving stateful functions directly.
   * `timedOut` simulates a ProcessingTimeTimeout callback; `nowMs` is the
@@ -413,5 +413,51 @@ class StreamingSpec extends SparkSpec {
       ms.map(_._3).sum > budget && ms.size > 1
     }
     assert(over.isEmpty, s"packs over budget: ${over.keys.take(3)}")
+  }
+
+  test("indexed dedup stream: durable-index probe+append across restarts; batch replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-idxstream").toString
+    val (landing, idx, out) = (s"$base/landing", s"$base/index", s"$base/out")
+    Files.createDirectories(Paths.get(landing))
+    // bootstrap corpus: doc 1 will be duplicated by a streamed doc
+    graft.ops.IncrementalDedup.buildIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog near the river"),
+          (2L, "entirely unrelated corpus document about catalyst plans"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16, nBuckets = 8)
+
+    Files.writeString(Paths.get(s"$landing/a.txt"),
+      "10\tthe quick brown fox jumps over the lazy dog near the river\n" +
+        "11\ta fresh streamed document matching nothing else at all\n")
+    IndexedDedupStream.start(spark, landing, idx, out, s"$base/ckpt")
+      .awaitTermination(60000)
+    // restart from checkpoint; second batch duplicates a FIRST-BATCH doc —
+    // catching it requires batch 1's entries to be durably in the index
+    Files.writeString(Paths.get(s"$landing/b.txt"),
+      "20\ta fresh streamed document matching nothing else at all\n")
+    IndexedDedupStream.start(spark, landing, idx, out, s"$base/ckpt")
+      .awaitTermination(60000)
+
+    val pairs = spark.read.parquet(out).select("id_l", "id_r")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)), s"corpus-vs-stream dup missed: $pairs")
+    assert(pairs.contains((11L, 20L)), s"stream-vs-earlier-stream dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"false pair: $pairs")
+
+    // replay: re-running an already-committed batch must not grow the
+    // index or change the published pairs
+    val versionsBefore = graft.sinks.ManifestTable.versions(spark, idx)
+    val replayed = Seq((20L, "a fresh streamed document matching nothing else at all"))
+      .toDF("doc_id", "text")
+    val lastBatchId = new java.io.File(out).listFiles
+      .map(_.getName).filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+    IndexedDedupStream.processBatch(idx, out, 2, 64, 16, 0.5)(replayed, lastBatchId)
+    assert(graft.sinks.ManifestTable.versions(spark, idx) == versionsBefore,
+      "replayed batch appended to the index again")
+    val pairsAfter = spark.read.parquet(out).select("id_l", "id_r")
+      .as[(Long, Long)].collect().toSet
+    assert(pairsAfter == pairs, s"replay changed pairs: ${pairsAfter -- pairs}")
   }
 }
