@@ -1024,6 +1024,45 @@ s$r AS MATERIALIZED (SELECT doc_id,
       |      FROM documents)
       |GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin
 
+  /** Out-of-vocabulary rate per document against the corpus top-200
+    * vocabulary — the deterministic core of a CCNet-style LM quality
+    * filter (docs whose tokens fall outside the head vocabulary read as
+    * noise/boilerplate/foreign). Two aggregations: the global wordcount
+    * (one term shuffle, map-side combined) picks the vocabulary, which
+    * BROADCASTS into a per-doc membership count — the corpus shuffles
+    * once on doc_id, never on terms joined to terms. Exact integer
+    * counts; the rate is one correctly-rounded division.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), col("term")).limit(200)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val oovRateSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |v AS (
+      |  SELECT term, 1 AS in_vocab FROM (
+      |    SELECT term, count(*) AS tf FROM toks
+      |    GROUP BY term ORDER BY tf DESC, term LIMIT 200))
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       count(CASE WHEN v.in_vocab IS NULL THEN 1 END) AS n_oov,
+      |       round(CAST(count(CASE WHEN v.in_vocab IS NULL THEN 1 END) AS DOUBLE)
+      |             / count(*), 6) AS oov_rate
+      |FROM toks t LEFT JOIN v ON v.term = t.term
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** TF-IDF top-3 terms per document (doc_id < 25): term frequency ×
     * smoothed inverse document frequency. The idf log is computed in
     * double on both engines and the score rounded to 6 decimals before
@@ -2107,6 +2146,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "token_budget_pack" -> tokenBudgetPack _,
     "mixture_sample_stats" -> mixtureSampleStats _,
     "vocabulary_topk" -> vocabularyTopk _,
+    "oov_rate" -> oovRate _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
@@ -2175,6 +2215,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "token_budget_pack" -> tokenBudgetPackSql,
     "mixture_sample_stats" -> mixtureSampleStatsSql,
     "vocabulary_topk" -> vocabularyTopkSql,
+    "oov_rate" -> oovRateSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
