@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   * earlier localCheckpoint+dynamic-overwrite path could permanently
   * lose touched buckets on executor failure, since the only copy of
   * the merged slice lived in executor storage while the source files
-  * were being deleted. What ACID formats still add: the multi-bucket
-  * swap as ONE atomic commit.
+  * were being deleted. For the multi-bucket swap as ONE atomic commit
+  * (plus snapshot isolation, time travel, O(batch) append and keyed
+  * CDC) see [[ManifestTable]] — the manifest-committed sibling of this
+  * layout; this class remains the zero-metadata variant whose
+  * directories any plain parquet reader can scan directly.
   */
 object BucketedTable {
 

@@ -176,6 +176,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("stratified_sample: rank filter pushes down as WindowGroupLimit (per-group top-k, not full per-group sorts)") {
+    val p = plan(ExtendedQueries.stratifiedSample(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("oov_rate: vocabulary broadcasts; the corpus is never term-joined through a shuffle") {
+    val p = plan(ExtendedQueries.oovRate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("incremental_dedup probe: equi-joins on the band key, no cartesian; documents never re-read for the corpus side") {
     val p = plan(ExtendedQueries.incrementalDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(800))
