@@ -209,6 +209,24 @@ object Dedup {
       .withColumn("bands", Sketches.band_hashes(col("sig"), bands))
   }
 
+  /** Banded candidates verified by the signature estimate — the shared
+    * middle of every est-thresholded pipeline (`dedup_clusters`,
+    * `leakage_safe_split`, the incremental probe's batch-internal leg):
+    * `candidatePairs` (singleton drop + mega-bucket star) over a
+    * `prepareMinhash` frame, signatures joined back, agreeing-position
+    * estimate attached. Returns (id_l, id_r, est_jaccard) ≥ threshold.
+    */
+  def estVerifiedPairs(prepared: DataFrame, numHashes: Int,
+                       threshold: Double): DataFrame = {
+    val sigs = prepared.select(col("id"), col("sig"))
+    candidatePairs(prepared, "id", "bands")
+      .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+      .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
+      .withColumn("est_jaccard", estJaccard(col("sig_l"), col("sig_r"), numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_l", "id_r", "est_jaccard")
+  }
+
   /** Full MinHash near-dup pipeline: shingle → sign → band → candidates →
     * verify with exact Jaccard on shingle sets. Returns (id_l, id_r,
     * jaccard) for pairs ≥ threshold.

@@ -84,8 +84,11 @@ object IncrementalDedup {
             idCol: String, textCol: String,
             shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
             threshold: Double = 0.5): DataFrame = {
+    // pinned: the prepared batch feeds three consumers (the driver-side
+    // bucket collect, the cross join's probe side, and the intra leg) —
+    // without the pin each would re-run the tokenize/sign kernels
     val prepared = Dedup.prepareMinhash(batch, idCol, textCol,
-      shingleN, numHashes, bands)
+      shingleN, numHashes, bands).localCheckpoint()
     val entries = entriesFromPrepared(prepared)
     // manifest-level pruning: the batch's band keys resolve (driver-side,
     // ≤ nBuckets ints) to the only index directories worth reading
@@ -102,18 +105,13 @@ object IncrementalDedup {
         least(col("o.id"), col("n.id")).as("id_l"),
         greatest(col("o.id"), col("n.id")).as("id_r"),
         Dedup.estJaccard(col("o.sig"), col("n.sig"), numHashes).as("est_jaccard"))
-    // batch-internal pairs go through candidatePairs for its singleton
-    // drop and mega-bucket star — a degenerate batch (thousands of
-    // identical docs sharing every band) stays linear, same as the
+    // batch-internal pairs go through the shared estVerifiedPairs funnel
+    // (candidatePairs' singleton drop + mega-bucket star) — a degenerate
+    // batch of thousands of identical docs stays linear, same as the
     // whole-corpus pipelines
-    val sigs = prepared.select(col("id"), col("sig"))
-    val intra = Dedup.candidatePairs(prepared, "id", "bands")
-      .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
-      .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
-      .select(col("id_l"), col("id_r"),
-        Dedup.estJaccard(col("sig_l"), col("sig_r"), numHashes).as("est_jaccard"))
-    cross.unionByName(intra)
-      .filter(col("est_jaccard") >= threshold)
+    val intra = Dedup.estVerifiedPairs(prepared, numHashes, threshold)
+    cross.filter(col("est_jaccard") >= threshold)
+      .unionByName(intra)
       .groupBy("id_l", "id_r").agg(max("est_jaccard").as("est_jaccard"))
   }
 }

@@ -138,7 +138,9 @@ object BucketedTable {
     if (touched.nonEmpty) {
       val remaining = read(spark, path)
         .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-        .filter(col(keyCol) =!= keyValue)
+        // null-safe: a NULL-key row sharing the bucket must survive
+        // (plain =!= evaluates to NULL for it and would drop it)
+        .filter(!(col(keyCol) <=> keyValue))
       stageAndSwap(spark, path, touched.toSeq, remaining)
     }
   }

@@ -59,9 +59,22 @@ object ManifestTable {
     * directory, while `append` just adds a directory to the list —
     * O(new data) IO for index/ledger-shaped tables, with `compact`
     * folding a bucket's list back to one dir when it grows long.
+    *
+    * The manifest also carries the table's KEY COLUMN and SCHEMA (DDL,
+    * including the `bucket` column): probe-side operations validate
+    * their key types against it BEFORE hashing (a mistyped probe would
+    * hash differently and silently miss), and reads of an empty or
+    * truncated version return a correctly-schema'd empty frame instead
+    * of a zero-column one.
     */
   private[graft] case class Manifest(version: Int, nBuckets: Int,
-                                     buckets: Map[Int, Seq[String]])
+                                     keyCol: String, schemaDdl: String,
+                                     buckets: Map[Int, Seq[String]]) {
+    def schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    def keyType: org.apache.spark.sql.types.DataType =
+      schema(keyCol).dataType
+  }
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,19 +82,28 @@ object ManifestTable {
   private def manifestName(v: Int) = f"v$v%08d.json"
 
   /** Minimal flat JSON — no nested escapes needed: paths are
-    * UUID-derived and written by this object only.
+    * UUID-derived, column names are identifier-shaped, and the schema is
+    * DDL (`StructType.toDDL` emits no double quotes for such names); a
+    * quote-bearing field name is rejected at write time rather than
+    * silently corrupting the manifest.
     */
   private def render(m: Manifest): String = {
+    require(!m.schemaDdl.contains('"') && !m.keyCol.contains('"'),
+      s"schema/key not manifest-safe (embedded quote): ${m.schemaDdl}")
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, ps) =>
         s""""$b":[${ps.map(p => s""""$p"""").mkString(",")}]""" }
       .mkString(",")
-    s"""{"version":${m.version},"nBuckets":${m.nBuckets},"buckets":{$entries}}"""
+    s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
+      s""""keyCol":"${m.keyCol}","schemaDdl":"${m.schemaDdl}",""" +
+      s""""buckets":{$entries}}"""
   }
 
   private def parse(s: String): Manifest = {
     def intField(k: String) =
       s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+    def strField(k: String) =
+      s"""\"$k\":\"([^\"]*)\"""".r.findFirstMatchIn(s).get.group(1)
     val buckets = s"""\"(\\d+)\":\\[([^\\]]*)\\]""".r.findAllMatchIn(
       s.substring(s.indexOf("\"buckets\""))
     ).map { m =>
@@ -89,7 +111,8 @@ object ManifestTable {
         .map(_.group(1)).toSeq
       m.group(1).toInt -> dirs
     }.toMap
-    Manifest(intField("version"), intField("nBuckets"), buckets)
+    Manifest(intField("version"), intField("nBuckets"),
+      strField("keyCol"), strField("schemaDdl"), buckets)
   }
 
   /** Committed versions, ascending; empty if the table doesn't exist. */
@@ -156,21 +179,41 @@ object ManifestTable {
     df.withColumn("bucket",
       pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int"))
 
+  /** Empty frame with the manifest's schema — what reads of truncated
+    * or fully-pruned versions return instead of a zero-column frame.
+    */
+  private def emptyWithSchema(spark: SparkSession, m: Manifest): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+
+  /** Fail loudly when a driver-side probe value's type differs from the
+    * table's key type — it would hash different bytes, prune to the
+    * wrong bucket, and silently miss.
+    */
+  private def requireKeyType(m: Manifest,
+      probe: org.apache.spark.sql.types.DataType, what: String): Unit =
+    require(probe == m.keyType,
+      s"$what key ${probe.sql} does not match table column " +
+        s"${m.keyCol}: ${m.keyType.sql} — the driver-side bucket hash " +
+        "would diverge from the written one and silently miss")
+
   /** Full write: stages every bucket, then commits version current+1
     * (an atomic whole-table replace when the table already exists).
     */
   def write(df: DataFrame, path: String, keyCol: String, nBuckets: Int): Unit = {
     val spark = df.sparkSession
-    val staged = stageSlice(spark, path, bucketed(df, keyCol, nBuckets))
+    val slice = bucketed(df, keyCol, nBuckets)
+    val staged = stageSlice(spark, path, slice)
     val v = versions(spark, path).lastOption.getOrElse(0) + 1
-    publish(spark, path, Manifest(v, nBuckets, staged.map { case (b, d) => b -> Seq(d) }))
+    publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
+      staged.map { case (b, d) => b -> Seq(d) }))
   }
 
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
     val m = readManifest(spark, path, v)
     val dirs = m.buckets.toSeq.sortBy(_._1)
       .flatMap { case (_, rels) => rels.map(rel => s"$path/$rel") }
-    if (dirs.isEmpty) spark.emptyDataFrame
+    if (dirs.isEmpty) emptyWithSchema(spark, m)
     else spark.read.parquet(dirs: _*)
   }
 
@@ -190,22 +233,21 @@ object ManifestTable {
   def lookup(spark: SparkSession, path: String, keyCol: String,
              keyValue: Any): DataFrame = {
     val m = currentManifest(spark, path)
+    require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
     val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(keyValue)
+    // validated BEFORE the bucket branch: a mistyped probe hashing into
+    // an absent bucket must still error, not silently return empty
+    requireKeyType(m, lit0.dataType, "lookup")
     val b = {
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
         .hash(lit0.value, lit0.dataType, 42L)
       (((h % m.nBuckets) + m.nBuckets) % m.nBuckets).toInt
     }
     m.buckets.get(b) match {
-      case None => read(spark, path).filter(lit(false)) // empty, right schema
+      case None => emptyWithSchema(spark, m)
       case Some(rels) =>
-        val df = spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
-        val dt = df.schema(keyCol).dataType
-        require(lit0.dataType == dt,
-          s"lookup key ${lit0.dataType.sql} does not match table column " +
-            s"$keyCol: ${dt.sql} — the driver-side bucket hash would " +
-            "diverge from the written one and silently miss")
-        df.filter(col(keyCol) === keyValue)
+        spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
+          .filter(col(keyCol) === keyValue)
     }
   }
 
@@ -218,14 +260,16 @@ object ManifestTable {
     */
   def readBuckets(spark: SparkSession, path: String, keys: DataFrame): DataFrame = {
     val m = currentManifest(spark, path)
+    val keyField = keys.columns.head
+    requireKeyType(m, keys.schema(keyField).dataType, "readBuckets")
     val touched = keys
-      .select(pmod(xxhash64(col(keys.columns.head)), lit(m.nBuckets.toLong))
+      .select(pmod(xxhash64(col(keyField)), lit(m.nBuckets.toLong))
         .cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
     val dirs = touched.toSeq.sorted
       .flatMap(b => m.buckets.getOrElse(b, Seq.empty))
       .map(d => s"$path/$d")
-    if (dirs.isEmpty) read(spark, path).filter(lit(false))
+    if (dirs.isEmpty) emptyWithSchema(spark, m)
     else spark.read.parquet(dirs: _*)
   }
 
@@ -235,6 +279,8 @@ object ManifestTable {
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              keyCol: String): Unit = {
     val m = currentManifest(spark, path)
+    require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+    requireKeyType(m, updates.schema(keyCol).dataType, "upsert")
     val u = bucketed(updates, keyCol, m.nBuckets)
     // ≤ nBuckets values — bounded driver metadata, like a partition listing
     val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).toSet
@@ -253,7 +299,7 @@ object ManifestTable {
     // touched buckets point at the new dirs (a bucket whose rows were all
     // deleted stages nothing and drops out); untouched keep their dirs
     val next = (m.buckets -- touched) ++ staged.map { case (b, d) => b -> Seq(d) }
-    publish(spark, path, Manifest(m.version + 1, m.nBuckets, next))
+    publish(spark, path, m.copy(version = m.version + 1, buckets = next))
   }
 
   /** APPEND: add `rows` without reading or rewriting anything — each
@@ -267,11 +313,13 @@ object ManifestTable {
   def append(spark: SparkSession, path: String, rows: DataFrame,
              keyCol: String): Unit = {
     val m = currentManifest(spark, path)
+    require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+    requireKeyType(m, rows.schema(keyCol).dataType, "append")
     val staged = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets))
     val next = staged.foldLeft(m.buckets) { case (acc, (b, d)) =>
       acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
     }
-    publish(spark, path, Manifest(m.version + 1, m.nBuckets, next))
+    publish(spark, path, m.copy(version = m.version + 1, buckets = next))
   }
 
   /** Fold every bucket whose directory list exceeds `maxDirs` back to a
@@ -286,27 +334,37 @@ object ManifestTable {
       val slice = spark.read.parquet(
         wide.values.flatten.map(d => s"$path/$d").toSeq: _*)
       val staged = stageSlice(spark, path, slice)
-      publish(spark, path, Manifest(m.version + 1, m.nBuckets,
-        m.buckets ++ staged.map { case (b, d) => b -> Seq(d) }))
+      publish(spark, path, m.copy(version = m.version + 1,
+        buckets = m.buckets ++ staged.map { case (b, d) => b -> Seq(d) }))
     }
   }
 
-  /** Keyed delete: rewrites the key's bucket without the matching rows;
-    * a bucket emptied by the delete is dereferenced in the new manifest.
+  /** Keyed delete: the victim's bucket is computed DRIVER-SIDE from the
+    * key hash (like [[lookup]] — zero discovery IO, where scanning the
+    * table for matching rows' buckets would read every bucket to delete
+    * one key), that single bucket is rewritten without the matching
+    * rows, and a bucket emptied by the delete is dereferenced. The
+    * keep-predicate is null-safe: rows with a NULL key sharing the
+    * bucket survive (plain `=!=` evaluates to NULL for them and would
+    * silently drop them).
     */
   def delete(spark: SparkSession, path: String, keyCol: String,
              keyValue: Any): Unit = {
     val m = currentManifest(spark, path)
-    val victims = read(spark, path).filter(col(keyCol) === keyValue)
-    val touched = victims.select("bucket").distinct().collect().map(_.getInt(0)).toSet
-    if (touched.nonEmpty) {
-      val remaining = spark.read.parquet(
-          touched.toSeq.sorted.flatMap(b =>
-            m.buckets.getOrElse(b, Seq.empty).map(d => s"$path/$d")): _*)
-        .filter(col(keyCol) =!= keyValue)
+    require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+    val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(keyValue)
+    requireKeyType(m, lit0.dataType, "delete")
+    val b = {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(lit0.value, lit0.dataType, 42L)
+      (((h % m.nBuckets) + m.nBuckets) % m.nBuckets).toInt
+    }
+    m.buckets.get(b).foreach { rels =>
+      val remaining = spark.read.parquet(rels.map(d => s"$path/$d"): _*)
+        .filter(!(col(keyCol) <=> keyValue))
       val staged = stageSlice(spark, path, remaining)
-      publish(spark, path, Manifest(m.version + 1, m.nBuckets,
-        (m.buckets -- touched) ++ staged.map { case (b, d) => b -> Seq(d) }))
+      publish(spark, path, m.copy(version = m.version + 1,
+        buckets = (m.buckets - b) ++ staged.map { case (bb, d) => bb -> Seq(d) }))
     }
   }
 
@@ -317,6 +375,13 @@ object ManifestTable {
     * scanning 3 buckets twice, not the table twice. Returns one row per
     * changed key: `change` ∈ insert | delete | update, the key, and the
     * row's before/after as JSON (schema-stable across any column set).
+    *
+    * PRECONDITION: the table is key-UNIQUE (the [[write]]/[[upsert]]/
+    * [[delete]] discipline). On an [[append]]-shaped table (duplicate
+    * keys by design, e.g. the incremental-dedup LSH index) the
+    * before/after key join is many-to-many — quadratic in per-key
+    * multiplicity and with no single-row change semantics to report;
+    * diff is not meaningful there.
     */
   def diff(spark: SparkSession, path: String, keyCol: String,
            fromV: Int, toV: Int): DataFrame = {

@@ -77,7 +77,8 @@ class ManifestTableSpec extends SparkSpec {
     // not colliding silently: publishing v1 again must be detectable.
     // Assert the protocol's local behavior: version list stays sorted
     // unique and read() resolves the latest.
-    ManifestTable.publish(spark, path, ManifestTable.Manifest(2, 8, Map.empty))
+    ManifestTable.publish(spark, path, ManifestTable.Manifest(2, 8, "id",
+      "id BIGINT,name STRING,score DOUBLE,bucket INT", Map.empty))
     assert(ManifestTable.versions(spark, path) == Seq(1, 2))
     // v2 has no buckets — an atomic whole-table truncate
     assert(ManifestTable.read(spark, path).isEmpty)
@@ -139,6 +140,50 @@ class ManifestTableSpec extends SparkSpec {
         .hash(k, org.apache.spark.sql.types.LongType, 42L) % 8) + 8) % 8).toInt)
     assert(scannedBuckets == expected,
       s"diff scanned buckets $scannedBuckets, touched keys live in $expected")
+  }
+
+  test("delete is null-safe and O(one bucket): NULL-key rows survive; only the key's bucket is read") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    val rows = (0L until 20L).map(i => (java.lang.Long.valueOf(i), s"name-$i")) :+
+      (null.asInstanceOf[java.lang.Long], "null-key-row")
+    ManifestTable.write(rows.toDF("id", "name"), path, "id", 4)
+    // delete a key that shares the NULL row's bucket — for whichever key
+    // that is, the NULL row must survive; delete them all to be sure
+    (0L until 20L).foreach(k => ManifestTable.delete(spark, path, "id", k))
+    val left = ManifestTable.read(spark, path)
+    assert(left.count() == 1 &&
+      left.select("name").as[String].head() == "null-key-row",
+      "NULL-key row was dropped by an unrelated keyed delete")
+
+    // discovery is driver-side: deleting from a fresh table reads only
+    // the victim's bucket (inputFiles of the rewrite slice)
+    val p2 = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(p2)
+    ManifestTable.delete(spark, p2, "id", 42L)
+    // wrong-typed delete fails loudly even if the key's bucket is absent
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.delete(spark, p2, "id", "42")
+    }
+    assert(err.getMessage.contains("does not match"))
+  }
+
+  test("truncated version keeps its schema; readBuckets type-checks the probe frame") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path)
+    // atomic truncate: columns remain addressable on the empty version
+    val m = ManifestTable.Manifest(2, 8, "id",
+      "id BIGINT,name STRING,score DOUBLE,bucket INT", Map.empty)
+    ManifestTable.publish(spark, path, m)
+    val t = ManifestTable.read(spark, path)
+    assert(t.isEmpty && t.filter($"id" === 1L).count() == 0) // resolves `id`
+
+    val p2 = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(p2)
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.readBuckets(spark, p2,
+        Seq(1, 2).toDF("id")) // Int probe frame vs Long key
+    }
+    assert(err.getMessage.contains("does not match"))
   }
 
   test("vacuum keeps the retention window readable and deletes beyond it") {
