@@ -296,6 +296,9 @@ object Sketches {
   def bpe_merge(syms: Column, first: String, second: String): Column =
     column(BpeMergeExpr(expression(syms), first, second))
 
+  def adjacent_pairs(syms: Column): Column =
+    column(AdjacentPairsExpr(expression(syms)))
+
   def simhash(text: Column): Column = column(SimHashExpr(expression(text)))
 
   /** Portable scalar digest of an ARRAY<LONG> signature: left fold
@@ -489,4 +492,42 @@ case class BpeMergeExpr(child: Expression, first: String, second: String)
   override protected def withNewChildInternal(c: Expression): BpeMergeExpr =
     copy(child = c)
   override def prettyName: String = "bpe_merge"
+}
+
+/** Adjacent symbol pairs of an ARRAY<STRING> with multiplicity, as
+  * (first, second) structs — the per-round counting scan of BPE
+  * training in one kernel pass. The HOF form
+  * (`transform(sequence(1, size-1), element_at...)`) re-resolves the
+  * array per element through interpreted lambdas; this walks it once.
+  */
+case class AdjacentPairsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("first", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("second", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adjacent_pairs requires ARRAY<STRING>, got ${t.sql}")
+    }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](math.max(0, n - 1))
+    var i = 0
+    while (i < n - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): AdjacentPairsExpr =
+    copy(child = c)
+  override def prettyName: String = "adjacent_pairs"
 }

@@ -50,13 +50,11 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      // adjacent pairs with multiplicity; `syms` is referenced by both
-      // size() and the lambda, so Catalyst can't inline the producer
-      // into the (interpreted) HOF body
+      // adjacent pairs with multiplicity in ONE kernel walk per row
+      // (the earlier transform(sequence)/element_at HOF paid interpreted
+      // lambda dispatch per element, the dominant per-round cost)
       val top = state
-        .select(explode(transform(sequence(lit(1), size(syms) - 1), i =>
-          struct(element_at(syms, i).as("first"),
-            element_at(syms, i + 1).as("second")))).as("p"))
+        .select(explode(graft.functions.Sketches.adjacent_pairs(syms)).as("p"))
         .groupBy(col("p.first").as("first"), col("p.second").as("second"))
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("first"), col("second"))

@@ -116,4 +116,25 @@ class BpeSpec extends SparkSpec {
     assert(got.head._2 == "the" && got.head._3 == "cat")
     assert(got.exists(m => m._2.contains(" ") || m._3.contains(" ")))
   }
+
+  test("adjacent_pairs kernel == the HOF executable spec (incl. empty, 1-sym, repeats)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      Seq("a", "b", "a", "b", "b"),
+      Seq("only"),
+      Seq.empty[String],
+      Seq("x", "x", "x")
+    ).toDF("syms")
+    val syms = col("syms")
+    val kernel = df.select(
+      graft.functions.Sketches.adjacent_pairs(syms).as("p")).collect()
+    val hof = df.select(
+      when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1), i =>
+          struct(element_at(syms, i).as("first"),
+            element_at(syms, i + 1).as("second"))))
+        .otherwise(array().cast("array<struct<first:string,second:string>>"))
+        .as("p")).collect()
+    assert(kernel.map(_.toString).toSeq == hof.map(_.toString).toSeq)
+  }
 }
