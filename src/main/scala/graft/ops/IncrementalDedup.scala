@@ -83,7 +83,7 @@ object IncrementalDedup {
   def probe(spark: SparkSession, path: String, batch: DataFrame,
             idCol: String, textCol: String,
             shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-            threshold: Double = 0.5): DataFrame = {
+            threshold: Double = 0.5, maxBucketSize: Int = 4096): DataFrame = {
     // pinned: the prepared batch feeds three consumers (the driver-side
     // bucket collect, the cross join's probe side, and the intra leg) —
     // without the pin each would re-run the tokenize/sign kernels
@@ -95,10 +95,20 @@ object IncrementalDedup {
     val slice = ManifestTable.readBuckets(spark, path,
       entries.select("bandkey").distinct())
     // corpus-vs-batch: bipartite band join, one row per matching band,
-    // deduped by the final grouping. A batch doc hitting a mass-dup
-    // corpus bucket emits its matches linearly (never k² — the batch
-    // side of each band key is the batch's occupancy, not the bucket's).
-    val cross = slice.alias("o").join(entries.alias("n"),
+    // deduped by the final grouping. The join streams k_index × k_batch
+    // rows per band key — quadratic when BOTH sides mass-duplicate the
+    // same content (boilerplate in the corpus AND arriving again in
+    // bulk), so index band keys over `maxBucketSize` degrade to their
+    // MIN-ID HUB member, the same connectivity-preserving star (and the
+    // same contract) as `Dedup.candidatePairs`: a batch doc near a
+    // mass-dup corpus block still pairs with the block's hub — no false
+    // positives, possibly fewer distinct cross-pairs inside the block.
+    val occ = slice.groupBy("bandkey")
+      .agg(count(lit(1)).as("k"), min("id").as("hub_id"))
+    val capped = slice.join(occ, "bandkey")
+      .filter(col("k") <= maxBucketSize || col("id") === col("hub_id"))
+      .select("bandkey", "id", "sig")
+    val cross = capped.alias("o").join(entries.alias("n"),
         col("o.bandkey") === col("n.bandkey"))
       .filter(col("o.id") =!= col("n.id"))
       .select(

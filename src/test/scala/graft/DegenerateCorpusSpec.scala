@@ -81,6 +81,12 @@ class DegenerateCorpusSpec extends SparkSpec {
     rehearse("substring_spans", ExtendedQueries.substringSpans)
   }
 
+  test("incremental_dedup survives a 50k-copy boilerplate block within ~2x of clean") {
+    // 40k copies land in the index, 10k arrive as the probed batch: the
+    // cross leg's hub cap and the intra leg's mega-bucket star both fire
+    rehearse("incremental_dedup", ExtendedQueries.all("incremental_dedup"))
+  }
+
   test("degenerate corpus results stay structurally sound (one 50k cluster, star-bounded pairs)") {
     import spark.implicits._
     // the planted block forms exactly one 50k-member exact-dup cluster
