@@ -40,6 +40,12 @@ object GraftExtensions {
       s"$name must be a long literal, got $other")
   }
 
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> (es => DotProductExpr(es(0), es(1))),
     "sig_agree" -> (es => SigAgreeExpr(es(0), es(1))),
@@ -58,7 +64,10 @@ object GraftExtensions {
     "minhash_from_shingles" -> (es =>
       MinHashFromShinglesExpr(es(0), intArg(es(1), "numHashes"))),
     "band_hashes" -> (es => SigBandHashesExpr(es(0), intArg(es(1), "bands"))),
-    "jaccard" -> (es => JaccardExpr(es(0), es(1)))
+    "jaccard" -> (es => JaccardExpr(es(0), es(1))),
+    "adjacent_pairs" -> (es => AdjacentPairsExpr(es.head)),
+    "bpe_merge" -> (es => BpeMergeExpr(es(0),
+      strArg(es(1), "first"), strArg(es(2), "second")))
   )
 
   /** Register into an already-built session as temp functions. */

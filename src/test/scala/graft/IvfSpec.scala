@@ -68,5 +68,12 @@ class IvfSpec extends SparkSpec {
       "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
       .as[Double].collect().head
     assert(dotViaSql == 11.0)
+    // the BPE kernels round-trip through SQL too
+    val bpe = spark.sql(
+      """SELECT adjacent_pairs(array('a','b','c')) AS p,
+        |       bpe_merge(array('a','b','c'), 'a', 'b') AS m""".stripMargin).collect().head
+    assert(bpe.getSeq[org.apache.spark.sql.Row](bpe.fieldIndex("p"))
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b"), ("b", "c")))
+    assert(bpe.getSeq[String](bpe.fieldIndex("m")).toSeq == Seq("a b", "c"))
   }
 }
