@@ -186,6 +186,41 @@ class ManifestTableSpec extends SparkSpec {
     assert(err.getMessage.contains("does not match"))
   }
 
+  test("model walk: random upsert/delete/compact/vacuum sequences match an in-memory map (seeded)") {
+    val rnd = new scala.util.Random(421)
+    (1 to 2).foreach { _ =>
+      val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+      var model = (0L until 30L).map(i => i -> (s"n$i", i * 1.0)).toMap
+      ManifestTable.write(
+        model.toSeq.map { case (k, (n, s)) => (k, n, s) }.toDF("id", "name", "score"),
+        path, "id", 4)
+      (1 to 10).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // upsert a mix of existing + new keys
+            val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(40))
+            val rows = ks.map(k => (k, s"u$step-$k", step * 1.0))
+            ManifestTable.upsert(spark, path,
+              rows.toDF("id", "name", "score"), "id")
+            rows.foreach { case (k, n, s) => model += k -> (n, s) }
+          case 1 => // delete a key (existing or not)
+            val k = rnd.nextLong(40)
+            ManifestTable.delete(spark, path, "id", k)
+            model -= k
+          case 2 => ManifestTable.compact(spark, path, maxDirs = 2)
+          case 3 => ManifestTable.vacuum(spark, path, keepVersions = 2)
+        }
+        val got = ManifestTable.read(spark, path)
+          .select("id", "name", "score").as[(Long, String, Double)]
+          .collect().map(t => t._1 -> (t._2, t._3)).toMap
+        assert(got == model,
+          s"state diverged at step $step: " +
+            s"missing=${(model.keySet -- got.keySet).take(3)} " +
+            s"extra=${(got.keySet -- model.keySet).take(3)} " +
+            s"wrong=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).take(3)}")
+      }
+    }
+  }
+
   test("vacuum keeps the retention window readable and deletes beyond it") {
     val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
     seed(path)
