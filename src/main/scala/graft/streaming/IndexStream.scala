@@ -57,6 +57,10 @@ object IndexedDedupStream {
       if (!fs.exists(marker)) {
         IncrementalDedup.appendBatch(spark, indexPath, docs, "doc_id", "text",
           shingleN, numHashes, bands)
+        // bound read fan-out across many streamed batches: a no-op
+        // (one manifest read) until some bucket's dir list grows past
+        // the cap, then folds just those buckets
+        graft.sinks.ManifestTable.compact(spark, indexPath, maxDirs = 32)
         fs.mkdirs(commits)
         fs.create(marker, false).close()
       }
