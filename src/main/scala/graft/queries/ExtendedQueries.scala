@@ -1018,6 +1018,59 @@ s$r AS MATERIALIZED (SELECT doc_id,
       |      FROM documents)
       |GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin
 
+  /** Fuzzy string join (entity resolution): each probe-side customer
+    * name matches its best supplier name by exact character-trigram
+    * Jaccard — the "same entity, different spelling" join relational
+    * engines can't express as an equi-join. The probe side is bounded
+    * (≤200 keys) and BROADCASTS over the streamed build side, exact-set
+    * Jaccard runs in the single-pass kernel, and one partitioned
+    * top-1 window picks the match (WindowGroupLimit prunes it).
+    * At corpus×corpus scale the banded-LSH candidate funnel from the
+    * dedup family replaces the broadcast product — same verify kernel,
+    * same output contract; this query pins the exact-verification
+    * semantics the funnel's survivors flow through.
+    */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), Dedup.charShingles(col("c_name"), 3).as("cg"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), Dedup.charShingles(col("s_name"), 3).as("sg"))
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(desc("trigram_jaccard"), col("s_suppkey"))
+    supp.crossJoin(broadcast(cust))
+      .withColumn("trigram_jaccard",
+        round(graft.functions.Sketches.jaccard(col("cg"), col("sg")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("c_custkey", "s_suppkey", "trigram_jaccard")
+      .orderBy("c_custkey")
+  }
+
+  private val fuzzyNameJoinSql =
+    """WITH cg AS (
+      |  SELECT c_custkey,
+      |         list_distinct(list_transform(range(1, len(c_name) - 1),
+      |           i -> substring(c_name, CAST(i AS BIGINT), 3))) AS g
+      |  FROM customer WHERE c_custkey <= 200),
+      |sg AS (
+      |  SELECT s_suppkey,
+      |         list_distinct(list_transform(range(1, len(s_name) - 1),
+      |           i -> substring(s_name, CAST(i AS BIGINT), 3))) AS g
+      |  FROM supplier),
+      |scored AS (
+      |  SELECT c.c_custkey, s.s_suppkey,
+      |         round(CAST(len(list_intersect(c.g, s.g)) AS DOUBLE)
+      |               / len(list_distinct(list_concat(c.g, s.g))), 6) AS trigram_jaccard
+      |  FROM cg c CROSS JOIN sg s),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |            ORDER BY trigram_jaccard DESC, s_suppkey) AS rk
+      |  FROM scored)
+      |SELECT c_custkey, s_suppkey, trigram_jaccard FROM ranked
+      |WHERE rk = 1 ORDER BY c_custkey""".stripMargin
+
   /** Out-of-vocabulary rate per document against the corpus top-200
     * vocabulary — the deterministic core of a CCNet-style LM quality
     * filter (docs whose tokens fall outside the head vocabulary read as
@@ -2146,6 +2199,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "mixture_sample_stats" -> mixtureSampleStats _,
     "vocabulary_topk" -> vocabularyTopk _,
     "oov_rate" -> oovRate _,
+    "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
@@ -2215,6 +2269,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "mixture_sample_stats" -> mixtureSampleStatsSql,
     "vocabulary_topk" -> vocabularyTopkSql,
     "oov_rate" -> oovRateSql,
+    "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,

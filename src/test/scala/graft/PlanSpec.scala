@@ -187,6 +187,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("fuzzy_name_join: the bounded probe side broadcasts; top-1 prunes via WindowGroupLimit") {
+    val p = plan(ExtendedQueries.fuzzyNameJoin(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("incremental_dedup probe: equi-joins on the band key, no cartesian; documents never re-read for the corpus side") {
     val p = plan(ExtendedQueries.incrementalDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(800))
