@@ -150,8 +150,17 @@ object Sketches {
 
   def permCoeffs(numHashes: Int): (Array[Long], Array[Long]) =
     permCache.computeIfAbsent(numHashes, k => (
-      Array.tabulate(k)(j => polyHash(s"graft-minhash-a-$j", P1 - 1) + 1L),
-      Array.tabulate(k)(j => polyHash(s"graft-minhash-b-$j", P1))))
+      // j embedded at the FRONT of the seed: a trailing "-$j" gives
+      // CONSECUTIVE coefficients for consecutive j (the fold differs by
+      // one final +1), making perm_j(h) = perm_0(h) + j·(h+1) mod P1 —
+      // for small h (any shingle ≤4 ASCII chars hashes < 4e6, e.g. char
+      // trigrams) the j-shift is tinier than the gaps between permuted
+      // values, the per-slot argmin NEVER changes, and every slot of
+      // the signature agrees either fully or not at all: banding recall
+      // on short-shingle sets collapses to a coin flip on perm_0. A
+      // leading digit avalanches through 31^len, so coefficients mix.
+      Array.tabulate(k)(j => polyHash(s"$j#graft-minhash-a", P1 - 1) + 1L),
+      Array.tabulate(k)(j => polyHash(s"$j#graft-minhash-b", P1))))
 
   private[functions] def minhashOfShingles(sh: Array[String],
                                            numHashes: Int): Array[Long] = {

@@ -1048,6 +1048,42 @@ s$r AS MATERIALIZED (SELECT doc_id,
       .orderBy("c_custkey")
   }
 
+  /** The corpus×corpus scale path of [[fuzzyNameJoin]]: banded-LSH
+    * candidates (char trigrams → 64-slot minhash → 64 bands of r=1:
+    * per-probe recall 1-(1-J)^64 ≥ 0.99999 at J ≥ 0.2, where every real
+    * top-1 in this data lives — templated names score 0.25-0.30, so
+    * wider r would sit on the S-curve's floor)
+    * replace the broadcast product; the exact-Jaccard kernel and
+    * top-1 window are identical. Bench/plan-only: LSH recall below the
+    * S-curve's floor is probabilistic, so the oracle stays on the brute
+    * variant and FuzzyJoinSpec pins LSH ≡ brute for every probe whose
+    * best match is in the high-recall zone.
+    */
+  def fuzzyNameJoinLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Sketches
+    def prep(df: DataFrame, key: String, name: String, gCol: String) = df
+      .select(col(key), Dedup.charShingles(col(name), 3).as(gCol))
+      .withColumn("sig", Sketches.minhash_from_shingles(col(gCol), 64))
+      .withColumn("bands", Sketches.band_hashes(col("sig"), 64))
+      .select(col(key), col(gCol),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+    val cust = prep(Tables.customer(spark, dir).filter(col("c_custkey") <= 200),
+      "c_custkey", "c_name", "cg")
+    val supp = prep(Tables.supplier(spark, dir), "s_suppkey", "s_name", "sg")
+    val cands = cust.join(supp, Seq("band", "bh"))
+      .select("c_custkey", "cg", "s_suppkey", "sg").distinct()
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(desc("trigram_jaccard"), col("s_suppkey"))
+    cands
+      .withColumn("trigram_jaccard",
+        round(Sketches.jaccard(col("cg"), col("sg")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("c_custkey", "s_suppkey", "trigram_jaccard")
+      .orderBy("c_custkey")
+  }
+
   private val fuzzyNameJoinSql =
     """WITH cg AS (
       |  SELECT c_custkey,
@@ -2237,7 +2273,8 @@ s$r AS MATERIALIZED (SELECT doc_id,
         maxOccur = 1L, fingerprintKeys = true)
         .orderBy("doc_id")),
     "source_overlap_fp" -> ((s: SparkSession, d: String) =>
-      sourceOverlap(s, d, fingerprintKeys = true)))
+      sourceOverlap(s, d, fingerprintKeys = true)),
+    "fuzzy_name_join_lsh" -> fuzzyNameJoinLsh _)
 
   val oracles: Map[String, String] = Map(
     "dedup_stats" -> dedupStatsSql,
