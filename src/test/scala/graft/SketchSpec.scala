@@ -246,4 +246,28 @@ class SketchSpec extends SparkSpec {
       .filter($"kernel" =!= $"spec").count()
     assert(stopDiff == 0, s"$stopDiff stopword_hits mismatches vs HOF spec")
   }
+
+  test("minhash estimator tracks exact Jaccard on SHORT-shingle sets (perm-family mixing pin)") {
+    // regression pin for the degenerate family this repo shipped until
+    // round 6: trailing-digit seeds made perm_j = perm_0 + j·(h+1), so
+    // for small h (char trigrams hash < 4e6 ≪ P1) the per-slot argmin
+    // never changed and agreement collapsed to 0-or-64. The templated
+    // customer/supplier names are exactly that regime: estimator error
+    // must stay estimator-sized, not coin-flip-sized.
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter($"c_custkey" <= 30)
+      .select(graft.ops.Dedup.charShingles($"c_name", 3).as("cg"))
+      .withColumn("sig_c", Sketches.minhash_from_shingles($"cg", 64))
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(graft.ops.Dedup.charShingles($"s_name", 3).as("sg"))
+      .withColumn("sig_s", Sketches.minhash_from_shingles($"sg", 64))
+    val errs = cust.crossJoin(supp)
+      .select(
+        abs(graft.ops.Dedup.estJaccard($"sig_c", $"sig_s", 64) -
+          Sketches.jaccard($"cg", $"sg")).as("err"))
+      .agg(avg($"err"), max($"err")).as[(Double, Double)].head()
+    assert(errs._1 < 0.06, f"mean |est-exact| ${errs._1}%.3f — family mixing regressed")
+    assert(errs._2 < 0.30, f"max |est-exact| ${errs._2}%.3f — some pair collapsed")
+  }
 }
