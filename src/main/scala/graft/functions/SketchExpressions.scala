@@ -527,14 +527,22 @@ case class AdjacentPairsExpr(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
-    val out = new Array[Any](math.max(0, n - 1))
+    // input arrays may carry containsNull=true (e.g. split()'s declared
+    // type); the output struct fields are declared non-nullable, so a
+    // pair touching a null element is skipped rather than emitted — a
+    // null symbol can never be a BPE merge participant anyway
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.max(0, n - 1))
     var i = 0
     while (i < n - 1) {
-      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1)))
+      val a = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val b = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+      if (a != null && b != null) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, b))
+      }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
   override protected def withNewChildInternal(c: Expression): AdjacentPairsExpr =
     copy(child = c)

@@ -1403,14 +1403,24 @@ s$r AS MATERIALIZED (SELECT doc_id,
     * candidates → cheap signature-estimate prefilter → exact set Jaccard
     * only on survivors. The exact union/intersect over ~300-element
     * shingle arrays is 10-50× the cost of the 64-slot estimate, so the
-    * prefilter (est ≥ 0.1, generous vs the σ≈0.06 estimator noise at the
-    * top of the ranking) is what keeps verification off the full
-    * candidate set.
+    * prefilter is what keeps verification off the full candidate set.
+    *
+    * Banding is TUNED TO THE OUTPUT, not the prefilter (the
+    * `dedup_clusters` discipline): a top-20-by-exact-Jaccard query only
+    * needs recall where the top 20 live, and at sf0.1 the measured
+    * 20th-ranked pair has J=0.989 — 16 bands of r=4 (S-curve threshold
+    * ≈0.5, recall ≈1 at J≥0.8) finds the identical top 20 from 1,527
+    * candidates where the r=2 banding streamed 407,427 (measured both,
+    * `tools/Profile.scala`). The 267× candidate cut is what retired the
+    * r06 bench-variance exposure: 400k est-verify rows carrying two
+    * 64-slot signature arrays apiece were pure allocation churn whose
+    * runtime was hostage to machine load. The oracle mirrors the same
+    * banding, so the funnel stays hash-verified end to end.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val numHashes = 64
     val prepared = Dedup.prepareMinhash(Tables.documents(spark, dir),
-      "doc_id", "text", shingleN = 2, numHashes = numHashes, bands = 32)
+      "doc_id", "text", shingleN = 2, numHashes = numHashes, bands = 16)
     val cands = Dedup.candidatePairs(prepared, "id", "bands")
     val sigs = prepared.select(col("id"), col("sig"))
     val prefiltered = cands
@@ -1434,7 +1444,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
 
   private val ngramJaccardPairsSql =
     s"""WITH ${minhashCtes(2, 64)},
-       |${bandCtes(64, 32)}
+       |${bandCtes(64, 16)}
        |SELECT e.id_l, e.id_r,
        |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
        |         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard

@@ -54,6 +54,14 @@ object ManifestTable {
   private val ManifestDir = "_manifests"
   private val DataDir = "data"
 
+  /** A publish lost the race for its version number. Callers inside this
+    * object retry against the re-read current manifest (optimistic
+    * concurrency, the Delta log protocol); external callers of
+    * [[publish]] see it directly.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Each bucket maps to the ORDERED LIST of data directories holding
     * its rows: upsert/delete rewrite a touched bucket down to one
     * directory, while `append` just adds a directory to the list —
@@ -159,7 +167,16 @@ object ManifestTable {
       .map(n => n.stripPrefix("b=").toInt -> s"$rel/$n").toMap
   }
 
-  /** Publish manifest `next` — the single atomic step of a commit. */
+  /** Publish manifest `next` — the single atomic step of a commit.
+    *
+    * On HDFS-semantics filesystems the rename itself is the atomic
+    * put-if-absent. POSIX rename replaces the destination, so an
+    * explicit existence check runs first: non-atomic (two writers inside
+    * the check-to-rename window can still both "win" locally), but it
+    * converts every humanly-interleaved local conflict into a detected
+    * [[ConcurrentCommitException]] instead of a silent overwrite, which
+    * is what the in-process retry loops key off.
+    */
   private[graft] def publish(spark: SparkSession, path: String, next: Manifest): Unit = {
     val f = fs(spark, path)
     val dir = new Path(path, ManifestDir)
@@ -168,10 +185,39 @@ object ManifestTable {
     val out = f.create(tmp, false)
     try out.write(render(next).getBytes("UTF-8")) finally out.close()
     val dst = new Path(dir, manifestName(next.version))
-    if (!f.rename(tmp, dst)) {
+    if (f.exists(dst) || !f.rename(tmp, dst)) {
       f.delete(tmp, true)
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"concurrent commit detected: ${dst.getName} already published")
+    }
+  }
+
+  /** Bounded optimistic-concurrency commit loop: build the next manifest
+    * from the CURRENT one, publish, and on a version conflict re-read
+    * and rebuild. `attempt` must be safe to re-run against a newer base
+    * (every caller here either restages from scratch or rebases
+    * already-staged immutable data dirs — staging is never repeated for
+    * pointer-only rebases). Attempts from lost races leave at most
+    * orphaned staged dirs, which `vacuum` reclaims.
+    */
+  private def commitWithRetry(spark: SparkSession, path: String,
+                              maxAttempts: Int = 5)(attempt: Manifest => Option[Manifest]): Unit = {
+    var tries = 0
+    var done = false
+    while (!done) {
+      val cur = currentManifest(spark, path)
+      attempt(cur) match {
+        case None => done = true // nothing to commit against this base
+        case Some(next) =>
+          try {
+            publish(spark, path, next)
+            done = true
+          } catch {
+            case e: ConcurrentCommitException =>
+              tries += 1
+              if (tries >= maxAttempts) throw e
+          }
+      }
     }
   }
 
@@ -204,9 +250,22 @@ object ManifestTable {
     val spark = df.sparkSession
     val slice = bucketed(df, keyCol, nBuckets)
     val staged = stageSlice(spark, path, slice)
-    val v = versions(spark, path).lastOption.getOrElse(0) + 1
-    publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
-      staged.map { case (b, d) => b -> Seq(d) }))
+    // whole-table replace: a lost race only needs a fresh version number
+    // (the staged dirs are the complete next table regardless of base)
+    var tries = 0
+    var done = false
+    while (!done) {
+      val v = versions(spark, path).lastOption.getOrElse(0) + 1
+      try {
+        publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
+          staged.map { case (b, d) => b -> Seq(d) }))
+        done = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          tries += 1
+          if (tries >= 5) throw e
+      }
+    }
   }
 
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
@@ -275,31 +334,51 @@ object ManifestTable {
 
   /** MERGE: rows of `updates` replace same-key rows, new keys insert.
     * Rewrites only the touched buckets; commits all of them atomically.
+    *
+    * Concurrency: on a publish conflict the commit retries against the
+    * re-read manifest. If the intervening commit left every touched
+    * bucket's pointers unchanged (disjoint writers — the common case),
+    * the already-staged dirs are REBASED onto the new manifest with no
+    * restaging; if a touched bucket moved, the merge is recomputed
+    * against the new snapshot (anything else would lose the other
+    * writer's rows).
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              keyCol: String): Unit = {
-    val m = currentManifest(spark, path)
-    require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
-    requireKeyType(m, updates.schema(keyCol).dataType, "upsert")
-    val u = bucketed(updates, keyCol, m.nBuckets)
-    // ≤ nBuckets values — bounded driver metadata, like a partition listing
-    val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).toSet
-    val existingDirs = touched.toSeq.sorted.flatMap(b =>
-      m.buckets.getOrElse(b, Seq.empty))
-    val existing =
-      if (existingDirs.isEmpty) None
-      else Some(spark.read.parquet(existingDirs.map(d => s"$path/$d"): _*))
-    val merged = existing match {
-      case None => u
-      case Some(e) =>
-        e.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(u.select(e.columns.map(col): _*))
+    // staging cache across retry attempts: (base pointers of touched
+    // buckets when staged) -> staged dirs
+    var stagedFor: Option[(Map[Int, Seq[String]], Map[Int, String], Set[Int])] = None
+    commitWithRetry(spark, path) { m =>
+      require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+      requireKeyType(m, updates.schema(keyCol).dataType, "upsert")
+      val u = bucketed(updates, keyCol, m.nBuckets)
+      // ≤ nBuckets values — bounded driver metadata, like a partition listing
+      val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      val basePointers = touched.map(b => b -> m.buckets.getOrElse(b, Seq.empty)).toMap
+      val staged = stagedFor match {
+        case Some((base, dirs, tb)) if tb == touched && base == basePointers =>
+          dirs // conflicting commit didn't move our buckets: pointer-only rebase
+        case _ =>
+          val existingDirs = touched.toSeq.sorted.flatMap(b =>
+            m.buckets.getOrElse(b, Seq.empty))
+          val existing =
+            if (existingDirs.isEmpty) None
+            else Some(spark.read.parquet(existingDirs.map(d => s"$path/$d"): _*))
+          val merged = existing match {
+            case None => u
+            case Some(e) =>
+              e.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
+                .unionByName(u.select(e.columns.map(col): _*))
+          }
+          val dirs = stageSlice(spark, path, merged)
+          stagedFor = Some((basePointers, dirs, touched))
+          dirs
+      }
+      // touched buckets point at the new dirs (a bucket whose rows were all
+      // deleted stages nothing and drops out); untouched keep their dirs
+      val next = (m.buckets -- touched) ++ staged.map { case (b, d) => b -> Seq(d) }
+      Some(m.copy(version = m.version + 1, buckets = next))
     }
-    val staged = stageSlice(spark, path, merged)
-    // touched buckets point at the new dirs (a bucket whose rows were all
-    // deleted stages nothing and drops out); untouched keep their dirs
-    val next = (m.buckets -- touched) ++ staged.map { case (b, d) => b -> Seq(d) }
-    publish(spark, path, m.copy(version = m.version + 1, buckets = next))
   }
 
   /** APPEND: add `rows` without reading or rewriting anything — each
@@ -312,14 +391,23 @@ object ManifestTable {
     */
   def append(spark: SparkSession, path: String, rows: DataFrame,
              keyCol: String): Unit = {
-    val m = currentManifest(spark, path)
-    require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
-    requireKeyType(m, rows.schema(keyCol).dataType, "append")
-    val staged = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets))
-    val next = staged.foldLeft(m.buckets) { case (acc, (b, d)) =>
-      acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
+    // appends commute: staged once, the dirs rebase onto ANY newer
+    // manifest (each touched bucket's list just grows by one) — the
+    // retry loop never restages
+    var staged: Option[Map[Int, String]] = None
+    commitWithRetry(spark, path) { m =>
+      require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+      requireKeyType(m, rows.schema(keyCol).dataType, "append")
+      val dirs = staged.getOrElse {
+        val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets))
+        staged = Some(d)
+        d
+      }
+      val next = dirs.foldLeft(m.buckets) { case (acc, (b, d)) =>
+        acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
+      }
+      Some(m.copy(version = m.version + 1, buckets = next))
     }
-    publish(spark, path, m.copy(version = m.version + 1, buckets = next))
   }
 
   /** Fold every bucket whose directory list exceeds `maxDirs` back to a
@@ -328,14 +416,19 @@ object ManifestTable {
     * OPTIMIZE. Committed atomically like any other maintenance op.
     */
   def compact(spark: SparkSession, path: String, maxDirs: Int = 8): Unit = {
-    val m = currentManifest(spark, path)
-    val wide = m.buckets.filter(_._2.size > maxDirs)
-    if (wide.nonEmpty) {
-      val slice = spark.read.parquet(
-        wide.values.flatten.map(d => s"$path/$d").toSeq: _*)
-      val staged = stageSlice(spark, path, slice)
-      publish(spark, path, m.copy(version = m.version + 1,
-        buckets = m.buckets ++ staged.map { case (b, d) => b -> Seq(d) }))
+    if (currentManifest(spark, path).buckets.forall(_._2.size <= maxDirs)) return
+    // compaction is a pure rewrite of current state — on conflict the
+    // cheapest correct move is to redo it against the new manifest
+    // (restage; the lost attempt's dirs become vacuumable orphans)
+    commitWithRetry(spark, path) { m =>
+      val wide = m.buckets.filter(_._2.size > maxDirs)
+      if (wide.isEmpty) None // raced compaction already folded them
+      else {
+        val staged = stageSlice(spark, path, spark.read.parquet(
+          wide.values.flatten.map(d => s"$path/$d").toSeq: _*))
+        Some(m.copy(version = m.version + 1,
+          buckets = m.buckets ++ staged.map { case (b, d) => b -> Seq(d) }))
+      }
     }
   }
 
@@ -350,21 +443,33 @@ object ManifestTable {
     */
   def delete(spark: SparkSession, path: String, keyCol: String,
              keyValue: Any): Unit = {
-    val m = currentManifest(spark, path)
-    require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
-    val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(keyValue)
-    requireKeyType(m, lit0.dataType, "delete")
-    val b = {
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(lit0.value, lit0.dataType, 42L)
-      (((h % m.nBuckets) + m.nBuckets) % m.nBuckets).toInt
-    }
-    m.buckets.get(b).foreach { rels =>
-      val remaining = spark.read.parquet(rels.map(d => s"$path/$d"): _*)
-        .filter(!(col(keyCol) <=> keyValue))
-      val staged = stageSlice(spark, path, remaining)
-      publish(spark, path, m.copy(version = m.version + 1,
-        buckets = (m.buckets - b) ++ staged.map { case (bb, d) => bb -> Seq(d) }))
+    // staging cache across retry attempts, keyed by the victim bucket's
+    // pointers at stage time (same rebase rule as upsert)
+    var stagedFor: Option[(Seq[String], Map[Int, String])] = None
+    commitWithRetry(spark, path) { m =>
+      require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+      val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(keyValue)
+      requireKeyType(m, lit0.dataType, "delete")
+      val b = {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(lit0.value, lit0.dataType, 42L)
+        (((h % m.nBuckets) + m.nBuckets) % m.nBuckets).toInt
+      }
+      m.buckets.get(b) match {
+        case None => None // key's bucket absent: nothing to delete, no commit needed
+        case Some(rels) =>
+          val staged = stagedFor match {
+            case Some((base, dirs)) if base == rels => dirs
+            case _ =>
+              val remaining = spark.read.parquet(rels.map(d => s"$path/$d"): _*)
+                .filter(!(col(keyCol) <=> keyValue))
+              val dirs = stageSlice(spark, path, remaining)
+              stagedFor = Some((rels, dirs))
+              dirs
+          }
+          Some(m.copy(version = m.version + 1,
+            buckets = (m.buckets - b) ++ staged.map { case (bb, d) => bb -> Seq(d) }))
+      }
     }
   }
 
@@ -376,12 +481,14 @@ object ManifestTable {
     * changed key: `change` ∈ insert | delete | update, the key, and the
     * row's before/after as JSON (schema-stable across any column set).
     *
-    * PRECONDITION: the table is key-UNIQUE (the [[write]]/[[upsert]]/
-    * [[delete]] discipline). On an [[append]]-shaped table (duplicate
-    * keys by design, e.g. the incremental-dedup LSH index) the
-    * before/after key join is many-to-many — quadratic in per-key
-    * multiplicity and with no single-row change semantics to report;
-    * diff is not meaningful there.
+    * PRECONDITION (enforced): the table is key-UNIQUE (the [[write]]/
+    * [[upsert]]/[[delete]] discipline). On an [[append]]-shaped table
+    * (duplicate keys by design, e.g. the incremental-dedup LSH index)
+    * the before/after key join is many-to-many — quadratic in per-key
+    * multiplicity and with no single-row change semantics to report —
+    * so a duplicate key on either changed-bucket slice fails fast with
+    * a clear error instead of silently blowing up the join. The check
+    * costs one aggregation over the slices diff was reading anyway.
     */
   def diff(spark: SparkSession, path: String, keyCol: String,
            fromV: Int, toV: Int): DataFrame = {
@@ -401,6 +508,19 @@ object ManifestTable {
         spark.emptyDataFrame.select(lit("").as("change"), lit("").as("key"),
           lit("").as("before"), lit("").as("after")).limit(0)
       case (before, after) =>
+        Seq("from" -> before, "to" -> after).foreach { case (what, df) =>
+          df.foreach { d =>
+            val dup = d.groupBy(col(keyCol)).count()
+              .filter(col("count") > 1).limit(1).collect()
+            if (dup.nonEmpty)
+              throw new IllegalStateException(
+                s"diff precondition violated: table at $path has duplicate " +
+                  s"$keyCol=${dup.head.get(0)} in the $what-version slice — " +
+                  "diff requires key-unique tables (write/upsert/delete " +
+                  "discipline); append-shaped tables have no single-row " +
+                  "change semantics")
+          }
+        }
         val schema = before.orElse(after).get.schema
         val cols = schema.fieldNames.filter(_ != "bucket").map(col).toSeq
         def shaped(df: Option[DataFrame]) = df
@@ -420,28 +540,44 @@ object ManifestTable {
     }
   }
 
-  /** Retire history: keep the latest `keepVersions` manifests, delete
-    * older ones, then delete every `data/<uuid>` directory no kept
-    * manifest references (which also reclaims orphans from crashed
-    * commits) and any leftover `.tmp-` manifest files. Readers still
-    * scanning a retired version race with the delete — the same
-    * documented hazard as Delta's VACUUM retention window.
+  /** Retire history: keep the latest `keepVersions` manifests AND every
+    * manifest committed within the last `retainMs` milliseconds (by
+    * manifest-file modification time — Delta's `RETAIN n HOURS` mapped
+    * onto this log), delete older ones, then delete every `data/<uuid>`
+    * directory no kept manifest references (which also reclaims orphans
+    * from crashed commits). The age floor turns the reader-race hazard
+    * into wall-clock policy: a reader that started less than `retainMs`
+    * ago cannot have its version retired under it. `retainMs = 0` keeps
+    * the pure version-count behavior.
+    *
+    * Leftover `.tmp-` manifest files are deleted only when older than
+    * `tmpGraceMs`: a fresh tmp file may be another writer's in-flight
+    * publish (on HDFS, where multi-writer optimistic concurrency is
+    * real), and yanking it mid-commit would fail that writer spuriously.
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
+             retainMs: Long = 0L, tmpGraceMs: Long = 3600L * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, path)
     val vs = versions(spark, path)
     if (vs.isEmpty) return
-    val (retire, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val now = System.currentTimeMillis()
+    val mDir = new Path(path, ManifestDir)
+    def youngerThanHorizon(v: Int): Boolean = retainMs > 0 &&
+      f.getFileStatus(new Path(mDir, manifestName(v))).getModificationTime > now - retainMs
+    val (countRetire, keepByCount) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val (retire, keptByAge) = countRetire.partition(v => !youngerThanHorizon(v))
+    val keep = keptByAge ++ keepByCount
     val live: Set[String] = keep
       .flatMap(v => readManifest(spark, path, v).buckets.values.flatten)
       .map(rel => rel.split('/')(1)) // data/<uuid>/b=i -> <uuid>
       .toSet
     retire.foreach(v =>
-      f.delete(new Path(new Path(path, ManifestDir), manifestName(v)), false))
-    f.listStatus(new Path(path, ManifestDir)).map(_.getPath)
-      .filter(_.getName.startsWith(".tmp-"))
-      .foreach(p => f.delete(p, false))
+      f.delete(new Path(mDir, manifestName(v)), false))
+    f.listStatus(mDir).map(s => (s.getPath, s.getModificationTime))
+      .filter { case (p, t) =>
+        p.getName.startsWith(".tmp-") && t <= now - tmpGraceMs }
+      .foreach { case (p, _) => f.delete(p, false) }
     val dataRoot = new Path(path, DataDir)
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).map(_.getPath)

@@ -60,6 +60,34 @@ object Profile {
       }
     }
 
+    // ngram_jaccard_pairs funnel volumes: candidates, est>=0.2 survivors,
+    // and the top-20 exact-jaccard floor — the numbers that decide whether
+    // the r06 bench anomaly was candidate volume or environment variance
+    {
+      Seq((32, "r=2 thr~0.18"), (16, "r=4 thr~0.50")).foreach { case (bands, label) =>
+        val prepared = Dedup.prepareMinhash(docs, "doc_id", "text",
+          shingleN = 2, numHashes = 64, bands = bands)
+        val cands = Dedup.candidatePairs(prepared, "id", "bands")
+        val sigs = prepared.select(col("id"), col("sig"))
+        val est = cands
+          .join(sigs.withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+          .join(sigs.withColumnRenamed("id", "id_r").withColumnRenamed("sig", "sig_r"), "id_r")
+          .withColumn("est", Dedup.estJaccard(col("sig_l"), col("sig_r"), 64))
+        val nC = cands.count()
+        val nS = est.filter(col("est") >= 0.2).count()
+        val side = prepared.select(col("id"), col("shingles"))
+        val top = est.filter(col("est") >= 0.2).select("id_l", "id_r")
+          .join(side.withColumnRenamed("id", "id_l").withColumnRenamed("shingles", "sh_l"), "id_l")
+          .join(side.withColumnRenamed("id", "id_r").withColumnRenamed("shingles", "sh_r"), "id_r")
+          .withColumn("jaccard", graft.functions.Sketches.jaccard(col("sh_l"), col("sh_r")))
+          .orderBy(desc("jaccard")).limit(20)
+          .select("jaccard").collect().map(_.getDouble(0))
+        println(s"[prof] bands=$bands ($label): candidates=$nC est>=0.2 " +
+          s"survivors=$nS top20_floor=${if (top.length == 20) top.last else -1.0} " +
+          s"top20_n=${top.length}")
+      }
+    }
+
     val numHashes = 64
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass ---")

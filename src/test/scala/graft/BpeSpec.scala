@@ -137,4 +137,17 @@ class BpeSpec extends SparkSpec {
         .as("p")).collect()
     assert(kernel.map(_.toString).toSeq == hof.map(_.toString).toSeq)
   }
+
+  test("adjacent_pairs skips pairs touching null elements (containsNull inputs)") {
+    // SQL arrays can carry containsNull=true (split()'s declared type);
+    // the kernel's output struct fields are non-nullable, so pairs with
+    // a null member must be dropped, not emitted as schema-violating rows
+    import org.apache.spark.sql.functions._
+    val rows = Seq(Seq[String]("a", null, "b", "c")).toDF("syms")
+      .select(graft.functions.Sketches.adjacent_pairs(col("syms")).as("p"))
+      .collect()
+    assert(rows.length == 1)
+    val pairs = rows.head.getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.map(r => (r.getString(0), r.getString(1))) == Seq(("b", "c")))
+  }
 }

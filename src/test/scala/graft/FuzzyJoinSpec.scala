@@ -4,10 +4,11 @@ import graft.queries.ExtendedQueries
 
 /** The LSH fuzzy join is the brute join's scale path, not a different
   * operator: for every probe whose true best match sits in the banding's
-  * high-recall zone (J ≥ 0.4 with 32 bands of r=2 → recall ≥ 0.996 per
-  * probe), the banded variant returns the identical (match, score) row,
-  * and it can never report a better-scoring match than brute (its
-  * candidates are a subset).
+  * high-recall zone (J ≥ 0.2 with 64 bands of r=1 → miss probability
+  * (1-J)^64 ≤ 1e-6, i.e. recall ≥ 0.99999 per probe — the
+  * `fuzzyNameJoinLsh` tuning), the banded variant returns the identical
+  * (match, score) row, and it can never report a better-scoring match
+  * than brute (its candidates are a subset).
   */
 class FuzzyJoinSpec extends SparkSpec {
   import spark.implicits._

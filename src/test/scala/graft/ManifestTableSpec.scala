@@ -12,6 +12,16 @@ import graft.sinks.ManifestTable
   * (3) history is real — snapshot reads of version N survive later
   * commits until vacuum retires them.
   */
+/** JVM-static gate for the interleaved-writer test: task closures
+  * reference it by classloader, not by serialized state.
+  */
+object ManifestSpecGate {
+  @volatile private var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = latch = new java.util.concurrent.CountDownLatch(1)
+  def await(): Unit = latch.await(120, java.util.concurrent.TimeUnit.SECONDS)
+  def open(): Unit = latch.countDown()
+}
+
 class ManifestTableSpec extends SparkSpec {
   import spark.implicits._
 
@@ -219,6 +229,81 @@ class ManifestTableSpec extends SparkSpec {
             s"wrong=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).take(3)}")
       }
     }
+  }
+
+  test("two interleaved writers both commit: loser of the version race rebases and republishes") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path)
+    // writer A reads the v1 base, then BLOCKS inside its first Spark job
+    // until writer B has committed v2 on top of the same base — the
+    // deterministic lost-race shape. A's publish of v2 must conflict,
+    // rebase its already-staged bucket pointers onto v2, and land v3.
+    ManifestSpecGate.reset()
+    val slowUpdates = Seq((200L, "from-A", 1.0)).toDF("id", "name", "score")
+      .as[(Long, String, Double)]
+      .mapPartitions { it => ManifestSpecGate.await(); it }
+      .toDF("id", "name", "score")
+    val a = new Thread(() =>
+      ManifestTable.upsert(spark, path, slowUpdates, "id"))
+    a.setDaemon(true)
+    a.start()
+    // let A enter the retry loop and read base v1 (its staging job is
+    // parked on the gate)
+    Thread.sleep(1500)
+    ManifestTable.upsert(spark, path,
+      Seq((300L, "from-B", 2.0)).toDF("id", "name", "score"), "id")
+    assert(ManifestTable.versions(spark, path).contains(2))
+    ManifestSpecGate.open()
+    a.join(120000)
+    assert(!a.isAlive, "writer A never finished")
+
+    assert(ManifestTable.versions(spark, path) == Seq(1, 2, 3),
+      "loser did not republish on a fresh version")
+    val all = ManifestTable.read(spark, path)
+    assert(all.filter($"id" === 200L).select("name").as[String].head() == "from-A")
+    assert(all.filter($"id" === 300L).select("name").as[String].head() == "from-B",
+      "rebase lost the other writer's commit")
+    assert(all.count() == 102)
+  }
+
+  test("diff fails fast on an append-shaped (key-duplicate) table") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path, n = 10, nB = 2)
+    // append the same keys again: per-key multiplicity 2 by design
+    ManifestTable.append(spark, path,
+      (0L until 10L).map(i => (i, s"dup-$i", 0.0)).toDF("id", "name", "score"), "id")
+    val err = intercept[IllegalStateException] {
+      ManifestTable.diff(spark, path, "id", 1, 2).collect()
+    }
+    assert(err.getMessage.contains("key-unique"), err.getMessage)
+  }
+
+  test("vacuum age floor: versions younger than retainMs survive a version-count retirement") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path)
+    ManifestTable.upsert(spark, path,
+      Seq((1L, "u1", 1.0)).toDF("id", "name", "score"), "id")
+    ManifestTable.upsert(spark, path,
+      Seq((2L, "u2", 2.0)).toDF("id", "name", "score"), "id")
+    assert(ManifestTable.versions(spark, path) == Seq(1, 2, 3))
+    // keepVersions=1 would retire v1 and v2, but both were committed
+    // seconds ago — the 1h age floor keeps them (RETAIN n HOURS)
+    ManifestTable.vacuum(spark, path, keepVersions = 1, retainMs = 3600L * 1000)
+    assert(ManifestTable.versions(spark, path) == Seq(1, 2, 3),
+      "age floor did not protect young versions")
+    assert(ManifestTable.readVersion(spark, path, 1).count() == 100)
+    // a fresh .tmp- file (another writer's in-flight publish) survives
+    // vacuum; only stale ones are reclaimed
+    val tmp = new java.io.File(s"$path/_manifests/.tmp-inflight")
+    java.nio.file.Files.writeString(tmp.toPath, "{}")
+    ManifestTable.vacuum(spark, path, keepVersions = 1, retainMs = 3600L * 1000)
+    assert(tmp.exists, "vacuum deleted a fresh in-flight tmp manifest")
+    tmp.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
+    ManifestTable.vacuum(spark, path, keepVersions = 1, retainMs = 3600L * 1000)
+    assert(!tmp.exists, "vacuum kept a stale tmp manifest")
+    // with no age floor the count rule applies as before
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(ManifestTable.versions(spark, path) == Seq(3))
   }
 
   test("vacuum keeps the retention window readable and deletes beyond it") {
