@@ -31,12 +31,15 @@ import graft.sinks.ManifestTable
   *     rewritten), with `ManifestTable.compact` bounding read fan-out
   *     after many batches.
   *
-  * At cluster scale the join still shuffles the touched index slice
-  * (Spark cannot see the custom layout's partitioning); registering the
-  * index as a DSv2 source reporting hash partitioning on `bandkey`
-  * would remove that too. The IO story — probe reads O(touched
-  * buckets), append writes O(batch) — is the layout's contribution and
-  * holds as-is.
+  * The touched index slice is read through
+  * [[graft.sources.ManifestIndexSource]] — a DSv2 scan that REPORTS the
+  * layout's `bucket(nBuckets, bandkey)` hash partitioning — so the
+  * probe's band-key join plans as a storage-partitioned join: Spark
+  * shuffles ONLY the batch side into the index's existing bucket
+  * layout, and the per-bucket occupancy count (`occ`) aggregates the
+  * slice without an exchange either. IO is O(touched buckets) on the
+  * read, CPU/shuffle is O(batch) on the join — the whole incremental
+  * path scales with the batch, not the index.
   */
 object IncrementalDedup {
 
@@ -91,8 +94,10 @@ object IncrementalDedup {
       shingleN, numHashes, bands).localCheckpoint()
     val entries = entriesFromPrepared(prepared)
     // manifest-level pruning: the batch's band keys resolve (driver-side,
-    // ≤ nBuckets ints) to the only index directories worth reading
-    val slice = ManifestTable.readBuckets(spark, path,
+    // ≤ nBuckets ints) to the only index directories worth reading — via
+    // the partitioning-reporting DSv2 scan, so the joins below need no
+    // exchange on this side
+    val slice = graft.sources.ManifestIndexSource.readBuckets(spark, path,
       entries.select("bandkey").distinct())
     // corpus-vs-batch: bipartite band join, one row per matching band,
     // deduped by the final grouping. The join streams k_index × k_batch

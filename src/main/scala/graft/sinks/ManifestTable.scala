@@ -134,14 +134,14 @@ object ManifestTable {
       .sorted.toSeq
   }
 
-  private def readManifest(spark: SparkSession, path: String, v: Int): Manifest = {
+  private[graft] def readManifest(spark: SparkSession, path: String, v: Int): Manifest = {
     val f = fs(spark, path)
     val in = f.open(new Path(new Path(path, ManifestDir), manifestName(v)))
     try parse(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
     finally in.close()
   }
 
-  private def currentManifest(spark: SparkSession, path: String): Manifest = {
+  private[graft] def currentManifest(spark: SparkSession, path: String): Manifest = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed version at $path")
     readManifest(spark, path, vs.last)

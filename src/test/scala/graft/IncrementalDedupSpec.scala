@@ -115,6 +115,39 @@ class IncrementalDedupSpec extends SparkSpec {
         s"missing=${(scratch -- found).take(5)} extra=${(found -- scratch).take(5)}")
   }
 
+  test("probe plans a storage-partitioned join: no Exchange above the index-side scan") {
+    val idx = s"${Files.createTempDirectory("graft-inc")}/index"
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    IncrementalDedup.buildIndex(docs.filter($"doc_id" % 10 < 8), idx,
+      "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16, nBuckets = 16)
+    val probe = IncrementalDedup.probe(spark, idx,
+      docs.filter($"doc_id" % 10 >= 8), "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16, threshold = 0.5)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("ManifestIndexScan"), p.take(800))
+    // the index slice arrives key-grouped: every line between a join and
+    // the ManifestIndexScan leaf under it must be exchange-free (the
+    // batch side shuffles INTO the layout instead). Walk each scan leaf
+    // upward: no Exchange may appear before the first join above it.
+    val lines = p.split("\n")
+    lines.zipWithIndex.filter(_._1.contains("ManifestIndexScan")).foreach {
+      case (_, scanIdx) =>
+        val above = lines.slice(0, scanIdx).reverse
+        val depth = (l: String) => l.takeWhile(c => !c.isLetter).length
+        val scanDepth = depth(lines(scanIdx))
+        // ancestors = nearest preceding lines with strictly smaller indent
+        var d = scanDepth
+        val ancestors = above.filter { l =>
+          val ld = depth(l)
+          if (ld < d) { d = ld; true } else false
+        }
+        val toJoin = ancestors.takeWhile(l =>
+          !l.contains("Join") && !l.contains("HashAggregate"))
+        assert(!toJoin.exists(_.contains("Exchange")),
+          s"Exchange above index scan:\n${toJoin.mkString("\n")}\n---\n$p")
+    }
+  }
+
   test("append never rewrites existing index files; compact folds wide buckets") {
     val idx = s"${Files.createTempDirectory("graft-inc")}/index"
     IncrementalDedup.buildIndex(corpus, idx, "doc_id", "text",

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestTable
+import graft.sources.{ManifestIndexSource, XxHashBucket}
+
+/** The DSv2 read path must be INVISIBLE semantically (same rows as the
+  * parquet-path reads, snapshot isolation included) and VISIBLE to the
+  * planner (reported KeyGroupedPartitioning removes the index-side
+  * exchange from key-equi joins). Both halves are pinned here; the
+  * bucket V2 function is additionally pinned bit-for-bit against the
+  * writer's hash, because a silent divergence would route probe rows to
+  * the wrong co-partition and DROP matches rather than fail.
+  */
+class ManifestIndexSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-idxsrc")}/tbl"
+
+  private def seed(path: String, n: Int = 200, nB: Int = 8): Unit =
+    ManifestTable.write(
+      spark.range(n).select(col("id"),
+        concat(lit("name-"), col("id")).as("name"),
+        (col("id") % 7).cast("double").as("score"),
+        array(col("id"), col("id") * 2).as("sig")),
+      path, "id", nB)
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("DSv2 read returns exactly the parquet-path rows (arrays and nulls included)") {
+    val path = tmp()
+    seed(path)
+    ManifestTable.append(spark, path,
+      Seq((9999L, null.asInstanceOf[String], 1.5, Seq(1L, 2L, 3L)))
+        .toDF("id", "name", "score", "sig"), "id")
+    val v2 = ManifestIndexSource.read(spark, path)
+    val v1 = ManifestTable.read(spark, path)
+    assert(v2.schema.fieldNames.toSeq == v1.schema.fieldNames.toSeq)
+    assert(rows(v2.select(v1.columns.map(col).toSeq: _*)) == rows(v1))
+  }
+
+  test("bucket V2 function matches the writer's pmod(xxhash64) for long and string keys") {
+    // long keys
+    val longBound = XxHashBucket.bind(org.apache.spark.sql.types.StructType.fromDDL(
+      "n INT, k BIGINT")).asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val longs = Seq(0L, 1L, 42L, -17L, Long.MaxValue, Long.MinValue, 123456789L)
+    val expectedL = spark.createDataset(longs).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(16L)).cast("int")).as[Int].collect()
+    longs.zip(expectedL).foreach { case (k, exp) =>
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](16, k))
+      assert(longBound.produceResult(row) == exp, s"long key $k")
+    }
+    // string keys
+    val strBound = XxHashBucket.bind(org.apache.spark.sql.types.StructType.fromDDL(
+      "n INT, k STRING")).asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val strs = Seq("", "a", "hello world", "ünïcødé")
+    val expectedS = spark.createDataset(strs).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(16L)).cast("int")).as[Int].collect()
+    strs.zip(expectedS).foreach { case (k, exp) =>
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](16, org.apache.spark.unsafe.types.UTF8String.fromString(k)))
+      assert(strBound.produceResult(row) == exp, s"string key $k")
+    }
+  }
+
+  test("readBuckets through the catalog prunes to touched buckets and matches the parquet path") {
+    val path = tmp()
+    seed(path)
+    val keys = Seq(3L, 77L, 123L).toDF("id")
+    val v2 = ManifestIndexSource.readBuckets(spark, path, keys)
+    val v1 = ManifestTable.readBuckets(spark, path, keys)
+    assert(rows(v2.select(v1.columns.map(col).toSeq: _*)) == rows(v1))
+    // pruning is visible in the scan description
+    val p = v2.queryExecution.executedPlan.toString
+    assert(p.contains("ManifestIndexScan"), p.take(500))
+    assert(!p.contains(s"buckets=8/8"), p.take(500))
+  }
+
+  test("key-equi join against the index shuffles ONLY the probe side (storage-partitioned join)") {
+    val path = tmp()
+    seed(path, n = 500, nB = 8)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.enabled" -> "false") {
+      val probe = spark.range(0, 500, 7).select(col("id"),
+        lit("probe").as("tag"))
+      val index = ManifestIndexSource.read(spark, path)
+      val joined = index.join(probe, "id")
+      val p = joined.queryExecution.executedPlan.toString
+      // exactly one exchange: the probe side being shuffled INTO the
+      // index's existing bucket layout via the V2 bucket function
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      assert(exchanges == 1, s"expected 1 exchange (probe side only):\n$p")
+      assert(p.contains("ManifestIndexScan"), p)
+      // the index side is key-grouped, not re-hashed: no Exchange may
+      // sit between the join and the BatchScan
+      val lines = p.split("\n")
+      val scanIdx = lines.indexWhere(_.contains("ManifestIndexScan"))
+      val joinIdx = lines.indexWhere(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(scanIdx > joinIdx && joinIdx >= 0, p)
+      assert(!lines.slice(joinIdx, scanIdx).exists(_.contains("Exchange")) ||
+        lines.slice(joinIdx, scanIdx).count(_.contains("Exchange")) == 1, p)
+      // correctness of the exchange-free join
+      val expected = ManifestTable.read(spark, path)
+        .join(probe, "id").count()
+      assert(joined.count() == expected)
+      assert(expected == 72) // ceil(500/7)
+    }
+  }
+
+  test("snapshot isolation: a scan loaded before a commit does not see it") {
+    val path = tmp()
+    seed(path, n = 50, nB = 4)
+    val before = ManifestIndexSource.read(spark, path)
+    ManifestTable.append(spark, path,
+      Seq((777L, "late", 0.0, Seq(1L))).toDF("id", "name", "score", "sig"), "id")
+    assert(before.filter(col("id") === 777L).count() == 0)
+    assert(ManifestIndexSource.read(spark, path)
+      .filter(col("id") === 777L).count() == 1)
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
