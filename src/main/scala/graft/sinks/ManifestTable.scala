@@ -77,7 +77,8 @@ object ManifestTable {
     */
   private[graft] case class Manifest(version: Int, nBuckets: Int,
                                      keyCol: String, schemaDdl: String,
-                                     buckets: Map[Int, Seq[String]]) {
+                                     buckets: Map[Int, Seq[String]],
+                                     txns: Map[String, Long] = Map.empty) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     def keyType: org.apache.spark.sql.types.DataType =
@@ -98,12 +99,17 @@ object ManifestTable {
   private def render(m: Manifest): String = {
     require(!m.schemaDdl.contains('"') && !m.keyCol.contains('"'),
       s"schema/key not manifest-safe (embedded quote): ${m.schemaDdl}")
+    m.txns.keys.foreach(k => require(k.matches("[A-Za-z0-9._=-]+"),
+      s"txn appId not manifest-safe: $k"))
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, ps) =>
         s""""$b":[${ps.map(p => s""""$p"""").mkString(",")}]""" }
       .mkString(",")
+    val txns = m.txns.toSeq.sortBy(_._1)
+      .map { case (a, v) => s""""$a":$v""" }.mkString(",")
     s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
       s""""keyCol":"${m.keyCol}","schemaDdl":"${m.schemaDdl}",""" +
+      s""""txns":{$txns},""" +
       s""""buckets":{$entries}}"""
   }
 
@@ -119,8 +125,17 @@ object ManifestTable {
         .map(_.group(1)).toSeq
       m.group(1).toInt -> dirs
     }.toMap
+    // optional (absent in pre-txn manifests): scoped to the txns object,
+    // which render always emits BEFORE buckets
+    val txns = s.indexOf("\"txns\"") match {
+      case -1 => Map.empty[String, Long]
+      case i =>
+        val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+        """"([A-Za-z0-9._=-]+)":(\d+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
     Manifest(intField("version"), intField("nBuckets"),
-      strField("keyCol"), strField("schemaDdl"), buckets)
+      strField("keyCol"), strField("schemaDdl"), buckets, txns)
   }
 
   /** Committed versions, ascending; empty if the table doesn't exist. */
@@ -153,14 +168,19 @@ object ManifestTable {
     * independently. No live file is read or written.
     */
   private[graft] def stageSlice(spark: SparkSession, path: String,
-                                slice: DataFrame): Map[Int, String] = {
-    val commitId = java.util.UUID.randomUUID().toString
+                                slice: DataFrame,
+                                dirName: Option[String] = None): Map[Int, String] = {
+    val commitId = dirName.getOrElse(java.util.UUID.randomUUID().toString)
     val rel = s"$DataDir/$commitId"
     // partitionBy consumes its column, so stage under a shadow copy and
-    // keep `bucket` as a data column readable without partition discovery
+    // keep `bucket` as a data column readable without partition discovery.
+    // A caller-named dir (idempotent appends) overwrites: the only way
+    // it already exists is a crashed earlier attempt at the SAME data,
+    // necessarily unreferenced (the caller checked the manifest first)
     slice.withColumn("b", col("bucket"))
       .repartition(col("b"))
-      .write.mode("error").partitionBy("b").parquet(s"$path/$rel")
+      .write.mode(if (dirName.isDefined) "overwrite" else "error")
+      .partitionBy("b").parquet(s"$path/$rel")
     val f = fs(spark, path)
     f.listStatus(new Path(s"$path/$rel")).map(_.getPath.getName)
       .filter(_.startsWith("b="))
@@ -408,6 +428,55 @@ object ManifestTable {
       }
       Some(m.copy(version = m.version + 1, buckets = next))
     }
+  }
+
+  /** Idempotent [[append]] for streaming writers — the Delta-log `txn`
+    * action scoped to this table: the manifest records, per `appId`, the
+    * HIGHEST batch version whose append committed, and `appendOnce`
+    * commits atomically-with that watermark update only when
+    * `batchVersion` is above it. A redelivered micro-batch (same id)
+    * observes the watermark and skips — this survives every crash
+    * window, including the one a data-directory-presence check cannot:
+    * a `compact` between the append and the replay folds the batch's
+    * directories into new ones, erasing filesystem evidence, but the
+    * watermark travels in every subsequent manifest.
+    *
+    * The staged directory name is derived from (appId, batchVersion)
+    * rather than a UUID, so a crash mid-staging leaves a dir the replay
+    * OVERWRITES instead of orphaning (vacuum would reclaim it anyway —
+    * this just makes replay self-cleaning).
+    *
+    * Returns true when this call performed the append, false when the
+    * version was already at-or-below the committed watermark. Batch
+    * versions must be monotonically increasing per appId — exactly the
+    * contract Spark's micro-batch ids provide per checkpoint.
+    */
+  def appendOnce(spark: SparkSession, path: String, rows: DataFrame,
+                 keyCol: String, appId: String, batchVersion: Long): Boolean = {
+    require(appId.matches("[A-Za-z0-9._=-]+"),
+      s"appId must be filename-safe: $appId")
+    var staged: Option[Map[Int, String]] = None
+    var did = false
+    commitWithRetry(spark, path) { m =>
+      if (m.txns.get(appId).exists(_ >= batchVersion)) None // replay: already landed
+      else {
+        require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+        requireKeyType(m, rows.schema(keyCol).dataType, "appendOnce")
+        val dirs = staged.getOrElse {
+          val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets),
+            Some(s"txn-$appId-$batchVersion"))
+          staged = Some(d)
+          d
+        }
+        did = true
+        Some(m.copy(version = m.version + 1,
+          buckets = dirs.foldLeft(m.buckets) { case (acc, (b, d)) =>
+            acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
+          },
+          txns = m.txns.updated(appId, batchVersion)))
+      }
+    }
+    did
   }
 
   /** Fold every bucket whose directory list exceeds `maxDirs` back to a

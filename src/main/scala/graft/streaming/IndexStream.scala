@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -20,14 +19,23 @@ import graft.ops.IncrementalDedup
   * Exactly-once:
   *  - pair output: `overwrite` into the batch-id directory — a replayed
   *    batch rewrites the same files, never duplicates them;
-  *  - index growth: a `_stream_commits/batch-<id>` marker inside the
-  *    table gates the append — a replayed batch skips it. A crash
-  *    BETWEEN append and marker leaves duplicate index entries on
-  *    replay, which cost space, not correctness: probe's final
-  *    pair-key grouping collapses them (and a replayed probe that
-  *    already sees its own batch in the index emits the same
-  *    normalized pairs its intra join does). `ManifestTable.vacuum`
-  *    plus a re-`write` reclaim the space if it ever matters.
+  *  - index growth: [[graft.sinks.ManifestTable.appendOnce]] — the
+  *    manifest itself carries a per-stream batch-version watermark
+  *    (the Delta `txn` action), committed atomically WITH the append,
+  *    so a redelivered batch skips no matter where the previous
+  *    attempt crashed. This replaced the r6 marker-file design, whose
+  *    crash-between-append-and-marker window duplicated index entries:
+  *    harmless to pair correctness (the probe's pair-key grouping
+  *    collapses them) but not to RECALL — duplicates inflate
+  *    per-bandkey occupancy toward `maxBucketSize`, and a bucket
+  *    pushed over the cap silently degrades to hub-only pairing.
+  *    Exactly-once append closes that recall hazard, not just the
+  *    space leak.
+  *  - history: each batch runs `compact` (bounds per-bucket read
+  *    fan-out) and `vacuum` with a wall-clock retention floor (bounds
+  *    manifest/orphan growth for an unbounded stream) — without the
+  *    vacuum, compact's retired versions and their dereferenced data
+  *    dirs accumulate forever.
   *
   * The index must exist before the stream starts (bootstrap with
   * `IncrementalDedup.buildIndex`, possibly over just the first day's
@@ -40,9 +48,12 @@ object IndexedDedupStream {
     * replay semantics are testable without steering a real checkpoint
     * into re-delivery.
     */
+  private[graft] val DefaultAppId = "indexed-dedup-stream"
+
   private[graft] def processBatch(indexPath: String, outPath: String,
                                   shingleN: Int, numHashes: Int, bands: Int,
-                                  threshold: Double)
+                                  threshold: Double,
+                                  appId: String = DefaultAppId)
                                  (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (!batch.isEmpty) {
@@ -51,18 +62,21 @@ object IndexedDedupStream {
       IncrementalDedup.probe(spark, indexPath, docs, "doc_id", "text",
           shingleN, numHashes, bands, threshold)
         .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-      val commits = new Path(indexPath, "_stream_commits")
-      val marker = new Path(commits, s"batch-$batchId")
-      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
-        IncrementalDedup.appendBatch(spark, indexPath, docs, "doc_id", "text",
-          shingleN, numHashes, bands)
+      val appended = graft.sinks.ManifestTable.appendOnce(spark, indexPath,
+        IncrementalDedup.indexEntries(docs, "doc_id", "text",
+          shingleN, numHashes, bands),
+        "bandkey", appId, batchId)
+      if (appended) {
         // bound read fan-out across many streamed batches: a no-op
         // (one manifest read) until some bucket's dir list grows past
         // the cap, then folds just those buckets
         graft.sinks.ManifestTable.compact(spark, indexPath, maxDirs = 32)
-        fs.mkdirs(commits)
-        fs.create(marker, false).close()
+        // ...and bound HISTORY: retire manifests beyond the last few
+        // versions unless younger than the retention floor (protects
+        // concurrent batch readers of recent snapshots), reclaiming
+        // compact's dereferenced directories
+        graft.sinks.ManifestTable.vacuum(spark, indexPath,
+          keepVersions = 4, retainMs = 15L * 60 * 1000)
       }
     }
   }
@@ -74,7 +88,7 @@ object IndexedDedupStream {
   def start(spark: SparkSession, landingDir: String, indexPath: String,
             outPath: String, checkpoint: String,
             shingleN: Int = 2, numHashes: Int = 64, bands: Int = 16,
-            threshold: Double = 0.5): StreamingQuery = {
+            threshold: Double = 0.5, appId: String = DefaultAppId): StreamingQuery = {
     val docs = spark.readStream
       .schema("value STRING")
       .text(landingDir)
@@ -86,7 +100,8 @@ object IndexedDedupStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch(
-        processBatch(indexPath, outPath, shingleN, numHashes, bands, threshold) _)
+        processBatch(indexPath, outPath, shingleN, numHashes, bands,
+          threshold, appId) _)
       .start()
   }
 }

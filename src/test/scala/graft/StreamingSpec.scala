@@ -460,4 +460,59 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairsAfter == pairs, s"replay changed pairs: ${pairsAfter -- pairs}")
   }
+
+  test("indexed dedup stream: replay after compact erased directory evidence still appends exactly once") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-idxtxn").toString
+    val (idx, out) = (s"$base/index", s"$base/out")
+    graft.ops.IncrementalDedup.buildIndex(
+      Seq((1L, "bootstrap corpus document with enough words to shingle"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16, nBuckets = 8)
+    val batch = Seq((10L, "a streamed document that lands in several band buckets"))
+      .toDF("doc_id", "text")
+    IndexedDedupStream.processBatch(idx, out, 2, 64, 16, 0.5)(batch, 3L)
+    val rowsAfterCommit = graft.sinks.ManifestTable.read(spark, idx).count()
+    // the adversarial window the r6 marker design lost: maintenance
+    // folds the batch's txn-<app>-3 dirs into fresh UUID dirs, so NO
+    // filesystem evidence of the append remains — only the manifest's
+    // txn watermark. A dir-presence gate would re-append here.
+    graft.sinks.ManifestTable.compact(spark, idx, maxDirs = 1)
+    IndexedDedupStream.processBatch(idx, out, 2, 64, 16, 0.5)(batch, 3L)
+    assert(graft.sinks.ManifestTable.read(spark, idx).count() == rowsAfterCommit,
+      "replay after compact duplicated index entries")
+  }
+
+  test("indexed dedup stream: crash mid-staging leaves an orphan the replay overwrites (row counts equal the exactly-once run)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-idxstage").toString
+    val idx = s"$base/index"
+    graft.ops.IncrementalDedup.buildIndex(
+      Seq((1L, "bootstrap corpus document with enough words to shingle"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16, nBuckets = 8)
+    val baseline = graft.sinks.ManifestTable.read(spark, idx).count()
+    val entries = graft.ops.IncrementalDedup.indexEntries(
+      Seq((10L, "a streamed document that lands in several band buckets"))
+        .toDF("doc_id", "text"), "doc_id", "text", 2, 64, 16)
+      .localCheckpoint()
+    // simulate: previous attempt staged data/txn-s-7 then died BEFORE
+    // publishing — the dir exists on disk but no manifest references it
+    graft.sinks.ManifestTable.stageSlice(spark, idx,
+      entries.withColumn("bucket",
+        pmod(xxhash64(col("bandkey")), lit(8L)).cast("int")),
+      Some("txn-s-7"))
+    val vBefore = graft.sinks.ManifestTable.versions(spark, idx)
+    assert(graft.sinks.ManifestTable.appendOnce(spark, idx, entries,
+      "bandkey", "s", 7L), "first (replayed) appendOnce must commit")
+    assert(!graft.sinks.ManifestTable.appendOnce(spark, idx, entries,
+      "bandkey", "s", 7L), "second appendOnce must skip")
+    assert(graft.sinks.ManifestTable.versions(spark, idx).size == vBefore.size + 1)
+    assert(graft.sinks.ManifestTable.read(spark, idx).count() ==
+      baseline + entries.count(), "orphaned staging dir duplicated rows")
+    // a LATER batch for the same stream still lands
+    assert(graft.sinks.ManifestTable.appendOnce(spark, idx,
+      entries.withColumn("id", col("id") + 100), "bandkey", "s", 8L))
+  }
 }
