@@ -107,17 +107,27 @@ object Ivf {
   }
 
   /** One narrow pass: nearest-centroid list assignment per vector. */
-  def index(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val listId = model.centroids.zipWithIndex.map { case (c, i) =>
+  def index(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
+    indexWithCentroidSim(corpus, vecCol, model).drop("centroid_sim")
+
+  /** [[index]] keeping the winning similarity itself (`centroid_sim`) —
+    * what SemDeDup's paper keep-policy orders cluster members by. Same
+    * argmax expression; callers that don't need the sim drop it and
+    * Catalyst prunes the extraction.
+    */
+  def indexWithCentroidSim(corpus: DataFrame, vecCol: String,
+                           model: Model): DataFrame = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
       struct(dot(col(vecCol), typedlit(c.toSeq))
         .divide(l2Norm(col(vecCol)) * math.sqrt(c.map(x => x.toDouble * x).sum))
         .as("sim"), lit(i).as("cid"))
     }
-    corpus.withColumn("list_id",
-      element_at(array_sort(array(listId: _*), (a, b) =>
-        when(a.getField("sim") > b.getField("sim"), -1)
-          .when(a.getField("sim") < b.getField("sim"), 1)
-          .otherwise(0)), 1).getField("cid"))
+    val top = element_at(array_sort(array(scored: _*), (a, b) =>
+      when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1)
+        .otherwise(0)), 1)
+    corpus.withColumn("list_id", top.getField("cid"))
+      .withColumn("centroid_sim", top.getField("sim"))
   }
 
   /** Probe the nProbe nearest lists per query, exact-score candidates. */

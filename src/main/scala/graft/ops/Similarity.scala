@@ -147,11 +147,23 @@ object Similarity {
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * k-means-cluster the embedding space, then within each cluster drop
-    * every vector that has a LOWER-ID member at rounded cosine ≥ `tau` —
-    * exactly one deterministic survivor per semantic-duplicate group
-    * (the paper keeps the member least similar to the centroid; min-id
-    * is the engine's portable, tie-proof "pick one" used by the whole
-    * dedup family). Returns one row per vector: (id, cluster, kept).
+    * every vector that has a PRECEDING member at rounded cosine ≥ `tau`.
+    * Precedence is the keep policy:
+    *
+    *  - `keepLeastCentral = false` (default): min-id — the engine's
+    *    portable, tie-proof "pick one" used by the whole dedup family;
+    *  - `keepLeastCentral = true`: the PAPER's rule — members are
+    *    ordered by ascending similarity to their cluster centroid
+    *    (rounded, id tiebreak), and a member is dropped iff some
+    *    earlier-ordered member duplicates it. This keeps the duplicate
+    *    group's least-centroid-similar example (the paper's best-
+    *    performing choice, §4.2 "keep low similarity to centroid"),
+    *    matching the reference implementation's upper-triangular max
+    *    over the centroid-sorted similarity matrix — including its
+    *    non-transitivity (a dropped member still eliminates its own
+    *    later duplicates).
+    *
+    * Returns one row per vector: (id, cluster, kept).
     *
     * Scale shape: clustering bounds the candidate-pair space the way LSH
     * banding does for MinHash — the self-join key is the cluster id, so
@@ -166,17 +178,26 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     model: graft.ops.Ivf.Model, tau: Double,
-                    roundTo: Int = 6): DataFrame = {
-    val indexed = graft.ops.Ivf.index(
-        emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-          .withColumn("vn", l2Norm(col("v"))), "v", model)
-      .select(col("id"), col("v"), col("vn"), col("list_id"))
+                    roundTo: Int = 6,
+                    keepLeastCentral: Boolean = false): DataFrame = {
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("vn", l2Norm(col("v")))
+    // centroid_sim is rounded BEFORE it orders members, same discipline
+    // as the pair sims: the ordering must be reproducible across engines
+    val indexed = graft.ops.Ivf.indexWithCentroidSim(base, "v", model)
+      .withColumn("csim", round(col("centroid_sim"), roundTo))
+      .select(col("id"), col("v"), col("vn"), col("list_id"), col("csim"))
     val a = indexed.alias("a")
     val b = indexed.alias("b")
     val sim = when(col("a.vn") * col("b.vn") > 0,
       dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")))
+    val precedes =
+      if (keepLeastCentral)
+        col("b.csim") < col("a.csim") ||
+          (col("b.csim") === col("a.csim") && col("b.id") < col("a.id"))
+      else col("b.id") < col("a.id")
     val dropped = a.join(b,
-        col("a.list_id") === col("b.list_id") && col("b.id") < col("a.id") &&
+        col("a.list_id") === col("b.list_id") && precedes &&
           round(sim, roundTo) >= tau, "left_semi")
       .select(col("id"))
       .withColumn("kept", lit(false))

@@ -1976,6 +1976,22 @@ s$r AS MATERIALIZED (SELECT doc_id,
       .orderBy("vec_id")
   }
 
+  /** `semantic_dedup` under the PAPER's survivor rule (SemDeDup §4.2:
+    * keep the duplicate-group member LEAST similar to its cluster
+    * centroid, not the min-id one) — same clustering, same pair
+    * threshold, different precedence order; the oracle retrains the
+    * identical k-means and orders by the same rounded centroid
+    * similarity, so the policy itself is hash-verified.
+    */
+  def semanticDedupPaper(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
+    Similarity.semanticDedup(emb, "vec_id", "embedding", model, tau = 0.4,
+        keepLeastCentral = true)
+      .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+      .orderBy("vec_id")
+  }
+
   private val embeddingDupClustersSql: String =
     s"""WITH RECURSIVE $srpScoredCtes,
        |pairs AS (
@@ -2226,6 +2242,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "embedding_dup_clusters" -> embeddingDupClusters _,
     "semantic_dedup" -> semanticDedup _,
+    "semantic_dedup_paper" -> semanticDedupPaper _,
     "dedup_keep_best" -> dedupKeepBest _,
     "token_stats" -> tokenStats _,
     "text_quality" -> textQuality _,
@@ -2324,6 +2341,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "ivf_recall" -> IvfOracle.ivfRecallSql(),
     "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),
     "semantic_dedup" -> IvfOracle.semanticDedupSql(),
+    "semantic_dedup_paper" -> IvfOracle.semanticDedupSql(keepLeastCentral = true),
     "minhash_signatures" -> minhashSignaturesSql,
     "minhash_top_pairs" -> minhashTopPairsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,

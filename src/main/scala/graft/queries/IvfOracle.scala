@@ -189,30 +189,43 @@ object IvfOracle {
        |ORDER BY q.query_id""".stripMargin
 
   /** semantic_dedup: the same retrained centroids + cidx list assignment,
-    * then the SemDeDup drop rule — a vector is dropped iff a lower-id
-    * member of its cluster sits at rounded cosine ≥ tau. Sim arithmetic
-    * is the scoring form (`dot / (cn·cn)`, two sqrts via the stored
-    * norms) rounded to 6, mirroring `Similarity.semanticDedup`.
+    * then the SemDeDup drop rule — a vector is dropped iff a PRECEDING
+    * member of its cluster sits at rounded cosine ≥ tau, where
+    * precedence is min-id (engine default) or the paper's ascending
+    * rounded centroid-similarity with id tiebreak
+    * (`keepLeastCentral = true`, `Similarity.semanticDedup`'s flag).
+    * Sim arithmetic is the scoring form (`dot / (cn·cn)`, two sqrts via
+    * the stored norms) rounded to 6; the centroid similarity reuses the
+    * EXACT `idxSim` expression of the winning rk=1 row, so the ordering
+    * key is bit-identical to the Column-side `centroid_sim`.
     */
   def semanticDedupSql(k: Int = 8, iterations: Int = 5, dim: Int = 64,
-                       tau: Double = 0.4): String =
+                       tau: Double = 0.4,
+                       keepLeastCentral: Boolean = false): String = {
+    val precedes =
+      if (keepLeastCentral)
+        "(b.csim < a.csim OR (b.csim = a.csim AND b.id < a.id))"
+      else "b.id < a.id"
     s"""WITH ${centroidCtes(k, iterations, dim)},
        |cidx AS MATERIALIZED (
-       |  SELECT id, v AS cv, sqrt(vss) AS cn, cid AS list_id FROM (
+       |  SELECT id, v AS cv, sqrt(vss) AS cn, cid AS list_id,
+       |         round(isim, 6) AS csim FROM (
        |    SELECT e.id, e.v, e.vss, c.cid,
+       |           ${idxSim("e.v", "e.vss", "c.v", "c.css")} AS isim,
        |           row_number() OVER (PARTITION BY e.id
        |             ORDER BY ${idxSim("e.v", "e.vss", "c.v", "c.css")} DESC, c.cid ASC) AS rk
        |    FROM embn e, cent$iterations c) WHERE rk = 1),
        |dropped AS (
        |  SELECT DISTINCT a.id
        |  FROM cidx a JOIN cidx b
-       |    ON b.list_id = a.list_id AND b.id < a.id
+       |    ON b.list_id = a.list_id AND $precedes
        |  WHERE round(CASE WHEN a.cn * b.cn > 0
        |              THEN ${dotS("a.cv", "b.cv")} / (a.cn * b.cn) END, 6) >= $tau)
        |SELECT c.id AS vec_id, CAST(c.list_id AS BIGINT) AS cluster,
        |       (d.id IS NULL) AS kept
        |FROM cidx c LEFT JOIN dropped d ON d.id = c.id
        |ORDER BY vec_id""".stripMargin
+  }
 
   /** ivf_recall_gate: the 0.8-mean-recall threshold as a row-or-nothing
     * gate (mean rounded to 6 decimals — double SUM order differs across

@@ -197,6 +197,57 @@ class SimilaritySpec extends SparkSpec {
     assert(got(210L)._1 == got(1L)._1)
   }
 
+  test("semanticDedup paper policy: the least-centroid-similar duplicate survives, min-id policy keeps the lowest id") {
+    // one tight duplicate group far above tau, plus a singleton to keep
+    // the clustering honest. v3 points furthest from the group's mean →
+    // lowest centroid similarity → the paper's survivor; min-id keeps v1.
+    val group = Seq(
+      1L -> Array(1.00f, 0.00f, 0f, 0f),
+      2L -> Array(0.99f, 0.10f, 0f, 0f),
+      3L -> Array(0.90f, 0.30f, 0f, 0f))
+    val other = Seq(50L -> Array(0f, 0f, 1f, 0f))
+    val df = (group ++ other).toDF("vec_id", "embedding")
+    val model = graft.ops.Ivf.train(df, "vec_id", "embedding", k = 2)
+    def keptSet(paper: Boolean): Set[Long] =
+      Similarity.semanticDedup(df, "vec_id", "embedding", model, tau = 0.9,
+          keepLeastCentral = paper)
+        .filter($"kept").select($"id").as[Long].collect().toSet
+    val minId = keptSet(paper = false)
+    val paper = keptSet(paper = true)
+    assert(minId == Set(1L, 50L), s"min-id kept $minId")
+    // brute-force the paper survivor: the group member with the lowest
+    // rounded cosine to its cluster centroid
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      d / (na * nb)
+    }
+    val centroids = model.centroids.map(_.map(_.toDouble))
+    val groupCluster = group.map { case (id, v) =>
+      id -> centroids.zipWithIndex.maxBy { case (c, i) => (cos(v, c), -i) }
+    }
+    val cid = groupCluster.head._2._2
+    assert(groupCluster.forall(_._2._2 == cid), "group split across clusters")
+    val leastCentral = group.minBy { case (id, v) =>
+      (BigDecimal(cos(v, centroids(cid))).setScale(6, BigDecimal.RoundingMode.HALF_UP), id)
+    }._1
+    assert(leastCentral == 3L, s"fixture lost its point: least central = $leastCentral")
+    assert(paper == Set(leastCentral, 50L), s"paper policy kept $paper")
+  }
+
+  test("semanticDedup paper policy: centroid-sim ties (exact dups) fall back to min-id") {
+    val df = Seq(
+      10L -> Array(1f, 0f, 0f, 0f),
+      11L -> Array(1f, 0f, 0f, 0f),
+      12L -> Array(1f, 0f, 0f, 0f)).toDF("vec_id", "embedding")
+    val model = graft.ops.Ivf.train(df, "vec_id", "embedding", k = 1)
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", model,
+        tau = 0.999, keepLeastCentral = true)
+      .filter($"kept").select($"id").as[Long].collect().toSet
+    assert(kept == Set(10L), s"tie-break kept $kept")
+  }
+
   private object Tables {
     def documents = spark.read.parquet(s"$sfDir/documents.parquet")
   }
