@@ -66,6 +66,7 @@ object GraftExtensions {
     "band_hashes" -> (es => SigBandHashesExpr(es(0), intArg(es(1), "bands"))),
     "jaccard" -> (es => JaccardExpr(es(0), es(1))),
     "adjacent_pairs" -> (es => AdjacentPairsExpr(es.head)),
+    "char_symbols" -> (es => CharSymbolsExpr(es.head)),
     "bpe_merge" -> (es => BpeMergeExpr(es(0),
       strArg(es(1), "first"), strArg(es(2), "second")))
   )

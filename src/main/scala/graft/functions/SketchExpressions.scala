@@ -308,6 +308,12 @@ object Sketches {
   def adjacent_pairs(syms: Column): Column =
     column(AdjacentPairsExpr(expression(syms)))
 
+  /** Sennrich char-mode BPE initial symbols: one single-character symbol
+    * per code point, the last carrying the end-of-word marker.
+    */
+  def char_symbols(word: Column): Column =
+    column(CharSymbolsExpr(expression(word)))
+
   def simhash(text: Column): Column = column(SimHashExpr(expression(text)))
 
   /** Portable scalar digest of an ARRAY<LONG> signature: left fold
@@ -319,6 +325,46 @@ object Sketches {
     */
   def sigDigest(sig: Column): Column =
     aggregate(sig, lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(P1))
+}
+
+/** A word as Sennrich char-mode BPE initial symbols: one symbol per
+  * CODE POINT (so the engine agrees with character-indexed oracles on
+  * any BMP-or-beyond text), with `</w>` appended to the final symbol —
+  * the end-of-word marker that keeps merges from crossing word
+  * boundaries when words are later re-joined (Sennrich et al. 2016,
+  * algorithm 1). Empty input yields an empty array.
+  */
+case class CharSymbolsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_symbols requires STRING, got ${t.sql}")
+    }
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val out = new Array[Any](cps.length)
+    var i = 0
+    while (i < cps.length) {
+      val c = new String(Character.toChars(cps(i)))
+      out(i) = UTF8String.fromString(
+        if (i == cps.length - 1) c + CharSymbolsExpr.EndOfWord else c)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CharSymbolsExpr =
+    copy(child = c)
+  override def prettyName: String = "char_symbols"
+}
+
+object CharSymbolsExpr {
+  val EndOfWord = "</w>"
 }
 
 /** Distinct word n-gram shingles of a string column. */

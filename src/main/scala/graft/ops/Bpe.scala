@@ -30,20 +30,50 @@ import org.apache.spark.storage.StorageLevel
   */
 object Bpe {
 
-  /** Train `rounds` merges over whitespace-token symbols of `textCol`.
-    * Returns `(round, first, second, n)` — the merge chosen each round
-    * and its pair frequency at selection time. Stops early if the corpus
-    * runs out of pairs.
+  /** Train `rounds` merges over whitespace-token WORD symbols of
+    * `textCol`. Returns `(round, first, second, n)` — the merge chosen
+    * each round and its pair frequency at selection time. Stops early if
+    * the corpus runs out of pairs.
     */
   def train(docs: DataFrame, textCol: String, rounds: Int,
-            checkpointInterval: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
+            checkpointInterval: Int = 3): DataFrame =
+    trainLoop(
+      docs.select(graft.functions.Sketches.word_ngrams(col(textCol), 1).as("syms"))
+        .withColumn("cnt", lit(1L)),
+      rounds, checkpointInterval)
+
+  /** Sennrich et al. 2016 CHAR-mode training: initial symbols are the
+    * characters WITHIN each word, the last carrying the `</w>`
+    * end-of-word marker, and merges never cross word boundaries. The
+    * working set is the frequency-weighted VOCABULARY, not the corpus —
+    * identical words collapse to one row with `cnt` = corpus occurrences
+    * and every pair count is `sum(cnt)` — which is also the 100 TB
+    * design: after the one corpus-wide vocabulary aggregation, every
+    * round's cost is O(|vocab|) regardless of corpus size (the classic
+    * word-frequency-dict formulation of the paper's algorithm 1, as a
+    * dataflow). Same kernels, same loop, same tie-break as word mode.
+    */
+  def trainChars(docs: DataFrame, textCol: String, rounds: Int,
+                 checkpointInterval: Int = 3): DataFrame =
+    trainLoop(
+      docs.select(explode(
+          graft.functions.Sketches.word_ngrams(col(textCol), 1)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(graft.functions.Sketches.char_symbols(col("word")).as("syms"),
+          col("cnt")),
+      rounds, checkpointInterval)
+
+  /** The shared loop over `(syms: ARRAY<STRING>, cnt: LONG)` state rows:
+    * pair counts are weighted by `cnt` (word mode passes cnt=1 — sum ≡
+    * count), so both modes share one plan shape.
+    */
+  private def trainLoop(init: DataFrame, rounds: Int,
+                        checkpointInterval: Int): DataFrame = {
+    val spark = init.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val syms = col("syms")
-    // one kernel tokenization; docs that can never pair leave up front
-    var state = docs
-      .select(graft.functions.Sketches.word_ngrams(col(textCol), 1).as("syms"))
-      .filter(size(syms) >= 2)
+    // rows that can never pair leave up front
+    var state = init.filter(size(syms) >= 2)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -54,9 +84,10 @@ object Bpe {
       // (the earlier transform(sequence)/element_at HOF paid interpreted
       // lambda dispatch per element, the dominant per-round cost)
       val top = state
-        .select(explode(graft.functions.Sketches.adjacent_pairs(syms)).as("p"))
+        .select(col("cnt"),
+          explode(graft.functions.Sketches.adjacent_pairs(syms)).as("p"))
         .groupBy(col("p.first").as("first"), col("p.second").as("second"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("cnt")).as("n"))
         .orderBy(desc("n"), col("first"), col("second"))
         .limit(1)
         .collect() // exactly one row per round — the round's merge table
@@ -70,7 +101,8 @@ object Bpe {
         merges += ((r, f, s, n))
         if (r < rounds) {
           val next = state
-            .select(graft.functions.Sketches.bpe_merge(syms, f, s).as("syms"))
+            .select(graft.functions.Sketches.bpe_merge(syms, f, s).as("syms"),
+              col("cnt"))
             .filter(size(syms) >= 2)
           state =
             if (reliable && r % checkpointInterval == 0) next.checkpoint(eager = false)

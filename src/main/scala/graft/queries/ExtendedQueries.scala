@@ -693,6 +693,70 @@ s$r AS MATERIALIZED (SELECT doc_id,
 
   private val bpeTrainSql = bpeTrainSqlGen(BpeTrainRounds)
 
+  /** Sennrich char-mode training (`Bpe.trainChars`): merges run over
+    * within-word character symbols with the `</w>` end-of-word marker,
+    * on the frequency-weighted vocabulary. Same fixed round count as
+    * `bpe_train`; the oracle rebuilds the vocabulary, the char symbols
+    * (by-character indexing ≡ the kernel's code-point walk) and the same
+    * weighted round chain.
+    */
+  def bpeTrainChar(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.trainChars(Tables.documents(spark, dir), "text", BpeTrainRounds)
+      .orderBy("round")
+
+  /** Like `bpeTrainSqlGen`, with three char-mode differences: state rows
+    * are VOCABULARY entries `(word, cnt, syms)` (symbols = characters,
+    * last one `|| '</w>'`), pair counts are `sum(cnt)` (cast back to
+    * BIGINT — DuckDB widens sums to HUGEINT), and run-parity windows
+    * partition by word instead of doc.
+    */
+  private def bpeTrainCharSqlGen(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(${kernelToksSql("text")}) AS word FROM documents)
+  GROUP BY word),
+s0 AS MATERIALIZED (SELECT word, cnt,
+  list_transform(range(1, length(word) + 1),
+    i -> CASE WHEN i = length(word) THEN substr(word, i, 1) || '</w>'
+         ELSE substr(word, i, 1) END) AS syms
+  FROM w0)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+m$r AS MATERIALIZED (SELECT word, cnt, i AS pos, syms[i] AS sym,
+        CASE WHEN i < len(syms) THEN syms[i+1] ELSE NULL END AS nxt
+        FROM s${r - 1}, unnest(range(1, len(syms) + 1)) AS r_(i)
+        WHERE len(syms) >= 2),
+t$r AS MATERIALIZED (SELECT sym AS f, nxt AS sec, CAST(sum(cnt) AS BIGINT) AS n FROM m$r
+        WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ORDER BY n DESC, f, sec LIMIT 1)""")
+      if (r < rounds) sb.append(s""",
+x$r AS MATERIALIZED (SELECT word, cnt, pos, sym, nxt,
+        coalesce(sym = (SELECT f FROM t$r)
+             AND nxt = (SELECT sec FROM t$r), FALSE) AS mt
+        FROM m$r),
+y$r AS MATERIALIZED (SELECT *, pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos) AS grp
+        FROM x$r),
+z$r AS MATERIALIZED (SELECT word, cnt, pos, sym, nxt,
+        mt AND (row_number() OVER (PARTITION BY word, mt, grp ORDER BY pos)) % 2 = 1 AS ap
+        FROM y$r),
+w$r AS MATERIALIZED (SELECT word, cnt, pos, sym, nxt, ap,
+        coalesce(lag(ap) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+        FROM z$r),
+s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
+        list(CASE WHEN ap THEN sym || ' ' || nxt ELSE sym END ORDER BY pos) AS syms
+        FROM w$r WHERE NOT consumed GROUP BY word)""")
+    }
+    sb.append("\n")
+    sb.append((1 to rounds).map(r =>
+      s"SELECT $r AS round, f AS first, sec AS second, n FROM t$r")
+      .mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY round")
+    sb.toString
+  }
+
+  private val bpeTrainCharSql = bpeTrainCharSqlGen(BpeTrainRounds)
+
   /** Benchmark decontamination — the n-gram-overlap check run before LLM
     * training (à la the GPT-3 report): a training document is
     * contaminated if it shares any word 5-gram with the held-out
@@ -2257,6 +2321,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "leakage_safe_split" -> leakageSafeSplit _,
     "bpe_pair_counts" -> bpePairCounts _,
     "bpe_train" -> bpeTrain _,
+    "bpe_train_char" -> bpeTrainChar _,
     "decontamination" -> decontamination _,
     "token_budget_pack" -> tokenBudgetPack _,
     "mixture_sample_stats" -> mixtureSampleStats _,
@@ -2328,6 +2393,7 @@ s$r AS MATERIALIZED (SELECT doc_id,
     "leakage_safe_split" -> leakageSafeSplitSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "bpe_train" -> bpeTrainSql,
+    "bpe_train_char" -> bpeTrainCharSql,
     "decontamination" -> decontaminationSql,
     "token_budget_pack" -> tokenBudgetPackSql,
     "mixture_sample_stats" -> mixtureSampleStatsSql,

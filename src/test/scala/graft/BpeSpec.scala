@@ -138,6 +138,48 @@ class BpeSpec extends SparkSpec {
     assert(kernel.map(_.toString).toSeq == hof.map(_.toString).toSeq)
   }
 
+  test("char_symbols: code-point symbols with </w> on the last") {
+    val rows = Seq("low", "né", "a").toDF("w")
+      .select(Sketches.char_symbols(col("w")).as("s"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("l", "o", "w</w>"))
+    assert(rows(1) == Seq("n", "é</w>"))
+    assert(rows(2) == Seq("a</w>"))
+    val empty = Seq("").toDF("w")
+      .select(Sketches.char_symbols(col("w")).as("s"))
+      .as[Seq[String]].collect()
+    assert(empty.head.isEmpty)
+  }
+
+  test("trainChars reproduces the Sennrich worked example (weighted vocabulary, </w> markers)") {
+    // the paper's classic corpus: low x5, lower x2, newest x6, widest x3.
+    // Hand-computed rounds (engine tie-break: n DESC, first ASC, second ASC):
+    //   r1: (e,s)  n=9  (newest 6 + widest 3; ties (s,t</w>) 9, 'e'<'s')
+    //   r2: (e s, t</w>) n=9
+    //   r3: (l,o)  n=7  (low 5 + lower 2)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    // spread across documents to exercise the corpus->vocab aggregation
+    val docs = words.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = Bpe.trainChars(docs, "text", rounds = 3)
+      .orderBy("round")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "e", "s", 9L),
+      (2, "e s", "t</w>", 9L),
+      (3, "l", "o", 7L)), merges.toString)
+  }
+
+  test("trainChars weighting: duplicate words count as many times as they occur") {
+    // one doc repeating a word vs many docs with it once — identical merges
+    val a = Seq("ab ab ab").toDF("text")
+    val b = Seq("ab", "ab", "ab").toDF("text")
+    val ma = Bpe.trainChars(a, "text", 1).as[(Int, String, String, Long)].collect().toSeq
+    val mb = Bpe.trainChars(b, "text", 1).as[(Int, String, String, Long)].collect().toSeq
+    assert(ma == Seq((1, "a", "b</w>", 3L)))
+    assert(ma == mb)
+  }
+
   test("adjacent_pairs skips pairs touching null elements (containsNull inputs)") {
     // SQL arrays can carry containsNull=true (split()'s declared type);
     // the kernel's output struct fields are non-nullable, so pairs with
