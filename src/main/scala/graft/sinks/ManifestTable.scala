@@ -156,6 +156,13 @@ object ManifestTable {
     finally in.close()
   }
 
+  /** Commit wall-clock of a version (manifest-file mtime) — the clock
+    * both vacuum's retention floor and TIMESTAMP-AS-OF travel use.
+    */
+  private[graft] def manifestModTime(spark: SparkSession, path: String, v: Int): Long =
+    fs(spark, path).getFileStatus(
+      new Path(new Path(path, ManifestDir), manifestName(v))).getModificationTime
+
   private[graft] def currentManifest(spark: SparkSession, path: String): Manifest = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed version at $path")

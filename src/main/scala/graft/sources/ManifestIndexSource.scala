@@ -149,6 +149,43 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
       spark.sparkContext.hadoopConfiguration)
   }
 
+  /** Time travel: `VERSION AS OF n` loads the committed manifest `n`
+    * directly — snapshot isolation means the historic version is just a
+    * different immutable file set (readable until `vacuum` retires it).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val spark = SparkSession.active
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF over $path takes the integer manifest version, got '$version'")
+    }
+    if (!ManifestTable.versions(spark, path).contains(v))
+      throw new NoSuchTableException(ident)
+    new ManifestIndexTable(path, ManifestTable.readManifest(spark, path, v),
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** `TIMESTAMP AS OF t`: the latest version committed at-or-before `t`
+    * (manifest-file modification time — the same clock `vacuum`'s
+    * retention floor uses), Delta's timestamp-travel rule.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    val spark = SparkSession.active
+    val vs = ManifestTable.versions(spark, path)
+    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    val tsMillis = timestampMicros / 1000L
+    val at = vs.filter(v =>
+      ManifestTable.manifestModTime(spark, path, v) <= tsMillis)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF precedes the first commit of $path")
+    new ManifestIndexTable(path,
+      ManifestTable.readManifest(spark, path, at.max),
+      spark.sparkContext.hadoopConfiguration)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     ManifestTable.versions(SparkSession.active, pathOf(ident)).nonEmpty
 

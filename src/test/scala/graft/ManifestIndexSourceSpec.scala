@@ -124,6 +124,56 @@ class ManifestIndexSourceSpec extends SparkSpec {
       .filter(col("id") === 777L).count() == 1)
   }
 
+  test("SQL surface: plain SELECT and VERSION AS OF time travel through the catalog") {
+    val path = tmp()
+    seed(path, n = 20, nB = 4)                       // v1
+    ManifestTable.upsert(spark, path,
+      Seq((5L, "rewritten", 9.9)).toDF("id", "name", "score")
+        .withColumn("sig", array(col("id"))), "id")  // v2
+    ManifestTable.delete(spark, path, "id", 7L)      // v3
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"graft_manifest.`$path`"
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 19)
+    assert(spark.sql(s"SELECT name FROM $t WHERE id = 5").head().getString(0) == "rewritten")
+    // v1: pre-upsert, pre-delete
+    val v1 = spark.sql(s"SELECT count(*), max(CASE WHEN id = 5 THEN name END) FROM $t VERSION AS OF 1").head()
+    assert(v1.getLong(0) == 20 && v1.getString(1) == "name-5")
+    // v2: upsert applied, delete not yet
+    val v2 = spark.sql(s"SELECT count(*), max(CASE WHEN id = 5 THEN name END) FROM $t VERSION AS OF 2").head()
+    assert(v2.getLong(0) == 20 && v2.getString(1) == "rewritten")
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 99").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest version committed at-or-before the timestamp") {
+    val path = tmp()
+    seed(path, n = 10, nB = 2)                       // v1
+    ManifestTable.upsert(spark, path,
+      Seq((1L, "late", 1.0)).toDF("id", "name", "score")
+        .withColumn("sig", array(col("id"))), "id")  // v2
+    // age v1 a day back; v2 keeps its fresh mtime
+    val m1 = new java.io.File(s"$path/_manifests/v00000001.json")
+    assert(m1.setLastModified(System.currentTimeMillis() - 86400000L))
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"graft_manifest.`$path`"
+    val betweenCommits = new java.sql.Timestamp(
+      System.currentTimeMillis() - 3600000L)
+    val atV1 = spark.sql(
+      s"SELECT max(CASE WHEN id = 1 THEN name END) FROM $t TIMESTAMP AS OF '$betweenCommits'").head()
+    assert(atV1.getString(0) == "name-1", "timestamp between commits must resolve to v1")
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 60000L)
+    val atV2 = spark.sql(
+      s"SELECT max(CASE WHEN id = 1 THEN name END) FROM $t TIMESTAMP AS OF '$now'").head()
+    assert(atV2.getString(0) == "late")
+    val early = new java.sql.Timestamp(System.currentTimeMillis() - 7 * 86400000L)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$early'").collect()
+    }
+    assert(err.getMessage.contains("precedes") || err.getCause != null)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
