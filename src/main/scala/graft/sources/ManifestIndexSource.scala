@@ -265,7 +265,8 @@ class ManifestIndexTable(path: String,
         "nBuckets" -> m.nBuckets.toString,
         "keyCol" -> m.keyCol).asJava
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestIndexScanBuilder(path, m, options, hadoopConf)
@@ -300,7 +301,7 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
     }
     require(touched.forall(b => b >= 0 && b < m.nBuckets),
       s"buckets option out of range [0, ${m.nBuckets}): $touched")
-    new ManifestIndexScan(path, m, touched, required, hadoopConf)
+    new ManifestIndexScan(path, m, touched, required, options, hadoopConf)
   }
 }
 
@@ -310,6 +311,7 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
   */
 class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
                         touched: Seq[Int], required: StructType,
+                        options: CaseInsensitiveStringMap,
                         @transient hadoopConf: Configuration)
   extends Scan with Batch with SupportsReportPartitioning {
 
@@ -334,6 +336,116 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestIndexReaderFactory(required,
       new SerializableHadoopConf(hadoopConf))
+
+  /** Stream the table's APPEND history: offsets are manifest versions,
+    * each micro-batch reads exactly the data directories the versions in
+    * `(start, end]` added — the manifest log doubles as the stream's
+    * write-ahead log, the way Delta's does. See
+    * [[ManifestMicroBatchStream]] for the append-only contract.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): ManifestMicroBatchStream =
+    new ManifestMicroBatchStream(path, required, options, hadoopConf)
+}
+
+/** A manifest version as a streaming offset. */
+case class VersionOffset(v: Int)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$v}"""
+}
+
+/** Micro-batch tail of a manifest table's append log.
+  *
+  * Contract: the consumed version range must be APPEND-ONLY — every
+  * version in it only ADDS data directories ([[ManifestTable.append]] /
+  * [[ManifestTable.appendOnce]] commits, the ledger/index shape this
+  * table family exists for). A transition that REMOVES a directory
+  * (upsert, delete, compact) is detected from the manifest diff and
+  * fails the stream with a clear error, because its rows cannot be
+  * expressed as an append batch; `ignoreDeletes=true` downgrades that
+  * to streaming just the added directories — which RE-EMITS rows a
+  * compact folded into a fresh directory, the same documented caveat as
+  * Delta's `ignoreChanges`.
+  *
+  * Offsets are manifest versions, so restart-exactly-once falls out of
+  * Spark's offset log: a replayed batch re-reads exactly the same
+  * immutable directories. `vacuum` must retain the oldest unconsumed
+  * version (same coupling as Delta: the streaming-source retention
+  * window is a vacuum policy, [[ManifestTable.vacuum]]'s `retainMs`);
+  * a retired start offset fails with the vacuum hint.
+  *
+  * `startingVersion` option: `"latest"` (default — tail NEW appends
+  * only, the CDC shape) or an integer `n` ≥ 0 meaning "replay history
+  * from after version n" (`0` = the whole table: genesis write + every
+  * surviving append).
+  */
+class ManifestMicroBatchStream(path: String, required: StructType,
+                               options: CaseInsensitiveStringMap,
+                               @transient hadoopConf: Configuration)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private val confHolder = new SerializableHadoopConf(hadoopConf)
+  private val ignoreDeletes =
+    Option(options.get("ignoreDeletes")).exists(_.toBoolean)
+
+  private def dirsOf(v: Int): Set[String] =
+    if (v == 0) Set.empty
+    else ManifestTable.readManifest(spark, path, v)
+      .buckets.values.flatten.toSet
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val vs = ManifestTable.versions(spark, path)
+    require(vs.nonEmpty, s"no committed version at $path")
+    Option(options.get("startingVersion")) match {
+      case None | Some("latest") => VersionOffset(vs.last)
+      case Some(s) =>
+        val v = s.toInt
+        require(v == 0 || vs.contains(v),
+          s"startingVersion $v is not a committed (or retained) version of $path: $vs")
+        VersionOffset(v)
+    }
+  }
+
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(ManifestTable.versions(spark, path).lastOption.getOrElse(0))
+
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset("""\"version\":(\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
+      .group(1).toInt)
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val (vs, ve) = (start.asInstanceOf[VersionOffset].v,
+      end.asInstanceOf[VersionOffset].v)
+    if (ve <= vs) return Array.empty
+    val retained = ManifestTable.versions(spark, path)
+    require(vs == 0 || retained.contains(vs),
+      s"stream start version $vs of $path was vacuumed away — keep the " +
+        "oldest unconsumed version readable (ManifestTable.vacuum " +
+        "retainMs/keepVersions is the streaming retention window)")
+    val (before, after) = (dirsOf(vs), dirsOf(ve))
+    val removed = before -- after
+    if (removed.nonEmpty && !ignoreDeletes)
+      throw new IllegalStateException(
+        s"non-append change in $path between versions $vs and $ve " +
+          s"(${removed.size} directories dereferenced — upsert/delete/" +
+          "compact): an append-log stream cannot represent it. Set " +
+          "ignoreDeletes=true to stream only the added directories " +
+          "(re-emits rows a compact rewrote, like Delta's ignoreChanges).")
+    (after -- before).toSeq.sorted
+      .groupBy(rel => rel.substring(rel.lastIndexOf("b=") + 2).toInt)
+      .map { case (b, rels) =>
+        ManifestBucketPartition(b, rels.map(rel => s"$path/$rel"))
+      }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestIndexReaderFactory(required, confHolder)
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** All the data directories of one bucket; `partitionKey` is what Spark

@@ -174,6 +174,63 @@ class ManifestIndexSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("precedes") || err.getCause != null)
   }
 
+  test("micro-batch stream tails the append log exactly once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp()
+    val base = java.nio.file.Files.createTempDirectory("graft-mstream").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    seed(path, n = 10, nB = 4)                                        // v1: ids 0..9
+    ManifestTable.appendOnce(spark, path,
+      (10L until 15L).map(i => (i, s"name-$i", 0.0, Seq(i))).toDF("id", "name", "score", "sig"),
+      "id", "t", 1L)                                                  // v2
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"graft_manifest.`$path`"
+    def run(): Unit = spark.readStream
+      .option("startingVersion", "0").table(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    run()
+    val ids1 = spark.read.parquet(out).select("id").as[Long].collect().toSeq
+    assert(ids1.sorted == (0L until 15L), s"first run emitted $ids1")
+    // rows landing while the stream is down arrive exactly once on restart
+    ManifestTable.appendOnce(spark, path,
+      (15L until 20L).map(i => (i, s"name-$i", 0.0, Seq(i))).toDF("id", "name", "score", "sig"),
+      "id", "t", 2L)                                                  // v3
+    run()
+    val ids2 = spark.read.parquet(out).select("id").as[Long].collect().toSeq
+    assert(ids2.sorted == (0L until 20L), s"restart emitted $ids2")
+    assert(ids2.distinct.size == ids2.size, "restart duplicated rows")
+  }
+
+  test("micro-batch stream refuses non-append changes unless ignoreDeletes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp()
+    val base = java.nio.file.Files.createTempDirectory("graft-mstream2").toString
+    seed(path, n = 10, nB = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"graft_manifest.`$path`"
+    def run(ignoreDeletes: Boolean, out: String, ckpt: String): Unit = spark.readStream
+      .option("startingVersion", "0")
+      .option("ignoreDeletes", ignoreDeletes.toString).table(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    run(ignoreDeletes = false, s"$base/out1", s"$base/ckpt1")         // consumes v1
+    ManifestTable.upsert(spark, path,
+      Seq((3L, "rewritten", 9.9)).toDF("id", "name", "score")
+        .withColumn("sig", array(col("id"))), "id")                   // v2 rewrites a bucket
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ignoreDeletes = false, s"$base/out1", s"$base/ckpt1")
+    }
+    assert(err.getMessage.contains("non-append change"), err.getMessage)
+    // ignoreDeletes: the rewritten bucket's directory streams again
+    run(ignoreDeletes = true, s"$base/out1", s"$base/ckpt1")
+    val emitted = spark.read.parquet(s"$base/out1")
+    assert(emitted.filter($"name" === "rewritten").count() == 1,
+      "rewritten row not re-emitted under ignoreDeletes")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
