@@ -116,6 +116,22 @@ object Bpe {
     toMergesDf(spark, merges.toSeq)
   }
 
+  /** Tokenizer APPLICATION — the other half of the lifecycle: apply an
+    * ordered merge list (what [[train]] produced) to the corpus, one
+    * narrow kernel pass per merge, no shuffles at all. Unlike the
+    * training loop, NO row is filtered out: a document too short to
+    * pair still encodes to its own symbols (`bpe_merge` is the identity
+    * on <2-symbol arrays). The merge table is driver-side literals —
+    * trained vocabularies are broadcast-scale by construction.
+    */
+  def encode(docs: DataFrame, textCol: String,
+             merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      docs.select(graft.functions.Sketches.word_ngrams(col(textCol), 1).as("syms"))
+    ) { case (df, (f, s)) =>
+      df.select(graft.functions.Sketches.bpe_merge(col("syms"), f, s).as("syms"))
+    }
+
   private def toMergesDf(spark: SparkSession,
                          merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._

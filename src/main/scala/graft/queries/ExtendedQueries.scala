@@ -655,7 +655,13 @@ object ExtendedQueries {
     * `t_r` picks the top pair from state `s_(r-1)` and `s_r` applies it.
     * Generated from the one rounds constant the Spark loop uses.
     */
-  private def bpeTrainSqlGen(rounds: Int): String = {
+  /** The word-mode round chain (s0 tokenized corpus; per round the
+    * top-pair pick `t_r` and, when `applyLast` or not the final round,
+    * the run-parity merge apply `s_r`). Shared by the training oracle
+    * (merges only — the last apply is dead weight) and the vocabulary
+    * oracle (which aggregates the fully-applied `s_rounds` state).
+    */
+  private def bpeChainCtes(rounds: Int, applyLast: Boolean): String = {
     val sb = new StringBuilder
     sb.append(s"WITH s0 AS MATERIALIZED (SELECT doc_id, ${kernelToksSql("text")} AS syms FROM documents)")
     for (r <- 1 to rounds) {
@@ -666,7 +672,7 @@ m$r AS MATERIALIZED (SELECT doc_id, i AS pos, syms[i] AS sym,
 t$r AS MATERIALIZED (SELECT sym AS f, nxt AS sec, count(*) AS n FROM m$r
         WHERE nxt IS NOT NULL GROUP BY 1, 2
         ORDER BY n DESC, f, sec LIMIT 1)""")
-      if (r < rounds) sb.append(s""",
+      if (r < rounds || applyLast) sb.append(s""",
 x$r AS MATERIALIZED (SELECT doc_id, pos, sym, nxt,
         coalesce(sym = (SELECT f FROM t$r)
              AND nxt = (SELECT sec FROM t$r), FALSE) AS mt
@@ -683,6 +689,11 @@ s$r AS MATERIALIZED (SELECT doc_id,
         list(CASE WHEN ap THEN sym || ' ' || nxt ELSE sym END ORDER BY pos) AS syms
         FROM w$r WHERE NOT consumed GROUP BY doc_id)""")
     }
+    sb.toString
+  }
+
+  private def bpeTrainSqlGen(rounds: Int): String = {
+    val sb = new StringBuilder(bpeChainCtes(rounds, applyLast = false))
     sb.append("\n")
     sb.append((1 to rounds).map(r =>
       s"SELECT $r AS round, f AS first, sec AS second, n FROM t$r")
@@ -692,6 +703,32 @@ s$r AS MATERIALIZED (SELECT doc_id,
   }
 
   private val bpeTrainSql = bpeTrainSqlGen(BpeTrainRounds)
+
+  /** The tokenizer LIFECYCLE closed: train `BpeTrainRounds` merges, then
+    * ENCODE the corpus with them (`Bpe.encode` — one narrow kernel pass
+    * per merge, zero shuffles) and report the resulting symbol
+    * vocabulary's top 20 by frequency. Unlike training, encode keeps
+    * every document — a too-short-to-pair doc still contributes its raw
+    * symbols. The oracle replays the same rounds INCLUDING the final
+    * apply and aggregates the fully-merged state.
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.ops.Bpe.train(docs, "text", BpeTrainRounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ops.Bpe.encode(docs, "text", merges)
+      .select(explode(col("syms")).as("symbol"))
+      .groupBy("symbol").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("symbol"))
+      .limit(20)
+  }
+
+  private val bpeVocabSql: String =
+    s"""${bpeChainCtes(BpeTrainRounds, applyLast = true)}
+       |SELECT symbol, count(*) AS n
+       |FROM (SELECT unnest(syms) AS symbol FROM s$BpeTrainRounds)
+       |GROUP BY symbol ORDER BY n DESC, symbol LIMIT 20""".stripMargin
 
   /** Sennrich char-mode training (`Bpe.trainChars`): merges run over
     * within-word character symbols with the `</w>` end-of-word marker,
@@ -2322,6 +2359,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bpe_pair_counts" -> bpePairCounts _,
     "bpe_train" -> bpeTrain _,
     "bpe_train_char" -> bpeTrainChar _,
+    "bpe_vocab" -> bpeVocab _,
     "decontamination" -> decontamination _,
     "token_budget_pack" -> tokenBudgetPack _,
     "mixture_sample_stats" -> mixtureSampleStats _,
@@ -2394,6 +2432,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bpe_pair_counts" -> bpePairCountsSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_train_char" -> bpeTrainCharSql,
+    "bpe_vocab" -> bpeVocabSql,
     "decontamination" -> decontaminationSql,
     "token_budget_pack" -> tokenBudgetPackSql,
     "mixture_sample_stats" -> mixtureSampleStatsSql,

@@ -180,6 +180,23 @@ class BpeSpec extends SparkSpec {
     assert(ma == mb)
   }
 
+  test("encode applies trained merges in order and keeps short documents") {
+    val docs = Seq(
+      "a b a b a b",   // merge target
+      "a",             // too short to pair — must survive encode as-is
+      "b a b x"
+    ).toDF("text")
+    val merges = Seq(("a", "b"), ("a b", "a b"))
+    val got = Bpe.encode(docs, "text", merges)
+      .as[Seq[String]].collect().toSeq
+    // reference: greedy merges applied in order per doc
+    val expected = Seq("a b a b a b", "a", "b a b x")
+      .map(_.split(" ").toSeq)
+      .map(s => merges.foldLeft(s)((acc, m) => greedyMerge(acc, m._1, m._2)))
+    assert(got == expected, s"got $got expected $expected")
+    assert(got(1) == Seq("a"), "short doc lost or altered")
+  }
+
   test("adjacent_pairs skips pairs touching null elements (containsNull inputs)") {
     // SQL arrays can carry containsNull=true (split()'s declared type);
     // the kernel's output struct fields are non-nullable, so pairs with
