@@ -310,10 +310,15 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
   * reported [[VKeyGroupedPartitioning]] over the bucket transform.
   */
 class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
-                        touched: Seq[Int], required: StructType,
+                        initialTouched: Seq[Int], required: StructType,
                         options: CaseInsensitiveStringMap,
                         @transient hadoopConf: Configuration)
-  extends Scan with Batch with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsRuntimeFiltering {
+
+  // shrunk in place by runtime filtering (Spark re-plans partitions and
+  // re-reads outputPartitioning after filter())
+  private var touched: Seq[Int] = initialTouched
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -332,6 +337,43 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
     new VKeyGroupedPartitioning(
       Array[VExpression](Expressions.bucket(m.nBuckets, m.keyCol)),
       touched.size)
+
+  /** Runtime (DPP-style) bucket pruning: when the key side of a join
+    * materializes a bounded value set, Spark hands it back here as an
+    * `In` filter and the scan drops every bucket those values cannot
+    * hash into — the same manifest-level IO cut `readBuckets` computes
+    * driver-side, triggered by the PLANNER instead of the caller. Only
+    * the key column is advertised; any filter shape other than
+    * In/EqualTo on it is ignored (pruning is an optimization, never a
+    * correctness gate — the join still re-verifies keys).
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(m.keyCol))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val keyType = m.keyType
+    def bucketOf(value: Any): Option[Int] = {
+      val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value))
+      if (lit0.dataType != keyType) None // mistyped value: refuse to prune
+      else {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(lit0.value, keyType, 42L)
+        Some((((h % m.nBuckets) + m.nBuckets) % m.nBuckets).toInt)
+      }
+    }
+    filters.foreach {
+      case org.apache.spark.sql.sources.In(attr, values) if attr == m.keyCol =>
+        // a null in the value set hashes nowhere; null keys never join
+        val bs = values.filter(_ != null).map(bucketOf)
+        if (bs.forall(_.isDefined))
+          touched = touched.filter(bs.flatten.toSet)
+      case org.apache.spark.sql.sources.EqualTo(attr, value)
+          if attr == m.keyCol && value != null =>
+        bucketOf(value).foreach(b => touched = touched.filter(_ == b))
+      case _ => () // unsupported shape: keep all buckets
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestIndexReaderFactory(required,
@@ -381,12 +423,46 @@ case class VersionOffset(v: Int)
 class ManifestMicroBatchStream(path: String, required: StructType,
                                options: CaseInsensitiveStringMap,
                                @transient hadoopConf: Configuration)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
   private val confHolder = new SerializableHadoopConf(hadoopConf)
   private val ignoreDeletes =
     Option(options.get("ignoreDeletes")).exists(_.toBoolean)
+  /** Cap on versions consumed per micro-batch — bounds a single batch's
+    * directory fan-in when a stream starts far behind a long append
+    * history (startingVersion=0 over months of appends would otherwise
+    * read the whole table in one batch). Offsets stay version-aligned,
+    * so the cap never splits a commit.
+    */
+  private val maxVersionsPerTrigger: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val v = s.toInt
+      require(v >= 1, s"maxVersionsPerTrigger must be >= 1, got $v")
+      v
+    }
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Trigger.AvailableNow pins the drain target here, then keeps
+    * issuing capped batches until [[latestOffset(start,limit)]] reaches
+    * it — so the per-trigger cap composes with run-to-completion.
+    */
+  private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(ManifestTable.versions(spark, path).lastOption.getOrElse(0))
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val hi = availableNowTarget.getOrElse(
+      ManifestTable.versions(spark, path).lastOption.getOrElse(0))
+    val lo = start.asInstanceOf[VersionOffset].v
+    VersionOffset(maxVersionsPerTrigger.fold(hi)(k => math.min(hi, lo + k)))
+  }
 
   private def dirsOf(v: Int): Set[String] =
     if (v == 0) Set.empty

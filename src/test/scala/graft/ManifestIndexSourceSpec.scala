@@ -231,6 +231,84 @@ class ManifestIndexSourceSpec extends SparkSpec {
       "rewritten row not re-emitted under ignoreDeletes")
   }
 
+  test("runtime filtering prunes buckets from In/EqualTo on the key and ignores other shapes") {
+    import graft.sources.{ManifestIndexScan, ManifestBucketPartition}
+    val path = tmp()
+    seed(path, n = 200, nB = 8)
+    val m = ManifestTable.currentManifest(spark, path)
+    def freshScan(): ManifestIndexScan = new graft.sources.ManifestIndexTable(
+        path, m, spark.sparkContext.hadoopConfiguration)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .build().asInstanceOf[ManifestIndexScan]
+    def bucketsOf(keys: Seq[Long]): Set[Int] =
+      keys.toDF("id").select(pmod(xxhash64(col("id")), lit(8L)).cast("int"))
+        .as[Int].collect().toSet
+    // In on the key: exactly the touched buckets remain
+    val s1 = freshScan()
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(3L, 77L, 123L))))
+    val remaining = s1.planInputPartitions()
+      .map(_.asInstanceOf[ManifestBucketPartition].bucket).toSet
+    assert(remaining == bucketsOf(Seq(3L, 77L, 123L)), s"got $remaining")
+    assert(s1.outputPartitioning()
+      .asInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+      .numPartitions == remaining.size)
+    // EqualTo: single bucket
+    val s2 = freshScan()
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("id", 42L)))
+    assert(s2.planInputPartitions().length == 1)
+    // unsupported shape / wrong attr / mistyped value: no pruning
+    val s3 = freshScan()
+    s3.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThan("id", 10L),
+      org.apache.spark.sql.sources.In("name", Array("x")),
+      org.apache.spark.sql.sources.In("id", Array[Any]("not-a-long"))))
+    assert(s3.planInputPartitions().length == 8, "over-eager pruning")
+    // pruning must not change results when applied by the planner: the
+    // join re-verifies keys, so a pruned scan joined on those keys
+    // equals the unpruned join
+    val probe = Seq(3L, 77L, 123L).toDF("id")
+    val viaPruned = ManifestIndexSource.readBuckets(spark, path, probe)
+      .join(probe, "id").count()
+    val viaFull = ManifestTable.read(spark, path).join(probe, "id").count()
+    assert(viaPruned == viaFull && viaFull == 3)
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch to a version-aligned slice") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp()
+    val base = java.nio.file.Files.createTempDirectory("graft-mstream3").toString
+    seed(path, n = 4, nB = 2)                                         // v1
+    (1 to 3).foreach { k =>                                           // v2..v4
+      ManifestTable.appendOnce(spark, path,
+        Seq((100L + k, s"late-$k", 0.0, Seq(k.toLong)))
+          .toDF("id", "name", "score", "sig"), "id", "t", k.toLong)
+    }
+    ManifestIndexSource.ensureRegistered(spark)
+    def run(cap: Option[Int], out: String, ckpt: String): Unit = {
+      val r = spark.readStream.option("startingVersion", "0")
+      cap.foreach(c => r.option("maxVersionsPerTrigger", c.toString))
+      r.table(s"graft_manifest.`$path`")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    }
+    run(Some(1), s"$base/out1", s"$base/ckpt1")
+    assert(spark.read.parquet(s"$base/out1").count() == 7,
+      "capped stream lost rows")
+    // 4 versions at 1 per trigger -> 4 committed batches; uncapped -> 1
+    def batches(ckpt: String): Int =
+      new java.io.File(s"$ckpt/commits").listFiles.count(!_.getName.contains("."))
+    run(None, s"$base/out2", s"$base/ckpt2")
+    assert(spark.read.parquet(s"$base/out2").count() == 7)
+    assert(batches(s"$base/ckpt1") == 4,
+      s"expected 4 capped batches, got ${batches(s"$base/ckpt1")}")
+    assert(batches(s"$base/ckpt2") == 1,
+      s"expected 1 uncapped batch, got ${batches(s"$base/ckpt2")}")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
