@@ -1256,6 +1256,72 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |FROM toks t LEFT JOIN v ON v.term = t.term
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Bigram language-model cross-entropy per document — the scoring
+    * half of a CCNet-style perplexity quality filter (Wenzek et al.
+    * 2019 rank documents by LM perplexity: fluent text scores low,
+    * noise high). The LM trains on the corpus itself with add-one
+    * smoothing: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V).
+    *
+    * Plan shape: bigrams form NARROWLY with the `adjacent_pairs`
+    * kernel (no positional self-join); ONE term shuffle counts them;
+    * context totals and the conditional-probability table derive from
+    * those counts without a second corpus pass. Scoring joins doc
+    * bigrams to the probability table on (w1, w2) — at 100 TB that
+    * table is corpus-sized (never broadcast), so the join shards on
+    * the same hash partitioning its producing shuffle already
+    * established. Cross-entropy = -avg(log2 P) over a doc's bigrams
+    * rounded to 6 (libm log2 agrees across engines far beyond 1e-6);
+    * perplexity re-derives from the ROUNDED entropy so both engines
+    * exponentiate the same double. Docs with <2 tokens have no
+    * bigrams and drop out via the inner join, matching the oracle.
+    */
+  def ngramLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = docs.select(col("doc_id"),
+        explode(graft.functions.Sketches.adjacent_pairs(
+          TextAnalysis.tokens(col("text")))).as("p"))
+      .select(col("doc_id"), col("p.first").as("w1"), col("p.second").as("w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contextCounts = bigramCounts.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocabSize = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .agg(countDistinct("term").cast("double").as("vs"))
+    val prob = bigramCounts.join(contextCounts, "w1").crossJoin(vocabSize)
+      .withColumn("prob",
+        (col("c12") + lit(1.0)) / (col("c1").cast("double") + col("vs")))
+      .select("w1", "w2", "prob")
+    pairs.join(prob, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log2(col("prob"))), 6).as("cross_entropy"))
+      .withColumn("perplexity", round(pow(lit(2.0), col("cross_entropy")), 4))
+      .orderBy("doc_id")
+  }
+
+  private val ngramLmPerplexitySql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |pairs0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |           i -> struct_pack(w1 := ts[CAST(i AS BIGINT)],
+      |                            w2 := ts[CAST(i AS BIGINT) + 1]))) AS p
+      |  FROM toks),
+      |pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs0),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+      |cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+      |v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vs FROM (
+      |        SELECT unnest(ts) AS term FROM toks)),
+      |prob AS (
+      |  SELECT b.w1, b.w2,
+      |         (b.c12 + 1.0) / (CAST(c.c1 AS DOUBLE) + v.vs) AS prob
+      |  FROM bc b JOIN cc c USING (w1) CROSS JOIN v)
+      |SELECT p.doc_id, count(*) AS n_bigrams,
+      |       round(-avg(log2(pr.prob)), 6) AS cross_entropy,
+      |       round(power(2.0, round(-avg(log2(pr.prob)), 6)), 4) AS perplexity
+      |FROM pairs p JOIN prob pr USING (w1, w2)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   /** TF-IDF top-3 terms per document (doc_id < 25): term frequency ×
     * smoothed inverse document frequency. The idf log is computed in
     * double on both engines and the score rounded to 6 decimals before
@@ -2374,6 +2440,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "mixture_sample_stats" -> mixtureSampleStats _,
     "vocabulary_topk" -> vocabularyTopk _,
     "oov_rate" -> oovRate _,
+    "ngram_lm_perplexity" -> ngramLmPerplexity _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -2447,6 +2514,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "mixture_sample_stats" -> mixtureSampleStatsSql,
     "vocabulary_topk" -> vocabularyTopkSql,
     "oov_rate" -> oovRateSql,
+    "ngram_lm_perplexity" -> ngramLmPerplexitySql,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,

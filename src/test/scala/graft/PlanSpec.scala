@@ -187,6 +187,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("ngram_lm_perplexity: bigrams form narrowly (adjacent_pairs kernel), no cartesian on the scoring join") {
+    val p = plan(ExtendedQueries.ngramLmPerplexity(spark, sfDir))
+    assert(p.contains("adjacent_pairs"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the only nested-loop join is the 1-row vocab-size scalar attach
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(800))
+  }
+
   test("fuzzy_name_join: the bounded probe side broadcasts; top-1 prunes via WindowGroupLimit") {
     val p = plan(ExtendedQueries.fuzzyNameJoin(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
