@@ -158,4 +158,37 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "),
       " +", " "))
+
+  /** Overlapping token-window chunks — pretraining context windows / RAG
+    * passages. Chunk i covers tokens [i·stride+1, i·stride+window]
+    * (1-based); the chunk count ceil((n-window)/stride)+1 (min 1) makes
+    * the final chunk the only partial one, and no chunk is ever fully
+    * contained in its predecessor (stride < window ⇒ overlap =
+    * window−stride tokens). Entirely narrow: tokenize, explode a
+    * per-row `sequence`, `slice` — the whole operator lives in one
+    * projection pass inside whole-stage codegen, so a 100 TB corpus
+    * chunks at scan speed with zero shuffle (any downstream orderBy is
+    * the caller's, as in the oracled query).
+    *
+    * `docCols` are carried through (doc_id at minimum). Output:
+    * docCols*, chunk_idx, n_tokens, chunk_text.
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      window: Int, stride: Int,
+      docCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val keep = docCols.map(col)
+    df.select(keep :+ tokens(col(textCol)).as("ts"): _*)
+      .withColumn("n", size(col("ts")))
+      .withColumn("n_chunks",
+        when(col("n") <= window, lit(1L)).otherwise(
+          floor((col("n") - window + stride - 1) / lit(stride.toDouble)) + 1L))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk",
+        slice(col("ts"), col("chunk_idx") * stride + 1, lit(window)))
+      .select(keep ++ Seq(col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text")): _*)
+  }
 }

@@ -1256,6 +1256,34 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |FROM toks t LEFT JOIN v ON v.term = t.term
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Overlapping 64-token chunks with stride 48 (16-token overlap) —
+    * the context-window splitter that feeds packing/embedding stages.
+    * All narrow (tokenize → per-row sequence explode → slice inside one
+    * codegen stage); see `TextAnalysis.chunkTokens`. The oracle mirrors
+    * the chunk-count formula and DuckDB's clamping list slice matches
+    * Spark's `slice` on the partial final chunk.
+    */
+  def tokenChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(Tables.documents(spark, dir), "text",
+        window = 64, stride = 48, docCols = Seq("doc_id"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val tokenChunksSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, ts, len(ts) AS n,
+      |         CASE WHEN len(ts) <= 64 THEN 1
+      |              ELSE CAST(floor((len(ts) - 64 + 47) / 48.0) AS BIGINT) + 1
+      |         END AS n_chunks
+      |  FROM toks),
+      |c AS (SELECT doc_id, ts, unnest(range(0, n_chunks)) AS chunk_idx FROM d)
+      |SELECT doc_id, chunk_idx,
+      |       CAST(len(ts[(chunk_idx*48+1):(chunk_idx*48+64)]) AS BIGINT) AS n_tokens,
+      |       array_to_string(ts[(chunk_idx*48+1):(chunk_idx*48+64)], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Bigram language-model cross-entropy per document — the scoring
     * half of a CCNet-style perplexity quality filter (Wenzek et al.
     * 2019 rank documents by LM perplexity: fluent text scores low,
@@ -2441,6 +2469,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "vocabulary_topk" -> vocabularyTopk _,
     "oov_rate" -> oovRate _,
     "ngram_lm_perplexity" -> ngramLmPerplexity _,
+    "token_chunks" -> tokenChunks _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -2515,6 +2544,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "vocabulary_topk" -> vocabularyTopkSql,
     "oov_rate" -> oovRateSql,
     "ngram_lm_perplexity" -> ngramLmPerplexitySql,
+    "token_chunks" -> tokenChunksSql,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
