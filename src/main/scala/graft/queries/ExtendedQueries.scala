@@ -868,6 +868,102 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |FROM tot JOIN sh ON sh.doc_id = tot.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  /** Bloom-filter decontamination — the scale path of the exact check
+    * above. Exact decontamination broadcasts the eval gram STRINGS
+    * (~50 B each); at a production eval-suite size that broadcast is
+    * the limit. The Bloom variant broadcasts only the filter's set BIT
+    * POSITIONS: each gram probes k=3 positions `perm_j(polyHash(gram))
+    * mod m` from the portable permutation family, with m sized 16× the
+    * eval gram count (fill ≈ 1-e^(-3/16) ≈ 0.17, FP ≈ 0.5%) — the
+    * broadcast is bounded by m ints NO MATTER how large the eval suite
+    * grows, and probes join on ints, not 50-byte strings. No false
+    * negatives by construction (every truly-shared gram sets all its
+    * bits), so the flagged set is a superset of the exact check's —
+    * the safe direction for decontamination. The eval gram count is
+    * one driver-side scalar (sizes the filter; same bounded-collect
+    * discipline as the IVF training sample). Fully deterministic
+    * given the corpus, so the DuckDB oracle replays the filter
+    * bit-for-bit, false positives included.
+    */
+  def decontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{MathExprs, Sketches}
+    val k = 3
+    val docs = Tables.documents(spark, dir)
+    val cutoff = docs.agg(floor(((max(col("doc_id")) + 1) * 9) / 10).cast("long"))
+      .first().getLong(0)
+    val tg = docs.filter(col("doc_id") < cutoff)
+      .select(col("doc_id"),
+        explode(array_distinct(Sketches.word_ngrams(col("text"), 5))).as("gram"))
+    val eg = docs.filter(col("doc_id") >= cutoff)
+      .select(explode(Sketches.word_ngrams(col("text"), 5)).as("gram"))
+      .distinct()
+    val m = 16L * math.max(eg.count(), 1L)
+    val (pa, pb) = Sketches.permCoeffs(k)
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("h", MathExprs.polyHash(col("gram"), Sketches.P1))
+      .withColumn("pos", explode(array((0 until k).map(j =>
+        ((lit(pa(j)) * col("h") + lit(pb(j))) % Sketches.P1) % m): _*)))
+      .drop("h")
+    val ebits = broadcast(positions(eg).select("pos").distinct())
+    positions(tg)
+      .join(ebits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy("doc_id", "gram")
+      .agg(count(col("hit")).as("nhit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("nhit") === k, 1)).as("n_flagged"))
+      .filter(col("n_flagged") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_grams")).as("flag_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminationBloomSql =
+    s"""WITH perms(j, a, b) AS (VALUES ${permsValuesSql(3)}),
+      |toks5 AS (
+      |  SELECT doc_id,
+      |         ${kernelToksSql("text")} AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) < 5 THEN []
+      |              ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS gs
+      |  FROM toks5),
+      |cut AS (SELECT ((max(doc_id) + 1) * 9) // 10 AS c FROM documents),
+      |tg AS (SELECT doc_id, unnest(gs) AS gram FROM grams
+      |       WHERE doc_id < (SELECT c FROM cut)),
+      |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM grams
+      |       WHERE doc_id >= (SELECT c FROM cut)),
+      |msz AS (SELECT 16 * greatest(count(*), 1) AS m FROM eg),
+      |eh AS (SELECT gram, list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(gram, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |         (x, y) -> (x * 31 + y) % ${graft.functions.Sketches.P1}) AS h FROM eg),
+      |th AS (SELECT doc_id, gram, list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(gram, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |         (x, y) -> (x * 31 + y) % ${graft.functions.Sketches.P1}) AS h FROM tg),
+      |ebits AS (SELECT DISTINCT
+      |            ((p.a * eh.h + p.b) % ${graft.functions.Sketches.P1})
+      |              % (SELECT m FROM msz) AS pos
+      |          FROM eh CROSS JOIN perms p),
+      |probe AS (SELECT t.doc_id, t.gram,
+      |            ((p.a * t.h + p.b) % ${graft.functions.Sketches.P1})
+      |              % (SELECT m FROM msz) AS pos
+      |          FROM th t CROSS JOIN perms p),
+      |gflag AS (SELECT doc_id, gram, count(e.pos2) AS nhit
+      |          FROM probe LEFT JOIN (SELECT pos, pos AS pos2 FROM ebits) e
+      |            USING (pos)
+      |          GROUP BY doc_id, gram),
+      |agg AS (SELECT doc_id, count(*) AS n_grams,
+      |          count(CASE WHEN nhit = 3 THEN 1 END) AS n_flagged
+      |        FROM gflag GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_flagged,
+      |       CAST(n_flagged AS DOUBLE) / n_grams AS flag_frac
+      |FROM agg WHERE n_flagged > 0 ORDER BY doc_id""".stripMargin
+
   /** Exact repeated-substring spans (Lee et al. ExactSubstr dedup) over
     * the corpus: per document containing duplicated text, the repeated
     * 15-token-window count and the merged maximal span statistics. See
@@ -2470,6 +2566,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "oov_rate" -> oovRate _,
     "ngram_lm_perplexity" -> ngramLmPerplexity _,
     "token_chunks" -> tokenChunks _,
+    "decontamination_bloom" -> decontaminationBloom _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -2545,6 +2642,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "oov_rate" -> oovRateSql,
     "ngram_lm_perplexity" -> ngramLmPerplexitySql,
     "token_chunks" -> tokenChunksSql,
+    "decontamination_bloom" -> decontaminationBloomSql,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,
