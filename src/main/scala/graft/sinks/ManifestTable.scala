@@ -437,6 +437,28 @@ object ManifestTable {
     }
   }
 
+  /** Commit dirs that are ALREADY staged under `path` as an append —
+    * the commit half of [[append]] for writers that stage their own
+    * data (the DSv2 write path stages per-bucket parquet from
+    * EXECUTORS, then calls this once from the driver). Same
+    * optimistic-concurrency rebase as [[append]]: staged dirs are
+    * immutable, so a lost race just re-points them at the newer
+    * manifest. `touched` maps bucket → path-relative dir.
+    */
+  private[graft] def commitStagedAppend(spark: SparkSession, path: String,
+                                        touched: Map[Int, String]): Unit = {
+    if (touched.isEmpty) return
+    commitWithRetry(spark, path) { m =>
+      touched.keys.find(b => b < 0 || b >= m.nBuckets).foreach(b =>
+        throw new IllegalArgumentException(
+          s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
+      Some(m.copy(version = m.version + 1,
+        buckets = touched.foldLeft(m.buckets) { case (acc, (b, d)) =>
+          acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
+        }))
+    }
+  }
+
   /** Idempotent [[append]] for streaming writers — the Delta-log `txn`
     * action scoped to this table: the manifest records, per `appId`, the
     * HIGHEST batch version whose append committed, and `appendOnce`

@@ -7,21 +7,27 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
 import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.MessageType
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecializedGetters, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform, Expression => VExpression}
+import org.apache.spark.sql.connector.distributions.{Distribution => VDistribution, Distributions => VDistributions}
+import org.apache.spark.sql.connector.expressions.{SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => VKeyGroupedPartitioning, Partitioning => VPartitioning}
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -123,8 +129,10 @@ object ManifestIndexSource {
   * tables. The identifier IS the table path (backquote it:
   * {{{ spark.read.table("graft_manifest.`/data/idx`") }}}); an unquoted
   * dotted path splits into namespace parts and is rejoined here.
-  * Read-only: every mutation goes through [[ManifestTable]]'s commit
-  * protocol, not through Spark DDL.
+  * INSERT goes through the DSv2 write path below (executor-staged
+  * parquet + one atomic manifest publish — the same commit protocol as
+  * [[ManifestTable.append]]); DDL (create/alter/drop) stays with
+  * [[ManifestTable.write]], which owns layout decisions.
   */
 class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
   private var catName: String = "graft_manifest"
@@ -192,14 +200,14 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      "ManifestIndexCatalog is read-only: write through ManifestTable")
+      "ManifestIndexCatalog has no DDL: create tables with ManifestTable.write")
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "ManifestIndexCatalog is read-only: write through ManifestTable")
+      "ManifestIndexCatalog has no DDL: the manifest schema is immutable")
   override def dropTable(ident: Identifier): Boolean = false
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      "ManifestIndexCatalog is read-only: write through ManifestTable")
+      "ManifestIndexCatalog has no DDL: the table identifier IS its path")
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "bucket"))
@@ -250,7 +258,7 @@ object XxHashBucket extends UnboundFunction {
 class ManifestIndexTable(path: String,
                          m: ManifestTable.Manifest,
                          hadoopConf: Configuration)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = path
   // nullable like spark.read.parquet: the manifest's DDL freezes the
@@ -266,10 +274,32 @@ class ManifestIndexTable(path: String,
         "keyCol" -> m.keyCol).asJava
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestIndexScanBuilder(path, m, options, hadoopConf)
+
+  // nullability-insensitive over this source's type surface (primitives
+  // and arrays of them): an INSERT of non-null arrays into a nullable
+  // column is schema-compatible
+  private def sameIgnoreNull(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ea, _), ArrayType(eb, _)) => sameIgnoreNull(ea, eb)
+    case (x, y) => x == y
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema()
+    val want = schema()
+    require(in.length == want.length &&
+      in.fields.zip(want.fields).forall { case (a, b) =>
+        a.name == b.name && sameIgnoreNull(a.dataType, b.dataType) },
+      s"INSERT schema ${in.simpleString} does not match table schema " +
+        s"${want.simpleString} at $path (the bucket column is part of the " +
+        s"table — derive it with ${ManifestIndexSource.CatalogName}.bucket" +
+        s"(${m.nBuckets}, ${m.keyCol}))")
+    new ManifestWriteBuilder(path, m, hadoopConf)
+  }
 }
 
 object ManifestIndexTable {
@@ -652,6 +682,228 @@ class ManifestBucketReader(dirs: Seq[String], schema: StructType,
   override def close(): Unit = {
     if (reader != null) { reader.close(); reader = null }
   }
+}
+
+/** DSv2 write path: `INSERT INTO graft_manifest.`/path`` /
+  * `df.writeTo(...).append()` stage per-bucket parquet from EXECUTORS
+  * (parquet-hadoop Group API — the write twin of
+  * [[ManifestBucketReader]]), then the driver publishes ONE manifest
+  * version referencing every staged bucket dir:
+  * [[ManifestTable.commitStagedAppend]]'s optimistic-concurrency loop,
+  * so a SQL insert gets the same atomic multi-bucket commit, snapshot
+  * isolation, and conflict detection as the engine-side `append`.
+  *
+  * Scale shape: the only driver work is the manifest rename — data
+  * volume flows executor→storage directly, never through the driver
+  * (the v1-fallback alternative, `InsertableRelation`, would funnel
+  * the plan through one collect-free but driver-orchestrated Spark
+  * job; this path keeps INSERT symmetrical with the exchange-free
+  * read). `RequiresDistributionAndOrdering` clusters the input on the
+  * `bucket` column, so each task writes whole buckets and file count
+  * stays at one per (bucket, task attempt).
+  *
+  * Task crash safety: writers stage to dot-prefixed extensionless
+  * files (`.inprogress-part-…`) and RENAME to `part-….parquet` only in
+  * `DataWriter.commit` — a zombie attempt's leftovers are invisible to
+  * both readers (Spark ignores dot files; the Group reader filters on
+  * the `.parquet` suffix), the same two-phase discipline as
+  * `FileOutputCommitter`. Rows must arrive with a `bucket` value equal
+  * to `pmod(xxhash64(key, 42), nBuckets)` — each row is REVALIDATED
+  * against the layout hash before writing (a mis-bucketed row would be
+  * invisible to every keyed read), failing the insert loudly.
+  */
+class ManifestWriteBuilder(path: String, m: ManifestTable.Manifest,
+                           hadoopConf: Configuration) extends WriteBuilder {
+  override def build(): Write = new ManifestWrite(path, m, hadoopConf)
+}
+
+class ManifestWrite(path: String, m: ManifestTable.Manifest,
+                    hadoopConf: Configuration)
+  extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): VDistribution =
+    VDistributions.clustered(Array(Expressions.column("bucket")))
+  override def requiredOrdering(): Array[VSortOrder] = Array.empty
+
+  override def toBatch: BatchWrite =
+    new ManifestBatchWrite(path, m, hadoopConf)
+}
+
+class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,
+                         hadoopConf: Configuration) extends BatchWrite {
+  private val commitId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(path, s"data/$commitId",
+      ManifestIndexTable.deepNullable(m.schema), m.keyCol, m.nBuckets,
+      new SerializableHadoopConf(hadoopConf))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val touched = messages.iterator
+      .flatMap(_.asInstanceOf[ManifestWriteCommit].buckets)
+      .toSeq.distinct.map(b => b -> s"data/$commitId/b=$b").toMap
+    ManifestTable.commitStagedAppend(SparkSession.active, path, touched)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path, s"data/$commitId")
+    val fs = dir.getFileSystem(hadoopConf)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+}
+
+case class ManifestWriteCommit(buckets: Seq[Int]) extends WriterCommitMessage
+
+class ManifestWriterFactory(path: String, commitRel: String,
+                            schema: StructType, keyCol: String, nBuckets: Int,
+                            conf: SerializableHadoopConf)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestBucketDataWriter(path, commitRel, schema, keyCol, nBuckets,
+      partitionId, taskId, conf.value)
+}
+
+class ManifestBucketDataWriter(path: String, commitRel: String,
+                               schema: StructType, keyCol: String,
+                               nBuckets: Int, partitionId: Int, taskId: Long,
+                               conf: Configuration)
+  extends DataWriter[InternalRow] {
+
+  private val keyIdx = schema.fieldIndex(keyCol)
+  private val keyType = schema(keyIdx).dataType
+  private val bucketIdx = schema.fieldIndex("bucket")
+  private val messageType = ManifestParquet.messageType(schema)
+  private val appenders: Array[(SimpleGroup, Int, InternalRow) => Unit] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      ManifestParquet.appenderFor(f.dataType, f.name, i)
+    }
+
+  // one open writer per bucket this task sees (clustered distribution
+  // keeps this at ~buckets/tasks; correctness never depends on it)
+  private val open = scala.collection.mutable.Map[Int, ParquetWriter[Group]]()
+  private def tmpFile(b: Int) =
+    new Path(path, s"$commitRel/b=$b/.inprogress-part-$partitionId-$taskId")
+  private def finalFile(b: Int) =
+    new Path(path, s"$commitRel/b=$b/part-$partitionId-$taskId.parquet")
+
+  private def writerFor(b: Int): ParquetWriter[Group] =
+    open.getOrElseUpdate(b, {
+      val file = tmpFile(b)
+      file.getFileSystem(conf).mkdirs(file.getParent)
+      ExampleParquetWriter.builder(HadoopOutputFile.fromPath(file, conf))
+        .withConf(conf).withType(messageType).build()
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val b = row.getInt(bucketIdx)
+    val expect = {
+      val h = XxHash64Function.hash(row.get(keyIdx, keyType), keyType, 42L)
+      (((h % nBuckets) + nBuckets) % nBuckets).toInt
+    }
+    require(b == expect,
+      s"row bucket $b != pmod(xxhash64($keyCol, 42), $nBuckets) = $expect " +
+        s"— derive bucket with the catalog's bucket($nBuckets, $keyCol) function")
+    val g = new SimpleGroup(messageType)
+    var i = 0
+    while (i < appenders.length) {
+      if (!row.isNullAt(i)) appenders(i)(g, i, row)
+      i += 1
+    }
+    writerFor(b).write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.foreach(_._2.close())
+    open.keys.foreach { b =>
+      val fs = tmpFile(b).getFileSystem(conf)
+      if (!fs.rename(tmpFile(b), finalFile(b)))
+        throw new java.io.IOException(
+          s"could not publish staged file for bucket $b of task $taskId")
+    }
+    ManifestWriteCommit(open.keys.toSeq.sorted)
+  }
+
+  override def abort(): Unit = {
+    open.foreach(t => try t._2.close() catch { case _: Throwable => () })
+    open.keys.foreach { b =>
+      val fs = tmpFile(b).getFileSystem(conf)
+      if (fs.exists(tmpFile(b))) fs.delete(tmpFile(b), false)
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** StructType → parquet `MessageType` (Spark's 3-level LIST shape, the
+  * one [[ManifestBucketReader]] decodes) and per-field Group appenders.
+  * Same deliberate type surface as the reader: integral/floating/
+  * boolean/string primitives and arrays of them.
+  */
+object ManifestParquet {
+  private def primitiveOf(dt: DataType): (PrimitiveTypeName, Option[LogicalTypeAnnotation]) =
+    dt match {
+      case LongType    => (PrimitiveTypeName.INT64, None)
+      case IntegerType => (PrimitiveTypeName.INT32, None)
+      case DoubleType  => (PrimitiveTypeName.DOUBLE, None)
+      case FloatType   => (PrimitiveTypeName.FLOAT, None)
+      case BooleanType => (PrimitiveTypeName.BOOLEAN, None)
+      case StringType  => (PrimitiveTypeName.BINARY, Some(LogicalTypeAnnotation.stringType()))
+      case other => throw new UnsupportedOperationException(
+        s"ManifestIndexSource write: unsupported type ${other.sql} — " +
+          "supported: integral/floating/boolean/string and arrays of them")
+    }
+
+  def messageType(schema: StructType): MessageType = {
+    val b = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case ArrayType(et, _) =>
+          val (p, ann) = primitiveOf(et)
+          val eb = PTypes.optionalList().optionalElement(p)
+          b.addField(ann.fold(eb)(a => eb.as(a)).named(f.name))
+        case dt =>
+          val (p, ann) = primitiveOf(dt)
+          val pb = PTypes.primitive(p, org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+          b.addField(ann.fold(pb)(a => pb.as(a)).named(f.name))
+      }
+    }
+    b.named("graft_manifest_row")
+  }
+
+  private def primAppend(dt: DataType): (Group, String, SpecializedGetters, Int) => Unit =
+    dt match {
+      case LongType    => (g, n, r, i) => g.append(n, r.getLong(i))
+      case IntegerType => (g, n, r, i) => g.append(n, r.getInt(i))
+      case DoubleType  => (g, n, r, i) => g.append(n, r.getDouble(i))
+      case FloatType   => (g, n, r, i) => g.append(n, r.getFloat(i))
+      case BooleanType => (g, n, r, i) => g.append(n, r.getBoolean(i))
+      case StringType  => (g, n, r, i) =>
+        g.append(n, Binary.fromConstantByteArray(r.getUTF8String(i).getBytes))
+      case other => throw new UnsupportedOperationException(s"${other.sql}")
+    }
+
+  /** Appender for field `i`: caller has already null-checked the row. */
+  def appenderFor(dt: DataType, name: String,
+                  i: Int): (SimpleGroup, Int, InternalRow) => Unit = dt match {
+    case ArrayType(et, _) =>
+      val pa = primAppend(et)
+      (g, idx, row) => {
+        val arr = row.getArray(idx)
+        val lg = g.addGroup(idx)
+        var j = 0
+        while (j < arr.numElements()) {
+          val eg = lg.addGroup("list")
+          if (!arr.isNullAt(j)) pa(eg, "element", arr, j)
+          j += 1
+        }
+      }
+    case dt =>
+      val pa = primAppend(dt)
+      (g, idx, row) => pa(g, schemaFieldName(g, idx), row, idx)
+  }
+
+  private def schemaFieldName(g: SimpleGroup, idx: Int): String =
+    g.getType.getFieldName(idx)
 }
 
 /** Hadoop `Configuration` is not `Serializable`; this is the standard

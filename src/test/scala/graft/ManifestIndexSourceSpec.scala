@@ -309,6 +309,86 @@ class ManifestIndexSourceSpec extends SparkSpec {
       s"expected 1 uncapped batch, got ${batches(s"$base/ckpt2")}")
   }
 
+  // ---------------------------------------------------------------
+  // DSv2 write path
+  // ---------------------------------------------------------------
+
+  test("DSv2 append: one atomic version, rows visible to both readers, snapshot intact") {
+    val path = tmp()
+    seed(path, n = 50, nB = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    val vBefore = ManifestTable.versions(spark, path).max
+    val extra = spark.range(1000, 1020).select(col("id"),
+        concat(lit("w-"), col("id")).as("name"),
+        lit(0.5).as("score"),
+        array(col("id"), col("id") * 3).as("sig"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(4L)).cast("int"))
+    extra.writeTo(s"graft_manifest.`$path`").append()
+    val vs = ManifestTable.versions(spark, path)
+    assert(vs.max == vBefore + 1, s"expected one new version, got $vs")
+    val viaParquet = ManifestTable.read(spark, path)
+    assert(viaParquet.filter(col("id") >= 1000).count() == 20)
+    // array round-trip: the Group-API writer's LIST shape reads back
+    // identically through Spark's parquet reader AND the Group reader
+    val viaV2 = ManifestIndexSource.read(spark, path)
+    assert(rows(viaV2.select(viaParquet.columns.map(col).toSeq: _*)) == rows(viaParquet))
+    assert(viaV2.filter(col("id") === 1005).select("sig").as[Seq[Long]].head()
+      == Seq(1005L, 3015L))
+    // snapshot isolation: the pre-insert version never sees the rows
+    assert(ManifestTable.readVersion(spark, path, vBefore)
+      .filter(col("id") >= 1000).count() == 0)
+  }
+
+  test("SQL INSERT INTO with the catalog's bucket function") {
+    val path = tmp()
+    seed(path, n = 20, nB = 8)
+    ManifestIndexSource.ensureRegistered(spark)
+    spark.sql(
+      s"""INSERT INTO graft_manifest.`$path`
+         |SELECT id, concat('sql-', id) AS name, 2.5 AS score,
+         |       array(id) AS sig, graft_manifest.bucket(8, id) AS bucket
+         |FROM range(500, 510)""".stripMargin)
+    val got = ManifestTable.readBuckets(spark, path,
+      spark.range(500, 510).toDF("id")).filter(col("id") >= 500).count()
+    assert(got == 10, s"keyed read found $got of the 10 SQL-inserted rows")
+  }
+
+  test("a mis-bucketed row fails the insert loudly, and nothing commits") {
+    val path = tmp()
+    seed(path, n = 20, nB = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    val vBefore = ManifestTable.versions(spark, path).max
+    val bad = spark.range(2000, 2005).select(col("id"),
+        lit("bad").as("name"), lit(0.0).as("score"), array(col("id")).as("sig"))
+      .withColumn("bucket",
+        (pmod(xxhash64(col("id")), lit(4L)).cast("int") + 1) % 4)
+    val e = intercept[Exception] {
+      bad.writeTo(s"graft_manifest.`$path`").append()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("pmod(xxhash64")),
+      s"unexpected error: $e")
+    assert(ManifestTable.versions(spark, path).max == vBefore,
+      "failed insert must not commit a version")
+    assert(ManifestTable.read(spark, path).filter(col("id") >= 2000).count() == 0)
+  }
+
+  test("DSv2 append keeps no in-progress debris after commit") {
+    val path = tmp()
+    seed(path, n = 30, nB = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    spark.range(3000, 3010).select(col("id"),
+        lit("x").as("name"), lit(1.0).as("score"), array(col("id")).as("sig"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(4L)).cast("int"))
+      .writeTo(s"graft_manifest.`$path`").append()
+    val leftovers = new java.io.File(s"$path/data").listFiles.toSeq
+      .flatMap(d => Option(d.listFiles).toSeq.flatten)
+      .flatMap(d => Option(d.listFiles).toSeq.flatten)
+      .filter(_.getName.startsWith(".inprogress"))
+    assert(leftovers.isEmpty, s"staged files not renamed: $leftovers")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
