@@ -526,6 +526,47 @@ object ExtendedQueries {
        |            ELSE 'test' END AS split
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Soft dedup — reweighting instead of removal (the SoftDeDup idea:
+    * duplicated content keeps ONE document's worth of gradient signal
+    * spread across its copies, rather than a hard drop that loses the
+    * distributional information of what was duplicated). Each doc's
+    * sampling weight is 1/|its near-dup cluster|; singletons weigh 1.
+    * Same funnel and tuning as `dedup_clusters`, then ONE window over
+    * the cluster id (no second shuffle for a sizes join).
+    */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val prepared = Dedup.prepareMinhash(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16)
+    val pairs = Dedup.estVerifiedPairs(prepared, 64, 0.5).select("id_l", "id_r")
+    val w = Window.partitionBy("cluster")
+    Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+      .withColumn("n_members", count(lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("cluster"), col("n_members"),
+        round(lit(1.0) / col("n_members"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  private val softDedupWeightsSql =
+    s"""WITH RECURSIVE ${minhashCtes(2, 64)},
+       |${bandCtes(64, 16)},
+       |edges(src, dst) AS (
+       |  SELECT id_l, id_r FROM est WHERE est_jaccard >= 0.5
+       |  UNION
+       |  SELECT id_r, id_l FROM est WHERE est_jaccard >= 0.5),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+       |sized AS (SELECT doc_id, cluster,
+       |            count(*) OVER (PARTITION BY cluster) AS n_members
+       |          FROM comp)
+       |SELECT doc_id, cluster, n_members,
+       |       round(1.0 / n_members, 6) AS weight
+       |FROM sized ORDER BY doc_id""".stripMargin
+
   /** Token-budget packing — training-set assembly under a per-source
     * token budget: docs are taken in a CONTENT-DERIVED order (portable
     * fingerprint, doc_id tiebreak — the same order on any engine, any
@@ -2567,6 +2608,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ngram_lm_perplexity" -> ngramLmPerplexity _,
     "token_chunks" -> tokenChunks _,
     "decontamination_bloom" -> decontaminationBloom _,
+    "soft_dedup_weights" -> softDedupWeights _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -2643,6 +2685,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ngram_lm_perplexity" -> ngramLmPerplexitySql,
     "token_chunks" -> tokenChunksSql,
     "decontamination_bloom" -> decontaminationBloomSql,
+    "soft_dedup_weights" -> softDedupWeightsSql,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,

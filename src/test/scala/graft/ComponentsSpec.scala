@@ -101,4 +101,19 @@ class ComponentsSpec extends SparkSpec {
     assert(ckptFiles() > before,
       "no files appeared under the checkpoint dir — the loop took the local branch")
   }
+
+  test("soft_dedup_weights: cluster mass sums to 1, singletons keep full weight") {
+    val rows = graft.queries.ExtendedQueries.softDedupWeights(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, w) =>
+      assert(w > 0.0 && w <= 1.0 && math.abs(w - 1.0 / n) < 1e-6) }
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(math.abs(members.map(_._4).sum - 1.0) < 1e-3,
+        s"cluster $c mass ${members.map(_._4).sum}")
+      if (members.length == 1) assert(members.head._4 == 1.0)
+    }
+    // weights preserve the corpus' "one vote per unique content" total
+    assert(math.abs(rows.map(_._4).sum - rows.map(_._2).distinct.length) < 0.01)
+  }
 }
