@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ops.{CountMin, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -940,19 +940,28 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       .distinct()
     val m = 16L * math.max(eg.count(), 1L)
     val (pa, pb) = Sketches.permCoeffs(k)
-    def positions(df: DataFrame): DataFrame = df
+    def posCol(j: Int): Column =
+      ((lit(pa(j)) * col("h") + lit(pb(j))) % Sketches.P1) % m
+    val ebits = eg
       .withColumn("h", MathExprs.polyHash(col("gram"), Sketches.P1))
-      .withColumn("pos", explode(array((0 until k).map(j =>
-        ((lit(pa(j)) * col("h") + lit(pb(j))) % Sketches.P1) % m): _*)))
-      .drop("h")
-    val ebits = broadcast(positions(eg).select("pos").distinct())
-    positions(tg)
-      .join(ebits.withColumn("hit", lit(1)), Seq("pos"), "left")
-      .groupBy("doc_id", "gram")
-      .agg(count(col("hit")).as("nhit"))
+      .withColumn("pos", explode(array((0 until k).map(posCol): _*)))
+      .select("pos").distinct()
+    // probe: k BROADCAST joins on int position columns — the corpus
+    // side stays narrow (no ×k row explosion, no wide (doc_id, gram)
+    // shuffle); the per-doc rollup is the query's only corpus shuffle
+    val probed = (0 until k).foldLeft(
+      tg.withColumn("h", MathExprs.polyHash(col("gram"), Sketches.P1))) {
+        case (df, j) => df
+          .withColumn(s"p$j", posCol(j))
+          .join(broadcast(ebits
+            .withColumnRenamed("pos", s"p$j").withColumn(s"hit$j", lit(1))),
+            Seq(s"p$j"), "left")
+      }
+    val allHit = (0 until k).map(j => col(s"hit$j").isNotNull).reduce(_ && _)
+    probed
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
-        count(when(col("nhit") === k, 1)).as("n_flagged"))
+        count(when(allHit, 1)).as("n_flagged"))
       .filter(col("n_flagged") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_flagged"),
         (col("n_flagged").cast("double") / col("n_grams")).as("flag_frac"))
