@@ -312,25 +312,83 @@ object ManifestIndexTable {
     })
 }
 
+/** Key predicate → bucket set, shared by the builder's STATIC pushdown
+  * (`WHERE key = x` prunes at planning time) and the scan's RUNTIME
+  * filtering (join-materialized `In` sets). `None` = the filter cannot
+  * prune (wrong shape, wrong column, or a value whose type does not
+  * match the layout hash's input — refusing is the safe direction,
+  * pruning is an IO optimization and never a correctness gate).
+  */
+object ManifestBucketPruning {
+  def bucketOf(m: ManifestTable.Manifest, value: Any): Option[Int] = {
+    val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value))
+    if (lit0.dataType != m.keyType) None // mistyped value: refuse to prune
+    else {
+      val h = XxHash64Function.hash(lit0.value, m.keyType, 42L)
+      Some((((h % m.nBuckets) + m.nBuckets) % m.nBuckets).toInt)
+    }
+  }
+
+  /** Buckets a filter can match, `None` when the filter cannot prune.
+    * A null in an IN list hashes nowhere (null keys never equal-match),
+    * so it drops from the set rather than blocking the prune.
+    */
+  def bucketsFor(m: ManifestTable.Manifest,
+                 f: org.apache.spark.sql.sources.Filter): Option[Set[Int]] = f match {
+    case org.apache.spark.sql.sources.EqualTo(attr, value)
+        if attr == m.keyCol && value != null =>
+      bucketOf(m, value).map(Set(_))
+    case org.apache.spark.sql.sources.In(attr, values) if attr == m.keyCol =>
+      val bs = values.filter(_ != null).map(bucketOf(m, _))
+      if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+    case _ => None
+  }
+}
+
 class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
                                options: CaseInsensitiveStringMap,
                                hadoopConf: Configuration)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   private var required: StructType = ManifestIndexTable.deepNullable(m.schema)
+  private var keyPrune: Option[Set[Int]] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Static bucket pruning: EqualTo/In on the key cut the scan to the
+    * buckets the values hash into, at PLANNING time (`readBuckets`' IO
+    * cut with no driver pre-pass — `WHERE bandkey = x` opens one bucket
+    * directory of a 100 TB table). Every filter is RETURNED as residual:
+    * a bucket holds many keys, so Spark must still evaluate the
+    * predicate row-by-row; `pushedFilters` reports the consumed ones so
+    * the prune is visible in EXPLAIN.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    val usable = filters.flatMap(f =>
+      ManifestBucketPruning.bucketsFor(m, f).map(f -> _))
+    if (usable.nonEmpty) {
+      // conjunction: a row must satisfy every filter, so intersect
+      keyPrune = Some(usable.map(_._2).reduce(_ intersect _))
+      pushed = usable.map(_._1)
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan = {
-    val touched: Seq[Int] = Option(options.get("buckets")) match {
+    val optioned: Seq[Int] = Option(options.get("buckets")) match {
       case Some(s) =>
         s.split(',').iterator.map(_.trim).filter(_.nonEmpty)
           .map(_.toInt).toSeq.distinct.sorted
       case None => 0 until m.nBuckets
     }
-    require(touched.forall(b => b >= 0 && b < m.nBuckets),
-      s"buckets option out of range [0, ${m.nBuckets}): $touched")
+    require(optioned.forall(b => b >= 0 && b < m.nBuckets),
+      s"buckets option out of range [0, ${m.nBuckets}): $optioned")
+    val touched = keyPrune.fold(optioned)(ks => optioned.filter(ks))
     new ManifestIndexScan(path, m, touched, required, options, hadoopConf)
   }
 }
@@ -380,30 +438,10 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(Expressions.column(m.keyCol))
 
-  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val keyType = m.keyType
-    def bucketOf(value: Any): Option[Int] = {
-      val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(
-        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value))
-      if (lit0.dataType != keyType) None // mistyped value: refuse to prune
-      else {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(lit0.value, keyType, 42L)
-        Some((((h % m.nBuckets) + m.nBuckets) % m.nBuckets).toInt)
-      }
-    }
-    filters.foreach {
-      case org.apache.spark.sql.sources.In(attr, values) if attr == m.keyCol =>
-        // a null in the value set hashes nowhere; null keys never join
-        val bs = values.filter(_ != null).map(bucketOf)
-        if (bs.forall(_.isDefined))
-          touched = touched.filter(bs.flatten.toSet)
-      case org.apache.spark.sql.sources.EqualTo(attr, value)
-          if attr == m.keyCol && value != null =>
-        bucketOf(value).foreach(b => touched = touched.filter(_ == b))
-      case _ => () // unsupported shape: keep all buckets
-    }
-  }
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    filters.foreach(f =>
+      ManifestBucketPruning.bucketsFor(m, f).foreach(ks =>
+        touched = touched.filter(ks)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestIndexReaderFactory(required,

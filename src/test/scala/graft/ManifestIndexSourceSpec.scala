@@ -309,6 +309,32 @@ class ManifestIndexSourceSpec extends SparkSpec {
       s"expected 1 uncapped batch, got ${batches(s"$base/ckpt2")}")
   }
 
+  test("static key predicate prunes buckets at planning time; other shapes keep all") {
+    val path = tmp()
+    seed(path, n = 200, nB = 8)
+    ManifestIndexSource.ensureRegistered(spark)
+    def scanDesc(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("ManifestIndexScan")).getOrElse("")
+    // EqualTo -> exactly the one bucket 42 hashes into, rows intact
+    val eq = spark.read.table(s"graft_manifest.`$path`").filter(col("id") === 42L)
+    assert(scanDesc(eq).contains("buckets=1/8"), scanDesc(eq))
+    assert(eq.count() == 1 && eq.select("name").as[String].head() == "name-42")
+    // In over 3 keys -> at most 3 buckets
+    val in = spark.read.table(s"graft_manifest.`$path`")
+      .filter(col("id").isin(1L, 2L, 3L))
+    val nIn = "buckets=(\\d+)/8".r.findFirstMatchIn(scanDesc(in)).get.group(1).toInt
+    assert(nIn <= 3 && in.count() == 3, scanDesc(in))
+    // a non-key predicate must not prune
+    val non = spark.read.table(s"graft_manifest.`$path`")
+      .filter(col("score") === 3.0)
+    assert(scanDesc(non).contains("buckets=8/8"), scanDesc(non))
+    // a range predicate on the key must not prune (hash layout)
+    val rng = spark.read.table(s"graft_manifest.`$path`").filter(col("id") > 190L)
+    assert(scanDesc(rng).contains("buckets=8/8"), scanDesc(rng))
+    assert(rng.count() == 9)
+  }
+
   // ---------------------------------------------------------------
   // DSv2 write path
   // ---------------------------------------------------------------
