@@ -125,11 +125,14 @@ object Bpe {
     * trained vocabularies are broadcast-scale by construction.
     */
   def encode(docs: DataFrame, textCol: String,
-             merges: Seq[(String, String)]): DataFrame =
+             merges: Seq[(String, String)],
+             keep: Seq[String] = Nil): DataFrame =
     merges.foldLeft(
-      docs.select(graft.functions.Sketches.word_ngrams(col(textCol), 1).as("syms"))
+      docs.select(keep.map(col) :+
+        graft.functions.Sketches.word_ngrams(col(textCol), 1).as("syms"): _*)
     ) { case (df, (f, s)) =>
-      df.select(graft.functions.Sketches.bpe_merge(col("syms"), f, s).as("syms"))
+      df.select(keep.map(col) :+
+        graft.functions.Sketches.bpe_merge(col("syms"), f, s).as("syms"): _*)
     }
 
   private def toMergesDf(spark: SparkSession,

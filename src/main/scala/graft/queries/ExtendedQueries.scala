@@ -780,6 +780,46 @@ s$r AS MATERIALIZED (SELECT doc_id,
        |FROM (SELECT unnest(syms) AS symbol FROM s$BpeTrainRounds)
        |GROUP BY symbol ORDER BY n DESC, symbol LIMIT 20""".stripMargin
 
+  /** Tokenizer compression per document — the fertility-style quality
+    * metric of the trained tokenizer (word-mode merges REDUCE symbol
+    * count, so compression = words per emitted symbol, ≥ 1; a tokenizer
+    * whose merges never fire on a doc scores exactly 1). Reuses the
+    * cached trained merges and the encode kernels; per-doc cost is the
+    * same zero-shuffle narrow pass as `bpe_vocab` plus one `size`.
+    * Docs that tokenize to ZERO symbols (empty/whitespace text) report
+    * a NULL compression rather than 0/0 — and the oracle LEFT-joins the
+    * round chain because such docs drop out of its unnest, the one
+    * place the two formulations could silently diverge.
+    */
+  def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeMergesCache.computeIfAbsent(dir, _ =>
+      graft.ops.Bpe.train(docs, "text", BpeTrainRounds)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val withWords = docs.withColumn("n_words",
+      size(graft.functions.Sketches.word_ngrams(col("text"), 1)).cast("long"))
+    graft.ops.Bpe.encode(withWords, "text", merges,
+        keep = Seq("doc_id", "n_words"))
+      .withColumn("n_syms", size(col("syms")).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_syms"),
+        when(col("n_syms") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_words").cast("double") / col("n_syms"), 6))
+          .as("compression"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeCompressionSql: String =
+    s"""${bpeChainCtes(BpeTrainRounds, applyLast = true)}
+       |SELECT s0.doc_id,
+       |       CAST(len(s0.syms) AS BIGINT) AS n_words,
+       |       CAST(coalesce(len(sN.syms), 0) AS BIGINT) AS n_syms,
+       |       CASE WHEN coalesce(len(sN.syms), 0) = 0 THEN NULL
+       |            ELSE round(CAST(len(s0.syms) AS DOUBLE)
+       |                       / len(sN.syms), 6) END AS compression
+       |FROM s0 LEFT JOIN s$BpeTrainRounds sN USING (doc_id)
+       |ORDER BY s0.doc_id""".stripMargin
+
   /** Sennrich char-mode training (`Bpe.trainChars`): merges run over
     * within-word character symbols with the `</w>` end-of-word marker,
     * on the frequency-weighted vocabulary. Same fixed round count as
@@ -2618,6 +2658,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "token_chunks" -> tokenChunks _,
     "decontamination_bloom" -> decontaminationBloom _,
     "soft_dedup_weights" -> softDedupWeights _,
+    "bpe_compression" -> bpeCompression _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -2695,6 +2736,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "token_chunks" -> tokenChunksSql,
     "decontamination_bloom" -> decontaminationBloomSql,
     "soft_dedup_weights" -> softDedupWeightsSql,
+    "bpe_compression" -> bpeCompressionSql,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,

@@ -197,6 +197,27 @@ class BpeSpec extends SparkSpec {
     assert(got(1) == Seq("a"), "short doc lost or altered")
   }
 
+  test("encode keep-columns ride along unchanged; compression invariants hold") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // merges fire: 6 words -> 3 syms, compression 2
+      (2L, "x y z"),       // no merge fires: compression exactly 1
+      (3L, "")             // zero symbols: NULL compression, not 0/0
+    ).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val enc = Bpe.encode(docs, "text", merges, keep = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(1L) == Seq("a b", "a b", "a b"))
+    assert(enc(2L) == Seq("x", "y", "z"))
+    assert(enc(3L) == Seq.empty)
+    val nw = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.functions.Sketches.word_ngrams(col("text"), 1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val comp = enc.map { case (id, syms) =>
+      id -> (if (syms.isEmpty) None else Some(nw(id).toDouble / syms.size)) }
+    assert(comp(1L).contains(2.0) && comp(2L).contains(1.0) && comp(3L).isEmpty)
+  }
+
   test("adjacent_pairs skips pairs touching null elements (containsNull inputs)") {
     // SQL arrays can carry containsNull=true (split()'s declared type);
     // the kernel's output struct fields are non-nullable, so pairs with
