@@ -87,6 +87,21 @@ class DegenerateCorpusSpec extends SparkSpec {
     rehearse("incremental_dedup", ExtendedQueries.all("incremental_dedup"))
   }
 
+  test("ngram_lm_perplexity survives a 50k-copy boilerplate block within ~2x of clean") {
+    // 50k identical docs multiply a handful of bigram KEYS by 50k
+    // occurrences each — map-side partial aggregation absorbs the
+    // repeats before the term shuffle, and the scoring join fans the
+    // tiny probability table back out without a wide-key blowup
+    rehearse("ngram_lm_perplexity", ExtendedQueries.ngramLmPerplexity)
+  }
+
+  test("soft_dedup_weights survives a 50k-copy boilerplate block within ~2x of clean") {
+    // one 50k-member cluster: the size window sees a single 50k-row
+    // partition (linear), and every upstream stage is the dedup_clusters
+    // funnel already rehearsed above
+    rehearse("soft_dedup_weights", ExtendedQueries.softDedupWeights)
+  }
+
   test("degenerate corpus results stay structurally sound (one 50k cluster, star-bounded pairs)") {
     import spark.implicits._
     // the planted block forms exactly one 50k-member exact-dup cluster

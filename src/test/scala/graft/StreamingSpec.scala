@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.streaming.{DedupStream, IndexedDedupStream, IngestStream, JoinStream, NearDupStream, PackStream, WindowStream}
+import graft.streaming.{DecontamStream, DedupStream, IndexedDedupStream, IngestStream, JoinStream, NearDupStream, PackStream, WindowStream}
 
 /** Minimal in-memory GroupState for driving stateful functions directly.
   * `timedOut` simulates a ProcessingTimeTimeout callback; `nowMs` is the
@@ -83,6 +83,54 @@ class StreamingSpec extends SparkSpec {
         .select(input_file_name()).distinct().count()
       assert(prunedFiles.length < allFiles)
     }
+  }
+
+  test("decontamination stream: per-batch flags equal the batch Bloom probe, restart processes only new data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val base = Files.createTempDirectory("graft-decontam-stream").toString
+    val landing = s"$base/landing"
+    Files.createDirectories(Paths.get(landing))
+    val evalDocs = Seq(
+      (100L, "held out benchmark question about spark shuffle internals"),
+      (101L, "another eval prompt on tokenizer merge rules and vocab"))
+      .toDF("doc_id", "text")
+    val (pos, m) = DecontamStream.evalPositions(evalDocs, "text")
+    assert(pos.nonEmpty && m >= 16L)
+
+    val first = Seq(
+      1L -> "training doc mentioning benchmark question about spark shuffle internals verbatim",
+      2L -> "totally clean training document with original content only")
+    val second = Seq(
+      3L -> "another eval prompt on tokenizer merge rules and vocab leaked here")
+    def land(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(s"$landing/$name"),
+        docs.map { case (i, t) => s"$i\t$t" }.mkString("", "\n", "\n"))
+    def stream() = {
+      val docs = spark.readStream.text(landing)
+        .select(split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t").getItem(1).as("text"))
+      DecontamStream.run(docs, pos, m, s"$base/out", s"$base/ckpt")
+        .awaitTermination(60000)
+    }
+    land("a.txt", first)
+    stream()
+    land("b.txt", second)
+    stream()
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_grams", "n_flagged", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val batch = DecontamStream.flagged((first ++ second).toDF("doc_id", "text"), pos, m)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val contaminated = streamed.filter(_._4).map(_._1)
+    assert(contaminated == Set(1L, 3L),
+      s"expected docs 1 and 3 flagged, got $contaminated")
+    // restart processed ONLY the new file: batch dirs 0 and 1, each once
+    val batches = new java.io.File(s"$base/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(batches.sameElements(Array("batch=0", "batch=1")), batches.mkString(","))
   }
 
   test("pack stream: greedy per-source packing, state carries across restarts") {
