@@ -187,6 +187,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("token_chunks: one narrow codegen pass — no exchange except the final presentation sort") {
+    val p = plan(ExtendedQueries.tokenChunks(spark, sfDir))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("decontamination_bloom: probes broadcast on int positions — corpus side never sort-merge joins") {
+    val p = plan(ExtendedQueries.decontaminationBloom(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("ngram_lm_perplexity: bigrams form narrowly (adjacent_pairs kernel), no cartesian on the scoring join") {
     val p = plan(ExtendedQueries.ngramLmPerplexity(spark, sfDir))
     assert(p.contains("adjacent_pairs"), p.take(800))
