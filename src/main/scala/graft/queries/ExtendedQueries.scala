@@ -526,6 +526,71 @@ object ExtendedQueries {
        |            ELSE 'test' END AS split
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** One-pass table profiler (ANALYZE-style): per column, null count,
+    * EXACT distinct count, and min/max rendered portably per type
+    * (longs as-is, doubles through DECIMAL(28,4) so both engines pad
+    * identically, timestamps second-formatted, strings binary-collated
+    * on both engines). All 24 aggregates run in ONE scan — Spark plans
+    * the multi-distinct agg with Expand (row ×6, one per distinct
+    * column), which is the single-pass trade every profiler makes; at
+    * 100 TB you would swap `countDistinct` for HLL sketches per column
+    * (`cardinality_sketch` is that path) and keep this exact version
+    * for the oracle-checkable core. The per-column unpivot is a
+    * `stack` over the one aggregated row — driver-sized, not a
+    * shuffle.
+    */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "long", "o_custkey" -> "long",
+    "o_orderstatus" -> "str", "o_totalprice" -> "dbl",
+    "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+    def render(c: Column, kind: String): Column = kind match {
+      case "long" => c.cast("string")
+      case "dbl"  => c.cast("decimal(28,4)").cast("string")
+      case "ts"   => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case _      => c
+    }
+    val aggs = ProfileCols.flatMap { case (c, kind) => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      render(min(col(c)), kind).as(s"mn_$c"),
+      render(max(col(c)), kind).as(s"mx_$c"))
+    }
+    val g = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = ProfileCols.map { case (c, _) =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c" }.mkString(", ")
+    g.selectExpr("n_rows", s"stack(${ProfileCols.size}, $stacked) " +
+        "as (col_name, n_non_null, n_distinct, min_val, max_val)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("col_name")
+  }
+
+  private val tableProfileSql: String = {
+    def render(expr: String, kind: String): String = kind match {
+      case "long" => s"CAST($expr AS VARCHAR)"
+      case "dbl"  => s"CAST(CAST($expr AS DECIMAL(28,4)) AS VARCHAR)"
+      case "ts"   => s"strftime($expr, '%Y-%m-%d %H:%M:%S')"
+      case _      => expr
+    }
+    val aggs = ProfileCols.map { case (c, kind) =>
+      s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, " +
+        s"${render(s"min($c)", kind)} AS mn_$c, " +
+        s"${render(s"max($c)", kind)} AS mx_$c" }.mkString(",\n  ")
+    val arms = ProfileCols.map { case (c, _) =>
+      s"SELECT '$c' AS col_name, n_rows, n_rows - nn_$c AS n_nulls, " +
+        s"nd_$c AS n_distinct, mn_$c AS min_val, mx_$c AS max_val FROM g" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH g AS (SELECT count(*) AS n_rows,
+       |  $aggs
+       |FROM orders)
+       |$arms
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Soft dedup — reweighting instead of removal (the SoftDeDup idea:
     * duplicated content keeps ONE document's worth of gradient signal
     * spread across its copies, rather than a hard drop that loses the
@@ -2659,6 +2724,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "decontamination_bloom" -> decontaminationBloom _,
     "soft_dedup_weights" -> softDedupWeights _,
     "bpe_compression" -> bpeCompression _,
+    "table_profile" -> tableProfile _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -2737,6 +2803,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "decontamination_bloom" -> decontaminationBloomSql,
     "soft_dedup_weights" -> softDedupWeightsSql,
     "bpe_compression" -> bpeCompressionSql,
+    "table_profile" -> tableProfileSql,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,

@@ -400,6 +400,41 @@ class ManifestIndexSourceSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).filter(col("id") >= 2000).count() == 0)
   }
 
+  test("two concurrent SQL inserts both commit: the version-race loser rebases") {
+    val path = tmp()
+    seed(path, n = 20, nB = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    def insertDf(ids: Range, tag: String) = spark
+      .createDataset(ids.map(_.toLong))(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("id")
+      .select(col("id"), concat(lit(tag), col("id")).as("name"),
+        lit(9.9).as("score"), array(col("id")).as("sig"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(4L)).cast("int"))
+    // writer A's input parks inside its staging job until B has
+    // committed — the deterministic lost-race: A's manifest publish
+    // must conflict, rebase its staged dirs, and land the next version
+    ManifestSpecGate.reset()
+    val slowA = insertDf(5000 until 5010, "a-")
+      .as[(Long, String, Double, Seq[Long], Int)]
+      .mapPartitions { it => ManifestSpecGate.await(); it }
+      .toDF("id", "name", "score", "sig", "bucket")
+    val vBefore = ManifestTable.versions(spark, path).max
+    val a = new Thread(() =>
+      slowA.writeTo(s"graft_manifest.`$path`").append())
+    a.setDaemon(true); a.start()
+    Thread.sleep(1500)
+    insertDf(6000 until 6010, "b-").writeTo(s"graft_manifest.`$path`").append()
+    ManifestSpecGate.open()
+    a.join(120000)
+    assert(!a.isAlive, "writer A never finished")
+    assert(ManifestTable.versions(spark, path).max == vBefore + 2,
+      "both inserts must land as separate versions")
+    val all = ManifestTable.read(spark, path)
+    assert(all.filter(col("id") >= 5000 && col("id") < 5010).count() == 10,
+      "race loser's rows lost")
+    assert(all.filter(col("id") >= 6000).count() == 10)
+  }
+
   test("DSv2 append keeps no in-progress debris after commit") {
     val path = tmp()
     seed(path, n = 30, nB = 4)
