@@ -459,6 +459,36 @@ object ManifestTable {
     }
   }
 
+  /** [[commitStagedAppend]] with the [[appendOnce]] txn watermark — the
+    * commit half of the DSv2 STREAMING write: each epoch's staged dirs
+    * land atomically-with the per-query watermark update, so a replayed
+    * epoch (same appId + batchVersion at or below the watermark)
+    * commits nothing. Returns false on such a replay. A crashed
+    * attempt's partially-staged dirs are never referenced (the retry
+    * stages under a fresh writer UUID) and vacuum reclaims them.
+    */
+  private[graft] def commitStagedAppendOnce(spark: SparkSession, path: String,
+                                            touched: Map[Int, String],
+                                            appId: String,
+                                            batchVersion: Long): Boolean = {
+    var did = false
+    commitWithRetry(spark, path) { m =>
+      if (m.txns.get(appId).exists(_ >= batchVersion)) None
+      else {
+        touched.keys.find(b => b < 0 || b >= m.nBuckets).foreach(b =>
+          throw new IllegalArgumentException(
+            s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
+        did = true
+        Some(m.copy(version = m.version + 1,
+          buckets = touched.foldLeft(m.buckets) { case (acc, (b, d)) =>
+            acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
+          },
+          txns = m.txns.updated(appId, batchVersion)))
+      }
+    }
+    did
+  }
+
   /** Idempotent [[append]] for streaming writers — the Delta-log `txn`
     * action scoped to this table: the manifest records, per `appId`, the
     * HIGHEST batch version whose append committed, and `appendOnce`

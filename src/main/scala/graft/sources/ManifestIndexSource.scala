@@ -275,7 +275,8 @@ class ManifestIndexTable(path: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestIndexScanBuilder(path, m, options, hadoopConf)
@@ -298,7 +299,7 @@ class ManifestIndexTable(path: String,
         s"${want.simpleString} at $path (the bucket column is part of the " +
         s"table — derive it with ${ManifestIndexSource.CatalogName}.bucket" +
         s"(${m.nBuckets}, ${m.keyCol}))")
-    new ManifestWriteBuilder(path, m, hadoopConf)
+    new ManifestWriteBuilder(path, m, info.queryId(), hadoopConf)
   }
 }
 
@@ -751,12 +752,13 @@ class ManifestBucketReader(dirs: Seq[String], schema: StructType,
   * invisible to every keyed read), failing the insert loudly.
   */
 class ManifestWriteBuilder(path: String, m: ManifestTable.Manifest,
+                           queryId: String,
                            hadoopConf: Configuration) extends WriteBuilder {
-  override def build(): Write = new ManifestWrite(path, m, hadoopConf)
+  override def build(): Write = new ManifestWrite(path, m, queryId, hadoopConf)
 }
 
 class ManifestWrite(path: String, m: ManifestTable.Manifest,
-                    hadoopConf: Configuration)
+                    queryId: String, hadoopConf: Configuration)
   extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): VDistribution =
@@ -765,6 +767,60 @@ class ManifestWrite(path: String, m: ManifestTable.Manifest,
 
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(path, m, hadoopConf)
+
+  /** `df.writeStream.toTable(...)`: each epoch stages like a batch
+    * insert (fresh writer UUID per stream START, epoch id in the dir
+    * name) and commits atomically-with the per-query txn watermark
+    * ([[ManifestTable.commitStagedAppendOnce]]) — a replayed epoch
+    * after a restart observes the watermark and commits nothing, the
+    * exactly-once discipline `appendOnce` gives foreachBatch writers,
+    * now native to the connector. A crashed attempt's half-staged dirs
+    * belong to a retired writer UUID, are never referenced, and fall
+    * to vacuum. The streaming query id (checkpoint-stable) is the txn
+    * appId, so the watermark survives restarts.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new ManifestStreamingWrite(path, m, queryId, hadoopConf)
+}
+
+class ManifestStreamingWrite(path: String, m: ManifestTable.Manifest,
+                             queryId: String, hadoopConf: Configuration)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  // fresh per stream START: replayed epochs stage into a NEW dir, so a
+  // crashed attempt's files can never mix into a committed one
+  private val writerId = java.util.UUID.randomUUID().toString
+
+  private def epochRel(epochId: Long) = s"data/stream-$writerId-$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new ManifestStreamingWriterFactory(path, s"data/stream-$writerId",
+      ManifestIndexTable.deepNullable(m.schema), m.keyCol, m.nBuckets,
+      new SerializableHadoopConf(hadoopConf))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val touched = messages.iterator
+      .flatMap(_.asInstanceOf[ManifestWriteCommit].buckets)
+      .toSeq.distinct.map(b => b -> s"${epochRel(epochId)}/b=$b").toMap
+    ManifestTable.commitStagedAppendOnce(SparkSession.active, path, touched,
+      appId = s"dsv2-$queryId", batchVersion = epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path, epochRel(epochId))
+    val fs = dir.getFileSystem(hadoopConf)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+}
+
+class ManifestStreamingWriterFactory(path: String, commitRelBase: String,
+                                     schema: StructType, keyCol: String,
+                                     nBuckets: Int, conf: SerializableHadoopConf)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ManifestBucketDataWriter(path, s"$commitRelBase-$epochId", schema,
+      keyCol, nBuckets, partitionId, taskId, conf.value)
 }
 
 class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,

@@ -450,6 +450,45 @@ class ManifestIndexSourceSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"staged files not renamed: $leftovers")
   }
 
+  test("streaming write into the manifest table: exactly-once epochs across restarts") {
+    val path = tmp()
+    seed(path, n = 10, nB = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-streamwrite").toString
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def land(name: String, ids: Range): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$landing/$name"),
+        ids.mkString("", "\n", "\n"))
+    def stream(): Unit = {
+      val docs = spark.readStream.text(landing)
+        .select(col("value").cast("long").as("id"))
+        .select(col("id"), concat(lit("s-"), col("id")).as("name"),
+          lit(7.0).as("score"), array(col("id")).as("sig"))
+        .withColumn("bucket", pmod(xxhash64(col("id")), lit(4L)).cast("int"))
+      docs.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft_manifest.`$path`")
+        .awaitTermination(120000)
+    }
+    land("a.txt", 7000 until 7010)
+    stream()
+    assert(ManifestTable.read(spark, path).filter(col("id") >= 7000).count() == 10)
+    val vAfterFirst = ManifestTable.versions(spark, path).max
+    // restart with NO new data: the replayed/empty run must add nothing
+    stream()
+    assert(ManifestTable.read(spark, path).filter(col("id") >= 7000).count() == 10,
+      "restart without new data duplicated rows")
+    // new data lands exactly once more
+    land("b.txt", 8000 until 8005)
+    stream()
+    val all = ManifestTable.read(spark, path)
+    assert(all.filter(col("id") >= 8000).count() == 5)
+    assert(all.filter(col("id") >= 7000 && col("id") < 7010).count() == 10)
+    assert(ManifestTable.versions(spark, path).max > vAfterFirst)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
