@@ -94,9 +94,12 @@ object IncrementalDedup {
       shingleN, numHashes, bands).localCheckpoint()
     val entries = entriesFromPrepared(prepared)
     // manifest-level pruning: the batch's band keys resolve (driver-side,
-    // ≤ nBuckets ints) to the only index directories worth reading — via
-    // the partitioning-reporting DSv2 scan, so the joins below need no
-    // exchange on this side
+    // ≤ nBuckets ints over the pinned `prepared`) to the only index
+    // directories worth reading. readBuckets also withdraws the scan's
+    // runtime-filter advertisement — measured at bench scale, the DPP
+    // subquery that would otherwise recompute this same bucket set costs
+    // ~0.7 s of materialize-and-replan latency vs the pre-pass's ~0.2 s
+    // job, and at 100 TB both produce the identical IO cut.
     val slice = graft.sources.ManifestIndexSource.readBuckets(spark, path,
       entries.select("bandkey").distinct())
     // corpus-vs-batch: bipartite band join, one row per matching band,
@@ -108,9 +111,16 @@ object IncrementalDedup {
     // same contract) as `Dedup.candidatePairs`: a batch doc near a
     // mass-dup corpus block still pairs with the block's hub — no false
     // positives, possibly fewer distinct cross-pairs inside the block.
-    val occ = slice.groupBy("bandkey")
-      .agg(count(lit(1)).as("k"), min("id").as("hub_id"))
-    val capped = slice.join(occ, "bandkey")
+    // The occupancy count is a WINDOW over the slice, not a second
+    // aggregate-and-join of it: a self-join would plan TWO BatchScans of
+    // the index (the r7 regression — every index byte decoded twice),
+    // while the window reuses the single scan and, because the scan
+    // reports the layout's bucket partitioning, needs no exchange either
+    // (KeyGroupedPartitioning satisfies the window's clustering).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bandkey")
+    val capped = slice
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("hub_id", min("id").over(w))
       .filter(col("k") <= maxBucketSize || col("id") === col("hub_id"))
       .select("bandkey", "id", "sig")
     val cross = capped.alias("o").join(entries.alias("n"),

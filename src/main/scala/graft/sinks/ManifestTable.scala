@@ -173,20 +173,26 @@ object ManifestTable {
     * returns bucket -> table-relative directory for the manifest. Writes
     * one dir per bucket so later commits can dereference buckets
     * independently. No live file is read or written.
+    *
+    * The directory name is ALWAYS unique (`dirPrefix` only prepends
+    * provenance, e.g. `txn-<appId>-<v>-<uuid>`): a deterministic name
+    * with overwrite semantics would let a ZOMBIE writer — one that read
+    * the manifest before a live writer's commit — overwrite the now-
+    * referenced committed directory (readers mid-rewrite see missing
+    * files; a crash mid-overwrite corrupts the committed version) even
+    * though its own commit later correctly skips. Unique dirs mean a
+    * loser's staging is only ever an orphan, reclaimed by [[vacuum]].
     */
   private[graft] def stageSlice(spark: SparkSession, path: String,
                                 slice: DataFrame,
-                                dirName: Option[String] = None): Map[Int, String] = {
-    val commitId = dirName.getOrElse(java.util.UUID.randomUUID().toString)
-    val rel = s"$DataDir/$commitId"
+                                dirPrefix: Option[String] = None): Map[Int, String] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val rel = s"$DataDir/${dirPrefix.fold(commitId)(p => s"$p-$commitId")}"
     // partitionBy consumes its column, so stage under a shadow copy and
-    // keep `bucket` as a data column readable without partition discovery.
-    // A caller-named dir (idempotent appends) overwrites: the only way
-    // it already exists is a crashed earlier attempt at the SAME data,
-    // necessarily unreferenced (the caller checked the manifest first)
+    // keep `bucket` as a data column readable without partition discovery
     slice.withColumn("b", col("bucket"))
       .repartition(col("b"))
-      .write.mode(if (dirName.isDefined) "overwrite" else "error")
+      .write.mode("error")
       .partitionBy("b").parquet(s"$path/$rel")
     val f = fs(spark, path)
     f.listStatus(new Path(s"$path/$rel")).map(_.getPath.getName)
@@ -196,26 +202,43 @@ object ManifestTable {
 
   /** Publish manifest `next` — the single atomic step of a commit.
     *
-    * On HDFS-semantics filesystems the rename itself is the atomic
-    * put-if-absent. POSIX rename replaces the destination, so an
-    * explicit existence check runs first: non-atomic (two writers inside
-    * the check-to-rename window can still both "win" locally), but it
-    * converts every humanly-interleaved local conflict into a detected
-    * [[ConcurrentCommitException]] instead of a silent overwrite, which
-    * is what the in-process retry loops key off.
+    * The rename goes through `FileContext` with `Options.Rename.NONE`
+    * (fail-if-destination-exists), the no-overwrite contract Delta's
+    * LogStore uses: on HDFS-semantics filesystems that is an atomic
+    * put-if-absent, so two out-of-process writers racing the same
+    * version number get exactly one winner. The plain `FileSystem
+    * .rename` it replaces silently OVERWRITES on POSIX — the later
+    * writer would erase the earlier commit. On the local filesystem
+    * `FileContext`'s exists-check-then-rename is still two steps (a
+    * sub-millisecond window two OS processes could interleave — in-JVM
+    * racers are serialized by the check), so local multi-PROCESS
+    * writers remain best-effort-detected rather than guaranteed; the
+    * single-JVM and HDFS cases are both exact. An extra belt-and-braces
+    * exists() pre-check converts the common lost race into the cheap
+    * path without writing the tmp rename.
     */
   private[graft] def publish(spark: SparkSession, path: String, next: Manifest): Unit = {
     val f = fs(spark, path)
     val dir = new Path(path, ManifestDir)
     f.mkdirs(dir)
+    val dst = new Path(dir, manifestName(next.version))
+    if (f.exists(dst))
+      throw new ConcurrentCommitException(
+        s"concurrent commit detected: ${dst.getName} already published")
     val tmp = new Path(dir, ".tmp-" + java.util.UUID.randomUUID())
     val out = f.create(tmp, false)
     try out.write(render(next).getBytes("UTF-8")) finally out.close()
-    val dst = new Path(dir, manifestName(next.version))
-    if (f.exists(dst) || !f.rename(tmp, dst)) {
-      f.delete(tmp, true)
-      throw new ConcurrentCommitException(
-        s"concurrent commit detected: ${dst.getName} already published")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(f.makeQualified(tmp), f.makeQualified(dst))
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        f.delete(tmp, true)
+        if (f.exists(dst))
+          throw new ConcurrentCommitException(
+            s"concurrent commit detected: ${dst.getName} already published")
+        else throw e
     }
   }
 
@@ -247,6 +270,28 @@ object ManifestTable {
       }
     }
   }
+
+  /** The three manifest fields staged data physically depends on: rows
+    * are routed by `pmod(xxhash64(keyCol), nBuckets)` and written with
+    * the schema's columns, so staged dirs are only rebase-able onto a
+    * manifest whose layout is IDENTICAL — a concurrent `write()` that
+    * re-created the table with, say, a different `nBuckets` passes the
+    * bucket-range check but would leave the rebased rows hashed under
+    * the old modulus, silently invisible to every keyed read. Every
+    * staging cache keys on this; executor-staged commits fail on a
+    * mismatch (their data cannot be restaged driver-side).
+    */
+  private[graft] case class Layout(nBuckets: Int, keyCol: String, schemaDdl: String)
+  private[graft] def layoutOf(m: Manifest): Layout =
+    Layout(m.nBuckets, m.keyCol, m.schemaDdl)
+
+  private def requireLayout(m: Manifest, staged: Layout, path: String): Unit =
+    if (layoutOf(m) != staged)
+      throw new IllegalStateException(
+        s"table layout at $path changed since staging " +
+          s"(staged: $staged, current: ${layoutOf(m)}) — staged dirs are " +
+          "bucketed under the old layout and cannot be rebased; rerun " +
+          "the write against the current table")
 
   private def bucketed(df: DataFrame, keyCol: String, nBuckets: Int) =
     df.withColumn("bucket",
@@ -372,9 +417,9 @@ object ManifestTable {
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              keyCol: String): Unit = {
-    // staging cache across retry attempts: (base pointers of touched
-    // buckets when staged) -> staged dirs
-    var stagedFor: Option[(Map[Int, Seq[String]], Map[Int, String], Set[Int])] = None
+    // staging cache across retry attempts: (layout + base pointers of
+    // touched buckets when staged) -> staged dirs
+    var stagedFor: Option[(Layout, Map[Int, Seq[String]], Map[Int, String], Set[Int])] = None
     commitWithRetry(spark, path) { m =>
       require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
       requireKeyType(m, updates.schema(keyCol).dataType, "upsert")
@@ -383,7 +428,8 @@ object ManifestTable {
       val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).toSet
       val basePointers = touched.map(b => b -> m.buckets.getOrElse(b, Seq.empty)).toMap
       val staged = stagedFor match {
-        case Some((base, dirs, tb)) if tb == touched && base == basePointers =>
+        case Some((lay, base, dirs, tb))
+            if lay == layoutOf(m) && tb == touched && base == basePointers =>
           dirs // conflicting commit didn't move our buckets: pointer-only rebase
         case _ =>
           val existingDirs = touched.toSeq.sorted.flatMap(b =>
@@ -398,7 +444,7 @@ object ManifestTable {
                 .unionByName(u.select(e.columns.map(col): _*))
           }
           val dirs = stageSlice(spark, path, merged)
-          stagedFor = Some((basePointers, dirs, touched))
+          stagedFor = Some((layoutOf(m), basePointers, dirs, touched))
           dirs
       }
       // touched buckets point at the new dirs (a bucket whose rows were all
@@ -419,16 +465,19 @@ object ManifestTable {
   def append(spark: SparkSession, path: String, rows: DataFrame,
              keyCol: String): Unit = {
     // appends commute: staged once, the dirs rebase onto ANY newer
-    // manifest (each touched bucket's list just grows by one) — the
-    // retry loop never restages
-    var staged: Option[Map[Int, String]] = None
+    // SAME-LAYOUT manifest (each touched bucket's list just grows by
+    // one) — the retry loop restages only if a concurrent write()
+    // changed the layout the rows were bucketed under
+    var staged: Option[(Layout, Map[Int, String])] = None
     commitWithRetry(spark, path) { m =>
       require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
       requireKeyType(m, rows.schema(keyCol).dataType, "append")
-      val dirs = staged.getOrElse {
-        val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets))
-        staged = Some(d)
-        d
+      val dirs = staged match {
+        case Some((lay, d)) if lay == layoutOf(m) => d
+        case _ =>
+          val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets))
+          staged = Some((layoutOf(m), d))
+          d
       }
       val next = dirs.foldLeft(m.buckets) { case (acc, (b, d)) =>
         acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
@@ -443,12 +492,18 @@ object ManifestTable {
     * EXECUTORS, then calls this once from the driver). Same
     * optimistic-concurrency rebase as [[append]]: staged dirs are
     * immutable, so a lost race just re-points them at the newer
-    * manifest. `touched` maps bucket → path-relative dir.
+    * manifest — PROVIDED the layout is still the one the executors
+    * bucketed under (`stagedLayout`, captured when the write was
+    * planned); a concurrent re-`write()` with a different layout fails
+    * the commit loudly, since executor-staged parquet cannot be
+    * restaged driver-side. `touched` maps bucket → path-relative dir.
     */
   private[graft] def commitStagedAppend(spark: SparkSession, path: String,
-                                        touched: Map[Int, String]): Unit = {
+                                        touched: Map[Int, String],
+                                        stagedLayout: Layout): Unit = {
     if (touched.isEmpty) return
     commitWithRetry(spark, path) { m =>
+      requireLayout(m, stagedLayout, path)
       touched.keys.find(b => b < 0 || b >= m.nBuckets).foreach(b =>
         throw new IllegalArgumentException(
           s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
@@ -469,12 +524,14 @@ object ManifestTable {
     */
   private[graft] def commitStagedAppendOnce(spark: SparkSession, path: String,
                                             touched: Map[Int, String],
+                                            stagedLayout: Layout,
                                             appId: String,
                                             batchVersion: Long): Boolean = {
     var did = false
     commitWithRetry(spark, path) { m =>
       if (m.txns.get(appId).exists(_ >= batchVersion)) None
       else {
+        requireLayout(m, stagedLayout, path)
         touched.keys.find(b => b < 0 || b >= m.nBuckets).foreach(b =>
           throw new IllegalArgumentException(
             s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
@@ -500,10 +557,14 @@ object ManifestTable {
     * directories into new ones, erasing filesystem evidence, but the
     * watermark travels in every subsequent manifest.
     *
-    * The staged directory name is derived from (appId, batchVersion)
-    * rather than a UUID, so a crash mid-staging leaves a dir the replay
-    * OVERWRITES instead of orphaning (vacuum would reclaim it anyway —
-    * this just makes replay self-cleaning).
+    * The staged directory name carries `txn-<appId>-<batchVersion>` as
+    * a PROVENANCE PREFIX over a unique suffix — never a deterministic
+    * name with overwrite semantics: a zombie writer that read the
+    * manifest before the live writer's commit would otherwise overwrite
+    * the now-referenced committed directory mid-read (its own commit
+    * correctly skips on the watermark, but the data damage would
+    * already be done). A crashed or losing attempt's unique dir is just
+    * an orphan for [[vacuum]].
     *
     * Returns true when this call performed the append, false when the
     * version was already at-or-below the committed watermark. Batch
@@ -514,18 +575,20 @@ object ManifestTable {
                  keyCol: String, appId: String, batchVersion: Long): Boolean = {
     require(appId.matches("[A-Za-z0-9._=-]+"),
       s"appId must be filename-safe: $appId")
-    var staged: Option[Map[Int, String]] = None
+    var staged: Option[(Layout, Map[Int, String])] = None
     var did = false
     commitWithRetry(spark, path) { m =>
       if (m.txns.get(appId).exists(_ >= batchVersion)) None // replay: already landed
       else {
         require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
         requireKeyType(m, rows.schema(keyCol).dataType, "appendOnce")
-        val dirs = staged.getOrElse {
-          val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets),
-            Some(s"txn-$appId-$batchVersion"))
-          staged = Some(d)
-          d
+        val dirs = staged match {
+          case Some((lay, d)) if lay == layoutOf(m) => d
+          case _ =>
+            val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets),
+              Some(s"txn-$appId-$batchVersion"))
+            staged = Some((layoutOf(m), d))
+            d
         }
         did = true
         Some(m.copy(version = m.version + 1,
@@ -571,9 +634,9 @@ object ManifestTable {
     */
   def delete(spark: SparkSession, path: String, keyCol: String,
              keyValue: Any): Unit = {
-    // staging cache across retry attempts, keyed by the victim bucket's
-    // pointers at stage time (same rebase rule as upsert)
-    var stagedFor: Option[(Seq[String], Map[Int, String])] = None
+    // staging cache across retry attempts, keyed by the layout and the
+    // victim bucket's pointers at stage time (same rebase rule as upsert)
+    var stagedFor: Option[(Layout, Seq[String], Map[Int, String])] = None
     commitWithRetry(spark, path) { m =>
       require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
       val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(keyValue)
@@ -587,12 +650,12 @@ object ManifestTable {
         case None => None // key's bucket absent: nothing to delete, no commit needed
         case Some(rels) =>
           val staged = stagedFor match {
-            case Some((base, dirs)) if base == rels => dirs
+            case Some((lay, base, dirs)) if lay == layoutOf(m) && base == rels => dirs
             case _ =>
               val remaining = spark.read.parquet(rels.map(d => s"$path/$d"): _*)
                 .filter(!(col(keyCol) <=> keyValue))
               val dirs = stageSlice(spark, path, remaining)
-              stagedFor = Some((rels, dirs))
+              stagedFor = Some((layoutOf(m), rels, dirs))
               dirs
           }
           Some(m.copy(version = m.version + 1,
@@ -682,9 +745,22 @@ object ManifestTable {
     * `tmpGraceMs`: a fresh tmp file may be another writer's in-flight
     * publish (on HDFS, where multi-writer optimistic concurrency is
     * real), and yanking it mid-commit would fail that writer spuriously.
+    *
+    * The same grace applies to UNREFERENCED DATA directories
+    * (`dataGraceMs`, judged by the newest modification time anywhere in
+    * the directory tree — the top dir's mtime only tracks direct
+    * children): concurrent writers are a supported scenario, and a
+    * writer — a DSv2 INSERT staging parquet from executors, an
+    * `upsert` mid-stage — holds staged-but-uncommitted dirs for an
+    * arbitrary window before its manifest publish. A no-grace vacuum
+    * racing it would delete those dirs and let the writer then commit
+    * a manifest referencing deleted files. This is Delta's file-age
+    * retention check mapped onto this log. `dataGraceMs = 0` restores
+    * the aggressive behavior for single-writer maintenance windows.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
-             retainMs: Long = 0L, tmpGraceMs: Long = 3600L * 1000): Unit = {
+             retainMs: Long = 0L, tmpGraceMs: Long = 3600L * 1000,
+             dataGraceMs: Long = 3600L * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, path)
     val vs = versions(spark, path)
@@ -707,9 +783,21 @@ object ManifestTable {
         p.getName.startsWith(".tmp-") && t <= now - tmpGraceMs }
       .foreach { case (p, _) => f.delete(p, false) }
     val dataRoot = new Path(path, DataDir)
-    if (f.exists(dataRoot))
+    if (f.exists(dataRoot)) {
+      // newest mtime in the tree: parquet task files land deep under
+      // b=*/, and only their direct parent's mtime moves when they do
+      def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+        val st = f.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else f.listStatus(p).foldLeft(st.getModificationTime) { (acc, s) =>
+          math.max(acc,
+            if (s.isDirectory) newestMtime(s.getPath) else s.getModificationTime)
+        }
+      }
       f.listStatus(dataRoot).map(_.getPath)
         .filter(p => !live.contains(p.getName))
+        .filter(p => dataGraceMs <= 0 || newestMtime(p) <= now - dataGraceMs)
         .foreach(p => f.delete(p, true))
+    }
   }
 }

@@ -69,14 +69,21 @@ import graft.sinks.ManifestTable
   * emit an empty partition so the reported partition values cover every
   * bucket the join's other side can hash into.
   *
-  * The row reader decodes parquet with the public parquet-hadoop Group
-  * API (footer-schema projection, 3-level LIST decoding) — Spark's own
-  * vectorized parquet reader is session-internal and not reachable from
-  * a third-party connector without shading internals. Supported column
-  * types are the manifest-table surface: integral/floating/boolean/
-  * string primitives and arrays of them. The trade-off is deliberate:
-  * this source exists for the INDEX side of joins (narrow rows, bounded
-  * buckets), where removing the shuffle dominates row-decode cost.
+  * Reads are COLUMNAR: the reader factory reports columnar support for
+  * the table's whole type surface (integral/floating/boolean/string
+  * primitives and arrays of them) and decodes each file through
+  * `VectorizedParquetRecordReader` — Spark's own batch parquet decoder,
+  * a public class of spark-sql — handing Spark 4096-row `ColumnarBatch`es
+  * exactly as the built-in parquet source does, so whole-stage codegen
+  * consumes column vectors instead of one allocated row per record (the
+  * r7 regression: the Group-API row reader paid ~an order of magnitude
+  * more decode CPU than this path). The Group-API row reader remains as
+  * the documented fallback for any schema outside the vectorizable
+  * surface. Parallelism: the scan plans one InputPartition per parquet
+  * FILE (each still carrying its bucket's partition key), so Spark's
+  * key-grouping can re-cluster them for storage-partitioned joins while
+  * plain scans — and partially-clustered SPJ over a skewed bucket — get
+  * per-file tasks instead of one task per bucket.
   */
 object ManifestIndexSource {
 
@@ -120,8 +127,37 @@ object ManifestIndexSource {
     if (touched.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
     else
+      // runtime filtering off: this path IS the pruning — planning a DPP
+      // subquery on top would recompute the same bucket set for pure
+      // latency
       spark.read.option("buckets", touched.mkString(","))
+        .option("runtimeFiltering", "false")
         .table(s"$CatalogName.`$path`")
+  }
+
+  /** Parquet files of one data directory, listed driver-side at planning
+    * time (one listStatus per referenced dir — manifest-bounded, the same
+    * listing the reader used to repeat per task).
+    */
+  private[sources] def parquetFiles(dir: String, conf: Configuration): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
+  }
+
+  /** One InputPartition per file of the bucket, all tagged with the
+    * bucket's partition key; an empty bucket still emits one (empty)
+    * partition so reported partition values cover every bucket a join's
+    * other side can hash into.
+    */
+  private[sources] def filePartitions(bucket: Int, dirs: Seq[String],
+                                      conf: Configuration): Seq[InputPartition] = {
+    val files = dirs.flatMap(parquetFiles(_, conf))
+    if (files.isEmpty) Seq(ManifestBucketPartition(bucket, Seq.empty))
+    else files.map(f => ManifestBucketPartition(bucket, Seq(f)))
   }
 }
 
@@ -415,9 +451,9 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
     s"graft.ManifestIndexScan(path=$path, v=${m.version}, " +
       s"buckets=${touched.size}/${m.nBuckets})"
 
-  private def parts: Array[InputPartition] = touched.map { b =>
-    ManifestBucketPartition(b,
-      m.buckets.getOrElse(b, Seq.empty).map(rel => s"$path/$rel"))
+  private def parts: Array[InputPartition] = touched.flatMap { b =>
+    ManifestIndexSource.filePartitions(b,
+      m.buckets.getOrElse(b, Seq.empty).map(rel => s"$path/$rel"), hadoopConf)
   }.toArray
 
   override def planInputPartitions(): Array[InputPartition] = parts
@@ -435,9 +471,19 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
     * the key column is advertised; any filter shape other than
     * In/EqualTo on it is ignored (pruning is an optimization, never a
     * correctness gate — the join still re-verifies keys).
+    *
+    * The `runtimeFiltering=false` read option withdraws the
+    * advertisement: a caller that already pruned driver-side
+    * ([[ManifestIndexSource.readBuckets]]) would otherwise pay the DPP
+    * subquery's materialize-and-replan latency (~0.7 s at bench scale,
+    * measured) for a second computation of the same bucket set.
     */
+  private val runtimeFilteringEnabled =
+    Option(options.get("runtimeFiltering")).forall(_.toBoolean)
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(m.keyCol))
+    if (runtimeFilteringEnabled) Array(Expressions.column(m.keyCol))
+    else Array.empty
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     filters.foreach(f =>
@@ -445,8 +491,8 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
         touched = touched.filter(ks)))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestIndexReaderFactory(required,
-      new SerializableHadoopConf(hadoopConf))
+    new ManifestIndexReaderFactory(required, new SerializableHadoopConf(
+      ManifestVectorizedReader.taskConf(required, hadoopConf)))
 
   /** Stream the table's APPEND history: offsets are manifest versions,
     * each micro-batch reads exactly the data directories the versions in
@@ -581,53 +627,174 @@ class ManifestMicroBatchStream(path: String, required: StructType,
           "(re-emits rows a compact rewrote, like Delta's ignoreChanges).")
     (after -- before).toSeq.sorted
       .groupBy(rel => rel.substring(rel.lastIndexOf("b=") + 2).toInt)
-      .map { case (b, rels) =>
-        ManifestBucketPartition(b, rels.map(rel => s"$path/$rel"))
+      .flatMap { case (b, rels) =>
+        ManifestIndexSource.filePartitions(b,
+          rels.map(rel => s"$path/$rel"), confHolder.value)
       }.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestIndexReaderFactory(required, confHolder)
+    new ManifestIndexReaderFactory(required, new SerializableHadoopConf(
+      ManifestVectorizedReader.taskConf(required, confHolder.value)))
 
   override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** All the data directories of one bucket; `partitionKey` is what Spark
-  * groups and aligns co-partitioned joins on.
+/** The parquet files of one bucket (usually ONE file — the scan splits
+  * per file); `partitionKey` is what Spark groups and aligns
+  * co-partitioned joins on — many partitions may carry the same key.
   */
-case class ManifestBucketPartition(bucket: Int, dirs: Seq[String])
+case class ManifestBucketPartition(bucket: Int, files: Seq[String])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
 }
 
+/** Built on the DRIVER (where the session's SQLConf is in scope): the
+  * shipped `conf` already carries the vectorized reader's task-side
+  * contract from [[ManifestVectorizedReader.taskConf]].
+  */
 class ManifestIndexReaderFactory(schema: StructType,
                                  conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
+  /** Columnar whenever the schema fits the vectorizable surface (the
+    * whole manifest-table type surface does) — Spark then consumes
+    * `ColumnarBatch`es like the built-in parquet source instead of one
+    * allocated row per record.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    ManifestVectorizedReader.supports(schema)
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[ManifestBucketPartition]
+    new ManifestVectorizedReader(p.files, conf.value)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestBucketPartition]
-    new ManifestBucketReader(p.dirs, schema, conf.value)
+    new ManifestBucketReader(p.files, schema, conf.value)
   }
 }
 
-/** Sequential Group-API reader over one bucket's parquet files with
-  * footer-derived column projection (only requested columns are
-  * materialized by parquet-hadoop; skipped columns' pages are not
-  * decoded).
+/** Batch decoder over a partition's parquet files through
+  * `VectorizedParquetRecordReader` (public in spark-sql's parquet
+  * package — the exact decoder `spark.read.parquet` uses): requested
+  * columns only, 4096-row `ColumnarBatch`es, zero per-row allocation.
+  * The datetime rebase modes are pinned to CORRECTED because the
+  * writable type surface (integral/floating/boolean/string and arrays)
+  * contains no datetime types to rebase.
   */
-class ManifestBucketReader(dirs: Seq[String], schema: StructType,
+object ManifestVectorizedReader {
+  private[sources] val BatchSize = 4096
+
+  def supports(schema: StructType): Boolean =
+    schema.fields.forall { f =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType |
+             BooleanType | StringType => true
+        case ArrayType(LongType | IntegerType | DoubleType | FloatType |
+                       BooleanType | StringType, _) => true
+        case _ => false
+      }
+    }
+
+  /** The task-side Configuration `VectorizedParquetRecordReader` expects
+    * — the same contract `ParquetFileFormat` prepares: the requested
+    * Spark schema, the ReadSupport class, and the SQL flags the schema
+    * converter reads from the hadoop conf. Built DRIVER-side (where
+    * `SQLConf.get` is the session's conf; executors would see defaults
+    * and one key whose default string does not parse).
+    */
+  private[sources] def taskConf(schema: StructType,
+                                base: Configuration): Configuration = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val sql = SQLConf.get
+    val c = new Configuration(base)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sql.isParquetBinaryAsString)
+    c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sql.isParquetINT96AsTimestamp)
+    c.setBoolean(SQLConf.CASE_SENSITIVE.key, sql.caseSensitiveAnalysis)
+    c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sql.parquetInferTimestampNTZEnabled)
+    c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sql.legacyParquetNanosAsLong)
+    c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sql.parquetFieldIdReadEnabled)
+    c.setBoolean(SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.key,
+      sql.parquetIgnoreVariantAnnotation)
+    c.setBoolean(SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key,
+      sql.parquetReaderRespectUnknownTypeAnnotation)
+    c
+  }
+}
+
+class ManifestVectorizedReader(files: Seq[String],
+                               taskConf: Configuration)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  private val fileIter = files.iterator
+  private var cur: VectorizedParquetRecordReader = _
+  private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  private def openNext(): Boolean = {
+    if (!fileIter.hasNext) return false
+    val file = new Path(fileIter.next())
+    val len = file.getFileSystem(taskConf).getFileStatus(file).getLen
+    // the old-API FileSplit extends the new-API one, and Spark's reader
+    // downcasts to it internally — so this satisfies both signatures
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      file, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      taskConf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, ManifestVectorizedReader.BatchSize)
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), InternalRow.empty)
+      r.enableReturningBatches()
+    } catch { case t: Throwable => r.close(); throw t }
+    cur = r
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null && !openNext()) return false
+      if (cur.nextBatch()) {
+        batch = cur.resultBatch()
+        return true
+      }
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (cur != null) { cur.close(); cur = null }
+  }
+}
+
+/** Sequential Group-API row reader over a partition's parquet files with
+  * footer-derived column projection — the FALLBACK path for schemas
+  * outside [[ManifestVectorizedReader.supports]] (none today; kept so a
+  * future type addition degrades to correct-but-slower instead of
+  * unreadable).
+  */
+class ManifestBucketReader(fileNames: Seq[String], schema: StructType,
                            conf: Configuration)
   extends PartitionReader[InternalRow] {
 
-  private val files: Iterator[Path] = dirs.iterator.flatMap { d =>
-    val p = new Path(d)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Iterator.empty
-    else fs.listStatus(p).iterator
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-  }
+  private val files: Iterator[Path] = fileNames.iterator.map(new Path(_))
 
   private var reader: ParquetReader[Group] = _
   private var fieldIdx: Array[Int] = _
@@ -803,7 +970,8 @@ class ManifestStreamingWrite(path: String, m: ManifestTable.Manifest,
       .flatMap(_.asInstanceOf[ManifestWriteCommit].buckets)
       .toSeq.distinct.map(b => b -> s"${epochRel(epochId)}/b=$b").toMap
     ManifestTable.commitStagedAppendOnce(SparkSession.active, path, touched,
-      appId = s"dsv2-$queryId", batchVersion = epochId)
+      ManifestTable.layoutOf(m), appId = s"dsv2-$queryId",
+      batchVersion = epochId)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -836,7 +1004,8 @@ class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,
     val touched = messages.iterator
       .flatMap(_.asInstanceOf[ManifestWriteCommit].buckets)
       .toSeq.distinct.map(b => b -> s"data/$commitId/b=$b").toMap
-    ManifestTable.commitStagedAppend(SparkSession.active, path, touched)
+    ManifestTable.commitStagedAppend(SparkSession.active, path, touched,
+      ManifestTable.layoutOf(m))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

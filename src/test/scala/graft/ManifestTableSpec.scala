@@ -74,8 +74,39 @@ class ManifestTableSpec extends SparkSpec {
     assert(live.count() == 100, "uncommitted slice leaked into a read")
     assert(live.filter($"name" === "poison").count() == 0)
 
+    // the orphan is seconds old: with the default in-flight grace it
+    // SURVIVES (it is indistinguishable from another writer's staged-
+    // but-not-yet-committed data); a no-grace maintenance vacuum
+    // reclaims it
     ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(dataDirs(path).size == 2,
+      "vacuum deleted a fresh unreferenced dir despite the grace " +
+        "(could be a concurrent writer's in-flight staging)")
+    ManifestTable.vacuum(spark, path, keepVersions = 1, dataGraceMs = 0)
     assert(dataDirs(path).size == 1, "vacuum left the orphaned generation")
+    assert(ManifestTable.read(spark, path).count() == 100)
+  }
+
+  test("vacuum data grace: an aged orphan is reclaimed, a fresh one survives") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path)
+    val orphan = ManifestTable.stageSlice(spark, path,
+      Seq((7L, "staged", 1.0)).toDF("id", "name", "score")
+        .withColumn("bucket", org.apache.spark.sql.functions.lit(0)))
+    assert(orphan.nonEmpty && dataDirs(path).size == 2)
+    // grace judges the NEWEST mtime in the tree (files land deep under
+    // b=*/ and only their direct parent's mtime moves) — age every
+    // entry of the orphan to get past it
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
+      if (f.isDirectory) f.listFiles().foreach(ageTree)
+    }
+    val live = ManifestTable.currentManifest(spark, path)
+      .buckets.values.flatten.map(_.split('/')(1)).toSet
+    new java.io.File(s"$path/data").listFiles()
+      .filter(f => !live.contains(f.getName)).foreach(ageTree)
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(dataDirs(path).size == 1, "vacuum kept an aged orphan")
     assert(ManifestTable.read(spark, path).count() == 100)
   }
 
