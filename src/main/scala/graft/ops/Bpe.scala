@@ -135,6 +135,33 @@ object Bpe {
         graft.functions.Sketches.bpe_merge(col("syms"), f, s).as("syms"): _*)
     }
 
+  /** Inverse of [[encode]] — the decode half of the lifecycle. A merged
+    * symbol carries its constituents SPACE-JOINED (`"a b"`, see
+    * `BpeMergeExpr`), so word-mode decode is one `array_join` with a
+    * single space; the result is the whitespace-NORMALIZED original
+    * (tokenization collapses whitespace runs — BPE round-trips the token
+    * sequence, not raw bytes). Zero-shuffle codegen'd projection; the
+    * merge list is not needed to decode — exactly the property that
+    * makes BPE vocabularies losslessly reversible.
+    */
+  def decode(encoded: DataFrame, symsCol: String = "syms",
+             keep: Seq[String] = Nil): DataFrame =
+    encoded.select(keep.map(col) :+
+      array_join(col(symsCol), " ").as("text"): _*)
+
+  /** Char-mode decode of ONE WORD's symbol array (the [[trainChars]]
+    * representation): merged symbols interleave artificial spaces and
+    * the last carries the `</w>` end-of-word marker, so decode joins,
+    * strips every space (a whitespace-split word can contain none of its
+    * own), and removes ONE trailing marker — a word whose literal text
+    * ends in `</w>` keeps its own copy.
+    */
+  def decodeChars(syms: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(array_join(syms, ""), " ", ""),
+      java.util.regex.Pattern.quote(
+        graft.functions.CharSymbolsExpr.EndOfWord) + "$", "")
+
   private def toMergesDf(spark: SparkSession,
                          merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._

@@ -591,6 +591,53 @@ object ExtendedQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** The 100 TB variant of [[tableProfile]], as a QUERY rather than a
+    * doc sentence: per-column NDV comes from HLL++
+    * (`approx_count_distinct`) and is gated IN-PLAN against the exact
+    * count (the `cardinality_sketch` pattern) — a column row survives
+    * only when the estimate lands within 15% of the exact NDV (default
+    * rsd 5% → 3σ), so the DuckDB oracle hash-verifies the sketch's
+    * accuracy contract computing exact-only. The exact side (and its
+    * Expand row-multiply) exists HERE only to power the gate; the
+    * production profile at scale drops it, leaving one Expand-free
+    * scan whose per-column state is a fixed-size HLL register set —
+    * the reason a 6-column profile of a 100 TB table is one pass with
+    * O(columns) memory instead of a 6-way distinct shuffle.
+    */
+  def tableProfileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+    val aggs = ProfileCols.flatMap { case (c, _) => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      approx_count_distinct(col(c)).as(s"na_$c"))
+    }
+    val g = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = ProfileCols.map { case (c, _) =>
+      s"'$c', nn_$c, nd_$c, na_$c" }.mkString(", ")
+    g.selectExpr("n_rows", s"stack(${ProfileCols.size}, $stacked) " +
+        "as (col_name, n_non_null, n_distinct, n_approx)")
+      .filter(abs(col("n_approx") - col("n_distinct"))
+        <= col("n_distinct") * 0.15)
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_nulls"),
+        col("n_distinct"), lit(true).as("approx_within_3sigma"))
+      .orderBy("col_name")
+  }
+
+  private val tableProfileSketchSql: String = {
+    val aggs = ProfileCols.map { case (c, _) =>
+      s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c" }.mkString(",\n  ")
+    val arms = ProfileCols.map { case (c, _) =>
+      s"SELECT '$c' AS col_name, n_rows, n_rows - nn_$c AS n_nulls, " +
+        s"nd_$c AS n_distinct, TRUE AS approx_within_3sigma FROM g" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH g AS (SELECT count(*) AS n_rows,
+       |  $aggs
+       |FROM orders)
+       |$arms
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Soft dedup — reweighting instead of removal (the SoftDeDup idea:
     * duplicated content keeps ONE document's worth of gradient signal
     * spread across its copies, rather than a hard drop that loses the
@@ -2725,6 +2772,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "soft_dedup_weights" -> softDedupWeights _,
     "bpe_compression" -> bpeCompression _,
     "table_profile" -> tableProfile _,
+    "table_profile_sketch" -> tableProfileSketch _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "ann_topk_brute" -> annTopkBrute _,
@@ -2804,6 +2852,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "soft_dedup_weights" -> softDedupWeightsSql,
     "bpe_compression" -> bpeCompressionSql,
     "table_profile" -> tableProfileSql,
+    "table_profile_sketch" -> tableProfileSketchSql,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "ann_topk_brute" -> annTopkBruteSql,

@@ -53,6 +53,27 @@ object ManifestTable {
 
   private val ManifestDir = "_manifests"
   private val DataDir = "data"
+  private val CheckpointFile = "_last_checkpoint"
+
+  /** How often the log hint is refreshed: every Nth commit the publisher
+    * rewrites `_manifests/_last_checkpoint` with the just-committed
+    * manifest INLINE. Head discovery then reads one file and probes
+    * forward at most this many versions — never listing the log
+    * directory — so a table with 10,000 commits costs a read the same
+    * as one with 10. Delta's periodic parquet checkpoint plays this
+    * role for its delta-encoded log; here every manifest is already a
+    * full snapshot, so the checkpoint's job is purely to cap head
+    * DISCOVERY at O(interval) instead of O(commits).
+    */
+  private[graft] val CheckpointInterval = 10
+
+  /** Observability for the log-access contract (spec-pinned): how many
+    * times head discovery fell back to a full directory listing vs
+    * resolved through the checkpoint hint. A steady-state read path
+    * should add zero listings.
+    */
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val hintProbes = new java.util.concurrent.atomic.AtomicLong
 
   /** A publish lost the race for its version number. Callers inside this
     * object retry against the re-read current manifest (optimistic
@@ -138,8 +159,14 @@ object ManifestTable {
       strField("keyCol"), strField("schemaDdl"), buckets, txns)
   }
 
-  /** Committed versions, ascending; empty if the table doesn't exist. */
+  /** Committed versions, ascending; empty if the table doesn't exist.
+    * A FULL log listing — needed where history is enumerated (time
+    * travel bounds, the streaming source's version ranges, vacuum).
+    * Head-only consumers go through [[discoverHead]], which resolves
+    * via the checkpoint hint without listing.
+    */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
+    logListings.incrementAndGet()
     val f = fs(spark, path)
     val dir = new Path(path, ManifestDir)
     if (!f.exists(dir)) Seq.empty
@@ -148,6 +175,82 @@ object ManifestTable {
       .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
       .sorted.toSeq
   }
+
+  /** Best-effort read of the `_last_checkpoint` hint: the full manifest
+    * of some committed version, written by [[publish]] every
+    * [[CheckpointInterval]] commits and refreshed by [[vacuum]]. Any
+    * failure (absent, torn, concurrent replace) degrades to `None` —
+    * correctness NEVER depends on the hint, only head-discovery cost.
+    */
+  private def readCheckpoint(f: org.apache.hadoop.fs.FileSystem,
+                             mDir: Path): Option[Manifest] =
+    try {
+      val p = new Path(mDir, CheckpointFile)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(parse(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")))
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Replace the checkpoint hint with `m` (tmp write + rename). The
+    * hint is monotonically advisory: a racing older write at worst
+    * leaves a staler hint, which probing absorbs. A reader catching the
+    * sub-millisecond delete/rename window sees no hint and falls back
+    * to a listing.
+    */
+  private def writeCheckpoint(f: org.apache.hadoop.fs.FileSystem,
+                              mDir: Path, m: Manifest): Unit =
+    try {
+      val tmp = new Path(mDir, ".tmp-ckpt-" + java.util.UUID.randomUUID())
+      val out = f.create(tmp, false)
+      try out.write(render(m).getBytes("UTF-8")) finally out.close()
+      val dst = new Path(mDir, CheckpointFile)
+      f.delete(dst, false)
+      if (!f.rename(tmp, dst)) f.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Find the head version WITHOUT listing the log when a checkpoint
+    * hint exists: start at the checkpointed version and probe forward
+    * until the next version is absent — O(commits since the last
+    * checkpoint) ≤ [[CheckpointInterval]] existence checks, regardless
+    * of total log length. Returns the head's manifest too when the head
+    * IS the checkpointed version (the common steady state — zero
+    * manifest reads). Falls back to a full listing when there is no
+    * hint or the hinted version was vacuumed out from under a stale
+    * hint (possible only after a crash inside vacuum's
+    * refresh-then-retire sequence).
+    */
+  private[graft] def discoverHead(spark: SparkSession,
+                                  path: String): Option[(Int, Option[Manifest])] = {
+    val f = fs(spark, path)
+    val mDir = new Path(path, ManifestDir)
+    readCheckpoint(f, mDir) match {
+      case Some(ck) =>
+        var v = ck.version
+        var advancing = true
+        while (advancing) {
+          hintProbes.incrementAndGet()
+          if (f.exists(new Path(mDir, manifestName(v + 1)))) v += 1
+          else advancing = false
+        }
+        if (v > ck.version) Some((v, None))
+        else {
+          hintProbes.incrementAndGet()
+          if (f.exists(new Path(mDir, manifestName(v)))) Some((v, Some(ck)))
+          else versions(spark, path).lastOption.map(h => (h, None))
+        }
+      case None => versions(spark, path).lastOption.map(h => (h, None))
+    }
+  }
+
+  /** Head version only — the cheap poll the streaming source's
+    * `latestOffset` uses every trigger.
+    */
+  private[graft] def headVersion(spark: SparkSession, path: String): Option[Int] =
+    discoverHead(spark, path).map(_._1)
 
   private[graft] def readManifest(spark: SparkSession, path: String, v: Int): Manifest = {
     val f = fs(spark, path)
@@ -163,11 +266,12 @@ object ManifestTable {
     fs(spark, path).getFileStatus(
       new Path(new Path(path, ManifestDir), manifestName(v))).getModificationTime
 
-  private[graft] def currentManifest(spark: SparkSession, path: String): Manifest = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed version at $path")
-    readManifest(spark, path, vs.last)
-  }
+  private[graft] def currentManifest(spark: SparkSession, path: String): Manifest =
+    discoverHead(spark, path) match {
+      case None => throw new IllegalArgumentException(s"no committed version at $path")
+      case Some((_, Some(m))) => m // checkpointed head: zero log reads
+      case Some((v, None)) => readManifest(spark, path, v)
+    }
 
   /** Stage a bucket-columned slice into a fresh immutable data dir;
     * returns bucket -> table-relative directory for the manifest. Writes
@@ -240,6 +344,12 @@ object ManifestTable {
             s"concurrent commit detected: ${dst.getName} already published")
         else throw e
     }
+    // periodic checkpoint: pin head discovery to O(interval) probes.
+    // Written AFTER the commit is durable — a crash here just leaves a
+    // staler hint. v1 is checkpointed too so a table's very first read
+    // already skips the listing.
+    if (next.version == 1 || next.version % CheckpointInterval == 0)
+      writeCheckpoint(f, dir, next)
   }
 
   /** Bounded optimistic-concurrency commit loop: build the next manifest
@@ -327,7 +437,7 @@ object ManifestTable {
     var tries = 0
     var done = false
     while (!done) {
-      val v = versions(spark, path).lastOption.getOrElse(0) + 1
+      val v = headVersion(spark, path).getOrElse(0) + 1
       try {
         publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
           staged.map { case (b, d) => b -> Seq(d) }))
@@ -340,20 +450,22 @@ object ManifestTable {
     }
   }
 
-  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
-    val m = readManifest(spark, path, v)
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
+    readFrom(spark, path, readManifest(spark, path, v))
+
+  private def readFrom(spark: SparkSession, path: String, m: Manifest): DataFrame = {
     val dirs = m.buckets.toSeq.sortBy(_._1)
       .flatMap { case (_, rels) => rels.map(rel => s"$path/$rel") }
     if (dirs.isEmpty) emptyWithSchema(spark, m)
     else spark.read.parquet(dirs: _*)
   }
 
-  /** Latest committed snapshot. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed version at $path")
-    readVersion(spark, path, vs.last)
-  }
+  /** Latest committed snapshot — head discovery through the checkpoint
+    * hint, so the log-file cost of a read is O([[CheckpointInterval]])
+    * probes however long the table has lived.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readFrom(spark, path, currentManifest(spark, path))
 
   /** Point lookup: the key's bucket is computed driver-side (against the
     * table's actual key type, as in [[BucketedTable.lookup]]) and ONLY
@@ -772,6 +884,12 @@ object ManifestTable {
     val (countRetire, keepByCount) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val (retire, keptByAge) = countRetire.partition(v => !youngerThanHorizon(v))
     val keep = keptByAge ++ keepByCount
+    // refresh the checkpoint to the head BEFORE retiring: an old hint may
+    // point at a manifest this vacuum is about to delete, and refresh-
+    // then-retire means any reader's hint is never below a deletion (a
+    // crash between the two steps leaves extra manifests, not a stale
+    // hint — discoverHead's listing fallback covers even that)
+    writeCheckpoint(f, mDir, readManifest(spark, path, vs.last))
     val live: Set[String] = keep
       .flatMap(v => readManifest(spark, path, v).buckets.values.flatten)
       .map(rel => rel.split('/')(1)) // data/<uuid>/b=i -> <uuid>

@@ -80,10 +80,12 @@ import graft.sinks.ManifestTable
   * more decode CPU than this path). The Group-API row reader remains as
   * the documented fallback for any schema outside the vectorizable
   * surface. Parallelism: the scan plans one InputPartition per parquet
-  * FILE (each still carrying its bucket's partition key), so Spark's
-  * key-grouping can re-cluster them for storage-partitioned joins while
-  * plain scans — and partially-clustered SPJ over a skewed bucket — get
-  * per-file tasks instead of one task per bucket.
+  * FILE (each still carrying its bucket's partition key). With the
+  * default `reportPartitioning=true` Spark key-groups those files back
+  * to one task per bucket — the shape storage-partitioned joins need;
+  * `option("reportPartitioning", "false")` keeps the per-file tasks for
+  * bare scans and skewed-bucket pipelines that prefer parallelism over
+  * the join property (Iceberg's `preserve-data-grouping` dial).
   */
 object ManifestIndexSource {
 
@@ -186,11 +188,13 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
     val spark = SparkSession.active
-    if (ManifestTable.versions(spark, path).isEmpty)
-      throw new NoSuchTableException(ident)
-    // pin the snapshot here: the scan never re-reads the log
-    new ManifestIndexTable(path, ManifestTable.currentManifest(spark, path),
-      spark.sparkContext.hadoopConfiguration)
+    // pin the snapshot here: the scan never re-reads the log. Head
+    // discovery rides the checkpoint hint — a batch read of a
+    // long-lived table touches O(1) log files, no listing.
+    val m = try ManifestTable.currentManifest(spark, path) catch {
+      case _: IllegalArgumentException => throw new NoSuchTableException(ident)
+    }
+    new ManifestIndexTable(path, m, spark.sparkContext.hadoopConfiguration)
   }
 
   /** Time travel: `VERSION AS OF n` loads the committed manifest `n`
@@ -231,7 +235,7 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ManifestTable.versions(SparkSession.active, pathOf(ident)).nonEmpty
+    ManifestTable.headVersion(SparkSession.active, pathOf(ident)).nonEmpty
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
@@ -458,8 +462,25 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
 
   override def planInputPartitions(): Array[InputPartition] = parts
 
+  /** Whether the scan CLAIMS its key-grouped layout. Claiming it is what
+    * makes storage-partitioned joins exchange-free — but Spark then
+    * key-GROUPS the per-file input partitions (one task per bucket, all
+    * of a hot bucket's files in it) for every consumer, joins or not.
+    * `reportPartitioning=false` trades the join property away for full
+    * per-file parallelism — the right call for bare scans/full-table
+    * pipelines over skewed buckets, and the same dial Iceberg exposes
+    * as `preserve-data-grouping` (whose default hides partitioning;
+    * ours claims it, because the keyed-probe path is this table's
+    * reason to exist).
+    */
+  private val reportPartitioning =
+    Option(options.get("reportPartitioning")).forall(_.toBoolean)
+
   override def outputPartitioning(): VPartitioning =
-    new VKeyGroupedPartitioning(
+    if (!reportPartitioning)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        parts.length)
+    else new VKeyGroupedPartitioning(
       Array[VExpression](Expressions.bucket(m.nBuckets, m.keyCol)),
       touched.size)
 
@@ -492,7 +513,12 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestIndexReaderFactory(required, new SerializableHadoopConf(
-      ManifestVectorizedReader.taskConf(required, hadoopConf)))
+      ManifestVectorizedReader.taskConf(required, hadoopConf)),
+      // `vectorized=false` forces the Group-API row fallback — kept
+      // selectable so its decode tax stays measurable (ProfileInc) and
+      // the fallback path stays tested, not bit-rotting until the first
+      // non-vectorizable schema needs it
+      vectorized = Option(options.get("vectorized")).forall(_.toBoolean))
 
   /** Stream the table's APPEND history: offsets are manifest versions,
     * each micro-batch reads exactly the data directories the versions in
@@ -568,13 +594,15 @@ class ManifestMicroBatchStream(path: String, required: StructType,
   private var availableNowTarget: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget =
-      Some(ManifestTable.versions(spark, path).lastOption.getOrElse(0))
+      Some(ManifestTable.headVersion(spark, path).getOrElse(0))
 
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    // headVersion, not versions(): this poll runs EVERY trigger, and the
+    // checkpoint hint keeps it O(1) log probes on an arbitrarily old log
     val hi = availableNowTarget.getOrElse(
-      ManifestTable.versions(spark, path).lastOption.getOrElse(0))
+      ManifestTable.headVersion(spark, path).getOrElse(0))
     val lo = start.asInstanceOf[VersionOffset].v
     VersionOffset(maxVersionsPerTrigger.fold(hi)(k => math.min(hi, lo + k)))
   }
@@ -598,7 +626,7 @@ class ManifestMicroBatchStream(path: String, required: StructType,
   }
 
   override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
-    VersionOffset(ManifestTable.versions(spark, path).lastOption.getOrElse(0))
+    VersionOffset(ManifestTable.headVersion(spark, path).getOrElse(0))
 
   override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
     VersionOffset("""\"version\":(\d+)""".r.findFirstMatchIn(json)
@@ -656,7 +684,8 @@ case class ManifestBucketPartition(bucket: Int, files: Seq[String])
   * contract from [[ManifestVectorizedReader.taskConf]].
   */
 class ManifestIndexReaderFactory(schema: StructType,
-                                 conf: SerializableHadoopConf)
+                                 conf: SerializableHadoopConf,
+                                 vectorized: Boolean = true)
   extends PartitionReaderFactory {
   /** Columnar whenever the schema fits the vectorizable surface (the
     * whole manifest-table type surface does) — Spark then consumes
@@ -664,7 +693,7 @@ class ManifestIndexReaderFactory(schema: StructType,
     * allocated row per record.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ManifestVectorizedReader.supports(schema)
+    vectorized && ManifestVectorizedReader.supports(schema)
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[ManifestBucketPartition]
@@ -691,8 +720,14 @@ object ManifestVectorizedReader {
   def supports(schema: StructType): Boolean =
     schema.fields.forall { f =>
       f.dataType match {
-        case LongType | IntegerType | DoubleType | FloatType |
-             BooleanType | StringType => true
+        // wider than the Group-API fallback's surface: the decoder here
+        // is Spark's own, so every scalar it vectorizes is safe to
+        // claim (timestamps/dates need no rebase handling beyond the
+        // pinned CORRECTED — staged data is always Spark-4-written)
+        case LongType | IntegerType | ShortType | ByteType |
+             DoubleType | FloatType | BooleanType | StringType |
+             BinaryType | TimestampType | TimestampNTZType | DateType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
         case ArrayType(LongType | IntegerType | DoubleType | FloatType |
                        BooleanType | StringType, _) => true
         case _ => false

@@ -81,6 +81,78 @@ object ProfileInc {
         .withColumn("hub_id", min("id").over(w))
         .filter(col("k") <= 4096 || col("id") === col("hub_id")).count()
     }
+    // ---- connector read-path isolation: same bucketed bytes through
+    // three decoders, row counts asserted equal (VERDICT r7 #2). The
+    // numbers quantify the decode tax the r7 Group-API reader paid and
+    // the vectorized reader's parity with Spark's native parquet scan.
+    locally {
+      val m = graft.sinks.ManifestTable.currentManifest(spark, idx)
+      val dirs = m.buckets.values.flatten.map(d => s"$idx/$d").toSeq
+      val nParquet = spark.read.parquet(dirs: _*).count()
+      val nVec = graft.sources.ManifestIndexSource.read(spark, idx).count()
+      val nRow = spark.read.option("vectorized", "false")
+        .table(s"${graft.sources.ManifestIndexSource.CatalogName}.`$idx`").count()
+      require(nParquet == nVec && nVec == nRow,
+        s"read paths disagree: parquet=$nParquet vectorized=$nVec row=$nRow")
+      println(s"  read-path rows: $nParquet (all three equal)")
+      time("read: spark.read.parquet (noop)") {
+        spark.read.parquet(dirs: _*)
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("read: DSv2 vectorized (noop)") {
+        graft.sources.ManifestIndexSource.read(spark, idx)
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("read: DSv2 row fallback (noop)") {
+        spark.read.option("vectorized", "false")
+          .table(s"${graft.sources.ManifestIndexSource.CatalogName}.`$idx`")
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+
+    // the index is ~64k narrow rows — decode differences drown in fixed
+    // job overhead there. Repeat over a WIDE manifest table (sf lineitem,
+    // 600k rows x 16 cols at sf0.1) where decode CPU dominates.
+    locally {
+      val tbl = s"$p/litbl"
+      graft.sinks.ManifestTable.write(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"), tbl, "l_orderkey", 16)
+      val m = graft.sinks.ManifestTable.currentManifest(spark, tbl)
+      val dirs = m.buckets.values.flatten.map(d => s"$tbl/$d").toSeq
+      val cat = graft.sources.ManifestIndexSource.CatalogName
+      graft.sources.ManifestIndexSource.ensureRegistered(spark)
+      val nParquet = spark.read.parquet(dirs: _*).count()
+      val nVec = spark.read.table(s"$cat.`$tbl`").count()
+      require(nParquet == nVec,
+        s"lineitem read paths disagree: $nParquet/$nVec")
+      println(s"  lineitem read-path rows: $nParquet (both equal)")
+      time("lineitem full: spark.read.parquet (noop)") {
+        spark.read.parquet(dirs: _*)
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("lineitem full: DSv2 vectorized (noop)") {
+        spark.read.table(s"$cat.`$tbl`")
+          .write.mode("overwrite").format("noop").save()
+      }
+      // the Group-API fallback's surface excludes timestamps — compare
+      // the two DSv2 decoders on the projection both can read
+      val rowSafe = spark.read.table(s"$cat.`$tbl`").schema.fields
+        .filter { f =>
+          f.dataType != org.apache.spark.sql.types.TimestampType &&
+            f.dataType != org.apache.spark.sql.types.TimestampNTZType
+        }
+        .map(f => col(f.name)).toSeq
+      time("lineitem non-ts: DSv2 vectorized (noop)") {
+        spark.read.table(s"$cat.`$tbl`").select(rowSafe: _*)
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("lineitem non-ts: DSv2 row fallback (noop)") {
+        spark.read.option("vectorized", "false").table(s"$cat.`$tbl`")
+          .select(rowSafe: _*)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+
     time("intra leg (noop)") {
       Dedup.estVerifiedPairs(prepared, 64, 0.5)
         .write.mode("overwrite").format("noop").save()

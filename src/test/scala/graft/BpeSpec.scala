@@ -218,6 +218,51 @@ class BpeSpec extends SparkSpec {
     assert(comp(1L).contains(2.0) && comp(2L).contains(1.0) && comp(3L).isEmpty)
   }
 
+  test("decode(encode(x)) == x over the fixture corpus (word mode)") {
+    // the round-trip property closing the tokenizer lifecycle: encode
+    // under TRAINED merges, decode without them, recover the
+    // whitespace-normalized token stream of every document
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val merges = Bpe.train(docs, "text", 8)
+      .orderBy("round").as[(Int, String, String, Long)]
+      .collect().toSeq.map(m => (m._2, m._3))
+    assert(merges.nonEmpty, "fixture corpus trained no merges")
+    val decoded = Bpe.decode(
+      Bpe.encode(docs, "text", merges, keep = Seq("doc_id")),
+      keep = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val normalized = docs
+      .select(col("doc_id"),
+        array_join(Sketches.word_ngrams(col("text"), 1), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded == normalized,
+      "decode(encode(x)) diverged from the token stream: " +
+        decoded.find(kv => normalized(kv._1) != kv._2).toString)
+    // and the encoding was not a no-op — merges actually applied
+    val symCount = Bpe.encode(docs, "text", merges)
+      .select(sum(size(col("syms")))).as[Long].head()
+    val tokCount = docs
+      .select(sum(size(Sketches.word_ngrams(col("text"), 1)))).as[Long].head()
+    assert(symCount < tokCount, "trained merges never fired on the corpus")
+  }
+
+  test("decodeChars inverts char-mode merges per word, incl. a literal </w> suffix") {
+    val words = Seq("low", "lower", "newest", "widest", "né", "x</w>")
+    val merges = Seq(("e", "s"), ("e s", "t</w>"), ("l", "o"))
+    val df = words.toDF("w")
+      .select(col("w"), Sketches.char_symbols(col("w")).as("syms"))
+    val mergedDf = merges.foldLeft(df) { case (d, (f, s)) =>
+      d.select(col("w"), Sketches.bpe_merge(col("syms"), f, s).as("syms"))
+    }
+    val got = mergedDf.select(col("w"), Bpe.decodeChars(col("syms")).as("d"))
+      .as[(String, String)].collect().toSeq
+    got.foreach { case (w, d) =>
+      assert(d == w, s"char-mode round-trip broke on '$w': got '$d'")
+    }
+  }
+
   test("adjacent_pairs skips pairs touching null elements (containsNull inputs)") {
     // SQL arrays can carry containsNull=true (split()'s declared type);
     // the kernel's output struct fields are non-nullable, so pairs with

@@ -489,6 +489,149 @@ class ManifestIndexSourceSpec extends SparkSpec {
     assert(ManifestTable.versions(spark, path).max > vAfterFirst)
   }
 
+  test("end-to-end streaming: manifest SOURCE → kernel pipeline → manifest SINK, exactly-once across a mid-stream kill") {
+    // VERDICT r7 #6: compose the connector's two streaming halves — tail
+    // one manifest table's append log, score each document, and land the
+    // flags in ANOTHER manifest table via toTable — and prove the
+    // composition is exactly-once through replays and a kill between
+    // micro-batches.
+    val feed = tmp()
+    val flags = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def feedDf(lo: Int, hi: Int) =
+      docs.slice(lo, hi).toSeq.toDF("doc_id", "text")
+    def score(df: DataFrame) = df.select(col("doc_id"),
+        xxhash64(col("text")).as("fp"),
+        size(split(col("text"), " ")).as("ntok"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4L)).cast("int"))
+    ManifestTable.write(feedDf(0, 10), feed, "doc_id", 4)              // feed v1
+    // sink table created empty: the stream is the only writer
+    ManifestTable.write(score(feedDf(0, 0)), flags, "doc_id", 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    val ckpt = s"${Files.createTempDirectory("graft-e2e")}/ckpt"
+    def pipeline(maxPerTrigger: Option[Int]) = {
+      val src = maxPerTrigger.foldLeft(
+        spark.readStream.option("startingVersion", "0")) { (r, k) =>
+          r.option("maxVersionsPerTrigger", k.toString) }
+        .table(s"graft_manifest.`$feed`")
+      score(src.select("doc_id", "text"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft_manifest.`$flags`")
+    }
+    pipeline(None).awaitTermination(120000)
+    assert(ManifestTable.read(spark, flags).count() == 10)
+    // replay with no new feed commits: nothing lands twice
+    pipeline(None).awaitTermination(120000)
+    assert(ManifestTable.read(spark, flags).count() == 10,
+      "replayed run duplicated flag rows")
+    // two more feed batches land while the stream is down...
+    ManifestTable.append(spark, feed, feedDf(10, 15), "doc_id")        // feed v2
+    ManifestTable.append(spark, feed, feedDf(15, 20), "doc_id")        // feed v3
+    // ...then the stream is KILLED between micro-batches (one version
+    // per trigger; stop after the first batch reports progress)
+    val q = pipeline(Some(1))
+    val deadline = System.currentTimeMillis() + 60000
+    while (q.recentProgress.isEmpty && q.isActive &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q.stop()
+    // the restart drains the remainder exactly once
+    pipeline(None).awaitTermination(120000)
+    val got = ManifestTable.read(spark, flags)
+    assert(got.count() == 20, s"end state has ${got.count()} flag rows")
+    assert(got.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "a document was flagged twice across the kill/restart")
+    // and the streamed result IS the batch result over the full feed
+    val batch = score(ManifestTable.read(spark, feed).select("doc_id", "text"))
+    assert(rows(got.select("doc_id", "fp", "ntok")) ==
+      rows(batch.select("doc_id", "fp", "ntok")))
+  }
+
+  test("a skewed bucket is read by more than one task (per-file splits keep the partition key)") {
+    val path = tmp()
+    seed(path, n = 40, nB = 4)
+    // pile appends onto ONE bucket: every id here hashes with the same
+    // key, so one bucket's directory list grows while the others stay
+    // at one file — the 100 TB hot-bucket shape in miniature
+    val hotKey = 5L
+    (1 to 3).foreach { k =>
+      ManifestTable.append(spark, path,
+        Seq.fill(5)(hotKey).zipWithIndex.map { case (id, i) =>
+          (id, s"hot-$k-$i", k.toDouble, Seq(id)) }
+          .toDF("id", "name", "score", "sig"), "id")
+    }
+    // DEFAULT read: the reported KeyGroupedPartitioning makes Spark
+    // key-group the per-file partitions — one task per bucket, the SPJ
+    // trade. reportPartitioning=false keeps the per-file partitions:
+    // the hot bucket (4 files) is read by 4 tasks
+    ManifestIndexSource.ensureRegistered(spark)
+    val grouped = ManifestIndexSource.read(spark, path)
+    assert(grouped.rdd.getNumPartitions == 4,
+      "default scan should key-group to nBuckets tasks for SPJ")
+    val split = spark.read.option("reportPartitioning", "false")
+      .table(s"graft_manifest.`$path`")
+    val parts = split.rdd.getNumPartitions
+    assert(parts == 7, s"expected one task per file (3 cold + 4 hot), got $parts")
+    // and the splits did not change results or break keyed reads
+    assert(rows(split) == rows(ManifestTable.read(spark, path)))
+    assert(split.filter(col("id") === hotKey).count() == 16) // 1 seeded + 15 appended
+    // the per-file partitions still report the bucket key: a key-equi
+    // join against the skewed table keeps the index side exchange-free
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.enabled" -> "false") {
+      val probe = spark.range(0, 40).select(col("id"), lit("p").as("tag"))
+      val joined = ManifestIndexSource.read(spark, path).join(probe, "id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert("Exchange ".r.findAllIn(p).size == 1,
+        s"skewed-table SPJ lost the single-exchange property:\n$p")
+      assert(joined.count() ==
+        ManifestTable.read(spark, path).join(probe, "id").count())
+    }
+  }
+
+  test("large-batch probe keeps SPJ shape: batch side shuffles into the bucket layout, index side has no exchange") {
+    // VERDICT r7 #5: the bench probe's batch side broadcasts, so the
+    // "only the batch side shuffles" claim was untested at the size
+    // where it matters. Disable broadcast to force the non-broadcast
+    // plan a corpus-sized batch would get.
+    val idx = s"${Files.createTempDirectory("graft-spj")}/index"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.ops.IncrementalDedup.buildIndex(docs, idx, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, nBuckets = 8)
+    val batch = docs.limit(100)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.enabled" -> "false") {
+      val probe = graft.ops.IncrementalDedup.probe(spark, idx, batch,
+        "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      val lines = probe.queryExecution.executedPlan.toString.split("\n")
+      val scanIdx = lines.indexWhere(_.contains("ManifestIndexScan"))
+      assert(scanIdx >= 0, "probe plan lost the DSv2 index scan")
+      val joinIdx = lines.slice(0, scanIdx).lastIndexWhere(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(joinIdx >= 0,
+        s"no shuffle join above the index scan:\n${lines.mkString("\n")}")
+      // index side: the scan's subtree between the join and the scan
+      // carries no Exchange (its KeyGroupedPartitioning satisfies the
+      // join); the batch side of that join DOES shuffle (≥1 Exchange
+      // elsewhere under the join)
+      assert(!lines.slice(joinIdx + 1, scanIdx + 1).exists(_.contains("Exchange")),
+        s"index side re-shuffled:\n${lines.slice(joinIdx, scanIdx + 1).mkString("\n")}")
+      assert(lines.drop(joinIdx).count(_.contains("Exchange")) >= 1,
+        s"batch side never shuffled into the layout:\n${lines.mkString("\n")}")
+      // and the non-broadcast plan is still correct: same pairs as the
+      // broadcast-allowed run
+      val expected = graft.ops.IncrementalDedup.probe(spark, idx, batch,
+        "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      assert(rows(probe.select("id_l", "id_r")) ==
+        rows(expected.select("id_l", "id_r")))
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -353,4 +353,58 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readVersion(spark, path, 3)
       .filter($"id" === 2L).select("name").as[String].head() == "u2")
   }
+
+  test("checkpointed log: 100+ commits, head reads touch O(1) log files; vacuum and streaming survive the boundary") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path, n = 8, nB = 4)                                        // v1
+    // a long-lived append-log table: one commit per batch, 104 commits
+    (2 to 104).foreach { v =>
+      ManifestTable.append(spark, path,
+        Seq((1000L + v, s"row-$v", v.toDouble)).toDF("id", "name", "score"), "id")
+    }
+    assert(ManifestTable.versions(spark, path) == (1 to 104),
+      "every commit is a listed version")
+    assert(new java.io.File(s"$path/_manifests/_last_checkpoint").exists,
+      "periodic checkpoint was never written")
+
+    // head discovery must NOT list the 104-file log: zero listings, and
+    // probes bounded by the checkpoint interval (+2 slack for the
+    // initial and verification probes)
+    val (l0, p0) = (ManifestTable.logListings.get, ManifestTable.hintProbes.get)
+    assert(ManifestTable.read(spark, path).count() == 8 + 103)
+    val (l1, p1) = (ManifestTable.logListings.get, ManifestTable.hintProbes.get)
+    assert(l1 == l0, s"head read listed the log ${l1 - l0} times")
+    assert(p1 - p0 <= ManifestTable.CheckpointInterval + 2,
+      s"head read probed ${p1 - p0} log files")
+
+    // streaming tail ACROSS a checkpoint boundary: start below v100's
+    // checkpoint, drain to the head — exactly the appended rows arrive
+    graft.sources.ManifestIndexSource.ensureRegistered(spark)
+    val base = Files.createTempDirectory("graft-ckpt-stream").toString
+    spark.readStream.option("startingVersion", "95")
+      .table(s"graft_manifest.`$path`")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(streamed == (96 to 104).map(1000L + _),
+      s"stream across the checkpoint boundary emitted $streamed")
+
+    // vacuum retires most of the log and refreshes the hint: the head
+    // read afterwards is still listing-free and correct
+    ManifestTable.vacuum(spark, path, keepVersions = 3, dataGraceMs = 0)
+    assert(ManifestTable.versions(spark, path) == (102 to 104))
+    val l2 = ManifestTable.logListings.get
+    assert(ManifestTable.read(spark, path).count() == 8 + 103)
+    assert(ManifestTable.currentManifest(spark, path).version == 104)
+    assert(ManifestTable.logListings.get == l2,
+      "post-vacuum head read fell back to a log listing")
+    // a further commit after vacuum keeps working and stays discoverable
+    ManifestTable.append(spark, path,
+      Seq((9999L, "post-vacuum", 0.0)).toDF("id", "name", "score"), "id")
+    assert(ManifestTable.headVersion(spark, path).contains(105))
+    assert(ManifestTable.read(spark, path).count() == 8 + 104)
+  }
 }
