@@ -26,17 +26,44 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = p(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = p(spark, dir, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a proper
-    * TimestampType column truncated to micros — the same truncation
-    * DuckDB applies, so oracle comparisons line up.
+  /** events.parquet's `ts` column has shipped under two physical encodings:
+    * TIMESTAMP(NANOS) (which Spark's parquet reader rejects outright, and
+    * only loads as a raw long under `spark.sql.legacy.parquet.nanosAsLong`)
+    * and — since the fixtures were regenerated — TIMESTAMP(micros,
+    * isAdjustedToUTC=false), which Spark loads natively as TIMESTAMP_NTZ.
+    *
+    * The engine reads what's there: branch on the *loaded* schema rather
+    * than assuming one encoding. All downstream consumers (windows,
+    * sessionization, as-of joins, streaming gates) expect a session-TZ
+    * TimestampType; sessions here run with `spark.sql.session.timeZone=UTC`,
+    * so the NTZ→TZ cast reinterprets the naive wall-clock as UTC — the same
+    * instant DuckDB's oracle derives from the identical file, keeping
+    * rendered values hash-stable.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    p(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw =
+      try p(spark, dir, "events")
+      catch {
+        // Legacy nanos fixture: schema resolution fails without the flag.
+        // Only then do we set it (it solely affects TIMESTAMP(NANOS)
+        // columns, and must stay set through execution of the lazy scan,
+        // so it is not restored) — the common path never mutates session
+        // state.
+        case e: Exception
+            if Option(e.getMessage).exists(m =>
+              m.contains("NANOS") || m.contains("nanosAsLong")) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          p(spark, dir, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long → truncate to micros (DuckDB's truncation too).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already a session-TZ timestamp
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")

@@ -624,6 +624,29 @@ object ExtendedQueries {
       .orderBy("col_name")
   }
 
+  /** The approx-only leg of [[tableProfileSketch]] — what the profiler
+    * actually runs at 100 TB: one scan, per-column `(count, HLL)` state
+    * of fixed size, NO exact `countDistinct` and therefore no Expand
+    * multiplying the scanned rows per distinct column. Bench-only (see
+    * `benchOnly`): its point is the cost delta against the gated query.
+    */
+  def tableProfileSketchOnly(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+    val aggs = ProfileCols.flatMap { case (c, _) => Seq(
+      count(col(c)).as(s"nn_$c"),
+      approx_count_distinct(col(c)).as(s"na_$c"))
+    }
+    val g = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = ProfileCols.map { case (c, _) =>
+      s"'$c', nn_$c, na_$c" }.mkString(", ")
+    g.selectExpr("n_rows", s"stack(${ProfileCols.size}, $stacked) " +
+        "as (col_name, n_non_null, n_distinct_approx)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_nulls"),
+        col("n_distinct_approx"))
+      .orderBy("col_name")
+  }
+
   private val tableProfileSketchSql: String = {
     val aggs = ProfileCols.map { case (c, _) =>
       s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c" }.mkString(",\n  ")
@@ -2812,7 +2835,16 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
         .orderBy("doc_id")),
     "source_overlap_fp" -> ((s: SparkSession, d: String) =>
       sourceOverlap(s, d, fingerprintKeys = true)),
-    "fuzzy_name_join_lsh" -> fuzzyNameJoinLsh _)
+    "fuzzy_name_join_lsh" -> fuzzyNameJoinLsh _,
+    // The production 100 TB ANALYZE: HLL-only NDV, no exact
+    // countDistinct leg and so no Expand row-multiply — the oracled
+    // `table_profile_sketch` carries BOTH legs because comparing them IS
+    // its accuracy gate, which makes its bench cost the gate's, not the
+    // sketch's. This entry benches the sketch alone (not oracle-
+    // registrable: DuckDB's approx_count_distinct uses a different
+    // estimator, so values can't hash-match; the sketch's accuracy is
+    // already oracle-gated by table_profile_sketch).
+    "table_profile_sketch_only" -> tableProfileSketchOnly _)
 
   val oracles: Map[String, String] = Map(
     "dedup_stats" -> dedupStatsSql,

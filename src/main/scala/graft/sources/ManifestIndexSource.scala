@@ -100,6 +100,35 @@ object ManifestIndexSource {
       classOf[ManifestIndexCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    // NOT set here: partiallyClusteredDistribution. It is a per-join
+    // dial, not a session default — KeyGroupedShuffleSpec
+    // .canCreatePartitioning returns false while it is enabled
+    // (replicated partitions cannot be recreated by a shuffle), so
+    // leaving it on would disable the shuffle-one-side SPJ that the
+    // keyed-probe paths (incremental dedup) are built on. Scope it with
+    // [[withPartiallyClusteredSPJ]] around scan-to-scan joins instead.
+  }
+
+  /** Run `f` with partially-clustered storage-partitioned joins enabled —
+    * the skew dial for MANIFEST-TO-MANIFEST joins (both sides report
+    * KeyGroupedPartitioning): a hot bucket's per-file splits stay
+    * separate tasks and the smaller side — picked from the scans'
+    * reported statistics — is replicated per split, instead of Spark
+    * key-grouping the whole bucket into one task. Scoped (set + restore)
+    * because the same flag turns OFF `KeyGroupedShuffleSpec
+    * .canCreatePartitioning`, i.e. the shuffle-one-side SPJ that keyed
+    * probe joins against a single manifest table rely on.
+    */
+  def withPartiallyClusteredSPJ[T](spark: SparkSession)(f: => T): T = {
+    val key =
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Latest snapshot through the partitioning-aware scan. */
@@ -141,25 +170,27 @@ object ManifestIndexSource {
     * time (one listStatus per referenced dir — manifest-bounded, the same
     * listing the reader used to repeat per task).
     */
-  private[sources] def parquetFiles(dir: String, conf: Configuration): Seq[String] = {
+  private[sources] def parquetFiles(dir: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).iterator
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSeq.sorted
+      .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
   }
 
   /** One InputPartition per file of the bucket, all tagged with the
     * bucket's partition key; an empty bucket still emits one (empty)
     * partition so reported partition values cover every bucket a join's
-    * other side can hash into.
+    * other side can hash into. Each partition carries its file's byte
+    * size ([[HasPartitionStatistics]]) — the planner's per-split cost
+    * signal for partially-clustered grouping.
     */
   private[sources] def filePartitions(bucket: Int, dirs: Seq[String],
                                       conf: Configuration): Seq[InputPartition] = {
     val files = dirs.flatMap(parquetFiles(_, conf))
-    if (files.isEmpty) Seq(ManifestBucketPartition(bucket, Seq.empty))
-    else files.map(f => ManifestBucketPartition(bucket, Seq(f)))
+    if (files.isEmpty) Seq(ManifestBucketPartition(bucket, Seq.empty, 0L))
+    else files.map { case (f, len) => ManifestBucketPartition(bucket, Seq(f), len) }
   }
 }
 
@@ -443,7 +474,8 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
                         options: CaseInsensitiveStringMap,
                         @transient hadoopConf: Configuration)
   extends Scan with Batch with SupportsReportPartitioning
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // shrunk in place by runtime filtering (Spark re-plans partitions and
   // re-reads outputPartitioning after filter())
@@ -455,12 +487,47 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
     s"graft.ManifestIndexScan(path=$path, v=${m.version}, " +
       s"buckets=${touched.size}/${m.nBuckets})"
 
-  private def parts: Array[InputPartition] = touched.flatMap { b =>
-    ManifestIndexSource.filePartitions(b,
-      m.buckets.getOrElse(b, Seq.empty).map(rel => s"$path/$rel"), hadoopConf)
-  }.toArray
+  // One driver-side listing per touched-set (planInputPartitions,
+  // outputPartitioning and estimateStatistics all consume it; runtime
+  // filtering shrinks `touched` and invalidates). listStatus is
+  // manifest-bounded: one call per referenced data directory.
+  @transient private var cachedFor: Seq[Int] = null
+  @transient private var cached: Array[InputPartition] = _
+  private def parts: Array[InputPartition] = synchronized {
+    if (cachedFor != touched) {
+      cached = touched.flatMap { b =>
+        ManifestIndexSource.filePartitions(b,
+          m.buckets.getOrElse(b, Seq.empty).map(rel => s"$path/$rel"), hadoopConf)
+      }.toArray
+      cachedFor = touched
+    }
+    cached
+  }
 
   override def planInputPartitions(): Array[InputPartition] = parts
+
+  /** Honest table statistics: the summed on-disk bytes of the touched
+    * buckets' files (post bucket-prune, so a keyed slice reports the
+    * slice's size, not the table's). This is what lets the planner (a)
+    * pick the smaller side to replicate under partially-clustered SPJ
+    * and (b) auto-broadcast a genuinely small slice instead of assuming
+    * `defaultSizeInBytes` (= "never broadcastable") for every DSv2
+    * relation — both decisions a 100 TB table needs made from data, not
+    * defaults. Row count is left unset: footer reads would cost one IO
+    * per file at planning time, and byte size alone drives both
+    * decisions.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = parts.map {
+        case p: ManifestBucketPartition => p.bytes
+        case _ => 0L
+      }.sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   /** Whether the scan CLAIMS its key-grouped layout. Claiming it is what
     * makes storage-partitioned joins exchange-free — but Spark then
@@ -672,11 +739,23 @@ class ManifestMicroBatchStream(path: String, required: StructType,
 /** The parquet files of one bucket (usually ONE file — the scan splits
   * per file); `partitionKey` is what Spark groups and aligns
   * co-partitioned joins on — many partitions may carry the same key.
+  * `bytes` is the split's on-disk size, reported through
+  * [[org.apache.spark.sql.connector.read.HasPartitionStatistics]] so the
+  * partially-clustered SPJ planner can weigh splits (and so EXPLAIN's
+  * cost model sees real sizes, not defaults).
   */
-case class ManifestBucketPartition(bucket: Int, files: Seq[String])
-  extends InputPartition with HasPartitionKey {
+case class ManifestBucketPartition(bucket: Int, files: Seq[String],
+                                   bytes: Long = 0L)
+  extends InputPartition with HasPartitionKey
+  with org.apache.spark.sql.connector.read.HasPartitionStatistics {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
+  override def sizeInBytes(): java.util.OptionalLong =
+    java.util.OptionalLong.of(bytes)
+  override def numRows(): java.util.OptionalLong =
+    java.util.OptionalLong.empty()
+  override def filesCount(): java.util.OptionalLong =
+    java.util.OptionalLong.of(files.size.toLong)
 }
 
 /** Built on the DRIVER (where the session's SQLConf is in scope): the
