@@ -80,12 +80,18 @@ import graft.sinks.ManifestTable
   * more decode CPU than this path). The Group-API row reader remains as
   * the documented fallback for any schema outside the vectorizable
   * surface. Parallelism: the scan plans one InputPartition per parquet
-  * FILE (each still carrying its bucket's partition key). With the
+  * FILE (each still carrying its bucket's partition key and its on-disk
+  * byte size — the scan reports honest statistics, per split and per
+  * table, post bucket-prune). With the
   * default `reportPartitioning=true` Spark key-groups those files back
   * to one task per bucket — the shape storage-partitioned joins need;
   * `option("reportPartitioning", "false")` keeps the per-file tasks for
   * bare scans and skewed-bucket pipelines that prefer parallelism over
-  * the join property (Iceberg's `preserve-data-grouping` dial).
+  * the join property (Iceberg's `preserve-data-grouping` dial). For
+  * MANIFEST-TO-MANIFEST joins there is a third shape with both
+  * properties at once: [[withPartiallyClusteredSPJ]] scopes Spark's
+  * partially-clustered distribution so a hot bucket's files stay
+  * separate tasks while neither side shuffles.
   */
 object ManifestIndexSource {
 
