@@ -99,11 +99,24 @@ object ManifestTable {
   private[graft] case class Manifest(version: Int, nBuckets: Int,
                                      keyCol: String, schemaDdl: String,
                                      buckets: Map[Int, Seq[String]],
-                                     txns: Map[String, Long] = Map.empty) {
+                                     txns: Map[String, Long] = Map.empty,
+                                     dirRows: Map[String, Long] = Map.empty,
+                                     dirStats: Map[String, Map[String, (String, String)]] = Map.empty) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     def keyType: org.apache.spark.sql.types.DataType =
       schema(keyCol).dataType
+    /** Exact row count from metadata alone, when every referenced dir
+      * has a recorded count (manifests written before the field existed
+      * may have gaps until their dirs are rewritten). The metadata-only
+      * `SELECT count(*)` — no data IO.
+      */
+    def totalRows: Option[Long] = {
+      val referenced = buckets.values.flatten.toSeq
+      if (referenced.forall(dirRows.contains))
+        Some(referenced.map(dirRows).sum)
+      else None
+    }
   }
 
   private def fs(spark: SparkSession, path: String) =
@@ -122,15 +135,35 @@ object ManifestTable {
       s"schema/key not manifest-safe (embedded quote): ${m.schemaDdl}")
     m.txns.keys.foreach(k => require(k.matches("[A-Za-z0-9._=-]+"),
       s"txn appId not manifest-safe: $k"))
+    m.dirRows.keys.foreach(k => require(k.matches("[A-Za-z0-9/._=-]+"),
+      s"dir path not manifest-safe: $k"))
+    m.dirStats.foreach { case (d, cols) =>
+      require(d.matches("[A-Za-z0-9/._=-]+"), s"dir path not manifest-safe: $d")
+      cols.foreach { case (c, (mn, mx)) =>
+        require(c.matches("[A-Za-z_][A-Za-z0-9_]*"), s"stats column not manifest-safe: $c")
+        require(mn.matches("[-+0-9.Ee]+") && mx.matches("[-+0-9.Ee]+"),
+          s"stats bound not manifest-safe: $c=[$mn,$mx]")
+      }
+    }
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, ps) =>
         s""""$b":[${ps.map(p => s""""$p"""").mkString(",")}]""" }
       .mkString(",")
     val txns = m.txns.toSeq.sortBy(_._1)
       .map { case (a, v) => s""""$a":$v""" }.mkString(",")
+    val rows = m.dirRows.toSeq.sortBy(_._1)
+      .map { case (d, n) => s""""$d":$n""" }.mkString(",")
+    val stats = m.dirStats.toSeq.sortBy(_._1)
+      .map { case (d, cols) =>
+        val inner = cols.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s""""$c":["$mn","$mx"]""" }.mkString(",")
+        s""""$d":{$inner}""" }
+      .mkString(",")
     s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
       s""""keyCol":"${m.keyCol}","schemaDdl":"${m.schemaDdl}",""" +
       s""""txns":{$txns},""" +
+      s""""dirRows":{$rows},""" +
+      s""""dirStats":{$stats},""" +
       s""""buckets":{$entries}}"""
   }
 
@@ -155,8 +188,34 @@ object ManifestTable {
         """"([A-Za-z0-9._=-]+)":(\d+)""".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toLong).toMap
     }
+    // optional (absent in pre-stats manifests): per-directory row counts,
+    // rendered before buckets like txns
+    val dirRows = s.indexOf("\"dirRows\"") match {
+      case -1 => Map.empty[String, Long]
+      case i =>
+        val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+        """"([A-Za-z0-9/._=-]+)":(\d+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+    // optional: per-directory numeric column min/max (zone maps). The
+    // object NESTS one level, so take the balanced {...} body.
+    val dirStats = s.indexOf("\"dirStats\"") match {
+      case -1 => Map.empty[String, Map[String, (String, String)]]
+      case i =>
+        val open = s.indexOf('{', i)
+        var depth = 0; var end = open
+        while ({ val c = s.charAt(end)
+                 if (c == '{') depth += 1 else if (c == '}') depth -= 1
+                 depth != 0 }) end += 1
+        val body = s.substring(open + 1, end)
+        """"([A-Za-z0-9/._=-]+)":\{([^{}]*)\}""".r.findAllMatchIn(body).map { d =>
+          d.group(1) -> """"([A-Za-z_][A-Za-z0-9_]*)":\["([^"]*)","([^"]*)"\]""".r
+            .findAllMatchIn(d.group(2))
+            .map(c => c.group(1) -> (c.group(2), c.group(3))).toMap
+        }.toMap
+    }
     Manifest(intField("version"), intField("nBuckets"),
-      strField("keyCol"), strField("schemaDdl"), buckets, txns)
+      strField("keyCol"), strField("schemaDdl"), buckets, txns, dirRows, dirStats)
   }
 
   /** Committed versions, ascending; empty if the table doesn't exist.
@@ -321,7 +380,93 @@ object ManifestTable {
     * exists() pre-check converts the common lost race into the cheap
     * path without writing the tmp rename.
     */
-  private[graft] def publish(spark: SparkSession, path: String, next: Manifest): Unit = {
+  /** Exact rows plus per-column numeric min/max (zone maps) of one data
+    * directory, from parquet FOOTERS only (no data pages) — O(files in
+    * the dir) metadata round-trips, driver-side. Stats cover TOP-LEVEL
+    * int/long/float/double columns with identifier-shaped names; a
+    * column chunk with no non-null values contributes nothing (absent
+    * bounds are "unknown", never "empty range"). `None` on any failure:
+    * these are advisory statistics and must never fail a commit.
+    */
+  private def dirMeta(spark: SparkSession, dir: String)
+      : Option[(Long, Map[String, (String, String)])] =
+    try {
+      val p = new Path(dir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) Some((0L, Map.empty))
+      else {
+        var rows = 0L
+        val lo = scala.collection.mutable.Map[String, java.math.BigDecimal]()
+        val hi = scala.collection.mutable.Map[String, java.math.BigDecimal]()
+        f.listStatus(p).iterator
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+            try {
+              rows += r.getRecordCount
+              r.getFooter.getBlocks.forEach { block =>
+                block.getColumns.forEach { cc =>
+                  val path = cc.getPath.toArray
+                  val s = cc.getStatistics
+                  if (path.length == 1 && path(0).matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                      s != null && s.hasNonNullValue) {
+                    val nums: Option[(Double, Double)] = cc.getPrimitiveType.getPrimitiveTypeName match {
+                      case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 |
+                           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 |
+                           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT |
+                           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE =>
+                        Some((s.genericGetMin.asInstanceOf[Number].doubleValue,
+                              s.genericGetMax.asInstanceOf[Number].doubleValue))
+                      case _ => None
+                    }
+                    nums.filter { case (a, b) => !a.isNaN && !b.isNaN &&
+                        !a.isInfinite && !b.isInfinite }
+                      .foreach { case (a, b) =>
+                        // exact bounds: INT64 above 2^53 loses precision in
+                        // double — widen through the typed value's string
+                        val (mn, mx) = (
+                          new java.math.BigDecimal(s.genericGetMin.toString),
+                          new java.math.BigDecimal(s.genericGetMax.toString))
+                        val c = path(0)
+                        lo(c) = lo.get(c).fold(mn)(_.min(mn))
+                        hi(c) = hi.get(c).fold(mx)(_.max(mx))
+                      }
+                  }
+                }
+              }
+            } finally r.close()
+          }
+        Some((rows, lo.keys.map(c =>
+          c -> (lo(c).toString, hi(c).toString)).toMap))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Complete `next.dirRows`/`next.dirStats` before rendering: drop
+    * entries for dirs the manifest no longer references (upsert/delete/
+    * compact rewrote them) and footer-read the NEWLY referenced ones in
+    * one pass. Mutation paths build `next` via `cur.copy(...)`, so
+    * metadata for surviving dirs carries forward and the per-commit cost
+    * is O(new files)' footer reads regardless of table size; a dir whose
+    * footers cannot be read is simply left unrecorded (stats degrade,
+    * commits never fail).
+    */
+  private def withDirMeta(spark: SparkSession, path: String, next: Manifest): Manifest = {
+    val referenced = next.buckets.values.flatten.toSet
+    var rows = next.dirRows.filter { case (d, _) => referenced(d) }
+    var stats = next.dirStats.filter { case (d, _) => referenced(d) }
+    (referenced -- (rows.keySet intersect stats.keySet)).toSeq.sorted.foreach { rel =>
+      dirMeta(spark, s"$path/$rel").foreach { case (n, st) =>
+        if (!rows.contains(rel)) rows += rel -> n
+        if (!stats.contains(rel)) stats += rel -> st
+      }
+    }
+    next.copy(dirRows = rows, dirStats = stats)
+  }
+
+  private[graft] def publish(spark: SparkSession, path: String, next0: Manifest): Unit = {
+    val next = withDirMeta(spark, path, next0)
     val f = fs(spark, path)
     val dir = new Path(path, ManifestDir)
     f.mkdirs(dir)
@@ -466,6 +611,14 @@ object ManifestTable {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     readFrom(spark, path, currentManifest(spark, path))
+
+  /** Exact `SELECT count(*)` from manifest metadata alone — zero data
+    * IO, O(checkpoint-interval) log probes. `None` only for tables whose
+    * manifests predate row-count tracking and haven't been rewritten
+    * since (any commit refreshes the touched dirs' counts).
+    */
+  def rowCount(spark: SparkSession, path: String): Option[Long] =
+    currentManifest(spark, path).totalRows
 
   /** Point lookup: the key's bucket is computed driver-side (against the
     * table's actual key type, as in [[BucketedTable.lookup]]) and ONLY

@@ -422,17 +422,109 @@ object ManifestBucketPruning {
       if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
     case _ => None
   }
+
+  import org.apache.spark.sql.sources._
+
+  /** Whether a filter shape can consult zone maps at all — used to
+    * decide which pushed filters participate in dir-level pruning.
+    */
+  def zoneUsable(f: Filter): Boolean = f match {
+    case EqualTo(_, v: Number) => true
+    case GreaterThan(_, v: Number) => true
+    case GreaterThanOrEqual(_, v: Number) => true
+    case LessThan(_, v: Number) => true
+    case LessThanOrEqual(_, v: Number) => true
+    case In(_, vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[Number])
+    case _ => false
+  }
+
+  private def big(n: Number): java.math.BigDecimal =
+    new java.math.BigDecimal(n.toString)
+
+  /** Zone-map check: can a directory with the given per-column [min,max]
+    * bounds contain a row matching `f`? `true` means "maybe" — absent
+    * bounds, non-numeric shapes, and anything unrecognized all survive.
+    * Bounds cover the dir's NON-NULL values, and every shape here only
+    * matches non-null values, so pruning on them is exact.
+    */
+  def dirSurvives(stats: Map[String, (String, String)], f: Filter): Boolean = {
+    def bounds(attr: String): Option[(java.math.BigDecimal, java.math.BigDecimal)] =
+      stats.get(attr).flatMap { case (mn, mx) =>
+        try Some((new java.math.BigDecimal(mn), new java.math.BigDecimal(mx)))
+        catch { case _: NumberFormatException => None }
+      }
+    f match {
+      case EqualTo(a, v: Number) =>
+        bounds(a).forall { case (mn, mx) =>
+          mn.compareTo(big(v)) <= 0 && big(v).compareTo(mx) <= 0 }
+      case GreaterThan(a, v: Number) =>
+        bounds(a).forall { case (_, mx) => mx.compareTo(big(v)) > 0 }
+      case GreaterThanOrEqual(a, v: Number) =>
+        bounds(a).forall { case (_, mx) => mx.compareTo(big(v)) >= 0 }
+      case LessThan(a, v: Number) =>
+        bounds(a).forall { case (mn, _) => mn.compareTo(big(v)) < 0 }
+      case LessThanOrEqual(a, v: Number) =>
+        bounds(a).forall { case (mn, _) => mn.compareTo(big(v)) <= 0 }
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        bounds(a).forall { case (mn, mx) => vs.exists { v =>
+          val b = big(v.asInstanceOf[Number])
+          mn.compareTo(b) <= 0 && b.compareTo(mx) <= 0 } }
+      case _ => true
+    }
+  }
 }
 
 class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
                                options: CaseInsensitiveStringMap,
                                hadoopConf: Configuration)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = ManifestIndexTable.deepNullable(m.schema)
   private var keyPrune: Option[Set[Int]] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushedCountStar = false
+
+  private def optionedBuckets: Seq[Int] = Option(options.get("buckets")) match {
+    case Some(s) =>
+      s.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toInt).toSeq.distinct.sorted
+    case None => 0 until m.nBuckets
+  }
+
+  /** Metadata-only COUNT(*) — `SELECT count(*) FROM graft_manifest.t`
+    * answers from the manifest's per-directory row counts with ZERO data
+    * or footer IO (the counts were footer-read once, at commit time).
+    * Answerable exactly only when: no grouping, the single aggregate is
+    * COUNT(*), no predicate reached this scan (Spark only attempts
+    * aggregate pushdown on scans whose post-scan filters are empty, and
+    * this source keeps every predicate residual — so a filtered count
+    * falls back to the real scan automatically; the keyPrune guard is
+    * belt-and-braces), and every referenced dir carries a count (tables
+    * predating the stats field degrade to a real scan, never to a wrong
+    * answer).
+    */
+  private def canAnswerCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      keyPrune.isEmpty && pushed.isEmpty && {
+        val dirs = optionedBuckets.flatMap(b => m.buckets.getOrElse(b, Seq.empty))
+        dirs.forall(m.dirRows.contains)
+      }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canAnswerCountStar(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (canAnswerCountStar(agg)) { pushedCountStar = true; true }
+    else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -451,24 +543,67 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
     if (usable.nonEmpty) {
       // conjunction: a row must satisfy every filter, so intersect
       keyPrune = Some(usable.map(_._2).reduce(_ intersect _))
-      pushed = usable.map(_._1)
     }
+    // numeric range/equality/IN conjuncts additionally prune whole DATA
+    // DIRECTORIES via the manifest's zone maps (per-dir column min/max,
+    // footer-recorded at commit). Dir pruning is conservative: a dir
+    // with no recorded bounds for the column always survives.
+    zoneFilters = filters.filter(ManifestBucketPruning.zoneUsable)
+    // consumed-for-pruning filters are REPORTED (EXPLAIN's PushedFilters)
+    // but all filters stay residual: buckets hold many keys and zone
+    // bounds are coarse, so Spark must still evaluate rows.
+    pushed = (usable.map(_._1) ++ zoneFilters).distinct
     filters
   }
+  private var zoneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan = {
-    val optioned: Seq[Int] = Option(options.get("buckets")) match {
-      case Some(s) =>
-        s.split(',').iterator.map(_.trim).filter(_.nonEmpty)
-          .map(_.toInt).toSeq.distinct.sorted
-      case None => 0 until m.nBuckets
-    }
+    val optioned = optionedBuckets
     require(optioned.forall(b => b >= 0 && b < m.nBuckets),
       s"buckets option out of range [0, ${m.nBuckets}): $optioned")
-    val touched = keyPrune.fold(optioned)(ks => optioned.filter(ks))
-    new ManifestIndexScan(path, m, touched, required, options, hadoopConf)
+    if (pushedCountStar)
+      new ManifestCountScan(path, m, optioned)
+    else {
+      val touched = keyPrune.fold(optioned)(ks => optioned.filter(ks))
+      new ManifestIndexScan(path, m, touched, required, options, hadoopConf,
+        zoneFilters)
+    }
   }
+}
+
+/** The completely-pushed COUNT(*): one input partition emitting the one
+  * row, the count summed from manifest metadata at plan time. The
+  * 100 TB `SELECT count(*)` costs one manifest read.
+  */
+class ManifestCountScan(path: String, m: ManifestTable.Manifest,
+                        buckets: Seq[Int])
+  extends Scan with Batch {
+  private[sources] val count: Long =
+    buckets.flatMap(b => m.buckets.getOrElse(b, Seq.empty)).map(m.dirRows).sum
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      "count", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft.ManifestCountScan(path=$path, v=${m.version}, rows=$count)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestCountReaderFactory
+}
+
+case class ManifestCountPartition(count: Long) extends InputPartition
+
+class ManifestCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val c = partition.asInstanceOf[ManifestCountPartition].count
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](c))
+      override def close(): Unit = ()
+    }
 }
 
 /** Scan = Batch: one input partition per (possibly empty) bucket, each
@@ -478,7 +613,8 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
 class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
                         initialTouched: Seq[Int], required: StructType,
                         options: CaseInsensitiveStringMap,
-                        @transient hadoopConf: Configuration)
+                        @transient hadoopConf: Configuration,
+                        zoneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -487,11 +623,25 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
   // re-reads outputPartitioning after filter())
   private var touched: Seq[Int] = initialTouched
 
+  /** A bucket's data dirs minus the ones the zone maps prove cannot
+    * match the pushed numeric conjuncts — manifest-level IO cut for
+    * NON-KEY predicates, the Delta data-skipping idea. Conservative by
+    * construction ([[ManifestBucketPruning.dirSurvives]]).
+    */
+  private def dirsOf(b: Int): Seq[String] =
+    m.buckets.getOrElse(b, Seq.empty).filter(rel =>
+      zoneFilters.forall(f => ManifestBucketPruning.dirSurvives(
+        m.dirStats.getOrElse(rel, Map.empty), f)))
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
+  override def description(): String = {
+    val totalDirs = touched.map(b => m.buckets.getOrElse(b, Seq.empty).size).sum
+    val keptDirs = touched.map(b => dirsOf(b).size).sum
     s"graft.ManifestIndexScan(path=$path, v=${m.version}, " +
-      s"buckets=${touched.size}/${m.nBuckets})"
+      s"buckets=${touched.size}/${m.nBuckets}" +
+      (if (keptDirs != totalDirs) s", dirs=$keptDirs/$totalDirs" else "") + ")"
+  }
 
   // One driver-side listing per touched-set (planInputPartitions,
   // outputPartitioning and estimateStatistics all consume it; runtime
@@ -503,7 +653,7 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
     if (cachedFor != touched) {
       cached = touched.flatMap { b =>
         ManifestIndexSource.filePartitions(b,
-          m.buckets.getOrElse(b, Seq.empty).map(rel => s"$path/$rel"), hadoopConf)
+          dirsOf(b).map(rel => s"$path/$rel"), hadoopConf)
       }.toArray
       cachedFor = touched
     }
@@ -519,9 +669,11 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
     * and (b) auto-broadcast a genuinely small slice instead of assuming
     * `defaultSizeInBytes` (= "never broadcastable") for every DSv2
     * relation — both decisions a 100 TB table needs made from data, not
-    * defaults. Row count is left unset: footer reads would cost one IO
-    * per file at planning time, and byte size alone drives both
-    * decisions.
+    * defaults. Row count comes from the MANIFEST's per-directory counts
+    * (footer-counted once at commit time, [[ManifestTable]] `dirRows`) —
+    * zero planning-time footer IO; reported only when every touched dir
+    * has a recorded count (tables written before the field existed have
+    * gaps until their dirs are next rewritten).
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
@@ -529,10 +681,16 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
         case p: ManifestBucketPartition => p.bytes
         case _ => 0L
       }.sum
+      private val rows: Option[Long] = {
+        // zone-pruned dirs excluded: the stats describe what will be read
+        val dirs = touched.flatMap(dirsOf)
+        if (dirs.forall(m.dirRows.contains)) Some(dirs.map(m.dirRows).sum)
+        else None
+      }
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
 
   /** Whether the scan CLAIMS its key-grouped layout. Claiming it is what

@@ -632,6 +632,138 @@ class ManifestIndexSourceSpec extends SparkSpec {
     }
   }
 
+  test("zone maps: numeric predicates skip whole data directories; pruning is exact and conservative") {
+    val path = tmp()
+    // three commits with DISJOINT score ranges → every bucket's dir list
+    // has one dir per range, distinguishable by manifest column bounds
+    def batch(ids: Range, scoreBase: Double) =
+      ids.map(i => (i.toLong, s"n-$i", scoreBase + (i % 50), Seq(i.toLong)))
+        .toDF("id", "name", "score", "sig")
+    ManifestTable.write(batch(0 until 200, 0.0), path, "id", 4)          // scores 0..49
+    ManifestTable.append(spark, path, batch(200 until 400, 1000.0), "id") // 1000..1049
+    ManifestTable.append(spark, path, batch(400 until 600, 2000.0), "id") // 2000..2049
+    ManifestIndexSource.ensureRegistered(spark)
+    val m = ManifestTable.currentManifest(spark, path)
+    def planned(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val b = new graft.sources.ManifestIndexTable(
+          path, m, spark.sparkContext.hadoopConfiguration)
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+      b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(filters.toArray)
+      b.build().asInstanceOf[graft.sources.ManifestIndexScan]
+        .planInputPartitions().count(
+          _.asInstanceOf[graft.sources.ManifestBucketPartition].files.nonEmpty)
+    }
+    val all = planned()
+    assert(all == 12, s"expected 12 file partitions (4 buckets × 3 dirs), got $all")
+    // a range predicate keeps only the dirs whose bounds admit it
+    assert(planned(org.apache.spark.sql.sources.GreaterThan("score", 1500.0)) == 4,
+      "score > 1500 must keep only the third commit's dirs")
+    assert(planned(org.apache.spark.sql.sources.LessThan("score", 100.0)) == 4)
+    assert(planned(org.apache.spark.sql.sources.EqualTo("score", 1010.0)) == 4)
+    assert(planned(org.apache.spark.sql.sources.In("score",
+      Array[Any](10.0, 2010.0))) == 8)
+    // conjunct of disjoint ranges: nothing survives
+    assert(planned(
+      org.apache.spark.sql.sources.GreaterThan("score", 1500.0),
+      org.apache.spark.sql.sources.LessThan("score", 100.0)) == 0)
+    // a column with no recorded bounds never prunes (strings are not
+    // zone-mapped); an unrecognized shape never prunes
+    assert(planned(org.apache.spark.sql.sources.EqualTo("name", "n-5")) == 12)
+    assert(planned(org.apache.spark.sql.sources.IsNull("score")) == 12)
+    // end-to-end through SQL: answers equal the unpruned parquet read,
+    // and EXPLAIN shows the dir cut
+    val t = s"graft_manifest.`$path`"
+    val q = spark.sql(s"SELECT count(*) AS n, sum(id) AS s FROM $t WHERE score >= 2000.0")
+    val expect = ManifestTable.read(spark, path).filter(col("score") >= 2000.0)
+    assert(q.head().getLong(0) == expect.count())
+    assert(q.head().getLong(1) == expect.agg(sum("id")).head().getLong(0))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("dirs=4/12"), s"zone cut not visible in plan:\n$desc")
+  }
+
+  test("SELECT count(*) answers from manifest metadata: no data files read, filters fall back") {
+    val path = tmp()
+    seed(path, n = 200, nB = 8)
+    ManifestTable.append(spark, path,
+      Seq((999L, "x", 0.0, Seq(1L))).toDF("id", "name", "score", "sig"), "id")
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"graft_manifest.`$path`"
+    // complete pushdown: the plan carries the metadata count scan, not
+    // the parquet-reading index scan
+    val q = spark.sql(s"SELECT count(*) FROM $t")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ManifestCountScan"),
+      s"count(*) did not push to metadata:\n$p")
+    assert(!p.contains("ManifestIndexScan"), p)
+    assert(q.head().getLong(0) == 201)
+    // a predicate blocks the metadata answer and falls back to the real
+    // scan — correctness over cleverness
+    val filtered = spark.sql(s"SELECT count(*) FROM $t WHERE score > 500.0")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("ManifestCountScan"))
+    assert(filtered.head().getLong(0) ==
+      ManifestTable.read(spark, path).filter(col("score") > 500.0).count())
+    // GROUP BY never pushes
+    val grouped = spark.sql(s"SELECT bucket, count(*) FROM $t GROUP BY bucket")
+    assert(!grouped.queryExecution.executedPlan.toString.contains("ManifestCountScan"))
+    assert(grouped.count() == 8)
+    // a manifest with MISSING dir counts (pre-stats table) degrades to a
+    // real scan with the right answer: strip dirRows from the head
+    // manifest and republish it as the next version, bypassing publish's
+    // refill
+    val mDir = new java.io.File(s"$path/_manifests")
+    val head = mDir.listFiles.filter(_.getName.matches("v\\d+\\.json"))
+      .maxBy(_.getName)
+    val v = head.getName.stripPrefix("v").stripSuffix(".json").toInt
+    val stripped = java.nio.file.Files.readString(head.toPath)
+      .replaceAll(""""dirRows":\{[^}]*\},""", "")
+      .replaceAll(""""version":\d+""", s""""version":${v + 1}""")
+    java.nio.file.Files.writeString(
+      new java.io.File(mDir, f"v${v + 1}%08d.json").toPath, stripped)
+    val degraded = spark.sql(s"SELECT count(*) FROM $t")
+    assert(!degraded.queryExecution.executedPlan.toString.contains("ManifestCountScan"),
+      "count must not claim metadata it does not have")
+    assert(degraded.head().getLong(0) == 201)
+  }
+
+  test("scan statistics are honest: table size = summed file bytes, a key-pruned slice reports the slice") {
+    val path = tmp()
+    seed(path, n = 200, nB = 8)
+    ManifestIndexSource.ensureRegistered(spark)
+    def diskBytes(p: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$p/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    def statsOf(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = ManifestIndexSource.read(spark, path)
+    assert(statsOf(full) == BigInt(diskBytes(path)),
+      s"full-table stats ${statsOf(full)} != on-disk ${diskBytes(path)}")
+    // a keyed slice reports ONLY the touched buckets' bytes (post-prune
+    // statistics — a 100 TB table probed on one key must not cost-model
+    // as 100 TB)
+    val sliced = ManifestIndexSource.readBuckets(spark, path,
+      Seq(3L).toDF("id"))
+    val sliceStats = statsOf(sliced)
+    assert(sliceStats > 0 && sliceStats < BigInt(diskBytes(path)),
+      s"pruned slice reports $sliceStats of ${diskBytes(path)} total")
+    // and the stats are REAL to the planner: a small manifest table on
+    // the build side of a key join auto-broadcasts with no hint —
+    // impossible under DSv2's defaultSizeInBytes fallback
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val fact = spark.range(0, 100000).select(col("id"),
+        (col("id") % 5).as("grp"))
+      val joined = fact.join(ManifestIndexSource.read(spark, path), "id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"small manifest table did not auto-broadcast:\n$p")
+      assert(joined.count() == 200)
+    }
+  }
+
   test("partially-clustered SPJ: a hot bucket's files stay separate tasks, both scan sides exchange-free") {
     // VERDICT r8 #4: per-file splits existed, but default key-grouping
     // folds a hot bucket back into ONE task for SPJ. For MANIFEST-TO-

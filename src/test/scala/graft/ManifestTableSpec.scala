@@ -35,6 +35,46 @@ class ManifestTableSpec extends SparkSpec {
       (0L until n.toLong).map(i => (i, s"name-$i", i * 10.0)).toDF("id", "name", "score"),
       path, "id", nB)
 
+  test("manifest-carried row counts: exact metadata-only count(*) across the whole lifecycle") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path, n = 100, nB = 4)
+    def expectRows(n: Long, what: String): Unit = {
+      // metadata-only count agrees with an actual scan at every step
+      assert(ManifestTable.rowCount(spark, path).contains(n),
+        s"$what: rowCount=${ManifestTable.rowCount(spark, path)} expected $n")
+      assert(ManifestTable.read(spark, path).count() == n, what)
+    }
+    expectRows(100, "after write")
+    ManifestTable.append(spark, path,
+      (100L until 120L).map(i => (i, s"a-$i", 0.0)).toDF("id", "name", "score"), "id")
+    expectRows(120, "after append")
+    ManifestTable.upsert(spark, path,
+      Seq((5L, "up", 1.0), (200L, "new", 2.0)).toDF("id", "name", "score"), "id")
+    expectRows(121, "after upsert (1 update + 1 insert)")
+    ManifestTable.delete(spark, path, "id", 7L)
+    expectRows(120, "after delete")
+    ManifestTable.compact(spark, path, maxDirs = 1)
+    expectRows(120, "after compact")
+    // the count is pure metadata: every referenced dir carries a count
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.buckets.values.flatten.forall(m.dirRows.contains),
+      s"uncounted dirs in ${m.dirRows.keySet}")
+    // and a manifest WITHOUT the field (pre-stats table) degrades to None
+    assert(m.copy(dirRows = Map.empty).totalRows.isEmpty)
+    // the DSv2 scan reports the manifest counts as numRows — and a
+    // key-pruned slice reports the slice's rows, not the table's
+    graft.sources.ManifestIndexSource.ensureRegistered(spark)
+    def numRows(df: org.apache.spark.sql.DataFrame): Option[java.math.BigInteger] =
+      df.queryExecution.optimizedPlan.stats.rowCount.map(_.bigInteger)
+    val full = graft.sources.ManifestIndexSource.read(spark, path)
+    assert(numRows(full).contains(java.math.BigInteger.valueOf(120)),
+      s"scan numRows=${numRows(full)}")
+    val slice = graft.sources.ManifestIndexSource.readBuckets(spark, path,
+      Seq(3L).toDF("id"))
+    assert(numRows(slice).exists(_.longValue < 120),
+      s"pruned slice should report fewer rows: ${numRows(slice)}")
+  }
+
   test("upsert commits all touched buckets atomically and leaves untouched files bit-identical") {
     val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
     seed(path)
