@@ -484,7 +484,6 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
   private var required: StructType = ManifestIndexTable.deepNullable(m.schema)
   private var keyPrune: Option[Set[Int]] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var pushedCountStar = false
 
   private def optionedBuckets: Seq[Int] = Option(options.get("buckets")) match {
     case Some(s) =>
@@ -493,38 +492,87 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
     case None => 0 until m.nBuckets
   }
 
-  /** Metadata-only COUNT(*) — `SELECT count(*) FROM graft_manifest.t`
-    * answers from the manifest's per-directory row counts with ZERO data
-    * or footer IO (the counts were footer-read once, at commit time).
-    * Answerable exactly only when: no grouping, the single aggregate is
-    * COUNT(*), no predicate reached this scan (Spark only attempts
+  /** Metadata-only aggregates — `SELECT count(*) / min(c) / max(c) FROM
+    * graft_manifest.t` answers from the manifest's per-directory row
+    * counts and zone maps with ZERO data or footer IO (both were
+    * footer-read once, at commit time). Answerable exactly only when:
+    * no grouping; no predicate reached this scan (Spark only attempts
     * aggregate pushdown on scans whose post-scan filters are empty, and
-    * this source keeps every predicate residual — so a filtered count
-    * falls back to the real scan automatically; the keyPrune guard is
-    * belt-and-braces), and every referenced dir carries a count (tables
-    * predating the stats field degrade to a real scan, never to a wrong
-    * answer).
+    * this source keeps every predicate residual — so a filtered
+    * aggregate falls back to the real scan automatically; the
+    * keyPrune/pushed guard is belt-and-braces); every aggregate is
+    * COUNT(*) (needs every referenced dir to carry a row count) or
+    * MIN/MAX of a numeric column (needs every referenced dir to carry
+    * bounds for it — zone bounds cover non-null values, which is
+    * exactly what min/max aggregate; a dir with the column all-null
+    * records no bounds and conservatively blocks the answer). Tables
+    * predating the stats fields degrade to a real scan, never to a
+    * wrong answer.
     */
-  private def canAnswerCountStar(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      keyPrune.isEmpty && pushed.isEmpty && {
-        val dirs = optionedBuckets.flatMap(b => m.buckets.getOrElse(b, Seq.empty))
-        dirs.forall(m.dirRows.contains)
+  private def metaAggValues(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] = {
+    if (!(agg.groupByExpressions.isEmpty && keyPrune.isEmpty && pushed.isEmpty &&
+          agg.aggregateExpressions.nonEmpty)) return None
+    val dirs = optionedBuckets.flatMap(b => m.buckets.getOrElse(b, Seq.empty))
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def numericType(c: String): Option[org.apache.spark.sql.types.DataType] =
+      m.schema.fields.find(_.name == c).map(_.dataType).filter {
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+        case _ => false
       }
+    def typed(dt: org.apache.spark.sql.types.DataType,
+              bd: java.math.BigDecimal): Option[Any] =
+      try Some(dt match {
+        case org.apache.spark.sql.types.IntegerType => bd.intValueExact()
+        case org.apache.spark.sql.types.LongType    => bd.longValueExact()
+        case org.apache.spark.sql.types.FloatType   => bd.floatValue()
+        case org.apache.spark.sql.types.DoubleType  => bd.doubleValue()
+      }) catch { case _: ArithmeticException => None }
+    def extremum(c: String, dt: org.apache.spark.sql.types.DataType,
+                 takeMin: Boolean): Option[Any] = {
+      if (dirs.isEmpty) return Some(null) // empty table: min/max is NULL
+      val bounds = dirs.map(d => m.dirStats.getOrElse(d, Map.empty).get(c))
+      if (bounds.exists(_.isEmpty)) return None
+      val bds = bounds.flatten.map { case (mn, mx) =>
+        new java.math.BigDecimal(if (takeMin) mn else mx) }
+      typed(dt, if (takeMin) bds.min else bds.max)
+    }
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Min, Max}
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        if (dirs.forall(m.dirRows.contains))
+          Some((org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType,
+            dirs.map(m.dirRows).sum: Any))
+        else None
+      case mn: Min =>
+        for { c <- colOf(mn.column); dt <- numericType(c); v <- extremum(c, dt, takeMin = true) }
+          yield (dt, v)
+      case mx: Max =>
+        for { c <- colOf(mx.column); dt <- numericType(c); v <- extremum(c, dt, takeMin = false) }
+          yield (dt, v)
+      case _ => None
+    }
+    if (vals.forall(_.isDefined)) Some(vals.flatten) else None
+  }
+
+  private var pushedAggValues: Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] = None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canAnswerCountStar(agg)
+    metaAggValues(agg).isDefined
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (canAnswerCountStar(agg)) { pushedCountStar = true; true }
-    else false
-  }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metaAggValues(agg) match {
+      case some @ Some(_) => pushedAggValues = some; true
+      case None => false
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -562,46 +610,47 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
     val optioned = optionedBuckets
     require(optioned.forall(b => b >= 0 && b < m.nBuckets),
       s"buckets option out of range [0, ${m.nBuckets}): $optioned")
-    if (pushedCountStar)
-      new ManifestCountScan(path, m, optioned)
-    else {
-      val touched = keyPrune.fold(optioned)(ks => optioned.filter(ks))
-      new ManifestIndexScan(path, m, touched, required, options, hadoopConf,
-        zoneFilters)
+    pushedAggValues match {
+      case Some(vals) => new ManifestAggScan(path, m, vals)
+      case None =>
+        val touched = keyPrune.fold(optioned)(ks => optioned.filter(ks))
+        new ManifestIndexScan(path, m, touched, required, options, hadoopConf,
+          zoneFilters)
     }
   }
 }
 
-/** The completely-pushed COUNT(*): one input partition emitting the one
-  * row, the count summed from manifest metadata at plan time. The
-  * 100 TB `SELECT count(*)` costs one manifest read.
+/** A completely-pushed metadata aggregate (COUNT(*)/MIN/MAX): one input
+  * partition emitting the one answer row, computed from the manifest at
+  * plan time. The 100 TB `SELECT count(*), min(ts), max(ts)` costs one
+  * manifest read.
   */
-class ManifestCountScan(path: String, m: ManifestTable.Manifest,
-                        buckets: Seq[Int])
+class ManifestAggScan(path: String, m: ManifestTable.Manifest,
+                      values: Seq[(org.apache.spark.sql.types.DataType, Any)])
   extends Scan with Batch {
-  private[sources] val count: Long =
-    buckets.flatMap(b => m.buckets.getOrElse(b, Seq.empty)).map(m.dirRows).sum
   override def readSchema(): StructType =
-    StructType(Seq(org.apache.spark.sql.types.StructField(
-      "count", org.apache.spark.sql.types.LongType, nullable = false)))
+    StructType(values.zipWithIndex.map { case ((dt, v), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable = v == null)
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft.ManifestCountScan(path=$path, v=${m.version}, rows=$count)"
+    s"graft.ManifestAggScan(path=$path, v=${m.version}, " +
+      s"values=${values.map(_._2).mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestCountPartition(count))
+    Array(ManifestAggPartition(values.map(_._2).toArray))
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestCountReaderFactory
+    new ManifestAggReaderFactory
 }
 
-case class ManifestCountPartition(count: Long) extends InputPartition
+case class ManifestAggPartition(values: Array[Any]) extends InputPartition
 
-class ManifestCountReaderFactory extends PartitionReaderFactory {
+class ManifestAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val c = partition.asInstanceOf[ManifestCountPartition].count
+      private val vs = partition.asInstanceOf[ManifestAggPartition].values
       private var emitted = false
       override def next(): Boolean = if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](c))
+      override def get(): InternalRow = new GenericInternalRow(vs.clone())
       override def close(): Unit = ()
     }
 }

@@ -683,30 +683,42 @@ class ManifestIndexSourceSpec extends SparkSpec {
     assert(desc.contains("dirs=4/12"), s"zone cut not visible in plan:\n$desc")
   }
 
-  test("SELECT count(*) answers from manifest metadata: no data files read, filters fall back") {
+  test("SELECT count(*)/min/max answer from manifest metadata: no data files read, filters fall back") {
     val path = tmp()
     seed(path, n = 200, nB = 8)
     ManifestTable.append(spark, path,
       Seq((999L, "x", 0.0, Seq(1L))).toDF("id", "name", "score", "sig"), "id")
     ManifestIndexSource.ensureRegistered(spark)
     val t = s"graft_manifest.`$path`"
-    // complete pushdown: the plan carries the metadata count scan, not
+    // complete pushdown: the plan carries the metadata agg scan, not
     // the parquet-reading index scan
     val q = spark.sql(s"SELECT count(*) FROM $t")
     val p = q.queryExecution.executedPlan.toString
-    assert(p.contains("ManifestCountScan"),
+    assert(p.contains("ManifestAggScan"),
       s"count(*) did not push to metadata:\n$p")
     assert(!p.contains("ManifestIndexScan"), p)
     assert(q.head().getLong(0) == 201)
+    // min/max of numeric columns answer from zone maps, mixed with count
+    val mm = spark.sql(s"SELECT min(score), max(score), max(id), count(*) FROM $t")
+    assert(mm.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      mm.queryExecution.executedPlan.toString)
+    val row = mm.head()
+    assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 6.0 &&
+      row.getLong(2) == 999L && row.getLong(3) == 201L,
+      s"metadata min/max wrong: $row")
+    // min of a STRING column has no zone bounds → real scan, right answer
+    val sm = spark.sql(s"SELECT min(name) FROM $t")
+    assert(!sm.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    assert(sm.head().getString(0) == "name-0")
     // a predicate blocks the metadata answer and falls back to the real
     // scan — correctness over cleverness
     val filtered = spark.sql(s"SELECT count(*) FROM $t WHERE score > 500.0")
-    assert(!filtered.queryExecution.executedPlan.toString.contains("ManifestCountScan"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
     assert(filtered.head().getLong(0) ==
       ManifestTable.read(spark, path).filter(col("score") > 500.0).count())
     // GROUP BY never pushes
     val grouped = spark.sql(s"SELECT bucket, count(*) FROM $t GROUP BY bucket")
-    assert(!grouped.queryExecution.executedPlan.toString.contains("ManifestCountScan"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
     assert(grouped.count() == 8)
     // a manifest with MISSING dir counts (pre-stats table) degrades to a
     // real scan with the right answer: strip dirRows from the head
@@ -722,7 +734,7 @@ class ManifestIndexSourceSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       new java.io.File(mDir, f"v${v + 1}%08d.json").toPath, stripped)
     val degraded = spark.sql(s"SELECT count(*) FROM $t")
-    assert(!degraded.queryExecution.executedPlan.toString.contains("ManifestCountScan"),
+    assert(!degraded.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
       "count must not claim metadata it does not have")
     assert(degraded.head().getLong(0) == 201)
   }
