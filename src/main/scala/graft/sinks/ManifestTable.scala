@@ -352,11 +352,24 @@ object ManifestTable {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/${dirPrefix.fold(commitId)(p => s"$p-$commitId")}"
     // partitionBy consumes its column, so stage under a shadow copy and
-    // keep `bucket` as a data column readable without partition discovery
-    slice.withColumn("b", col("bucket"))
+    // keep `bucket` as a data column readable without partition discovery.
+    // Timestamps stage as INT64 micros, not Spark's default INT96:
+    // parquet deprecated INT96 and writes NO column statistics for it,
+    // which would silently exclude timestamp columns from the zone maps
+    // (time-range skipping is the append-log's flagship prune). Scoped
+    // set+restore around the EAGER write — no session state leaks past
+    // the action.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try slice.withColumn("b", col("bucket"))
       .repartition(col("b"))
       .write.mode("error")
       .partitionBy("b").parquet(s"$path/$rel")
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None    => spark.conf.unset(tsKey)
+    }
     val f = fs(spark, path)
     f.listStatus(new Path(s"$path/$rel")).map(_.getPath.getName)
       .filter(_.startsWith("b="))

@@ -425,21 +425,43 @@ object ManifestBucketPruning {
 
   import org.apache.spark.sql.sources._
 
+  /** A filter value as a number on the same scale the zone maps record:
+    * plain numerics as themselves; timestamps as epoch MICROS (what
+    * Spark stores in INT64 TIMESTAMP(micros) columns, adjusted-to-UTC
+    * for TimestampType, wall-clock for NTZ — the JDBC-vs-java.time value
+    * classes Spark hands to v1 filters map 1:1 onto those scales); dates
+    * as epoch DAYS (INT32). Anything else: not zone-comparable.
+    */
+  private def numish(v: Any): Option[java.math.BigDecimal] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case n: Number => Some(new java.math.BigDecimal(n.toString))
+      case t: java.sql.Timestamp =>
+        Some(java.math.BigDecimal.valueOf(DateTimeUtils.fromJavaTimestamp(t)))
+      case i: java.time.Instant =>
+        Some(java.math.BigDecimal.valueOf(DateTimeUtils.instantToMicros(i)))
+      case l: java.time.LocalDateTime =>
+        Some(java.math.BigDecimal.valueOf(DateTimeUtils.localDateTimeToMicros(l)))
+      case d: java.sql.Date =>
+        Some(java.math.BigDecimal.valueOf(DateTimeUtils.fromJavaDate(d).toLong))
+      case l: java.time.LocalDate =>
+        Some(java.math.BigDecimal.valueOf(DateTimeUtils.localDateToDays(l).toLong))
+      case _ => None
+    }
+  }
+
   /** Whether a filter shape can consult zone maps at all — used to
     * decide which pushed filters participate in dir-level pruning.
     */
   def zoneUsable(f: Filter): Boolean = f match {
-    case EqualTo(_, v: Number) => true
-    case GreaterThan(_, v: Number) => true
-    case GreaterThanOrEqual(_, v: Number) => true
-    case LessThan(_, v: Number) => true
-    case LessThanOrEqual(_, v: Number) => true
-    case In(_, vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[Number])
+    case EqualTo(_, v) => numish(v).isDefined
+    case GreaterThan(_, v) => numish(v).isDefined
+    case GreaterThanOrEqual(_, v) => numish(v).isDefined
+    case LessThan(_, v) => numish(v).isDefined
+    case LessThanOrEqual(_, v) => numish(v).isDefined
+    case In(_, vs) => vs.nonEmpty && vs.forall(numish(_).isDefined)
     case _ => false
   }
-
-  private def big(n: Number): java.math.BigDecimal =
-    new java.math.BigDecimal(n.toString)
 
   /** Zone-map check: can a directory with the given per-column [min,max]
     * bounds contain a row matching `f`? `true` means "maybe" — absent
@@ -454,20 +476,21 @@ object ManifestBucketPruning {
         catch { case _: NumberFormatException => None }
       }
     f match {
-      case EqualTo(a, v: Number) =>
+      case EqualTo(a, v) if numish(v).isDefined =>
+        val b = numish(v).get
         bounds(a).forall { case (mn, mx) =>
-          mn.compareTo(big(v)) <= 0 && big(v).compareTo(mx) <= 0 }
-      case GreaterThan(a, v: Number) =>
-        bounds(a).forall { case (_, mx) => mx.compareTo(big(v)) > 0 }
-      case GreaterThanOrEqual(a, v: Number) =>
-        bounds(a).forall { case (_, mx) => mx.compareTo(big(v)) >= 0 }
-      case LessThan(a, v: Number) =>
-        bounds(a).forall { case (mn, _) => mn.compareTo(big(v)) < 0 }
-      case LessThanOrEqual(a, v: Number) =>
-        bounds(a).forall { case (mn, _) => mn.compareTo(big(v)) <= 0 }
-      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+          mn.compareTo(b) <= 0 && b.compareTo(mx) <= 0 }
+      case GreaterThan(a, v) if numish(v).isDefined =>
+        bounds(a).forall { case (_, mx) => mx.compareTo(numish(v).get) > 0 }
+      case GreaterThanOrEqual(a, v) if numish(v).isDefined =>
+        bounds(a).forall { case (_, mx) => mx.compareTo(numish(v).get) >= 0 }
+      case LessThan(a, v) if numish(v).isDefined =>
+        bounds(a).forall { case (mn, _) => mn.compareTo(numish(v).get) < 0 }
+      case LessThanOrEqual(a, v) if numish(v).isDefined =>
+        bounds(a).forall { case (mn, _) => mn.compareTo(numish(v).get) <= 0 }
+      case In(a, vs) if vs.nonEmpty && vs.forall(numish(_).isDefined) =>
         bounds(a).forall { case (mn, mx) => vs.exists { v =>
-          val b = big(v.asInstanceOf[Number])
+          val b = numish(v).get
           mn.compareTo(b) <= 0 && b.compareTo(mx) <= 0 } }
       case _ => true
     }
@@ -520,10 +543,17 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
           if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
       case _ => None
     }
+    // temporal types ride the same metadata: their zone bounds are the
+    // INT64 micros / INT32 days parquet physically stores, which are
+    // ALSO Spark's internal values for Timestamp(NTZ)/Date columns —
+    // typed() hands the bound straight back as the internal value.
     def numericType(c: String): Option[org.apache.spark.sql.types.DataType] =
       m.schema.fields.find(_.name == c).map(_.dataType).filter {
         case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.DateType => true
         case _ => false
       }
     def typed(dt: org.apache.spark.sql.types.DataType,
@@ -533,6 +563,9 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
         case org.apache.spark.sql.types.LongType    => bd.longValueExact()
         case org.apache.spark.sql.types.FloatType   => bd.floatValue()
         case org.apache.spark.sql.types.DoubleType  => bd.doubleValue()
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => bd.longValueExact()
+        case org.apache.spark.sql.types.DateType    => bd.intValueExact()
       }) catch { case _: ArithmeticException => None }
     def extremum(c: String, dt: org.apache.spark.sql.types.DataType,
                  takeMin: Boolean): Option[Any] = {

@@ -683,6 +683,47 @@ class ManifestIndexSourceSpec extends SparkSpec {
     assert(desc.contains("dirs=4/12"), s"zone cut not visible in plan:\n$desc")
   }
 
+  test("temporal zone maps: time-range predicates skip commits; min/max(ts) answer from metadata") {
+    val path = tmp()
+    // an append log of three day-batches — the canonical time-windowed
+    // ingest table. Timestamps stage as INT64 micros (not INT96, which
+    // parquet records no statistics for), so each commit's dir carries
+    // exact [min,max] event-time bounds in the manifest.
+    def day(d: Int, ids: Range) = {
+      val rows = ids.map { i =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-${d}%02d ${i % 24}%02d:30:00"))
+      }
+      rows.toDF("id", "ts")
+    }
+    ManifestTable.write(day(1, 0 until 100), path, "id", 4)
+    ManifestTable.append(spark, path, day(2, 100 until 200), "id")
+    ManifestTable.append(spark, path, day(3, 200 until 300), "id")
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"graft_manifest.`$path`"
+    // a day-window predicate reads only that day's dirs — visible as the
+    // dir cut in the plan, hash-identical to the unpruned parquet read
+    val q = spark.sql(
+      s"SELECT id FROM $t WHERE ts >= TIMESTAMP '2024-03-03 00:00:00' ORDER BY id")
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("dirs=4/12"), s"time-range cut not visible:\n$desc")
+    assert(q.as[Long].collect().toSeq == (200L until 300L),
+      "pruned day-window result differs from expected rows")
+    // equality inside one day prunes to that day; a whole-range filter keeps all
+    val one = spark.sql(
+      s"SELECT count(*) FROM $t WHERE ts = TIMESTAMP '2024-03-02 05:30:00'")
+    assert(one.queryExecution.executedPlan.toString.contains("dirs=4/12"))
+    assert(one.head().getLong(0) ==
+      ManifestTable.read(spark, path)
+        .filter(col("ts") === lit(java.sql.Timestamp.valueOf("2024-03-02 05:30:00"))).count())
+    // min/max of the timestamp column answer from metadata, exactly
+    val mm = spark.sql(s"SELECT min(ts), max(ts), count(*) FROM $t")
+    assert(mm.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      mm.queryExecution.executedPlan.toString)
+    val real = ManifestTable.read(spark, path)
+      .agg(min("ts"), max("ts"), count(lit(1))).head()
+    assert(mm.head() == real, s"metadata ${mm.head()} vs scan $real")
+  }
+
   test("SELECT count(*)/min/max answer from manifest metadata: no data files read, filters fall back") {
     val path = tmp()
     seed(path, n = 200, nB = 8)
