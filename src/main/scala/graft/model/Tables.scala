@@ -46,15 +46,28 @@ object Tables {
       try p(spark, dir, "events")
       catch {
         // Legacy nanos fixture: schema resolution fails without the flag.
-        // Only then do we set it (it solely affects TIMESTAMP(NANOS)
-        // columns, and must stay set through execution of the lazy scan,
-        // so it is not restored) — the common path never mutates session
-        // state.
-        case e: Exception
-            if Option(e.getMessage).exists(m =>
-              m.contains("NANOS") || m.contains("nanosAsLong")) =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          p(spark, dir, "events")
+        // The retry is UNCONDITIONAL on the first read failing (not a
+        // message sniff — Spark's error text for the illegal parquet
+        // type is not a stable API and drifts across versions): set the
+        // flag, retry once, and if the retry ALSO fails restore the
+        // prior conf and rethrow the original error. The flag solely
+        // affects TIMESTAMP(NANOS) columns and must stay set through
+        // execution of the lazy scan on the legacy path, so a
+        // successful retry does not restore it — the common path never
+        // mutates session state.
+        case scala.util.control.NonFatal(e) =>
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try p(spark, dir, "events")
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              prev match {
+                case Some(v) => spark.conf.set(key, v)
+                case None    => spark.conf.unset(key)
+              }
+              throw e
+          }
       }
     raw.schema("ts").dataType match {
       case LongType =>

@@ -395,23 +395,82 @@ object ManifestTable {
     */
   /** Exact rows plus per-column numeric min/max (zone maps) of one data
     * directory, from parquet FOOTERS only (no data pages) — O(files in
-    * the dir) metadata round-trips, driver-side. Stats cover TOP-LEVEL
-    * int/long/float/double columns with identifier-shaped names; a
-    * column chunk with no non-null values contributes nothing (absent
-    * bounds are "unknown", never "empty range"). `None` on any failure:
-    * these are advisory statistics and must never fail a commit.
+    * the dir) metadata round-trips, driver-side.
+    *
+    * Eligibility is gated on the TABLE SCHEMA's Spark type, not the
+    * parquet physical type: Spark writes `DecimalType(p<=18)` as
+    * INT32/INT64 holding UNSCALED values, so physical-type-only
+    * collection would record unscaled bounds that a scaled filter
+    * literal then compares against — pruning dirs that contain matching
+    * rows. Each eligible column's chunk must ALSO carry the physical
+    * type + logical annotation the Spark type implies (plain signed
+    * ints, FLOAT/DOUBLE, TIMESTAMP(MICROS), DATE); any other encoding —
+    * a MILLIS timestamp from a foreign writer, an unsigned int — is on
+    * a different scale than the literals [[graft.sources.ManifestBucketPruning]]
+    * compares, and poisons the column rather than recording bounds.
+    *
+    * Poisoning is PER-DIRECTORY, not per-chunk (ADVICE r9): a chunk
+    * whose stats are absent, unreadable, or non-finite (NaN/±Inf float
+    * bounds — unrepresentable in the manifest's decimal rendering, and
+    * NaN sorts greatest in Spark) makes the WHOLE column unbounded for
+    * the dir. Dropping just the chunk would leave the other chunks'
+    * finite bounds claiming to cover the dir — range predicates would
+    * prune dirs holding matching ±Inf/NaN rows and metadata min/max
+    * would report a wrong finite extremum. A chunk with stats present
+    * but all values null contributes nothing and poisons nothing
+    * (bounds cover non-null values). `None` on any failure: these are
+    * advisory statistics and must never fail a commit.
     */
-  private def dirMeta(spark: SparkSession, dir: String)
+  private def dirMeta(spark: SparkSession, dir: String,
+                      schema: org.apache.spark.sql.types.StructType)
       : Option[(Long, Map[String, (String, String)])] =
     try {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.spark.sql.types._
       val p = new Path(dir)
       val conf = spark.sparkContext.hadoopConfiguration
       val f = p.getFileSystem(conf)
       if (!f.exists(p)) Some((0L, Map.empty))
       else {
+        val eligible: Map[String, DataType] = schema.fields.iterator
+          .filter(_.name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          .filter(_.dataType match {
+            case IntegerType | LongType | FloatType | DoubleType |
+                 TimestampType | TimestampNTZType | DateType => true
+            case _ => false
+          }).map(fd => fd.name -> fd.dataType).toMap
         var rows = 0L
         val lo = scala.collection.mutable.Map[String, java.math.BigDecimal]()
         val hi = scala.collection.mutable.Map[String, java.math.BigDecimal]()
+        val poisoned = scala.collection.mutable.Set[String]()
+        // does the chunk's physical encoding carry values on the same
+        // scale as Spark's internal value for `dt`?
+        def encodingOk(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                       dt: DataType): Boolean = {
+          val phys = cc.getPrimitiveType.getPrimitiveTypeName
+          val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+          def plainOrSignedInt(maxWidth: Int): Boolean = ann match {
+            case null => true
+            case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+              it.isSigned && it.getBitWidth <= maxWidth
+            case _ => false
+          }
+          dt match {
+            case IntegerType => phys == INT32 && plainOrSignedInt(32)
+            case LongType    => phys == INT64 && plainOrSignedInt(64)
+            case FloatType   => phys == FLOAT && ann == null
+            case DoubleType  => phys == DOUBLE && ann == null
+            case TimestampType | TimestampNTZType => phys == INT64 && (ann match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+              case _ => false
+            })
+            case DateType => phys == INT32 &&
+              ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+            case _ => false
+          }
+        }
         f.listStatus(p).iterator
           .filter(_.getPath.getName.endsWith(".parquet"))
           .foreach { st =>
@@ -422,36 +481,32 @@ object ManifestTable {
               r.getFooter.getBlocks.forEach { block =>
                 block.getColumns.forEach { cc =>
                   val path = cc.getPath.toArray
-                  val s = cc.getStatistics
-                  if (path.length == 1 && path(0).matches("[A-Za-z_][A-Za-z0-9_]*") &&
-                      s != null && s.hasNonNullValue) {
-                    val nums: Option[(Double, Double)] = cc.getPrimitiveType.getPrimitiveTypeName match {
-                      case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 |
-                           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 |
-                           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT |
-                           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE =>
-                        Some((s.genericGetMin.asInstanceOf[Number].doubleValue,
-                              s.genericGetMax.asInstanceOf[Number].doubleValue))
-                      case _ => None
-                    }
-                    nums.filter { case (a, b) => !a.isNaN && !b.isNaN &&
-                        !a.isInfinite && !b.isInfinite }
-                      .foreach { case (a, b) =>
+                  if (path.length == 1 && eligible.contains(path(0))) {
+                    val c = path(0)
+                    val s = cc.getStatistics
+                    if (!encodingOk(cc, eligible(c)) || s == null || s.isEmpty)
+                      poisoned += c // unknown/incomparable values in this chunk
+                    else if (s.hasNonNullValue) {
+                      val mnD = s.genericGetMin.asInstanceOf[Number].doubleValue
+                      val mxD = s.genericGetMax.asInstanceOf[Number].doubleValue
+                      if (mnD.isNaN || mxD.isNaN || mnD.isInfinite || mxD.isInfinite)
+                        poisoned += c
+                      else {
                         // exact bounds: INT64 above 2^53 loses precision in
                         // double — widen through the typed value's string
                         val (mn, mx) = (
                           new java.math.BigDecimal(s.genericGetMin.toString),
                           new java.math.BigDecimal(s.genericGetMax.toString))
-                        val c = path(0)
                         lo(c) = lo.get(c).fold(mn)(_.min(mn))
                         hi(c) = hi.get(c).fold(mx)(_.max(mx))
                       }
+                    } // else: all-null chunk — contributes nothing, poisons nothing
                   }
                 }
               }
             } finally r.close()
           }
-        Some((rows, lo.keys.map(c =>
+        Some((rows, (lo.keySet -- poisoned).map(c =>
           c -> (lo(c).toString, hi(c).toString)).toMap))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -470,7 +525,7 @@ object ManifestTable {
     var rows = next.dirRows.filter { case (d, _) => referenced(d) }
     var stats = next.dirStats.filter { case (d, _) => referenced(d) }
     (referenced -- (rows.keySet intersect stats.keySet)).toSeq.sorted.foreach { rel =>
-      dirMeta(spark, s"$path/$rel").foreach { case (n, st) =>
+      dirMeta(spark, s"$path/$rel", next.schema).foreach { case (n, st) =>
         if (!rows.contains(rel)) rows += rel -> n
         if (!stats.contains(rel)) stats += rel -> st
       }

@@ -435,7 +435,14 @@ object ManifestBucketPruning {
   private def numish(v: Any): Option[java.math.BigDecimal] = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     v match {
-      case n: Number => Some(new java.math.BigDecimal(n.toString))
+      // non-finite float literals (WHERE score = double('NaN')) are not
+      // zone-comparable — BigDecimal would throw out of pushFilters and
+      // fail the query at PLAN time (ADVICE r9); the dirs simply survive
+      case d: java.lang.Double if d.isNaN || d.isInfinite => None
+      case f: java.lang.Float if f.isNaN || f.isInfinite => None
+      case n: Number =>
+        try Some(new java.math.BigDecimal(n.toString))
+        catch { case _: NumberFormatException => None }
       case t: java.sql.Timestamp =>
         Some(java.math.BigDecimal.valueOf(DateTimeUtils.fromJavaTimestamp(t)))
       case i: java.time.Instant =>

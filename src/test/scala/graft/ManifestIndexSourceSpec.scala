@@ -724,6 +724,72 @@ class ManifestIndexSourceSpec extends SparkSpec {
     assert(mm.head() == real, s"metadata ${mm.head()} vs scan $real")
   }
 
+  test("zone-map conservatism: decimal columns record no bounds, non-finite chunks poison the dir, NaN literals plan") {
+    // 1. DECIMAL columns: Spark stores DecimalType(p<=18) as INT32/INT64
+    // with UNSCALED values — physical-type-gated stats would record
+    // unscaled bounds and a scaled literal would wrongly prune. The
+    // schema gate must exclude them entirely.
+    val decPath = tmp()
+    ManifestTable.write(
+      spark.range(100).select(col("id"),
+        (col("id").cast("decimal(10,2)") / lit(2)).cast("decimal(10,2)").as("amt")),
+      decPath, "id", 4)
+    val dm = ManifestTable.currentManifest(spark, decPath)
+    assert(dm.dirStats.values.forall(!_.contains("amt")),
+      s"decimal column must not be zone-mapped (unscaled bounds): ${dm.dirStats}")
+    assert(dm.dirStats.values.exists(_.contains("id")),
+      "long column should still be zone-mapped")
+    ManifestIndexSource.ensureRegistered(spark)
+    val eq = spark.sql(
+      s"SELECT count(*) FROM graft_manifest.`$decPath` WHERE amt = 10.50")
+    assert(eq.head().getLong(0) ==
+      ManifestTable.read(spark, decPath)
+        .filter(col("amt") === lit(java.math.BigDecimal.valueOf(10.50))).count(),
+      "scaled decimal equality must not be pruned away by unscaled bounds")
+
+    // 2. Non-finite chunks POISON the column for the whole dir: with
+    // several files per bucket dir, a finite chunk next to a +Inf chunk
+    // must not leave finite bounds claiming to cover the dir (range
+    // predicates would skip the Inf rows; metadata max() would report a
+    // wrong finite extremum).
+    val infPath = tmp()
+    val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try ManifestTable.write(
+      spark.range(100).select(col("id"),
+        when(col("id") === 7, lit(Double.PositiveInfinity))
+          .otherwise(col("id").cast("double")).as("score")),
+      infPath, "id", 2)
+    finally prevMax match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None    => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val im = ManifestTable.currentManifest(spark, infPath)
+    // the Inf row lands in ONE bucket; that bucket's dir must drop score
+    // bounds entirely, the other bucket keeps them
+    assert(im.dirStats.values.exists(!_.contains("score")),
+      s"dir holding +Inf must poison score bounds: ${im.dirStats}")
+    assert(im.dirStats.values.forall(_.contains("id")),
+      "finite column must keep its bounds")
+    val mx = spark.sql(s"SELECT max(score) FROM graft_manifest.`$infPath`")
+    assert(!mx.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "max over a poisoned column must not answer from metadata")
+    assert(mx.head().getDouble(0).isPosInfinity)
+    val big = spark.sql(
+      s"SELECT id FROM graft_manifest.`$infPath` WHERE score > 1e300")
+    assert(big.as[Long].collect().toSeq == Seq(7L),
+      "range predicate must still reach the dir holding the +Inf row")
+
+    // 3. Non-finite LITERALS are not zone-comparable but must not throw
+    // out of pushFilters at plan time.
+    val nan = spark.sql(
+      s"SELECT count(*) FROM graft_manifest.`$infPath` WHERE score = cast('NaN' AS double)")
+    assert(nan.head().getLong(0) == 0L)
+    val infLit = spark.sql(
+      s"SELECT id FROM graft_manifest.`$infPath` WHERE score = cast('Infinity' AS double)")
+    assert(infLit.as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("SELECT count(*)/min/max answer from manifest metadata: no data files read, filters fall back") {
     val path = tmp()
     seed(path, n = 200, nB = 8)
