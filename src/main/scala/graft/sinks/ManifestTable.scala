@@ -141,7 +141,9 @@ object ManifestTable {
       require(d.matches("[A-Za-z0-9/._=-]+"), s"dir path not manifest-safe: $d")
       cols.foreach { case (c, (mn, mx)) =>
         require(c.matches("[A-Za-z_][A-Za-z0-9_]*"), s"stats column not manifest-safe: $c")
-        require(mn.matches("[-+0-9.Ee]+") && mx.matches("[-+0-9.Ee]+"),
+        // numeric decimal rendering, or the s64: string-bound encoding
+        val boundRe = "(?:[-+0-9.Ee]+|s64:[A-Za-z0-9_-]*)"
+        require(mn.matches(boundRe) && mx.matches(boundRe),
           s"stats bound not manifest-safe: $c=[$mn,$mx]")
       }
     }
@@ -437,12 +439,18 @@ object ManifestTable {
           .filter(_.name.matches("[A-Za-z_][A-Za-z0-9_]*"))
           .filter(_.dataType match {
             case IntegerType | LongType | FloatType | DoubleType |
-                 TimestampType | TimestampNTZType | DateType => true
+                 TimestampType | TimestampNTZType | DateType | StringType => true
             case _ => false
           }).map(fd => fd.name -> fd.dataType).toMap
         var rows = 0L
         val lo = scala.collection.mutable.Map[String, java.math.BigDecimal]()
         val hi = scala.collection.mutable.Map[String, java.math.BigDecimal]()
+        // string bounds accumulate as raw UTF-8 bytes under unsigned
+        // lexicographic order — the order parquet's UTF8-annotated
+        // statistics use AND the order Spark's UTF8String comparison
+        // uses, so the three agree byte-for-byte
+        val sLo = scala.collection.mutable.Map[String, Array[Byte]]()
+        val sHi = scala.collection.mutable.Map[String, Array[Byte]]()
         val poisoned = scala.collection.mutable.Set[String]()
         // does the chunk's physical encoding carry values on the same
         // scale as Spark's internal value for `dt`?
@@ -468,6 +476,8 @@ object ManifestTable {
             })
             case DateType => phys == INT32 &&
               ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+            case StringType => phys == BINARY &&
+              ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             case _ => false
           }
         }
@@ -487,18 +497,29 @@ object ManifestTable {
                     if (!encodingOk(cc, eligible(c)) || s == null || s.isEmpty)
                       poisoned += c // unknown/incomparable values in this chunk
                     else if (s.hasNonNullValue) {
-                      val mnD = s.genericGetMin.asInstanceOf[Number].doubleValue
-                      val mxD = s.genericGetMax.asInstanceOf[Number].doubleValue
-                      if (mnD.isNaN || mxD.isNaN || mnD.isInfinite || mxD.isInfinite)
-                        poisoned += c
-                      else {
-                        // exact bounds: INT64 above 2^53 loses precision in
-                        // double — widen through the typed value's string
-                        val (mn, mx) = (
-                          new java.math.BigDecimal(s.genericGetMin.toString),
-                          new java.math.BigDecimal(s.genericGetMax.toString))
-                        lo(c) = lo.get(c).fold(mn)(_.min(mn))
-                        hi(c) = hi.get(c).fold(mx)(_.max(mx))
+                      if (eligible(c) == StringType) {
+                        val mnB = s.genericGetMin
+                          .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                        val mxB = s.genericGetMax
+                          .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                        sLo(c) = sLo.get(c).filter(
+                          java.util.Arrays.compareUnsigned(_, mnB) <= 0).getOrElse(mnB)
+                        sHi(c) = sHi.get(c).filter(
+                          java.util.Arrays.compareUnsigned(_, mxB) >= 0).getOrElse(mxB)
+                      } else {
+                        val mnD = s.genericGetMin.asInstanceOf[Number].doubleValue
+                        val mxD = s.genericGetMax.asInstanceOf[Number].doubleValue
+                        if (mnD.isNaN || mxD.isNaN || mnD.isInfinite || mxD.isInfinite)
+                          poisoned += c
+                        else {
+                          // exact bounds: INT64 above 2^53 loses precision in
+                          // double — widen through the typed value's string
+                          val (mn, mx) = (
+                            new java.math.BigDecimal(s.genericGetMin.toString),
+                            new java.math.BigDecimal(s.genericGetMax.toString))
+                          lo(c) = lo.get(c).fold(mn)(_.min(mn))
+                          hi(c) = hi.get(c).fold(mx)(_.max(mx))
+                        }
                       }
                     } // else: all-null chunk — contributes nothing, poisons nothing
                   }
@@ -506,10 +527,57 @@ object ManifestTable {
               }
             } finally r.close()
           }
-        Some((rows, (lo.keySet -- poisoned).map(c =>
-          c -> (lo(c).toString, hi(c).toString)).toMap))
+        val numeric = (lo.keySet -- poisoned).map(c =>
+          c -> (lo(c).toString, hi(c).toString)).toMap
+        // Iceberg-style TRUNCATED string bounds, so manifests stay small
+        // however long the values run: the lower bound's byte prefix is
+        // itself a valid lower bound (a string is >= its own prefix);
+        // the upper bound truncates then INCREMENTS its last byte with
+        // carry, which bounds every string sharing the prefix from
+        // above. UTF-8 never contains 0xFF, so the carry cannot
+        // overflow on string data; if it somehow does (foreign bytes),
+        // the column is poisoned rather than bounded wrongly. Both
+        // bounds are CONSERVATIVE (lo <= min, hi >= max) — pruning and
+        // nothing else may consume them: a truncated bound is not the
+        // column's exact extremum, which is why metadata MIN/MAX
+        // pushdown excludes strings.
+        val strings = (sLo.keySet -- poisoned).flatMap { c =>
+          truncLower(sLo(c)).zip(truncUpper(sHi(c))).headOption
+            .map { case (mn, mx) => c -> (encodeBound(mn), encodeBound(mx)) }
+        }.toMap
+        Some((rows, numeric ++ strings))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Bytes a manifest string bound may hold before truncation. */
+  private[graft] val StringBoundBytes = 16
+
+  /** URL-safe-base64 rendering of a string bound's bytes — prefixed so
+    * [[graft.sources.ManifestBucketPruning]] can tell string bounds from
+    * the numeric decimal rendering, and alphabet-disjoint from it.
+    */
+  private[graft] def encodeBound(b: Array[Byte]): String =
+    "s64:" + java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+
+  private[graft] def truncLower(b: Array[Byte]): Option[Array[Byte]] =
+    Some(if (b.length <= StringBoundBytes) b else b.take(StringBoundBytes))
+
+  /** Truncate-and-increment; `None` when every truncated byte is 0xFF
+    * (no finite upper bound exists at this width).
+    */
+  private[graft] def truncUpper(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StringBoundBytes) Some(b)
+    else {
+      val t = b.take(StringBoundBytes)
+      var i = t.length - 1
+      while (i >= 0 && t(i) == 0xFF.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val p = java.util.Arrays.copyOf(t, i + 1)
+        p(i) = (p(i) + 1).toByte
+        Some(p)
+      }
+    }
 
   /** Complete `next.dirRows`/`next.dirStats` before rendering: drop
     * entries for dirs the manifest no longer references (upsert/delete/

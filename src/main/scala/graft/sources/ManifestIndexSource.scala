@@ -457,24 +457,44 @@ object ManifestBucketPruning {
     }
   }
 
+  /** A filter value as UTF-8 bytes for comparison against the
+    * manifest's TRUNCATED string bounds — unsigned lexicographic byte
+    * order, which is simultaneously parquet's UTF8-statistics order and
+    * Spark's UTF8String order, so all three agree.
+    */
+  private def strish(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case u: UTF8String => Some(u.getBytes)
+    case _ => None
+  }
+
   /** Whether a filter shape can consult zone maps at all — used to
     * decide which pushed filters participate in dir-level pruning.
     */
-  def zoneUsable(f: Filter): Boolean = f match {
-    case EqualTo(_, v) => numish(v).isDefined
-    case GreaterThan(_, v) => numish(v).isDefined
-    case GreaterThanOrEqual(_, v) => numish(v).isDefined
-    case LessThan(_, v) => numish(v).isDefined
-    case LessThanOrEqual(_, v) => numish(v).isDefined
-    case In(_, vs) => vs.nonEmpty && vs.forall(numish(_).isDefined)
-    case _ => false
+  def zoneUsable(f: Filter): Boolean = {
+    def usable(v: Any) = numish(v).isDefined || strish(v).isDefined
+    f match {
+      case EqualTo(_, v) => usable(v)
+      case GreaterThan(_, v) => usable(v)
+      case GreaterThanOrEqual(_, v) => usable(v)
+      case LessThan(_, v) => usable(v)
+      case LessThanOrEqual(_, v) => usable(v)
+      case In(_, vs) => vs.nonEmpty &&
+        (vs.forall(numish(_).isDefined) || vs.forall(strish(_).isDefined))
+      case StringStartsWith(_, p) => p != null
+      case _ => false
+    }
   }
 
   /** Zone-map check: can a directory with the given per-column [min,max]
     * bounds contain a row matching `f`? `true` means "maybe" — absent
-    * bounds, non-numeric shapes, and anything unrecognized all survive.
-    * Bounds cover the dir's NON-NULL values, and every shape here only
-    * matches non-null values, so pruning on them is exact.
+    * bounds, mismatched bound/literal kinds, and anything unrecognized
+    * all survive. Bounds cover the dir's NON-NULL values, and every
+    * shape here only matches non-null values, so pruning on them is
+    * exact. STRING bounds are truncated-conservative (`lo <= min`,
+    * `hi >= max`, [[graft.sinks.ManifestTable]] `truncUpper`), so every
+    * comparison below stays valid with inclusive semantics — at worst a
+    * dir survives that exact bounds would have pruned.
     */
   def dirSurvives(stats: Map[String, (String, String)], f: Filter): Boolean = {
     def bounds(attr: String): Option[(java.math.BigDecimal, java.math.BigDecimal)] =
@@ -482,23 +502,72 @@ object ManifestBucketPruning {
         try Some((new java.math.BigDecimal(mn), new java.math.BigDecimal(mx)))
         catch { case _: NumberFormatException => None }
       }
+    def strBounds(attr: String): Option[(Array[Byte], Array[Byte])] =
+      stats.get(attr).flatMap { case (mn, mx) =>
+        if (mn.startsWith("s64:") && mx.startsWith("s64:"))
+          try {
+            val dec = java.util.Base64.getUrlDecoder
+            Some((dec.decode(mn.stripPrefix("s64:")),
+                  dec.decode(mx.stripPrefix("s64:"))))
+          } catch { case _: IllegalArgumentException => None }
+        else None
+      }
+    def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+    // survival under one comparison, dispatched on the literal's kind;
+    // a numeric literal against string bounds (or vice versa) cannot
+    // compare and survives
+    def eq(a: String, v: Any): Boolean = numish(v) match {
+      case Some(b) => bounds(a).forall { case (mn, mx) =>
+        mn.compareTo(b) <= 0 && b.compareTo(mx) <= 0 }
+      case None => strish(v) match {
+        case Some(s) => strBounds(a).forall { case (mn, mx) =>
+          cmp(mn, s) <= 0 && cmp(s, mx) <= 0 }
+        case None => true
+      }
+    }
     f match {
-      case EqualTo(a, v) if numish(v).isDefined =>
-        val b = numish(v).get
-        bounds(a).forall { case (mn, mx) =>
-          mn.compareTo(b) <= 0 && b.compareTo(mx) <= 0 }
+      case EqualTo(a, v) if numish(v).isDefined || strish(v).isDefined =>
+        eq(a, v)
       case GreaterThan(a, v) if numish(v).isDefined =>
         bounds(a).forall { case (_, mx) => mx.compareTo(numish(v).get) > 0 }
+      case GreaterThan(a, v) if strish(v).isDefined =>
+        strBounds(a).forall { case (_, mx) => cmp(mx, strish(v).get) > 0 }
       case GreaterThanOrEqual(a, v) if numish(v).isDefined =>
         bounds(a).forall { case (_, mx) => mx.compareTo(numish(v).get) >= 0 }
+      case GreaterThanOrEqual(a, v) if strish(v).isDefined =>
+        strBounds(a).forall { case (_, mx) => cmp(mx, strish(v).get) >= 0 }
       case LessThan(a, v) if numish(v).isDefined =>
         bounds(a).forall { case (mn, _) => mn.compareTo(numish(v).get) < 0 }
+      case LessThan(a, v) if strish(v).isDefined =>
+        strBounds(a).forall { case (mn, _) => cmp(mn, strish(v).get) < 0 }
       case LessThanOrEqual(a, v) if numish(v).isDefined =>
         bounds(a).forall { case (mn, _) => mn.compareTo(numish(v).get) <= 0 }
-      case In(a, vs) if vs.nonEmpty && vs.forall(numish(_).isDefined) =>
-        bounds(a).forall { case (mn, mx) => vs.exists { v =>
-          val b = numish(v).get
-          mn.compareTo(b) <= 0 && b.compareTo(mx) <= 0 } }
+      case LessThanOrEqual(a, v) if strish(v).isDefined =>
+        strBounds(a).forall { case (mn, _) => cmp(mn, strish(v).get) <= 0 }
+      case In(a, vs) if vs.nonEmpty && (vs.forall(numish(_).isDefined) ||
+          vs.forall(strish(_).isDefined)) =>
+        vs.exists(v => eq(a, v))
+      // prefix predicate (LIKE 'p%'): matching values form the byte
+      // range [p, succ(p)) where succ increments p's last non-0xFF byte
+      // (no successor exists for all-0xFF — then only the lower check
+      // applies). The dir survives unless its whole range sits below p
+      // or at/above succ(p).
+      case StringStartsWith(a, p) if p != null =>
+        strBounds(a).forall { case (mn, mx) =>
+          val pb = strish(p).get
+          def succ(b: Array[Byte]): Option[Array[Byte]] = {
+            var i = b.length - 1
+            while (i >= 0 && b(i) == 0xFF.toByte) i -= 1
+            if (i < 0) None
+            else {
+              val s = java.util.Arrays.copyOf(b, i + 1)
+              s(i) = (s(i) + 1).toByte
+              Some(s)
+            }
+          }
+          cmp(mx, pb) >= 0 && succ(pb).forall(u => cmp(mn, u) < 0)
+        }
       case _ => true
     }
   }

@@ -668,9 +668,11 @@ class ManifestIndexSourceSpec extends SparkSpec {
     assert(planned(
       org.apache.spark.sql.sources.GreaterThan("score", 1500.0),
       org.apache.spark.sql.sources.LessThan("score", 100.0)) == 0)
-    // a column with no recorded bounds never prunes (strings are not
-    // zone-mapped); an unrecognized shape never prunes
-    assert(planned(org.apache.spark.sql.sources.EqualTo("name", "n-5")) == 12)
+    // string equality prunes byte-lexically: "n-5" sits inside commit 1's
+    // ["n-0","n-99"] AND commit 3's ["n-400","n-599"] ranges but above
+    // commit 2's ["n-200","n-399"] — 8 of 12 dirs survive
+    assert(planned(org.apache.spark.sql.sources.EqualTo("name", "n-5")) == 8)
+    // an unrecognized shape never prunes
     assert(planned(org.apache.spark.sql.sources.IsNull("score")) == 12)
     // end-to-end through SQL: answers equal the unpruned parquet read,
     // and EXPLAIN shows the dir cut
@@ -722,6 +724,88 @@ class ManifestIndexSourceSpec extends SparkSpec {
     val real = ManifestTable.read(spark, path)
       .agg(min("ts"), max("ts"), count(lit(1))).head()
     assert(mm.head() == real, s"metadata ${mm.head()} vs scan $real")
+  }
+
+  test("string zone maps: source-equality and prefix predicates skip commits; truncated bounds stay conservative") {
+    import org.apache.spark.sql.sources._
+    def planned(path: String, filters: Filter*): Int = {
+      val m = ManifestTable.currentManifest(spark, path)
+      val b = new graft.sources.ManifestIndexTable(
+          path, m, spark.sparkContext.hadoopConfiguration)
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+      b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(filters.toArray)
+      b.build().asInstanceOf[graft.sources.ManifestIndexScan]
+        .planInputPartitions().count(
+          _.asInstanceOf[graft.sources.ManifestBucketPartition].files.nonEmpty)
+    }
+    // the reference's hottest predicate shape: equality on a low-cardinality
+    // TEXT column (source/lang/employee_range) over an append log where
+    // each commit carries one source
+    val path = tmp()
+    def batch(src: String, ids: Range) =
+      ids.map(i => (i.toLong, src, s"$src-doc-$i")).toDF("id", "source", "text")
+    ManifestTable.write(batch("alpha", 0 until 100), path, "id", 4)
+    ManifestTable.append(spark, path, batch("beta", 100 until 200), "id")
+    ManifestTable.append(spark, path, batch("gamma", 200 until 300), "id")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.dirStats.values.forall(_.get("source").forall(
+      b => b._1.startsWith("s64:") && b._2.startsWith("s64:"))),
+      s"string bounds must use the s64 encoding: ${m.dirStats}")
+    assert(planned(path) == 12)
+    assert(planned(path, EqualTo("source", "beta")) == 4,
+      "source equality must keep only the matching commit's dirs")
+    assert(planned(path, In("source", Array[Any]("alpha", "gamma"))) == 8)
+    assert(planned(path, EqualTo("source", "delta")) == 0,
+      "a value between the commits' ranges prunes everything")
+    assert(planned(path, StringStartsWith("source", "ga")) == 4,
+      "LIKE 'ga%' must keep only the gamma commit")
+    assert(planned(path, GreaterThanOrEqual("source", "beta"),
+                         LessThan("source", "c")) == 4)
+    // end-to-end: pruned result identical to the unpruned parquet read
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"graft_manifest.`$path`"
+    val q = spark.sql(s"SELECT id, source, text FROM $t WHERE source = 'beta'")
+    assert(q.queryExecution.executedPlan.toString.contains("dirs=4/12"),
+      q.queryExecution.executedPlan.toString)
+    assert(rows(q) == rows(ManifestTable.read(spark, path)
+      .filter(col("source") === "beta").select("id", "source", "text")))
+    val like = spark.sql(s"SELECT id FROM $t WHERE source LIKE 'ga%'")
+    assert(like.queryExecution.executedPlan.toString.contains("dirs=4/12"),
+      like.queryExecution.executedPlan.toString)
+    assert(like.count() == 100)
+
+    // truncation boundaries: bounds clip at 16 bytes — lower is a prefix,
+    // upper is prefix+increment, both conservative
+    val p16 = "0123456789abcdef" // exactly StringBoundBytes
+    val tp = tmp()
+    ManifestTable.write(
+      Seq((1L, p16 + "aaa"), (2L, p16 + "zzz")).toDF("id", "v"), tp, "id", 1)
+    ManifestTable.append(spark, tp,
+      Seq((3L, "small"), (4L, "あああああん")).toDF("id", "v"), "id") // 18 UTF-8 bytes: truncates mid-char
+    val tm = ManifestTable.currentManifest(spark, tp)
+    val longDirBounds = tm.dirStats.values.flatMap(_.get("v")).toSeq
+    assert(longDirBounds.nonEmpty)
+    // a value INSIDE the truncated range but absent from the data keeps
+    // the dir (conservative) and still answers correctly
+    assert(planned(tp, EqualTo("v", p16 + "mmm")) >= 1)
+    assert(spark.sql(s"SELECT count(*) FROM graft_manifest.`$tp` " +
+      s"WHERE v = '${p16}mmm'").head().getLong(0) == 0L)
+    // equality on values sharing the truncated prefix must still match
+    assert(spark.sql(s"SELECT id FROM graft_manifest.`$tp` " +
+      s"WHERE v = '${p16}zzz'").as[Long].collect().toSeq == Seq(2L))
+    assert(spark.sql(s"SELECT id FROM graft_manifest.`$tp` " +
+      "WHERE v = 'あああああん'").as[Long].collect().toSeq == Seq(4L))
+    // a range probe past the true max but inside the incremented upper
+    // bound keeps the dir (false keep, never a false prune): the window
+    // (p16+"zzz", "1") holds no data yet the long-string dir survives
+    // its truncated bounds and answers 0
+    assert(spark.sql(s"SELECT count(*) FROM graft_manifest.`$tp` " +
+      s"WHERE v > '${p16}zzz' AND v < '1'").head().getLong(0) == 0L)
+    // a value past the incremented upper bound of BOTH dirs prunes all
+    assert(planned(tp, EqualTo("v", "양")) == 0, // U+C591, above both dirs' upper bounds
+      "equality above every dir's upper bound must prune everything")
   }
 
   test("zone-map conservatism: decimal columns record no bounds, non-finite chunks poison the dir, NaN literals plan") {
