@@ -350,7 +350,8 @@ object ManifestTable {
     */
   private[graft] def stageSlice(spark: SparkSession, path: String,
                                 slice: DataFrame,
-                                dirPrefix: Option[String] = None): Map[Int, String] = {
+                                dirPrefix: Option[String] = None,
+                                maxRecordsPerFile: Long = 0L): Map[Int, String] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/${dirPrefix.fold(commitId)(p => s"$p-$commitId")}"
     // partitionBy consumes its column, so stage under a shadow copy and
@@ -360,22 +361,98 @@ object ManifestTable {
     // which would silently exclude timestamp columns from the zone maps
     // (time-range skipping is the append-log's flagship prune). Scoped
     // set+restore around the EAGER write — no session state leaks past
-    // the action.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try slice.withColumn("b", col("bucket"))
-      .repartition(col("b"))
-      .write.mode("error")
-      .partitionBy("b").parquet(s"$path/$rel")
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None    => spark.conf.unset(tsKey)
+    // the action. `maxRecordsPerFile > 0` additionally bounds each
+    // output file's rows (OPTIMIZE's bin-packing dial), through the
+    // writer conf of the same name.
+    withWriterConfs(spark, maxRecordsPerFile) {
+      slice.withColumn("b", col("bucket"))
+        .repartition(col("b"))
+        .write.mode("error")
+        .partitionBy("b").parquet(s"$path/$rel")
     }
     val f = fs(spark, path)
     f.listStatus(new Path(s"$path/$rel")).map(_.getPath.getName)
       .filter(_.startsWith("b="))
       .map(n => n.stripPrefix("b=").toInt -> s"$rel/$n").toMap
+  }
+
+  /** Scoped writer confs for a staging action: micros timestamps always
+    * (see [[stageSlice]]), plus an optional per-file record cap. Set +
+    * restore around the eager write — nothing leaks past the action.
+    */
+  private def withWriterConfs[T](spark: SparkSession, maxRecordsPerFile: Long)
+                                (write: => T): T = {
+    val keys = Seq("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") ++
+      (if (maxRecordsPerFile > 0)
+         Seq("spark.sql.files.maxRecordsPerFile" -> maxRecordsPerFile.toString)
+       else Seq.empty)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try write
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Stage a bucket-columned slice RANGE-CLUSTERED on `clusterCol`: rows
+    * land under `data/<uuid>/s=<slice>/b=<bucket>`, one directory per
+    * (range-slice, bucket), rows within each file sorted by the cluster
+    * column. Returns bucket -> its directories in ascending slice order.
+    * Each slice directory's footer bounds for `clusterCol` then span
+    * only that slice's value range — which is exactly what makes the
+    * manifest zone maps TIGHT: a range predicate on the cluster column
+    * skips the other slices' directories at the manifest level, before
+    * any file is opened.
+    *
+    * Cut points come from a BOUNDED sample (≤ ~20k values collected,
+    * seeded, documented — the same job RangePartitioner's reservoir
+    * sample does): cuts need only be approximately balanced, never
+    * exact, so a sample is the 100 TB-correct tool.
+    */
+  private[graft] def stageClustered(spark: SparkSession, path: String,
+                                    slice: DataFrame, clusterCol: String,
+                                    slices: Int, totalRows: Long,
+                                    maxRecordsPerFile: Long): Map[Int, Seq[String]] = {
+    require(slice.columns.contains(clusterCol),
+      s"cluster column $clusterCol not in ${slice.columns.mkString(",")}")
+    val commitId = java.util.UUID.randomUUID().toString
+    val rel = s"$DataDir/$commitId"
+    val cuts: Seq[Any] =
+      if (slices <= 1) Seq.empty
+      else {
+        val sampleTarget = 20000.0
+        val frac = math.min(1.0, sampleTarget / math.max(1L, totalRows))
+        val sampled = slice.select(col(clusterCol)).na.drop
+          .sample(withReplacement = false, frac, seed = 42L)
+          .sort(clusterCol).collect().map(_.get(0))
+        if (sampled.isEmpty) Seq.empty
+        else (1 until slices).map(i => sampled(i * sampled.length / slices))
+          .distinct.toSeq
+      }
+    // slice id = number of cuts strictly below the value; null cluster
+    // values land in slice 0 (bounds cover non-null values, so their
+    // placement cannot affect pruning)
+    val sExpr = cuts.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(col(clusterCol) > lit(cut), 1).otherwise(0) }
+    withWriterConfs(spark, maxRecordsPerFile) {
+      slice.withColumn("b", col("bucket")).withColumn("s", sExpr)
+        .repartition(col("s"), col("b"))
+        .sortWithinPartitions(col("s"), col("b"), col(clusterCol))
+        .write.mode("error")
+        .partitionBy("s", "b").parquet(s"$path/$rel")
+    }
+    val f = fs(spark, path)
+    val out = for {
+      sDir <- f.listStatus(new Path(s"$path/$rel")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("s="))
+      bDir <- f.listStatus(new Path(s"$path/$rel/$sDir")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("b="))
+    } yield (bDir.stripPrefix("b=").toInt,
+             sDir.stripPrefix("s=").toInt, s"$rel/$sDir/$bDir")
+    out.groupBy(_._1).map { case (b, ds) =>
+      b -> ds.sortBy(_._2).map(_._3)
+    }
   }
 
   /** Publish manifest `next` — the single atomic step of a commit.
@@ -1020,6 +1097,88 @@ object ManifestTable {
           wide.values.flatten.map(d => s"$path/$d").toSeq: _*))
         Some(m.copy(version = m.version + 1,
           buckets = m.buckets ++ staged.map { case (b, d) => b -> Seq(d) }))
+      }
+    }
+  }
+
+  /** Test seam for the OPTIMIZE concurrency spec: invoked after an
+    * optimize attempt stages its rewrite and before it publishes —
+    * the window a concurrent commit can land in. No-op in production.
+    */
+  private[graft] var optimizePreCommitHook: () => Unit = () => ()
+
+  /** OPTIMIZE: rewrite fragmented buckets into target-size files inside
+    * one optimistic commit — the layout-maintenance half of the log
+    * protocol ([[compact]] bounds dir-list LENGTH; this bounds FILE
+    * granularity, the Delta/Iceberg `OPTIMIZE [ZORDER]` job). Two modes:
+    *
+    *  - bin-packing (default): every bucket whose file count exceeds
+    *    what its bytes need at `targetFileBytes` is rewritten to one
+    *    directory of ~target-size files. The per-file record cap comes
+    *    from the observed bytes/row of the data being rewritten, so an
+    *    append log's accumulated small files fold into full files and
+    *    scan task counts stop degrading with commit count.
+    *  - clustering (`clusterBy = Some(col)`): every non-empty bucket is
+    *    rewritten RANGE-SLICED on the column into `slices` directories
+    *    per bucket ([[stageClustered]]), each with tight manifest zone
+    *    bounds — after which a range predicate on the column skips
+    *    (slices-1)/slices of the data at the manifest level. Run it on
+    *    the column the table's hottest predicates filter.
+    *
+    * Selection, sizing, and cuts are all driver METADATA decisions
+    * (file listings, manifest row counts, a bounded sample); data IO is
+    * one distributed read+write of just the rewritten buckets. The
+    * commit is optimistic like every maintenance op: a lost race
+    * re-reads the current manifest and RESTAGES against it (a rebase
+    * could drop a concurrent append's rows from the rewritten buckets),
+    * and the loser's staging becomes a vacuumable orphan. Zone maps and
+    * row counts for the new directories are recomputed from the
+    * rewritten footers by [[publish]]'s `withDirMeta` like any commit.
+    */
+  def optimize(spark: SparkSession, path: String,
+               targetFileBytes: Long = 128L << 20,
+               clusterBy: Option[String] = None,
+               slices: Int = 4): Unit = {
+    require(slices >= 1, "slices must be >= 1")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    commitWithRetry(spark, path) { m =>
+      val f = fs(spark, path)
+      def filesOf(rel: String): Seq[Long] = {
+        val p = new Path(s"$path/$rel")
+        if (!f.exists(p)) Seq.empty
+        else f.listStatus(p).iterator
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).toSeq
+      }
+      val perBucket: Map[Int, (Int, Long)] = m.buckets.map { case (b, rels) =>
+        val sizes = rels.flatMap(filesOf)
+        b -> (sizes.size, sizes.sum)
+      }
+      val rewrite: Set[Int] =
+        if (clusterBy.isDefined) perBucket.collect { case (b, (n, _)) if n > 0 => b }.toSet
+        else perBucket.collect { case (b, (n, bytes))
+          if n > math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong) => b
+        }.toSet
+      if (rewrite.isEmpty) None
+      else {
+        val inputDirs = rewrite.toSeq.sorted.flatMap(b => m.buckets.getOrElse(b, Seq.empty))
+        val df = spark.read.parquet(inputDirs.map(d => s"$path/$d"): _*)
+        val totalBytes = rewrite.toSeq.map(b => perBucket(b)._2).sum
+        // rows from manifest metadata when complete, else one count job
+        // (maintenance-time cost, not read-path)
+        val totalRows: Long =
+          if (inputDirs.forall(m.dirRows.contains)) inputDirs.map(m.dirRows).sum
+          else df.count()
+        val bytesPerRow = math.max(1L, totalBytes / math.max(1L, totalRows))
+        val targetRecords = math.max(1L, targetFileBytes / bytesPerRow)
+        val staged: Map[Int, Seq[String]] = clusterBy match {
+          case None =>
+            stageSlice(spark, path, df, maxRecordsPerFile = targetRecords)
+              .map { case (b, d) => b -> Seq(d) }
+          case Some(c) =>
+            stageClustered(spark, path, df, c, slices, totalRows, targetRecords)
+        }
+        optimizePreCommitHook()
+        Some(m.copy(version = m.version + 1, buckets = m.buckets ++ staged))
       }
     }
   }

@@ -267,7 +267,7 @@ class ManifestTableSpec extends SparkSpec {
     assert(err.getMessage.contains("does not match"))
   }
 
-  test("model walk: random upsert/delete/compact/vacuum sequences match an in-memory map (seeded)") {
+  test("model walk: random upsert/delete/compact/vacuum/optimize sequences match an in-memory map (seeded)") {
     val rnd = new scala.util.Random(421)
     (1 to 2).foreach { _ =>
       val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
@@ -276,7 +276,7 @@ class ManifestTableSpec extends SparkSpec {
         model.toSeq.map { case (k, (n, s)) => (k, n, s) }.toDF("id", "name", "score"),
         path, "id", 4)
       (1 to 10).foreach { step =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => // upsert a mix of existing + new keys
             val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(40))
             val rows = ks.map(k => (k, s"u$step-$k", step * 1.0))
@@ -289,6 +289,8 @@ class ManifestTableSpec extends SparkSpec {
             model -= k
           case 2 => ManifestTable.compact(spark, path, maxDirs = 2)
           case 3 => ManifestTable.vacuum(spark, path, keepVersions = 2)
+          case 4 => ManifestTable.optimize(spark, path,
+            clusterBy = if (step % 2 == 0) Some("score") else None)
         }
         val got = ManifestTable.read(spark, path)
           .select("id", "name", "score").as[(Long, String, Double)]
@@ -300,6 +302,114 @@ class ManifestTableSpec extends SparkSpec {
             s"wrong=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).take(3)}")
       }
     }
+  }
+
+  private def manifestFiles(path: String): Map[String, Int] = {
+    val m = ManifestTable.currentManifest(spark, path)
+    m.buckets.values.flatten.map { rel =>
+      rel -> new java.io.File(s"$path/$rel").listFiles
+        .count(_.getName.endsWith(".parquet"))
+    }.toMap
+  }
+
+  private def plannedParts(path: String,
+      filters: org.apache.spark.sql.sources.Filter*): Int = {
+    val m = ManifestTable.currentManifest(spark, path)
+    val b = new graft.sources.ManifestIndexTable(
+        path, m, spark.sparkContext.hadoopConfiguration)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(filters.toArray)
+    b.build().asInstanceOf[graft.sources.ManifestIndexScan]
+      .planInputPartitions().count(
+        _.asInstanceOf[graft.sources.ManifestBucketPartition].files.nonEmpty)
+  }
+
+  test("optimize: bin-packing folds a fragmented append log; rows identical; idempotent") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path, n = 200, nB = 4)
+    (0 until 6).foreach { i =>
+      ManifestTable.append(spark, path,
+        (200L + i * 50 until 250L + i * 50)
+          .map(j => (j, s"a-$j", j * 1.0)).toDF("id", "name", "score"), "id")
+    }
+    val before = ManifestTable.read(spark, path)
+      .select("id", "name", "score").collect().map(_.toString).toSet
+    val fragged = manifestFiles(path)
+    assert(fragged.size >= 4 * 7, s"fixture not fragmented: $fragged")
+    ManifestTable.optimize(spark, path)
+    val m = ManifestTable.currentManifest(spark, path)
+    // (a) file count drops to the target: one dir, one target-size file
+    // per bucket (500 rows' bytes are far under 128 MB)
+    assert(m.buckets.values.forall(_.size == 1),
+      s"buckets not folded to one dir: ${m.buckets}")
+    val packed = manifestFiles(path)
+    assert(packed.values.sum == 4 && packed.values.forall(_ == 1),
+      s"expected 1 file per bucket, got $packed")
+    // (b) pre/post results identical
+    assert(ManifestTable.read(spark, path)
+      .select("id", "name", "score").collect().map(_.toString).toSet == before)
+    // metadata recomputed for the rewritten dirs
+    assert(m.buckets.values.flatten.forall(m.dirRows.contains))
+    assert(ManifestTable.rowCount(spark, path).contains(500L))
+    // idempotent: a second optimize finds nothing fragmented, commits nothing
+    ManifestTable.optimize(spark, path)
+    assert(ManifestTable.currentManifest(spark, path).version == m.version,
+      "no-op optimize must not commit")
+  }
+
+  test("optimize clusterBy: range-sliced dirs tighten zone pruning; a concurrent append resolves per the conflict protocol") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    // three commits each spanning the FULL score range: per-dir bounds
+    // all cover [0,99] and a range predicate can prune nothing
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, s"n-$i", (i % 100) * 1.0)).toDF("id", "name", "score")
+    ManifestTable.write(batch(0 until 200), path, "id", 4)
+    ManifestTable.append(spark, path, batch(200 until 400), "id")
+    ManifestTable.append(spark, path, batch(400 until 600), "id")
+    assert(plannedParts(path) == 12)
+    assert(plannedParts(path, GreaterThan("score", 89.5)) == 12,
+      "interleaved layout must not prune (every dir spans the range)")
+    val before = ManifestTable.read(spark, path)
+      .select("id", "name", "score").collect().map(_.toString).toSet
+    // a concurrent append lands in optimize's stage→publish window on
+    // the FIRST attempt; the lost race must restage against the new
+    // manifest so the appended rows survive the rewrite
+    @volatile var fired = 0
+    ManifestTable.optimizePreCommitHook = () =>
+      if (fired == 0) {
+        fired = 1
+        ManifestTable.append(spark, path, batch(600 until 650), "id")
+      }
+    try ManifestTable.optimize(spark, path, clusterBy = Some("score"), slices = 4)
+    finally ManifestTable.optimizePreCommitHook = () => ()
+    assert(fired == 1, "race hook never fired")
+    val appended = (600 until 650).map(i =>
+      org.apache.spark.sql.Row(i.toLong, s"n-$i", (i % 100) * 1.0).toString).toSet
+    assert(ManifestTable.read(spark, path)
+      .select("id", "name", "score").collect().map(_.toString).toSet ==
+      before ++ appended,
+      "concurrent append's rows lost or duplicated by the rewrite")
+    // 1 write + 2 appends + raced append + optimize retry commit
+    assert(ManifestTable.versions(spark, path) == Seq(1, 2, 3, 4, 5),
+      s"unexpected log: ${ManifestTable.versions(spark, path)}")
+    val m = ManifestTable.currentManifest(spark, path)
+    // (c) every bucket now holds `slices` range-ordered dirs and the
+    // same predicate skips all but the top slice
+    assert(m.buckets.values.forall(_.size == 4),
+      s"buckets not range-sliced: ${m.buckets.view.mapValues(_.size).toMap}")
+    assert(plannedParts(path) == 16)
+    val pruned = plannedParts(path, GreaterThan("score", 89.5))
+    assert(pruned == 4,
+      s"clustering must confine score>89.5 to one slice per bucket, got $pruned")
+    // pruned read still answers exactly
+    graft.sources.ManifestIndexSource.ensureRegistered(spark)
+    val got = spark.sql(
+      s"SELECT count(*) FROM graft_manifest.`$path` WHERE score > 89.5")
+    assert(got.head().getLong(0) ==
+      ManifestTable.read(spark, path).filter($"score" > 89.5).count())
   }
 
   test("two interleaved writers both commit: loser of the version race rebases and republishes") {
