@@ -137,6 +137,52 @@ object ManifestIndexSource {
     }
   }
 
+  /** Layout skew of a manifest table from MANIFEST METADATA alone:
+    * the hottest bucket's load over the MEDIAN non-empty bucket's load
+    * (median, not mean — one hot bucket drags the mean toward itself
+    * and caps the ratio at nBuckets, while the median keeps reporting
+    * what a typical task sees). Load is the manifest's per-directory
+    * row count; a dir predating row counting falls back to on-disk
+    * file bytes (one listStatus per dir — still metadata, no footers).
+    * `None` when the table is empty or no load signal exists.
+    */
+  def bucketSkewRatio(spark: SparkSession, path: String): Option[Double] = {
+    val m = ManifestTable.currentManifest(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def load(dirs: Seq[String]): Option[Double] =
+      if (dirs.forall(m.dirRows.contains)) Some(dirs.map(m.dirRows).sum.toDouble)
+      else {
+        val sz = dirs.flatMap(d => parquetFiles(s"$path/$d", conf)).map(_._2)
+        if (sz.isEmpty) None else Some(sz.sum.toDouble)
+      }
+    val loads = m.buckets.values.filter(_.nonEmpty).flatMap(load)
+      .filter(_ > 0).toSeq.sorted
+    if (loads.isEmpty) None
+    else {
+      val median =
+        if (loads.size % 2 == 1) loads(loads.size / 2)
+        else (loads(loads.size / 2 - 1) + loads(loads.size / 2)) / 2.0
+      Some(loads.last / median)
+    }
+  }
+
+  /** Run a manifest-to-manifest join with the partially-clustered SPJ
+    * dial chosen FROM the tables' manifest statistics instead of by the
+    * caller: when any participating table's [[bucketSkewRatio]] meets
+    * `skewRatio`, `f` runs under [[withPartiallyClusteredSPJ]] (the hot
+    * bucket's per-file splits stay separate tasks, smaller side
+    * replicated); on uniform layouts the dial stays OFF, preserving
+    * `KeyGroupedShuffleSpec.canCreatePartitioning` — i.e. the
+    * shuffle-one-side SPJ that keyed probe joins depend on, which the
+    * flag would otherwise disable. Plan materialization AND execution
+    * must happen inside `f` (the conf is read at physical planning).
+    */
+  def withAutoSkewSPJ[T](spark: SparkSession, paths: Seq[String],
+                         skewRatio: Double = 4.0)(f: => T): T =
+    if (paths.exists(p => bucketSkewRatio(spark, p).exists(_ >= skewRatio)))
+      withPartiallyClusteredSPJ(spark)(f)
+    else f
+
   /** Latest snapshot through the partitioning-aware scan. */
   def read(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     ensureRegistered(spark)

@@ -1008,6 +1008,58 @@ class ManifestIndexSourceSpec extends SparkSpec {
     }
   }
 
+  test("auto skew dial: manifest statistics engage partially-clustered SPJ on a planted hot bucket, stay off on uniform layouts") {
+    val dialKey =
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+    val big = tmp(); val small = tmp(); val uni = tmp()
+    seed(big, n = 40, nB = 4)
+    val hotKey = 5L
+    (1 to 4).foreach { k => // the hot bucket accumulates 4 append files
+      ManifestTable.append(spark, big,
+        Seq.tabulate(50)(i => (hotKey, s"hot-$k-$i", k.toDouble, Seq(hotKey)))
+          .toDF("id", "name", "score", "sig"), "id")
+    }
+    seed(small, n = 40, nB = 4)
+    seed(uni, n = 40, nB = 4)
+    // the metadata signal itself: ~[10,10,10,210] vs median 10 on the
+    // planted table, ~1 on uniform ones
+    val skewed = ManifestIndexSource.bucketSkewRatio(spark, big)
+    val flat = ManifestIndexSource.bucketSkewRatio(spark, uni)
+    assert(skewed.exists(_ >= 4.0), s"planted skew not detected: $skewed")
+    assert(flat.exists(_ < 2.0), s"uniform table misread as skewed: $flat")
+    ManifestIndexSource.ensureRegistered(spark)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.enabled" -> "false") {
+      // skewed pair: the dial engages — hot bucket's files stay separate
+      // tasks, still exchange-free on both sides
+      val (dialOn, parts, plan, n) =
+        ManifestIndexSource.withAutoSkewSPJ(spark, Seq(big, small)) {
+          val j = ManifestIndexSource.read(spark, big)
+            .join(ManifestIndexSource.read(spark, small), "id")
+          (spark.conf.get(dialKey, "false"), j.rdd.getNumPartitions,
+            j.queryExecution.executedPlan.toString, j.count())
+        }
+      assert(dialOn == "true", "skewed layout must flip the dial")
+      assert(!plan.contains("Exchange "),
+        s"auto-dialed SPJ must stay exchange-free:\n$plan")
+      assert(parts > 4, s"hot bucket still serialized into one task: $parts")
+      assert(n == 240L, s"wrong join cardinality: $n") // 40 ids + 200 hot dups
+      // uniform pair: the dial stays off — key-grouped one-task-per-
+      // bucket SPJ, and canCreatePartitioning (shuffle-one-side) intact
+      val (dialOff, parts2, plan2, n2) =
+        ManifestIndexSource.withAutoSkewSPJ(spark, Seq(uni, small)) {
+          val j = ManifestIndexSource.read(spark, uni)
+            .join(ManifestIndexSource.read(spark, small), "id")
+          (spark.conf.get(dialKey, "false"), j.rdd.getNumPartitions,
+            j.queryExecution.executedPlan.toString, j.count())
+        }
+      assert(dialOff == "false", "uniform layout must not flip the dial")
+      assert(!plan2.contains("Exchange "), plan2)
+      assert(parts2 == 4, s"uniform SPJ should key-group to 4 tasks: $parts2")
+      assert(n2 == 40L)
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
