@@ -225,6 +225,61 @@ object Sketches {
     out
   }
 
+  /** dHash grid: 8 columns × 9 rows = 72 "pixels", 63 gradient bits —
+    * the classic difference-hash shape sized so the fingerprint stays a
+    * POSITIVE signed 64-bit value (bit 62 is the highest set bit; DuckDB
+    * BIGINT shifts/sums stay exact, no sign wrapping anywhere).
+    */
+  val DHashGridW: Int = 8
+  val DHashGridH: Int = 9
+  val DHashBits: Int = (DHashGridW - 1) * DHashGridH // 63
+
+  /** 63-bit perceptual difference hash over an opaque media payload.
+    *
+    * The payload is box-filtered down to an 8×9 grid — pixel i is the
+    * INTEGER mean of the unsigned bytes in [⌊i·len/72⌋, ⌊(i+1)·len/72⌋)
+    * (an empty block, only possible for payloads under 72 bytes, reads
+    * as 0) — then bit r·7+c is set iff grid[r][c] > grid[r][c+1]
+    * (row-major, 7 horizontal gradients per row). Box-filtering is what
+    * makes this a NEAR-dup hash: a localized edit moves a handful of
+    * block means by O(1/blockLen), so most gradient signs — and hence
+    * most bits — survive, exactly the robustness property image dHash
+    * gets from downsampling before differencing. Every step is integer
+    * algebra on byte values, so the DuckDB oracle reproduces the
+    * fingerprint bit-for-bit from the hex encoding of the payload.
+    *
+    * Operates on the decode stub's byte signal (`Multimodal.decodeStub`);
+    * a real codec deployment would swap in the decoded luma plane
+    * upstream and this kernel is unchanged.
+    */
+  def dhash63(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    val nPix = DHashGridW * DHashGridH
+    val px = new Array[Long](nPix)
+    var i = 0
+    while (i < nPix) {
+      val lo = (i.toLong * len / nPix).toInt
+      val hi = ((i + 1).toLong * len / nPix).toInt
+      if (hi > lo) {
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += (bytes(j) & 0xFF); j += 1 }
+        px(i) = s / (hi - lo)
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < DHashBits) {
+      val r = b / (DHashGridW - 1)
+      val c = b % (DHashGridW - 1)
+      val idx = r * DHashGridW + c
+      if (px(idx) > px(idx + 1)) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** ALL adjacent word n-grams, with repeats (unlike `shingles`, which
     * dedups and falls back to the whole text): the multiplicity-carrying
     * scan a BPE-style pair-frequency count needs.
@@ -315,6 +370,8 @@ object Sketches {
     column(CharSymbolsExpr(expression(word)))
 
   def simhash(text: Column): Column = column(SimHashExpr(expression(text)))
+
+  def dhash(media: Column): Column = column(DHashExpr(expression(media)))
 
   /** Portable scalar digest of an ARRAY<LONG> signature: left fold
     * `(acc·31 + elem) mod P1` — pins the whole array content into one
@@ -520,6 +577,28 @@ case class SimHashExpr(child: Expression)
   override def nullSafeEval(v: Any): Any = Sketches.simhash(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
   override def prettyName: String = "simhash"
+}
+
+/** 63-bit perceptual difference hash over a BINARY payload (see
+  * `Sketches.dhash63`): one imperative pass over the byte array — O(len)
+  * with no per-byte boxing, vs the O(len) string-slicing a
+  * hex/substr/conv HOF formulation would pay per block.
+  */
+case class DHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dhash requires BINARY, got ${t.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Sketches.dhash63(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): DHashExpr = copy(child = c)
+  override def prettyName: String = "dhash"
 }
 
 /** One left-to-right non-overlapping BPE merge pass over a symbol array

@@ -473,13 +473,32 @@ object Dedup {
     * here too, and its star edges are at distance 0 (kept).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"),
-      graft.functions.Sketches.simhash(col(textCol)).as("sh"))
-    val banded = withSim.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(b =>
+                          maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.Sketches.simhash(col(textCol)).as("sh")),
+      nBands = 4, bandBits = 15, maxDist = maxDist,
+      maxBucketSize = maxBucketSize)
+
+  /** Near-dup pairs at Hamming ≤ maxDist over ANY integer fingerprint
+    * column, candidates from band equality: the fingerprint splits into
+    * `nBands` bands of `bandBits` bits, and a pair within Hamming ≤
+    * nBands−1 shares at least one unchanged band (pigeonhole), so band
+    * buckets are an EXACT candidate set for any `maxDist ≤ nBands−1`.
+    * Input must have columns `(id, sh)`; the same bucket/skew guards as
+    * documented above apply (this IS the simhash join, parametrized —
+    * `media_near_dup` reuses it over the 63-bit perceptual dHash with
+    * 9×7-bit bands).
+    */
+  def bandedHammingPairs(withFp: DataFrame, nBands: Int, bandBits: Int,
+                         maxDist: Int, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxDist <= nBands - 1,
+      s"banding over $nBands bands only guarantees Hamming <= ${nBands - 1}")
+    val bandMask = (1L << bandBits) - 1
+    val banded = withFp.select(col("id"), col("sh"),
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))): _*)).as("bk"))
+          shiftright(col("sh"), b * bandBits).bitwiseAND(bandMask).as("bh"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
     // same bucket-aggregation shape as candidatePairs: one shuffle,
     // singleton buckets dropped before any pair exists

@@ -97,6 +97,37 @@ object Multimodal {
     }
   }
 
+  /** Perceptual near-duplicate clusters over the media payload — the
+    * standard image-dedup stage of a multimodal training pipeline,
+    * completing the dedup family across modalities (text: minhash /
+    * simhash / exact-substring; embeddings: SemDeDup / SRP; media: this).
+    *
+    * Shape: one codegen-kernel pass computes the 63-bit box-filtered
+    * difference hash per payload (`Sketches.dhash63` — on a codec
+    * deployment the decoded luma plane feeds the same kernel), then the
+    * SAME banded-Hamming machinery as the simhash join generates
+    * candidates (9 bands × 7 bits — exact for maxDist ≤ 8 by
+    * pigeonhole; no all-pairs product ever forms), and
+    * `Dedup.connectedComponents` labels the near-dup groups. Every
+    * stage is the simhash path's, so the 100 TB story (bucketed
+    * candidates, mega-bucket star guard, stats-gated components) is
+    * inherited, not re-derived.
+    *
+    * Returns `(id, fp, cluster)` — the fingerprint is exported so the
+    * oracle verifies the perceptual hash itself, not just the grouping.
+    */
+  def nearDupClusters(media: DataFrame, idCol: String, mediaCol: String,
+                      maxDist: Int = 8, maxBucketSize: Int = 4096): DataFrame = {
+    import graft.ops.Dedup
+    val fps = media.select(col(idCol).as("id"),
+      graft.functions.Sketches.dhash(col(mediaCol)).as("sh"))
+    val pairs = Dedup.bandedHammingPairs(fps, nBands = 9, bandBits = 7,
+      maxDist = maxDist, maxBucketSize = maxBucketSize)
+    Dedup.connectedComponents(fps, "id", pairs)
+      .join(fps.withColumnRenamed("sh", "fp"), Seq("id"))
+      .select(col("id"), col("fp"), col("cluster"))
+  }
+
   /** Frame sampling for time-based media: every `stride`-th block of
     * `frameBytes` bytes, as (frame_idx, frame) rows. Pure column algebra
     * — the slice happens where the data lives.

@@ -2603,6 +2603,57 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |       ELSE repeat('00', 64) END AS pixels_hex
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** Perceptual near-dup clusters over the media payload: 63-bit
+    * box-filtered difference hash (`Sketches.dhash63`), banded-Hamming
+    * candidates (9×7-bit bands, exact for ≤8 by pigeonhole), connected
+    * components. Fully oracle-registered — DuckDB recomputes the block
+    * means from the hex encoding, reassembles the 63 gradient bits,
+    * brute-forces the Hamming pairs (banding ≡ brute is the pigeonhole
+    * guarantee, pinned on planted near-dups by MediaDedupSpec), and
+    * labels components with a recursive min-reach CTE — so the
+    * perceptual hash arithmetic AND the grouping are hash-verified.
+    */
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, dir))
+    Multimodal.nearDupClusters(media, "media_id", "media", maxDist = 8)
+      .select(col("id").as("media_id"), col("fp"), col("cluster"))
+      .orderBy("media_id")
+  }
+
+  private val mediaNearDupSql =
+    """WITH RECURSIVE m AS (
+      |  SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS h,
+      |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |bytes AS (
+      |  SELECT media_id, n_bytes, list_transform(range(0, n_bytes), j ->
+      |    (strpos('0123456789ABCDEF', substring(h, CAST(2*j+1 AS BIGINT), 1))-1)*16
+      |    + (strpos('0123456789ABCDEF', substring(h, CAST(2*j+2 AS BIGINT), 1))-1)) AS bs
+      |  FROM m),
+      |px AS (
+      |  SELECT media_id, list_transform(range(0,72), i ->
+      |    CAST(coalesce(list_sum(list_slice(bs, CAST((i*n_bytes)//72+1 AS BIGINT),
+      |                                      CAST(((i+1)*n_bytes)//72 AS BIGINT))), 0) //
+      |         greatest(((i+1)*n_bytes)//72 - (i*n_bytes)//72, 1) AS BIGINT)) AS p
+      |  FROM bytes),
+      |fp AS (
+      |  SELECT media_id, CAST(list_sum(list_transform(range(0,63), b ->
+      |    CASE WHEN p[CAST((b//7)*8+(b%7)+1 AS BIGINT)] > p[CAST((b//7)*8+(b%7)+2 AS BIGINT)]
+      |    THEN CAST(1 AS BIGINT)<<CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+      |  FROM px),
+      |pairs AS (
+      |  SELECT a.media_id AS id_l, b.media_id AS id_r
+      |  FROM fp a JOIN fp b ON a.media_id < b.media_id
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 8),
+      |edges(src, dst) AS (SELECT id_l, id_r FROM pairs UNION SELECT id_r, id_l FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT media_id, media_id FROM fp
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |SELECT f.media_id, f.fp, c.cluster
+      |FROM fp f JOIN comp c ON c.id = f.media_id ORDER BY f.media_id""".stripMargin
+
   /** Frame sampling over byte blocks (stride-2 64-byte frames). The byte
     * slicing is pure deterministic algebra, so it carries a full oracle:
     * one row per sampled frame with the hex of its first 8 bytes — DuckDB
@@ -2819,6 +2870,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "media_features" -> mediaFeatures _,
     "media_frames" -> mediaFrames _,
     "media_resize" -> mediaResize _,
+    "media_near_dup" -> mediaNearDup _,
     "cardinality_sketch" -> cardinalitySketch _,
     "quantile_sketch" -> quantileSketch _
   )
@@ -2911,6 +2963,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "embedding_quantize" -> embeddingQuantizeSql,
     "media_frames" -> mediaFramesSql,
     "media_features" -> mediaFeaturesSql,
-    "media_resize" -> mediaResizeSql
+    "media_resize" -> mediaResizeSql,
+    "media_near_dup" -> mediaNearDupSql
   )
 }
