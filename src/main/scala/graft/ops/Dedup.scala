@@ -492,8 +492,13 @@ object Dedup {
     */
   def bandedHammingPairs(withFp: DataFrame, nBands: Int, bandBits: Int,
                          maxDist: Int, maxBucketSize: Int = 4096): DataFrame = {
-    require(maxDist <= nBands - 1,
-      s"banding over $nBands bands only guarantees Hamming <= ${nBands - 1}")
+    // EXACTNESS is conditional, not required: candidates are provably
+    // complete only for maxDist <= nBands-1 (pigeonhole); a larger
+    // maxDist is the standard APPROXIMATE simhash-LSH trade — band
+    // collisions as a recall-oriented candidate filter, every emitted
+    // pair still Hamming-verified. Callers whose oracle depends on
+    // completeness (media_near_dup) pin the exact regime themselves
+    // ([[graft.ops.Multimodal.nearDupClusters]]).
     val bandMask = (1L << bandBits) - 1
     val banded = withFp.select(col("id"), col("sh"),
       explode(array((0 until nBands).map(b =>

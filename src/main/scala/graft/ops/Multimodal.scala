@@ -119,6 +119,12 @@ object Multimodal {
   def nearDupClusters(media: DataFrame, idCol: String, mediaCol: String,
                       maxDist: Int = 8, maxBucketSize: Int = 4096): DataFrame = {
     import graft.ops.Dedup
+    // the DuckDB oracle recomputes clusters from ALL-PAIRS Hamming, so
+    // this caller must stay in banding's EXACT regime (candidates
+    // provably complete by pigeonhole) — unlike the recall-oriented
+    // simhash text join, which may exceed it
+    require(maxDist <= 8,
+      s"9x7-bit banding is exact only for Hamming <= 8, got $maxDist")
     val fps = media.select(col(idCol).as("id"),
       graft.functions.Sketches.dhash(col(mediaCol)).as("sh"))
     val pairs = Dedup.bandedHammingPairs(fps, nBands = 9, bandBits = 7,
