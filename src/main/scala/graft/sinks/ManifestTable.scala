@@ -101,7 +101,9 @@ object ManifestTable {
                                      buckets: Map[Int, Seq[String]],
                                      txns: Map[String, Long] = Map.empty,
                                      dirRows: Map[String, Long] = Map.empty,
-                                     dirStats: Map[String, Map[String, (String, String)]] = Map.empty) {
+                                     dirStats: Map[String, Map[String, (String, String)]] = Map.empty,
+                                     bloomCols: Seq[String] = Seq.empty,
+                                     tombstones: Map[Int, Seq[(String, Seq[String])]] = Map.empty) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     def keyType: org.apache.spark.sql.types.DataType =
@@ -112,11 +114,23 @@ object ManifestTable {
       * `SELECT count(*)` — no data IO.
       */
     def totalRows: Option[Long] = {
-      val referenced = buckets.values.flatten.toSeq
-      if (referenced.forall(dirRows.contains))
-        Some(referenced.map(dirRows).sum)
-      else None
+      // equality-delete tombstones make per-dir counts an OVERcount (a
+      // tombstoned key's rows are still physically present) — metadata
+      // cannot answer until a rewrite folds the deletes away
+      if (tombstones.valuesIterator.exists(_.nonEmpty)) None
+      else {
+        val referenced = buckets.values.flatten.toSeq
+        if (referenced.forall(dirRows.contains))
+          Some(referenced.map(dirRows).sum)
+        else None
+      }
     }
+    /** Tombstone DIRS applicable to one data dir of one bucket — the
+      * equality-delete files whose keys must be filtered from it.
+      */
+    def tombstoneDirsFor(b: Int, rel: String): Seq[String] =
+      tombstones.getOrElse(b, Seq.empty)
+        .collect { case (ts, over) if over.contains(rel) => ts }
   }
 
   private def fs(spark: SparkSession, path: String) =
@@ -147,6 +161,8 @@ object ManifestTable {
           s"stats bound not manifest-safe: $c=[$mn,$mx]")
       }
     }
+    m.bloomCols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bloom column not manifest-safe: $c"))
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, ps) =>
         s""""$b":[${ps.map(p => s""""$p"""").mkString(",")}]""" }
@@ -161,11 +177,27 @@ object ManifestTable {
           .map { case (c, (mn, mx)) => s""""$c":["$mn","$mx"]""" }.mkString(",")
         s""""$d":{$inner}""" }
       .mkString(",")
+    val blooms = m.bloomCols.map(c => s""""$c"""").mkString(",")
+    // each tombstone entry renders as ONE flat string
+    // "tsDir;coveredDir;coveredDir..." — paths are [A-Za-z0-9/._=-]+ so
+    // ';' is unambiguous and the object stays nesting-free
+    m.tombstones.valuesIterator.flatten.foreach { case (ts, over) =>
+      (ts +: over).foreach(d => require(d.matches("[A-Za-z0-9/._=-]+"),
+        s"tombstone path not manifest-safe: $d"))
+    }
+    val tombs = m.tombstones.toSeq.sortBy(_._1)
+      .map { case (b, es) =>
+        val flat = es.map { case (ts, over) =>
+          s""""${(ts +: over).mkString(";")}"""" }.mkString(",")
+        s""""$b":[$flat]""" }
+      .mkString(",")
     s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
       s""""keyCol":"${m.keyCol}","schemaDdl":"${m.schemaDdl}",""" +
       s""""txns":{$txns},""" +
       s""""dirRows":{$rows},""" +
       s""""dirStats":{$stats},""" +
+      s""""bloomCols":[$blooms],""" +
+      s""""tombstones":{$tombs},""" +
       s""""buckets":{$entries}}"""
   }
 
@@ -216,8 +248,33 @@ object ManifestTable {
             .map(c => c.group(1) -> (c.group(2), c.group(3))).toMap
         }.toMap
     }
+    // optional (absent in pre-bloom manifests): columns with per-dir
+    // bloom sidecars; rendered before buckets, a flat string array
+    val bloomCols = s.indexOf("\"bloomCols\"") match {
+      case -1 => Seq.empty[String]
+      case i =>
+        val body = s.substring(s.indexOf('[', i) + 1, s.indexOf(']', i))
+        "\"([A-Za-z_][A-Za-z0-9_]*)\"".r.findAllMatchIn(body)
+          .map(_.group(1)).toSeq
+    }
+    // optional (absent in pre-merge-on-read manifests): per-bucket
+    // equality-delete entries, each a flat "tsDir;covered..." string
+    val tombstones = s.indexOf("\"tombstones\"") match {
+      case -1 => Map.empty[Int, Seq[(String, Seq[String])]]
+      case i =>
+        val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+        """"(\d+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { b =>
+          val entries = "\"([^\"]+)\"".r.findAllMatchIn(b.group(2))
+            .map { e =>
+              val parts = e.group(1).split(';').toSeq
+              (parts.head, parts.tail)
+            }.toSeq
+          b.group(1).toInt -> entries
+        }.toMap
+    }
     Manifest(intField("version"), intField("nBuckets"),
-      strField("keyCol"), strField("schemaDdl"), buckets, txns, dirRows, dirStats)
+      strField("keyCol"), strField("schemaDdl"), buckets, txns, dirRows,
+      dirStats, bloomCols, tombstones)
   }
 
   /** Committed versions, ascending; empty if the table doesn't exist.
@@ -348,10 +405,22 @@ object ManifestTable {
     * though its own commit later correctly skips. Unique dirs mean a
     * loser's staging is only ever an orphan, reclaimed by [[vacuum]].
     */
+  /** Per-column parquet BLOOM FILTERS for the table's bloom columns,
+    * written into every staged file's row groups: the tier below the
+    * dir-level sidecars — a point probe that survives dir pruning still
+    * skips row groups whose bloom excludes the value (the column is
+    * hash-distributed, so footer min/max never can). Read-side is free:
+    * the row-group `FilterPredicate` ([[graft.sources.ManifestVectorizedReader]]
+    * withFilterPredicate) consults blooms automatically.
+    */
+  private def bloomWriteOpts(bloomCols: Seq[String]): Map[String, String] =
+    bloomCols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   private[graft] def stageSlice(spark: SparkSession, path: String,
                                 slice: DataFrame,
                                 dirPrefix: Option[String] = None,
-                                maxRecordsPerFile: Long = 0L): Map[Int, String] = {
+                                maxRecordsPerFile: Long = 0L,
+                                writerOptions: Map[String, String] = Map.empty): Map[Int, String] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/${dirPrefix.fold(commitId)(p => s"$p-$commitId")}"
     // partitionBy consumes its column, so stage under a shadow copy and
@@ -367,7 +436,7 @@ object ManifestTable {
     withWriterConfs(spark, maxRecordsPerFile) {
       slice.withColumn("b", col("bucket"))
         .repartition(col("b"))
-        .write.mode("error")
+        .write.mode("error").options(writerOptions)
         .partitionBy("b").parquet(s"$path/$rel")
     }
     val f = fs(spark, path)
@@ -410,26 +479,36 @@ object ManifestTable {
     * sample does): cuts need only be approximately balanced, never
     * exact, so a sample is the 100 TB-correct tool.
     */
+  /** Approximately-balanced cut points for `expr` from a BOUNDED sample
+    * (≤ ~20k values collected, seeded, sorted driver-side) — the same
+    * job RangePartitioner's reservoir sample does. Cuts need only be
+    * approximately balanced, never exact; a sample is the 100 TB-correct
+    * tool. Returns up to `k-1` distinct cuts splitting into ≤ k groups.
+    */
+  private def sampleCuts(slice: DataFrame, expr: org.apache.spark.sql.Column,
+                         k: Int, totalRows: Long): Seq[Any] =
+    if (k <= 1) Seq.empty
+    else {
+      val sampleTarget = 20000.0
+      val frac = math.min(1.0, sampleTarget / math.max(1L, totalRows))
+      val sampled = slice.select(expr.as("__cut")).na.drop
+        .sample(withReplacement = false, frac, seed = 42L)
+        .sort("__cut").collect().map(_.get(0))
+      if (sampled.isEmpty) Seq.empty
+      else (1 until k).map(i => sampled(i * sampled.length / k))
+        .distinct.toSeq
+    }
+
   private[graft] def stageClustered(spark: SparkSession, path: String,
                                     slice: DataFrame, clusterCol: String,
                                     slices: Int, totalRows: Long,
-                                    maxRecordsPerFile: Long): Map[Int, Seq[String]] = {
+                                    maxRecordsPerFile: Long,
+                                    writerOptions: Map[String, String] = Map.empty): Map[Int, Seq[String]] = {
     require(slice.columns.contains(clusterCol),
       s"cluster column $clusterCol not in ${slice.columns.mkString(",")}")
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
-    val cuts: Seq[Any] =
-      if (slices <= 1) Seq.empty
-      else {
-        val sampleTarget = 20000.0
-        val frac = math.min(1.0, sampleTarget / math.max(1L, totalRows))
-        val sampled = slice.select(col(clusterCol)).na.drop
-          .sample(withReplacement = false, frac, seed = 42L)
-          .sort(clusterCol).collect().map(_.get(0))
-        if (sampled.isEmpty) Seq.empty
-        else (1 until slices).map(i => sampled(i * sampled.length / slices))
-          .distinct.toSeq
-      }
+    val cuts: Seq[Any] = sampleCuts(slice, col(clusterCol), slices, totalRows)
     // slice id = number of cuts strictly below the value; null cluster
     // values land in slice 0 (bounds cover non-null values, so their
     // placement cannot affect pruning)
@@ -439,7 +518,78 @@ object ManifestTable {
       slice.withColumn("b", col("bucket")).withColumn("s", sExpr)
         .repartition(col("s"), col("b"))
         .sortWithinPartitions(col("s"), col("b"), col(clusterCol))
-        .write.mode("error")
+        .write.mode("error").options(writerOptions)
+        .partitionBy("s", "b").parquet(s"$path/$rel")
+    }
+    val f = fs(spark, path)
+    val out = for {
+      sDir <- f.listStatus(new Path(s"$path/$rel")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("s="))
+      bDir <- f.listStatus(new Path(s"$path/$rel/$sDir")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("b="))
+    } yield (bDir.stripPrefix("b=").toInt,
+             sDir.stripPrefix("s=").toInt, s"$rel/$sDir/$bDir")
+    out.groupBy(_._1).map { case (b, ds) =>
+      b -> ds.sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Bits per dimension of the Z-curve grid (16 bins/column): enough
+    * for directory-level locality — slices are what pruning sees, and
+    * more grid resolution than slices buys nothing per dir.
+    */
+  private[graft] val ZOrderBits = 4
+
+  /** Stage a bucket-columned slice Z-ORDER-CLUSTERED on `zCols`: each
+    * column is rank-binned into 2^[[ZOrderBits]] grid cells via sampled
+    * cuts, the per-column cell indexes BIT-INTERLEAVE into a Z-curve
+    * value, and rows land range-sliced BY Z into
+    * `data/<uuid>/s=<slice>/b=<bucket>` dirs (rows z-sorted within each
+    * file). Z-locality means every slice dir spans a small HYPER-RECTANGLE
+    * of the value space, so the manifest zone maps tighten on EVERY
+    * z-column at once — a multi-column box predicate (time AND score,
+    * lang AND quality band) prunes dirs where single-column range
+    * clustering can only serve its one column. This is Delta/Iceberg's
+    * `OPTIMIZE ZORDER BY`, landed on the same manifest zone maps.
+    *
+    * Everything driver-side is bounded metadata: one ≤20k-value sample
+    * per column for the grid cuts, one for the z-slice cuts; the Z value
+    * itself is pure column arithmetic (codegen), never materialized in
+    * the written files.
+    */
+  private[graft] def stageZOrdered(spark: SparkSession, path: String,
+                                   slice: DataFrame, zCols: Seq[String],
+                                   slices: Int, totalRows: Long,
+                                   maxRecordsPerFile: Long,
+                                   writerOptions: Map[String, String] = Map.empty): Map[Int, Seq[String]] = {
+    require(zCols.size >= 2, "zorder needs >= 2 columns (1 is range clustering)")
+    zCols.foreach(c => require(slice.columns.contains(c),
+      s"zorder column $c not in ${slice.columns.mkString(",")}"))
+    val commitId = java.util.UUID.randomUUID().toString
+    val rel = s"$DataDir/$commitId"
+    val bins = 1 << ZOrderBits
+    // per-column grid cell = #cuts strictly below the value (null → cell
+    // 0; bounds cover non-null values so placement cannot mis-prune)
+    val cellExprs = zCols.map { c =>
+      sampleCuts(slice, col(c), bins, totalRows)
+        .foldLeft(lit(0L)) { (acc, cut) =>
+          acc + when(col(c) > lit(cut), 1L).otherwise(0L) }
+    }
+    val n = zCols.size
+    // bit-interleave the cells (disjoint target bits, so + is |)
+    val zExpr = (for { b <- 0 until ZOrderBits; ci <- 0 until n } yield
+      shiftleft(shiftright(cellExprs(ci), b).bitwiseAND(1), b * n + ci))
+      .reduce(_ + _)
+    val withZ = slice.withColumn("__z", zExpr)
+    val zCuts = sampleCuts(withZ, col("__z"), slices, totalRows)
+    val sExpr = zCuts.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(col("__z") > lit(cut), 1).otherwise(0) }
+    withWriterConfs(spark, maxRecordsPerFile) {
+      withZ.withColumn("b", col("bucket")).withColumn("s", sExpr)
+        .repartition(col("s"), col("b"))
+        .sortWithinPartitions(col("s"), col("b"), col("__z"))
+        .drop("__z") // narrow projection: within-partition order survives
+        .write.mode("error").options(writerOptions)
         .partitionBy("s", "b").parquet(s"$path/$rel")
     }
     val f = fs(spark, path)
@@ -678,8 +828,41 @@ object ManifestTable {
     next.copy(dirRows = rows, dirStats = stats)
   }
 
+  /** Write missing bloom sidecars for `dirs` (commit-time for new dirs;
+    * [[setBloomColumns]] backfill for existing ones). One column-pruned
+    * distributed read per (dir, bloom column) — O(new data) like the
+    * staging write itself, the price of the point-lookup index. Skipped
+    * per-dir when the row count is unknown (footer-read failure) or
+    * above [[BloomSidecar.MaxRowsPerDir]]; any failure is absorbed —
+    * sidecars are advisory and must never fail a commit.
+    */
+  private def writeBlooms(spark: SparkSession, path: String, m: Manifest,
+                          dirs: Set[String]): Unit = {
+    if (m.bloomCols.isEmpty || dirs.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fields = m.schema.fieldNames.toSet
+    val eligible = m.bloomCols.filter(c =>
+      fields.contains(c) && BloomSidecar.supportsType(m.schema(c).dataType))
+    dirs.toSeq.sorted.foreach { rel =>
+      m.dirRows.get(rel).filter(_ <= BloomSidecar.MaxRowsPerDir).foreach { rows =>
+        val abs = s"$path/$rel"
+        eligible.foreach { c =>
+          try if (!BloomSidecar.exists(conf, abs, c))
+            BloomSidecar.write(conf, abs, c,
+              BloomSidecar.build(spark.read.parquet(abs), c, rows))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }
+  }
+
   private[graft] def publish(spark: SparkSession, path: String, next0: Manifest): Unit = {
+    // the dirs withDirMeta will footer-read are exactly the ones new to
+    // this manifest — the same set whose bloom sidecars don't exist yet
+    val newDirs = next0.buckets.values.flatten.toSet --
+      (next0.dirRows.keySet intersect next0.dirStats.keySet)
     val next = withDirMeta(spark, path, next0)
+    writeBlooms(spark, path, next, newDirs)
     val f = fs(spark, path)
     val dir = new Path(path, ManifestDir)
     f.mkdirs(dir)
@@ -786,10 +969,29 @@ object ManifestTable {
   /** Full write: stages every bucket, then commits version current+1
     * (an atomic whole-table replace when the table already exists).
     */
-  def write(df: DataFrame, path: String, keyCol: String, nBuckets: Int): Unit = {
+  def write(df: DataFrame, path: String, keyCol: String, nBuckets: Int,
+            bloomCols: Seq[String] = Seq.empty): Unit =
+    writeInternal(df, path, keyCol, nBuckets, bloomCols, Map.empty)
+
+  /** [[write]] that additionally seeds the manifest's txn watermarks —
+    * the materialized-view CREATE/REBUILD path, where the full compute
+    * and the source version it reflects must land in ONE commit.
+    */
+  private[graft] def writeWithTxn(df: DataFrame, path: String, keyCol: String,
+                                  nBuckets: Int, appId: String,
+                                  version: Long): Unit =
+    writeInternal(df, path, keyCol, nBuckets, Seq.empty, Map(appId -> version))
+
+  private def writeInternal(df: DataFrame, path: String, keyCol: String,
+                            nBuckets: Int, bloomCols: Seq[String],
+                            txns: Map[String, Long]): Unit = {
     val spark = df.sparkSession
     val slice = bucketed(df, keyCol, nBuckets)
-    val staged = stageSlice(spark, path, slice)
+    bloomCols.foreach(c => require(slice.columns.contains(c) &&
+      BloomSidecar.supportsType(slice.schema(c).dataType),
+      s"bloom column $c must exist with string/integral type"))
+    val staged = stageSlice(spark, path, slice,
+      writerOptions = bloomWriteOpts(bloomCols))
     // whole-table replace: a lost race only needs a fresh version number
     // (the staged dirs are the complete next table regardless of base)
     var tries = 0
@@ -798,7 +1000,8 @@ object ManifestTable {
       val v = headVersion(spark, path).getOrElse(0) + 1
       try {
         publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
-          staged.map { case (b, d) => b -> Seq(d) }))
+          staged.map { case (b, d) => b -> Seq(d) }, bloomCols = bloomCols,
+          txns = txns))
         done = true
       } catch {
         case e: ConcurrentCommitException =>
@@ -808,14 +1011,80 @@ object ManifestTable {
     }
   }
 
+  /** The highest batch version committed for `appId` ([[appendOnce]]'s
+    * watermark) — `None` for an unknown appId or an absent table.
+    */
+  private[graft] def txnVersion(spark: SparkSession, path: String,
+                                appId: String): Option[Long] =
+    if (versions(spark, path).isEmpty) None
+    else currentManifest(spark, path).txns.get(appId)
+
+  /** Enable (or change) the table's bloom-sidecar columns: one metadata
+    * commit records the column set in the manifest — every subsequent
+    * commit's new directories get sidecars at publish — then existing
+    * referenced directories are BACKFILLED in place (create-only writes
+    * of `_bloom-<col>.bin` into immutable dirs: parquet files are never
+    * touched, data readers never see the sidecars, and a concurrent
+    * backfiller's create race has a single winner). Backfill failures
+    * leave gaps, not errors — an unsidecared dir just cannot be pruned.
+    */
+  def setBloomColumns(spark: SparkSession, path: String,
+                      cols: Seq[String]): Unit = {
+    commitWithRetry(spark, path) { m =>
+      val fields = m.schema.fieldNames.toSet
+      cols.foreach(c => require(fields.contains(c) &&
+        BloomSidecar.supportsType(m.schema(c).dataType),
+        s"bloom column $c must exist in the table schema with string/integral type"))
+      if (m.bloomCols == cols) None
+      else Some(m.copy(version = m.version + 1, bloomCols = cols))
+    }
+    val m = currentManifest(spark, path)
+    writeBlooms(spark, path, m, m.buckets.values.flatten.toSet)
+  }
+
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
     readFrom(spark, path, readManifest(spark, path, v))
 
+  /** Read data dirs applying any equality-delete tombstones ([[merge]]/
+    * [[deleteKeys]]): dirs are GROUPED by their applicable tombstone-dir
+    * set — one read + one broadcast anti-join per distinct group
+    * (typically 2: pre-delete dirs and post-delete appends) however many
+    * dirs the table holds — uncovered groups read plain, zero join. The
+    * anti-join is null-safe by construction: tombstones never hold null
+    * keys and a null-keyed data row never equi-matches, so it survives,
+    * matching "delete by key cannot target null".
+    */
+  private def readWithTombstones(spark: SparkSession, path: String,
+                                 m: Manifest,
+                                 perBucket: Seq[(Int, Seq[String])]): DataFrame = {
+    val grouped: Seq[(Seq[String], Seq[String])] = perBucket
+      .flatMap { case (b, rels) =>
+        rels.map(rel => (m.tombstoneDirsFor(b, rel), rel)) }
+      .groupBy(_._1).map { case (sig, xs) => (sig, xs.map(_._2)) }
+      .toSeq.sortBy(_._2.headOption.getOrElse(""))
+    if (grouped.isEmpty || grouped.forall(_._2.isEmpty)) emptyWithSchema(spark, m)
+    else grouped.collect { case (sig, rels) if rels.nonEmpty =>
+      val base = spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
+      if (sig.isEmpty) base
+      else base.join(
+        broadcast(spark.read.parquet(sig.map(ts => s"$path/$ts"): _*)
+          .select(m.keyCol).distinct()),
+        Seq(m.keyCol), "left_anti")
+    }.reduce(_ unionByName _)
+  }
+
+  private def hasTombstones(m: Manifest): Boolean =
+    m.tombstones.valuesIterator.exists(_.nonEmpty)
+
   private def readFrom(spark: SparkSession, path: String, m: Manifest): DataFrame = {
-    val dirs = m.buckets.toSeq.sortBy(_._1)
-      .flatMap { case (_, rels) => rels.map(rel => s"$path/$rel") }
-    if (dirs.isEmpty) emptyWithSchema(spark, m)
-    else spark.read.parquet(dirs: _*)
+    if (hasTombstones(m))
+      readWithTombstones(spark, path, m, m.buckets.toSeq.sortBy(_._1))
+    else {
+      val dirs = m.buckets.toSeq.sortBy(_._1)
+        .flatMap { case (_, rels) => rels.map(rel => s"$path/$rel") }
+      if (dirs.isEmpty) emptyWithSchema(spark, m)
+      else spark.read.parquet(dirs: _*)
+    }
   }
 
   /** Latest committed snapshot — head discovery through the checkpoint
@@ -855,7 +1124,22 @@ object ManifestTable {
     m.buckets.get(b) match {
       case None => emptyWithSchema(spark, m)
       case Some(rels) =>
-        spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
+        // bloom-sidecar cut WITHIN the bucket: an append-log bucket holds
+        // one dir per commit, and a point lookup needs only the dirs
+        // whose filter might contain the key — absent/unreadable
+        // sidecars conservatively survive
+        val kept =
+          if (!m.bloomCols.contains(keyCol)) rels
+          else {
+            val conf = spark.sparkContext.hadoopConfiguration
+            rels.filter(rel => BloomSidecar.read(conf, s"$path/$rel", keyCol)
+              .forall(BloomSidecar.mightContain(_, keyValue)))
+          }
+        if (kept.isEmpty) emptyWithSchema(spark, m)
+        else if (m.tombstones.getOrElse(b, Seq.empty).nonEmpty)
+          readWithTombstones(spark, path, m, Seq(b -> kept))
+            .filter(col(keyCol) === keyValue)
+        else spark.read.parquet(kept.map(rel => s"$path/$rel"): _*)
           .filter(col(keyCol) === keyValue)
     }
   }
@@ -875,11 +1159,12 @@ object ManifestTable {
       .select(pmod(xxhash64(col(keyField)), lit(m.nBuckets.toLong))
         .cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val dirs = touched.toSeq.sorted
-      .flatMap(b => m.buckets.getOrElse(b, Seq.empty))
-      .map(d => s"$path/$d")
-    if (dirs.isEmpty) emptyWithSchema(spark, m)
-    else spark.read.parquet(dirs: _*)
+    val perBucket = touched.toSeq.sorted
+      .map(b => b -> m.buckets.getOrElse(b, Seq.empty))
+    if (perBucket.forall(_._2.isEmpty)) emptyWithSchema(spark, m)
+    else if (touched.exists(b => m.tombstones.getOrElse(b, Seq.empty).nonEmpty))
+      readWithTombstones(spark, path, m, perBucket)
+    else spark.read.parquet(perBucket.flatMap(_._2).map(d => s"$path/$d"): _*)
   }
 
   /** MERGE: rows of `updates` replace same-key rows, new keys insert.
@@ -895,41 +1180,113 @@ object ManifestTable {
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              keyCol: String): Unit = {
-    // staging cache across retry attempts: (layout + base pointers of
-    // touched buckets when staged) -> staged dirs
-    var stagedFor: Option[(Layout, Map[Int, Seq[String]], Map[Int, String], Set[Int])] = None
+    // staging cache across retry attempts: (layout + base pointers AND
+    // tombstone state of touched buckets when staged) -> staged dirs.
+    // Tombstones are part of the key because the staged rewrite BAKES
+    // THEM IN (existing rows are read with deletes applied): rebasing
+    // onto a manifest whose touched-bucket tombstones changed would
+    // resurrect (or lose) the concurrent delete's effect.
+    var stagedFor: Option[(Layout,
+      Map[Int, (Seq[String], Seq[(String, Seq[String])])],
+      Map[Int, String], Set[Int])] = None
     commitWithRetry(spark, path) { m =>
       require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
       requireKeyType(m, updates.schema(keyCol).dataType, "upsert")
       val u = bucketed(updates, keyCol, m.nBuckets)
       // ≤ nBuckets values — bounded driver metadata, like a partition listing
       val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).toSet
-      val basePointers = touched.map(b => b -> m.buckets.getOrElse(b, Seq.empty)).toMap
+      val baseState = touched.map(b => b -> (m.buckets.getOrElse(b, Seq.empty),
+        m.tombstones.getOrElse(b, Seq.empty))).toMap
       val staged = stagedFor match {
         case Some((lay, base, dirs, tb))
-            if lay == layoutOf(m) && tb == touched && base == basePointers =>
+            if lay == layoutOf(m) && tb == touched && base == baseState =>
           dirs // conflicting commit didn't move our buckets: pointer-only rebase
         case _ =>
-          val existingDirs = touched.toSeq.sorted.flatMap(b =>
-            m.buckets.getOrElse(b, Seq.empty))
+          val perBucket = touched.toSeq.sorted.map(b =>
+            b -> m.buckets.getOrElse(b, Seq.empty))
           val existing =
-            if (existingDirs.isEmpty) None
-            else Some(spark.read.parquet(existingDirs.map(d => s"$path/$d"): _*))
+            if (perBucket.forall(_._2.isEmpty)) None
+            // equality-delete tombstones APPLIED here: the rewrite folds
+            // them away (merge-on-read debt paid down by every upsert)
+            else Some(readWithTombstones(spark, path, m, perBucket))
           val merged = existing match {
             case None => u
             case Some(e) =>
               e.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
                 .unionByName(u.select(e.columns.map(col): _*))
           }
-          val dirs = stageSlice(spark, path, merged)
-          stagedFor = Some((layoutOf(m), basePointers, dirs, touched))
+          val dirs = stageSlice(spark, path, merged,
+            writerOptions = bloomWriteOpts(m.bloomCols))
+          stagedFor = Some((layoutOf(m), baseState, dirs, touched))
           dirs
       }
       // touched buckets point at the new dirs (a bucket whose rows were all
-      // deleted stages nothing and drops out); untouched keep their dirs
+      // deleted stages nothing and drops out); untouched keep their dirs.
+      // Their tombstones are folded into the rewrite and dropped.
       val next = (m.buckets -- touched) ++ staged.map { case (b, d) => b -> Seq(d) }
-      Some(m.copy(version = m.version + 1, buckets = next))
+      Some(m.copy(version = m.version + 1, buckets = next,
+        tombstones = m.tombstones -- touched))
     }
+  }
+
+  /** Idempotent [[upsert]] under the txn-watermark protocol: the keyed
+    * replacement and the `appId -> batchVersion` watermark land in ONE
+    * commit, and a replay (same appId, version at or below the
+    * watermark) commits nothing — the exactly-once discipline
+    * [[appendOnce]] gives appends, extended to upserts. This is the
+    * materialized-view REFRESH primitive: merged aggregate states and
+    * the source version they reflect are atomic, so a crash between
+    * "apply delta" and "record progress" cannot double-count.
+    * Returns true when this call performed the upsert.
+    */
+  private[graft] def upsertOnce(spark: SparkSession, path: String,
+                                updates: DataFrame, keyCol: String,
+                                appId: String, batchVersion: Long): Boolean = {
+    require(appId.matches("[A-Za-z0-9._=-]+"),
+      s"appId must be manifest-safe: $appId")
+    var stagedFor: Option[(Layout,
+      Map[Int, (Seq[String], Seq[(String, Seq[String])])],
+      Map[Int, String], Set[Int])] = None
+    var did = false
+    commitWithRetry(spark, path) { m =>
+      if (m.txns.get(appId).exists(_ >= batchVersion)) None // replay: already landed
+      else {
+        require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+        requireKeyType(m, updates.schema(keyCol).dataType, "upsertOnce")
+        val u = bucketed(updates, keyCol, m.nBuckets)
+        val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+        val baseState = touched.map(b => b -> (m.buckets.getOrElse(b, Seq.empty),
+          m.tombstones.getOrElse(b, Seq.empty))).toMap
+        val staged = stagedFor match {
+          case Some((lay, base, dirs, tb))
+              if lay == layoutOf(m) && tb == touched && base == baseState =>
+            dirs
+          case _ =>
+            val perBucket = touched.toSeq.sorted.map(b =>
+              b -> m.buckets.getOrElse(b, Seq.empty))
+            val existing =
+              if (perBucket.forall(_._2.isEmpty)) None
+              else Some(readWithTombstones(spark, path, m, perBucket))
+            val merged = existing match {
+              case None => u
+              case Some(e) =>
+                e.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
+                  .unionByName(u.select(e.columns.map(col): _*))
+            }
+            val dirs = stageSlice(spark, path, merged,
+              Some(s"txn-$appId-$batchVersion"),
+              writerOptions = bloomWriteOpts(m.bloomCols))
+            stagedFor = Some((layoutOf(m), baseState, dirs, touched))
+            dirs
+        }
+        did = true
+        val next = (m.buckets -- touched) ++ staged.map { case (b, d) => b -> Seq(d) }
+        Some(m.copy(version = m.version + 1, buckets = next,
+          tombstones = m.tombstones -- touched,
+          txns = m.txns.updated(appId, batchVersion)))
+      }
+    }
+    did
   }
 
   /** APPEND: add `rows` without reading or rewriting anything — each
@@ -953,7 +1310,8 @@ object ManifestTable {
       val dirs = staged match {
         case Some((lay, d)) if lay == layoutOf(m) => d
         case _ =>
-          val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets))
+          val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets),
+            writerOptions = bloomWriteOpts(m.bloomCols))
           staged = Some((layoutOf(m), d))
           d
       }
@@ -1064,7 +1422,8 @@ object ManifestTable {
           case Some((lay, d)) if lay == layoutOf(m) => d
           case _ =>
             val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets),
-              Some(s"txn-$appId-$batchVersion"))
+              Some(s"txn-$appId-$batchVersion"),
+              writerOptions = bloomWriteOpts(m.bloomCols))
             staged = Some((layoutOf(m), d))
             d
         }
@@ -1085,18 +1444,27 @@ object ManifestTable {
     * OPTIMIZE. Committed atomically like any other maintenance op.
     */
   def compact(spark: SparkSession, path: String, maxDirs: Int = 8): Unit = {
-    if (currentManifest(spark, path).buckets.forall(_._2.size <= maxDirs)) return
+    val head = currentManifest(spark, path)
+    if (head.buckets.forall(_._2.size <= maxDirs) && !hasTombstones(head)) return
     // compaction is a pure rewrite of current state — on conflict the
     // cheapest correct move is to redo it against the new manifest
     // (restage; the lost attempt's dirs become vacuumable orphans)
     commitWithRetry(spark, path) { m =>
-      val wide = m.buckets.filter(_._2.size > maxDirs)
+      // a bucket carrying equality-delete tombstones is folded even if
+      // its dir list is short: compaction is what retires the
+      // merge-on-read tax
+      val wide = m.buckets.filter { case (b, rels) =>
+        rels.size > maxDirs || m.tombstones.getOrElse(b, Seq.empty).nonEmpty }
       if (wide.isEmpty) None // raced compaction already folded them
       else {
-        val staged = stageSlice(spark, path, spark.read.parquet(
-          wide.values.flatten.map(d => s"$path/$d").toSeq: _*))
+        val staged = stageSlice(spark, path,
+          readWithTombstones(spark, path, m, wide.toSeq.sortBy(_._1)),
+          writerOptions = bloomWriteOpts(m.bloomCols))
         Some(m.copy(version = m.version + 1,
-          buckets = m.buckets ++ staged.map { case (b, d) => b -> Seq(d) }))
+          // a bucket emptied by its tombstones stages nothing: drop it
+          buckets = (m.buckets -- wide.keys) ++
+            staged.map { case (b, d) => b -> Seq(d) },
+          tombstones = m.tombstones -- wide.keys))
       }
     }
   }
@@ -1124,6 +1492,15 @@ object ManifestTable {
     *    bounds — after which a range predicate on the column skips
     *    (slices-1)/slices of the data at the manifest level. Run it on
     *    the column the table's hottest predicates filter.
+    *  - Z-ordering (`zorderBy = Seq(c1, c2, ...)`): like clustering but
+    *    slices follow a bit-interleaved Z-curve over ALL the columns
+    *    ([[stageZOrdered]]) — each dir spans a small hyper-rectangle, so
+    *    multi-column box predicates prune on every z column at once
+    *    (Delta/Iceberg `OPTIMIZE ZORDER BY`). Exclusive with clusterBy;
+    *    a single zorder column degenerates to range clustering.
+    *
+    * Either clustering mode also folds any live equality-delete
+    * tombstones into the rewrite (merge-on-read debt retired).
     *
     * Selection, sizing, and cuts are all driver METADATA decisions
     * (file listings, manifest row counts, a bounded sample); data IO is
@@ -1138,9 +1515,16 @@ object ManifestTable {
   def optimize(spark: SparkSession, path: String,
                targetFileBytes: Long = 128L << 20,
                clusterBy: Option[String] = None,
-               slices: Int = 4): Unit = {
+               slices: Int = 4,
+               zorderBy: Seq[String] = Seq.empty): Unit = {
     require(slices >= 1, "slices must be >= 1")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are exclusive clustering modes")
+    // one z column degenerates to range clustering — same layout, less arithmetic
+    val effectiveCluster =
+      if (zorderBy.size == 1) Some(zorderBy.head) else clusterBy
+    val zorder = if (zorderBy.size >= 2) zorderBy else Seq.empty
     commitWithRetry(spark, path) { m =>
       val f = fs(spark, path)
       def filesOf(rel: String): Seq[Long] = {
@@ -1154,31 +1538,49 @@ object ManifestTable {
         b -> (sizes.size, sizes.sum)
       }
       val rewrite: Set[Int] =
-        if (clusterBy.isDefined) perBucket.collect { case (b, (n, _)) if n > 0 => b }.toSet
+        if (effectiveCluster.isDefined || zorder.nonEmpty)
+          perBucket.collect { case (b, (n, _)) if n > 0 => b }.toSet
         else perBucket.collect { case (b, (n, bytes))
-          if n > math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong) => b
+          if n > math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong) ||
+             m.tombstones.getOrElse(b, Seq.empty).nonEmpty => b
         }.toSet
       if (rewrite.isEmpty) None
       else {
         val inputDirs = rewrite.toSeq.sorted.flatMap(b => m.buckets.getOrElse(b, Seq.empty))
-        val df = spark.read.parquet(inputDirs.map(d => s"$path/$d"): _*)
+        val rewriteHasTs =
+          rewrite.exists(b => m.tombstones.getOrElse(b, Seq.empty).nonEmpty)
+        // equality-delete tombstones are folded into the rewrite — the
+        // OPTIMIZE that retires the merge-on-read tax
+        val df = readWithTombstones(spark, path, m,
+          rewrite.toSeq.sorted.map(b => b -> m.buckets.getOrElse(b, Seq.empty)))
         val totalBytes = rewrite.toSeq.map(b => perBucket(b)._2).sum
-        // rows from manifest metadata when complete, else one count job
-        // (maintenance-time cost, not read-path)
+        // rows from manifest metadata when complete (and not overcounted
+        // by live tombstones), else one count job (maintenance-time
+        // cost, not read-path)
         val totalRows: Long =
-          if (inputDirs.forall(m.dirRows.contains)) inputDirs.map(m.dirRows).sum
+          if (!rewriteHasTs && inputDirs.forall(m.dirRows.contains))
+            inputDirs.map(m.dirRows).sum
           else df.count()
         val bytesPerRow = math.max(1L, totalBytes / math.max(1L, totalRows))
         val targetRecords = math.max(1L, targetFileBytes / bytesPerRow)
-        val staged: Map[Int, Seq[String]] = clusterBy match {
-          case None =>
-            stageSlice(spark, path, df, maxRecordsPerFile = targetRecords)
-              .map { case (b, d) => b -> Seq(d) }
-          case Some(c) =>
-            stageClustered(spark, path, df, c, slices, totalRows, targetRecords)
-        }
+        val staged: Map[Int, Seq[String]] =
+          if (zorder.nonEmpty)
+            stageZOrdered(spark, path, df, zorder, slices, totalRows,
+              targetRecords, bloomWriteOpts(m.bloomCols))
+          else effectiveCluster match {
+            case None =>
+              stageSlice(spark, path, df, maxRecordsPerFile = targetRecords,
+                  writerOptions = bloomWriteOpts(m.bloomCols))
+                .map { case (b, d) => b -> Seq(d) }
+            case Some(c) =>
+              stageClustered(spark, path, df, c, slices, totalRows,
+                targetRecords, bloomWriteOpts(m.bloomCols))
+          }
         optimizePreCommitHook()
-        Some(m.copy(version = m.version + 1, buckets = m.buckets ++ staged))
+        Some(m.copy(version = m.version + 1,
+          // a bucket emptied by its folded tombstones stages nothing
+          buckets = (m.buckets -- rewrite) ++ staged,
+          tombstones = m.tombstones -- rewrite))
       }
     }
   }
@@ -1195,8 +1597,10 @@ object ManifestTable {
   def delete(spark: SparkSession, path: String, keyCol: String,
              keyValue: Any): Unit = {
     // staging cache across retry attempts, keyed by the layout and the
-    // victim bucket's pointers at stage time (same rebase rule as upsert)
-    var stagedFor: Option[(Layout, Seq[String], Map[Int, String])] = None
+    // victim bucket's pointers AND tombstones at stage time (same rebase
+    // rule as upsert — the rewrite bakes tombstones in)
+    var stagedFor: Option[(Layout,
+      (Seq[String], Seq[(String, Seq[String])]), Map[Int, String])] = None
     commitWithRetry(spark, path) { m =>
       require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
       val lit0 = org.apache.spark.sql.catalyst.expressions.Literal(keyValue)
@@ -1209,18 +1613,130 @@ object ManifestTable {
       m.buckets.get(b) match {
         case None => None // key's bucket absent: nothing to delete, no commit needed
         case Some(rels) =>
+          val baseState = (rels, m.tombstones.getOrElse(b, Seq.empty))
           val staged = stagedFor match {
-            case Some((lay, base, dirs)) if lay == layoutOf(m) && base == rels => dirs
+            case Some((lay, base, dirs)) if lay == layoutOf(m) && base == baseState => dirs
             case _ =>
-              val remaining = spark.read.parquet(rels.map(d => s"$path/$d"): _*)
+              // prior equality-deletes applied BEFORE the rewrite — a
+              // raw dir read would resurrect their victims
+              val remaining = readWithTombstones(spark, path, m, Seq(b -> rels))
                 .filter(!(col(keyCol) <=> keyValue))
-              val dirs = stageSlice(spark, path, remaining)
-              stagedFor = Some((layoutOf(m), rels, dirs))
+              val dirs = stageSlice(spark, path, remaining,
+                writerOptions = bloomWriteOpts(m.bloomCols))
+              stagedFor = Some((layoutOf(m), baseState, dirs))
               dirs
           }
           Some(m.copy(version = m.version + 1,
-            buckets = (m.buckets - b) ++ staged.map { case (bb, d) => bb -> Seq(d) }))
+            buckets = (m.buckets - b) ++ staged.map { case (bb, d) => bb -> Seq(d) },
+            tombstones = m.tombstones - b))
       }
+    }
+  }
+
+  /** TRUNCATE: one pointer-only commit dereferencing every bucket (and
+    * dropping live tombstones). Data files are untouched — snapshot
+    * isolation keeps prior versions readable until vacuum retires them.
+    */
+  def truncate(spark: SparkSession, path: String): Unit =
+    commitWithRetry(spark, path) { m =>
+      if (m.buckets.isEmpty && !hasTombstones(m)) None
+      else Some(m.copy(version = m.version + 1,
+        buckets = Map.empty, tombstones = Map.empty))
+    }
+
+  /** Bulk EQUALITY DELETE, merge-on-read (Iceberg v2's equality-delete
+    * files scoped to this table's keyed shape): instead of rewriting
+    * every touched bucket ([[delete]]'s copy-on-write), ONE commit
+    * stages the victim keys as compact per-bucket tombstone files —
+    * O(|keys|) IO however large the table — and records, per bucket,
+    * which data dirs the tombstone COVERS (the bucket's dirs as of this
+    * commit's base). Later appends are newer than the delete and are
+    * never filtered; a key re-inserted after the delete is NOT
+    * resurrected-away — the sequencing Iceberg gets from sequence
+    * numbers, carried here by the explicit coverage sets.
+    *
+    * Readers apply tombstones as a broadcast anti-join (v1 paths) or a
+    * reader-side hash filter (DSv2 scan) — the merge-on-read tax — and
+    * every rewrite (upsert, copy-on-write delete, compact, OPTIMIZE)
+    * folds covered tombstones away, restoring the tax-free path.
+    * Metadata answers that would overcount (row counts, min/max
+    * pushdown) are disabled while any tombstone is live.
+    *
+    * Keys absent from the table tombstone harmlessly; null keys are
+    * dropped (equality can't target null). `keys` needs only the key
+    * column (extra columns are ignored).
+    */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+                 keyCol: String): Unit = {
+    var staged: Option[(Layout, Map[Int, String])] = None
+    commitWithRetry(spark, path) { m =>
+      require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+      requireKeyType(m, keys.schema(keyCol).dataType, "deleteKeys")
+      val dirs = staged match {
+        case Some((lay, d)) if lay == layoutOf(m) => d
+        case _ =>
+          val d = stageSlice(spark, path,
+            bucketed(keys.select(keyCol).na.drop.distinct(), keyCol, m.nBuckets),
+            Some("ts"))
+          staged = Some((layoutOf(m), d))
+          d
+      }
+      // coverage = the bucket's data dirs as of THIS base manifest;
+      // bucket with no data: the tombstone is pointless, skip it (the
+      // orphaned staged dir falls to vacuum)
+      val entries = dirs.toSeq.flatMap { case (b, ts) =>
+        val over = m.buckets.getOrElse(b, Seq.empty)
+        if (over.isEmpty) None else Some(b -> ((ts, over)))
+      }
+      if (entries.isEmpty) None
+      else Some(m.copy(version = m.version + 1,
+        tombstones = entries.foldLeft(m.tombstones) { case (acc, (b, e)) =>
+          acc.updated(b, acc.getOrElse(b, Seq.empty) :+ e)
+        }))
+    }
+  }
+
+  /** MERGE INTO at O(source) IO, merge-on-read: one atomic commit (a)
+    * tombstones the source's keys over each touched bucket's PRE-commit
+    * dirs and (b) appends the source rows as new dirs — matched keys are
+    * replaced, unmatched inserted, nothing rewritten. The Delta `MERGE
+    * WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *` shape at
+    * append cost: the copy-on-write [[upsert]] reads+rewrites every
+    * touched bucket (O(bucket data)), which at 100 TB makes a trickle of
+    * updates quadratic; this is the write-optimized alternative, with
+    * the read tax paid until a rewrite or OPTIMIZE folds it. `source`
+    * must be key-unique (like `upsert`'s updates — duplicate source keys
+    * land as duplicate rows).
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+            keyCol: String): Unit = {
+    var staged: Option[(Layout, Map[Int, String], Map[Int, String])] = None
+    commitWithRetry(spark, path) { m =>
+      require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
+      requireKeyType(m, source.schema(keyCol).dataType, "merge")
+      val (dataDirs, tsDirs) = staged match {
+        case Some((lay, dd, td)) if lay == layoutOf(m) => (dd, td)
+        case _ =>
+          val dd = stageSlice(spark, path, bucketed(source, keyCol, m.nBuckets),
+            writerOptions = bloomWriteOpts(m.bloomCols))
+          val td = stageSlice(spark, path,
+            bucketed(source.select(keyCol).na.drop.distinct(), keyCol, m.nBuckets),
+            Some("ts"))
+          staged = Some((layoutOf(m), dd, td))
+          (dd, td)
+      }
+      // tombstones cover the base manifest's dirs — computed BEFORE the
+      // data dirs are added, so a merge's own rows are never filtered
+      val withTs = tsDirs.foldLeft(m.tombstones) { case (acc, (b, ts)) =>
+        val over = m.buckets.getOrElse(b, Seq.empty)
+        if (over.isEmpty) acc
+        else acc.updated(b, acc.getOrElse(b, Seq.empty) :+ ((ts, over)))
+      }
+      Some(m.copy(version = m.version + 1,
+        buckets = dataDirs.foldLeft(m.buckets) { case (acc, (b, d)) =>
+          acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
+        },
+        tombstones = withTs))
     }
   }
 
@@ -1247,12 +1763,18 @@ object ManifestTable {
     val m2 = readManifest(spark, path, toV)
     require(m1.nBuckets == m2.nBuckets,
       s"cannot diff across a re-bucketing ($fromV:${m1.nBuckets} vs $toV:${m2.nBuckets})")
-    val changed = (m1.buckets.keySet ++ m2.buckets.keySet)
-      .filter(b => m1.buckets.getOrElse(b, Seq.empty) != m2.buckets.getOrElse(b, Seq.empty))
+    // a bucket whose data pointers are unchanged but whose tombstones
+    // differ HAS changed (an equality delete is a pointer-free commit)
+    val changed = (m1.buckets.keySet ++ m2.buckets.keySet ++
+        m1.tombstones.keySet ++ m2.tombstones.keySet)
+      .filter(b =>
+        m1.buckets.getOrElse(b, Seq.empty) != m2.buckets.getOrElse(b, Seq.empty) ||
+        m1.tombstones.getOrElse(b, Seq.empty) != m2.tombstones.getOrElse(b, Seq.empty))
     def side(m: Manifest): Option[DataFrame] = {
-      val dirs = changed.toSeq.sorted
-        .flatMap(b => m.buckets.getOrElse(b, Seq.empty)).map(d => s"$path/$d")
-      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+      val perBucket = changed.toSeq.sorted
+        .map(b => b -> m.buckets.getOrElse(b, Seq.empty))
+      if (perBucket.forall(_._2.isEmpty)) None
+      else Some(readWithTombstones(spark, path, m, perBucket))
     }
     (side(m1), side(m2)) match {
       case (None, None) =>
@@ -1339,7 +1861,13 @@ object ManifestTable {
     // hint — discoverHead's listing fallback covers even that)
     writeCheckpoint(f, mDir, readManifest(spark, path, vs.last))
     val live: Set[String] = keep
-      .flatMap(v => readManifest(spark, path, v).buckets.values.flatten)
+      .flatMap { v =>
+        val mm = readManifest(spark, path, v)
+        // tombstone dirs are referenced data too — reclaiming one would
+        // resurrect its deleted keys on every covered dir
+        mm.buckets.values.flatten ++
+          mm.tombstones.values.flatten.map(_._1)
+      }
       .map(rel => rel.split('/')(1)) // data/<uuid>/b=i -> <uuid>
       .toSet
     retire.foreach(v =>

@@ -239,10 +239,22 @@ object ManifestIndexSource {
     * signal for partially-clustered grouping.
     */
   private[sources] def filePartitions(bucket: Int, dirs: Seq[String],
-                                      conf: Configuration): Seq[InputPartition] = {
-    val files = dirs.flatMap(parquetFiles(_, conf))
+                                      conf: Configuration): Seq[InputPartition] =
+    filePartitionsWithDeletes(bucket, dirs.map(d => (d, Seq.empty[String])), conf)
+
+  /** [[filePartitions]] where each dir carries the equality-delete
+    * (tombstone) FILES applicable to it — every split of the dir gets
+    * the list, and the reader filters its rows against the keys they
+    * hold (merge-on-read; [[graft.sinks.ManifestTable.deleteKeys]]).
+    */
+  private[sources] def filePartitionsWithDeletes(
+      bucket: Int, dirs: Seq[(String, Seq[String])],
+      conf: Configuration): Seq[InputPartition] = {
+    val files = dirs.flatMap { case (d, ts) =>
+      parquetFiles(d, conf).map { case (f, len) => (f, len, ts) } }
     if (files.isEmpty) Seq(ManifestBucketPartition(bucket, Seq.empty, 0L))
-    else files.map { case (f, len) => ManifestBucketPartition(bucket, Seq(f), len) }
+    else files.map { case (f, len, ts) =>
+      ManifestBucketPartition(bucket, Seq(f), len, ts) }
   }
 }
 
@@ -381,7 +393,49 @@ object XxHashBucket extends UnboundFunction {
 class ManifestIndexTable(path: String,
                          m: ManifestTable.Manifest,
                          hadoopConf: Configuration)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM graft_manifest.`/path`` WHERE <key predicate>`,
+    * planned as an O(|keys|) EQUALITY-DELETE commit
+    * ([[ManifestTable.deleteKeys]] — tombstone files, no bucket
+    * rewrite, merge-on-read until a rewrite folds them). Accepted
+    * shapes: `key = v`, `key IN (...)`, and the unconditional delete
+    * (truncate, one pointer-only commit). Anything else — non-key
+    * columns, ranges, disjunctions — reports `canDeleteWhere=false`,
+    * which Spark surfaces as a clear unsupported-DELETE error rather
+    * than a silent wrong-scope delete.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.isEmpty || (filters.length == 1 && (filters(0) match {
+      case org.apache.spark.sql.sources.EqualTo(a, v) => a == m.keyCol && v != null
+      case org.apache.spark.sql.sources.In(a, _) => a == m.keyCol
+      // a bare `DELETE FROM t` arrives as the literal-true condition
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    }))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) {
+      // TRUNCATE: one commit dereferencing every bucket (snapshot
+      // isolation keeps old versions readable until vacuum)
+      ManifestTable.truncate(spark, path)
+      return
+    }
+    val values: Seq[Any] = filters(0) match {
+      case org.apache.spark.sql.sources.EqualTo(_, v) => Seq(v)
+      case org.apache.spark.sql.sources.In(_, vs) => vs.toSeq.filter(_ != null)
+      case f => throw new IllegalArgumentException(s"unsupported DELETE filter $f")
+    }
+    if (values.isEmpty) return
+    val rows = values.map(v => org.apache.spark.sql.Row(v)).asJava
+    val keys = spark.createDataFrame(rows,
+      StructType(Seq(org.apache.spark.sql.types.StructField(
+        m.keyCol, m.keyType, nullable = true))))
+    ManifestTable.deleteKeys(spark, path, keys, m.keyCol)
+  }
 
   override def name(): String = path
   // nullable like spark.read.parquet: the manifest's DDL freezes the
@@ -659,6 +713,11 @@ class ManifestIndexScanBuilder(path: String, m: ManifestTable.Manifest,
       : Option[Seq[(org.apache.spark.sql.types.DataType, Any)]] = {
     if (!(agg.groupByExpressions.isEmpty && keyPrune.isEmpty && pushed.isEmpty &&
           agg.aggregateExpressions.nonEmpty)) return None
+    // live equality-delete tombstones: counts overcount and a deleted
+    // row could BE the extremum — metadata cannot answer until a
+    // rewrite folds the deletes; fall back to the real scan
+    if (optionedBuckets.exists(b => m.tombstones.getOrElse(b, Seq.empty).nonEmpty))
+      return None
     val dirs = optionedBuckets.flatMap(b => m.buckets.getOrElse(b, Seq.empty))
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -830,12 +889,34 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
   /** A bucket's data dirs minus the ones the zone maps prove cannot
     * match the pushed numeric conjuncts — manifest-level IO cut for
     * NON-KEY predicates, the Delta data-skipping idea. Conservative by
-    * construction ([[ManifestBucketPruning.dirSurvives]]).
+    * construction ([[ManifestBucketPruning.dirSurvives]]). Equality/IN
+    * conjuncts on the table's bloom-sidecar columns additionally drop
+    * dirs whose filter proves the value absent — the point-lookup cut
+    * zone maps cannot make on uniformly-distributed ids ([[graft.sinks.BloomSidecar]];
+    * cached driver-side, absent sidecars survive).
     */
   private def dirsOf(b: Int): Seq[String] =
     m.buckets.getOrElse(b, Seq.empty).filter(rel =>
       zoneFilters.forall(f => ManifestBucketPruning.dirSurvives(
-        m.dirStats.getOrElse(rel, Map.empty), f)))
+        m.dirStats.getOrElse(rel, Map.empty), f)) &&
+      zoneFilters.forall(f => bloomSurvives(rel, f)))
+
+  private def bloomSurvives(rel: String,
+                            f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def probe(attr: String, values: Seq[Any]): Boolean = {
+      val nonNull = values.filter(_ != null)
+      nonNull.isEmpty || graft.sinks.BloomSidecar
+        .read(hadoopConf, s"$path/$rel", attr)
+        .forall(bf => nonNull.exists(
+          graft.sinks.BloomSidecar.mightContain(bf, _)))
+    }
+    f match {
+      case EqualTo(a, v) if m.bloomCols.contains(a) => probe(a, Seq(v))
+      case In(a, vs) if m.bloomCols.contains(a)     => probe(a, vs.toSeq)
+      case _ => true
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -844,7 +925,8 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
     val keptDirs = touched.map(b => dirsOf(b).size).sum
     s"graft.ManifestIndexScan(path=$path, v=${m.version}, " +
       s"buckets=${touched.size}/${m.nBuckets}" +
-      (if (keptDirs != totalDirs) s", dirs=$keptDirs/$totalDirs" else "") + ")"
+      (if (keptDirs != totalDirs) s", dirs=$keptDirs/$totalDirs" else "") +
+      (if (anyTombstones) ", mergeOnRead=true" else "") + ")"
   }
 
   // One driver-side listing per touched-set (planInputPartitions,
@@ -856,12 +938,24 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
   private def parts: Array[InputPartition] = synchronized {
     if (cachedFor != touched) {
       cached = touched.flatMap { b =>
-        ManifestIndexSource.filePartitions(b,
-          dirsOf(b).map(rel => s"$path/$rel"), hadoopConf)
+        // each surviving dir pairs with the tombstone FILES covering it
+        // (equality deletes, merge-on-read) — the reader filters rows
+        // against their keys
+        val dirPairs = dirsOf(b).map { rel =>
+          val tsFiles = m.tombstoneDirsFor(b, rel).flatMap(ts =>
+            ManifestIndexSource.parquetFiles(s"$path/$ts", hadoopConf).map(_._1))
+          (s"$path/$rel", tsFiles)
+        }
+        ManifestIndexSource.filePartitionsWithDeletes(b, dirPairs, hadoopConf)
       }.toArray
       cachedFor = touched
     }
     cached
+  }
+
+  private def anyTombstones: Boolean = parts.exists {
+    case p: ManifestBucketPartition => p.tombstoneFiles.nonEmpty
+    case _ => false
   }
 
   override def planInputPartitions(): Array[InputPartition] = parts
@@ -886,9 +980,13 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
         case _ => 0L
       }.sum
       private val rows: Option[Long] = {
-        // zone-pruned dirs excluded: the stats describe what will be read
+        // zone-pruned dirs excluded: the stats describe what will be
+        // read. Live tombstones make per-dir counts an overcount —
+        // report only bytes until a rewrite folds the deletes.
         val dirs = touched.flatMap(dirsOf)
-        if (dirs.forall(m.dirRows.contains)) Some(dirs.map(m.dirRows).sum)
+        if (dirs.forall(m.dirRows.contains) &&
+            !touched.exists(b => m.tombstones.getOrElse(b, Seq.empty).nonEmpty))
+          Some(dirs.map(m.dirRows).sum)
         else None
       }
       override def sizeInBytes(): java.util.OptionalLong =
@@ -947,13 +1045,25 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
         touched = touched.filter(ks)))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestIndexReaderFactory(required, new SerializableHadoopConf(
-      ManifestVectorizedReader.taskConf(required, hadoopConf)),
+    new ManifestIndexReaderFactory(required,
+      new SerializableHadoopConf(
+        // dir-level pruning already consumed the zone filters; what
+        // remains rides into each task as a parquet FilterPredicate so
+        // footer statistics skip ROW GROUPS inside the kept files
+        ManifestVectorizedReader.withFilterPredicate(
+          ManifestVectorizedReader.taskConf(required, hadoopConf),
+          ManifestIndexTable.deepNullable(m.schema),
+          zoneFilters.toSeq)),
       // `vectorized=false` forces the Group-API row fallback — kept
       // selectable so its decode tax stays measurable (ProfileInc) and
       // the fallback path stays tested, not bit-rotting until the first
-      // non-vectorizable schema needs it
-      vectorized = Option(options.get("vectorized")).forall(_.toBoolean))
+      // non-vectorizable schema needs it. Equality-delete tombstones on
+      // any read partition force the row path scan-wide (Spark requires
+      // a uniform columnar decision): the documented merge-on-read tax,
+      // retired when a rewrite/OPTIMIZE folds the deletes away.
+      vectorized = Option(options.get("vectorized")).forall(_.toBoolean) &&
+        !anyTombstones,
+      keyField = Some(m.schema(m.keyCol)))
 
   /** Stream the table's APPEND history: offsets are manifest versions,
     * each micro-batch reads exactly the data directories the versions in
@@ -1088,6 +1198,20 @@ class ManifestMicroBatchStream(path: String, required: StructType,
           "compact): an append-log stream cannot represent it. Set " +
           "ignoreDeletes=true to stream only the added directories " +
           "(re-emits rows a compact rewrote, like Delta's ignoreChanges).")
+    // equality-delete tombstones are pointer-FREE deletes: the data dirs
+    // are unchanged but rows were logically removed (merge/deleteKeys) —
+    // the same non-append shape, detected from the tombstone diff
+    val tsChanged =
+      (if (vs == 0) Map.empty else ManifestTable.readManifest(spark, path, vs).tombstones) !=
+        ManifestTable.readManifest(spark, path, ve).tombstones
+    if (tsChanged && !ignoreDeletes)
+      throw new IllegalStateException(
+        s"non-append change in $path between versions $vs and $ve " +
+          "(equality-delete tombstones added or folded — merge/deleteKeys/" +
+          "rewrite): an append-log stream cannot represent row removal. " +
+          "Set ignoreDeletes=true to stream only the added directories " +
+          "(deleted rows are NOT retracted, and a merge's new rows still " +
+          "stream — Delta's ignoreChanges caveat).")
     (after -- before).toSeq.sorted
       .groupBy(rel => rel.substring(rel.lastIndexOf("b=") + 2).toInt)
       .flatMap { case (b, rels) =>
@@ -1113,7 +1237,8 @@ class ManifestMicroBatchStream(path: String, required: StructType,
   * cost model sees real sizes, not defaults).
   */
 case class ManifestBucketPartition(bucket: Int, files: Seq[String],
-                                   bytes: Long = 0L)
+                                   bytes: Long = 0L,
+                                   tombstoneFiles: Seq[String] = Seq.empty)
   extends InputPartition with HasPartitionKey
   with org.apache.spark.sql.connector.read.HasPartitionStatistics {
   override def partitionKey(): InternalRow =
@@ -1132,7 +1257,8 @@ case class ManifestBucketPartition(bucket: Int, files: Seq[String],
   */
 class ManifestIndexReaderFactory(schema: StructType,
                                  conf: SerializableHadoopConf,
-                                 vectorized: Boolean = true)
+                                 vectorized: Boolean = true,
+                                 keyField: Option[org.apache.spark.sql.types.StructField] = None)
   extends PartitionReaderFactory {
   /** Columnar whenever the schema fits the vectorizable surface (the
     * whole manifest-table type surface does) — Spark then consumes
@@ -1144,13 +1270,83 @@ class ManifestIndexReaderFactory(schema: StructType,
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[ManifestBucketPartition]
+    require(p.tombstoneFiles.isEmpty,
+      "columnar read planned over a tombstoned partition — the scan-level " +
+        "vectorized gate must force the row path under merge-on-read")
     new ManifestVectorizedReader(p.files, conf.value)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestBucketPartition]
-    new ManifestBucketReader(p.files, schema, conf.value)
+    if (p.tombstoneFiles.isEmpty)
+      new ManifestBucketReader(p.files, schema, conf.value)
+    else {
+      // merge-on-read: the partition's rows are filtered against the
+      // keys its tombstone files hold (Iceberg's DeleteFilter, scoped
+      // to equality deletes on the table key). The key column is read
+      // even when not requested — appended LAST so the projection back
+      // to the requested schema is a prefix truncation.
+      val kf = keyField.getOrElse(throw new IllegalStateException(
+        "tombstoned partition requires the key field"))
+      val keyRequested = schema.fieldNames.contains(kf.name)
+      val readSchema = if (keyRequested) schema else schema.add(kf)
+      val keyIdx =
+        if (keyRequested) schema.fieldIndex(kf.name) else schema.length
+      val deleted = new java.util.HashSet[Any]()
+      // the task conf may carry the scan's row-group FilterPredicate —
+      // parquet-mr's Group reader applies it RECORD-level, and against
+      // a tombstone file (key column only) a predicate on any other
+      // column would silently drop every key. Tombstones load unfiltered.
+      val cleanConf = new Configuration(conf.value)
+      cleanConf.unset(org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE)
+      val tsReader = new ManifestBucketReader(p.tombstoneFiles,
+        StructType(Seq(kf)), cleanConf)
+      try while (tsReader.next()) {
+        val v = tsReader.get().get(0, kf.dataType)
+        if (v != null) deleted.add(v)
+      } finally tsReader.close()
+      new TombstoneFilteringReader(
+        new ManifestBucketReader(p.files, readSchema, conf.value),
+        readSchema.fields.map(_.dataType), keyIdx, deleted,
+        projectTo = if (keyRequested) -1 else schema.length)
+    }
   }
+}
+
+/** Row filter applying equality-delete keys to an inner reader's rows;
+  * when the key column was appended only for filtering, rows are
+  * projected back to the requested prefix ([[ManifestIndexReaderFactory]]).
+  * Null keys survive — equality deletes cannot target null.
+  */
+class TombstoneFilteringReader(inner: PartitionReader[InternalRow],
+                               types: Array[org.apache.spark.sql.types.DataType],
+                               keyIdx: Int,
+                               deleted: java.util.HashSet[Any],
+                               projectTo: Int)
+  extends PartitionReader[InternalRow] {
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      val k = r.get(keyIdx, types(keyIdx))
+      if (k == null || !deleted.contains(k)) {
+        row =
+          if (projectTo < 0) r
+          else {
+            val vals = new Array[Any](projectTo)
+            var i = 0
+            while (i < projectTo) { vals(i) = r.get(i, types(i)); i += 1 }
+            new GenericInternalRow(vals)
+          }
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
 }
 
 /** Batch decoder over a partition's parquet files through
@@ -1181,6 +1377,42 @@ object ManifestVectorizedReader {
       }
     }
 
+  /** Layer the pushed filters onto the task conf as a parquet
+    * `FilterPredicate` — ROW-GROUP skipping inside kept files, the tier
+    * below the manifest's dir-level cut: a keyed lookup that zone maps
+    * narrowed to one directory now also skips every row group whose
+    * footer statistics (or dictionary / bloom, when present) exclude
+    * the key. Conversion is Spark's own `ParquetFilters` (null-safe,
+    * type-exact — the same class the built-in parquet source trusts),
+    * over the table schema every staged file physically carries. The
+    * vectorized reader only ever drops WHOLE row groups on this
+    * predicate (no row-level filtering), and Spark re-applies every
+    * filter residually — so this is IO-only, never semantics. Any
+    * conversion failure just leaves the conf unfiltered.
+    */
+  private[graft] def withFilterPredicate(
+      base: Configuration, tableSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Configuration =
+    if (filters.isEmpty) base
+    else try {
+      import org.apache.spark.sql.execution.datasources.parquet.{ParquetFilters, SparkToParquetSchemaConverter}
+      val msg = new SparkToParquetSchemaConverter().convert(tableSchema)
+      val pf = new ParquetFilters(msg,
+        /* pushDownDate = */ true, /* pushDownTimestamp = */ true,
+        /* pushDownDecimal = */ true, /* pushDownStringPredicate = */ true,
+        /* pushDownInFilterThreshold = */ 10, /* caseSensitive = */ false,
+        org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+          org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
+      val preds = filters.flatMap(pf.createFilter(_))
+      if (preds.isEmpty) base
+      else {
+        val c = new Configuration(base)
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c,
+          preds.reduce(org.apache.parquet.filter2.predicate.FilterApi.and))
+        c
+      }
+    } catch { case scala.util.control.NonFatal(_) => base }
+
   /** The task-side Configuration `VectorizedParquetRecordReader` expects
     * — the same contract `ParquetFileFormat` prepares: the requested
     * Spark schema, the ReadSupport class, and the SQL flags the schema
@@ -1188,7 +1420,7 @@ object ManifestVectorizedReader {
     * `SQLConf.get` is the session's conf; executors would see defaults
     * and one key whose default string does not parse).
     */
-  private[sources] def taskConf(schema: StructType,
+  private[graft] def taskConf(schema: StructType,
                                 base: Configuration): Configuration = {
     import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
     import org.apache.spark.sql.internal.SQLConf

@@ -412,6 +412,45 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.read(spark, path).filter($"score" > 89.5).count())
   }
 
+  test("optimize zorderBy: 2-D box predicates prune dirs single-column clustering cannot; answers exact") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    // a full 64x64 grid: x and y uniform and INDEPENDENT (x = id mod 64,
+    // y = id div 64), so single-column clustering on x leaves y bounds
+    // spanning the whole domain in every dir
+    def grid() = spark.range(4096).select($"id",
+      ($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    val linear = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    val zorder = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    ManifestTable.write(grid(), linear, "id", 2)
+    ManifestTable.write(grid(), zorder, "id", 2)
+    ManifestTable.optimize(spark, linear, clusterBy = Some("x"), slices = 16)
+    ManifestTable.optimize(spark, zorder, zorderBy = Seq("x", "y"), slices = 16)
+    assert(plannedParts(linear) == 32 && plannedParts(zorder) == 32,
+      "both layouts: 2 buckets x 16 slices")
+    // the box x<16 AND y<16 is 1/16 of the space: x-clustering prunes
+    // only via x (≥ 1/4 of slices survive, y unbounded); the z-curve
+    // confines the box to the slices covering its quadrant
+    val box = Seq(GreaterThanOrEqual("x", 0L), LessThanOrEqual("x", 15L),
+      GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 15L))
+    val keptLinear = plannedParts(linear, box: _*)
+    val keptZ = plannedParts(zorder, box: _*)
+    assert(keptZ < keptLinear,
+      s"zorder must out-prune linear clustering on a 2-D box: z=$keptZ linear=$keptLinear")
+    assert(keptZ <= 8, s"box = 1/16 of the z space, kept $keptZ of 32 dirs")
+    // answers exact on both layouts, pre/post identical
+    graft.sources.ManifestIndexSource.ensureRegistered(spark)
+    Seq(linear, zorder).foreach { p =>
+      val got = spark.sql(
+        s"SELECT count(*) AS n, sum(id) AS s FROM graft_manifest.`$p` " +
+          "WHERE x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15").head()
+      assert(got.getLong(0) == 256L, s"$p box count")
+      val expect = grid().filter($"x" <= 15 && $"y" <= 15)
+        .agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0)
+      assert(got.getLong(1) == expect, s"$p box sum")
+      assert(ManifestTable.read(spark, p).count() == 4096L)
+    }
+  }
+
   test("two interleaved writers both commit: loser of the version race rebases and republishes") {
     val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
     seed(path)
