@@ -156,8 +156,8 @@ object Ivf {
   }
 
   /** Array of the nProbe nearest centroid ids for a vector column. */
-  private def probeLists(vec: org.apache.spark.sql.Column, model: Model,
-                         nProbe: Int): org.apache.spark.sql.Column = {
+  private[graft] def probeLists(vec: org.apache.spark.sql.Column, model: Model,
+                                nProbe: Int): org.apache.spark.sql.Column = {
     val scored = model.centroids.zipWithIndex.map { case (c, i) =>
       struct(dot(vec, typedlit(c.toSeq))
         .divide(l2Norm(vec) * math.sqrt(c.map(x => x.toDouble * x).sum))

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ivf, IvfIndex}
+import graft.sinks.ManifestTable
+
+/** The persisted IVF index must be a pure RELOCATION of the in-query
+  * path: same deterministic training, same assignments, so
+  * build-then-search ≡ `Ivf.searchTopK` bit-for-bit — while the IO
+  * shape changes from "re-assign the corpus per search" to "open only
+  * the probed lists' buckets". Appends index against FROZEN centroids
+  * and must be immediately searchable.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered(n: Int, dim: Int, seed: Int = 11): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian().toFloat)
+    (0 until n).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+  }
+
+  private def tmp() = s"${Files.createTempDirectory("graft-ivfidx")}/idx"
+
+  test("persisted search ≡ in-query searchTopK; probes open only their buckets") {
+    val df = clustered(240, 12).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 8)
+    val path = tmp()
+    IvfIndex.build(spark, path, df, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    val model = Ivf.train(df, "vec_id", "embedding", k = 4)
+    assert(IvfIndex.loadModel(spark, path).centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq, "persisted model must be the trained one")
+
+    val persisted = IvfIndex.search(spark, path, queries, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val inQuery = Ivf.searchTopK(df, queries, "vec_id", "embedding", k = 3,
+        model, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(persisted == inQuery, "persisted path must reproduce searchTopK exactly")
+
+    // IO scope: the probed candidate read must not open every bucket.
+    // One query probing 2 of 4 lists touches at most 2 of 4 buckets.
+    val one = queries.limit(1)
+    val probed = ManifestTable.readBuckets(spark, s"$path/lists",
+      one.select(explode(Ivf.probeLists($"embedding", model, 2)).as("list_id")))
+    val total = ManifestTable.read(spark, s"$path/lists").inputFiles.length
+    assert(probed.inputFiles.length < total,
+      s"probe opened all $total files — manifest cut absent")
+  }
+
+  test("append indexes against frozen centroids; appended vectors are immediately searchable") {
+    val all = clustered(200, 12)
+    val (first, second) = all.splitAt(120)
+    val path = tmp()
+    IvfIndex.build(spark, path, first.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, nBuckets = 4)
+    IvfIndex.append(spark, path, second.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+
+    // an appended vector's own twin (same generator cluster, id ≡ mod 4)
+    // must surface; the appended row itself must be a findable neighbor
+    val q = second.take(2).toDF("vec_id", "embedding")
+    val res = IvfIndex.search(spark, path, q, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(res.nonEmpty, "appended index must answer")
+    val neighborsOfFirstQ = res.filter(_._1 == second.head._1).map(_._2).toSet
+    assert(neighborsOfFirstQ.nonEmpty &&
+      neighborsOfFirstQ.exists(n => (n - second.head._1) % 4 == 0),
+      s"cluster-mates missing from $neighborsOfFirstQ")
+
+    // equivalence vs in-query search with the SAME frozen model over the
+    // full corpus (append must not perturb assignments)
+    val model = IvfIndex.loadModel(spark, path)
+    val inQuery = Ivf.searchTopK(all.toDF("vec_id", "embedding"), q,
+        "vec_id", "embedding", k = 5, model, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(res.toSet == inQuery,
+      "append path must equal frozen-model in-query search")
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{ManifestTable, MaterializedAgg}
+import graft.sinks.MaterializedAgg.AggSpec
+
+/** The materialized view's one invariant: after any sequence of source
+  * appends + refreshes, `read(view)` equals the from-scratch groupBy of
+  * the source — while each refresh only folds the delta. Exactly-once
+  * matters most at the crash boundary: the merged states and the
+  * consumed source version land in one commit, so replays are no-ops.
+  * Non-append source changes must be REFUSED (incremental folding can't
+  * subtract) and healed by rebuild.
+  */
+class MaterializedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    s"${Files.createTempDirectory(s"graft-mv-$tag")}/t"
+
+  private def rows(ids: Range, cat: Long => String): DataFrame =
+    ids.map(i => (i.toLong, cat(i.toLong), i * 1.0)).toDF("id", "cat", "val")
+
+  private val aggs = Seq(AggSpec("count"), AggSpec("sum", "val"),
+    AggSpec("min", "val"), AggSpec("max", "val"))
+
+  private def recompute(src: String): Set[(String, Long, Double, Double, Double)] =
+    ManifestTable.read(spark, src)
+      .groupBy("cat").agg(count(lit(1)).as("count_all"),
+        sum("val").as("sum_val"), min("val").as("min_val"),
+        max("val").as("max_val"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+
+  private def viewContents(view: String): Set[(String, Long, Double, Double, Double)] =
+    MaterializedAgg.read(spark, view)
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+
+  test("create == full recompute; refresh folds only new versions and is idempotent") {
+    val src = tmp("src"); val view = tmp("view")
+    ManifestTable.write(rows(0 until 300, i => s"c${i % 5}"), src, "id", 4)
+    MaterializedAgg.create(spark, view, src, Seq("cat"), aggs, nBuckets = 4)
+    assert(viewContents(view) == recompute(src), "initial load")
+
+    // two appends: one extends existing groups, one adds a NEW group
+    ManifestTable.append(spark, src, rows(300 until 400, i => s"c${i % 5}"), "id")
+    ManifestTable.append(spark, src, rows(400 until 420, _ => "brand-new"), "id")
+    assert(MaterializedAgg.refresh(spark, view), "refresh must fold new data")
+    assert(viewContents(view) == recompute(src), "post-refresh equivalence")
+
+    // idempotent: nothing new → no commit, watermark already at head
+    val v = ManifestTable.versions(spark, view).last
+    assert(!MaterializedAgg.refresh(spark, view), "no-op refresh must report false")
+    assert(ManifestTable.versions(spark, view).last == v,
+      "no-op refresh must not commit")
+
+    // a replayed merge (same appId + version) is a no-op — the crash-
+    // between-apply-and-record window cannot double count
+    val replayed = ManifestTable.upsertOnce(spark, view,
+      MaterializedAgg.read(spark, view)
+        .withColumn(MaterializedAgg.GroupKeyCol,
+          to_json(struct(col("cat")))),
+      MaterializedAgg.GroupKeyCol, "graft-mv-refresh",
+      ManifestTable.versions(spark, src).last.toLong)
+    assert(!replayed, "watermark must reject the replayed batch")
+    assert(viewContents(view) == recompute(src))
+  }
+
+  test("null group values form their own group; multi-column groups key deterministically") {
+    val src = tmp("src2"); val view = tmp("view2")
+    val df = Seq((1L, "a", "x", 1.0), (2L, null.asInstanceOf[String], "x", 2.0),
+      (3L, "a", null.asInstanceOf[String], 3.0), (4L, null.asInstanceOf[String], "x", 4.0))
+      .toDF("id", "cat", "sub", "val")
+    ManifestTable.write(df, src, "id", 2)
+    MaterializedAgg.create(spark, view, src, Seq("cat", "sub"),
+      Seq(AggSpec("count"), AggSpec("sum", "val")), nBuckets = 2)
+    val got = MaterializedAgg.read(spark, view)
+      .as[(Option[String], Option[String], Long, Double)].collect().toSet
+    assert(got == Set((Some("a"), Some("x"), 1L, 1.0),
+      (None, Some("x"), 2L, 6.0), (Some("a"), None, 1L, 3.0)),
+      s"null groups wrong: $got")
+    ManifestTable.append(spark, src,
+      Seq((5L, null.asInstanceOf[String], "x", 10.0)).toDF("id", "cat", "sub", "val"), "id")
+    assert(MaterializedAgg.refresh(spark, view))
+    val after = MaterializedAgg.read(spark, view)
+      .filter(col("cat").isNull && col("sub") === "x")
+      .as[(Option[String], Option[String], Long, Double)].collect().toSeq
+    assert(after == Seq((None, Some("x"), 3L, 16.0)),
+      s"null-group merge wrong: $after")
+  }
+
+  test("non-append source changes are refused with the rebuild hint; rebuild heals") {
+    val src = tmp("src3"); val view = tmp("view3")
+    ManifestTable.write(rows(0 until 100, i => s"c${i % 3}"), src, "id", 2)
+    MaterializedAgg.create(spark, view, src, Seq("cat"), aggs, nBuckets = 2)
+
+    ManifestTable.upsert(spark, src,
+      Seq((5L, "c0", 999.0)).toDF("id", "cat", "val"), "id")
+    val e = intercept[IllegalStateException] { MaterializedAgg.refresh(spark, view) }
+    assert(e.getMessage.contains("rebuild"), s"need the rebuild hint: ${e.getMessage}")
+
+    MaterializedAgg.rebuild(spark, view)
+    assert(viewContents(view) == recompute(src), "rebuild must recompute exactly")
+
+    // equality deletes are also non-append for the view
+    ManifestTable.deleteKeys(spark, src, Seq(7L).toDF("id"), "id")
+    intercept[IllegalStateException] { MaterializedAgg.refresh(spark, view) }
+    MaterializedAgg.rebuild(spark, view)
+    assert(viewContents(view) == recompute(src))
+
+    // and the incremental path works again after healing
+    ManifestTable.append(spark, src, rows(100 until 150, i => s"c${i % 3}"), "id")
+    assert(MaterializedAgg.refresh(spark, view))
+    assert(viewContents(view) == recompute(src))
+  }
+}
