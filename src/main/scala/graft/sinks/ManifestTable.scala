@@ -1064,7 +1064,8 @@ object ManifestTable {
       .toSeq.sortBy(_._2.headOption.getOrElse(""))
     if (grouped.isEmpty || grouped.forall(_._2.isEmpty)) emptyWithSchema(spark, m)
     else grouped.collect { case (sig, rels) if rels.nonEmpty =>
-      val base = spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
+      val base = spark.read.schema(readSchema(m))
+        .parquet(rels.map(rel => s"$path/$rel"): _*)
       if (sig.isEmpty) base
       else base.join(
         broadcast(spark.read.parquet(sig.map(ts => s"$path/$ts"): _*)
@@ -1076,6 +1077,22 @@ object ManifestTable {
   private def hasTombstones(m: Manifest): Boolean =
     m.tombstones.valuesIterator.exists(_.nonEmpty)
 
+  /** The manifest schema with every field (and array element) nullable —
+    * what data reads IMPOSE on the files instead of inferring: after
+    * [[addColumns]] old files simply lack the new columns, and an
+    * imposed schema null-fills them (inference would instead pick one
+    * file's shape at random). Nullable because a file predating the
+    * column genuinely holds nulls for it.
+    */
+  private def readSchema(m: Manifest): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(m.schema.fields.map { f =>
+      f.copy(nullable = true, dataType = f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          org.apache.spark.sql.types.ArrayType(et, containsNull = true)
+        case dt => dt
+      })
+    })
+
   private def readFrom(spark: SparkSession, path: String, m: Manifest): DataFrame = {
     if (hasTombstones(m))
       readWithTombstones(spark, path, m, m.buckets.toSeq.sortBy(_._1))
@@ -1083,7 +1100,7 @@ object ManifestTable {
       val dirs = m.buckets.toSeq.sortBy(_._1)
         .flatMap { case (_, rels) => rels.map(rel => s"$path/$rel") }
       if (dirs.isEmpty) emptyWithSchema(spark, m)
-      else spark.read.parquet(dirs: _*)
+      else spark.read.schema(readSchema(m)).parquet(dirs: _*)
     }
   }
 
@@ -1139,7 +1156,8 @@ object ManifestTable {
         else if (m.tombstones.getOrElse(b, Seq.empty).nonEmpty)
           readWithTombstones(spark, path, m, Seq(b -> kept))
             .filter(col(keyCol) === keyValue)
-        else spark.read.parquet(kept.map(rel => s"$path/$rel"): _*)
+        else spark.read.schema(readSchema(m))
+          .parquet(kept.map(rel => s"$path/$rel"): _*)
           .filter(col(keyCol) === keyValue)
     }
   }
@@ -1164,7 +1182,8 @@ object ManifestTable {
     if (perBucket.forall(_._2.isEmpty)) emptyWithSchema(spark, m)
     else if (touched.exists(b => m.tombstones.getOrElse(b, Seq.empty).nonEmpty))
       readWithTombstones(spark, path, m, perBucket)
-    else spark.read.parquet(perBucket.flatMap(_._2).map(d => s"$path/$d"): _*)
+    else spark.read.schema(readSchema(m))
+      .parquet(perBucket.flatMap(_._2).map(d => s"$path/$d"): _*)
   }
 
   /** MERGE: rows of `updates` replace same-key rows, new keys insert.
@@ -1629,6 +1648,71 @@ object ManifestTable {
           Some(m.copy(version = m.version + 1,
             buckets = (m.buckets - b) ++ staged.map { case (bb, d) => bb -> Seq(d) },
             tombstones = m.tombstones - b))
+      }
+    }
+  }
+
+  /** SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMNS`: one metadata-only
+    * commit extends the manifest schema; no data file is touched or
+    * rewritten. Reads IMPOSE the manifest schema, so files predating a
+    * column read as NULL for it (both the v1 parquet path and the DSv2
+    * vectorized reader fill missing columns); writes after the commit
+    * carry the new columns, and any rewrite (upsert/compact/OPTIMIZE)
+    * materializes the nulls into the rewritten files as a side effect.
+    * Zone maps / sidecars for the new column appear as dirs are written
+    * or rewritten — old dirs simply have no bounds and conservatively
+    * survive pruning. Staged-but-uncommitted concurrent writes fail
+    * their layout check (the schema IS part of the layout) and restage
+    * — evolution cannot silently mix with in-flight commits.
+    *
+    * Added columns must be nullable-representable (they ARE null for
+    * all existing rows) and within the engine's readable type surface;
+    * key column changes and drops/renames are refused — they would
+    * change hashing or silently orphan data.
+    */
+  def addColumns(spark: SparkSession, path: String, colsDdl: String): Unit = {
+    val newCols = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+    require(newCols.nonEmpty, "no columns to add")
+    commitWithRetry(spark, path) { m =>
+      val existing = m.schema.fieldNames.map(_.toLowerCase).toSet
+      newCols.fields.foreach { f =>
+        require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"column name not manifest-safe: ${f.name}")
+        require(!existing.contains(f.name.toLowerCase),
+          s"column ${f.name} already exists in table at $path")
+        require(graft.sources.ManifestVectorizedReader.supports(
+          org.apache.spark.sql.types.StructType(Seq(f))),
+          s"column type ${f.dataType.sql} outside the readable surface")
+      }
+      val next = org.apache.spark.sql.types.StructType(
+        m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
+      Some(m.copy(version = m.version + 1, schemaDdl = next.toDDL))
+    }
+  }
+
+  /** RE-BUCKETING: rewrite the whole table under a new bucket count in
+    * one atomic commit — the resize escape hatch when a table outgrows
+    * (or never needed) its layout. Readers hold their snapshot
+    * throughout; probe-side callers pick up the new modulus from the
+    * manifest on their next read (every keyed path derives the bucket
+    * from the CURRENT manifest, never caches it). Tombstones fold into
+    * the rewrite; a lost commit race restages against the re-read
+    * manifest. Deliberately a full O(table) rewrite — hash
+    * re-bucketing moves ~every row anyway, so there is no cheaper
+    * correct version; run it like OPTIMIZE, as maintenance.
+    */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    require(newBuckets >= 1, "need at least one bucket")
+    commitWithRetry(spark, path) { m =>
+      if (m.nBuckets == newBuckets) None
+      else {
+        val all = readFrom(spark, path, m) // tombstones applied, schema imposed
+        val staged = stageSlice(spark, path,
+          bucketed(all.drop("bucket"), m.keyCol, newBuckets),
+          writerOptions = bloomWriteOpts(m.bloomCols))
+        Some(m.copy(version = m.version + 1, nBuckets = newBuckets,
+          buckets = staged.map { case (b, d) => b -> Seq(d) },
+          tombstones = Map.empty))
       }
     }
   }

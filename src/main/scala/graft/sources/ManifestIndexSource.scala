@@ -1570,7 +1570,10 @@ class ManifestBucketReader(fileNames: Seq[String], schema: StructType,
     val c = new Configuration(conf)
     c.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
     reader = ParquetReader.builder(new GroupReadSupport(), file).withConf(c).build()
-    fieldIdx = schema.fieldNames.map(proj.getFieldIndex)
+    // a requested field ABSENT from this file (schema evolution: the
+    // file predates an added column) maps to -1 and reads as NULL
+    fieldIdx = schema.fieldNames.map(n =>
+      if (proj.containsField(n)) proj.getFieldIndex(n) else -1)
   }
 
   override def next(): Boolean = {
@@ -1592,7 +1595,7 @@ class ManifestBucketReader(fileNames: Seq[String], schema: StructType,
     var i = 0
     while (i < schema.length) {
       val gi = fieldIdx(i)
-      vals(i) = if (cur.getFieldRepetitionCount(gi) == 0) null
+      vals(i) = if (gi < 0 || cur.getFieldRepetitionCount(gi) == 0) null
                 else converters(i)(cur, gi)
       i += 1
     }

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestTable
+import graft.sources.ManifestIndexSource
+
+/** ADD COLUMNS is a metadata-only commit: no file is rewritten, old
+  * files read as NULL for the new columns on EVERY path (v1 parquet,
+  * DSv2 vectorized, keyed lookup), new writes carry them, rewrites
+  * materialize the nulls, and time travel still shows the pre-evolution
+  * schema. Refusals (duplicate names, unreadable types) must not
+  * commit.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-evo")}/tbl"
+
+  test("old files null-fill, new writes carry the columns, every read path agrees") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 40).map(i => (i.toLong, s"n-$i")).toDF("id", "name"), path, "id", 2)
+    ManifestTable.append(spark, path,
+      (40 until 60).map(i => (i.toLong, s"n-$i")).toDF("id", "name"), "id")
+    val preV = ManifestTable.versions(spark, path).last
+
+    ManifestTable.addColumns(spark, path, "score DOUBLE, tag STRING")
+    // metadata-only: same data dirs, one more version
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.version == preV + 1)
+    assert(m.buckets == ManifestTable.readManifest(spark, path, preV).buckets,
+      "addColumns must not touch data pointers")
+    assert(m.schema.fieldNames.toSeq.containsSlice(Seq("score", "tag")))
+
+    // old rows: nulls on both v1 and DSv2 paths
+    val v1 = ManifestTable.read(spark, path)
+    assert(v1.schema.fieldNames.contains("score"))
+    assert(v1.filter(col("score").isNotNull).count() == 0)
+    val v2 = ManifestIndexSource.read(spark, path)
+    assert(v2.filter(col("tag").isNotNull).count() == 0)
+    assert(v2.count() == 60)
+
+    // new-schema append mixes with old dirs; every path agrees
+    ManifestTable.append(spark, path,
+      (60 until 70).map(i => (i.toLong, s"n-$i", i * 1.0, s"t-$i"))
+        .toDF("id", "name", "score", "tag"), "id")
+    val got = ManifestTable.read(spark, path)
+      .select("id", "name", "score", "tag")
+      .as[(Long, String, Option[Double], Option[String])].collect().toSet
+    val want = ((0 until 60).map(i => (i.toLong, s"n-$i",
+        None: Option[Double], None: Option[String])) ++
+      (60 until 70).map(i => (i.toLong, s"n-$i", Some(i * 1.0), Some(s"t-$i")))).toSet
+    assert(got == want, "mixed-schema read wrong")
+    assert(ManifestIndexSource.read(spark, path)
+      .select("id", "name", "score", "tag")
+      .as[(Long, String, Option[Double], Option[String])].collect().toSet == want,
+      "DSv2 mixed-schema read wrong")
+    // keyed lookups across the boundary
+    assert(ManifestTable.lookup(spark, path, "id", 5L)
+      .select("name", "score").as[(String, Option[Double])].collect().toSeq ==
+      Seq(("n-5", None)))
+    assert(ManifestTable.lookup(spark, path, "id", 65L)
+      .select("name", "score").as[(String, Option[Double])].collect().toSeq ==
+      Seq(("n-65", Some(65.0))))
+
+    // predicates on the new column: old dirs have no bounds and must
+    // conservatively survive; answers exact through SQL
+    ManifestIndexSource.ensureRegistered(spark)
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_manifest.`$path` WHERE score > 64.5")
+      .head().getLong(0)
+    assert(n == 5L, s"new-column predicate wrong: $n")
+
+    // time travel: the pre-evolution version keeps its schema
+    val old = ManifestTable.readVersion(spark, path, preV)
+    assert(!old.schema.fieldNames.contains("score"))
+    assert(old.count() == 60)
+  }
+
+  test("rewrites materialize the nulls; refusals do not commit") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 20).map(i => (i.toLong, s"n-$i")).toDF("id", "name"), path, "id", 2)
+    ManifestTable.addColumns(spark, path, "score DOUBLE")
+    // an upsert rewrite physically writes the evolved schema
+    ManifestTable.upsert(spark, path,
+      Seq((1L, "u-1", 9.0)).toDF("id", "name", "score"), "id")
+    val m = ManifestTable.currentManifest(spark, path)
+    val touched = {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L).value,
+        org.apache.spark.sql.types.LongType, 42L)
+      (((h % 2) + 2) % 2).toInt
+    }
+    val rewritten = new java.io.File(s"$path/${m.buckets(touched).head}")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(rewritten.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try assert(fr.getFooter.getFileMetaData.getSchema.containsField("score"),
+      "rewrite must materialize the evolved column")
+    finally fr.close()
+    val hit = ManifestTable.lookup(spark, path, "id", 1L)
+      .select("name", "score").as[(String, Double)].collect().toSeq
+    assert(hit == Seq(("u-1", 9.0)))
+
+    val v = ManifestTable.currentManifest(spark, path).version
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumns(spark, path, "name STRING") } // duplicate
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumns(spark, path, "m MAP<STRING, STRING>") } // unreadable
+    assert(ManifestTable.currentManifest(spark, path).version == v,
+      "refused evolution must not commit")
+  }
+}
