@@ -197,6 +197,37 @@ object MaterializedAgg {
       AppId, srcHead.toLong)
   }
 
+  /** CONTINUOUS refresh — the streaming materialized view: the source
+    * table's manifest stream is the trigger signal (its offsets are
+    * source versions, so a trigger fires exactly when new commits
+    * exist), and each micro-batch folds the delta via [[refresh]].
+    * The batch's own rows are deliberately untouched — refresh reads
+    * the delta from the manifest with its own exactly-once watermark,
+    * so a replayed trigger after a restart is a no-op regardless of the
+    * stream's checkpoint state (two independent idempotence layers).
+    * A non-append source commit fails the stream with the same rebuild
+    * contract as batch refresh. `Trigger.AvailableNow` drains pending
+    * versions and stops — the scheduled-refresh shape.
+    */
+  def startContinuous(spark: SparkSession, viewPath: String,
+                      checkpoint: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val d = readDef(spark, viewPath)
+    graft.sources.ManifestIndexSource.ensureRegistered(spark)
+    spark.readStream
+      .option("startingVersion", "latest")
+      .table(s"${graft.sources.ManifestIndexSource.CatalogName}.`${d.sourcePath}`")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        refresh(spark, viewPath); ()
+      })
+      .trigger(trigger)
+      .start()
+  }
+
   /** The view's current contents: group columns + aggregate columns. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val d = readDef(spark, viewPath)

@@ -451,6 +451,39 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("rebucket: one atomic resize; keyed paths pick up the new modulus; history intact") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path, n = 300, nB = 2)
+    ManifestTable.append(spark, path,
+      (300L until 400L).map(j => (j, s"a-$j", j * 1.0)).toDF("id", "name", "score"), "id")
+    val before = ManifestTable.read(spark, path)
+      .select("id", "name", "score").collect().map(_.toString).toSet
+    val preV = ManifestTable.versions(spark, path).last
+
+    ManifestTable.rebucket(spark, path, 8)
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.nBuckets == 8 && m.buckets.keySet.subsetOf((0 until 8).toSet))
+    assert(m.buckets.size > 2, "rows must spread over the new buckets")
+    assert(ManifestTable.read(spark, path)
+      .select("id", "name", "score").collect().map(_.toString).toSet == before)
+    // keyed paths re-derive the bucket from the current manifest
+    assert(ManifestTable.lookup(spark, path, "id", 42L)
+      .select("name").as[String].collect().toSeq == Seq("name-42"))
+    assert(ManifestTable.lookup(spark, path, "id", 350L)
+      .select("name").as[String].collect().toSeq == Seq("a-350"))
+    assert(ManifestTable.readBuckets(spark, path, Seq(7L, 350L).toDF("id"))
+      .filter($"id".isin(7L, 350L)).count() == 2)
+    // old snapshot still reads under its own modulus
+    assert(ManifestTable.readVersion(spark, path, preV)
+      .select("id", "name", "score").collect().map(_.toString).toSet == before)
+    // diff across a re-bucketing has no row-level semantics: refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.diff(spark, path, "id", preV, m.version) }
+    // no-op when already at the target
+    ManifestTable.rebucket(spark, path, 8)
+    assert(ManifestTable.currentManifest(spark, path).version == m.version)
+  }
+
   test("two interleaved writers both commit: loser of the version race rebases and republishes") {
     val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
     seed(path)

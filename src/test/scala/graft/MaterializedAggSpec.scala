@@ -92,6 +92,38 @@ class MaterializedAggSpec extends SparkSpec {
       s"null-group merge wrong: $after")
   }
 
+  test("continuous refresh: the source stream triggers refresh; restart replays are no-ops") {
+    val src = tmp("src4"); val view = tmp("view4")
+    val ckpt = Files.createTempDirectory("graft-mv-ck").toString
+    ManifestTable.write(rows(0 until 100, i => s"c${i % 4}"), src, "id", 2)
+    MaterializedAgg.create(spark, view, src, Seq("cat"), aggs, nBuckets = 2)
+
+    ManifestTable.append(spark, src, rows(100 until 160, i => s"c${i % 4}"), "id")
+    ManifestTable.append(spark, src, rows(160 until 200, _ => "late"), "id")
+    def drain(): Unit = {
+      val q = MaterializedAgg.startContinuous(spark, view, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    drain()
+    assert(viewContents(view) == recompute(src), "stream-triggered refresh")
+
+    // restart with the SAME checkpoint and no new data: nothing commits
+    val v = ManifestTable.versions(spark, view).last
+    drain()
+    assert(ManifestTable.versions(spark, view).last == v,
+      "replayed trigger must be a no-op")
+
+    // a fresh checkpoint re-delivers old versions; the refresh
+    // watermark still makes folding them a no-op (no double counting)
+    val ckpt2 = Files.createTempDirectory("graft-mv-ck2").toString
+    ManifestTable.append(spark, src, rows(200 until 220, _ => "late"), "id")
+    val q2 = MaterializedAgg.startContinuous(spark, view, ckpt2,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(viewContents(view) == recompute(src), "fresh-checkpoint drain exact")
+  }
+
   test("non-append source changes are refused with the rebuild hint; rebuild heals") {
     val src = tmp("src3"); val view = tmp("view3")
     ManifestTable.write(rows(0 until 100, i => s"c${i % 3}"), src, "id", 2)
