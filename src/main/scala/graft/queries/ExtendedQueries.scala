@@ -1720,6 +1720,73 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 keyword retrieval (Robertson/Okapi, the Lucene-variant idf):
+    * top-20 documents for a deterministic query — the corpus's three
+    * most frequent terms, picked by a CTE both engines compute, so the
+    * query needs no fixture-coupled literals. The inverted shapes are
+    * the search-index build a keyword-retrieval stage runs at corpus
+    * scale: ONE explode+shuffle produces (doc, term) tf, df derives
+    * from tf without a second corpus pass, doc lengths ride the same
+    * exploded pass, and the three scalars (N, total tokens) broadcast.
+    * Scoring touches only the postings of the query terms (semi-join on
+    * a broadcast 3-row term set) — at 100 TB the corpus shuffles once
+    * to build the index; a query reads |postings(q)| rows, not the
+    * corpus. Constants are written as identical double literals on both
+    * engines (never re-derived arithmetic like k1+1, whose rounding
+    * differs from the literal), `ln` agrees across libms far beyond the
+    * 6-decimal rounding, and ranking uses the ROUNDED score with doc_id
+    * tiebreak.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val totDf = toks.agg(count(lit(1)).cast("double").as("total_toks"))
+    val qterms = toks.groupBy("term").agg(count(lit(1)).as("gtf"))
+      .orderBy(desc("gtf"), col("term")).limit(3).select("term")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(totDf))
+      .withColumn("c",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+      .select("doc_id", "matched_terms", "score")
+  }
+
+  private val bm25SearchSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+      |q AS (SELECT term FROM (SELECT term, count(*) AS gtf FROM toks
+      |                        GROUP BY 1 ORDER BY gtf DESC, term LIMIT 3)),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |         ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+      |         (tf.tf * 2.2) /
+      |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.total_toks / n.n))) AS c
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS matched_terms, round(sum(c), 6) AS score
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------------
   // Embeddings / similarity (oracle for brute-force & norms)
   // ------------------------------------------------------------------
@@ -2849,6 +2916,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "table_profile_sketch" -> tableProfileSketch _,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
+    "bm25_search" -> bm25Search _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
     "media_metadata" -> mediaMetadata _,
@@ -2939,6 +3007,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "table_profile_sketch" -> tableProfileSketchSql,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
+    "bm25_search" -> bm25SearchSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
