@@ -1741,15 +1741,21 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
+    // ONE corpus explode + one (doc,term) shuffle; every other shape —
+    // doc lengths, global term frequencies, document frequencies, the
+    // total-token scalar — DERIVES from tf (sums of exact longs, so the
+    // oracle's direct formulations agree bit-for-bit), and the shared
+    // tf exchange deduplicates physically (ReusedExchange). The naive
+    // formulation re-exploded the corpus four times.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
-    val totDf = toks.agg(count(lit(1)).cast("double").as("total_toks"))
-    val qterms = toks.groupBy("term").agg(count(lit(1)).as("gtf"))
-      .orderBy(desc("gtf"), col("term")).limit(3).select("term")
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
+    val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
+      count(lit(1)).cast("double").as("df"))
+    val qterms = byTerm.orderBy(desc("gtf"), col("term")).limit(3)
+      .select("term", "df")
     val contrib = tf.join(broadcast(qterms), "term")
-      .join(dfreq, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(nDf))
       .crossJoin(broadcast(totDf))
