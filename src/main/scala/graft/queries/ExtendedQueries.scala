@@ -2954,7 +2954,53 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * portable DuckDB SQL, so these are NOT oracle-registered; equality
     * with the oracled raw-key results is pinned by FingerprintKeySpec.
     */
+  /** Bench fixture: the documents table landed as a manifest table with
+    * a 7-commit append history (every bucket holds 7 dirs) and bloom
+    * sidecars on the key — built ONCE per fixture dir (the bench's
+    * warmup pass pays it; timed passes measure reads only). Appends
+    * partition on `doc_id % 7`, so per-dir key ranges interleave and
+    * zone maps provably cannot cut a point probe — any dir skip the
+    * timed query shows is the sidecar bloom's.
+    */
+  private val benchManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def benchManifestTable(spark: SparkSession, dir: String): String =
+    benchManifestCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-bench-manifest").toString + "/t"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("content_hash"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("g", pmod(col("doc_id"), lit(7L)))
+      graft.sinks.ManifestTable.write(
+        docs.filter(col("g") === 0).drop("g"), p, "doc_id", 16,
+        bloomCols = Seq("doc_id"))
+      (1L until 7L).foreach(i => graft.sinks.ManifestTable.append(spark, p,
+        docs.filter(col("g") === i).drop("g"), "doc_id"))
+      p
+    })
+
+  /** Bench-only: the 100 TB point-lookup latency through the full skip
+    * ladder — key IN-list hashes to its buckets at planning time
+    * (16-way cut), the per-dir key blooms drop ~6 of each bucket's 7
+    * dirs (the interleaved layout defeats zone maps by construction),
+    * and the pushed row-group predicate skips inside the kept files.
+    * What a keyed fetch endpoint pays against an append-heavy table,
+    * measured end-to-end including the manifest read.
+    */
+  def manifestPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val path = benchManifestTable(spark, dir)
+    val keys = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    graft.sources.ManifestIndexSource.read(spark, path)
+      .filter(col("doc_id").isin(keys: _*))
+      .select("doc_id", "source", "len", "content_hash")
+      .orderBy("doc_id")
+  }
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "manifest_point_lookup" -> manifestPointLookup _,
     "line_dedup_fp" -> ((s: SparkSession, d: String) =>
       Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text",
         maxOccur = 1L, fingerprintKeys = true)

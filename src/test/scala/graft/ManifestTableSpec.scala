@@ -267,7 +267,7 @@ class ManifestTableSpec extends SparkSpec {
     assert(err.getMessage.contains("does not match"))
   }
 
-  test("model walk: random upsert/delete/compact/vacuum/optimize sequences match an in-memory map (seeded)") {
+  test("model walk: random upsert/delete/merge/deleteKeys/rebucket/compact/vacuum/optimize sequences match an in-memory map (seeded)") {
     val rnd = new scala.util.Random(421)
     (1 to 2).foreach { _ =>
       val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
@@ -275,8 +275,8 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.write(
         model.toSeq.map { case (k, (n, s)) => (k, n, s) }.toDF("id", "name", "score"),
         path, "id", 4)
-      (1 to 10).foreach { step =>
-        rnd.nextInt(5) match {
+      (1 to 14).foreach { step =>
+        rnd.nextInt(8) match {
           case 0 => // upsert a mix of existing + new keys
             val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(40))
             val rows = ks.map(k => (k, s"u$step-$k", step * 1.0))
@@ -291,6 +291,18 @@ class ManifestTableSpec extends SparkSpec {
           case 3 => ManifestTable.vacuum(spark, path, keepVersions = 2)
           case 4 => ManifestTable.optimize(spark, path,
             clusterBy = if (step % 2 == 0) Some("score") else None)
+          case 5 => // merge-on-read MERGE: replace-or-insert at O(source)
+            val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(40)).distinct
+            val rows = ks.map(k => (k, s"m$step-$k", step * 2.0))
+            ManifestTable.merge(spark, path,
+              rows.toDF("id", "name", "score"), "id")
+            rows.foreach { case (k, n, s) => model += k -> (n, s) }
+          case 6 => // bulk equality delete (existing and absent keys mixed)
+            val ks = Seq.fill(1 + rnd.nextInt(4))(rnd.nextLong(45)).distinct
+            ManifestTable.deleteKeys(spark, path, ks.toDF("id"), "id")
+            ks.foreach(model -= _)
+          case 7 => // online resize under live tombstones
+            ManifestTable.rebucket(spark, path, 2 + rnd.nextInt(7))
         }
         val got = ManifestTable.read(spark, path)
           .select("id", "name", "score").as[(Long, String, Double)]
