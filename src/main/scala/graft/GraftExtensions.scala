@@ -16,13 +16,18 @@ import graft.functions._
   *    functions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // maintenance SQL (GRAFT OPTIMIZE/VACUUM/REBUCKET/ADD COLUMNS) —
+    // prefix-gated, everything else delegates to Spark's parser
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

@@ -277,6 +277,13 @@ object ManifestTable {
       dirStats, bloomCols, tombstones)
   }
 
+  /** Test seams for the round-trip property spec — the renderer/parser
+    * pair is load-bearing, hand-rolled JSON, and every field addition
+    * must preserve render→parse identity (ManifestRoundTripSpec).
+    */
+  private[graft] def renderForTest(m: Manifest): String = render(m)
+  private[graft] def parseForTest(s: String): Manifest = parse(s)
+
   /** Committed versions, ascending; empty if the table doesn't exist.
     * A FULL log listing — needed where history is enumerated (time
     * travel bounds, the streaming source's version ranges, vacuum).

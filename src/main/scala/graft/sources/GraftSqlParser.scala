@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.sinks.ManifestTable
+
+/** SQL surface for the manifest table's MAINTENANCE verbs — the Delta
+  * `OPTIMIZE` / `VACUUM` statements, landed as a parser extension so
+  * operators drive layout upkeep from SQL, not Scala:
+  *
+  * {{{
+  * GRAFT OPTIMIZE '/path/t'                        -- bin-packing
+  * GRAFT OPTIMIZE '/path/t' CLUSTER BY score       -- range slicing
+  * GRAFT OPTIMIZE '/path/t' ZORDER BY (x, y)       -- Z-curve slicing
+  * GRAFT OPTIMIZE '/path/t' ZORDER BY (x, y) SLICES 16
+  * GRAFT VACUUM '/path/t'                          -- retire history
+  * GRAFT VACUUM '/path/t' KEEP 5
+  * GRAFT REBUCKET '/path/t' TO 64                  -- online resize
+  * GRAFT ADD COLUMNS '/path/t' (score DOUBLE, tag STRING)
+  * }}}
+  *
+  * Statements are recognized by a `GRAFT <verb>` prefix match and
+  * everything else delegates verbatim to Spark's parser — the extension
+  * can never change the meaning of standard SQL. Each statement plans
+  * as a [[LeafRunnableCommand]] returning one (table, action, version)
+  * row, so results compose with normal SQL tooling. A malformed GRAFT
+  * statement fails parsing loudly rather than falling through to
+  * Spark's parser (where it would produce a baffling syntax error).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  private val Optimize =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s*(?:CLUSTER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*)?(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?(?:SLICES\s+(\d+)\s*)?""".r
+  private val Vacuum =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s*(?:KEEP\s+(\d+)\s*)?""".r
+  private val Rebucket =
+    """(?is)\s*GRAFT\s+REBUCKET\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
+  private val AddColumns =
+    """(?is)\s*GRAFT\s+ADD\s+COLUMNS\s+'([^']+)'\s*\((.+)\)\s*""".r
+  private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
+
+  private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
+    sql match {
+      case Optimize(path, clusterBy, zorder, slices) =>
+        val z = Option(zorder).map(_.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        val n = Option(slices).map(_.toInt)
+        Some(GraftMaintenanceCommand(path, "optimize", s =>
+          ManifestTable.optimize(s, path,
+            clusterBy = Option(clusterBy),
+            slices = n.getOrElse(4),
+            zorderBy = z)))
+      case Vacuum(path, keep) =>
+        Some(GraftMaintenanceCommand(path, "vacuum", s =>
+          ManifestTable.vacuum(s, path,
+            keepVersions = Option(keep).map(_.toInt).getOrElse(2))))
+      case Rebucket(path, n) =>
+        Some(GraftMaintenanceCommand(path, "rebucket", s =>
+          ManifestTable.rebucket(s, path, n.toInt)))
+      case AddColumns(path, ddl) =>
+        Some(GraftMaintenanceCommand(path, "add_columns", s =>
+          ManifestTable.addColumns(s, path, ddl)))
+      case AnyGraft() =>
+        throw new IllegalArgumentException(
+          "malformed GRAFT maintenance statement — expected GRAFT " +
+            "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS with a quoted " +
+            s"table path, got: $sql")
+      case _ => None
+    }
+}
+
+/** One maintenance verb as a runnable command: executes on the driver,
+  * returns the table's post-action head version.
+  */
+case class GraftMaintenanceCommand(path: String, action: String,
+                                   op: SparkSession => Unit)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("version", StringType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    op(sparkSession)
+    val v = ManifestTable.headVersion(sparkSession, path).getOrElse(0)
+    Seq(Row(path, action, v.toString))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestTable
+import graft.sources.ManifestIndexSource
+
+/** The GRAFT maintenance SQL surface must (a) drive exactly the Scala
+  * maintenance verbs, (b) report the committed version, (c) refuse
+  * malformed statements loudly at parse time, and (d) NEVER perturb
+  * standard SQL — the parser is prefix-gated and everything else
+  * delegates.
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-sql")}/tbl"
+
+  test("OPTIMIZE / VACUUM / REBUCKET / ADD COLUMNS drive the maintenance verbs from SQL") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 200).map(i => (i.toLong, s"n-$i", (i % 50) * 1.0, (i / 50).toLong))
+        .toDF("id", "name", "score", "band"), path, "id", 2)
+    (1 to 5).foreach(_ => ManifestTable.append(spark, path,
+      Seq((999L, "x", 0.0, 0L)).toDF("id", "name", "score", "band"), "id"))
+
+    // bin-packing OPTIMIZE folds the fragmented buckets
+    val r1 = spark.sql(s"GRAFT OPTIMIZE '$path'").collect().head
+    assert(r1.getString(1) == "optimize")
+    assert(ManifestTable.currentManifest(spark, path).buckets.values
+      .forall(_.size == 1), "SQL OPTIMIZE must bin-pack")
+
+    // ZORDER BY reslices — dirs per bucket = SLICES
+    spark.sql(s"GRAFT OPTIMIZE '$path' ZORDER BY (score, band) SLICES 4")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.buckets.values.forall(_.size == 4),
+      s"SQL ZORDER must reslice: ${m.buckets.view.mapValues(_.size).toMap}")
+
+    // ADD COLUMNS evolves; REBUCKET resizes; VACUUM retires history
+    spark.sql(s"GRAFT ADD COLUMNS '$path' (tag STRING)")
+    assert(ManifestTable.currentManifest(spark, path)
+      .schema.fieldNames.contains("tag"))
+    val r2 = spark.sql(s"GRAFT REBUCKET '$path' TO 8").collect().head
+    assert(ManifestTable.currentManifest(spark, path).nBuckets == 8)
+    assert(r2.getString(2).toInt ==
+      ManifestTable.currentManifest(spark, path).version)
+    spark.sql(s"GRAFT VACUUM '$path' KEEP 1")
+    assert(ManifestTable.versions(spark, path).size == 1,
+      "SQL VACUUM KEEP 1 must retire older versions")
+    // table still exact after the whole SQL-driven lifecycle
+    val got = ManifestTable.read(spark, path)
+      .groupBy().agg(count(lit(1)), sum("id")).head()
+    assert(got.getLong(0) == 205L && got.getLong(1) == (0 until 200).map(_.toLong).sum + 5 * 999L)
+  }
+
+  test("malformed GRAFT statements fail loudly; ordinary SQL is untouched") {
+    intercept[Exception] { spark.sql("GRAFT OPTIMIZE missing_quotes") }
+    intercept[Exception] { spark.sql("GRAFT FROB '/x'") }
+    // the gate is a word boundary: identifiers STARTING with graft and
+    // plain SQL still parse through Spark untouched
+    assert(spark.sql("SELECT 1 AS graft_col").head().getInt(0) == 1)
+    assert(spark.range(3).count() == 3)
+  }
+}

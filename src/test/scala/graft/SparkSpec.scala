@@ -17,6 +17,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // mirror the gate harness: a reliable checkpoint dir, so suites
