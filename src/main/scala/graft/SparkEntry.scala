@@ -30,10 +30,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ ExtendedQueries.oracles
 
-  /** `queries` plus bench/plan-only variants with no DuckDB oracle
-    * (engine-internal hash keys aren't portable SQL): the
-    * fingerprint-keyed narrow-shuffle shapes. Bench and DumpPlans run
-    * this set; Verify runs only the oracled `queries`.
+  /** `queries` plus bench/plan-only variants with no DuckDB oracle:
+    * the fingerprint-keyed narrow-shuffle shapes (engine-internal hash
+    * keys aren't portable SQL), the sketch-only ANALYZE leg, and the
+    * manifest point-lookup latency probe (side-effecting fixture
+    * build). Bench and DumpPlans run this set; Verify runs only the
+    * oracled `queries`.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ ExtendedQueries.benchOnly

@@ -23,6 +23,7 @@ import graft.sinks.ManifestTable
   * GRAFT VACUUM '/path/t' KEEP 5
   * GRAFT REBUCKET '/path/t' TO 64                  -- online resize
   * GRAFT ADD COLUMNS '/path/t' (score DOUBLE, tag STRING)
+  * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
   * }}}
   *
   * Statements are recognized by a `GRAFT <verb>` prefix match and
@@ -67,6 +68,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+REBUCKET\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
   private val AddColumns =
     """(?is)\s*GRAFT\s+ADD\s+COLUMNS\s+'([^']+)'\s*\((.+)\)\s*""".r
+  private val SetBloom =
+    """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
   private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
@@ -90,6 +93,10 @@ object GraftSqlParser {
       case AddColumns(path, ddl) =>
         Some(GraftMaintenanceCommand(path, "add_columns", s =>
           ManifestTable.addColumns(s, path, ddl)))
+      case SetBloom(path, cols) =>
+        val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        Some(GraftMaintenanceCommand(path, "set_bloom", s =>
+          ManifestTable.setBloomColumns(s, path, cs)))
       case AnyGraft() =>
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +

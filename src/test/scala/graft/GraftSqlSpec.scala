@@ -46,6 +46,14 @@ class GraftSqlSpec extends SparkSpec {
     assert(ManifestTable.currentManifest(spark, path).nBuckets == 8)
     assert(r2.getString(2).toInt ==
       ManifestTable.currentManifest(spark, path).version)
+    // SET BLOOM backfills sidecars for the referenced dirs
+    spark.sql(s"GRAFT SET BLOOM '$path' (id)")
+    val mb = ManifestTable.currentManifest(spark, path)
+    assert(mb.bloomCols == Seq("id"))
+    mb.buckets.values.flatten.foreach { rel =>
+      assert(graft.sinks.BloomSidecar.exists(
+        spark.sparkContext.hadoopConfiguration, s"$path/$rel", "id"),
+        s"SET BLOOM missed $rel") }
     spark.sql(s"GRAFT VACUUM '$path' KEEP 1")
     assert(ManifestTable.versions(spark, path).size == 1,
       "SQL VACUUM KEEP 1 must retire older versions")
