@@ -103,7 +103,8 @@ object ManifestTable {
                                      dirRows: Map[String, Long] = Map.empty,
                                      dirStats: Map[String, Map[String, (String, String)]] = Map.empty,
                                      bloomCols: Seq[String] = Seq.empty,
-                                     tombstones: Map[Int, Seq[(String, Seq[String])]] = Map.empty) {
+                                     tombstones: Map[Int, Seq[(String, Seq[String])]] = Map.empty,
+                                     dirFiles: Map[String, Seq[(String, Long)]] = Map.empty) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     def keyType: org.apache.spark.sql.types.DataType =
@@ -178,6 +179,19 @@ object ManifestTable {
         s""""$d":{$inner}""" }
       .mkString(",")
     val blooms = m.bloomCols.map(c => s""""$c"""").mkString(",")
+    // per-dir FILE LISTS ("name;bytes" flat strings): what makes the
+    // read path listing-free — parquet task-file names are
+    // [A-Za-z0-9._-]+, ';' is unambiguous
+    m.dirFiles.foreach { case (d, fs) =>
+      require(d.matches("[A-Za-z0-9/._=-]+"), s"dir path not manifest-safe: $d")
+      fs.foreach { case (n, _) => require(n.matches("[A-Za-z0-9._-]+"),
+        s"file name not manifest-safe: $n") }
+    }
+    val dfiles = m.dirFiles.toSeq.sortBy(_._1)
+      .map { case (d, fs) =>
+        val flat = fs.map { case (n, b) => s""""$n;$b"""" }.mkString(",")
+        s""""$d":[$flat]""" }
+      .mkString(",")
     // each tombstone entry renders as ONE flat string
     // "tsDir;coveredDir;coveredDir..." — paths are [A-Za-z0-9/._=-]+ so
     // ';' is unambiguous and the object stays nesting-free
@@ -198,6 +212,7 @@ object ManifestTable {
       s""""dirStats":{$stats},""" +
       s""""bloomCols":[$blooms],""" +
       s""""tombstones":{$tombs},""" +
+      s""""dirFiles":{$dfiles},""" +
       s""""buckets":{$entries}}"""
   }
 
@@ -272,9 +287,21 @@ object ManifestTable {
           b.group(1).toInt -> entries
         }.toMap
     }
+    // optional (absent in pre-file-list manifests): per-dir parquet
+    // file names + sizes, "name;bytes" flat strings
+    val dirFiles = s.indexOf("\"dirFiles\"") match {
+      case -1 => Map.empty[String, Seq[(String, Long)]]
+      case i =>
+        val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+        """"([A-Za-z0-9/._=-]+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { d =>
+          val fs = """"([A-Za-z0-9._-]+);(\d+)"""".r.findAllMatchIn(d.group(2))
+            .map(f => (f.group(1), f.group(2).toLong)).toSeq
+          d.group(1) -> fs
+        }.toMap
+    }
     Manifest(intField("version"), intField("nBuckets"),
       strField("keyCol"), strField("schemaDdl"), buckets, txns, dirRows,
-      dirStats, bloomCols, tombstones)
+      dirStats, bloomCols, tombstones, dirFiles)
   }
 
   /** Test seams for the round-trip property spec — the renderer/parser
@@ -659,7 +686,7 @@ object ManifestTable {
     */
   private def dirMeta(spark: SparkSession, dir: String,
                       schema: org.apache.spark.sql.types.StructType)
-      : Option[(Long, Map[String, (String, String)])] =
+      : Option[(Long, Map[String, (String, String)], Seq[(String, Long)])] =
     try {
       import org.apache.parquet.schema.LogicalTypeAnnotation
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -667,7 +694,7 @@ object ManifestTable {
       val p = new Path(dir)
       val conf = spark.sparkContext.hadoopConfiguration
       val f = p.getFileSystem(conf)
-      if (!f.exists(p)) Some((0L, Map.empty))
+      if (!f.exists(p)) Some((0L, Map.empty, Seq.empty))
       else {
         val eligible: Map[String, DataType] = schema.fields.iterator
           .filter(_.name.matches("[A-Za-z_][A-Za-z0-9_]*"))
@@ -715,9 +742,11 @@ object ManifestTable {
             case _ => false
           }
         }
+        val files = scala.collection.mutable.ArrayBuffer[(String, Long)]()
         f.listStatus(p).iterator
           .filter(_.getPath.getName.endsWith(".parquet"))
           .foreach { st =>
+            files += ((st.getPath.getName, st.getLen))
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
             try {
@@ -779,7 +808,7 @@ object ManifestTable {
           truncLower(sLo(c)).zip(truncUpper(sHi(c))).headOption
             .map { case (mn, mx) => c -> (encodeBound(mn), encodeBound(mx)) }
         }.toMap
-        Some((rows, numeric ++ strings))
+        Some((rows, numeric ++ strings, files.toSeq.sortBy(_._1)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -824,15 +853,27 @@ object ManifestTable {
     */
   private def withDirMeta(spark: SparkSession, path: String, next: Manifest): Manifest = {
     val referenced = next.buckets.values.flatten.toSet
+    // tombstone dirs carry FILE LISTS too (the scan's delete-filter
+    // loads them without listing) but stay out of dirRows/dirStats —
+    // metadata aggregates must never see tombstone rows
+    val tsDirs = next.tombstones.valuesIterator.flatten.map(_._1).toSet
     var rows = next.dirRows.filter { case (d, _) => referenced(d) }
     var stats = next.dirStats.filter { case (d, _) => referenced(d) }
+    var dfiles = next.dirFiles.filter { case (d, _) =>
+      referenced(d) || tsDirs(d) }
     (referenced -- (rows.keySet intersect stats.keySet)).toSeq.sorted.foreach { rel =>
-      dirMeta(spark, s"$path/$rel", next.schema).foreach { case (n, st) =>
+      dirMeta(spark, s"$path/$rel", next.schema).foreach { case (n, st, fs) =>
         if (!rows.contains(rel)) rows += rel -> n
         if (!stats.contains(rel)) stats += rel -> st
+        if (!dfiles.contains(rel)) dfiles += rel -> fs
       }
     }
-    next.copy(dirRows = rows, dirStats = stats)
+    (tsDirs -- dfiles.keySet).toSeq.sorted.foreach { rel =>
+      dirMeta(spark, s"$path/$rel", next.schema).foreach { case (_, _, fs) =>
+        dfiles += rel -> fs
+      }
+    }
+    next.copy(dirRows = rows, dirStats = stats, dirFiles = dfiles)
   }
 
   /** Write missing bloom sidecars for `dirs` (commit-time for new dirs;
@@ -1072,10 +1113,10 @@ object ManifestTable {
     if (grouped.isEmpty || grouped.forall(_._2.isEmpty)) emptyWithSchema(spark, m)
     else grouped.collect { case (sig, rels) if rels.nonEmpty =>
       val base = spark.read.schema(readSchema(m))
-        .parquet(rels.map(rel => s"$path/$rel"): _*)
+        .parquet(readTargets(path, m, rels): _*)
       if (sig.isEmpty) base
       else base.join(
-        broadcast(spark.read.parquet(sig.map(ts => s"$path/$ts"): _*)
+        broadcast(spark.read.parquet(readTargets(path, m, sig): _*)
           .select(m.keyCol).distinct()),
         Seq(m.keyCol), "left_anti")
     }.reduce(_ unionByName _)
@@ -1083,6 +1124,18 @@ object ManifestTable {
 
   private def hasTombstones(m: Manifest): Boolean =
     m.tombstones.valuesIterator.exists(_.nonEmpty)
+
+  /** Read targets for `rels`: explicit FILE paths when the manifest
+    * holds every dir's file list — Spark's file index then resolves
+    * them without a single directory listing (the Iceberg read
+    * contract); any dir predating file-list tracking degrades the
+    * whole set to dir paths (one listing per dir, the old behavior).
+    */
+  private def readTargets(path: String, m: Manifest,
+                          rels: Seq[String]): Seq[String] =
+    if (rels.forall(m.dirFiles.contains))
+      rels.flatMap(rel => m.dirFiles(rel).map { case (n, _) => s"$path/$rel/$n" })
+    else rels.map(rel => s"$path/$rel")
 
   /** The manifest schema with every field (and array element) nullable —
     * what data reads IMPOSE on the files instead of inferring: after
@@ -1104,10 +1157,10 @@ object ManifestTable {
     if (hasTombstones(m))
       readWithTombstones(spark, path, m, m.buckets.toSeq.sortBy(_._1))
     else {
-      val dirs = m.buckets.toSeq.sortBy(_._1)
-        .flatMap { case (_, rels) => rels.map(rel => s"$path/$rel") }
-      if (dirs.isEmpty) emptyWithSchema(spark, m)
-      else spark.read.schema(readSchema(m)).parquet(dirs: _*)
+      val rels = m.buckets.toSeq.sortBy(_._1).flatMap(_._2)
+      val targets = readTargets(path, m, rels)
+      if (targets.isEmpty) emptyWithSchema(spark, m)
+      else spark.read.schema(readSchema(m)).parquet(targets: _*)
     }
   }
 
@@ -1163,9 +1216,12 @@ object ManifestTable {
         else if (m.tombstones.getOrElse(b, Seq.empty).nonEmpty)
           readWithTombstones(spark, path, m, Seq(b -> kept))
             .filter(col(keyCol) === keyValue)
-        else spark.read.schema(readSchema(m))
-          .parquet(kept.map(rel => s"$path/$rel"): _*)
-          .filter(col(keyCol) === keyValue)
+        else {
+          val targets = readTargets(path, m, kept)
+          if (targets.isEmpty) emptyWithSchema(spark, m)
+          else spark.read.schema(readSchema(m)).parquet(targets: _*)
+            .filter(col(keyCol) === keyValue)
+        }
     }
   }
 
@@ -1189,8 +1245,11 @@ object ManifestTable {
     if (perBucket.forall(_._2.isEmpty)) emptyWithSchema(spark, m)
     else if (touched.exists(b => m.tombstones.getOrElse(b, Seq.empty).nonEmpty))
       readWithTombstones(spark, path, m, perBucket)
-    else spark.read.schema(readSchema(m))
-      .parquet(perBucket.flatMap(_._2).map(d => s"$path/$d"): _*)
+    else {
+      val targets = readTargets(path, m, perBucket.flatMap(_._2))
+      if (targets.isEmpty) emptyWithSchema(spark, m)
+      else spark.read.schema(readSchema(m)).parquet(targets: _*)
+    }
   }
 
   /** MERGE: rows of `updates` replace same-key rows, new keys insert.
@@ -1553,11 +1612,15 @@ object ManifestTable {
     val zorder = if (zorderBy.size >= 2) zorderBy else Seq.empty
     commitWithRetry(spark, path) { m =>
       val f = fs(spark, path)
-      def filesOf(rel: String): Seq[Long] = {
-        val p = new Path(s"$path/$rel")
-        if (!f.exists(p)) Seq.empty
-        else f.listStatus(p).iterator
-          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).toSeq
+      // selection sizes from the manifest file lists when recorded;
+      // listing only for pre-file-list dirs
+      def filesOf(rel: String): Seq[Long] = m.dirFiles.get(rel) match {
+        case Some(fsz) => fsz.map(_._2)
+        case None =>
+          val p = new Path(s"$path/$rel")
+          if (!f.exists(p)) Seq.empty
+          else f.listStatus(p).iterator
+            .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).toSeq
       }
       val perBucket: Map[Int, (Int, Long)] = m.buckets.map { case (b, rels) =>
         val sizes = rels.flatMap(filesOf)

@@ -152,7 +152,7 @@ object ManifestIndexSource {
     def load(dirs: Seq[String]): Option[Double] =
       if (dirs.forall(m.dirRows.contains)) Some(dirs.map(m.dirRows).sum.toDouble)
       else {
-        val sz = dirs.flatMap(d => parquetFiles(s"$path/$d", conf)).map(_._2)
+        val sz = dirs.flatMap(d => filesOf(m, path, d, conf)).map(_._2)
         if (sz.isEmpty) None else Some(sz.sum.toDouble)
       }
     val loads = m.buckets.values.filter(_.nonEmpty).flatMap(load)
@@ -222,7 +222,15 @@ object ManifestIndexSource {
     * time (one listStatus per referenced dir — manifest-bounded, the same
     * listing the reader used to repeat per task).
     */
+  /** Observability for the listing-free read contract (spec-pinned):
+    * how many times planning fell back to a filesystem listing because
+    * the manifest carried no file list for a dir. Steady-state reads of
+    * current-format tables add ZERO.
+    */
+  private[graft] val planListings = new java.util.concurrent.atomic.AtomicLong
+
   private[sources] def parquetFiles(dir: String, conf: Configuration): Seq[(String, Long)] = {
+    planListings.incrementAndGet()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
@@ -230,6 +238,17 @@ object ManifestIndexSource {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
   }
+
+  /** A dir's parquet files from the MANIFEST when recorded (zero IO —
+    * the Iceberg contract: the log knows its files), filesystem listing
+    * only for dirs predating file-list tracking.
+    */
+  private[sources] def filesOf(m: ManifestTable.Manifest, path: String,
+                               rel: String, conf: Configuration): Seq[(String, Long)] =
+    m.dirFiles.get(rel) match {
+      case Some(fs) => fs.map { case (n, b) => (s"$path/$rel/$n", b) }
+      case None => parquetFiles(s"$path/$rel", conf)
+    }
 
   /** One InputPartition per file of the bucket, all tagged with the
     * bucket's partition key; an empty bucket still emits one (empty)
@@ -940,13 +959,20 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
       cached = touched.flatMap { b =>
         // each surviving dir pairs with the tombstone FILES covering it
         // (equality deletes, merge-on-read) — the reader filters rows
-        // against their keys
+        // against their keys. File lists come from the manifest
+        // (listing-free planning); pre-file-list dirs fall back to one
+        // listStatus each.
         val dirPairs = dirsOf(b).map { rel =>
           val tsFiles = m.tombstoneDirsFor(b, rel).flatMap(ts =>
-            ManifestIndexSource.parquetFiles(s"$path/$ts", hadoopConf).map(_._1))
-          (s"$path/$rel", tsFiles)
+            ManifestIndexSource.filesOf(m, path, ts, hadoopConf).map(_._1))
+          (rel, tsFiles)
         }
-        ManifestIndexSource.filePartitionsWithDeletes(b, dirPairs, hadoopConf)
+        val files = dirPairs.flatMap { case (rel, ts) =>
+          ManifestIndexSource.filesOf(m, path, rel, hadoopConf)
+            .map { case (f, len) => (f, len, ts) } }
+        if (files.isEmpty) Seq(ManifestBucketPartition(b, Seq.empty, 0L))
+        else files.map { case (f, len, ts) =>
+          ManifestBucketPartition(b, Seq(f), len, ts) }
       }.toArray
       cachedFor = touched
     }
@@ -1152,11 +1178,6 @@ class ManifestMicroBatchStream(path: String, required: StructType,
     VersionOffset(maxVersionsPerTrigger.fold(hi)(k => math.min(hi, lo + k)))
   }
 
-  private def dirsOf(v: Int): Set[String] =
-    if (v == 0) Set.empty
-    else ManifestTable.readManifest(spark, path, v)
-      .buckets.values.flatten.toSet
-
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
     val vs = ManifestTable.versions(spark, path)
     require(vs.nonEmpty, s"no committed version at $path")
@@ -1189,7 +1210,13 @@ class ManifestMicroBatchStream(path: String, required: StructType,
       s"stream start version $vs of $path was vacuumed away — keep the " +
         "oldest unconsumed version readable (ManifestTable.vacuum " +
         "retainMs/keepVersions is the streaming retention window)")
-    val (before, after) = (dirsOf(vs), dirsOf(ve))
+    // one manifest read per endpoint: dir diff, tombstone diff, and the
+    // end version's file lists all come from the same two objects
+    val mStart = if (vs == 0) None
+      else Some(ManifestTable.readManifest(spark, path, vs))
+    val mEndRead = ManifestTable.readManifest(spark, path, ve)
+    val before = mStart.fold(Set.empty[String])(_.buckets.values.flatten.toSet)
+    val after = mEndRead.buckets.values.flatten.toSet
     val removed = before -- after
     if (removed.nonEmpty && !ignoreDeletes)
       throw new IllegalStateException(
@@ -1201,9 +1228,9 @@ class ManifestMicroBatchStream(path: String, required: StructType,
     // equality-delete tombstones are pointer-FREE deletes: the data dirs
     // are unchanged but rows were logically removed (merge/deleteKeys) —
     // the same non-append shape, detected from the tombstone diff
-    val tsChanged =
-      (if (vs == 0) Map.empty else ManifestTable.readManifest(spark, path, vs).tombstones) !=
-        ManifestTable.readManifest(spark, path, ve).tombstones
+    val tsChanged = mStart.fold(
+      Map.empty[Int, Seq[(String, Seq[String])]])(_.tombstones) !=
+        mEndRead.tombstones
     if (tsChanged && !ignoreDeletes)
       throw new IllegalStateException(
         s"non-append change in $path between versions $vs and $ve " +
@@ -1212,11 +1239,17 @@ class ManifestMicroBatchStream(path: String, required: StructType,
           "Set ignoreDeletes=true to stream only the added directories " +
           "(deleted rows are NOT retracted, and a merge's new rows still " +
           "stream — Delta's ignoreChanges caveat).")
+    // the end manifest's file lists keep the micro-batch listing-free
+    // too (pre-file-list versions fall back per dir)
+    val mEnd = mEndRead
     (after -- before).toSeq.sorted
       .groupBy(rel => rel.substring(rel.lastIndexOf("b=") + 2).toInt)
       .flatMap { case (b, rels) =>
-        ManifestIndexSource.filePartitions(b,
-          rels.map(rel => s"$path/$rel"), confHolder.value)
+        val files = rels.flatMap(rel =>
+          ManifestIndexSource.filesOf(mEnd, path, rel, confHolder.value))
+        if (files.isEmpty) Seq(ManifestBucketPartition(b, Seq.empty, 0L))
+        else files.map { case (f, len) =>
+          ManifestBucketPartition(b, Seq(f), len) }
       }.toArray[InputPartition]
   }
 

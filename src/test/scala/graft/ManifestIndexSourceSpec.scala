@@ -32,6 +32,46 @@ class ManifestIndexSourceSpec extends SparkSpec {
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
+  test("listing-free planning: manifest file lists feed the scan; zero listStatus on the read path") {
+    val path = tmp()
+    seed(path, n = 300, nB = 4)
+    ManifestTable.append(spark, path,
+      (300L until 400L).map(j => (j, s"name-$j", j * 1.0, Seq(j)))
+        .toDF("id", "name", "score", "sig"), "id")
+    val m = ManifestTable.currentManifest(spark, path)
+    // every referenced dir carries its file list (footer pass records it)
+    m.buckets.values.flatten.foreach(rel =>
+      assert(m.dirFiles.contains(rel) && m.dirFiles(rel).nonEmpty,
+        s"dir $rel missing its manifest file list"))
+    // a full DSv2 scan plans WITHOUT a single filesystem listing
+    val before = ManifestIndexSource.planListings.get
+    val got = ManifestIndexSource.read(spark, path).count()
+    assert(got == 400L)
+    assert(ManifestIndexSource.planListings.get == before,
+      "scan planning listed the filesystem despite complete manifest file lists")
+    // file sizes in the manifest match the on-disk truth (split sizing
+    // and skew decisions consume them)
+    m.buckets.values.flatten.take(3).foreach { rel =>
+      m.dirFiles(rel).foreach { case (n, b) =>
+        assert(new java.io.File(s"$path/$rel/$n").length == b,
+          s"manifest size for $rel/$n diverges from disk") }
+    }
+    // a manifest STRIPPED of file lists (pre-file-list format) degrades
+    // to listings, not failure
+    val stripped = m.copy(dirFiles = Map.empty)
+    val parts = new graft.sources.ManifestIndexTable(
+        path, stripped, spark.sparkContext.hadoopConfiguration)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .build().asInstanceOf[graft.sources.ManifestIndexScan]
+      .planInputPartitions()
+    assert(parts.map(_.asInstanceOf[graft.sources.ManifestBucketPartition])
+      .map(_.files.size).sum == m.dirFiles.values.map(_.size).sum,
+      "listing fallback must find the same files")
+    assert(ManifestIndexSource.planListings.get > before,
+      "fallback path must be the one that lists")
+  }
+
   test("DSv2 read returns exactly the parquet-path rows (arrays and nulls included)") {
     val path = tmp()
     seed(path)

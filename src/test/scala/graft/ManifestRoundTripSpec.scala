@@ -74,11 +74,19 @@ class ManifestRoundTripSpec extends AnyFunSuite {
         over <- Gen.nonEmptyListOf(dirPath).map(_.distinct.take(3))
       } yield (ts, over)).map(_.take(3))
     } yield b -> es)
+    dirFiles <- Gen.mapOf(for {
+      d <- dirPath
+      fs <- Gen.listOf(for {
+        n <- Gen.listOfN(10, Gen.oneOf(Gen.alphaNumChar,
+          Gen.oneOf('.', '_', '-'))).map(x => s"part-${x.mkString}.parquet")
+        b <- Gen.chooseNum(0L, 1L << 38)
+      } yield (n, b)).map(_.take(3))
+    } yield d -> fs)
   } yield Manifest(version, nBuckets, keyCol,
     // DDL round-trips through StructType.fromDDL elsewhere; here the
     // field carries an arbitrary quote-free token like the renderer allows
     s"${cols.head} BIGINT", buckets, txns, dirRows, dirStats, bloomCols,
-    tombstones)
+    tombstones, dirFiles)
 
   test("render → parse is the identity over the manifest-safe value space") {
     def norm(x: Manifest) = x.copy(
@@ -109,5 +117,8 @@ class ManifestRoundTripSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ManifestTable.renderForTest(base.copy(
         dirStats = Map("data/x/b=0" -> Map("c" -> ("1;2", "3"))))) }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renderForTest(base.copy(
+        dirFiles = Map("data/x/b=0" -> Seq(("part;1.parquet", 7L))))) }
   }
 }
