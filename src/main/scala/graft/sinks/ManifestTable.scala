@@ -304,6 +304,10 @@ object ManifestTable {
       dirStats, bloomCols, tombstones, dirFiles)
   }
 
+  /** The current manifest for metadata introspection (GRAFT DESCRIBE). */
+  private[graft] def describeManifest(spark: SparkSession, path: String): Manifest =
+    currentManifest(spark, path)
+
   /** Test seams for the round-trip property spec — the renderer/parser
     * pair is load-bearing, hand-rolled JSON, and every field addition
     * must preserve render→parse identity (ManifestRoundTripSpec).

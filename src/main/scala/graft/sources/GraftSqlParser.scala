@@ -70,6 +70,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+ADD\s+COLUMNS\s+'([^']+)'\s*\((.+)\)\s*""".r
   private val SetBloom =
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
+  private val Describe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*""".r
   private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
@@ -97,6 +99,7 @@ object GraftSqlParser {
         val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         Some(GraftMaintenanceCommand(path, "set_bloom", s =>
           ManifestTable.setBloomColumns(s, path, cs)))
+      case Describe(path) => Some(GraftDescribeCommand(path))
       case AnyGraft() =>
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +
@@ -104,6 +107,34 @@ object GraftSqlParser {
             s"table path, got: $sql")
       case _ => None
     }
+}
+
+/** `GRAFT DESCRIBE '<path>'` — the DESCRIBE DETAIL equivalent: one row
+  * of table vitals computed from METADATA alone (one manifest read, no
+  * data or listing IO): version, layout, exact row count when the
+  * metadata can answer it (blank under live tombstones — it would
+  * overcount), dir/file/byte totals from the manifest file lists, live
+  * tombstone entries, and the bloom column set. What an operator checks
+  * before deciding to OPTIMIZE or VACUUM.
+  */
+case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    "table", "version", "n_buckets", "key_col", "rows", "dirs", "files",
+    "bytes", "tombstone_entries", "bloom_cols"
+  ).map(n => AttributeReference(n, StringType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val m = ManifestTable.describeManifest(sparkSession, path)
+    val dirs = m.buckets.values.flatten.toSeq
+    val files = dirs.flatMap(m.dirFiles.get)
+    Seq(Row(path, m.version.toString, m.nBuckets.toString, m.keyCol,
+      m.totalRows.fold("")(_.toString),
+      dirs.size.toString,
+      if (dirs.forall(m.dirFiles.contains)) files.map(_.size).sum.toString else "",
+      if (dirs.forall(m.dirFiles.contains)) files.flatten.map(_._2).sum.toString else "",
+      m.tombstones.valuesIterator.map(_.size).sum.toString,
+      m.bloomCols.mkString(",")))
+  }
 }
 
 /** One maintenance verb as a runnable command: executes on the driver,

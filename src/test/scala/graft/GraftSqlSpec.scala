@@ -61,6 +61,15 @@ class GraftSqlSpec extends SparkSpec {
     val got = ManifestTable.read(spark, path)
       .groupBy().agg(count(lit(1)), sum("id")).head()
     assert(got.getLong(0) == 205L && got.getLong(1) == (0 until 200).map(_.toLong).sum + 5 * 999L)
+
+    // DESCRIBE reports the vitals from one manifest read
+    val d = spark.sql(s"GRAFT DESCRIBE '$path'").collect().head
+    assert(d.getString(0) == path)
+    assert(d.getString(2) == "8", "post-rebucket bucket count")
+    assert(d.getString(4) == "205", "metadata row count")
+    assert(d.getString(6).toInt > 0 && d.getString(7).toLong > 0,
+      "file/byte totals from manifest lists")
+    assert(d.getString(8) == "0" && d.getString(9) == "id")
   }
 
   test("malformed GRAFT statements fail loudly; ordinary SQL is untouched") {
