@@ -473,12 +473,13 @@ object Dedup {
     * here too, and its star edges are at distance 0 (kept).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame =
+                          maxDist: Int = 3, maxBucketSize: Int = 4096,
+                          approximate: Boolean = false): DataFrame =
     bandedHammingPairs(
       df.select(col(idCol).as("id"),
         graft.functions.Sketches.simhash(col(textCol)).as("sh")),
       nBands = 4, bandBits = 15, maxDist = maxDist,
-      maxBucketSize = maxBucketSize)
+      maxBucketSize = maxBucketSize, approximate = approximate)
 
   /** Near-dup pairs at Hamming ≤ maxDist over ANY integer fingerprint
     * column, candidates from band equality: the fingerprint splits into
@@ -491,14 +492,20 @@ object Dedup {
     * 9×7-bit bands).
     */
   def bandedHammingPairs(withFp: DataFrame, nBands: Int, bandBits: Int,
-                         maxDist: Int, maxBucketSize: Int = 4096): DataFrame = {
-    // EXACTNESS is conditional, not required: candidates are provably
-    // complete only for maxDist <= nBands-1 (pigeonhole); a larger
-    // maxDist is the standard APPROXIMATE simhash-LSH trade — band
-    // collisions as a recall-oriented candidate filter, every emitted
-    // pair still Hamming-verified. Callers whose oracle depends on
-    // completeness (media_near_dup) pin the exact regime themselves
-    // ([[graft.ops.Multimodal.nearDupClusters]]).
+                         maxDist: Int, maxBucketSize: Int = 4096,
+                         approximate: Boolean = false): DataFrame = {
+    // EXACTNESS is conditional: candidates are provably complete only
+    // for maxDist <= nBands-1 (pigeonhole); a larger maxDist is the
+    // standard APPROXIMATE simhash-LSH trade — band collisions as a
+    // recall-oriented candidate filter, every emitted pair still
+    // Hamming-verified. The approximate regime is OPT-IN (ADVICE r10):
+    // a caller relying on the old exact-candidate contract fails loudly
+    // here instead of silently losing recall.
+    require(approximate || maxDist <= nBands - 1,
+      s"bandedHammingPairs: maxDist=$maxDist > nBands-1=${nBands - 1} is " +
+        "only complete as a recall-oriented approximation — pass " +
+        "approximate = true to opt into the LSH recall regime, or raise " +
+        "nBands for exact candidates")
     val bandMask = (1L << bandBits) - 1
     val banded = withFp.select(col("id"), col("sh"),
       explode(array((0 until nBands).map(b =>

@@ -996,9 +996,25 @@ object ManifestTable {
           "bucketed under the old layout and cannot be rebased; rerun " +
           "the write against the current table")
 
-  private def bucketed(df: DataFrame, keyCol: String, nBuckets: Int) =
+  /** Column names the engine owns: `bucket` is the derived layout
+    * column every write path adds, and `b`/`s` are the shadow
+    * partitioning columns [[stageSlice]]/[[stageClustered]] stage
+    * under (partitionBy CONSUMES them) — user data in any of these
+    * would be silently overwritten on the next write or rewrite.
+    */
+  private[graft] def requireNoReservedCols(names: Seq[String], what: String): Unit =
+    names.find(n => ReservedCols.contains(n.toLowerCase)).foreach(n =>
+      throw new IllegalArgumentException(
+        s"$what: column name '$n' is reserved by the manifest table " +
+          "('bucket' is the derived layout column; 'b'/'s' are staging " +
+          "partition columns) — rename it"))
+  private val ReservedCols = Set("bucket", "b", "s")
+
+  private def bucketed(df: DataFrame, keyCol: String, nBuckets: Int) = {
+    requireNoReservedCols(df.columns.toSeq, "manifest write")
     df.withColumn("bucket",
       pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int"))
+  }
 
   /** Empty frame with the manifest's schema — what reads of truncated
     * or fully-pruned versions return instead of a zero-column frame.
@@ -1338,6 +1354,12 @@ object ManifestTable {
       Map[Int, String], Set[Int])] = None
     var did = false
     commitWithRetry(spark, path) { m =>
+      // reset per attempt: an earlier attempt may have set did=true then
+      // LOST the publish race to a concurrent writer landing this same
+      // appId/batch — the retry sees the watermark satisfied and commits
+      // nothing, so the flag must report the FINAL attempt's outcome,
+      // not the optimistic first one (ADVICE r10)
+      did = false
       if (m.txns.get(appId).exists(_ >= batchVersion)) None // replay: already landed
       else {
         require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
@@ -1454,6 +1476,7 @@ object ManifestTable {
                                             batchVersion: Long): Boolean = {
     var did = false
     commitWithRetry(spark, path) { m =>
+      did = false // per-attempt: see upsertOnce's lost-race note
       if (m.txns.get(appId).exists(_ >= batchVersion)) None
       else {
         requireLayout(m, stagedLayout, path)
@@ -1503,6 +1526,12 @@ object ManifestTable {
     var staged: Option[(Layout, Map[Int, String])] = None
     var did = false
     commitWithRetry(spark, path) { m =>
+      // reset per attempt: an earlier attempt may have set did=true then
+      // LOST the publish race to a concurrent writer landing this same
+      // appId/batch — the retry sees the watermark satisfied and commits
+      // nothing, so the flag must report the FINAL attempt's outcome,
+      // not the optimistic first one (ADVICE r10)
+      did = false
       if (m.txns.get(appId).exists(_ >= batchVersion)) None // replay: already landed
       else {
         require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
@@ -1749,6 +1778,7 @@ object ManifestTable {
     require(newCols.nonEmpty, "no columns to add")
     commitWithRetry(spark, path) { m =>
       val existing = m.schema.fieldNames.map(_.toLowerCase).toSet
+      requireNoReservedCols(newCols.fieldNames.toSeq, s"addColumns at $path")
       newCols.fields.foreach { f =>
         require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"column name not manifest-safe: ${f.name}")

@@ -57,8 +57,11 @@ object MaterializedAgg {
                                    aggs: Seq[AggSpec], nBuckets: Int)
 
   private def renderDef(d: ViewDef): String = {
-    (d.groupCols :+ d.sourcePath).foreach(s => require(!s.contains('"'),
-      s"not view-def-safe: $s"))
+    // agg columns are embedded in the same quoted-JSON def as the group
+    // columns — an unchecked '"' there would write a def parseDef then
+    // silently mis-parses on every later refresh (ADVICE r10)
+    (d.groupCols ++ d.aggs.map(_.col) :+ d.sourcePath)
+      .foreach(s => require(!s.contains('"'), s"not view-def-safe: $s"))
     val aggs = d.aggs.map(a => s"""{"fn":"${a.fn}","col":"${a.col}"}""")
       .mkString(",")
     s"""{"sourcePath":"${d.sourcePath}","nBuckets":${d.nBuckets},""" +
@@ -133,11 +136,12 @@ object MaterializedAgg {
              nBuckets: Int = 16): Unit = {
     require(groupCols.nonEmpty && aggs.nonEmpty, "need group cols and aggs")
     val d = ViewDef(sourcePath, groupCols, aggs, nBuckets)
+    val rendered = renderDef(d) // validate BEFORE any file exists
     val f = fs(spark, viewPath)
     f.mkdirs(new Path(viewPath))
     val defPath = new Path(viewPath, DefFile)
     val out = f.create(defPath, false) // create-only: a view is defined once
-    try out.write(renderDef(d).getBytes("UTF-8")) finally out.close()
+    try out.write(rendered.getBytes("UTF-8")) finally out.close()
     fullCompute(spark, viewPath, d)
   }
 

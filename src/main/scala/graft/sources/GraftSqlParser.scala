@@ -79,6 +79,14 @@ object GraftSqlParser {
       case Optimize(path, clusterBy, zorder, slices) =>
         val z = Option(zorder).map(_.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        // CLUSTER BY and ZORDER BY are rival layouts — refusing the
+        // combination HERE keeps the documented "malformed statements
+        // fail at parse time" contract (previously this slipped through
+        // to an execution-time require deep in ManifestTable.optimize)
+        if (clusterBy != null && z.nonEmpty)
+          throw new IllegalArgumentException(
+            "GRAFT OPTIMIZE takes CLUSTER BY or ZORDER BY, not both " +
+              s"(got CLUSTER BY $clusterBy and ZORDER BY ${z.mkString(",")})")
         val n = Option(slices).map(_.toInt)
         Some(GraftMaintenanceCommand(path, "optimize", s =>
           ManifestTable.optimize(s, path,
@@ -103,8 +111,8 @@ object GraftSqlParser {
       case AnyGraft() =>
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +
-            "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS with a quoted " +
-            s"table path, got: $sql")
+            "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | SET BLOOM | " +
+            s"DESCRIBE with a quoted table path, got: $sql")
       case _ => None
     }
 }

@@ -1423,9 +1423,33 @@ object ManifestVectorizedReader {
     * filter residually — so this is IO-only, never semantics. Any
     * conversion failure just leaves the conf unfiltered.
     */
+  /** Types whose parquet PHYSICAL layout is invariant under the writer
+    * confs staging uses or ever used: strings/binary are always BINARY,
+    * integrals always INT32/INT64, floats FLOAT/DOUBLE, dates INT32.
+    * Decimal (writeLegacyFormat flips FIXED_LEN_BYTE_ARRAY vs INT32/64)
+    * and timestamps (INT96 vs INT64 under outputTimestampType) are NOT
+    * stable: a predicate built from the table schema against a file
+    * whose footer disagrees fails in parquet-mr's compatibility
+    * validator at TASK time — past the try below — so those columns'
+    * filters are excluded from row-group pushdown (Spark re-applies
+    * every filter residually; this is IO-only, never semantics).
+    * ADVICE r10.
+    */
+  private def stablePhysical(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case StringType | BinaryType | BooleanType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           IntegerType | LongType | FloatType | DoubleType | DateType => true
+      case _ => false
+    }
+
   private[graft] def withFilterPredicate(
       base: Configuration, tableSchema: StructType,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Configuration =
+      filters0: Seq[org.apache.spark.sql.sources.Filter]): Configuration = {
+    val filters = filters0.filter(_.references.forall(n =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(n))
+        .exists(f => stablePhysical(f.dataType))))
     if (filters.isEmpty) base
     else try {
       import org.apache.spark.sql.execution.datasources.parquet.{ParquetFilters, SparkToParquetSchemaConverter}
@@ -1445,6 +1469,7 @@ object ManifestVectorizedReader {
         c
       }
     } catch { case scala.util.control.NonFatal(_) => base }
+  }
 
   /** The task-side Configuration `VectorizedParquetRecordReader` expects
     * — the same contract `ParquetFileFormat` prepares: the requested

@@ -74,7 +74,18 @@ class GraftSqlSpec extends SparkSpec {
 
   test("malformed GRAFT statements fail loudly; ordinary SQL is untouched") {
     intercept[Exception] { spark.sql("GRAFT OPTIMIZE missing_quotes") }
-    intercept[Exception] { spark.sql("GRAFT FROB '/x'") }
+    val verbs = intercept[Exception] { spark.sql("GRAFT FROB '/x'") }
+    // the verb list in the error stays current with the verb set
+    Seq("OPTIMIZE", "VACUUM", "REBUCKET", "ADD COLUMNS", "SET BLOOM",
+      "DESCRIBE").foreach(v => assert(verbs.getMessage.contains(v),
+        s"malformed-GRAFT error must list $v"))
+    // rival layouts are a PARSE error, not a deep execution require:
+    // no table at this path exists, so reaching execution would fail
+    // differently — the message pins the parse-time refusal
+    val rival = intercept[Exception] {
+      spark.sql("GRAFT OPTIMIZE '/nope' CLUSTER BY a ZORDER BY (x, y)")
+    }
+    assert(rival.getMessage.contains("not both"))
     // the gate is a word boundary: identifiers STARTING with graft and
     // plain SQL still parse through Spark untouched
     assert(spark.sql("SELECT 1 AS graft_col").head().getInt(0) == 1)

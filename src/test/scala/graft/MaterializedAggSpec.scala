@@ -148,4 +148,17 @@ class MaterializedAggSpec extends SparkSpec {
     assert(MaterializedAgg.refresh(spark, view))
     assert(viewContents(view) == recompute(src))
   }
+
+  test("a quote in any def-embedded name is refused before a corrupt _view.json is written") {
+    val src = tmp("src4"); val view = tmp("view4")
+    ManifestTable.write(rows(0 until 10, i => s"c$i"), src, "id", 2)
+    // agg columns embed in the same quoted JSON as group columns: an
+    // unchecked '"' would mis-parse on every later refresh (ADVICE r10)
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.create(spark, view, src, Seq("cat"),
+        Seq(MaterializedAgg.AggSpec("sum", "va\"l")), nBuckets = 2)
+    }
+    assert(ManifestTable.headVersion(spark, view).isEmpty,
+      "refused create must leave no view behind")
+  }
 }

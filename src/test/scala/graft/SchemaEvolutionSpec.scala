@@ -113,7 +113,16 @@ class SchemaEvolutionSpec extends SparkSpec {
       ManifestTable.addColumns(spark, path, "name STRING") } // duplicate
     intercept[IllegalArgumentException] {
       ManifestTable.addColumns(spark, path, "m MAP<STRING, STRING>") } // unreadable
+    // reserved staging names: 'b'/'s' are consumed by partitionBy on
+    // the next rewrite (data silently nulled), 'bucket' is the derived
+    // layout column — all refused, case-insensitively (ADVICE r10)
+    Seq("b INT", "s STRING", "B DOUBLE", "S INT", "BUCKET INT").foreach(d =>
+      intercept[IllegalArgumentException] {
+        ManifestTable.addColumns(spark, path, d) })
     assert(ManifestTable.currentManifest(spark, path).version == v,
       "refused evolution must not commit")
+    // the same reservation guards the initial write
+    intercept[IllegalArgumentException] {
+      ManifestTable.write(Seq((1L, 2)).toDF("id", "s"), tmp(), "id", 2) }
   }
 }

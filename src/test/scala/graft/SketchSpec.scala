@@ -139,11 +139,19 @@ class SketchSpec extends SparkSpec {
   }
 
   test("simhash near-dup: exact dups at distance 0, near-dups close, unrelated far") {
-    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 12)
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 12,
+        approximate = true)
       .select($"id_l", $"id_r", $"dist").as[(Long, Long, Int)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     assert(pairs((0L, 3L)) == 0)
     assert(pairs.get((0L, 1L)).forall(_ <= 12))
+  }
+
+  test("banded Hamming beyond nBands-1 is opt-in: refused without approximate=true") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 12)
+    }
+    assert(e.getMessage.contains("approximate"))
   }
 
   test("fingerprint: identical texts collide, distinct texts don't (on fixture)") {
