@@ -84,10 +84,20 @@ object Bench {
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // both raw pass timings per query, alongside the min the headline
+    // uses: a tight [2.2,2.3] and a noisy [2.2,3.1] report the same min
+    // but mean different things — three host-variance false alarms in
+    // four rounds (r6/r8/r9 postmortems) were diagnosable only by
+    // rerunning; with the spread in the artifact they self-diagnose
+    val passes = queryNames.flatMap { k =>
+      val ts = Seq(p1(k), p2(k)).collect { case Right(t) => t }
+      if (ts.isEmpty) None
+      else Some(s"\"" + k + "\":" + ts.mkString("[", ",", "]"))
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":${flaky.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"flaky":${flaky.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     println(json)
     // stdout of a driver-run sbt process gets tail-truncated (~11 of 73
     // per-query timings were lost in round 3) — the file is the durable,

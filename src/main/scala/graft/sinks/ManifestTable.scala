@@ -2028,6 +2028,85 @@ object ManifestTable {
     * retention check mapped onto this log. `dataGraceMs = 0` restores
     * the aggressive behavior for single-writer maintenance windows.
     */
+  /** One advised maintenance action and the vital that triggered it. */
+  final case class MaintenanceAdvice(action: String, reason: String)
+
+  /** Turn the table's vitals (the `GRAFT DESCRIBE` surface) into a
+    * maintenance decision — the policy an operator otherwise applies by
+    * hand. Metadata-only: one manifest read plus the checkpointed
+    * version listing; dir file counts come from the manifest file
+    * lists (filesystem listing only for dirs predating them).
+    *
+    * Conditions, each mapping to the action that heals it:
+    *  - small files: a bucket holds more files than its byte total
+    *    needs at `targetFileBytes` — the SAME selection rule
+    *    [[optimize]]'s bin-packer uses, so advised optimize always has
+    *    work to do;
+    *  - live equality-delete tombstones: merge-on-read debt every read
+    *    pays until a rewrite folds it — optimize retires it;
+    *  - history depth beyond `maxVersions`: stale snapshots and their
+    *    unreferenced data dirs hold disk — vacuum trims them.
+    */
+  def maintenanceAdvice(spark: SparkSession, path: String,
+                        targetFileBytes: Long = 128L << 20,
+                        maxVersions: Int = 10): Seq[MaintenanceAdvice] = {
+    val m = currentManifest(spark, path)
+    val f = fs(spark, path)
+    def filesOf(rel: String): Seq[Long] = m.dirFiles.get(rel) match {
+      case Some(fsz) => fsz.map(_._2)
+      case None =>
+        val p = new Path(s"$path/$rel")
+        if (!f.exists(p)) Seq.empty
+        else f.listStatus(p).iterator
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).toSeq
+    }
+    val fragmented = m.buckets.count { case (_, rels) =>
+      val sizes = rels.flatMap(filesOf)
+      sizes.size > math.max(1L,
+        math.ceil(sizes.sum.toDouble / targetFileBytes).toLong)
+    }
+    val ts = m.tombstones.valuesIterator.map(_.size).sum
+    val hist = versions(spark, path).size
+    Seq(
+      if (fragmented > 0) Some(MaintenanceAdvice("optimize",
+        s"$fragmented bucket(s) hold more files than their bytes need " +
+          s"at $targetFileBytes bytes/file")) else None,
+      if (ts > 0) Some(MaintenanceAdvice("optimize",
+        s"$ts live tombstone entr${if (ts == 1) "y" else "ies"} — " +
+          "merge-on-read read tax until a rewrite folds them")) else None,
+      if (hist > maxVersions) Some(MaintenanceAdvice("vacuum",
+        s"$hist manifest versions exceed $maxVersions — stale snapshots " +
+          "hold unreferenced data")) else None
+    ).flatten
+  }
+
+  /** Run [[maintenanceAdvice]]'s advised set (one [[optimize]] even if
+    * two conditions advise it; [[vacuum]] after, so the optimize
+    * commit itself is subject to the trim). Returns each advice paired
+    * with the head version after its action ran (`dryRun` skips
+    * execution and reports the advice with the current version).
+    */
+  def maintain(spark: SparkSession, path: String,
+               targetFileBytes: Long = 128L << 20,
+               maxVersions: Int = 10, keepVersions: Int = 2,
+               dryRun: Boolean = false): Seq[(MaintenanceAdvice, Int)] = {
+    val advice = maintenanceAdvice(spark, path, targetFileBytes, maxVersions)
+    if (dryRun) {
+      val v = headVersion(spark, path).getOrElse(0)
+      return advice.map(_ -> v)
+    }
+    val ran = scala.collection.mutable.Set[String]()
+    advice.map { a =>
+      if (ran.add(a.action)) { // each DISTINCT action runs once
+        a.action match {
+          case "optimize" => optimize(spark, path, targetFileBytes)
+          case "vacuum"   => vacuum(spark, path, keepVersions)
+        }
+      }
+      a -> headVersion(spark, path).getOrElse(0)
+    }
+  }
+
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
              retainMs: Long = 0L, tmpGraceMs: Long = 3600L * 1000,
              dataGraceMs: Long = 3600L * 1000): Unit = {

@@ -24,6 +24,8 @@ import graft.sinks.ManifestTable
   * GRAFT REBUCKET '/path/t' TO 64                  -- online resize
   * GRAFT ADD COLUMNS '/path/t' (score DOUBLE, tag STRING)
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
+  * GRAFT MAINTAIN '/path/t'                        -- advise + run upkeep
+  * GRAFT MAINTAIN '/path/t' DRY                    -- advice only
   * }}}
   *
   * Statements are recognized by a `GRAFT <verb>` prefix match and
@@ -72,6 +74,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
   private val Describe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*""".r
+  private val Maintain =
+    """(?is)\s*GRAFT\s+MAINTAIN\s+'([^']+)'\s*(DRY)?\s*""".r
   private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
@@ -108,11 +112,13 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(path, "set_bloom", s =>
           ManifestTable.setBloomColumns(s, path, cs)))
       case Describe(path) => Some(GraftDescribeCommand(path))
+      case Maintain(path, dry) =>
+        Some(GraftMaintainCommand(path, dryRun = dry != null))
       case AnyGraft() =>
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +
             "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | SET BLOOM | " +
-            s"DESCRIBE with a quoted table path, got: $sql")
+            s"DESCRIBE | MAINTAIN with a quoted table path, got: $sql")
       case _ => None
     }
 }
@@ -142,6 +148,30 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
       if (dirs.forall(m.dirFiles.contains)) files.flatten.map(_._2).sum.toString else "",
       m.tombstones.valuesIterator.map(_.size).sum.toString,
       m.bloomCols.mkString(",")))
+  }
+}
+
+/** `GRAFT MAINTAIN '<path>' [DRY]` — the policy that turns DESCRIBE's
+  * vitals into action ([[ManifestTable.maintenanceAdvice]]): one row
+  * per advised condition with the action, the triggering vital, and —
+  * unless DRY — the head version after the advised set ran. A healthy
+  * table reports a single `none` row rather than an empty result, so
+  * scripted upkeep can distinguish "nothing to do" from "no table".
+  */
+case class GraftMaintainCommand(path: String, dryRun: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    "table", "action", "reason", "executed", "version"
+  ).map(n => AttributeReference(n, StringType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val results = ManifestTable.maintain(sparkSession, path, dryRun = dryRun)
+    if (results.isEmpty) {
+      val v = ManifestTable.headVersion(sparkSession, path).getOrElse(0)
+      Seq(Row(path, "none", "vitals healthy", "false", v.toString))
+    } else results.map { case (a, v) =>
+      Row(path, a.action, a.reason, (!dryRun).toString, v.toString)
+    }
   }
 }
 

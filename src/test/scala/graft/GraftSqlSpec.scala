@@ -91,4 +91,52 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 AS graft_col").head().getInt(0) == 1)
     assert(spark.range(3).count() == 3)
   }
+
+  test("MAINTAIN: each planted condition is advised, then healed by the advised run") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 200).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+      path, "id", 2)
+    // healthy table: one explicit none row
+    val healthy = spark.sql(s"GRAFT MAINTAIN '$path'").collect()
+    assert(healthy.map(_.getString(1)).toSeq == Seq("none"))
+
+    // plant all three conditions: small files (12 appends fragment the
+    // buckets far past what their bytes need), merge-on-read tombstones,
+    // and history depth (every commit above is a version)
+    (0 until 12).foreach(i => ManifestTable.append(spark, path,
+      Seq((1000L + i, s"a-$i")).toDF("id", "name"), "id"))
+    ManifestTable.deleteKeys(spark, path, Seq(3L, 5L).toDF("id"), "id")
+    val planted = ManifestTable.maintenanceAdvice(spark, path)
+    assert(planted.exists(a => a.action == "optimize" &&
+      a.reason.contains("files")), s"small-file advice missing: $planted")
+    assert(planted.exists(a => a.action == "optimize" &&
+      a.reason.contains("tombstone")), s"tombstone advice missing: $planted")
+    assert(planted.exists(_.action == "vacuum"),
+      s"history-depth advice missing: $planted")
+
+    // DRY reports without executing
+    val preV = ManifestTable.currentManifest(spark, path).version
+    val dry = spark.sql(s"GRAFT MAINTAIN '$path' DRY").collect()
+    assert(dry.forall(_.getString(3) == "false"))
+    assert(ManifestTable.currentManifest(spark, path).version == preV,
+      "DRY must not commit")
+
+    // the real run executes the advised set and heals every condition
+    val ran = spark.sql(s"GRAFT MAINTAIN '$path'").collect()
+    assert(ran.map(_.getString(1)).toSet == Set("optimize", "vacuum"))
+    assert(ran.forall(_.getString(3) == "true"))
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.buckets.values.forall(_.size == 1), "optimize must bin-pack")
+    assert(m.tombstones.isEmpty, "optimize must fold tombstones")
+    assert(ManifestTable.versions(spark, path).size <= 2,
+      "vacuum must trim history")
+    assert(ManifestTable.maintenanceAdvice(spark, path).isEmpty,
+      "post-maintain vitals must be healthy")
+    // contents exact through the whole cycle
+    val got = ManifestTable.read(spark, path)
+      .agg(count(lit(1)), sum("id")).head()
+    assert(got.getLong(0) == 210L,
+      s"200 - 2 deleted + 12 appended rows, got ${got.getLong(0)}")
+  }
 }
