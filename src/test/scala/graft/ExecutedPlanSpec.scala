@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** Runtime-reuse pins for the plans whose scale claims live in the
+  * EXECUTED plan, not the static one. `PlanPinSpec` guards static
+  * invariant-op histograms, but `bm25_search`'s single-corpus-shuffle
+  * property (and `source_overlap`'s) is delivered by ADAPTIVE exchange
+  * reuse: the static plan legitimately shows repeated scan+explode+agg
+  * legs (PLANS.md), and AQE collapses them into ReusedExchange at
+  * runtime. A regression that breaks reusability on one leg — e.g. a
+  * non-canonicalizable expression slipping into one copy of the shared
+  * aggregation — would keep the static histogram identical while
+  * silently re-running the corpus pipeline per leg; only an assertion
+  * over the final adaptive plan catches it (VERDICT r10 #2).
+  *
+  * The walk descends through AdaptiveSparkPlanExec/QueryStageExec into
+  * the materialized stages, so the counts are over the plan that
+  * actually ran.
+  */
+class ExecutedPlanSpec extends SparkSpec {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(nodes)
+  }
+
+  private def executedCounts(name: String): (Int, Int) = {
+    val df = SparkEntry.benchQueries(name)(spark, sfDir)
+    df.collect() // materialize: the final adaptive plan exists only after the run
+    val ns = nodes(df.queryExecution.executedPlan)
+    (ns.count(_.getClass.getSimpleName == "ReusedExchangeExec"),
+      ns.count(_.getClass.getSimpleName == "FileSourceScanExec"))
+  }
+
+  test("bm25_search: runtime exchange reuse collapses the derived legs onto one corpus pass") {
+    val (reused, scans) = executedCounts("bm25_search")
+    assert(reused >= 2,
+      s"bm25_search must reuse the shared tf exchange (got $reused " +
+        "ReusedExchange) — a leg stopped deduplicating and the corpus " +
+        "pipeline now runs per derived shape")
+    // 4 static corpus legs; reuse leaves ≤ 3 physical scans (docs for
+    // tf, docs for the N scalar, and at most one non-collapsed leg)
+    assert(scans <= 3,
+      s"bm25_search executed $scans file scans — expected ≤ 3 after reuse")
+  }
+
+  test("source_overlap: the shared shingle exchange deduplicates at runtime") {
+    val (reused, scans) = executedCounts("source_overlap")
+    assert(reused >= 2,
+      s"source_overlap must reuse its shared exchanges (got $reused)")
+    assert(scans <= 1,
+      s"source_overlap executed $scans file scans — expected 1 after reuse")
+  }
+}
