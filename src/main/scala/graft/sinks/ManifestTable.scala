@@ -104,7 +104,8 @@ object ManifestTable {
                                      dirStats: Map[String, Map[String, (String, String)]] = Map.empty,
                                      bloomCols: Seq[String] = Seq.empty,
                                      tombstones: Map[Int, Seq[(String, Seq[String])]] = Map.empty,
-                                     dirFiles: Map[String, Seq[(String, Long)]] = Map.empty) {
+                                     dirFiles: Map[String, Seq[(String, Long)]] = Map.empty,
+                                     dirNdv: Map[String, Map[String, String]] = Map.empty) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     def keyType: org.apache.spark.sql.types.DataType =
@@ -205,11 +206,28 @@ object ManifestTable {
           s""""${(ts +: over).mkString(";")}"""" }.mkString(",")
         s""""$b":[$flat]""" }
       .mkString(",")
+    // per-dir per-column HLL register sets (hex) — the optimizer's NDV
+    // signal; hex keeps the flat-JSON contract (no escapes possible)
+    m.dirNdv.foreach { case (d, cols) =>
+      require(d.matches("[A-Za-z0-9/._=-]+"), s"dir path not manifest-safe: $d")
+      cols.foreach { case (c, v) =>
+        require(c.matches("[A-Za-z_][A-Za-z0-9_]*"), s"ndv column not manifest-safe: $c")
+        require(v.matches("[0-9]+n[0-9a-f]*"),
+          s"ndv value not <nulls>n<hex>: $c=$v")
+      }
+    }
+    val ndv = m.dirNdv.toSeq.sortBy(_._1)
+      .map { case (d, cols) =>
+        val inner = cols.toSeq.sortBy(_._1)
+          .map { case (c, hx) => s""""$c":"$hx"""" }.mkString(",")
+        s""""$d":{$inner}""" }
+      .mkString(",")
     s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
       s""""keyCol":"${m.keyCol}","schemaDdl":"${m.schemaDdl}",""" +
       s""""txns":{$txns},""" +
       s""""dirRows":{$rows},""" +
       s""""dirStats":{$stats},""" +
+      s""""dirNdv":{$ndv},""" +
       s""""bloomCols":[$blooms],""" +
       s""""tombstones":{$tombs},""" +
       s""""dirFiles":{$dfiles},""" +
@@ -299,9 +317,26 @@ object ManifestTable {
           d.group(1) -> fs
         }.toMap
     }
+    // optional (absent in pre-NDV manifests): per-dir per-column HLL
+    // sketches, hex-encoded; nests one level like dirStats
+    val dirNdv = s.indexOf("\"dirNdv\"") match {
+      case -1 => Map.empty[String, Map[String, String]]
+      case i =>
+        val open = s.indexOf('{', i)
+        var depth = 0; var end = open
+        while ({ val c = s.charAt(end)
+                 if (c == '{') depth += 1 else if (c == '}') depth -= 1
+                 depth != 0 }) end += 1
+        val body = s.substring(open + 1, end)
+        """"([A-Za-z0-9/._=-]+)":\{([^{}]*)\}""".r.findAllMatchIn(body).map { d =>
+          d.group(1) -> """"([A-Za-z_][A-Za-z0-9_]*)":"([0-9]+n[0-9a-f]*)"""".r
+            .findAllMatchIn(d.group(2))
+            .map(c => c.group(1) -> c.group(2)).toMap
+        }.toMap
+    }
     Manifest(intField("version"), intField("nBuckets"),
       strField("keyCol"), strField("schemaDdl"), buckets, txns, dirRows,
-      dirStats, bloomCols, tombstones, dirFiles)
+      dirStats, bloomCols, tombstones, dirFiles, dirNdv)
   }
 
   /** The current manifest for metadata introspection (GRAFT DESCRIBE). */
@@ -865,7 +900,12 @@ object ManifestTable {
     var stats = next.dirStats.filter { case (d, _) => referenced(d) }
     var dfiles = next.dirFiles.filter { case (d, _) =>
       referenced(d) || tsDirs(d) }
-    (referenced -- (rows.keySet intersect stats.keySet)).toSeq.sorted.foreach { rel =>
+    // NDV sketches only for dirs NEW to this commit (same trigger set as
+    // the footer pass): a pre-NDV table never pays a retroactive
+    // full-table read — its old dirs simply stay sketch-less and the
+    // scan degrades to size-only statistics, like dirRows gaps
+    val newDirs = referenced -- (rows.keySet intersect stats.keySet)
+    newDirs.toSeq.sorted.foreach { rel =>
       dirMeta(spark, s"$path/$rel", next.schema).foreach { case (n, st, fs) =>
         if (!rows.contains(rel)) rows += rel -> n
         if (!stats.contains(rel)) stats += rel -> st
@@ -877,7 +917,89 @@ object ManifestTable {
         dfiles += rel -> fs
       }
     }
-    next.copy(dirRows = rows, dirStats = stats, dirFiles = dfiles)
+    var ndv = next.dirNdv.filter { case (d, _) => referenced(d) }
+    ndv ++= dirNdvSketches(spark, path, next,
+      (newDirs -- ndv.keySet).toSeq.sorted)
+    next.copy(dirRows = rows, dirStats = stats, dirFiles = dfiles,
+      dirNdv = ndv)
+  }
+
+  /** HLL register size for the per-dir NDV sketches: 2^8 registers ≈
+    * 168 compact bytes per (dir, column) in the manifest, ~6.5% RSE —
+    * the optimizer needs cardinality ORDER, not precision.
+    */
+  private[graft] val NdvLgK = 8
+
+  /** Columns that get NDV sketches: the key plus the bloom columns —
+    * exactly the identifier-shaped columns equi-joins key on (what
+    * CBO's join estimation consumes), restricted to the types the
+    * DataSketches HLL aggregate accepts. Zone-mapped measure columns
+    * (doubles, timestamps) are deliberately excluded: they already
+    * carry min/max for range selectivity and are not join keys.
+    */
+  private[graft] def ndvColumns(m: Manifest): Seq[String] = {
+    val schema = m.schema
+    (m.keyCol +: m.bloomCols).distinct.filter(c =>
+      schema.fieldNames.contains(c) && (schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => true
+        case _ => false
+      }))
+  }
+
+  /** One distributed pass over the NEW dirs (column-pruned to the NDV
+    * columns, grouped by source dir) producing each dir's compact HLL
+    * per column — O(delta) like the footer pass and bloom sidecars,
+    * never O(table). Advisory: any failure yields no sketches rather
+    * than failing the commit.
+    */
+  private def dirNdvSketches(spark: SparkSession, path: String,
+                             m: Manifest,
+                             rels: Seq[String]): Map[String, Map[String, String]] = {
+    val cols = ndvColumns(m)
+    if (cols.isEmpty || rels.isEmpty) return Map.empty
+    try {
+      val schema = m.schema
+      val pruned = org.apache.spark.sql.types.StructType(
+        cols.map(c => schema(c).copy(nullable = true)))
+      val df = spark.read.schema(pruned)
+        .parquet(rels.map(r => s"$path/$r"): _*)
+        .withColumn("__dir",
+          regexp_replace(input_file_name(), "/[^/]*$", ""))
+      // one partial-aggregated pass: HLL registers AND the null count
+      // per (dir, column) — null counts make the scan's reported
+      // ColumnStatistics.nullCount honest (filter estimation consumes
+      // it; claiming 0 would misprice IS NULL / IS NOT NULL)
+      val aggs = cols.flatMap(c => Seq(
+        hll_sketch_agg(col(c), lit(NdvLgK)).as(c),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+      val got = df.groupBy(col("__dir")).agg(aggs.head, aggs.tail: _*).collect()
+      got.flatMap { row =>
+        val absDir = row.getString(0)
+        // input_file_name is a URI (file://... or hdfs://...): map back
+        // to the manifest-relative dir by unique suffix (UUID-named)
+        rels.find(r => absDir.endsWith(s"/$r")).map { rel =>
+          rel -> cols.zipWithIndex.flatMap { case (c, i) =>
+            val nulls = if (row.isNullAt(2 * i + 2)) 0L else row.getLong(2 * i + 2)
+            Option(row.get(2 * i + 1)).map(b =>
+              c -> (nulls + "n" +
+                b.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString))
+          }.toMap
+        }
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** A dirNdv value split into (nullCount, sketchBytes). */
+  private[graft] def parseNdvValue(v: String): Option[(Long, Array[Byte])] = {
+    val i = v.indexOf('n')
+    if (i <= 0) None
+    else try Some((v.substring(0, i).toLong,
+      v.substring(i + 1).sliding(2, 2)
+        .map(Integer.parseInt(_, 16).toByte).toArray))
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Write missing bloom sidecars for `dirs` (commit-time for new dirs;
@@ -1012,8 +1134,18 @@ object ManifestTable {
 
   private def bucketed(df: DataFrame, keyCol: String, nBuckets: Int) = {
     requireNoReservedCols(df.columns.toSeq, "manifest write")
+    // keys are NOT NULL by contract: a null key is unreachable by every
+    // keyed op (equality never matches null — delete/upsert/lookup would
+    // silently skip it forever) and Spark's row-level SQL refuses
+    // nullable row ids, so the write fails loudly instead of admitting
+    // a zombie row. The check rides the bucket projection (one isNull
+    // next to the xxhash — no extra pass).
     df.withColumn("bucket",
-      pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int"))
+      when(col(keyCol).isNull, raise_error(lit(
+        s"null $keyCol: manifest tables require non-null keys (the key " +
+          "is the layout's hash input and the SQL row-level identity)")))
+        .otherwise(pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+        .cast("int"))
   }
 
   /** Empty frame with the manifest's schema — what reads of truncated
@@ -1927,6 +2059,44 @@ object ManifestTable {
         tombstones = withTs))
     }
   }
+
+  /** [[merge]]'s commit shape over PRE-STAGED executor-written dirs —
+    * the publish half of the DSv2 row-level write path (SQL `UPDATE` /
+    * `MERGE INTO`, [[graft.sources.ManifestDeltaBatchWrite]]): one
+    * atomic commit tombstones the deleted keys' staged dirs over each
+    * touched bucket's pre-commit data dirs and appends the staged
+    * insert dirs after. Rebase semantics under a lost commit race match
+    * [[merge]]: staged dirs commute onto any newer same-layout manifest
+    * (tombstone coverage is recomputed against the CURRENT base each
+    * attempt); a layout change fails loudly via [[requireLayout]].
+    * A delta that stages nothing (statement matched zero rows, or the
+    * tombstoned buckets hold no data) commits nothing.
+    */
+  private[graft] def commitStagedDelta(spark: SparkSession, path: String,
+                                       dataDirs: Map[Int, String],
+                                       tsDirs: Map[Int, String],
+                                       stagedLayout: Layout): Unit =
+    commitWithRetry(spark, path) { m =>
+      requireLayout(m, stagedLayout, path)
+      (dataDirs.keys ++ tsDirs.keys).find(b => b < 0 || b >= m.nBuckets)
+        .foreach(b => throw new IllegalArgumentException(
+          s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
+      // tombstones cover the base manifest's dirs — computed BEFORE the
+      // data dirs are added, so the delta's own inserts are never
+      // filtered (same ordering as merge)
+      val tsEntries = tsDirs.toSeq.flatMap { case (b, ts) =>
+        val over = m.buckets.getOrElse(b, Seq.empty)
+        if (over.isEmpty) None else Some(b -> ((ts, over)))
+      }
+      if (dataDirs.isEmpty && tsEntries.isEmpty) None
+      else Some(m.copy(version = m.version + 1,
+        buckets = dataDirs.foldLeft(m.buckets) { case (acc, (b, d)) =>
+          acc.updated(b, acc.getOrElse(b, Seq.empty) :+ d)
+        },
+        tombstones = tsEntries.foldLeft(m.tombstones) { case (acc, (b, e)) =>
+          acc.updated(b, acc.getOrElse(b, Seq.empty) :+ e)
+        }))
+    }
 
   /** Keyed change capture between two committed versions, reading ONLY
     * the buckets whose directory lists differ between the manifests —

@@ -413,7 +413,20 @@ class ManifestIndexTable(path: String,
                          m: ManifestTable.Manifest,
                          hadoopConf: Configuration)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` (and non-key-predicate `DELETE`),
+    * planned through Spark's row-level-operation framework as a
+    * DELTA-based (merge-on-read) write — [[ManifestRowLevelOperation]].
+    * Key-shaped DELETEs still take the metadata-only
+    * [[ManifestIndexTable.deleteWhere]] path: Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` prefers `SupportsDelete`
+    * whenever `canDeleteWhere` accepts the filters.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new ManifestRowLevelOperation(path, m, info.command(), hadoopConf)
 
   /** SQL `DELETE FROM graft_manifest.`/path`` WHERE <key predicate>`,
     * planned as an O(|keys|) EQUALITY-DELETE commit
@@ -460,8 +473,15 @@ class ManifestIndexTable(path: String,
   // nullable like spark.read.parquet: the manifest's DDL freezes the
   // FIRST writer's nullability, but appends are only schema-name/type
   // checked — a later nullable append would make a trusted NOT NULL
-  // here miscompile consumers (NPE in unsafe row writers)
-  override def schema(): StructType = ManifestIndexTable.deepNullable(m.schema)
+  // here miscompile consumers (NPE in unsafe row writers). The ONE
+  // exception is the key column: every write path enforces non-null
+  // keys loudly (they are the layout's hash input and the row-level
+  // operations' row id — Spark refuses nullable row ids, the Iceberg
+  // identifier-field rule), so the trust is backed by a write-time
+  // guarantee, and ANSI store assignment adds the runtime check on
+  // SQL INSERT of nullable sources for free.
+  override def schema(): StructType =
+    ManifestIndexTable.readSchema(m.schema, m.keyCol)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(m.nBuckets, m.keyCol))
   override def properties(): java.util.Map[String, String] =
@@ -507,6 +527,13 @@ object ManifestIndexTable {
         case dt => dt
       })
     })
+
+  /** [[deepNullable]] with the key column kept NOT NULL (see
+    * [[ManifestIndexTable.schema]]).
+    */
+  private[sources] def readSchema(s: StructType, keyCol: String): StructType =
+    StructType(deepNullable(s).fields.map(f =>
+      if (f.name == keyCol) f.copy(nullable = false) else f))
 }
 
 /** Key predicate → bucket set, shared by the builder's STATIC pushdown
@@ -1019,6 +1046,95 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+
+      /** Per-column distinct counts from the manifest's per-dir HLL
+        * sketches, UNIONED over exactly the dirs this scan will read
+        * (mergeable registers, so cross-dir duplicates never double-
+        * count — summing per-dir NDVs would overestimate a
+        * low-cardinality column by the dir count). Spark folds these
+        * into catalyst ColumnStats, which is what CBO's join
+        * estimation and join reorder consume — multi-join plans become
+        * cardinality-driven instead of size-guessed. Reported only
+        * when every touched dir carries the column's sketch (pre-NDV
+        * dirs degrade to size-only stats, like dirRows gaps) and no
+        * live tombstone can inflate the estimate; `spark.graft
+        * .ndvStats.enabled=false` turns the signal off (the CBO
+        * A/B dial the spec pins the join-order flip with).
+        */
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        val enabled = try SparkSession.active.conf
+          .get("spark.graft.ndvStats.enabled", "true").toBoolean
+        catch { case scala.util.control.NonFatal(_) => true }
+        val dirs = touched.flatMap(dirsOf)
+        if (!enabled || dirs.isEmpty ||
+            touched.exists(b => m.tombstones.getOrElse(b, Seq.empty).nonEmpty))
+          return out
+        // only columns surviving column pruning: Spark resolves each
+        // reported reference against the scan OUTPUT, and a stat for a
+        // pruned-away column fails the query at plan time
+        val visible = readSchema().fieldNames.toSet
+        ManifestTable.ndvColumns(m).filter(visible).foreach { c =>
+          val parsed = dirs.map(d => m.dirNdv.get(d).flatMap(_.get(c))
+            .flatMap(ManifestTable.parseNdvValue))
+          if (parsed.forall(_.isDefined)) {
+            try {
+              val u = new org.apache.datasketches.hll.Union(ManifestTable.NdvLgK)
+              var nulls = 0L
+              parsed.flatten.foreach { case (n, bytes) =>
+                nulls += n
+                u.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+              }
+              val est = math.max(1L, math.round(u.getEstimate))
+              // join-key VALUE RANGE from the zone maps (merged over the
+              // same dirs): join estimation intersects key intervals
+              // before the NDV formula, and an absent interval reads as
+              // DISJOINT → a hard 0-row estimate that poisons the whole
+              // reorder. Integral columns only (the zone bounds' exact
+              // decimal surface); strings default to the
+              // always-intersecting interval upstream.
+              val range: Option[(Long, Long)] = m.schema(c).dataType match {
+                case IntegerType | LongType
+                    if dirs.forall(d => m.dirStats.get(d).exists(s =>
+                      s.get(c).exists(b =>
+                        !b._1.startsWith("s64:") && !b._2.startsWith("s64:")))) =>
+                  try {
+                    val bs = dirs.map(d => m.dirStats(d)(c))
+                    Some((bs.map(b => new java.math.BigDecimal(b._1).longValueExact()).min,
+                          bs.map(b => new java.math.BigDecimal(b._2).longValueExact()).max))
+                  } catch { case scala.util.control.NonFatal(_) => None }
+                case _ => None
+              }
+              val isInt = m.schema(c).dataType == IntegerType
+              out.put(Expressions.column(c),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(est)
+                  // measured in the same commit-time pass as the
+                  // sketch — filter estimation prices IS [NOT] NULL
+                  // from this, so it must be counted, not assumed
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nulls)
+                  override def min(): java.util.Optional[Object] =
+                    range.fold(java.util.Optional.empty[Object]())(r =>
+                      java.util.Optional.of(
+                        (if (isInt) Int.box(r._1.toInt) else Long.box(r._1))
+                          .asInstanceOf[Object]))
+                  override def max(): java.util.Optional[Object] =
+                    range.fold(java.util.Optional.empty[Object]())(r =>
+                      java.util.Optional.of(
+                        (if (isInt) Int.box(r._2.toInt) else Long.box(r._2))
+                          .asInstanceOf[Object]))
+                })
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+        out
+      }
     }
 
   /** Whether the scan CLAIMS its key-grouped layout. Claiming it is what
@@ -1062,7 +1178,14 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
     Option(options.get("runtimeFiltering")).forall(_.toBoolean)
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (runtimeFilteringEnabled) Array(Expressions.column(m.keyCol))
+    // advertise runtime filtering only while the key survives column
+    // pruning: Spark's DPP rule RESOLVES these refs against the scan
+    // output and throws (failing the whole query at plan time) on a
+    // reference to a pruned-away column — a key-less projection joined
+    // on another column is a legal plan and must stay filterable-less,
+    // not broken
+    if (runtimeFilteringEnabled && readSchema().fieldNames.contains(m.keyCol))
+      Array(Expressions.column(m.keyCol))
     else Array.empty
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
@@ -1792,6 +1915,166 @@ class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,
 
 case class ManifestWriteCommit(buckets: Seq[Int]) extends WriterCommitMessage
 
+/** SQL `UPDATE` / `MERGE INTO` / non-key `DELETE` over a manifest table,
+  * as a DELTA-BASED row-level operation (`SupportsDelta`) — the DSv2
+  * twin of [[graft.sinks.ManifestTable.merge]]'s merge-on-read shape:
+  *
+  *  - the row id is the table's key column, so Spark's rewrite plans
+  *    the statement as a stream of per-row DELETE/INSERT instructions
+  *    keyed by it (updates arrive as delete+insert:
+  *    [[representUpdateAsDeleteAndInsert]] — an UPDATE may rewrite the
+  *    key itself, and delete-old + insert-new is exactly what the
+  *    tombstone protocol expresses);
+  *  - the scan is the ordinary pinned-snapshot manifest scan (bucket
+  *    pruning, zone maps, bloom ladder all apply — `UPDATE ... WHERE
+  *    key = x` reads one bucket), so the statement sees ONE immutable
+  *    version end to end: snapshot isolation across the statement;
+  *  - executors stage insert rows as ordinary bucket parquet (bucket
+  *    DERIVED from the key — incoming values may be stale under key
+  *    rewrites) and deleted keys as key-only tombstone parquet;
+  *  - the driver publishes everything in ONE manifest commit
+  *    ([[graft.sinks.ManifestTable.commitStagedDelta]]): tombstones
+  *    cover the PRE-commit dirs of each touched bucket, staged data
+  *    dirs append after — matched rows replaced, nothing rewritten,
+  *    O(changed rows) IO regardless of table size. Merge-on-read debt
+  *    is retired later by OPTIMIZE/compact like every other delta.
+  *
+  * Cost shape at 100 TB: a MERGE's target-side read is a normal scan
+  * (prunable), its write is O(source); a trickle UPDATE is O(matched
+  * rows) — never the copy-on-write O(touched buckets) of [[ManifestTable.upsert]],
+  * which remains the read-optimized alternative.
+  */
+class ManifestRowLevelOperation(path: String, m: ManifestTable.Manifest,
+                                cmd: RowLevelOperation.Command,
+                                hadoopConf: Configuration)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft merge-on-read $cmd at $path"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestIndexScanBuilder(path, m, options, hadoopConf)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val in = info.schema()
+    val want = ManifestIndexTable.deepNullable(m.schema)
+    // a row-level DELETE carries no row projection (empty schema, row
+    // ids only); UPDATE/MERGE carry the full table row
+    require(in.isEmpty || in.fieldNames.sameElements(want.fieldNames),
+      s"row-level write schema ${in.simpleString} does not match table " +
+        s"schema ${want.simpleString} at $path")
+    info.rowIdSchema().ifPresent(ridSchema =>
+      require(ridSchema.fieldNames.sameElements(Array(m.keyCol)),
+        s"row-level row id must be the key column ${m.keyCol}, got " +
+          ridSchema.simpleString))
+    new ManifestDeltaWriteBuilder(path, m, hadoopConf)
+  }
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(m.keyCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+}
+
+class ManifestDeltaWriteBuilder(path: String, m: ManifestTable.Manifest,
+                                hadoopConf: Configuration) extends DeltaWriteBuilder {
+  override def build(): DeltaWrite = new ManifestDeltaWrite(path, m, hadoopConf)
+}
+
+class ManifestDeltaWrite(path: String, m: ManifestTable.Manifest,
+                         hadoopConf: Configuration) extends DeltaWrite {
+  override def toBatch(): DeltaBatchWrite =
+    new ManifestDeltaBatchWrite(path, m, hadoopConf)
+}
+
+class ManifestDeltaBatchWrite(path: String, m: ManifestTable.Manifest,
+                              hadoopConf: Configuration) extends DeltaBatchWrite {
+  private val commitId = java.util.UUID.randomUUID().toString
+  private def dataRel = s"data/$commitId"
+  private def tsRel = s"data/ts-$commitId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new ManifestDeltaWriterFactory(path, dataRel, tsRel,
+      ManifestIndexTable.deepNullable(m.schema), m.keyCol, m.nBuckets,
+      new SerializableHadoopConf(hadoopConf))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.map(_.asInstanceOf[ManifestDeltaCommit])
+    val dataBuckets = ms.iterator.flatMap(_.dataBuckets).toSeq.distinct
+    val tsBuckets = ms.iterator.flatMap(_.tsBuckets).toSeq.distinct
+    ManifestTable.commitStagedDelta(SparkSession.active, path,
+      dataBuckets.map(b => b -> s"$dataRel/b=$b").toMap,
+      tsBuckets.map(b => b -> s"$tsRel/b=$b").toMap,
+      ManifestTable.layoutOf(m))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hadoopConf)
+    Seq(dataRel, tsRel).foreach { rel =>
+      val dir = new Path(path, rel)
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+}
+
+case class ManifestDeltaCommit(dataBuckets: Seq[Int],
+                               tsBuckets: Seq[Int]) extends WriterCommitMessage
+
+class ManifestDeltaWriterFactory(path: String, dataRel: String, tsRel: String,
+                                 schema: StructType, keyCol: String,
+                                 nBuckets: Int, conf: SerializableHadoopConf)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DeltaWriter[InternalRow] =
+    new ManifestDeltaWriter(path, dataRel, tsRel, schema, keyCol, nBuckets,
+      partitionId, taskId, conf.value)
+}
+
+/** Per-task delta writer: INSERTs go to an ordinary bucket data writer
+  * (bucket derived from the key), DELETEd row ids to a key-only
+  * tombstone writer — two parallel staged dir trees, one commit.
+  */
+class ManifestDeltaWriter(path: String, dataRel: String, tsRel: String,
+                          schema: StructType, keyCol: String, nBuckets: Int,
+                          partitionId: Int, taskId: Long, conf: Configuration)
+  extends DeltaWriter[InternalRow] {
+
+  private val dataWriter = new ManifestBucketDataWriter(path, dataRel, schema,
+    keyCol, nBuckets, partitionId, taskId, conf, deriveBucket = true)
+  private val tsWriter = new ManifestBucketDataWriter(path, tsRel,
+    StructType(Seq(schema(schema.fieldIndex(keyCol)))),
+    keyCol, nBuckets, partitionId, taskId, conf, deriveBucket = true)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    tsWriter.write(id)
+
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+  // defensive only: representUpdateAsDeleteAndInsert = true means Spark
+  // sends updates as delete+insert pairs, never through here
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val d = dataWriter.commit().asInstanceOf[ManifestWriteCommit].buckets
+    val t = tsWriter.commit().asInstanceOf[ManifestWriteCommit].buckets
+    ManifestDeltaCommit(d, t)
+  }
+
+  override def abort(): Unit = {
+    dataWriter.abort()
+    tsWriter.abort()
+  }
+
+  override def close(): Unit = {
+    dataWriter.close()
+    tsWriter.close()
+  }
+}
+
 class ManifestWriterFactory(path: String, commitRel: String,
                             schema: StructType, keyCol: String, nBuckets: Int,
                             conf: SerializableHadoopConf)
@@ -1804,12 +2087,21 @@ class ManifestWriterFactory(path: String, commitRel: String,
 class ManifestBucketDataWriter(path: String, commitRel: String,
                                schema: StructType, keyCol: String,
                                nBuckets: Int, partitionId: Int, taskId: Long,
-                               conf: Configuration)
+                               conf: Configuration,
+                               deriveBucket: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val keyIdx = schema.fieldIndex(keyCol)
   private val keyType = schema(keyIdx).dataType
-  private val bucketIdx = schema.fieldIndex("bucket")
+  // INSERT rows carry `bucket` and are revalidated against the layout
+  // hash; row-level (UPDATE/MERGE delta) rows DERIVE it here instead —
+  // an UPDATE may rewrite the key itself, making the incoming bucket
+  // value stale by definition. Tombstone-key rows have no bucket column
+  // at all (deriveBucket with a bucket-less schema).
+  private val bucketIdx =
+    if (schema.fieldNames.contains("bucket")) schema.fieldIndex("bucket") else -1
+  require(bucketIdx >= 0 || deriveBucket,
+    "schema without a bucket column requires deriveBucket")
   private val messageType = ManifestParquet.messageType(schema)
   private val appenders: Array[(SimpleGroup, Int, InternalRow) => Unit] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -1833,18 +2125,26 @@ class ManifestBucketDataWriter(path: String, commitRel: String,
     })
 
   override def write(row: InternalRow): Unit = {
-    val b = row.getInt(bucketIdx)
+    require(!row.isNullAt(keyIdx),
+      s"null $keyCol: manifest tables require non-null keys")
     val expect = {
       val h = XxHash64Function.hash(row.get(keyIdx, keyType), keyType, 42L)
       (((h % nBuckets) + nBuckets) % nBuckets).toInt
     }
-    require(b == expect,
-      s"row bucket $b != pmod(xxhash64($keyCol, 42), $nBuckets) = $expect " +
-        s"— derive bucket with the catalog's bucket($nBuckets, $keyCol) function")
+    val b =
+      if (deriveBucket) expect
+      else {
+        val rb = row.getInt(bucketIdx)
+        require(rb == expect,
+          s"row bucket $rb != pmod(xxhash64($keyCol, 42), $nBuckets) = $expect " +
+            s"— derive bucket with the catalog's bucket($nBuckets, $keyCol) function")
+        rb
+      }
     val g = new SimpleGroup(messageType)
     var i = 0
     while (i < appenders.length) {
-      if (!row.isNullAt(i)) appenders(i)(g, i, row)
+      if (i == bucketIdx && deriveBucket) g.add(i, b)
+      else if (!row.isNullAt(i)) appenders(i)(g, i, row)
       i += 1
     }
     writerFor(b).write(g)

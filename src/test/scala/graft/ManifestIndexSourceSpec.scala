@@ -547,8 +547,11 @@ class ManifestIndexSourceSpec extends SparkSpec {
         size(split(col("text"), " ")).as("ntok"))
       .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4L)).cast("int"))
     ManifestTable.write(feedDf(0, 10), feed, "doc_id", 4)              // feed v1
-    // sink table created empty: the stream is the only writer
-    ManifestTable.write(score(feedDf(0, 0)), flags, "doc_id", 4)
+    // sink table created empty: the stream is the only writer. The
+    // engine derives `bucket` itself on write (user-supplied copies are
+    // reserved-name-refused since r11); the streaming pipeline still
+    // computes it because the DSv2 writer contract requires it
+    ManifestTable.write(score(feedDf(0, 0)).drop("bucket"), flags, "doc_id", 4)
     ManifestIndexSource.ensureRegistered(spark)
     val ckpt = s"${Files.createTempDirectory("graft-e2e")}/ckpt"
     def pipeline(maxPerTrigger: Option[Int]) = {

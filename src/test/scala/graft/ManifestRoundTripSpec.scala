@@ -82,11 +82,20 @@ class ManifestRoundTripSpec extends AnyFunSuite {
         b <- Gen.chooseNum(0L, 1L << 38)
       } yield (n, b)).map(_.take(3))
     } yield d -> fs)
+    dirNdv <- Gen.mapOf(for {
+      d <- dirPath
+      nv <- Gen.mapOf(for {
+        c <- ident
+        nulls <- Gen.chooseNum(0L, 1L << 40)
+        hx <- Gen.listOfN(16, Gen.oneOf("0123456789abcdef".toSeq))
+          .map(_.mkString)
+      } yield c -> s"${nulls}n$hx")
+    } yield d -> nv)
   } yield Manifest(version, nBuckets, keyCol,
     // DDL round-trips through StructType.fromDDL elsewhere; here the
     // field carries an arbitrary quote-free token like the renderer allows
     s"${cols.head} BIGINT", buckets, txns, dirRows, dirStats, bloomCols,
-    tombstones, dirFiles)
+    tombstones, dirFiles, dirNdv)
 
   test("render → parse is the identity over the manifest-safe value space") {
     def norm(x: Manifest) = x.copy(

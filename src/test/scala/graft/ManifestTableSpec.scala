@@ -223,18 +223,24 @@ class ManifestTableSpec extends SparkSpec {
       s"diff scanned buckets $scannedBuckets, touched keys live in $expected")
   }
 
-  test("delete is null-safe and O(one bucket): NULL-key rows survive; only the key's bucket is read") {
+  test("null keys are refused loudly at write; keyed delete is O(one bucket)") {
+    // CONTRACT (changed r11 with SQL row-level ops): keys are NOT NULL.
+    // A null key is unreachable by every keyed op — equality never
+    // matches null, so delete/upsert/lookup would silently skip it
+    // forever — and Spark's row-level framework refuses nullable row
+    // ids (the Iceberg identifier-field rule). The write fails loudly
+    // instead of admitting a zombie row.
     val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
     val rows = (0L until 20L).map(i => (java.lang.Long.valueOf(i), s"name-$i")) :+
       (null.asInstanceOf[java.lang.Long], "null-key-row")
-    ManifestTable.write(rows.toDF("id", "name"), path, "id", 4)
-    // delete a key that shares the NULL row's bucket — for whichever key
-    // that is, the NULL row must survive; delete them all to be sure
-    (0L until 20L).foreach(k => ManifestTable.delete(spark, path, "id", k))
-    val left = ManifestTable.read(spark, path)
-    assert(left.count() == 1 &&
-      left.select("name").as[String].head() == "null-key-row",
-      "NULL-key row was dropped by an unrelated keyed delete")
+    val e = intercept[Exception] {
+      ManifestTable.write(rows.toDF("id", "name"), path, "id", 4)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-null keys")),
+      s"want the non-null-key refusal, got: ${messages(e).mkString(" | ")}")
 
     // discovery is driver-side: deleting from a fresh table reads only
     // the victim's bucket (inputFiles of the rewrite slice)

@@ -166,12 +166,18 @@ class MergeOnReadSpec extends SparkSpec {
     assert(contents(ManifestTable.read(spark, path)) ==
       expected((0 until 30).filterNot(Set(5, 6, 7)).map(i => (i.toLong, s"a-$i"))))
 
-    // a non-key predicate cannot be scoped to tombstones: refuse loudly
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $t WHERE name = 'a-1'") }
-    assert(e.getMessage != null, s"unexpected: $e")
-    assert(contents(ManifestTable.read(spark, path)).contains((1L, "a-1")),
-      "refused DELETE must not change the table")
+    // a non-key predicate cannot be scoped to a metadata-only delete —
+    // since r11 it takes the ROW-LEVEL path instead (scan finds the
+    // matching keys, one delta commit tombstones them; RowLevelSqlSpec
+    // pins that machinery): the row is gone, nothing is rewritten
+    val preNonKey = ManifestTable.currentManifest(spark, path)
+    spark.sql(s"DELETE FROM $t WHERE name = 'a-1'")
+    assert(!contents(ManifestTable.read(spark, path)).contains((1L, "a-1")),
+      "non-key DELETE must remove the matched row via the row-level path")
+    preNonKey.buckets.foreach { case (b, rels) =>
+      assert(rels.forall(ManifestTable.currentManifest(spark, path)
+        .buckets.getOrElse(b, Seq.empty).contains),
+        s"bucket $b rewritten — row-level DELETE must only add tombstones") }
 
     // bare DELETE = truncate: pointer-only commit, snapshot keeps history
     spark.sql(s"DELETE FROM $t")

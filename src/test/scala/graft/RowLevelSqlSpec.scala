@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestTable
+import graft.sources.ManifestIndexSource
+
+/** SQL `UPDATE` / `MERGE INTO` over manifest tables through Spark's
+  * row-level-operation planning (`SupportsRowLevelOperations` +
+  * `SupportsDelta` — the same framework Iceberg rides), with the
+  * merge-on-read commit shape: one atomic manifest publish per
+  * statement, tombstones + staged inserts, snapshot isolation across
+  * the statement, and pointers that only grow (no dir is ever removed
+  * by a row-level statement).
+  */
+class RowLevelSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-rls")}/tbl"
+  private def cat = ManifestIndexSource.CatalogName
+
+  private def mkTable(path: String, n: Int = 100, buckets: Int = 4): Unit =
+    ManifestTable.write(
+      (0 until n).map(i => (i.toLong, s"n-$i", (i % 10) * 1.0))
+        .toDF("id", "name", "score"), path, "id", buckets)
+
+  private def contents(path: String): Seq[(Long, String, Double)] =
+    ManifestTable.read(spark, path).select("id", "name", "score")
+      .as[(Long, String, Double)].collect().toSeq.sorted
+
+  test("UPDATE by key: one commit, merge-on-read delta, snapshot isolation") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    val pre = ManifestTable.currentManifest(spark, path)
+
+    spark.sql(s"UPDATE $cat.`$path` SET name = 'updated', score = 99.0 " +
+      "WHERE id = 5")
+
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.version == pre.version + 1, "exactly one commit per statement")
+    // merge-on-read: untouched pointers all still present (only-grow),
+    // the touched bucket gained a staged dir + a tombstone entry
+    pre.buckets.foreach { case (b, dirs) =>
+      assert(dirs.forall(m.buckets.getOrElse(b, Seq.empty).contains),
+        s"bucket $b lost a pre-statement dir — row-level must not rewrite")
+    }
+    assert(m.tombstones.valuesIterator.map(_.size).sum == 1,
+      "one tombstoned bucket for a single-key update")
+
+    val got = contents(path)
+    assert(got.contains((5L, "updated", 99.0)))
+    assert(got.size == 100 && got.count(_._1 == 5L) == 1)
+    // snapshot isolation: the pre-statement version still reads intact
+    val old = spark.read.option("versionAsOf", pre.version.toString)
+    assert(ManifestTable.readVersion(spark, path, pre.version)
+      .filter(col("id") === 5).select("name").as[String].head() == "n-5")
+  }
+
+  test("UPDATE with a NON-KEY predicate works through the delta scan") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    spark.sql(s"UPDATE $cat.`$path` SET name = concat('hot-', name) " +
+      "WHERE score >= 8.0")
+    val got = contents(path)
+    assert(got.count(_._2.startsWith("hot-")) == 20,
+      "ids with i%10 in {8,9}: 20 rows")
+    assert(got.filter(_._2.startsWith("hot-")).forall(_._3 >= 8.0))
+    assert(got.size == 100)
+  }
+
+  test("UPDATE may rewrite the key itself: bucket re-derived, lookups agree") {
+    val path = tmp()
+    mkTable(path, n = 20, buckets = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    spark.sql(s"UPDATE $cat.`$path` SET id = 1005 WHERE id = 5")
+    val got = contents(path)
+    assert(!got.exists(_._1 == 5L) && got.exists(_._1 == 1005L))
+    // the keyed lookup path (driver-side bucket hash) must find the row
+    // under its NEW bucket — i.e. the delta writer derived, not copied
+    assert(ManifestTable.lookup(spark, path, "id", 1005L)
+      .select("name").as[String].collect().toSeq == Seq("n-5"))
+    assert(ManifestTable.lookup(spark, path, "id", 5L).isEmpty)
+  }
+
+  test("SQL MERGE INTO == API merge, hash-identical, one commit") {
+    val pathSql = tmp(); val pathApi = tmp()
+    mkTable(pathSql); mkTable(pathApi)
+    ManifestIndexSource.ensureRegistered(spark)
+    // source: 10 updates (ids 0-9) + 5 inserts (ids 200-204)
+    val src = ((0 until 10).map(i => (i.toLong, s"m-$i", -1.0)) ++
+      (200 until 205).map(i => (i.toLong, s"new-$i", -2.0)))
+      .toDF("id", "name", "score")
+
+    val preV = ManifestTable.currentManifest(spark, pathSql).version
+    src.createOrReplaceTempView("rls_merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.`$pathSql` t
+         |USING (SELECT id, name, score, $cat.bucket(4, id) AS bucket
+         |       FROM rls_merge_src) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ManifestTable.currentManifest(spark, pathSql).version == preV + 1,
+      "one commit per MERGE statement")
+
+    ManifestTable.merge(spark, pathApi, src, "id")
+    assert(contents(pathSql) == contents(pathApi),
+      "SQL MERGE and API merge must agree row-for-row")
+    assert(contents(pathSql).size == 105)
+  }
+
+  test("non-key DELETE takes the row-level path; key DELETE stays metadata-only") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+
+    // key-shaped: OptimizeMetadataOnlyDeleteFromTable routes to
+    // SupportsDelete — a pointer/tombstone commit with NO staged dirs
+    val preKeyed = ManifestTable.currentManifest(spark, path)
+    spark.sql(s"DELETE FROM $cat.`$path` WHERE id = 7")
+    val mKeyed = ManifestTable.currentManifest(spark, path)
+    assert(mKeyed.buckets == preKeyed.buckets,
+      "key-shaped DELETE must not stage data dirs (metadata path)")
+    assert(!contents(path).exists(_._1 == 7L))
+
+    // non-key predicate: previously unsupported, now a row-level delete
+    spark.sql(s"DELETE FROM $cat.`$path` WHERE score = 3.0 AND id < 50")
+    val got = contents(path)
+    assert(!got.exists(r => r._3 == 3.0 && r._1 < 50))
+    assert(got.size == 99 - 5, s"5 rows with i%10==3, i<50; got ${got.size}")
+  }
+
+  test("zero-match statements commit nothing") {
+    val path = tmp()
+    mkTable(path, n = 10)
+    ManifestIndexSource.ensureRegistered(spark)
+    val pre = ManifestTable.currentManifest(spark, path).version
+    spark.sql(s"UPDATE $cat.`$path` SET name = 'x' WHERE id = 99999")
+    assert(ManifestTable.currentManifest(spark, path).version == pre,
+      "an UPDATE matching zero rows must not commit a version")
+  }
+}

@@ -59,7 +59,8 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.read.parquet(s"$base/out")
       .select("id_l", "id_r", "dist").as[(Long, Long, Int)].collect().toSet
     val batch = graft.ops.Dedup.simhashNearDupPairs(
-        (first ++ second.tail).toDF("doc_id", "text"), "doc_id", "text", maxDist = 12)
+        (first ++ second.tail).toDF("doc_id", "text"), "doc_id", "text",
+        maxDist = 12, approximate = true)
       .as[(Long, Long, Int)].collect().toSet
     assert(streamed == batch,
       s"stream $streamed != batch $batch")
