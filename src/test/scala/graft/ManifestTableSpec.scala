@@ -273,16 +273,25 @@ class ManifestTableSpec extends SparkSpec {
     assert(err.getMessage.contains("does not match"))
   }
 
-  test("model walk: random upsert/delete/merge/deleteKeys/rebucket/compact/vacuum/optimize sequences match an in-memory map (seeded)") {
+  test("model walk: random upsert/delete/merge/deleteKeys/rebucket/compact/vacuum/optimize/SQL-update/SQL-merge sequences match an in-memory map (seeded)") {
     val rnd = new scala.util.Random(421)
+    graft.sources.ManifestIndexSource.ensureRegistered(spark)
     (1 to 2).foreach { _ =>
       val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
       var model = (0L until 30L).map(i => i -> (s"n$i", i * 1.0)).toMap
       ManifestTable.write(
         model.toSeq.map { case (k, (n, s)) => (k, n, s) }.toDF("id", "name", "score"),
         path, "id", 4)
-      (1 to 14).foreach { step =>
-        rnd.nextInt(8) match {
+      // row-level SQL statements must never DROP a pointer — they only
+      // add staged dirs and tombstone entries (VERDICT r10 #1)
+      def assertPointersGrow(pre: ManifestTable.Manifest): Unit = {
+        val post = ManifestTable.currentManifest(spark, path)
+        pre.buckets.foreach { case (b, rels) =>
+          assert(rels.forall(post.buckets.getOrElse(b, Seq.empty).contains),
+            s"bucket $b lost a pointer across a row-level statement") }
+      }
+      (1 to 16).foreach { step =>
+        rnd.nextInt(10) match {
           case 0 => // upsert a mix of existing + new keys
             val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(40))
             val rows = ks.map(k => (k, s"u$step-$k", step * 1.0))
@@ -309,6 +318,29 @@ class ManifestTableSpec extends SparkSpec {
             ks.foreach(model -= _)
           case 7 => // online resize under live tombstones
             ManifestTable.rebucket(spark, path, 2 + rnd.nextInt(7))
+          case 8 => // SQL UPDATE through the row-level delta path
+            val k = rnd.nextLong(40)
+            val pre = ManifestTable.currentManifest(spark, path)
+            spark.sql(s"UPDATE graft_manifest.`$path` SET " +
+              s"name = 'q$step', score = ${step * 3.0} WHERE id = $k")
+            if (model.contains(k)) model += k -> (s"q$step", step * 3.0)
+            assertPointersGrow(pre)
+          case 9 => // SQL MERGE INTO (update-matched, insert-unmatched)
+            val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(40)).distinct
+            val rows = ks.map(k => (k, s"sm$step-$k", step * 4.0))
+            rows.toDF("id", "name", "score")
+              .createOrReplaceTempView("walk_merge_src")
+            val pre = ManifestTable.currentManifest(spark, path)
+            spark.sql(
+              s"""MERGE INTO graft_manifest.`$path` t
+                 |USING (SELECT id, name, score,
+                 |       graft_manifest.bucket(${pre.nBuckets}, id) AS bucket
+                 |       FROM walk_merge_src) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            rows.foreach { case (k, n, s) => model += k -> (n, s) }
+            assertPointersGrow(pre)
         }
         val got = ManifestTable.read(spark, path)
           .select("id", "name", "score").as[(Long, String, Double)]
