@@ -1002,6 +1002,30 @@ object ManifestTable {
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Distinct-count estimate + null count for `col` over `dirs`, from
+    * the manifest's HLL registers alone — a UNION of the per-dir
+    * sketches (mergeable registers: cross-dir duplicates never double
+    * count). `None` when any dir lacks the column's sketch (pre-NDV
+    * dirs) — partial answers would understate. Consumed by the scan's
+    * DSv2 column statistics (over the post-pruning dir set) and by
+    * `GRAFT DESCRIBE` (over the whole table).
+    */
+  private[graft] def mergedNdv(m: Manifest, dirs: Seq[String],
+                               col: String): Option[(Long, Long)] = {
+    val parsed = dirs.map(d =>
+      m.dirNdv.get(d).flatMap(_.get(col)).flatMap(parseNdvValue))
+    if (dirs.isEmpty || parsed.exists(_.isEmpty)) None
+    else try {
+      val u = new org.apache.datasketches.hll.Union(NdvLgK)
+      var nulls = 0L
+      parsed.flatten.foreach { case (n, bytes) =>
+        nulls += n
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+      }
+      Some((math.max(1L, math.round(u.getEstimate)), nulls))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Write missing bloom sidecars for `dirs` (commit-time for new dirs;
     * [[setBloomColumns]] backfill for existing ones). One column-pruned
     * distributed read per (dir, bloom column) — O(new data) like the

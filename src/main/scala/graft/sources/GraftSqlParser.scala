@@ -134,20 +134,26 @@ object GraftSqlParser {
 case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     "table", "version", "n_buckets", "key_col", "rows", "dirs", "files",
-    "bytes", "tombstone_entries", "bloom_cols"
+    "bytes", "tombstone_entries", "bloom_cols", "ndv"
   ).map(n => AttributeReference(n, StringType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val m = ManifestTable.describeManifest(sparkSession, path)
     val dirs = m.buckets.values.flatten.toSeq
     val files = dirs.flatMap(m.dirFiles.get)
+    // whole-table distinct counts from the manifest's HLL registers —
+    // still zero data IO, the ANALYZE summary an operator reads before
+    // choosing join strategies or bucket counts
+    val ndv = ManifestTable.ndvColumns(m).flatMap(c =>
+      ManifestTable.mergedNdv(m, dirs, c).map { case (est, _) => s"$c=$est" })
     Seq(Row(path, m.version.toString, m.nBuckets.toString, m.keyCol,
       m.totalRows.fold("")(_.toString),
       dirs.size.toString,
       if (dirs.forall(m.dirFiles.contains)) files.map(_.size).sum.toString else "",
       if (dirs.forall(m.dirFiles.contains)) files.flatten.map(_._2).sum.toString else "",
       m.tombstones.valuesIterator.map(_.size).sum.toString,
-      m.bloomCols.mkString(",")))
+      m.bloomCols.mkString(","),
+      ndv.mkString(",")))
   }
 }
 

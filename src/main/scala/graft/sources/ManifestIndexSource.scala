@@ -1079,17 +1079,8 @@ class ManifestIndexScan(path: String, m: ManifestTable.Manifest,
         // pruned-away column fails the query at plan time
         val visible = readSchema().fieldNames.toSet
         ManifestTable.ndvColumns(m).filter(visible).foreach { c =>
-          val parsed = dirs.map(d => m.dirNdv.get(d).flatMap(_.get(c))
-            .flatMap(ManifestTable.parseNdvValue))
-          if (parsed.forall(_.isDefined)) {
+          ManifestTable.mergedNdv(m, dirs.toSeq, c).foreach { case (est, nulls) =>
             try {
-              val u = new org.apache.datasketches.hll.Union(ManifestTable.NdvLgK)
-              var nulls = 0L
-              parsed.flatten.foreach { case (n, bytes) =>
-                nulls += n
-                u.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
-              }
-              val est = math.max(1L, math.round(u.getEstimate))
               // join-key VALUE RANGE from the zone maps (merged over the
               // same dirs): join estimation intersects key intervals
               // before the NDV formula, and an absent interval reads as
@@ -1967,7 +1958,8 @@ class ManifestRowLevelOperation(path: String, m: ManifestTable.Manifest,
       require(ridSchema.fieldNames.sameElements(Array(m.keyCol)),
         s"row-level row id must be the key column ${m.keyCol}, got " +
           ridSchema.simpleString))
-    new ManifestDeltaWriteBuilder(path, m, hadoopConf)
+    new ManifestDeltaWriteBuilder(path, m, hasRowProjection = in.nonEmpty,
+      hadoopConf)
   }
 
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -1977,12 +1969,32 @@ class ManifestRowLevelOperation(path: String, m: ManifestTable.Manifest,
 }
 
 class ManifestDeltaWriteBuilder(path: String, m: ManifestTable.Manifest,
+                                hasRowProjection: Boolean,
                                 hadoopConf: Configuration) extends DeltaWriteBuilder {
-  override def build(): DeltaWrite = new ManifestDeltaWrite(path, m, hadoopConf)
+  override def build(): DeltaWrite =
+    new ManifestDeltaWrite(path, m, hasRowProjection, hadoopConf)
 }
 
 class ManifestDeltaWrite(path: String, m: ManifestTable.Manifest,
-                         hadoopConf: Configuration) extends DeltaWrite {
+                         hasRowProjection: Boolean,
+                         hadoopConf: Configuration)
+  extends DeltaWrite with RequiresDistributionAndOrdering {
+
+  /** Cluster the delta rows on the `bucket` data column so each task
+    * writes whole buckets: without this, EVERY task holds rows of
+    * every touched bucket and a statement writes O(tasks × buckets)
+    * files (the small-file shape OPTIMIZE exists to undo). Delete rows
+    * inside a MERGE carry NULL data columns and co-locate in the null
+    * cluster — harmless, their output is key-only tombstone rows. A
+    * pure DELETE statement has NO row projection (no `bucket` column
+    * to resolve), so it requires nothing.
+    */
+  override def requiredDistribution(): VDistribution =
+    if (hasRowProjection)
+      VDistributions.clustered(Array(Expressions.column("bucket")))
+    else VDistributions.unspecified()
+  override def requiredOrdering(): Array[VSortOrder] = Array.empty
+
   override def toBatch(): DeltaBatchWrite =
     new ManifestDeltaBatchWrite(path, m, hadoopConf)
 }

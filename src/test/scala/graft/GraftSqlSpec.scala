@@ -70,6 +70,11 @@ class GraftSqlSpec extends SparkSpec {
     assert(d.getString(6).toInt > 0 && d.getString(7).toLong > 0,
       "file/byte totals from manifest lists")
     assert(d.getString(8) == "0" && d.getString(9) == "id")
+    // metadata-only NDV from the manifest's HLL registers: 205 distinct
+    // ids, ±6.5% RSE sketch
+    val ndv = "id=(\\d+)".r.findFirstMatchIn(d.getString(10)).map(_.group(1).toInt)
+    assert(ndv.exists(n => n >= 180 && n <= 230),
+      s"DESCRIBE ndv must estimate ~205 distinct ids, got ${d.getString(10)}")
   }
 
   test("malformed GRAFT statements fail loudly; ordinary SQL is untouched") {

@@ -134,6 +134,55 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(got.size == 99 - 5, s"5 rows with i%10==3, i<50; got ${got.size}")
   }
 
+  test("a wide MERGE clusters delta rows by bucket: file count stays O(buckets)") {
+    val path = tmp()
+    mkTable(path, n = 2000, buckets = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    val pre = ManifestTable.currentManifest(spark, path)
+    // 8 source partitions; without the write's clustered distribution
+    // every task would write every bucket: O(tasks × buckets) files
+    spark.range(0, 4000).repartition(8)
+      .select(col("id"), concat(lit("m-"), col("id")).as("name"),
+        lit(-1.0).as("score"))
+      .createOrReplaceTempView("rls_wide_src")
+    spark.sql(
+      s"""MERGE INTO $cat.`$path` t
+         |USING (SELECT id, name, score, $cat.bucket(4, id) AS bucket
+         |       FROM rls_wide_src) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = ManifestTable.currentManifest(spark, path)
+    val newDirs = m.buckets.toSeq.flatMap { case (b, rels) =>
+      rels.filterNot(pre.buckets.getOrElse(b, Seq.empty).contains) }
+    val dataFiles = newDirs.map(d =>
+      new java.io.File(s"$path/$d").listFiles
+        .count(_.getName.endsWith(".parquet"))).sum
+    assert(newDirs.size == 4 && dataFiles <= 4,
+      s"clustered delta write must produce one file per bucket, got " +
+        s"$dataFiles files across ${newDirs.size} dirs")
+    assert(contents(path).size == 4000)
+  }
+
+  test("expression assignments and live tombstones compose with row-level SQL") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    // live equality-delete tombstones first: the row-level scan is
+    // merge-on-read, so the statement must see post-delete state
+    ManifestTable.deleteKeys(spark, path, Seq(3L, 4L).toDF("id"), "id")
+    spark.sql(s"UPDATE $cat.`$path` SET score = score + 0.5 " +
+      "WHERE id < 10")
+    val got = contents(path)
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L),
+      "tombstoned keys must stay deleted through the update")
+    (0 until 10).filterNot(Set(3, 4)).foreach { i =>
+      assert(got.contains((i.toLong, s"n-$i", (i % 10) + 0.5)),
+        s"id=$i must carry score+0.5") }
+    assert(got.count(_._3 % 1.0 == 0.5) == 8,
+      "exactly the 8 live ids under 10 updated")
+  }
+
   test("zero-match statements commit nothing") {
     val path = tmp()
     mkTable(path, n = 10)
