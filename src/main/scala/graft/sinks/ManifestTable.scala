@@ -2096,10 +2096,18 @@ object ManifestTable {
     * A delta that stages nothing (statement matched zero rows, or the
     * tombstoned buckets hold no data) commits nothing.
     */
+  /** Test seam for the row-level concurrency spec: invoked once after
+    * a SQL statement's executors staged their delta and before the
+    * manifest commit — the window a concurrent commit can land in.
+    * No-op in production.
+    */
+  private[graft] var deltaPreCommitHook: () => Unit = () => ()
+
   private[graft] def commitStagedDelta(spark: SparkSession, path: String,
                                        dataDirs: Map[Int, String],
                                        tsDirs: Map[Int, String],
-                                       stagedLayout: Layout): Unit =
+                                       stagedLayout: Layout): Unit = {
+    deltaPreCommitHook()
     commitWithRetry(spark, path) { m =>
       requireLayout(m, stagedLayout, path)
       (dataDirs.keys ++ tsDirs.keys).find(b => b < 0 || b >= m.nBuckets)
@@ -2121,6 +2129,7 @@ object ManifestTable {
           acc.updated(b, acc.getOrElse(b, Seq.empty) :+ e)
         }))
     }
+  }
 
   /** Keyed change capture between two committed versions, reading ONLY
     * the buckets whose directory lists differ between the manifests —

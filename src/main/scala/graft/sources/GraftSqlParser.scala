@@ -26,6 +26,10 @@ import graft.sinks.ManifestTable
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
   * GRAFT MAINTAIN '/path/t'                        -- advise + run upkeep
   * GRAFT MAINTAIN '/path/t' DRY                    -- advice only
+  * GRAFT CREATE AGG VIEW '/path/v' FROM '/path/t'
+  *   GROUP BY (cat) AGG (count, sum:val) BUCKETS 8 -- materialized agg
+  * GRAFT REFRESH '/path/v'                         -- fold new versions
+  * GRAFT REBUILD '/path/v'                         -- full recompute
   * }}}
   *
   * Statements are recognized by a `GRAFT <verb>` prefix match and
@@ -76,6 +80,12 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*""".r
   private val Maintain =
     """(?is)\s*GRAFT\s+MAINTAIN\s+'([^']+)'\s*(DRY)?\s*""".r
+  private val CreateAggView =
+    """(?is)\s*GRAFT\s+CREATE\s+AGG\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\(([^)]+)\)\s*(?:BUCKETS\s+(\d+)\s*)?""".r
+  private val Refresh =
+    """(?is)\s*GRAFT\s+REFRESH\s+'([^']+)'\s*""".r
+  private val Rebuild =
+    """(?is)\s*GRAFT\s+REBUILD\s+'([^']+)'\s*""".r
   private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
@@ -114,11 +124,37 @@ object GraftSqlParser {
       case Describe(path) => Some(GraftDescribeCommand(path))
       case Maintain(path, dry) =>
         Some(GraftMaintainCommand(path, dryRun = dry != null))
+      case CreateAggView(view, src, groupBy, aggs, buckets) =>
+        val groups = groupBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        // agg spec: `count` or `fn:col` with fn ∈ sum|min|max — parsed
+        // HERE so a typo'd fn is a parse error, not a deep require
+        val specs = aggs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          .map { a =>
+            a.split(':').map(_.trim) match {
+              case Array("count") => graft.sinks.MaterializedAgg.AggSpec("count")
+              case Array(fn, c) if Set("sum", "min", "max")(fn.toLowerCase) =>
+                graft.sinks.MaterializedAgg.AggSpec(fn.toLowerCase, c)
+              case _ => throw new IllegalArgumentException(
+                s"malformed AGG entry '$a' — expected count | sum:col | " +
+                  "min:col | max:col")
+            }
+          }
+        if (groups.isEmpty || specs.isEmpty)
+          throw new IllegalArgumentException(
+            "GRAFT CREATE AGG VIEW needs GROUP BY columns and AGG entries")
+        Some(GraftMaintenanceCommand(view, "create_agg_view", s =>
+          graft.sinks.MaterializedAgg.create(s, view, src, groups, specs,
+            Option(buckets).map(_.toInt).getOrElse(16))))
+      case Refresh(view) => Some(GraftRefreshCommand(view))
+      case Rebuild(view) =>
+        Some(GraftMaintenanceCommand(view, "rebuild", s =>
+          graft.sinks.MaterializedAgg.rebuild(s, view)))
       case AnyGraft() =>
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +
             "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | SET BLOOM | " +
-            s"DESCRIBE | MAINTAIN with a quoted table path, got: $sql")
+            "DESCRIBE | MAINTAIN | CREATE AGG VIEW | REFRESH | REBUILD " +
+            s"with a quoted table path, got: $sql")
       case _ => None
     }
 }
@@ -178,6 +214,27 @@ case class GraftMaintainCommand(path: String, dryRun: Boolean)
     } else results.map { case (a, v) =>
       Row(path, a.action, a.reason, (!dryRun).toString, v.toString)
     }
+  }
+}
+
+/** `GRAFT REFRESH '<view>'` — incremental materialized-view refresh
+  * ([[graft.sinks.MaterializedAgg.refresh]]): folds only source
+  * versions committed since the last refresh, exactly-once under the
+  * view's txn watermark. Reports whether new data landed — false
+  * means already current, which scripted schedulers treat as success.
+  * A non-append source change surfaces the rebuild-demand error as-is.
+  */
+case class GraftRefreshCommand(view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("refreshed", StringType, nullable = false)(),
+    AttributeReference("version", StringType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val did = graft.sinks.MaterializedAgg.refresh(sparkSession, view)
+    val v = ManifestTable.headVersion(sparkSession, view).getOrElse(0)
+    Seq(Row(view, "refresh", did.toString, v.toString))
   }
 }
 

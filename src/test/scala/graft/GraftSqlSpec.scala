@@ -97,6 +97,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.range(3).count() == 3)
   }
 
+  test("CREATE AGG VIEW / REFRESH / REBUILD drive the materialized-view lifecycle from SQL") {
+    val src = tmp(); val view = tmp()
+    def rows(r: Range) = r.map(i => (i.toLong, s"c${i % 3}", i * 1.0))
+      .toDF("id", "cat", "val")
+    ManifestTable.write(rows(0 until 90), src, "id", 2)
+
+    spark.sql(s"GRAFT CREATE AGG VIEW '$view' FROM '$src' " +
+      "GROUP BY (cat) AGG (count, sum:val) BUCKETS 2")
+    def viewState() = ManifestTable.read(spark, view)
+      .select("cat", "count_all", "sum_val")
+      .as[(String, Long, Double)].collect().toSet
+    def recompute() = ManifestTable.read(spark, src)
+      .groupBy("cat").agg(count(lit(1)), sum("val"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(viewState() == recompute(), "SQL-created view == full recompute")
+
+    // refresh folds only the delta; a current view reports refreshed=false
+    ManifestTable.append(spark, src, rows(90 until 120), "id")
+    val r1 = spark.sql(s"GRAFT REFRESH '$view'").collect().head
+    assert(r1.getString(2) == "true" && viewState() == recompute())
+    val r2 = spark.sql(s"GRAFT REFRESH '$view'").collect().head
+    assert(r2.getString(2) == "false", "no-op refresh must report false")
+
+    // non-append source change: REFRESH surfaces the rebuild demand;
+    // REBUILD heals
+    ManifestTable.upsert(spark, src,
+      Seq((5L, "c0", 999.0)).toDF("id", "cat", "val"), "id")
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"GRAFT REFRESH '$view'").collect() }
+    assert(e.getMessage.contains("rebuild"))
+    spark.sql(s"GRAFT REBUILD '$view'")
+    assert(viewState() == recompute(), "SQL REBUILD must recompute exactly")
+
+    // malformed agg specs are PARSE errors
+    val bad = intercept[Exception] {
+      spark.sql(s"GRAFT CREATE AGG VIEW '${tmp()}' FROM '$src' " +
+        "GROUP BY (cat) AGG (median:val)") }
+    assert(bad.getMessage.contains("malformed AGG entry"))
+  }
+
   test("MAINTAIN: each planted condition is advised, then healed by the advised run") {
     val path = tmp()
     ManifestTable.write(

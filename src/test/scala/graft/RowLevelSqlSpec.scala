@@ -183,6 +183,52 @@ class RowLevelSqlSpec extends SparkSpec {
       "exactly the 8 live ids under 10 updated")
   }
 
+  test("a concurrent append between scan and commit rebases: its other keys survive") {
+    val path = tmp()
+    mkTable(path, n = 50, buckets = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    // the hook fires after the UPDATE's executors staged their delta
+    // and before its manifest commit — a concurrent writer lands an
+    // append in that window (new key 900 plus a fresh row for key 5,
+    // the key the UPDATE touches)
+    var fired = false
+    ManifestTable.deltaPreCommitHook = () => if (!fired) {
+      fired = true
+      ManifestTable.append(spark, path,
+        Seq((900L, "late", -1.0), (5L, "late-5", -2.0))
+          .toDF("id", "name", "score"), "id")
+    }
+    try spark.sql(s"UPDATE $cat.`$path` SET name = 'won' WHERE id = 5")
+    finally ManifestTable.deltaPreCommitHook = () => ()
+    assert(fired, "seam must have fired")
+    val got = contents(path)
+    // rebase semantics (same as API merge): the statement's tombstones
+    // cover the manifest AT COMMIT TIME, so the concurrent append's
+    // key-5 row is superseded by the update — last-writer-wins at
+    // commit order — while its unrelated key survives untouched
+    assert(got.contains((900L, "late", -1.0)),
+      "concurrent append's unrelated key must survive the rebase")
+    assert(got.count(_._1 == 5L) == 1 &&
+      got.exists(r => r._1 == 5L && r._2 == "won"),
+      s"key 5 must resolve to the update exactly once, got " +
+        s"${got.filter(_._1 == 5L)}")
+    assert(got.size == 51)
+  }
+
+  test("row-level SQL composes with schema evolution: new columns update and null-fill") {
+    val path = tmp()
+    mkTable(path, n = 20, buckets = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    spark.sql(s"GRAFT ADD COLUMNS '$path' (tag STRING)")
+    // the evolved column is writable by UPDATE; untouched rows read NULL
+    spark.sql(s"UPDATE $cat.`$path` SET tag = 'hot' WHERE id < 3")
+    val got = ManifestTable.read(spark, path)
+      .select("id", "tag").as[(Long, Option[String])].collect().toMap
+    assert((0L until 3L).forall(k => got(k).contains("hot")))
+    assert((3L until 20L).forall(k => got(k).isEmpty),
+      "pre-evolution rows must stay NULL through the delta rewrite")
+  }
+
   test("zero-match statements commit nothing") {
     val path = tmp()
     mkTable(path, n = 10)
