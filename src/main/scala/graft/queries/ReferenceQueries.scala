@@ -1009,6 +1009,92 @@ object ReferenceQueries {
       | AND abs(l.tm - r.tm) <= 60000000
       |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin
 
+  /** Gap-based sessionization — the canonical large-scale event
+    * pipeline op: events partition by user, sessions break on a >10 min
+    * silence, and per-user session statistics aggregate out. Plan
+    * shape at 100 TB: ONE hash shuffle on user_id, then both window
+    * passes (the lag that marks session starts and the running sum
+    * that numbers them) ride the SAME sort order — Catalyst plans a
+    * single Sort + two Window operators with no intermediate exchange —
+    * and the session grouping is a partial-aggregated groupBy on the
+    * already-clustered keys. Ordering ties break on event_id so both
+    * engines number identically.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gap = 600000000L // 10 min in micros
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tm"))
+    val byUser = Window.partitionBy("user_id").orderBy("tm", "event_id")
+    val marked = e.withColumn("new_s",
+      when(col("tm") - lag(col("tm"), 1).over(byUser) > gap ||
+        lag(col("tm"), 1).over(byUser).isNull, 1L).otherwise(0L))
+    val sessions = marked.withColumn("sid",
+      sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_ev"),
+        (max(col("tm")) - min(col("tm"))).as("span"))
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_ev")).as("max_session_events"),
+        max(col("span")).as("max_session_span_micros"))
+      .orderBy("user_id")
+  }
+
+  private val eventsSessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tm FROM events),
+      |m AS (SELECT *,
+      |  CASE WHEN lag(tm) OVER w IS NULL
+      |         OR tm - lag(tm) OVER w > 600000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |        ORDER BY tm, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      |g AS (SELECT user_id, sid, count(*) AS n_ev,
+      |        max(tm) - min(tm) AS span FROM s GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+      |       CAST(max(span) AS BIGINT) AS max_session_span_micros
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Sequential conversion funnel: users whose first `view` is
+    * followed by a later `click`, followed by a later `purchase` —
+    * ORDER matters, so this is three per-user min-timestamp aggregates
+    * chained by (user-key join + time predicate), not three independent
+    * counts. Scale shape: every stage groups and joins on user_id, so
+    * after the first hash shuffle the chain is co-partitioned end to
+    * end (AQE reuses the exchange); each stage's input also shrinks
+    * monotonically — the funnel prunes itself. The three scalar counts
+    * broadcast-combine at the end.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tm"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tm")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").where(col("tm") > col("t1"))
+      .groupBy("user_id").agg(min(col("tm")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("tm") > col("t2"))
+      .groupBy("user_id").agg(min(col("tm")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  private val eventsFunnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tm FROM events),
+      |v AS (SELECT user_id, min(tm) AS t1 FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(tm) AS t2 FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND tm > t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(tm) AS t3 FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND tm > t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click_after_view,
+      |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1045,6 +1131,8 @@ object ReferenceQueries {
     "order_status_cube" -> orderStatusCube _,
     "events_last_order" -> eventsLastOrder _,
     "event_bursts" -> eventBursts _,
+    "events_sessionize" -> eventsSessionize _,
+    "events_funnel" -> eventsFunnel _,
     "latest_event_per_user" -> latestEventPerUser _,
     "top_unshipped_orders" -> topUnshippedOrders _,
     "events_rolling_30m" -> eventsRolling30m _,
@@ -1083,6 +1171,8 @@ object ReferenceQueries {
     "order_status_cube" -> orderStatusCubeSql,
     "events_last_order" -> eventsLastOrderSql,
     "event_bursts" -> eventBurstsSql,
+    "events_sessionize" -> eventsSessionizeSql,
+    "events_funnel" -> eventsFunnelSql,
     "latest_event_per_user" -> latestEventPerUserSql,
     "top_unshipped_orders" -> topUnshippedOrdersSql,
     "events_rolling_30m" -> eventsRolling30mSql,
