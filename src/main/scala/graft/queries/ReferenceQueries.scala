@@ -1059,28 +1059,37 @@ object ReferenceQueries {
 
   /** Sequential conversion funnel: users whose first `view` is
     * followed by a later `click`, followed by a later `purchase` —
-    * ORDER matters, so this is three per-user min-timestamp aggregates
-    * chained by (user-key join + time predicate), not three independent
-    * counts. Scale shape: every stage groups and joins on user_id, so
-    * after the first hash shuffle the chain is co-partitioned end to
-    * end (AQE reuses the exchange); each stage's input also shrinks
-    * monotonically — the funnel prunes itself. The three scalar counts
-    * broadcast-combine at the end.
+    * ORDER matters, so each stage's cutoff depends on the previous
+    * stage's timestamp. Expressed JOIN-FREE as three LAYERED window
+    * aggregates over the same `partition by user_id` (t1 = first view;
+    * t2 = first click after t1; t3 = first purchase after t2 — a null
+    * propagates forward, pruning the user from later stages), so the
+    * whole funnel is ONE corpus scan and ONE hash exchange: the three
+    * Window operators and the per-user fold all ride the same
+    * clustering (the naive per-stage groupBy+join formulation scans
+    * the corpus once per stage — measured 5 runtime scans before this
+    * shape). Unbounded frames, no sort needed.
     */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tm"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("tm")).as("t1"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").where(col("tm") > col("t1"))
-      .groupBy("user_id").agg(min(col("tm")).as("t2"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").where(col("tm") > col("t2"))
-      .groupBy("user_id").agg(min(col("tm")).as("t3"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tm"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("tm") > col("t1"),
+          col("tm"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("tm") > col("t2"),
+          col("tm"))).over(byUser))
+    staged.groupBy("user_id") // t1..t3 are per-user constants: fold to one row
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+      .agg(count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_after_view"),
+        count(col("t3")).as("n_purchase_after_click"))
   }
 
   private val eventsFunnelSql =
