@@ -30,6 +30,8 @@ import graft.sinks.ManifestTable
   *   GROUP BY (cat) AGG (count, sum:val) BUCKETS 8 -- materialized agg
   * GRAFT REFRESH '/path/v'                         -- fold new versions
   * GRAFT REBUILD '/path/v'                         -- full recompute
+  * GRAFT CREATE CHANGE FEED '/path/f' FROM '/path/t'
+  *   [STARTING VERSION n]                          -- CDC feed table
   * }}}
   *
   * Statements are recognized by a `GRAFT <verb>` prefix match and
@@ -82,6 +84,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+MAINTAIN\s+'([^']+)'\s*(DRY)?\s*""".r
   private val CreateAggView =
     """(?is)\s*GRAFT\s+CREATE\s+AGG\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\(([^)]+)\)\s*(?:BUCKETS\s+(\d+)\s*)?""".r
+  private val CreateChangeFeed =
+    """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
   private val Refresh =
     """(?is)\s*GRAFT\s+REFRESH\s+'([^']+)'\s*""".r
   private val Rebuild =
@@ -145,6 +149,10 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(view, "create_agg_view", s =>
           graft.sinks.MaterializedAgg.create(s, view, src, groups, specs,
             Option(buckets).map(_.toInt).getOrElse(16))))
+      case CreateChangeFeed(feed, src, fromV) =>
+        Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
+          graft.streaming.ChangeFeed.create(s, feed, src,
+            Option(fromV).map(_.toInt))))
       case Refresh(view) => Some(GraftRefreshCommand(view))
       case Rebuild(view) =>
         Some(GraftMaintenanceCommand(view, "rebuild", s =>
@@ -232,7 +240,14 @@ case class GraftRefreshCommand(view: String) extends LeafRunnableCommand {
     AttributeReference("version", StringType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val did = graft.sinks.MaterializedAgg.refresh(sparkSession, view)
+    // polymorphic over the table's definition file: a materialized agg
+    // view refreshes its aggregates; a change feed folds new versions
+    val conf = sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(view, "_feed.json")
+    val did =
+      if (p.getFileSystem(conf).exists(p))
+        graft.streaming.ChangeFeed.fold(sparkSession, view) > 0
+      else graft.sinks.MaterializedAgg.refresh(sparkSession, view)
     val v = ManifestTable.headVersion(sparkSession, view).getOrElse(0)
     Seq(Row(view, "refresh", did.toString, v.toString))
   }
