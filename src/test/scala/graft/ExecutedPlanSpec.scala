@@ -50,6 +50,15 @@ class ExecutedPlanSpec extends SparkSpec {
       s"bm25_search executed $scans file scans — expected ≤ 3 after reuse")
   }
 
+  test("events_funnel: the layered-window shape holds at ONE corpus scan") {
+    // the pre-r11 per-stage groupBy+join formulation executed 5 scans;
+    // the layered-window rewrite must stay at one
+    val (_, scans) = executedCounts("events_funnel")
+    assert(scans == 1,
+      s"events_funnel executed $scans scans — the funnel must read the " +
+        "corpus once")
+  }
+
   test("source_overlap: the shared shingle exchange deduplicates at runtime") {
     val (reused, scans) = executedCounts("source_overlap")
     assert(reused >= 2,
