@@ -1617,6 +1617,27 @@ object ManifestTable {
     }
   }
 
+  /** [[commitStagedAppend]] with OVERWRITE semantics — the commit half
+    * of SQL `INSERT OVERWRITE`: the staged dirs become the COMPLETE
+    * next table (every bucket's pointer list replaced, live tombstones
+    * dropped, txn watermarks preserved), one atomic whole-table
+    * replace like [[write]]'s. An empty staging (OVERWRITE from an
+    * empty SELECT) still commits: the result is an empty table, which
+    * is what the statement said.
+    */
+  private[graft] def commitStagedReplace(spark: SparkSession, path: String,
+                                         staged: Map[Int, String],
+                                         stagedLayout: Layout): Unit =
+    commitWithRetry(spark, path) { m =>
+      requireLayout(m, stagedLayout, path)
+      staged.keys.find(b => b < 0 || b >= m.nBuckets).foreach(b =>
+        throw new IllegalArgumentException(
+          s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
+      Some(m.copy(version = m.version + 1,
+        buckets = staged.map { case (b, d) => b -> Seq(d) },
+        tombstones = Map.empty))
+    }
+
   /** [[commitStagedAppend]] with the [[appendOnce]] txn watermark — the
     * commit half of the DSv2 STREAMING write: each epoch's staged dirs
     * land atomically-with the per-query watermark update, so a replayed

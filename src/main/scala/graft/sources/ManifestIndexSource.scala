@@ -492,7 +492,10 @@ class ManifestIndexTable(path: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // whole-table INSERT OVERWRITE (the write builder's
+      // SupportsTruncate turns the staged dirs into a replace commit)
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestIndexScanBuilder(path, m, options, hadoopConf)
@@ -1809,20 +1812,41 @@ class ManifestBucketReader(fileNames: Seq[String], schema: StructType,
   */
 class ManifestWriteBuilder(path: String, m: ManifestTable.Manifest,
                            queryId: String,
-                           hadoopConf: Configuration) extends WriteBuilder {
-  override def build(): Write = new ManifestWrite(path, m, queryId, hadoopConf)
+                           hadoopConf: Configuration)
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var replaceAll = false
+
+  /** `INSERT OVERWRITE TABLE graft_manifest.\`p\` SELECT ...` — Spark
+    * signals whole-table overwrite by calling truncate() on the
+    * builder; the staged dirs then COMMIT AS the complete next table
+    * (every bucket's pointer list replaced, live tombstones dropped)
+    * instead of appending — one atomic commit, same snapshot isolation
+    * as `ManifestTable.write`, prior versions still time-travel
+    * readable until vacuum.
+    */
+  override def truncate(): WriteBuilder = { replaceAll = true; this }
+
+  override def build(): Write =
+    new ManifestWrite(path, m, queryId, replaceAll, hadoopConf)
 }
 
 class ManifestWrite(path: String, m: ManifestTable.Manifest,
-                    queryId: String, hadoopConf: Configuration)
+                    queryId: String, replaceAll: Boolean,
+                    hadoopConf: Configuration)
   extends Write with RequiresDistributionAndOrdering {
+
+  def this(path: String, m: ManifestTable.Manifest, queryId: String,
+           hadoopConf: Configuration) =
+    this(path, m, queryId, replaceAll = false, hadoopConf)
 
   override def requiredDistribution(): VDistribution =
     VDistributions.clustered(Array(Expressions.column("bucket")))
   override def requiredOrdering(): Array[VSortOrder] = Array.empty
 
   override def toBatch: BatchWrite =
-    new ManifestBatchWrite(path, m, hadoopConf)
+    new ManifestBatchWrite(path, m, replaceAll, hadoopConf)
 
   /** `df.writeStream.toTable(...)`: each epoch stages like a batch
     * insert (fresh writer UUID per stream START, epoch id in the dir
@@ -1881,7 +1905,11 @@ class ManifestStreamingWriterFactory(path: String, commitRelBase: String,
 }
 
 class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,
+                         replaceAll: Boolean,
                          hadoopConf: Configuration) extends BatchWrite {
+  def this(path: String, m: ManifestTable.Manifest, hadoopConf: Configuration) =
+    this(path, m, replaceAll = false, hadoopConf)
+
   private val commitId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1893,8 +1921,12 @@ class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,
     val touched = messages.iterator
       .flatMap(_.asInstanceOf[ManifestWriteCommit].buckets)
       .toSeq.distinct.map(b => b -> s"data/$commitId/b=$b").toMap
-    ManifestTable.commitStagedAppend(SparkSession.active, path, touched,
-      ManifestTable.layoutOf(m))
+    if (replaceAll)
+      ManifestTable.commitStagedReplace(SparkSession.active, path, touched,
+        ManifestTable.layoutOf(m))
+    else
+      ManifestTable.commitStagedAppend(SparkSession.active, path, touched,
+        ManifestTable.layoutOf(m))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

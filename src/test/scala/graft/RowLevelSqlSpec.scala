@@ -229,6 +229,31 @@ class RowLevelSqlSpec extends SparkSpec {
       "pre-evolution rows must stay NULL through the delta rewrite")
   }
 
+  test("INSERT OVERWRITE and TRUNCATE TABLE complete the SQL write surface") {
+    val path = tmp()
+    mkTable(path, n = 30, buckets = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    val preV = ManifestTable.currentManifest(spark, path).version
+    // whole-table overwrite, reading the table's own pre-statement
+    // snapshot (loadTable pins it) — one atomic replace commit
+    spark.sql(s"INSERT OVERWRITE $cat.`$path` " +
+      s"SELECT id, concat('ow-', name) AS name, score, bucket " +
+      s"FROM $cat.`$path` WHERE id < 5")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.version == preV + 1, "one commit per INSERT OVERWRITE")
+    val got = contents(path)
+    assert(got.size == 5 && got.forall(_._2.startsWith("ow-")),
+      s"overwrite must replace contents, got $got")
+    assert(ManifestTable.readVersion(spark, path, preV).count() == 30,
+      "pre-overwrite snapshot must survive for time travel")
+
+    // TRUNCATE TABLE rides TruncatableTable: pointer-only commit
+    spark.sql(s"TRUNCATE TABLE $cat.`$path`")
+    assert(ManifestTable.read(spark, path).isEmpty)
+    assert(ManifestTable.readVersion(spark, path, preV + 1).count() == 5,
+      "pre-truncate snapshot must survive")
+  }
+
   test("zero-match statements commit nothing") {
     val path = tmp()
     mkTable(path, n = 10)
