@@ -32,6 +32,8 @@ import graft.sinks.ManifestTable
   * GRAFT REBUILD '/path/v'                         -- full recompute
   * GRAFT CREATE CHANGE FEED '/path/f' FROM '/path/t'
   *   [STARTING VERSION n]                          -- CDC feed table
+  * GRAFT CREATE TABLE '/path/t' (id BIGINT, name STRING)
+  *   KEY id BUCKETS 16 [BLOOM (id)]                -- empty v1 table
   * }}}
   *
   * Statements are recognized by a `GRAFT <verb>` prefix match and
@@ -84,6 +86,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+MAINTAIN\s+'([^']+)'\s*(DRY)?\s*""".r
   private val CreateAggView =
     """(?is)\s*GRAFT\s+CREATE\s+AGG\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\(([^)]+)\)\s*(?:BUCKETS\s+(\d+)\s*)?""".r
+  private val CreateTable =
+    """(?is)\s*GRAFT\s+CREATE\s+TABLE\s+'([^']+)'\s*\((.+?)\)\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+BUCKETS\s+(\d+)\s*(?:BLOOM\s*\(([^)]*)\)\s*)?""".r
   private val CreateChangeFeed =
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
   private val Refresh =
@@ -149,6 +153,21 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(view, "create_agg_view", s =>
           graft.sinks.MaterializedAgg.create(s, view, src, groups, specs,
             Option(buckets).map(_.toInt).getOrElse(16))))
+      case CreateTable(path, ddl, keyCol, buckets, bloom) =>
+        val bloomCols = Option(bloom).map(_.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        Some(GraftMaintenanceCommand(path, "create_table", s => {
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          require(schema.fieldNames.contains(keyCol),
+            s"KEY $keyCol is not among the declared columns")
+          require(ManifestTable.headVersion(s, path).isEmpty,
+            s"table at $path already exists")
+          // v1 = the empty table; the write path owns every layout and
+          // reserved-name/bloom-type validation
+          ManifestTable.write(
+            s.createDataFrame(new java.util.ArrayList[Row](), schema),
+            path, keyCol, buckets.toInt, bloomCols)
+        }))
       case CreateChangeFeed(feed, src, fromV) =>
         Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
           graft.streaming.ChangeFeed.create(s, feed, src,

@@ -97,6 +97,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.range(3).count() == 3)
   }
 
+  test("CREATE TABLE: a SQL-born table takes the full write surface") {
+    val path = tmp()
+    spark.sql(s"GRAFT CREATE TABLE '$path' (id BIGINT, name STRING) " +
+      "KEY id BUCKETS 4 BLOOM (id)")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.nBuckets == 4 && m.keyCol == "id" && m.bloomCols == Seq("id"))
+    assert(ManifestTable.read(spark, path).isEmpty)
+    // the SQL-born table is immediately a full citizen: INSERT, UPDATE
+    val cat = ManifestIndexSource.CatalogName
+    ManifestIndexSource.ensureRegistered(spark)
+    spark.sql(s"INSERT INTO $cat.`$path` " +
+      s"SELECT id, concat('n-', id) AS name, $cat.bucket(4, id) AS bucket " +
+      "FROM range(10)")
+    spark.sql(s"UPDATE $cat.`$path` SET name = 'up' WHERE id = 3")
+    val got = ManifestTable.read(spark, path)
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(got.size == 10 && got(3L) == "up" && got(7L) == "n-7")
+    // refusals: duplicate create, reserved column, key not declared
+    intercept[Exception] { spark.sql(
+      s"GRAFT CREATE TABLE '$path' (id BIGINT) KEY id BUCKETS 2") }
+    intercept[Exception] { spark.sql(
+      s"GRAFT CREATE TABLE '${tmp()}' (id BIGINT, s STRING) KEY id BUCKETS 2") }
+    intercept[Exception] { spark.sql(
+      s"GRAFT CREATE TABLE '${tmp()}' (id BIGINT) KEY nope BUCKETS 2") }
+  }
+
   test("CREATE AGG VIEW / REFRESH / REBUILD drive the materialized-view lifecycle from SQL") {
     val src = tmp(); val view = tmp()
     def rows(r: Range) = r.map(i => (i.toLong, s"c${i % 3}", i * 1.0))
