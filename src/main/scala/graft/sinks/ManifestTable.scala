@@ -918,8 +918,17 @@ object ManifestTable {
       }
     }
     var ndv = next.dirNdv.filter { case (d, _) => referenced(d) }
-    ndv ++= dirNdvSketches(spark, path, next,
-      (newDirs -- ndv.keySet).toSeq.sorted)
+    // write-side dial: a latency-critical writer (high-frequency
+    // streaming epochs) can skip the per-commit sketch job — its dirs
+    // simply lack sketches, the scan degrades to size-only statistics,
+    // and any later rewrite (upsert/OPTIMIZE/rebucket) with the dial on
+    // backfills them as ordinary new dirs
+    val writeNdv = try spark.conf
+      .get("spark.graft.ndvStats.write.enabled", "true").toBoolean
+    catch { case scala.util.control.NonFatal(_) => true }
+    if (writeNdv)
+      ndv ++= dirNdvSketches(spark, path, next,
+        (newDirs -- ndv.keySet).toSeq.sorted)
     next.copy(dirRows = rows, dirStats = stats, dirFiles = dfiles,
       dirNdv = ndv)
   }

@@ -73,6 +73,27 @@ class NdvStatsSpec extends SparkSpec {
     assert(stats2.attributeStats.isEmpty)
   }
 
+  test("write dial off: commits skip the sketch job; a rewrite backfills") {
+    val path = tmp()
+    spark.conf.set("spark.graft.ndvStats.write.enabled", "false")
+    try {
+      ManifestTable.write(
+        (0 until 200).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+        path, "id", 2)
+      (0 until 3).foreach(i => ManifestTable.append(spark, path,
+        Seq((500L + i, s"a-$i")).toDF("id", "name"), "id"))
+      assert(ManifestTable.currentManifest(spark, path).dirNdv.isEmpty,
+        "dial off must skip sketching")
+    } finally spark.conf.unset("spark.graft.ndvStats.write.enabled")
+    // a rewrite with the dial back on sketches the new dirs (the
+    // appends above fragmented the buckets, so bin-pack has work)
+    ManifestTable.optimize(spark, path)
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.buckets.values.flatten.forall(d =>
+      m.dirNdv.get(d).exists(_.contains("id"))),
+      s"rewrite must backfill sketches: ${m.dirNdv.keySet}")
+  }
+
   /** The payoff pin, engineered so the NDV SIGNAL ITSELF — not leaf
     * row counts or byte sizes, which the scan already reported before
     * this round — is what decides: `lowCard` and `highCard` are
