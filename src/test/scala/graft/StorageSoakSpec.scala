@@ -86,6 +86,18 @@ class StorageSoakSpec extends SparkSpec {
       Seq("late-5"))
   }
 
+  test("soak: NDV registers hold at 10M keys (merged estimate within sketch error)") {
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.buckets.values.flatten.forall(d =>
+      m.dirNdv.get(d).exists(_.contains("id"))),
+      "every soak dir needs an id sketch")
+    val dirs = m.buckets.values.flatten.toSeq
+    val est = ManifestTable.mergedNdv(m, dirs, "id").map(_._1).getOrElse(0L)
+    val truth = baseRows + 600000L
+    assert(math.abs(est - truth).toDouble / truth < 0.15,
+      s"merged HLL (lgK=8, ~6.5% RSE) estimated $est for $truth keys")
+  }
+
   test("soak: full-scan aggregate agrees with metadata and stays listing-free") {
     ManifestIndexSource.ensureRegistered(spark)
     val before = ManifestIndexSource.planListings.get
