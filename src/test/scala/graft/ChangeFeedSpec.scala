@@ -97,6 +97,33 @@ class ChangeFeedSpec extends SparkSpec {
       Set(("insert", "50"), ("update", "1"), ("delete", "2")))
   }
 
+  test("downstream consumers stream the feed itself (append-only by construction)") {
+    val src = tmp("src4"); val feed = tmp("feed4")
+    ManifestTable.write(
+      (0 until 10).map(i => (i.toLong, s"n-$i")).toDF("id", "name"), src, "id", 2)
+    ChangeFeed.create(spark, feed, src)
+    ManifestTable.upsert(spark, src, Seq((2L, "x")).toDF("id", "name"), "id")
+    ManifestTable.deleteKeys(spark, src, Seq(3L).toDF("id"), "id")
+    ChangeFeed.fold(spark, feed)
+    // the feed is an appendOnce-written manifest table — append-only by
+    // construction — so a consumer subscribes with an ordinary manifest
+    // STREAM read; no special CDC reader needed
+    graft.sources.ManifestIndexSource.ensureRegistered(spark)
+    val out = s"${Files.createTempDirectory("graft-cdc-out")}/sink"
+    spark.readStream.option("startingVersion", "0")
+      .table(s"${graft.sources.ManifestIndexSource.CatalogName}.`$feed`")
+      .writeStream
+      .option("checkpointLocation",
+        s"${Files.createTempDirectory("graft-cdc-out")}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start().awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("change", "key").as[(String, String)].collect().toSet
+    assert(streamed == Set(("update", "2"), ("delete", "3")),
+      s"streamed feed rows: $streamed")
+  }
+
   test("feed over SQL row-level statements captures their semantics; SQL verbs drive it") {
     val src = tmp("src3"); val feed = tmp("feed3")
     ManifestTable.write(
