@@ -24,6 +24,7 @@ import graft.sinks.ManifestTable
   * GRAFT REBUCKET '/path/t' TO 64                  -- online resize
   * GRAFT ADD COLUMNS '/path/t' (score DOUBLE, tag STRING)
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
+  * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
   * GRAFT MAINTAIN '/path/t'                        -- advise + run upkeep
   * GRAFT MAINTAIN '/path/t' DRY                    -- advice only
   * GRAFT CREATE AGG VIEW '/path/v' FROM '/path/t'
@@ -82,6 +83,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
   private val Describe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*""".r
+  private val History =
+    """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*(?:LIMIT\s+(\d+)\s*)?""".r
   private val Maintain =
     """(?is)\s*GRAFT\s+MAINTAIN\s+'([^']+)'\s*(DRY)?\s*""".r
   private val CreateAggView =
@@ -130,6 +133,9 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(path, "set_bloom", s =>
           ManifestTable.setBloomColumns(s, path, cs)))
       case Describe(path) => Some(GraftDescribeCommand(path))
+      case History(path, limit) =>
+        Some(GraftHistoryCommand(path,
+          Option(limit).map(_.toInt).getOrElse(Int.MaxValue)))
       case Maintain(path, dry) =>
         Some(GraftMaintainCommand(path, dryRun = dry != null))
       case CreateAggView(view, src, groupBy, aggs, buckets) =>
@@ -180,8 +186,9 @@ object GraftSqlParser {
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +
             "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | SET BLOOM | " +
-            "DESCRIBE | MAINTAIN | CREATE AGG VIEW | REFRESH | REBUILD " +
-            s"with a quoted table path, got: $sql")
+            "DESCRIBE | HISTORY | MAINTAIN | CREATE TABLE | CREATE AGG " +
+            "VIEW | CREATE CHANGE FEED | REFRESH | REBUILD with a " +
+            s"quoted table path, got: $sql")
       case _ => None
     }
 }
@@ -217,6 +224,59 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
       m.tombstones.valuesIterator.map(_.size).sum.toString,
       m.bloomCols.mkString(","),
       ndv.mkString(",")))
+  }
+}
+
+/** `GRAFT HISTORY '<path>' [LIMIT n]` — the DESCRIBE HISTORY analog:
+  * one row per RETAINED version (newest first), each classified from
+  * manifest metadata alone — no data or listing IO: commit wall-clock,
+  * an inferred operation kind from how the pointer/tombstone/schema/
+  * layout state moved versus the previous retained version, and the
+  * dirs-added/removed + tombstone-delta counts that justify it.
+  * Versions retired by vacuum are simply absent (their manifests are
+  * gone — that is what vacuum means); the oldest retained version
+  * reports `baseline` because it has no predecessor to diff against.
+  */
+case class GraftHistoryCommand(path: String, limit: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    "version", "committed_at", "operation", "dirs_added", "dirs_removed",
+    "tombstone_delta", "n_buckets"
+  ).map(n => AttributeReference(n, StringType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val vs = ManifestTable.versions(sparkSession, path)
+    require(vs.nonEmpty, s"no committed table at $path")
+    val ms = vs.map(v => v -> ManifestTable.readManifest(sparkSession, path, v))
+    val rows = ms.zip(None +: ms.map(Some(_))).map { case ((v, m), prev) =>
+      val ts = new java.sql.Timestamp(
+        ManifestTable.manifestModTime(sparkSession, path, v)).toInstant.toString
+      prev match {
+        case None =>
+          Row(v.toString, ts, "baseline", "", "", "", m.nBuckets.toString)
+        case Some((_, p)) =>
+          val before = p.buckets.values.flatten.toSet
+          val after = m.buckets.values.flatten.toSet
+          val added = (after -- before).size
+          val removed = (before -- after).size
+          val tsDelta = m.tombstones.valuesIterator.map(_.size).sum -
+            p.tombstones.valuesIterator.map(_.size).sum
+          val op =
+            if (m.nBuckets != p.nBuckets) "rebucket"
+            else if (m.schemaDdl != p.schemaDdl) "add_columns"
+            else if (after.isEmpty && before.nonEmpty) "truncate"
+            else if (removed > 0 && added > 0 && tsDelta <= 0 &&
+              m.txns == p.txns) "rewrite" // compact/optimize/upsert
+            else if (removed == 0 && added > 0 && tsDelta > 0) "merge"
+            else if (removed == 0 && added > 0) "append"
+            else if (removed == 0 && added == 0 && tsDelta > 0) "delete"
+            else if (removed > 0 && added > 0) "rewrite"
+            else "metadata"
+          Row(v.toString, ts, op, added.toString, removed.toString,
+            tsDelta.toString, m.nBuckets.toString)
+      }
+    }
+    rows.reverse.take(limit)
   }
 }
 

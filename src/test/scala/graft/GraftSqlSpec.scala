@@ -163,6 +163,39 @@ class GraftSqlSpec extends SparkSpec {
     assert(bad.getMessage.contains("malformed AGG entry"))
   }
 
+  test("HISTORY classifies each retained version from metadata alone") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 40).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+      path, "id", 2)                                               // v1 baseline
+    ManifestTable.append(spark, path,
+      Seq((100L, "a")).toDF("id", "name"), "id")                   // v2 append
+    ManifestTable.deleteKeys(spark, path, Seq(3L).toDF("id"), "id") // v3 delete
+    ManifestTable.upsert(spark, path,
+      Seq((5L, "u")).toDF("id", "name"), "id")                     // v4 rewrite
+    ManifestTable.merge(spark, path,
+      Seq((6L, "m"), (200L, "m2")).toDF("id", "name"), "id")       // v5 merge
+    ManifestTable.addColumns(spark, path, "tag STRING")            // v6 evolve
+    ManifestTable.rebucket(spark, path, 4)                         // v7 rebucket
+
+    val h = spark.sql(s"GRAFT HISTORY '$path'").collect()
+      .map(r => (r.getString(0).toInt, r.getString(2)))
+    assert(h.head._1 == 7, "newest first")
+    assert(h.toSeq == Seq(7 -> "rebucket", 6 -> "add_columns",
+      5 -> "merge", 4 -> "rewrite", 3 -> "delete", 2 -> "append",
+      1 -> "baseline"), s"got ${h.toSeq}")
+    // LIMIT and the tombstone-delta column
+    assert(spark.sql(s"GRAFT HISTORY '$path' LIMIT 2").collect().length == 2)
+    val del = spark.sql(s"GRAFT HISTORY '$path'").collect()
+      .find(_.getString(0) == "3").get
+    assert(del.getString(5) == "1", "v3 added one tombstone entry")
+    // vacuumed versions are simply absent
+    ManifestTable.vacuum(spark, path, keepVersions = 2)
+    val after = spark.sql(s"GRAFT HISTORY '$path'").collect()
+      .map(_.getString(0).toInt).toSeq
+    assert(after == Seq(7, 6), s"retention view: $after")
+  }
+
   test("MAINTAIN: each planted condition is advised, then healed by the advised run") {
     val path = tmp()
     ManifestTable.write(
