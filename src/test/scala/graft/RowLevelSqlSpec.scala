@@ -134,6 +134,35 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(got.size == 99 - 5, s"5 rows with i%10==3, i<50; got ${got.size}")
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE: delete-absent and conditional-update forms") {
+    val path = tmp()
+    mkTable(path, n = 20, buckets = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    // source holds ids 0-9: matched rows update; target rows ABSENT
+    // from the source either delete (score < 5) or flag
+    (0 until 10).map(i => (i.toLong, s"s-$i", 100.0 + i))
+      .toDF("id", "name", "score").createOrReplaceTempView("rls_bys_src")
+    spark.sql(
+      s"""MERGE INTO $cat.`$path` t
+         |USING (SELECT id, name, score, $cat.bucket(4, id) AS bucket
+         |       FROM rls_bys_src) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET name = s.name, score = s.score
+         |WHEN NOT MATCHED BY SOURCE AND t.score < 5.0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'orphan'
+         |""".stripMargin)
+    val got = contents(path)
+    // ids 0-9 updated from source
+    (0 until 10).foreach(i => assert(got.contains((i.toLong, s"s-$i", 100.0 + i))))
+    // ids 10-19: score = i%10 → 10-14 have score 0-4 → deleted;
+    // 15-19 have score 5-9 → flagged
+    (10 until 15).foreach(i => assert(!got.exists(_._1 == i.toLong),
+      s"id=$i (score ${i % 10}) must be deleted"))
+    (15 until 20).foreach(i =>
+      assert(got.contains((i.toLong, "orphan", (i % 10).toDouble))))
+    assert(got.size == 15)
+  }
+
   test("a wide MERGE clusters delta rows by bucket: file count stays O(buckets)") {
     val path = tmp()
     mkTable(path, n = 2000, buckets = 4)
