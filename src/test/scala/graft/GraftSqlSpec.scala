@@ -196,6 +196,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(after == Seq(7, 6), s"retention view: $after")
   }
 
+  test("AutoMaintain: the commit stream drives upkeep to a healthy fixpoint") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 100).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+      path, "id", 2)
+    // fragment + tombstone + history: all three conditions planted
+    (0 until 12).foreach(i => ManifestTable.append(spark, path,
+      Seq((1000L + i, s"a-$i")).toDF("id", "name"), "id"))
+    ManifestTable.deleteKeys(spark, path, Seq(2L).toDF("id"), "id")
+    assert(ManifestTable.maintenanceAdvice(spark, path).nonEmpty)
+
+    val ckpt = s"${Files.createTempDirectory("graft-am")}/ckpt"
+    graft.streaming.AutoMaintain.start(spark, path, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination(180000)
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.buckets.values.forall(_.size == 1) && m.tombstones.isEmpty,
+      "auto-maintain must bin-pack and fold tombstones")
+    assert(ManifestTable.maintenanceAdvice(spark, path).isEmpty,
+      "fixpoint: post-maintain vitals healthy")
+    // contents exact through the hands-off cycle
+    assert(ManifestTable.read(spark, path).count() == 100 + 12 - 1)
+    // a second drain over a fresh checkpoint does nothing (fixpoint)
+    val v = ManifestTable.currentManifest(spark, path).version
+    graft.streaming.AutoMaintain.start(spark, path,
+        s"${Files.createTempDirectory("graft-am")}/ckpt2",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination(180000)
+    assert(ManifestTable.currentManifest(spark, path).version == v,
+      "healthy vitals must not re-commit")
+  }
+
   test("MAINTAIN: each planted condition is advised, then healed by the advised run") {
     val path = tmp()
     ManifestTable.write(
