@@ -105,7 +105,8 @@ object ManifestTable {
                                      bloomCols: Seq[String] = Seq.empty,
                                      tombstones: Map[Int, Seq[(String, Seq[String])]] = Map.empty,
                                      dirFiles: Map[String, Seq[(String, Long)]] = Map.empty,
-                                     dirNdv: Map[String, Map[String, String]] = Map.empty) {
+                                     dirNdv: Map[String, Map[String, String]] = Map.empty,
+                                     droppedCols: Seq[String] = Seq.empty) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     def keyType: org.apache.spark.sql.types.DataType =
@@ -180,6 +181,9 @@ object ManifestTable {
         s""""$d":{$inner}""" }
       .mkString(",")
     val blooms = m.bloomCols.map(c => s""""$c"""").mkString(",")
+    m.droppedCols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"dropped column not manifest-safe: $c"))
+    val dropped = m.droppedCols.map(c => s""""$c"""").mkString(",")
     // per-dir FILE LISTS ("name;bytes" flat strings): what makes the
     // read path listing-free — parquet task-file names are
     // [A-Za-z0-9._-]+, ';' is unambiguous
@@ -229,6 +233,7 @@ object ManifestTable {
       s""""dirStats":{$stats},""" +
       s""""dirNdv":{$ndv},""" +
       s""""bloomCols":[$blooms],""" +
+      s""""droppedCols":[$dropped],""" +
       s""""tombstones":{$tombs},""" +
       s""""dirFiles":{$dfiles},""" +
       s""""buckets":{$entries}}"""
@@ -334,9 +339,18 @@ object ManifestTable {
             .map(c => c.group(1) -> c.group(2)).toMap
         }.toMap
     }
+    // optional (absent in pre-drop manifests): names whose physical
+    // columns may linger in old files — re-adding them is refused
+    val droppedCols = s.indexOf("\"droppedCols\"") match {
+      case -1 => Seq.empty[String]
+      case i =>
+        val body = s.substring(s.indexOf('[', i) + 1, s.indexOf(']', i))
+        "\"([A-Za-z_][A-Za-z0-9_]*)\"".r.findAllMatchIn(body)
+          .map(_.group(1)).toSeq
+    }
     Manifest(intField("version"), intField("nBuckets"),
       strField("keyCol"), strField("schemaDdl"), buckets, txns, dirRows,
-      dirStats, bloomCols, tombstones, dirFiles, dirNdv)
+      dirStats, bloomCols, tombstones, dirFiles, dirNdv, droppedCols)
   }
 
   /** The current manifest for metadata introspection (GRAFT DESCRIBE). */
@@ -1965,9 +1979,14 @@ object ManifestTable {
     commitWithRetry(spark, path) { m =>
       val existing = m.schema.fieldNames.map(_.toLowerCase).toSet
       requireNoReservedCols(newCols.fieldNames.toSeq, s"addColumns at $path")
+      val buried = m.droppedCols.map(_.toLowerCase).toSet
       newCols.fields.foreach { f =>
         require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"column name not manifest-safe: ${f.name}")
+        require(!buried.contains(f.name.toLowerCase),
+          s"column ${f.name} was previously dropped — old files still " +
+            "carry it physically, so re-adding the name would resurrect " +
+            "dropped data; pick a new name (or rewrite the table)")
         require(!existing.contains(f.name.toLowerCase),
           s"column ${f.name} already exists in table at $path")
         require(graft.sources.ManifestVectorizedReader.supports(
@@ -1977,6 +1996,42 @@ object ManifestTable {
       val next = org.apache.spark.sql.types.StructType(
         m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
       Some(m.copy(version = m.version + 1, schemaDdl = next.toDDL))
+    }
+  }
+
+  /** DROP COLUMNS — the metadata-only twin of [[addColumns]]: the
+    * schema shrinks in one commit, no file is rewritten, and every
+    * read path simply stops REQUESTING the dropped fields (imposed-
+    * schema reads ignore extra physical columns; rewrites materialize
+    * the narrower schema as they happen). The key column and columns
+    * carrying bloom sidecars refuse — the former is the table's
+    * identity, the latter would orphan an index the scan still
+    * consults (drop the bloom first with `setBloomColumns`). Dropped
+    * columns remain readable through time travel, like any schema
+    * change. Zone maps / NDV sketches for dropped columns become dead
+    * manifest entries and fall away at the next rewrite of each dir.
+    */
+  def dropColumns(spark: SparkSession, path: String,
+                  cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "no columns to drop")
+    commitWithRetry(spark, path) { m =>
+      val have = m.schema.fieldNames.toSet
+      cols.foreach { c =>
+        require(have.contains(c), s"column $c does not exist in table at $path")
+        require(c != m.keyCol, s"cannot drop the key column ${m.keyCol}")
+        require(c != "bucket", "cannot drop the derived bucket column")
+        require(!m.bloomCols.contains(c),
+          s"column $c carries bloom sidecars — run setBloomColumns " +
+            "without it first")
+      }
+      val next = org.apache.spark.sql.types.StructType(
+        m.schema.fields.filterNot(f => cols.contains(f.name)))
+      // the dropped names go on a PERMANENT tombstone list: old files
+      // still physically carry the columns, so re-adding the name
+      // would RESURRECT dropped data (same type) or fail tasks on the
+      // physical mismatch (different type) — refused in addColumns
+      Some(m.copy(version = m.version + 1, schemaDdl = next.toDDL,
+        droppedCols = (m.droppedCols ++ cols).distinct))
     }
   }
 

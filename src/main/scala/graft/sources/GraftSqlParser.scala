@@ -23,6 +23,7 @@ import graft.sinks.ManifestTable
   * GRAFT VACUUM '/path/t' KEEP 5
   * GRAFT REBUCKET '/path/t' TO 64                  -- online resize
   * GRAFT ADD COLUMNS '/path/t' (score DOUBLE, tag STRING)
+  * GRAFT DROP COLUMNS '/path/t' (tag)              -- metadata-only
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
   * GRAFT MAINTAIN '/path/t'                        -- advise + run upkeep
@@ -79,6 +80,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+REBUCKET\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
   private val AddColumns =
     """(?is)\s*GRAFT\s+ADD\s+COLUMNS\s+'([^']+)'\s*\((.+)\)\s*""".r
+  private val DropColumns =
+    """(?is)\s*GRAFT\s+DROP\s+COLUMNS\s+'([^']+)'\s*\(([^)]+)\)\s*""".r
   private val SetBloom =
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
   private val Describe =
@@ -128,6 +131,10 @@ object GraftSqlParser {
       case AddColumns(path, ddl) =>
         Some(GraftMaintenanceCommand(path, "add_columns", s =>
           ManifestTable.addColumns(s, path, ddl)))
+      case DropColumns(path, cols) =>
+        val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        Some(GraftMaintenanceCommand(path, "drop_columns", s =>
+          ManifestTable.dropColumns(s, path, cs)))
       case SetBloom(path, cols) =>
         val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         Some(GraftMaintenanceCommand(path, "set_bloom", s =>

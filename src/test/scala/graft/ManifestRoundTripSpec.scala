@@ -67,6 +67,7 @@ class ManifestRoundTripSpec extends AnyFunSuite {
       } yield c -> bd)
     } yield d -> st)
     bloomCols <- Gen.listOf(ident).map(_.distinct)
+    droppedCols <- Gen.listOf(ident).map(_.distinct)
     tombstones <- Gen.mapOf(for {
       b <- Gen.chooseNum(0, 63)
       es <- Gen.listOf(for {
@@ -95,7 +96,7 @@ class ManifestRoundTripSpec extends AnyFunSuite {
     // DDL round-trips through StructType.fromDDL elsewhere; here the
     // field carries an arbitrary quote-free token like the renderer allows
     s"${cols.head} BIGINT", buckets, txns, dirRows, dirStats, bloomCols,
-    tombstones, dirFiles, dirNdv)
+    tombstones, dirFiles, dirNdv, droppedCols)
 
   test("render → parse is the identity over the manifest-safe value space") {
     def norm(x: Manifest) = x.copy(

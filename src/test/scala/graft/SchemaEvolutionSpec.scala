@@ -125,4 +125,61 @@ class SchemaEvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestTable.write(Seq((1L, 2)).toDF("id", "s"), tmp(), "id", 2) }
   }
+
+  test("DROP COLUMNS is metadata-only; the name is buried against resurrection") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 30).map(i => (i.toLong, s"n-$i", i * 1.0))
+        .toDF("id", "name", "score"), path, "id", 2,
+      bloomCols = Seq("id"))
+    val preV = ManifestTable.currentManifest(spark, path).version
+
+    spark.sql(s"GRAFT DROP COLUMNS '$path' (score)")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.version == preV + 1 &&
+      !m.schema.fieldNames.contains("score") &&
+      m.buckets == ManifestTable.readManifest(spark, path, preV).buckets,
+      "drop must be a metadata-only commit")
+
+    // every read path projects the narrower schema; data intact
+    val v1 = ManifestTable.read(spark, path)
+    assert(!v1.schema.fieldNames.contains("score") && v1.count() == 30)
+    val v2 = ManifestIndexSource.read(spark, path)
+    assert(!v2.schema.fieldNames.contains("score"))
+    assert(v2.filter(col("id") === 3).select("name")
+      .as[String].head() == "n-3")
+    // time travel still shows the dropped column with its data
+    assert(ManifestTable.readVersion(spark, path, preV)
+      .filter(col("id") === 3).select("score").as[Double].head() == 3.0)
+
+    // rewrites materialize the narrower schema
+    ManifestTable.upsert(spark, path,
+      Seq((3L, "u-3")).toDF("id", "name"), "id")
+    assert(ManifestTable.lookup(spark, path, "id", 3L)
+      .select("name").as[String].head() == "u-3")
+
+    // refusals: key, bucket, bloom-carrying, unknown — and the buried
+    // name cannot come back (old files would resurrect dropped data)
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumns(spark, path, Seq("id")) }
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumns(spark, path, Seq("bucket")) }
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumns(spark, path, Seq("nope")) }
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumns(spark, path, "score DOUBLE") }
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumns(spark, path, "SCORE STRING") } // case too
+    // a bloom column refuses until its sidecar registration is removed
+    val p2 = tmp()
+    ManifestTable.write(
+      (0 until 10).map(i => (i.toLong, s"h-$i")).toDF("id", "tag"),
+      p2, "id", 2, bloomCols = Seq("id", "tag"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumns(spark, p2, Seq("tag")) }
+    ManifestTable.setBloomColumns(spark, p2, Seq("id"))
+    ManifestTable.dropColumns(spark, p2, Seq("tag"))
+    assert(!ManifestTable.currentManifest(spark, p2)
+      .schema.fieldNames.contains("tag"))
+  }
 }
