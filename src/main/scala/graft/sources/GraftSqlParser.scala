@@ -270,7 +270,12 @@ case class GraftHistoryCommand(path: String, limit: Int)
             p.tombstones.valuesIterator.map(_.size).sum
           val op =
             if (m.nBuckets != p.nBuckets) "rebucket"
-            else if (m.schemaDdl != p.schemaDdl) "add_columns"
+            else if (m.schemaDdl != p.schemaDdl) {
+              val (nn, np) = (m.schema.length, p.schema.length)
+              if (nn > np) "add_columns"
+              else if (nn < np) "drop_columns"
+              else "schema_change"
+            }
             else if (after.isEmpty && before.nonEmpty) "truncate"
             else if (removed > 0 && added > 0 && tsDelta <= 0 &&
               m.txns == p.txns) "rewrite" // compact/optimize/upsert
