@@ -1015,6 +1015,22 @@ object ManifestTable {
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
+  /** ANALYZE: backfill NDV sketches (+ null counts) for referenced dirs
+    * that lack them — pre-NDV tables and dial-off writers get CBO
+    * column statistics WITHOUT a rewrite: one column-pruned distributed
+    * read of just the missing dirs, then a metadata-only commit. A
+    * no-op (and no commit) when every dir already carries sketches or
+    * the table has no NDV-eligible columns.
+    */
+  def analyzeNdv(spark: SparkSession, path: String): Unit =
+    commitWithRetry(spark, path) { m =>
+      val referenced = m.buckets.values.flatten.toSet
+      val missing = (referenced -- m.dirNdv.keySet).toSeq.sorted
+      val got = dirNdvSketches(spark, path, m, missing)
+      if (got.isEmpty) None
+      else Some(m.copy(version = m.version + 1, dirNdv = m.dirNdv ++ got))
+    }
+
   /** A dirNdv value split into (nullCount, sketchBytes). */
   private[graft] def parseNdvValue(v: String): Option[(Long, Array[Byte])] = {
     val i = v.indexOf('n')
@@ -2364,7 +2380,18 @@ object ManifestTable {
           "merge-on-read read tax until a rewrite folds them")) else None,
       if (hist > maxVersions) Some(MaintenanceAdvice("vacuum",
         s"$hist manifest versions exceed $maxVersions — stale snapshots " +
-          "hold unreferenced data")) else None
+          "hold unreferenced data")) else None,
+      {
+        // dirs without NDV sketches (pre-NDV tables, dial-off writers)
+        // deprive CBO of cardinalities — one ANALYZE backfills them
+        val unsketched =
+          if (ndvColumns(m).isEmpty) 0
+          else m.buckets.values.flatten.count(d => !m.dirNdv.contains(d))
+        if (unsketched > 0) Some(MaintenanceAdvice("analyze",
+          s"$unsketched dir(s) lack NDV sketches — the optimizer sees " +
+            "sizes, not cardinalities, until ANALYZE backfills them"))
+        else None
+      }
     ).flatten
   }
 
@@ -2389,6 +2416,7 @@ object ManifestTable {
         a.action match {
           case "optimize" => optimize(spark, path, targetFileBytes)
           case "vacuum"   => vacuum(spark, path, keepVersions)
+          case "analyze"  => analyzeNdv(spark, path)
         }
       }
       a -> headVersion(spark, path).getOrElse(0)

@@ -25,6 +25,7 @@ import graft.sinks.ManifestTable
   * GRAFT ADD COLUMNS '/path/t' (score DOUBLE, tag STRING)
   * GRAFT DROP COLUMNS '/path/t' (tag)              -- metadata-only
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
+  * GRAFT ANALYZE '/path/t'                         -- backfill NDV stats
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
   * GRAFT MAINTAIN '/path/t'                        -- advise + run upkeep
   * GRAFT MAINTAIN '/path/t' DRY                    -- advice only
@@ -84,6 +85,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DROP\s+COLUMNS\s+'([^']+)'\s*\(([^)]+)\)\s*""".r
   private val SetBloom =
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
+  private val Analyze =
+    """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
   private val Describe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*""".r
   private val History =
@@ -139,6 +142,9 @@ object GraftSqlParser {
         val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         Some(GraftMaintenanceCommand(path, "set_bloom", s =>
           ManifestTable.setBloomColumns(s, path, cs)))
+      case Analyze(path) =>
+        Some(GraftMaintenanceCommand(path, "analyze", s =>
+          ManifestTable.analyzeNdv(s, path)))
       case Describe(path) => Some(GraftDescribeCommand(path))
       case History(path, limit) =>
         Some(GraftHistoryCommand(path,

@@ -85,13 +85,27 @@ class NdvStatsSpec extends SparkSpec {
       assert(ManifestTable.currentManifest(spark, path).dirNdv.isEmpty,
         "dial off must skip sketching")
     } finally spark.conf.unset("spark.graft.ndvStats.write.enabled")
-    // a rewrite with the dial back on sketches the new dirs (the
-    // appends above fragmented the buckets, so bin-pack has work)
-    ManifestTable.optimize(spark, path)
+    // MAINTAIN's policy notices the gap and ANALYZE backfills WITHOUT
+    // a rewrite: one column-pruned read + a metadata-only commit
+    assert(ManifestTable.maintenanceAdvice(spark, path)
+      .exists(a => a.action == "analyze" && a.reason.contains("NDV")),
+      "unsketched dirs must be advised for ANALYZE")
+    val pre = ManifestTable.currentManifest(spark, path)
+    spark.sql(s"GRAFT ANALYZE '$path'")
     val m = ManifestTable.currentManifest(spark, path)
+    assert(m.buckets == pre.buckets, "ANALYZE must not move data pointers")
     assert(m.buckets.values.flatten.forall(d =>
       m.dirNdv.get(d).exists(_.contains("id"))),
-      s"rewrite must backfill sketches: ${m.dirNdv.keySet}")
+      s"ANALYZE must backfill sketches: ${m.dirNdv.keySet}")
+    // idempotent: nothing missing → no commit
+    spark.sql(s"GRAFT ANALYZE '$path'")
+    assert(ManifestTable.currentManifest(spark, path).version == m.version)
+    // a rewrite with the dial back on also sketches its new dirs (the
+    // appends above fragmented the buckets, so bin-pack has work)
+    ManifestTable.optimize(spark, path)
+    val m2 = ManifestTable.currentManifest(spark, path)
+    assert(m2.buckets.values.flatten.forall(d =>
+      m2.dirNdv.get(d).exists(_.contains("id"))))
   }
 
   /** The payoff pin, engineered so the NDV SIGNAL ITSELF — not leaf
