@@ -211,8 +211,10 @@ object GraftSqlParser {
   * data or listing IO): version, layout, exact row count when the
   * metadata can answer it (blank under live tombstones — it would
   * overcount), dir/file/byte totals from the manifest file lists, live
-  * tombstone entries, and the bloom column set. What an operator checks
-  * before deciding to OPTIMIZE or VACUUM.
+  * tombstone entries, the bloom column set, and per-column distinct
+  * counts merged from the NDV registers. What an operator checks
+  * before deciding to OPTIMIZE, VACUUM, or ANALYZE (or lets
+  * `GRAFT MAINTAIN` decide from).
   */
 case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
