@@ -2015,6 +2015,25 @@ object ManifestTable {
     }
   }
 
+  /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION` on this log:
+    * roll the table back to a committed version's exact state
+    * (pointers, schema, layout, tombstones) as ONE new pointer-only
+    * commit — no data moves, and the rolled-back interim versions stay
+    * time-travel readable until vacuum. Txn watermarks are KEPT from
+    * the current head, not the restore target: exactly-once writers
+    * (streaming epochs, MV refresh, CDC folds) must not re-apply
+    * batches that already landed just because the data was rolled
+    * back. Restorable as long as the target manifest survives —
+    * vacuum retention is the rollback horizon.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Int): Unit = {
+    val target = readManifest(spark, path, toVersion) // loud if vacuumed
+    commitWithRetry(spark, path) { m =>
+      if (m.version == toVersion) None // restoring the head: nothing to do
+      else Some(target.copy(version = m.version + 1, txns = m.txns))
+    }
+  }
+
   /** DROP COLUMNS — the metadata-only twin of [[addColumns]]: the
     * schema shrinks in one commit, no file is rewritten, and every
     * read path simply stops REQUESTING the dropped fields (imposed-

@@ -26,6 +26,7 @@ import graft.sinks.ManifestTable
   * GRAFT DROP COLUMNS '/path/t' (tag)              -- metadata-only
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
   * GRAFT ANALYZE '/path/t'                         -- backfill NDV stats
+  * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
   * GRAFT MAINTAIN '/path/t'                        -- advise + run upkeep
   * GRAFT MAINTAIN '/path/t' DRY                    -- advice only
@@ -87,6 +88,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
+  private val Restore =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val Describe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*""".r
   private val History =
@@ -145,6 +148,9 @@ object GraftSqlParser {
       case Analyze(path) =>
         Some(GraftMaintenanceCommand(path, "analyze", s =>
           ManifestTable.analyzeNdv(s, path)))
+      case Restore(path, v) =>
+        Some(GraftMaintenanceCommand(path, "restore", s =>
+          ManifestTable.restore(s, path, v.toInt)))
       case Describe(path) => Some(GraftDescribeCommand(path))
       case History(path, limit) =>
         Some(GraftHistoryCommand(path,

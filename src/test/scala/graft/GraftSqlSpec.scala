@@ -163,6 +163,39 @@ class GraftSqlSpec extends SparkSpec {
     assert(bad.getMessage.contains("malformed AGG entry"))
   }
 
+  test("RESTORE rolls back to a version's exact state in one pointer-only commit") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 50).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+      path, "id", 2)                                              // v1
+    val v1 = ManifestTable.currentManifest(spark, path).version
+    ManifestTable.upsert(spark, path,
+      Seq((3L, "broken")).toDF("id", "name"), "id")               // v2
+    ManifestTable.deleteKeys(spark, path, Seq(7L).toDF("id"), "id") // v3
+    ManifestTable.appendOnce(spark, path,
+      Seq((900L, "w")).toDF("id", "name"), "id", "rst-app", 5L)   // v4
+
+    spark.sql(s"GRAFT RESTORE '$path' TO VERSION $v1")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.version == v1 + 4, "restore is a NEW commit, not history surgery")
+    assert(m.buckets == ManifestTable.readManifest(spark, path, v1).buckets,
+      "pointer state must equal the restore target's")
+    val got = ManifestTable.read(spark, path)
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(got.size == 50 && got(3L) == "n-3" && got.contains(7L) &&
+      !got.contains(900L), "contents must be v1's exactly")
+    // interim versions remain time-travel readable
+    assert(ManifestTable.readVersion(spark, path, v1 + 3).count() == 50)
+    // txn watermarks survive the rollback: a replayed exactly-once
+    // batch must NOT re-apply just because data was rolled back
+    assert(!ManifestTable.appendOnce(spark, path,
+      Seq((900L, "w")).toDF("id", "name"), "id", "rst-app", 5L),
+      "watermark must survive restore")
+    // restoring a vacuumed version fails loudly
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    intercept[Exception] { spark.sql(s"GRAFT RESTORE '$path' TO VERSION $v1") }
+  }
+
   test("HISTORY classifies each retained version from metadata alone") {
     val path = tmp()
     ManifestTable.write(
