@@ -2034,6 +2034,21 @@ object ManifestTable {
     }
   }
 
+  /** RESTORE by wall-clock: resolves `toMillis` to a version with the
+    * same rule `TIMESTAMP AS OF` uses (latest retained version
+    * committed at-or-before the instant, on the manifest-file clock
+    * that also drives vacuum's retention floor), then [[restore]]s to
+    * it. Loud when the instant precedes every retained commit —
+    * the rollback target was vacuumed away or never existed.
+    */
+  def restoreTimestamp(spark: SparkSession, path: String, toMillis: Long): Unit = {
+    val at = versions(spark, path)
+      .filter(v => manifestModTime(spark, path, v) <= toMillis)
+    require(at.nonEmpty,
+      s"RESTORE TO TIMESTAMP precedes every retained commit of $path")
+    restore(spark, path, at.max)
+  }
+
   /** DROP COLUMNS — the metadata-only twin of [[addColumns]]: the
     * schema shrinks in one commit, no file is rewritten, and every
     * read path simply stops REQUESTING the dropped fields (imposed-

@@ -27,6 +27,7 @@ import graft.sinks.ManifestTable
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
   * GRAFT ANALYZE '/path/t'                         -- backfill NDV stats
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
+  * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
   * GRAFT MAINTAIN '/path/t'                        -- advise + run upkeep
   * GRAFT MAINTAIN '/path/t' DRY                    -- advice only
@@ -90,6 +91,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
+  private val RestoreTs =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*""".r
   private val Describe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*""".r
   private val History =
@@ -151,6 +154,10 @@ object GraftSqlParser {
       case Restore(path, v) =>
         Some(GraftMaintenanceCommand(path, "restore", s =>
           ManifestTable.restore(s, path, v.toInt)))
+      case RestoreTs(path, ts) =>
+        Some(GraftMaintenanceCommand(path, "restore", s =>
+          ManifestTable.restoreTimestamp(s, path,
+            java.sql.Timestamp.valueOf(ts).getTime)))
       case Describe(path) => Some(GraftDescribeCommand(path))
       case History(path, limit) =>
         Some(GraftHistoryCommand(path,
@@ -269,6 +276,11 @@ case class GraftHistoryCommand(path: String, limit: Int)
     val vs = ManifestTable.versions(sparkSession, path)
     require(vs.nonEmpty, s"no committed table at $path")
     val ms = vs.map(v => v -> ManifestTable.readManifest(sparkSession, path, v))
+    // a RESTORE commit reproduces an older version's exact state
+    // (everything but version + txn watermarks) — recognizable from
+    // metadata while its target version survives vacuum; afterwards it
+    // degrades to whatever the pointer diff looks like, honestly
+    def norm(x: ManifestTable.Manifest) = x.copy(version = 0, txns = Map.empty)
     val rows = ms.zip(None +: ms.map(Some(_))).map { case ((v, m), prev) =>
       val ts = new java.sql.Timestamp(
         ManifestTable.manifestModTime(sparkSession, path, v)).toInstant.toString
@@ -283,7 +295,11 @@ case class GraftHistoryCommand(path: String, limit: Int)
           val tsDelta = m.tombstones.valuesIterator.map(_.size).sum -
             p.tombstones.valuesIterator.map(_.size).sum
           val op =
-            if (m.nBuckets != p.nBuckets) "rebucket"
+            // restore first: it may cross rebucket/schema boundaries
+            if (norm(m) != norm(p) &&
+              ms.exists { case (v2, m2) => v2 < v && norm(m2) == norm(m) })
+              "restore"
+            else if (m.nBuckets != p.nBuckets) "rebucket"
             else if (m.schemaDdl != p.schemaDdl) {
               val (nn, np) = (m.schema.length, p.schema.length)
               if (nn > np) "add_columns"

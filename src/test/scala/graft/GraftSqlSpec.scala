@@ -191,6 +191,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(!ManifestTable.appendOnce(spark, path,
       Seq((900L, "w")).toDF("id", "name"), "id", "rst-app", 5L),
       "watermark must survive restore")
+    // HISTORY recognizes the restore from metadata alone (state equals
+    // an older retained version's) while the target survives vacuum
+    val ops = spark.sql(s"GRAFT HISTORY '$path'")
+      .select("version", "operation").as[(String, String)].collect().toMap
+    assert(ops((v1 + 4).toString) == "restore")
+    // TO TIMESTAMP resolves with the TIMESTAMP AS OF rule: just before
+    // the restore commit's wall-clock lands on the pre-restore head
+    val preRestoreTs = ManifestTable.manifestModTime(spark, path, v1 + 4) - 1
+    spark.sql(s"GRAFT RESTORE '$path' TO TIMESTAMP " +
+      s"'${new java.sql.Timestamp(preRestoreTs)}'")
+    val afterTs = ManifestTable.read(spark, path)
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(afterTs.size == 50 && afterTs(3L) == "broken" &&
+      !afterTs.contains(7L) && afterTs.contains(900L),
+      "TO TIMESTAMP must land on v4's (pre-restore) state")
+    // a timestamp before every retained commit refuses loudly
+    intercept[Exception] {
+      spark.sql(s"GRAFT RESTORE '$path' TO TIMESTAMP '1999-01-01 00:00:00'")
+    }
+    // put v1's state back for the vacuum stanza below
+    spark.sql(s"GRAFT RESTORE '$path' TO VERSION $v1")
     // restoring a vacuumed version fails loudly
     ManifestTable.vacuum(spark, path, keepVersions = 1)
     intercept[Exception] { spark.sql(s"GRAFT RESTORE '$path' TO VERSION $v1") }
