@@ -211,9 +211,10 @@ object GraftSqlParser {
       case AnyGraft() =>
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +
-            "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | SET BLOOM | " +
-            "DESCRIBE | HISTORY | MAINTAIN | CREATE TABLE | CREATE AGG " +
-            "VIEW | CREATE CHANGE FEED | REFRESH | REBUILD with a " +
+            "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | DROP COLUMNS | " +
+            "SET BLOOM | ANALYZE | RESTORE | DESCRIBE | HISTORY | " +
+            "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
+            "FEED | REFRESH | REBUILD with a " +
             s"quoted table path, got: $sql")
       case _ => None
     }

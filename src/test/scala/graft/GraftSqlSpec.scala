@@ -81,8 +81,11 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { spark.sql("GRAFT OPTIMIZE missing_quotes") }
     val verbs = intercept[Exception] { spark.sql("GRAFT FROB '/x'") }
     // the verb list in the error stays current with the verb set
-    Seq("OPTIMIZE", "VACUUM", "REBUCKET", "ADD COLUMNS", "SET BLOOM",
-      "DESCRIBE").foreach(v => assert(verbs.getMessage.contains(v),
+    Seq("OPTIMIZE", "VACUUM", "REBUCKET", "ADD COLUMNS", "DROP COLUMNS",
+      "SET BLOOM", "ANALYZE", "RESTORE", "DESCRIBE", "HISTORY",
+      "MAINTAIN", "CREATE TABLE", "CREATE AGG VIEW", "CREATE CHANGE FEED",
+      "REFRESH", "REBUILD").foreach(v =>
+      assert(verbs.getMessage.contains(v),
         s"malformed-GRAFT error must list $v"))
     // rival layouts are a PARSE error, not a deep execution require:
     // no table at this path exists, so reaching execution would fail
