@@ -142,4 +142,33 @@ class ChangeFeedSpec extends SparkSpec {
     val r2 = spark.sql(s"GRAFT REFRESH '$feed'").collect().head
     assert(r2.getString(2) == "false", "current feed must report false")
   }
+
+  test("a RESTORE folds as its compensating changes — CDC sees the rollback") {
+    val src = tmp("rst-src"); val feed = tmp("rst-feed")
+    ManifestTable.write(
+      (0 until 10).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+      src, "id", 4)
+    val v1 = ManifestTable.currentManifest(spark, src).version
+    ChangeFeed.create(spark, feed, src)
+    ManifestTable.append(spark, src,
+      Seq((100L, "new")).toDF("id", "name"), "id")                 // +1
+    ManifestTable.upsert(spark, src,
+      Seq((5L, "u-5")).toDF("id", "name"), "id")                   // +2
+    ManifestTable.deleteKeys(spark, src, Seq(7L).toDF("id"), "id") // +3
+    ManifestTable.restore(spark, src, v1)                          // +4
+    assert(ChangeFeed.fold(spark, feed) == 4)
+    // the rollback version's feed rows are exactly the compensations:
+    // the appended row deletes, the deleted row re-inserts, the
+    // updated row reverts — a downstream replica folding the feed
+    // converges to the restored state with no special-casing
+    val got = feedRows(feed).filter(_._1 == v1 + 4)
+    assert(got == Seq(
+      (v1 + 4, "delete", "100"),
+      (v1 + 4, "insert", "7"),
+      (v1 + 4, "update", "5")), s"unexpected rollback changes: $got")
+    val u5 = ChangeFeed.read(spark, feed)
+      .filter(col("to_version") === (v1 + 4) && col("change") === "update")
+      .select("after").as[String].head()
+    assert(u5.contains("n-5"), "the revert's after-image is the original row")
+  }
 }

@@ -161,4 +161,34 @@ class MaterializedAggSpec extends SparkSpec {
     assert(ManifestTable.headVersion(spark, view).isEmpty,
       "refused create must leave no view behind")
   }
+
+  test("refresh across RESTORE: above-watermark folds exactly, below refuses and rebuild heals") {
+    val src = tmp("rst-src"); val view = tmp("rst-view")
+    ManifestTable.write(rows(0 until 100, i => s"c${i % 3}"), src, "id", 4)
+    val v1 = ManifestTable.currentManifest(spark, src).version
+    MaterializedAgg.create(spark, view, src, Seq("cat"), aggs, nBuckets = 4)
+
+    // two appends, the second rolled back BEFORE any refresh: the net
+    // state change since the watermark is still append-only (pointers
+    // only added), so the incremental path folds exactly the SURVIVING
+    // delta — a restore above the watermark needs no special handling
+    ManifestTable.append(spark, src, rows(100 until 150, i => s"c${i % 3}"), "id")
+    ManifestTable.append(spark, src, rows(150 until 200, i => s"c${i % 3}"), "id")
+    ManifestTable.restore(spark, src, v1 + 1)
+    assert(MaterializedAgg.refresh(spark, view))
+    assert(viewContents(view) == recompute(src),
+      "fold across an above-watermark restore")
+
+    // rolling back BELOW the watermark removes dirs the view already
+    // folded — incremental refresh cannot subtract, so it must refuse
+    // with the rebuild demand rather than silently double-count
+    ManifestTable.restore(spark, src, v1)
+    val e = intercept[IllegalStateException] {
+      MaterializedAgg.refresh(spark, view)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    MaterializedAgg.rebuild(spark, view)
+    assert(viewContents(view) == recompute(src), "rebuild heals the rollback")
+    assert(!MaterializedAgg.refresh(spark, view), "current after rebuild")
+  }
 }
