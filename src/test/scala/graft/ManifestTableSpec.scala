@@ -273,9 +273,10 @@ class ManifestTableSpec extends SparkSpec {
     assert(err.getMessage.contains("does not match"))
   }
 
-  test("model walk: random upsert/delete/merge/deleteKeys/rebucket/compact/vacuum/optimize/SQL-update/SQL-merge sequences match an in-memory map (seeded)") {
+  test("model walk: random upsert/delete/merge/deleteKeys/rebucket/compact/vacuum/optimize/SQL-update/SQL-merge/restore sequences match an in-memory map (seeded)") {
     val rnd = new scala.util.Random(421)
     graft.sources.ManifestIndexSource.ensureRegistered(spark)
+    var restores = 0 // seed must actually exercise the rollback arm
     (1 to 2).foreach { _ =>
       val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
       var model = (0L until 30L).map(i => i -> (s"n$i", i * 1.0)).toMap
@@ -290,8 +291,13 @@ class ManifestTableSpec extends SparkSpec {
           assert(rels.forall(post.buckets.getOrElse(b, Seq.empty).contains),
             s"bucket $b lost a pointer across a row-level statement") }
       }
+      // per-version model snapshots: restore rolls table AND model back
+      // together; vacuumed versions fall out of the candidate set the
+      // same way they stop being restorable
+      var snaps =
+        Map(ManifestTable.currentManifest(spark, path).version -> model)
       (1 to 16).foreach { step =>
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 => // upsert a mix of existing + new keys
             val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(40))
             val rows = ks.map(k => (k, s"u$step-$k", step * 1.0))
@@ -341,6 +347,13 @@ class ManifestTableSpec extends SparkSpec {
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
             rows.foreach { case (k, n, s) => model += k -> (n, s) }
             assertPointersGrow(pre)
+          case 10 => // point-in-time rollback to any retained version
+            val retained =
+              ManifestTable.versions(spark, path).filter(snaps.contains)
+            val v = retained(rnd.nextInt(retained.size))
+            ManifestTable.restore(spark, path, v)
+            model = snaps(v)
+            restores += 1
         }
         val got = ManifestTable.read(spark, path)
           .select("id", "name", "score").as[(Long, String, Double)]
@@ -350,8 +363,10 @@ class ManifestTableSpec extends SparkSpec {
             s"missing=${(model.keySet -- got.keySet).take(3)} " +
             s"extra=${(got.keySet -- model.keySet).take(3)} " +
             s"wrong=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).take(3)}")
+        snaps += ManifestTable.currentManifest(spark, path).version -> model
       }
     }
+    assert(restores > 0, "seed never exercised the restore arm — reseed")
   }
 
   private def manifestFiles(path: String): Map[String, Int] = {
