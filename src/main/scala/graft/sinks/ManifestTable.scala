@@ -2025,6 +2025,14 @@ object ManifestTable {
     * batches that already landed just because the data was rolled
     * back. Restorable as long as the target manifest survives —
     * vacuum retention is the rollback horizon.
+    *
+    * Streaming consumers: a restore that re-adds dirs a rewrite had
+    * removed re-emits rows the stream already saw (offsets are
+    * versions, dirs re-enter as "new"), and one that removes dirs
+    * needs `ignoreDeletes` to keep the stream alive — the same
+    * restart-the-stream-after-restore caveat Delta documents. CDC
+    * feeds are exempt: [[graft.streaming.ChangeFeed]] folds a restore
+    * as its compensating changes (pinned in ChangeFeedSpec).
     */
   def restore(spark: SparkSession, path: String, toVersion: Int): Unit = {
     val target = readManifest(spark, path, toVersion) // loud if vacuumed
