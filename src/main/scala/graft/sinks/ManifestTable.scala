@@ -2104,6 +2104,57 @@ object ManifestTable {
     * re-bucketing moves ~every row anyway, so there is no cheaper
     * correct version; run it like OPTIMIZE, as maintenance.
     */
+  /** RENAME COLUMN — honest copy-on-write. The name-based parquet
+    * mapping cannot rename in metadata (old files would keep answering
+    * to the old name, and every per-dir structure — zone maps, NDV
+    * registers, blooms, sidecars — is keyed by name), so this is ONE
+    * atomic whole-table rewrite in [[rebucket]]'s shape: tombstones
+    * fold away and all per-dir metadata regenerates under the new name
+    * at publish. Renaming the key or a bloom column follows them
+    * through keyCol/bloomCols. No dropped-name tombstone is needed —
+    * after the rewrite no referenced file carries the old name, so the
+    * resurrection hazard [[addColumns]] guards against cannot arise
+    * (and a RESTORE across the rename brings back old dirs and the old
+    * schema TOGETHER, staying consistent). Cost is O(table), stated
+    * plainly — never a metadata lie that silently null-fills. View
+    * definitions over the table keep the old name and demand rebuild
+    * on next refresh, loudly.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   from: String, to: String): Unit = {
+    commitWithRetry(spark, path) { m =>
+      val names = m.schema.fieldNames
+      require(names.contains(from), s"no column '$from' in table at $path")
+      require(from != "bucket", "cannot rename the derived bucket column")
+      require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"column name not manifest-safe: $to")
+      requireNoReservedCols(Seq(to), s"renameColumn at $path")
+      require(!m.droppedCols.exists(_.equalsIgnoreCase(to)),
+        s"column $to was previously dropped — old files still carry it " +
+          "physically, so renaming onto the name would resurrect " +
+          "dropped data; pick a new name (or rewrite the table)")
+      if (from == to) None
+      else {
+        require(!names.exists(_.equalsIgnoreCase(to)),
+          s"column '$to' already exists in table at $path")
+        val newKey = if (m.keyCol == from) to else m.keyCol
+        val newBlooms = m.bloomCols.map(c => if (c == from) to else c)
+        val all = readFrom(spark, path, m) // tombstones applied
+        val staged = stageSlice(spark, path,
+          bucketed(all.drop("bucket").withColumnRenamed(from, to),
+            newKey, m.nBuckets),
+          writerOptions = bloomWriteOpts(newBlooms))
+        val newSchema = org.apache.spark.sql.types.StructType(
+          m.schema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+        Some(m.copy(version = m.version + 1, keyCol = newKey,
+          schemaDdl = newSchema.toDDL,
+          buckets = staged.map { case (b, d) => b -> Seq(d) },
+          tombstones = Map.empty, bloomCols = newBlooms))
+      }
+    }
+  }
+
   def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
     require(newBuckets >= 1, "need at least one bucket")
     commitWithRetry(spark, path) { m =>

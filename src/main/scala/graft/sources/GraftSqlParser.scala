@@ -26,6 +26,7 @@ import graft.sinks.ManifestTable
   * GRAFT DROP COLUMNS '/path/t' (tag)              -- metadata-only
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
   * GRAFT ANALYZE '/path/t'                         -- backfill NDV stats
+  * GRAFT RENAME COLUMN '/path/t' old TO new        -- honest rewrite
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
@@ -89,6 +90,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
+  private val RenameCol =
+    """(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val RestoreTs =
@@ -151,6 +154,9 @@ object GraftSqlParser {
       case Analyze(path) =>
         Some(GraftMaintenanceCommand(path, "analyze", s =>
           ManifestTable.analyzeNdv(s, path)))
+      case RenameCol(path, from, to) =>
+        Some(GraftMaintenanceCommand(path, "rename_column", s =>
+          ManifestTable.renameColumn(s, path, from, to)))
       case Restore(path, v) =>
         Some(GraftMaintenanceCommand(path, "restore", s =>
           ManifestTable.restore(s, path, v.toInt)))
@@ -212,7 +218,8 @@ object GraftSqlParser {
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +
             "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | DROP COLUMNS | " +
-            "SET BLOOM | ANALYZE | RESTORE | DESCRIBE | HISTORY | " +
+            "RENAME COLUMN | SET BLOOM | ANALYZE | RESTORE | DESCRIBE | " +
+            "HISTORY | " +
             "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
             "FEED | REFRESH | REBUILD with a " +
             s"quoted table path, got: $sql")
@@ -305,7 +312,15 @@ case class GraftHistoryCommand(path: String, limit: Int)
               val (nn, np) = (m.schema.length, p.schema.length)
               if (nn > np) "add_columns"
               else if (nn < np) "drop_columns"
-              else "schema_change"
+              else {
+                // same arity, same types in place, names moved: rename
+                val moved = m.schema.fields.zip(p.schema.fields)
+                  .filter { case (a, b) => a.name != b.name }
+                if (moved.nonEmpty &&
+                  moved.forall { case (a, b) => a.dataType == b.dataType })
+                  "rename_column"
+                else "schema_change"
+              }
             }
             else if (after.isEmpty && before.nonEmpty) "truncate"
             else if (removed > 0 && added > 0 && tsDelta <= 0 &&

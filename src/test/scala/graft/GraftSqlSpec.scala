@@ -82,7 +82,8 @@ class GraftSqlSpec extends SparkSpec {
     val verbs = intercept[Exception] { spark.sql("GRAFT FROB '/x'") }
     // the verb list in the error stays current with the verb set
     Seq("OPTIMIZE", "VACUUM", "REBUCKET", "ADD COLUMNS", "DROP COLUMNS",
-      "SET BLOOM", "ANALYZE", "RESTORE", "DESCRIBE", "HISTORY",
+      "RENAME COLUMN", "SET BLOOM", "ANALYZE", "RESTORE", "DESCRIBE",
+      "HISTORY",
       "MAINTAIN", "CREATE TABLE", "CREATE AGG VIEW", "CREATE CHANGE FEED",
       "REFRESH", "REBUILD").foreach(v =>
       assert(verbs.getMessage.contains(v),
@@ -218,6 +219,46 @@ class GraftSqlSpec extends SparkSpec {
     // restoring a vacuumed version fails loudly
     ManifestTable.vacuum(spark, path, keepVersions = 1)
     intercept[Exception] { spark.sql(s"GRAFT RESTORE '$path' TO VERSION $v1") }
+  }
+
+  test("RENAME COLUMN: one honest rewrite; key and bloom follow; guards hold") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 40).map(i => (i.toLong, s"n-$i", i * 1.0))
+        .toDF("id", "name", "score"),
+      path, "id", 2)
+    spark.sql(s"GRAFT SET BLOOM '$path' (id)")
+    ManifestTable.deleteKeys(spark, path, Seq(5L).toDF("id"), "id")
+    spark.sql(s"GRAFT RENAME COLUMN '$path' id TO ident")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.keyCol == "ident" && m.bloomCols == Seq("ident"),
+      "key and bloom columns must follow the rename")
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("ident", "name", "score", "bucket"))
+    intercept[Exception] {
+      spark.sql(s"GRAFT RENAME COLUMN '$path' bucket TO b2")
+    }
+    assert(m.tombstones.valuesIterator.forall(_.isEmpty),
+      "the rewrite folds live tombstones away")
+    val got = ManifestTable.read(spark, path)
+      .select("ident", "name").as[(Long, String)].collect().toMap
+    assert(got.size == 39 && !got.contains(5L) && got(3L) == "n-3")
+    // keyed writes address the NEW name; HISTORY classifies the rename
+    ManifestTable.upsert(spark, path,
+      Seq((3L, "up", 0.0)).toDF("ident", "name", "score"), "ident")
+    assert(ManifestTable.read(spark, path).filter(col("ident") === 3L)
+      .select("name").as[String].head() == "up")
+    val ops = spark.sql(s"GRAFT HISTORY '$path'")
+      .select("version", "operation").as[(String, String)].collect().toMap
+    assert(ops(m.version.toString) == "rename_column",
+      s"history must classify the rename, got: $ops")
+    // guards: unknown source, occupied target, reserved name, and the
+    // resurrection guard on renaming ONTO a previously dropped name
+    intercept[Exception] { spark.sql(s"GRAFT RENAME COLUMN '$path' nope TO x") }
+    intercept[Exception] { spark.sql(s"GRAFT RENAME COLUMN '$path' name TO score") }
+    intercept[Exception] { spark.sql(s"GRAFT RENAME COLUMN '$path' name TO bucket") }
+    ManifestTable.dropColumns(spark, path, Seq("score"))
+    intercept[Exception] { spark.sql(s"GRAFT RENAME COLUMN '$path' name TO score") }
   }
 
   test("HISTORY classifies each retained version from metadata alone") {
