@@ -277,6 +277,7 @@ class ManifestTableSpec extends SparkSpec {
     val rnd = new scala.util.Random(421)
     graft.sources.ManifestIndexSource.ensureRegistered(spark)
     var restores = 0 // seed must actually exercise the rollback arm
+    var renames = 0  // ...and the rename arm
     (1 to 2).foreach { _ =>
       val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
       var model = (0L until 30L).map(i => i -> (s"n$i", i * 1.0)).toMap
@@ -297,7 +298,7 @@ class ManifestTableSpec extends SparkSpec {
       var snaps =
         Map(ManifestTable.currentManifest(spark, path).version -> model)
       (1 to 16).foreach { step =>
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 => // upsert a mix of existing + new keys
             val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(40))
             val rows = ks.map(k => (k, s"u$step-$k", step * 1.0))
@@ -354,6 +355,14 @@ class ManifestTableSpec extends SparkSpec {
             ManifestTable.restore(spark, path, v)
             model = snaps(v)
             restores += 1
+          case 11 => // rename there-and-back: two full rewrites that
+            // fold tombstones and regenerate all per-dir metadata —
+            // the walk's fixed-name reads stay valid, the key column
+            // round-trips through a rename half the time
+            val c = if (step % 2 == 0) "id" else "name"
+            ManifestTable.renameColumn(spark, path, c, s"${c}_rn")
+            ManifestTable.renameColumn(spark, path, s"${c}_rn", c)
+            renames += 1
         }
         val got = ManifestTable.read(spark, path)
           .select("id", "name", "score").as[(Long, String, Double)]
@@ -367,6 +376,7 @@ class ManifestTableSpec extends SparkSpec {
       }
     }
     assert(restores > 0, "seed never exercised the restore arm — reseed")
+    assert(renames > 0, "seed never exercised the rename arm — reseed")
   }
 
   private def manifestFiles(path: String): Map[String, Int] = {
