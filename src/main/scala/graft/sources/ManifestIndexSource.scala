@@ -355,9 +355,45 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "ManifestIndexCatalog has no DDL: create tables with ManifestTable.write")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ManifestIndexCatalog has no DDL: the manifest schema is immutable")
+  /** Standard `ALTER TABLE` SQL over the manifest evolution API:
+    * ADD COLUMNS land as ONE metadata-only commit (Spark delivers one
+    * AddColumn change per column — grouped here so the statement stays
+    * atomic), DROP COLUMN as the metadata-only tombstoned narrowing,
+    * RENAME COLUMN as the honest whole-table rewrite
+    * ([[graft.sinks.ManifestTable.renameColumn]]). Anything else
+    * (type changes, repositioning, nested fields, defaults) refuses
+    * loudly — the manifest has no migration story for those.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    adds.foreach { a =>
+      require(a.fieldNames.length == 1,
+        "nested columns are outside the manifest surface")
+      require(a.position() == null,
+        "ALTER TABLE ... FIRST/AFTER: the manifest appends new columns")
+      require(a.defaultValue() == null,
+        "column DEFAULT values are outside the manifest surface")
+    }
+    if (adds.nonEmpty)
+      ManifestTable.addColumns(spark, path, StructType(
+        adds.map(a => StructField(a.fieldNames()(0), a.dataType()))).toDDL)
+    changes.foreach {
+      case _: TableChange.AddColumn => // grouped above
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "nested columns are outside the manifest surface")
+        ManifestTable.dropColumns(spark, path, Seq(d.fieldNames()(0)))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested columns are outside the manifest surface")
+        ManifestTable.renameColumn(spark, path, r.fieldNames()(0), r.newName())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change for a manifest table: $other")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = false
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -182,4 +182,46 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(!ManifestTable.currentManifest(spark, p2)
       .schema.fieldNames.contains("tag"))
   }
+
+  test("standard ALTER TABLE SQL drives the evolution API through the catalog") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 30).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+      path, "id", 2)
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"${ManifestIndexSource.CatalogName}.`$path`"
+
+    // ADD COLUMNS: one metadata-only commit for the whole statement
+    val preV = ManifestTable.versions(spark, path).last
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE, tag STRING)")
+    val m1 = ManifestTable.currentManifest(spark, path)
+    assert(m1.version == preV + 1, "one commit per ALTER statement")
+    assert(m1.schema.fieldNames.toSeq.containsSlice(Seq("score", "tag")))
+    assert(m1.buckets == ManifestTable.readManifest(spark, path, preV).buckets,
+      "ADD COLUMNS stays metadata-only")
+
+    // RENAME COLUMN: the honest rewrite, key follows
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN id TO ident")
+    val m2 = ManifestTable.currentManifest(spark, path)
+    assert(m2.keyCol == "ident")
+    assert(spark.sql(s"SELECT ident, name FROM $t WHERE ident = 3")
+      .collect().head.getString(1) == "n-3")
+
+    // DROP COLUMN: metadata-only, name buried
+    spark.sql(s"ALTER TABLE $t DROP COLUMN tag")
+    val m3 = ManifestTable.currentManifest(spark, path)
+    assert(!m3.schema.fieldNames.contains("tag") &&
+      m3.droppedCols.exists(_.equalsIgnoreCase("tag")))
+
+    // out-of-surface changes refuse loudly, committing nothing
+    val v = ManifestTable.versions(spark, path).last
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN score TYPE STRING")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (late INT FIRST)")
+    }
+    assert(ManifestTable.versions(spark, path).last == v,
+      "refused ALTERs must not commit")
+  }
 }
