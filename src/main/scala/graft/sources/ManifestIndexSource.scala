@@ -351,10 +351,44 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
   override def tableExists(ident: Identifier): Boolean =
     ManifestTable.headVersion(SparkSession.active, pathOf(ident)).nonEmpty
 
+  /** Standard `CREATE TABLE` SQL: the layout arrives as the v2 bucket
+    * transform — `PARTITIONED BY (bucket(n, key))` — the same
+    * transform the scan reports back for storage-partitioned joins, so
+    * DDL and planning speak one language. Bloom sidecar columns ride
+    * `TBLPROPERTIES ('bloom'='c1,c2')`. v1 is the empty table; the
+    * write path owns every layout/reserved-name/bloom-type validation
+    * (the declared schema must NOT include the derived `bucket`
+    * column — the writer appends it).
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "ManifestIndexCatalog has no DDL: create tables with ManifestTable.write")
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    require(ManifestTable.headVersion(spark, path).isEmpty,
+      s"table at $path already exists")
+    require(partitions.length == 1 && partitions(0).name == "bucket",
+      "manifest tables take exactly PARTITIONED BY (bucket(n, key))")
+    val args = partitions(0).arguments
+    val nBuckets = args.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value.toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(
+      "bucket transform needs a literal bucket count"))
+    val keyCols = args.collect {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.mkString(".")
+    }
+    require(keyCols.length == 1,
+      s"bucket transform needs exactly one key column, got: ${keyCols.toSeq}")
+    val bloomCols = Option(properties.get("bloom"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    ManifestTable.write(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema),
+      path, keyCols.head, nBuckets, bloomCols)
+    loadTable(ident)
+  }
   /** Standard `ALTER TABLE` SQL over the manifest evolution API:
     * ADD COLUMNS land as ONE metadata-only commit (Spark delivers one
     * AddColumn change per column — grouped here so the statement stays

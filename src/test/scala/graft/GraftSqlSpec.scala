@@ -167,6 +167,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(bad.getMessage.contains("malformed AGG entry"))
   }
 
+  test("standard CREATE TABLE SQL: the bucket transform declares the layout") {
+    val path = tmp()
+    ManifestIndexSource.ensureRegistered(spark)
+    val cat = ManifestIndexSource.CatalogName
+    spark.sql(s"CREATE TABLE $cat.`$path` (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('bloom'='id')")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.nBuckets == 4 && m.keyCol == "id" && m.bloomCols == Seq("id"))
+    spark.sql(s"INSERT INTO $cat.`$path` " +
+      s"SELECT id, concat('n-', id), $cat.bucket(4, id) FROM range(8)")
+    assert(ManifestTable.read(spark, path).count() == 8)
+    intercept[Exception] { // double create refuses; nothing overwritten
+      spark.sql(s"CREATE TABLE $cat.`$path` (id BIGINT) " +
+        "PARTITIONED BY (bucket(2, id))")
+    }
+    assert(ManifestTable.read(spark, path).count() == 8)
+    intercept[Exception] { // layout must be the bucket transform
+      spark.sql(s"CREATE TABLE $cat.`${tmp()}` (id BIGINT, name STRING)")
+    }
+  }
+
   test("RESTORE rolls back to a version's exact state in one pointer-only commit") {
     val path = tmp()
     ManifestTable.write(
