@@ -428,7 +428,22 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
     }
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean = false
+  /** `DROP TABLE`: the identifier IS the path, so dropping deletes the
+    * table directory — manifests, data, tombstones, sidecars. Every
+    * version dies with it (there is no recycle bin at 100 TB; RESTORE
+    * protects against bad WRITES, not bad drops). False when no
+    * committed table exists, which surfaces as Spark's ordinary
+    * no-such-table handling.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    if (ManifestTable.headVersion(spark, path).isEmpty) false
+    else {
+      val p = new Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "ManifestIndexCatalog has no DDL: the table identifier IS its path")

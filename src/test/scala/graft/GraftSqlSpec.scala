@@ -186,6 +186,12 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { // layout must be the bucket transform
       spark.sql(s"CREATE TABLE $cat.`${tmp()}` (id BIGINT, name STRING)")
     }
+    // DROP TABLE deletes the path — CREATE/ALTER/DROP all standard
+    spark.sql(s"DROP TABLE $cat.`$path`")
+    assert(ManifestTable.headVersion(spark, path).isEmpty, "dropped")
+    assert(!new java.io.File(path).exists, "directory must be gone")
+    intercept[Exception] { spark.sql(s"DROP TABLE $cat.`$path`") }
+    spark.sql(s"DROP TABLE IF EXISTS $cat.`$path`") // no-op, no error
   }
 
   test("RESTORE rolls back to a version's exact state in one pointer-only commit") {
