@@ -2035,10 +2035,15 @@ object ManifestTable {
     * as its compensating changes (pinned in ChangeFeedSpec).
     */
   def restore(spark: SparkSession, path: String, toVersion: Int): Unit = {
-    val target = readManifest(spark, path, toVersion) // loud if vacuumed
     commitWithRetry(spark, path) { m =>
       if (m.version == toVersion) None // restoring the head: nothing to do
-      else Some(target.copy(version = m.version + 1, txns = m.txns))
+      else {
+        // re-read PER ATTEMPT: if a vacuum retires the target while we
+        // lose a commit race, the retry fails loudly here instead of
+        // publishing pointers to reclaimed data
+        val target = readManifest(spark, path, toVersion)
+        Some(target.copy(version = m.version + 1, txns = m.txns))
+      }
     }
   }
 
@@ -2564,8 +2569,21 @@ object ManifestTable {
             if (s.isDirectory) newestMtime(s.getPath) else s.getModificationTime)
         }
       }
+      // liveness is re-derived from the manifests retained NOW, not
+      // the set computed at entry: a concurrent RESTORE resurrects
+      // pointers from an old version (the one writer whose references
+      // do NOT build on the retained head), and a restore commit
+      // landing between our live-set computation and this reclaim
+      // must keep its dirs. The residual window is just the list+
+      // delete below — same operational caveat as Delta's "don't run
+      // RESTORE concurrently with VACUUM", but narrowed from the
+      // whole manifest-retire phase to a directory listing.
+      val liveNow: Set[String] = versions(spark, path).flatMap { v =>
+        val mm = readManifest(spark, path, v)
+        mm.buckets.values.flatten ++ mm.tombstones.values.flatten.map(_._1)
+      }.map(rel => rel.split('/')(1)).toSet
       f.listStatus(dataRoot).map(_.getPath)
-        .filter(p => !live.contains(p.getName))
+        .filter(p => !live.contains(p.getName) && !liveNow.contains(p.getName))
         .filter(p => dataGraceMs <= 0 || newestMtime(p) <= now - dataGraceMs)
         .foreach(p => f.delete(p, true))
     }
