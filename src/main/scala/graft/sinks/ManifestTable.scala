@@ -2089,10 +2089,13 @@ object ManifestTable {
       }
       val next = org.apache.spark.sql.types.StructType(
         m.schema.fields.filterNot(f => cols.contains(f.name)))
-      // the dropped names go on a PERMANENT tombstone list: old files
-      // still physically carry the columns, so re-adding the name
-      // would RESURRECT dropped data (same type) or fail tasks on the
-      // physical mismatch (different type) — refused in addColumns
+      // the dropped names go on a tombstone list: old files still
+      // physically carry the columns, so re-adding the name would
+      // RESURRECT dropped data (same type) or fail tasks on the
+      // physical mismatch (different type) — refused in addColumns.
+      // The burial lifts at the next FULL rewrite (rebucket, rename,
+      // truncate): once no referenced file carries the name, re-adding
+      // it is safe again
       Some(m.copy(version = m.version + 1, schemaDdl = next.toDDL,
         droppedCols = (m.droppedCols ++ cols).distinct))
     }
@@ -2155,7 +2158,10 @@ object ManifestTable {
         Some(m.copy(version = m.version + 1, keyCol = newKey,
           schemaDdl = newSchema.toDDL,
           buckets = staged.map { case (b, d) => b -> Seq(d) },
-          tombstones = Map.empty, bloomCols = newBlooms))
+          tombstones = Map.empty, bloomCols = newBlooms,
+          // full rewrite: no referenced file carries a dropped name
+          // anymore, so the resurrection burial can be lifted
+          droppedCols = Seq.empty))
       }
     }
   }
@@ -2171,7 +2177,8 @@ object ManifestTable {
           writerOptions = bloomWriteOpts(m.bloomCols))
         Some(m.copy(version = m.version + 1, nBuckets = newBuckets,
           buckets = staged.map { case (b, d) => b -> Seq(d) },
-          tombstones = Map.empty))
+          // full rewrite: dropped-name burials lift (see renameColumn)
+          tombstones = Map.empty, droppedCols = Seq.empty))
       }
     }
   }
@@ -2184,7 +2191,9 @@ object ManifestTable {
     commitWithRetry(spark, path) { m =>
       if (m.buckets.isEmpty && !hasTombstones(m)) None
       else Some(m.copy(version = m.version + 1,
-        buckets = Map.empty, tombstones = Map.empty))
+        // nothing referenced: dropped-name burials lift too
+        buckets = Map.empty, tombstones = Map.empty,
+        droppedCols = Seq.empty))
     }
 
   /** Bulk EQUALITY DELETE, merge-on-read (Iceberg v2's equality-delete

@@ -181,6 +181,16 @@ class SchemaEvolutionSpec extends SparkSpec {
     ManifestTable.dropColumns(spark, p2, Seq("tag"))
     assert(!ManifestTable.currentManifest(spark, p2)
       .schema.fieldNames.contains("tag"))
+    // the burial lifts at the next FULL rewrite: no referenced file
+    // carries the name afterwards, so re-adding it is safe — and the
+    // re-added column reads as fresh nulls, never as the old data
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumns(spark, p2, "tag STRING") }
+    ManifestTable.rebucket(spark, p2, 3)
+    assert(ManifestTable.currentManifest(spark, p2).droppedCols.isEmpty)
+    ManifestTable.addColumns(spark, p2, "tag STRING")
+    assert(ManifestTable.read(spark, p2).filter(col("tag").isNotNull).count() == 0,
+      "a re-added name must never resurrect dropped data")
   }
 
   test("standard ALTER TABLE SQL drives the evolution API through the catalog") {
