@@ -303,8 +303,15 @@ case class GraftHistoryCommand(path: String, limit: Int)
           val tsDelta = m.tombstones.valuesIterator.map(_.size).sum -
             p.tombstones.valuesIterator.map(_.size).sum
           val op =
-            // restore first: it may cross rebucket/schema boundaries
-            if (norm(m) != norm(p) &&
+            // truncate's shape is distinctive — check it before the
+            // restore equality (a repeat truncate reproduces the first
+            // truncate's empty state and would otherwise read as a
+            // rollback to it; equal states, but this label is truer)
+            if (after.isEmpty && before.nonEmpty &&
+              m.nBuckets == p.nBuckets && m.schemaDdl == p.schemaDdl)
+              "truncate"
+            // restore next: it may cross rebucket/schema boundaries
+            else if (norm(m) != norm(p) &&
               ms.exists { case (v2, m2) => v2 < v && norm(m2) == norm(m) })
               "restore"
             else if (m.nBuckets != p.nBuckets) "rebucket"
