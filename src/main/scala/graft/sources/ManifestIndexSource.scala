@@ -423,6 +423,12 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
         require(r.fieldNames.length == 1,
           "nested columns are outside the manifest surface")
         ManifestTable.renameColumn(spark, path, r.fieldNames()(0), r.newName())
+      case s: TableChange.SetProperty if s.property == "bloom" =>
+        // SET TBLPROPERTIES ('bloom'='c1,c2') ≡ GRAFT SET BLOOM
+        ManifestTable.setBloomColumns(spark, path,
+          s.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case u: TableChange.RemoveProperty if u.property == "bloom" =>
+        ManifestTable.setBloomColumns(spark, path, Seq.empty)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change for a manifest table: $other")
     }

@@ -223,6 +223,12 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(!m3.schema.fieldNames.contains("tag") &&
       m3.droppedCols.exists(_.equalsIgnoreCase("tag")))
 
+    // bloom columns ride TBLPROPERTIES, matching CREATE TABLE's form
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('bloom'='ident')")
+    assert(ManifestTable.currentManifest(spark, path).bloomCols == Seq("ident"))
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('bloom')")
+    assert(ManifestTable.currentManifest(spark, path).bloomCols.isEmpty)
+
     // out-of-surface changes refuse loudly, committing nothing
     val v = ManifestTable.versions(spark, path).last
     intercept[Exception] {
