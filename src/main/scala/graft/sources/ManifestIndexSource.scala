@@ -578,7 +578,10 @@ class ManifestIndexTable(path: String,
   override def properties(): java.util.Map[String, String] =
     Map("version" -> m.version.toString,
         "nBuckets" -> m.nBuckets.toString,
-        "keyCol" -> m.keyCol).asJava
+        "keyCol" -> m.keyCol,
+        // mirrors the ALTER TABLE SET TBLPROPERTIES surface, so SHOW
+        // TBLPROPERTIES round-trips what DDL configured
+        "bloom" -> m.bloomCols.mkString(",")).asJava
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
