@@ -186,6 +186,18 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { // layout must be the bucket transform
       spark.sql(s"CREATE TABLE $cat.`${tmp()}` (id BIGINT, name STRING)")
     }
+    // SHOW TBLPROPERTIES round-trips the DDL-configured bloom set
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.`$path`")
+      .as[(String, String)].collect().toMap
+    assert(props.get("bloom").contains("id") &&
+      props.get("nBuckets").contains("4"), s"properties: $props")
+    // CREATE OR REPLACE swaps layout and schema atomically-enough
+    // (non-atomic drop+create — the catalog stages nothing)
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.`$path` " +
+      "(k STRING, v DOUBLE) PARTITIONED BY (bucket(2, k))")
+    val mr = ManifestTable.currentManifest(spark, path)
+    assert(mr.nBuckets == 2 && mr.keyCol == "k" &&
+      ManifestTable.read(spark, path).isEmpty, "replaced table")
     // DROP TABLE deletes the path — CREATE/ALTER/DROP all standard
     spark.sql(s"DROP TABLE $cat.`$path`")
     assert(ManifestTable.headVersion(spark, path).isEmpty, "dropped")
