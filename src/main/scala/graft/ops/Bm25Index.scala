@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestTable
+
+/** PERSISTED BM25 postings index — the text twin of [[IvfIndex]]: the
+  * in-query `bm25_search` re-explodes the corpus into (doc, term) on
+  * every query (one shuffle — right for a pipeline stage, wrong for a
+  * query endpoint); here the explode is PAID ONCE:
+  *
+  * {{{
+  * <indexPath>/_stats/        1 row: (n_docs, total_toks) — the globals
+  * <indexPath>/postings/      ManifestTable keyed by term:
+  *                            (term, doc_id, tf, dl)
+  * }}}
+  *
+  * The doc length rides ON each posting row (Lucene's norms-beside-
+  * postings shape), so scoring a candidate needs nothing outside its
+  * term's rows; document frequency is derived per query as the exact
+  * row count of the term's probed postings — every posting of a probed
+  * term is in the read set by construction, so df needs no stored
+  * column to stay exact. SEARCH therefore reads only the query terms'
+  * BUCKETS via [[ManifestTable.readBuckets]] (driver computes the
+  * bucket ids from the term hashes, opens nothing else): IO per query
+  * ≈ |query terms| / nBuckets of the index at the directory level,
+  * independent of corpus size. APPEND tokenizes only the new batch —
+  * O(batch) — and folds its counts into the global stats; appended
+  * documents are immediately searchable. BM25 parameters match the
+  * oracled `bm25_search` kernel (k1 = 1.2, b = 0.75, the +1-smoothed
+  * idf), and the arithmetic reproduces it term for term, so
+  * build-then-search ≡ in-query bit-for-bit — spec-pinned like the
+  * IVF index's relocation property.
+  *
+  * Reference behavior: /root/reference keeps no search index; this is
+  * the scale path for the keyword-retrieval semantics its queries
+  * express, following the public BM25 formulation (Robertson/Zaragoza).
+  */
+object Bm25Index {
+
+  private val StatsDir = "_stats"
+  private def postingsPath(indexPath: String) = s"$indexPath/postings"
+
+  /** (term, doc_id, tf, dl) for one batch of documents: one explode,
+    * one (doc, term) shuffle, dl joined back onto every posting.
+    */
+  private def postings(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+  }
+
+  /** Tokenize the corpus once and persist postings + global stats. */
+  def build(spark: SparkSession, indexPath: String, docs: DataFrame,
+            idCol: String, textCol: String, nBuckets: Int = 8): Unit = {
+    val p = postings(docs, idCol, textCol).cache()
+    try {
+      val toks = p.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+      ManifestTable.write(p, postingsPath(indexPath), "term", nBuckets)
+      writeStats(spark, indexPath, docs.count(), toks, overwrite = false)
+    } finally p.unpersist()
+  }
+
+  /** Index a new batch against the existing postings table — O(batch)
+    * tokenize + append; the global stats fold the batch in. Not
+    * concurrency-safe against a RACING append (the stats read-modify-
+    * write is last-writer-wins; the postings append itself is safe) —
+    * single-writer maintenance like OPTIMIZE.
+    */
+  def append(spark: SparkSession, indexPath: String, docs: DataFrame,
+             idCol: String, textCol: String): Unit = {
+    val (n, toks) = readStats(spark, indexPath)
+    val p = postings(docs, idCol, textCol).cache()
+    try {
+      val batchToks = p.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+      ManifestTable.append(spark, postingsPath(indexPath), p, "term")
+      writeStats(spark, indexPath, n + docs.count(), toks + batchToks,
+        overwrite = true)
+    } finally p.unpersist()
+  }
+
+  private def writeStats(spark: SparkSession, indexPath: String,
+                         nDocs: Long, totalToks: Long,
+                         overwrite: Boolean): Unit = {
+    import spark.implicits._
+    Seq((nDocs, totalToks)).toDF("n_docs", "total_toks").coalesce(1)
+      .write.mode(if (overwrite) "overwrite" else "error")
+      .parquet(s"$indexPath/$StatsDir")
+  }
+
+  private def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$indexPath/$StatsDir").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Top-k BM25 matches for `terms` (a one-column "term" frame, or any
+    * frame carrying one): probe only those terms' buckets, derive df
+    * from the probed rows, score with the persisted globals. Output
+    * matches the oracled `bm25_search`: (doc_id, matched_terms, score).
+    */
+  def search(spark: SparkSession, indexPath: String, terms: DataFrame,
+             k: Int = 20): DataFrame = {
+    val (nDocs, totalToks) = readStats(spark, indexPath)
+    val q = terms.select(col("term")).na.drop().distinct()
+    val probed = ManifestTable.readBuckets(spark, postingsPath(indexPath),
+        q)
+      .join(broadcast(q), "term") // bucket-mates of unprobed terms drop
+    val df = probed.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val contrib = probed.join(broadcast(df), "term")
+      .withColumn("c",
+        log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") /
+              (lit(totalToks.toDouble) / lit(nDocs.toDouble)))))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+      .select("doc_id", "matched_terms", "score")
+  }
+}

@@ -2999,7 +2999,46 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       .orderBy("doc_id")
   }
 
+  /** Fixture cache for the persisted BM25 index: built once per bench
+    * JVM (warmup pays it), queries measured against the frozen index.
+    * The 3 query terms are derived ONCE at build time and cached with
+    * the path — the timed entry must not re-explode the corpus, that
+    * being the very cost the index exists to amortize.
+    */
+  private val benchBm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
+
+  private def benchBm25Index(spark: SparkSession, dir: String): (String, Seq[String]) =
+    benchBm25Cache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-bench-bm25").toString + "/idx"
+      val docs = Tables.documents(spark, dir)
+      graft.ops.Bm25Index.build(spark, p, docs, "doc_id", "text",
+        nBuckets = 16)
+      val terms = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("gtf"))
+        .orderBy(desc("gtf"), col("term")).limit(3)
+        .select("term").collect().map(_.getString(0)).toSeq
+      (p, terms)
+    })
+
+  /** Bench-only: keyword search against the PERSISTED postings index
+    * ([[graft.ops.Bm25Index]]) — what a query endpoint pays once the
+    * corpus explode is paid at build time. Same terms and output shape
+    * as the oracled `bm25_search` (which re-explodes the corpus per
+    * query; Bm25IndexSpec pins the two bit-for-bit equal), so the
+    * delta between the two entries IS the index's payoff. Not
+    * oracle-registrable: the fixture build is a side effect.
+    */
+  def bm25IndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (path, terms) = benchBm25Index(spark, dir)
+    graft.ops.Bm25Index.search(spark, path, terms.toDF("term"), k = 20)
+  }
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_index_search" -> bm25IndexSearch _,
     "manifest_point_lookup" -> manifestPointLookup _,
     "line_dedup_fp" -> ((s: SparkSession, d: String) =>
       Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text",

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{Bm25Index, TextAnalysis}
+import graft.queries.ExtendedQueries
+import graft.sinks.ManifestTable
+
+/** The persisted BM25 index must be a pure RELOCATION of the oracled
+  * in-query kernel: same tokenizer, same exact tf/df/dl/global counts,
+  * same k1/b/idf arithmetic — so build-then-search over the same
+  * corpus ≡ `bm25_search` bit-for-bit, while the IO shape changes from
+  * "explode the corpus per query" to "open only the query terms'
+  * buckets". Appends tokenize only the batch and must be immediately
+  * searchable with the folded-in globals.
+  */
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-bm25idx")}/idx"
+
+  test("persisted search ≡ oracled bm25_search; probes open only their buckets") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = tmp()
+    Bm25Index.build(spark, path, docs, "doc_id", "text", nBuckets = 8)
+
+    // the same 3 query terms bm25_search derives (top global tf)
+    val qterms = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("gtf"))
+      .orderBy(desc("gtf"), col("term")).limit(3).select("term")
+
+    val persisted = Bm25Index.search(spark, path, qterms, k = 20)
+      .as[(Long, Long, Double)].collect().toSet
+    val inQuery = ExtendedQueries.bm25Search(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(persisted == inQuery,
+      "persisted path must reproduce the oracled kernel exactly")
+
+    // IO scope: 3 terms hash into at most 3 of 8 buckets — the probed
+    // read must not open every postings file
+    val probed = ManifestTable.readBuckets(spark, s"$path/postings", qterms)
+    val total = ManifestTable.read(spark, s"$path/postings").inputFiles.length
+    assert(probed.inputFiles.length < total,
+      s"probe opened all $total files — manifest cut absent")
+  }
+
+  test("append tokenizes only the batch; new docs searchable with folded stats") {
+    val docs = Tables.documents(spark, sfDir)
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    val path = tmp()
+    Bm25Index.build(spark, path, a, "doc_id", "text", nBuckets = 4)
+    Bm25Index.append(spark, path, b, "doc_id", "text")
+
+    // split-build must equal one-shot build: same postings, same stats
+    val whole = tmp()
+    Bm25Index.build(spark, whole, docs, "doc_id", "text", nBuckets = 4)
+    val qterms = Seq("the", "of", "and").toDF("term")
+    val split = Bm25Index.search(spark, path, qterms, k = 15)
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Bm25Index.search(spark, whole, qterms, k = 15)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(split == oneShot,
+      "append must fold stats so split-build ≡ one-shot build")
+    assert(split.nonEmpty, "common terms must match documents")
+    // both halves of the corpus are reachable through one search
+    val ids = split.map(_._1)
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 != 0),
+      s"built and appended docs must both surface, got: $ids")
+  }
+}
