@@ -40,6 +40,7 @@ import graft.sinks.ManifestTable
 object Bm25Index {
 
   private val StatsDir = "_stats"
+  private val AppId = "graft-bm25-sync"
   private def postingsPath(indexPath: String) = s"$indexPath/postings"
 
   /** (term, doc_id, tf, dl) for one batch of documents: one explode,
@@ -84,18 +85,104 @@ object Bm25Index {
     } finally p.unpersist()
   }
 
+  /** Exactly-once incremental maintenance for a MANIFEST-TABLE corpus
+    * — [[graft.sinks.MaterializedAgg.refresh]]'s pattern applied to
+    * the index. The first sync builds the index pinned at the corpus
+    * head (postings written atomically WITH the version watermark);
+    * later syncs tokenize only the corpus dirs added since — O(delta)
+    * — and refuse non-append corpus changes (rewrite, equality delete,
+    * below-watermark restore) loudly: postings cannot subtract.
+    *
+    * Crash protocol: the postings append lands under the corpus-
+    * version txn watermark (`appendOnce` — replays no-op) and the
+    * stats file records the corpus version it reflects (`as_of`). A
+    * crash between the two leaves `as_of` behind the watermark; the
+    * next sync re-derives the missing stats delta from the SAME corpus
+    * dirs (still retained — they are referenced), no-ops the postings
+    * append, and completes the stats write. Exactly-once end to end
+    * with no cross-file atomic commit needed. Returns true when new
+    * corpus data folded in.
+    */
+  def sync(spark: SparkSession, indexPath: String, corpusPath: String,
+           idCol: String, textCol: String, nBuckets: Int = 8): Boolean = {
+    val head = ManifestTable.headVersion(spark, corpusPath).getOrElse(
+      throw new IllegalArgumentException(s"no committed corpus at $corpusPath"))
+    val pPath = postingsPath(indexPath)
+    if (ManifestTable.headVersion(spark, pPath).isEmpty) {
+      val docs = ManifestTable.readVersion(spark, corpusPath, head)
+      val p = postings(docs, idCol, textCol).cache()
+      try {
+        val toks = p.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+        ManifestTable.writeWithTxn(p, pPath, "term", nBuckets,
+          AppId, head.toLong)
+        writeStats(spark, indexPath, docs.count(), toks, overwrite = false,
+          asOf = head)
+      } finally p.unpersist()
+      return true
+    }
+    val last = ManifestTable.txnVersion(spark, pPath, AppId).getOrElse(
+      throw new IllegalStateException(
+        s"postings at $pPath lack the sync watermark — an index built " +
+          "with build() takes append(), not sync()")).toInt
+    val (n, toks, asOf) = readStatsFull(spark, indexPath)
+    if (head <= last && asOf >= last) return false
+    val base = math.min(last, asOf.toInt)
+    val mFrom = ManifestTable.readManifest(spark, corpusPath, base)
+    val mTo = ManifestTable.readManifest(spark, corpusPath, head)
+    val (before, after) = (mFrom.buckets.values.flatten.toSet,
+      mTo.buckets.values.flatten.toSet)
+    require((before -- after).isEmpty && mFrom.tombstones == mTo.tombstones,
+      s"corpus at $corpusPath changed non-append between versions $base " +
+        s"and $head (rewrite or delete): postings cannot subtract — " +
+        "rebuild the index")
+    def delta(fromDirs: Set[String]): Seq[String] =
+      (after -- fromDirs).toSeq.sorted
+    val postingsDirs = delta(
+      ManifestTable.readManifest(spark, corpusPath, last)
+        .buckets.values.flatten.toSet)
+    // a watermark lagging across metadata-only corpus commits is
+    // harmless: deltas are DIR-based, so re-checks fold nothing
+    if (postingsDirs.nonEmpty) {
+      val batch = spark.read.parquet(
+        postingsDirs.map(r => s"$corpusPath/$r"): _*)
+      ManifestTable.appendOnce(spark, pPath,
+        postings(batch, idCol, textCol), "term", AppId, head.toLong)
+    }
+    val statsDirs = delta(before)
+    if (statsDirs.nonEmpty || asOf < head) {
+      val sBatch =
+        if (statsDirs.isEmpty) null
+        else spark.read.parquet(statsDirs.map(r => s"$corpusPath/$r"): _*)
+      val dn = if (sBatch == null) 0L else sBatch.count()
+      val dt = if (sBatch == null) 0L
+        else postings(sBatch, idCol, textCol)
+          .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+      writeStats(spark, indexPath, n + dn, toks + dt, overwrite = true,
+        asOf = head)
+    }
+    postingsDirs.nonEmpty || statsDirs.nonEmpty
+  }
+
   private def writeStats(spark: SparkSession, indexPath: String,
                          nDocs: Long, totalToks: Long,
-                         overwrite: Boolean): Unit = {
+                         overwrite: Boolean, asOf: Int = -1): Unit = {
     import spark.implicits._
-    Seq((nDocs, totalToks)).toDF("n_docs", "total_toks").coalesce(1)
+    Seq((nDocs, totalToks, asOf)).toDF("n_docs", "total_toks", "as_of")
+      .coalesce(1)
       .write.mode(if (overwrite) "overwrite" else "error")
       .parquet(s"$indexPath/$StatsDir")
   }
 
   private def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
+    val (n, t, _) = readStatsFull(spark, indexPath)
+    (n, t)
+  }
+
+  private def readStatsFull(spark: SparkSession,
+                            indexPath: String): (Long, Long, Int) = {
     val r = spark.read.parquet(s"$indexPath/$StatsDir").head()
-    (r.getLong(0), r.getLong(1))
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("total_toks"),
+      r.getAs[Int]("as_of"))
   }
 
   /** Top-k BM25 matches for `terms` (a one-column "term" frame, or any

@@ -72,4 +72,50 @@ class Bm25IndexSpec extends SparkSpec {
     assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 != 0),
       s"built and appended docs must both surface, got: $ids")
   }
+
+  test("sync: exactly-once maintenance from a manifest corpus; stats crash heals") {
+    val mk = (r: Range, tag: String) =>
+      r.map(i => (i.toLong, s"alpha beta $tag w$i " * (1 + i % 3))).toSeq
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(mk(0 until 40, "one").toDF("doc_id", "text"),
+      corpus, "doc_id", 2)
+    assert(Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4),
+      "first sync builds")
+    // the post-first-sync stats row, for the crash simulation below
+    val statsV1 = spark.read.parquet(s"$idx/_stats")
+      .select("n_docs", "total_toks", "as_of")
+      .as[(Long, Long, Int)].collect().head
+    ManifestTable.append(spark, corpus,
+      mk(40 until 70, "two").toDF("doc_id", "text"), "doc_id")
+    assert(Bm25Index.sync(spark, idx, corpus, "doc_id", "text"),
+      "second sync folds the delta")
+    assert(!Bm25Index.sync(spark, idx, corpus, "doc_id", "text"),
+      "current index must report false")
+
+    // synced index ≡ one-shot build over the same corpus
+    val whole = tmp()
+    Bm25Index.build(spark, whole, ManifestTable.read(spark, corpus),
+      "doc_id", "text", nBuckets = 4)
+    val q = Seq("alpha", "two").toDF("term")
+    def res(p: String) = Bm25Index.search(spark, p, q, k = 25)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(res(idx) == res(whole), "sync must equal one-shot build")
+
+    // crash between postings append and stats write: roll the stats
+    // file back to its true pre-delta row; the next sync no-ops the
+    // postings (watermark already at head), re-derives the missing
+    // stats delta from the corpus log, and heals — search equality
+    // against the one-shot build is the pin
+    Seq(statsV1).toDF("n_docs", "total_toks", "as_of")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/_stats")
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
+    assert(res(idx) == res(whole), "healed stats must restore equality")
+
+    // non-append corpus change refuses with the rebuild demand
+    ManifestTable.deleteKeys(spark, corpus, Seq(3L).toDF("doc_id"), "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }
