@@ -62,6 +62,56 @@ object IvfIndex {
     ManifestTable.append(spark, listsPath(indexPath),
       assigned(rows, idCol, vecCol, loadModel(spark, indexPath)), "list_id")
 
+  private val AppId = "graft-ivf-sync"
+
+  /** Exactly-once incremental maintenance for a MANIFEST-TABLE corpus
+    * — [[graft.ops.Bm25Index.sync]]'s pattern, simpler here because
+    * the centroids are frozen at build so nothing global moves: the
+    * first sync trains + builds pinned at the corpus head (lists
+    * written atomically WITH the version watermark), later syncs
+    * assign only the corpus dirs added since — O(delta) — under the
+    * same watermark (crash replays no-op), and non-append corpus
+    * changes (rewrite, delete, below-watermark restore) refuse loudly:
+    * lists cannot subtract. Returns true when new vectors folded in.
+    */
+  def sync(spark: SparkSession, indexPath: String, corpusPath: String,
+           idCol: String, vecCol: String, k: Int = 16, nBuckets: Int = 8,
+           iterations: Int = 5, maxSample: Int = 2000): Boolean = {
+    val head = ManifestTable.headVersion(spark, corpusPath).getOrElse(
+      throw new IllegalArgumentException(s"no committed corpus at $corpusPath"))
+    val lists = listsPath(indexPath)
+    if (ManifestTable.headVersion(spark, lists).isEmpty) {
+      val docs = ManifestTable.readVersion(spark, corpusPath, head)
+      val model = Ivf.train(docs, idCol, vecCol, k, iterations, maxSample)
+      import spark.implicits._
+      model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("error").parquet(s"$indexPath/$CentroidsDir")
+      ManifestTable.writeWithTxn(assigned(docs, idCol, vecCol, model),
+        lists, "list_id", nBuckets, AppId, head.toLong)
+      return true
+    }
+    val last = ManifestTable.txnVersion(spark, lists, AppId).getOrElse(
+      throw new IllegalStateException(
+        s"lists at $lists lack the sync watermark — an index built " +
+          "with build() takes append(), not sync()")).toInt
+    if (head <= last) return false
+    val mFrom = ManifestTable.readManifest(spark, corpusPath, last)
+    val mTo = ManifestTable.readManifest(spark, corpusPath, head)
+    val (before, after) = (mFrom.buckets.values.flatten.toSet,
+      mTo.buckets.values.flatten.toSet)
+    require((before -- after).isEmpty && mFrom.tombstones == mTo.tombstones,
+      s"corpus at $corpusPath changed non-append between versions $last " +
+        s"and $head (rewrite or delete): lists cannot subtract — " +
+        "rebuild the index")
+    val newDirs = (after -- before).toSeq.sorted
+    if (newDirs.isEmpty) return false
+    val batch = spark.read.parquet(newDirs.map(r => s"$corpusPath/$r"): _*)
+    ManifestTable.appendOnce(spark, lists,
+      assigned(batch, idCol, vecCol, loadModel(spark, indexPath)),
+      "list_id", AppId, head.toLong)
+  }
+
   private def assigned(rows: DataFrame, idCol: String, vecCol: String,
                        model: Ivf.Model): DataFrame =
     Ivf.index(rows.select(col(idCol).as("id"), col(vecCol).as("vec"))

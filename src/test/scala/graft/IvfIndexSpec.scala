@@ -86,4 +86,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(res.toSet == inQuery,
       "append path must equal frozen-model in-query search")
   }
+
+  test("sync: exactly-once maintenance from a manifest corpus") {
+    val all = clustered(240, 12)
+    val (a, b) = all.splitAt(160)
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(a.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4), "first sync builds")
+    ManifestTable.append(spark, corpus,
+      b.toDF("vec_id", "embedding"), "vec_id")
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding"),
+      "second sync folds the delta")
+    assert(!IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding"),
+      "current index must report false")
+
+    // ≡ build(a) + append(b): train is id-sorted so the manifest read
+    // order cannot perturb the model, and the frozen-centroid
+    // assignment is row-local
+    val ref = tmp()
+    IvfIndex.build(spark, ref, a.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, nBuckets = 4)
+    IvfIndex.append(spark, ref, b.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val q = all.take(6).toDF("vec_id", "embedding")
+    def res(p: String) = IvfIndex.search(spark, p, q, "vec_id", "embedding",
+        k = 4, nProbe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(res(idx) == res(ref), "sync must equal build+append")
+
+    // non-append corpus change refuses with the rebuild demand
+    ManifestTable.deleteKeys(spark, corpus, Seq(5L).toDF("vec_id"), "vec_id")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }
