@@ -41,7 +41,46 @@ object Bm25Index {
 
   private val StatsDir = "_stats"
   private val AppId = "graft-bm25-sync"
+  private[graft] val DefFile = "_index.json"
   private def postingsPath(indexPath: String) = s"$indexPath/postings"
+
+  /** First sync persists the maintenance definition, so the index is
+    * refreshable by path alone (`GRAFT REFRESH '<idx>'`, [[refresh]]).
+    */
+  private def writeDef(spark: SparkSession, indexPath: String,
+                       corpusPath: String, idCol: String,
+                       textCol: String, nBuckets: Int): Unit = {
+    Seq(corpusPath, idCol, textCol).foreach(s =>
+      require(!s.contains('"'), s"not def-safe: $s"))
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(indexPath, DefFile), false)
+    try out.write(
+      (s"""{"kind":"bm25","sourcePath":"$corpusPath","idCol":"$idCol",""" +
+        s""""textCol":"$textCol","nBuckets":$nBuckets}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readDef(spark: SparkSession,
+                             indexPath: String): Map[String, String] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(indexPath, DefFile))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    ("\"(\\w+)\":\"?([^\",}]*)\"?").r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** [[sync]] by path alone, from the persisted definition. */
+  def refresh(spark: SparkSession, indexPath: String): Boolean = {
+    val d = readDef(spark, indexPath)
+    require(d.get("kind").contains("bm25"),
+      s"index at $indexPath is not a bm25 index: ${d.get("kind")}")
+    sync(spark, indexPath, d("sourcePath"), d("idCol"), d("textCol"),
+      d("nBuckets").toInt)
+  }
 
   /** (term, doc_id, tf, dl) for one batch of documents: one explode,
     * one (doc, term) shuffle, dl joined back onto every posting.
@@ -113,6 +152,7 @@ object Bm25Index {
       val p = postings(docs, idCol, textCol).cache()
       try {
         val toks = p.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+        writeDef(spark, indexPath, corpusPath, idCol, textCol, nBuckets)
         ManifestTable.writeWithTxn(p, pPath, "term", nBuckets,
           AppId, head.toLong)
         writeStats(spark, indexPath, docs.count(), toks, overwrite = false,

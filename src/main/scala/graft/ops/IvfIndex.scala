@@ -64,6 +64,32 @@ object IvfIndex {
 
   private val AppId = "graft-ivf-sync"
 
+  private def writeDef(spark: SparkSession, indexPath: String,
+                       corpusPath: String, idCol: String,
+                       vecCol: String): Unit = {
+    Seq(corpusPath, idCol, vecCol).foreach(s =>
+      require(!s.contains('"'), s"not def-safe: $s"))
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
+      Bm25Index.DefFile), false)
+    try out.write(
+      (s"""{"kind":"ivf","sourcePath":"$corpusPath","idCol":"$idCol",""" +
+        s""""vecCol":"$vecCol"}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** [[sync]] by path alone, from the persisted definition (training
+    * params matter only at the first sync, which wrote the def —
+    * refresh needs source + columns).
+    */
+  def refresh(spark: SparkSession, indexPath: String): Boolean = {
+    val d = Bm25Index.readDef(spark, indexPath)
+    require(d.get("kind").contains("ivf"),
+      s"index at $indexPath is not an ivf index: ${d.get("kind")}")
+    sync(spark, indexPath, d("sourcePath"), d("idCol"), d("vecCol"))
+  }
+
   /** Exactly-once incremental maintenance for a MANIFEST-TABLE corpus
     * — [[graft.ops.Bm25Index.sync]]'s pattern, simpler here because
     * the centroids are frozen at build so nothing global moves: the
@@ -84,6 +110,7 @@ object IvfIndex {
       val docs = ManifestTable.readVersion(spark, corpusPath, head)
       val model = Ivf.train(docs, idCol, vecCol, k, iterations, maxSample)
       import spark.implicits._
+      writeDef(spark, indexPath, corpusPath, idCol, vecCol)
       model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("list_id", "centroid")
         .coalesce(1).write.mode("error").parquet(s"$indexPath/$CentroidsDir")

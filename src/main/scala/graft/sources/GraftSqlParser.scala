@@ -385,14 +385,30 @@ case class GraftRefreshCommand(view: String) extends LeafRunnableCommand {
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     // polymorphic over the table's definition file: a materialized agg
-    // view refreshes its aggregates; a change feed folds new versions
+    // view refreshes its aggregates, a change feed folds new versions,
+    // a persisted index (bm25/ivf) syncs against its corpus
     val conf = sparkSession.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(view, "_feed.json")
-    val did =
-      if (p.getFileSystem(conf).exists(p))
-        graft.streaming.ChangeFeed.fold(sparkSession, view) > 0
-      else graft.sinks.MaterializedAgg.refresh(sparkSession, view)
-    val v = ManifestTable.headVersion(sparkSession, view).getOrElse(0)
+    val feed = new org.apache.hadoop.fs.Path(view, "_feed.json")
+    val idx = new org.apache.hadoop.fs.Path(view,
+      graft.ops.Bm25Index.DefFile)
+    val fs = feed.getFileSystem(conf)
+    val (did, vPath) =
+      if (fs.exists(idx)) {
+        val kind = graft.ops.Bm25Index.readDef(sparkSession, view)
+          .getOrElse("kind", "?")
+        kind match {
+          case "bm25" => (graft.ops.Bm25Index.refresh(sparkSession, view),
+            s"$view/postings")
+          case "ivf" => (graft.ops.IvfIndex.refresh(sparkSession, view),
+            s"$view/lists")
+          case other => throw new IllegalStateException(
+            s"unknown index kind at $view: $other")
+        }
+      }
+      else if (fs.exists(feed))
+        (graft.streaming.ChangeFeed.fold(sparkSession, view) > 0, view)
+      else (graft.sinks.MaterializedAgg.refresh(sparkSession, view), view)
+    val v = ManifestTable.headVersion(sparkSession, vPath).getOrElse(0)
     Seq(Row(view, "refresh", did.toString, v.toString))
   }
 }

@@ -111,6 +111,16 @@ class Bm25IndexSpec extends SparkSpec {
     Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
     assert(res(idx) == res(whole), "healed stats must restore equality")
 
+    // GRAFT REFRESH drives the same sync from the persisted def
+    ManifestTable.append(spark, corpus,
+      mk(70 until 80, "three").toDF("doc_id", "text"), "doc_id")
+    val r = spark.sql(s"GRAFT REFRESH '$idx'").collect().head
+    assert(r.getString(2) == "true", "SQL refresh must fold the delta")
+    val r2 = spark.sql(s"GRAFT REFRESH '$idx'").collect().head
+    assert(r2.getString(2) == "false", "current index must report false")
+    assert(Bm25Index.search(spark, idx, Seq("three").toDF("term"), k = 5)
+      .count() > 0, "SQL-refreshed delta must be searchable")
+
     // non-append corpus change refuses with the rebuild demand
     ManifestTable.deleteKeys(spark, corpus, Seq(3L).toDF("doc_id"), "doc_id")
     val e = intercept[IllegalArgumentException] {

@@ -115,6 +115,10 @@ class IvfIndexSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(res(idx) == res(ref), "sync must equal build+append")
 
+    // GRAFT REFRESH dispatches on the persisted def's kind
+    assert(spark.sql(s"GRAFT REFRESH '$idx'").collect()
+      .head.getString(2) == "false", "current index must report false via SQL")
+
     // non-append corpus change refuses with the rebuild demand
     ManifestTable.deleteKeys(spark, corpus, Seq(5L).toDF("vec_id"), "vec_id")
     val e = intercept[IllegalArgumentException] {
