@@ -82,6 +82,38 @@ object Bm25Index {
       d("nBuckets").toInt)
   }
 
+  /** Continuous freshness driven by the corpus' manifest stream — the
+    * [[graft.sinks.MaterializedAgg.startContinuous]] shape: offsets
+    * are corpus versions so triggers fire when commits exist, the
+    * micro-batch rows are unused ([[sync]] derives the real delta from
+    * the manifest log), and restarts replay into watermark no-ops.
+    * Works for either index kind: dispatches on the persisted def.
+    */
+  def startContinuous(spark: SparkSession, indexPath: String,
+                      checkpoint: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val d = readDef(spark, indexPath)
+    val doRefresh: () => Unit = d.getOrElse("kind", "?") match {
+      case "bm25" => () => { refresh(spark, indexPath); () }
+      case "ivf" => () => { IvfIndex.refresh(spark, indexPath); () }
+      case other => throw new IllegalStateException(
+        s"unknown index kind at $indexPath: $other")
+    }
+    graft.sources.ManifestIndexSource.ensureRegistered(spark)
+    spark.readStream
+      .option("startingVersion", "latest")
+      .option("ignoreDeletes", "true")
+      .table(s"${graft.sources.ManifestIndexSource.CatalogName}.`${d("sourcePath")}`")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     _: Long) => doRefresh())
+      .trigger(trigger)
+      .start()
+  }
+
   /** (term, doc_id, tf, dl) for one batch of documents: one explode,
     * one (doc, term) shuffle, dl joined back onto every posting.
     */

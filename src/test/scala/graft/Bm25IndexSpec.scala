@@ -73,9 +73,10 @@ class Bm25IndexSpec extends SparkSpec {
       s"built and appended docs must both surface, got: $ids")
   }
 
+  private val mk = (r: Range, tag: String) =>
+    r.map(i => (i.toLong, s"alpha beta $tag w$i " * (1 + i % 3))).toSeq
+
   test("sync: exactly-once maintenance from a manifest corpus; stats crash heals") {
-    val mk = (r: Range, tag: String) =>
-      r.map(i => (i.toLong, s"alpha beta $tag w$i " * (1 + i % 3))).toSeq
     val corpus = tmp(); val idx = tmp()
     ManifestTable.write(mk(0 until 40, "one").toDF("doc_id", "text"),
       corpus, "doc_id", 2)
@@ -127,5 +128,22 @@ class Bm25IndexSpec extends SparkSpec {
       Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
     }
     assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("continuous sync drains with AvailableNow; replays are no-ops") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(mk(0 until 30, "one").toDF("doc_id", "text"),
+      corpus, "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4)
+    ManifestTable.append(spark, corpus,
+      mk(30 until 50, "late").toDF("doc_id", "text"), "doc_id")
+    Bm25Index.startContinuous(spark, idx,
+        s"${Files.createTempDirectory("graft-bm25-ck")}/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination(120000)
+    assert(!Bm25Index.sync(spark, idx, corpus, "doc_id", "text"),
+      "the stream must have folded the delta already")
+    assert(Bm25Index.search(spark, idx, Seq("late").toDF("term"), k = 5)
+      .count() > 0, "streamed delta must be searchable")
   }
 }
