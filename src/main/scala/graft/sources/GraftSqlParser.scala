@@ -27,6 +27,8 @@ import graft.sinks.ManifestTable
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
   * GRAFT ANALYZE '/path/t'                         -- backfill NDV stats
   * GRAFT RENAME COLUMN '/path/t' old TO new        -- honest rewrite
+  * GRAFT CREATE TEXT INDEX '/idx' FROM '/t' KEY id TEXT body [BUCKETS 8]
+  * GRAFT CREATE VECTOR INDEX '/idx' FROM '/t' KEY id VECTOR emb [LISTS 16]
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
@@ -90,6 +92,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
+  private val CreateTextIndex =
+    """(?is)\s*GRAFT\s+CREATE\s+TEXT\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+TEXT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*""".r
+  private val CreateVectorIndex =
+    """(?is)\s*GRAFT\s+CREATE\s+VECTOR\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+VECTOR\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LISTS\s+(\d+))?(?:\s+BUCKETS\s+(\d+))?\s*""".r
   private val RenameCol =
     """(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*""".r
   private val Restore =
@@ -154,6 +160,15 @@ object GraftSqlParser {
       case Analyze(path) =>
         Some(GraftMaintenanceCommand(path, "analyze", s =>
           ManifestTable.analyzeNdv(s, path)))
+      case CreateTextIndex(idx, src, key, text, buckets) =>
+        Some(GraftMaintenanceCommand(idx, "create_text_index", s =>
+          graft.ops.Bm25Index.sync(s, idx, src, key, text,
+            Option(buckets).map(_.toInt).getOrElse(8))))
+      case CreateVectorIndex(idx, src, key, vec, lists, buckets) =>
+        Some(GraftMaintenanceCommand(idx, "create_vector_index", s =>
+          graft.ops.IvfIndex.sync(s, idx, src, key, vec,
+            k = Option(lists).map(_.toInt).getOrElse(16),
+            nBuckets = Option(buckets).map(_.toInt).getOrElse(8))))
       case RenameCol(path, from, to) =>
         Some(GraftMaintenanceCommand(path, "rename_column", s =>
           ManifestTable.renameColumn(s, path, from, to)))
@@ -221,7 +236,8 @@ object GraftSqlParser {
             "RENAME COLUMN | SET BLOOM | ANALYZE | RESTORE | DESCRIBE | " +
             "HISTORY | " +
             "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
-            "FEED | REFRESH | REBUILD with a " +
+            "FEED | CREATE TEXT INDEX | CREATE VECTOR INDEX | REFRESH | " +
+            "REBUILD with a " +
             s"quoted table path, got: $sql")
       case _ => None
     }

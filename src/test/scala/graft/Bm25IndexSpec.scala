@@ -130,6 +130,22 @@ class Bm25IndexSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("SQL lifecycle: CREATE TEXT INDEX builds, REFRESH maintains") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(mk(0 until 30, "one").toDF("doc_id", "text"),
+      corpus, "doc_id", 2)
+    spark.sql(s"GRAFT CREATE TEXT INDEX '$idx' FROM '$corpus' " +
+      "KEY doc_id TEXT text BUCKETS 4")
+    assert(Bm25Index.search(spark, idx, Seq("alpha").toDF("term"), k = 5)
+      .count() > 0, "SQL-created index must answer")
+    ManifestTable.append(spark, corpus,
+      mk(30 until 45, "sqlnew").toDF("doc_id", "text"), "doc_id")
+    assert(spark.sql(s"GRAFT REFRESH '$idx'").collect().head
+      .getString(2) == "true")
+    assert(Bm25Index.search(spark, idx, Seq("sqlnew").toDF("term"), k = 5)
+      .count() > 0)
+  }
+
   test("continuous sync drains with AvailableNow; replays are no-ops") {
     val corpus = tmp(); val idx = tmp()
     ManifestTable.write(mk(0 until 30, "one").toDF("doc_id", "text"),

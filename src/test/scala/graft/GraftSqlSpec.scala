@@ -85,6 +85,7 @@ class GraftSqlSpec extends SparkSpec {
       "RENAME COLUMN", "SET BLOOM", "ANALYZE", "RESTORE", "DESCRIBE",
       "HISTORY",
       "MAINTAIN", "CREATE TABLE", "CREATE AGG VIEW", "CREATE CHANGE FEED",
+      "CREATE TEXT INDEX", "CREATE VECTOR INDEX",
       "REFRESH", "REBUILD").foreach(v =>
       assert(verbs.getMessage.contains(v),
         s"malformed-GRAFT error must list $v"))

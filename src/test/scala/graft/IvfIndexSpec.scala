@@ -119,6 +119,12 @@ class IvfIndexSpec extends SparkSpec {
     assert(spark.sql(s"GRAFT REFRESH '$idx'").collect()
       .head.getString(2) == "false", "current index must report false via SQL")
 
+    // SQL lifecycle: CREATE VECTOR INDEX builds an equivalent index
+    val sqlIdx = tmp()
+    spark.sql(s"GRAFT CREATE VECTOR INDEX '$sqlIdx' FROM '$corpus' " +
+      "KEY vec_id VECTOR embedding LISTS 4 BUCKETS 4")
+    assert(res(sqlIdx) == res(idx), "SQL-created index must equal sync's")
+
     // non-append corpus change refuses with the rebuild demand
     ManifestTable.deleteKeys(spark, corpus, Seq(5L).toDF("vec_id"), "vec_id")
     val e = intercept[IllegalArgumentException] {
