@@ -46,21 +46,34 @@ object Bm25Index {
 
   /** First sync persists the maintenance definition, so the index is
     * refreshable by path alone (`GRAFT REFRESH '<idx>'`, [[refresh]]).
+    * OVERWRITES any existing def: the writer branches here only while
+    * the postings/lists table is absent, i.e. the index is un-built,
+    * so a leftover def from a crashed first sync must not wedge the
+    * retry (reviewed: fs.create(create-only) made the first sync
+    * non-idempotent). Values are restricted to characters the flat
+    * regex reader round-trips — a path with `"`/`,`/`{`/`}` would
+    * truncate silently on read, so it refuses loudly on write.
     */
-  private def writeDef(spark: SparkSession, indexPath: String,
-                       corpusPath: String, idCol: String,
-                       textCol: String, nBuckets: Int): Unit = {
-    Seq(corpusPath, idCol, textCol).foreach(s =>
-      require(!s.contains('"'), s"not def-safe: $s"))
+  private[ops] def writeDefJson(spark: SparkSession, indexPath: String,
+                                json: String,
+                                values: Seq[String]): Unit = {
+    values.foreach(s => require(!s.exists("\",{}".contains(_)),
+      s"""not def-safe (contains one of " , { }): $s"""))
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(
-      new org.apache.hadoop.fs.Path(indexPath, DefFile), false)
-    try out.write(
-      (s"""{"kind":"bm25","sourcePath":"$corpusPath","idCol":"$idCol",""" +
-        s""""textCol":"$textCol","nBuckets":$nBuckets}""").getBytes("UTF-8"))
+      new org.apache.hadoop.fs.Path(indexPath, DefFile), true)
+    try out.write(json.getBytes("UTF-8"))
     finally out.close()
   }
+
+  private def writeDef(spark: SparkSession, indexPath: String,
+                       corpusPath: String, idCol: String,
+                       textCol: String, nBuckets: Int): Unit =
+    writeDefJson(spark, indexPath,
+      s"""{"kind":"bm25","sourcePath":"$corpusPath","idCol":"$idCol",""" +
+        s""""textCol":"$textCol","nBuckets":$nBuckets}""",
+      Seq(corpusPath, idCol, textCol))
 
   private[graft] def readDef(spark: SparkSession,
                              indexPath: String): Map[String, String] = {
@@ -187,7 +200,9 @@ object Bm25Index {
         writeDef(spark, indexPath, corpusPath, idCol, textCol, nBuckets)
         ManifestTable.writeWithTxn(p, pPath, "term", nBuckets,
           AppId, head.toLong)
-        writeStats(spark, indexPath, docs.count(), toks, overwrite = false,
+        // overwrite: crash leftovers must not wedge the retry (the
+        // postings write above is the gate — it errors if built)
+        writeStats(spark, indexPath, docs.count(), toks, overwrite = true,
           asOf = head)
       } finally p.unpersist()
       return true
@@ -196,7 +211,7 @@ object Bm25Index {
       throw new IllegalStateException(
         s"postings at $pPath lack the sync watermark — an index built " +
           "with build() takes append(), not sync()")).toInt
-    val (n, toks, asOf) = readStatsFull(spark, indexPath)
+    val (n, toks, asOf) = readStatsOrHeal(spark, indexPath, last)
     if (head <= last && asOf >= last) return false
     val base = math.min(last, asOf.toInt)
     val mFrom = ManifestTable.readManifest(spark, corpusPath, base)
@@ -214,14 +229,29 @@ object Bm25Index {
         .buckets.values.flatten.toSet)
     // a watermark lagging across metadata-only corpus commits is
     // harmless: deltas are DIR-based, so re-checks fold nothing
+    val statsDirs = delta(before)
+    var statsWritten = false
     if (postingsDirs.nonEmpty) {
       val batch = spark.read.parquet(
         postingsDirs.map(r => s"$corpusPath/$r"): _*)
-      ManifestTable.appendOnce(spark, pPath,
-        postings(batch, idCol, textCol), "term", AppId, head.toLong)
+      // one tokenize serves both the append and (in the common
+      // crash-free path, where the two deltas coincide) the stats fold
+      val p = postings(batch, idCol, textCol).cache()
+      try {
+        ManifestTable.appendOnce(spark, pPath, p, "term", AppId,
+          head.toLong)
+        if (statsDirs == postingsDirs) {
+          val dt = p.agg(coalesce(sum(col("tf")), lit(0L)))
+            .head().getLong(0)
+          writeStats(spark, indexPath, n + batch.count(), toks + dt,
+            overwrite = true, asOf = head)
+          statsWritten = true
+        }
+      } finally p.unpersist()
     }
-    val statsDirs = delta(before)
-    if (statsDirs.nonEmpty || asOf < head) {
+    if (!statsWritten && (statsDirs.nonEmpty || asOf < head)) {
+      // crash-heal path: the stats file lags the postings watermark,
+      // so its delta differs from the postings delta
       val sBatch =
         if (statsDirs.isEmpty) null
         else spark.read.parquet(statsDirs.map(r => s"$corpusPath/$r"): _*)
@@ -246,7 +276,7 @@ object Bm25Index {
   }
 
   private def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
-    val (n, t, _) = readStatsFull(spark, indexPath)
+    val (n, t, _) = readStatsResilient(spark, indexPath)
     (n, t)
   }
 
@@ -255,6 +285,44 @@ object Bm25Index {
     val r = spark.read.parquet(s"$indexPath/$StatsDir").head()
     (r.getAs[Long]("n_docs"), r.getAs[Long]("total_toks"),
       r.getAs[Int]("as_of"))
+  }
+
+  /** Stats read that survives the overwrite window: parquet overwrite
+    * is delete-then-write, so a search racing a sync/append can catch
+    * the `_stats` dir missing or partial. Retries ride out the window;
+    * if the file is genuinely gone (crash mid-first-sync, manual
+    * damage) the globals are RE-DERIVED from the postings table itself
+    * — n_docs = distinct doc ids, total_toks = Σtf — which is exact by
+    * construction, just an O(index) scan instead of a 1-row read.
+    */
+  private def readStatsResilient(spark: SparkSession,
+                                 indexPath: String): (Long, Long, Int) = {
+    (1 to 3).foreach { _ =>
+      try return readStatsFull(spark, indexPath)
+      catch { case scala.util.control.NonFatal(_) => Thread.sleep(100) }
+    }
+    val p = ManifestTable.read(spark, postingsPath(indexPath))
+    val r = p.agg(countDistinct(col("doc_id")).as("n"),
+      coalesce(sum(col("tf")), lit(0L)).as("t")).head()
+    (r.getAs[Long]("n"), r.getAs[Long]("t"), -1)
+  }
+
+  /** [[readStatsResilient]] + persist the healed row at the postings
+    * watermark, so a crash between the first sync's table write and
+    * stats write self-repairs on the next sync instead of failing
+    * every later call (reviewed: the documented crash protocol only
+    * covered the incremental branch).
+    */
+  private def readStatsOrHeal(spark: SparkSession, indexPath: String,
+                              watermark: Int): (Long, Long, Int) = {
+    try readStatsFull(spark, indexPath)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        val (n, t, _) = readStatsResilient(spark, indexPath)
+        writeStats(spark, indexPath, n, t, overwrite = true,
+          asOf = watermark)
+        (n, t, watermark)
+    }
   }
 
   /** Top-k BM25 matches for `terms` (a one-column "term" frame, or any

@@ -66,18 +66,11 @@ object IvfIndex {
 
   private def writeDef(spark: SparkSession, indexPath: String,
                        corpusPath: String, idCol: String,
-                       vecCol: String): Unit = {
-    Seq(corpusPath, idCol, vecCol).foreach(s =>
-      require(!s.contains('"'), s"not def-safe: $s"))
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(indexPath,
-      Bm25Index.DefFile), false)
-    try out.write(
-      (s"""{"kind":"ivf","sourcePath":"$corpusPath","idCol":"$idCol",""" +
-        s""""vecCol":"$vecCol"}""").getBytes("UTF-8"))
-    finally out.close()
-  }
+                       vecCol: String): Unit =
+    Bm25Index.writeDefJson(spark, indexPath,
+      s"""{"kind":"ivf","sourcePath":"$corpusPath","idCol":"$idCol",""" +
+        s""""vecCol":"$vecCol"}""",
+      Seq(corpusPath, idCol, vecCol))
 
   /** [[sync]] by path alone, from the persisted definition (training
     * params matter only at the first sync, which wrote the def —
@@ -111,9 +104,14 @@ object IvfIndex {
       val model = Ivf.train(docs, idCol, vecCol, k, iterations, maxSample)
       import spark.implicits._
       writeDef(spark, indexPath, corpusPath, idCol, vecCol)
+      // overwrite, not error: this branch is only reachable while the
+      // lists table is absent, so leftovers from a crashed first sync
+      // (def, centroids) must not wedge the retry — the retrain
+      // reproduces them deterministically anyway
       model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("list_id", "centroid")
-        .coalesce(1).write.mode("error").parquet(s"$indexPath/$CentroidsDir")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/$CentroidsDir")
       ManifestTable.writeWithTxn(assigned(docs, idCol, vecCol, model),
         lists, "list_id", nBuckets, AppId, head.toLong)
       return true

@@ -163,12 +163,14 @@ object GraftSqlParser {
       case CreateTextIndex(idx, src, key, text, buckets) =>
         Some(GraftMaintenanceCommand(idx, "create_text_index", s =>
           graft.ops.Bm25Index.sync(s, idx, src, key, text,
-            Option(buckets).map(_.toInt).getOrElse(8))))
+            Option(buckets).map(_.toInt).getOrElse(8)),
+          versionPath = Some(s"$idx/postings")))
       case CreateVectorIndex(idx, src, key, vec, lists, buckets) =>
         Some(GraftMaintenanceCommand(idx, "create_vector_index", s =>
           graft.ops.IvfIndex.sync(s, idx, src, key, vec,
             k = Option(lists).map(_.toInt).getOrElse(16),
-            nBuckets = Option(buckets).map(_.toInt).getOrElse(8))))
+            nBuckets = Option(buckets).map(_.toInt).getOrElse(8)),
+          versionPath = Some(s"$idx/lists")))
       case RenameCol(path, from, to) =>
         Some(GraftMaintenanceCommand(path, "rename_column", s =>
           ManifestTable.renameColumn(s, path, from, to)))
@@ -326,8 +328,13 @@ case class GraftHistoryCommand(path: String, limit: Int)
             if (after.isEmpty && before.nonEmpty &&
               m.nBuckets == p.nBuckets && m.schemaDdl == p.schemaDdl)
               "truncate"
-            // restore next: it may cross rebucket/schema boundaries
+            // restore next: it may cross rebucket/schema boundaries.
+            // Requires actual pointer/layout/schema/tombstone movement
+            // — a pure metadata toggle (e.g. SET then UNSET bloom)
+            // also reproduces an older state but is not a rollback
             else if (norm(m) != norm(p) &&
+              (added > 0 || removed > 0 || m.nBuckets != p.nBuckets ||
+                m.schemaDdl != p.schemaDdl || m.tombstones != p.tombstones) &&
               ms.exists { case (v2, m2) => v2 < v && norm(m2) == norm(m) })
               "restore"
             else if (m.nBuckets != p.nBuckets) "rebucket"
@@ -433,7 +440,8 @@ case class GraftRefreshCommand(view: String) extends LeafRunnableCommand {
   * returns the table's post-action head version.
   */
 case class GraftMaintenanceCommand(path: String, action: String,
-                                   op: SparkSession => Unit)
+                                   op: SparkSession => Unit,
+                                   versionPath: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -443,7 +451,10 @@ case class GraftMaintenanceCommand(path: String, action: String,
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     op(sparkSession)
-    val v = ManifestTable.headVersion(sparkSession, path).getOrElse(0)
+    // versionPath: where the backing MANIFEST lives when it is not the
+    // verb's path itself (index verbs — postings/lists sub-tables)
+    val v = ManifestTable.headVersion(sparkSession,
+      versionPath.getOrElse(path)).getOrElse(0)
     Seq(Row(path, action, v.toString))
   }
 }

@@ -401,27 +401,41 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = SparkSession.active
     val path = pathOf(ident)
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    adds.foreach { a =>
-      require(a.fieldNames.length == 1,
-        "nested columns are outside the manifest surface")
-      require(a.position() == null,
-        "ALTER TABLE ... FIRST/AFTER: the manifest appends new columns")
-      require(a.defaultValue() == null,
-        "column DEFAULT values are outside the manifest surface")
+    // validate EVERY change before applying ANY: a statement that
+    // mixes a supported change with a refused one must not half-apply
+    // (the per-change commits below cannot be rolled back)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested columns are outside the manifest surface")
+        require(a.position() == null,
+          "ALTER TABLE ... FIRST/AFTER: the manifest appends new columns")
+        require(a.defaultValue() == null,
+          "column DEFAULT values are outside the manifest surface")
+        require(a.isNullable,
+          "NOT NULL columns cannot be added: pre-existing rows would " +
+            "read NULL in them — add nullable, backfill, then rely on " +
+            "the write-path checks")
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "nested columns are outside the manifest surface")
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested columns are outside the manifest surface")
+      case s: TableChange.SetProperty if s.property == "bloom" =>
+      case u: TableChange.RemoveProperty if u.property == "bloom" =>
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change for a manifest table: $other")
     }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty)
       ManifestTable.addColumns(spark, path, StructType(
         adds.map(a => StructField(a.fieldNames()(0), a.dataType()))).toDDL)
     changes.foreach {
       case _: TableChange.AddColumn => // grouped above
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          "nested columns are outside the manifest surface")
         ManifestTable.dropColumns(spark, path, Seq(d.fieldNames()(0)))
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "nested columns are outside the manifest surface")
         ManifestTable.renameColumn(spark, path, r.fieldNames()(0), r.newName())
       case s: TableChange.SetProperty if s.property == "bloom" =>
         // SET TBLPROPERTIES ('bloom'='c1,c2') ≡ GRAFT SET BLOOM
@@ -429,8 +443,7 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
           s.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       case u: TableChange.RemoveProperty if u.property == "bloom" =>
         ManifestTable.setBloomColumns(spark, path, Seq.empty)
-      case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE change for a manifest table: $other")
+      case _ => // validated unreachable above
     }
     loadTable(ident)
   }

@@ -112,6 +112,15 @@ class Bm25IndexSpec extends SparkSpec {
     Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
     assert(res(idx) == res(whole), "healed stats must restore equality")
 
+    // _stats destroyed entirely: search re-derives the globals from
+    // the postings table (exact by construction); sync re-persists
+    val fsys = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(idx, "_stats"), true)
+    assert(res(idx) == res(whole), "search must survive a missing stats file")
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
+    assert(res(idx) == res(whole), "sync must re-persist healed stats")
+
     // GRAFT REFRESH drives the same sync from the persisted def
     ManifestTable.append(spark, corpus,
       mk(70 until 80, "three").toDF("doc_id", "text"), "doc_id")
@@ -134,8 +143,15 @@ class Bm25IndexSpec extends SparkSpec {
     val corpus = tmp(); val idx = tmp()
     ManifestTable.write(mk(0 until 30, "one").toDF("doc_id", "text"),
       corpus, "doc_id", 2)
-    spark.sql(s"GRAFT CREATE TEXT INDEX '$idx' FROM '$corpus' " +
-      "KEY doc_id TEXT text BUCKETS 4")
+    // a leftover def from a crashed first sync must not wedge creation
+    val defPath = java.nio.file.Paths.get(idx, "_index.json")
+    java.nio.file.Files.createDirectories(defPath.getParent)
+    java.nio.file.Files.write(defPath,
+      """{"kind":"bm25","sourcePath":"/stale"}""".getBytes)
+    val created = spark.sql(s"GRAFT CREATE TEXT INDEX '$idx' FROM '$corpus' " +
+      "KEY doc_id TEXT text BUCKETS 4").collect().head
+    assert(created.getString(2) == "1",
+      s"create must report the postings version, got ${created.getString(2)}")
     assert(Bm25Index.search(spark, idx, Seq("alpha").toDF("term"), k = 5)
       .count() > 0, "SQL-created index must answer")
     ManifestTable.append(spark, corpus,

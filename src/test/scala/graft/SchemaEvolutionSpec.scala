@@ -237,7 +237,23 @@ class SchemaEvolutionSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (late INT FIRST)")
     }
+    intercept[Exception] { // silent-null contract violation refused
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (strict INT NOT NULL)")
+    }
+    intercept[Exception] { // mixed statement: refused part poisons ALL
+      spark.sql(
+        s"ALTER TABLE $t SET TBLPROPERTIES ('bloom'='ident','owner'='x')")
+    }
     assert(ManifestTable.versions(spark, path).last == v,
-      "refused ALTERs must not commit")
+      "refused ALTERs must not commit — not even their supported parts")
+    assert(ManifestTable.currentManifest(spark, path).bloomCols.isEmpty,
+      "the mixed statement's bloom half must not have applied")
+    // a metadata toggle reproducing an older state is NOT a restore
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('bloom'='ident')")
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('bloom')")
+    val ops = spark.sql(s"GRAFT HISTORY '$path' LIMIT 1")
+      .select("operation").as[String].collect()
+    assert(ops.head == "metadata",
+      s"bloom toggle must classify metadata, got ${ops.head}")
   }
 }
