@@ -159,6 +159,15 @@ object Bm25Index {
     */
   def append(spark: SparkSession, indexPath: String, docs: DataFrame,
              idCol: String, textCol: String): Unit = {
+    // the inverse of sync's build()-made guard: append rewrites _stats
+    // with as_of=-1, which would drag the next sync's base to -1 and
+    // die in readManifest with an opaque missing-file error — refuse
+    // the mode mix loudly instead
+    require(ManifestTable.txnVersion(spark, postingsPath(indexPath),
+        AppId).isEmpty,
+      s"postings at ${postingsPath(indexPath)} carry the sync watermark " +
+        "— a sync()-managed index takes sync()/refresh(), not append() " +
+        "(append would reset the stats as_of and wedge the next sync)")
     val (n, toks) = readStats(spark, indexPath)
     val p = postings(docs, idCol, textCol).cache()
     try {

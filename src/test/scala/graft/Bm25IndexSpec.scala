@@ -82,6 +82,16 @@ class Bm25IndexSpec extends SparkSpec {
       corpus, "doc_id", 2)
     assert(Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4),
       "first sync builds")
+    // mode mixing refuses BOTH ways: sync() on a build()-made index is
+    // guarded below the watermark read; append() on a sync-managed
+    // index must refuse too (it would reset as_of to -1, dragging the
+    // next sync's base to -1 and dying in readManifest opaquely)
+    val mix = intercept[IllegalArgumentException] {
+      Bm25Index.append(spark, idx,
+        mk(900 until 905, "mix").toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(mix.getMessage.contains("sync"),
+      s"append-on-synced must name the mode mix, got: ${mix.getMessage}")
     // the post-first-sync stats row, for the crash simulation below
     val statsV1 = spark.read.parquet(s"$idx/_stats")
       .select("n_docs", "total_toks", "as_of")
