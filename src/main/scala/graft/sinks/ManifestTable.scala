@@ -96,6 +96,20 @@ object ManifestTable {
     * truncated version return a correctly-schema'd empty frame instead
     * of a zero-column one.
     */
+  /** Writer feature level carried by each manifest (Delta's protocol
+    * version, narrowed): `>= 1` certifies every referenced row was
+    * written through the non-null-key guard in [[bucketed]], so the
+    * DSv2 schema may claim the key column NOT NULL. Tables created
+    * before the guard (writerVersion absent → 0) could admit null keys
+    * (xxhash64(null) hashes to the seed, so old writers placed them),
+    * and trusting a false NOT NULL would miscompile consumers — their
+    * keys stay nullable until a FULL rewrite (rebucket, rename,
+    * truncate) passes every row back through the guard and upgrades
+    * the level. Ordinary commits PRESERVE the base's level (they ride
+    * `m.copy`); only table creation and full rewrites set it.
+    */
+  private[graft] val CurrentWriterVersion = 1
+
   private[graft] case class Manifest(version: Int, nBuckets: Int,
                                      keyCol: String, schemaDdl: String,
                                      buckets: Map[Int, Seq[String]],
@@ -106,7 +120,8 @@ object ManifestTable {
                                      tombstones: Map[Int, Seq[(String, Seq[String])]] = Map.empty,
                                      dirFiles: Map[String, Seq[(String, Long)]] = Map.empty,
                                      dirNdv: Map[String, Map[String, String]] = Map.empty,
-                                     droppedCols: Seq[String] = Seq.empty) {
+                                     droppedCols: Seq[String] = Seq.empty,
+                                     writerVersion: Int = 0) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     def keyType: org.apache.spark.sql.types.DataType =
@@ -226,7 +241,8 @@ object ManifestTable {
           .map { case (c, hx) => s""""$c":"$hx"""" }.mkString(",")
         s""""$d":{$inner}""" }
       .mkString(",")
-    s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
+    s"""{"version":${m.version},"writerVersion":${m.writerVersion},""" +
+      s""""nBuckets":${m.nBuckets},""" +
       s""""keyCol":"${m.keyCol}","schemaDdl":"${m.schemaDdl}",""" +
       s""""txns":{$txns},""" +
       s""""dirRows":{$rows},""" +
@@ -348,9 +364,14 @@ object ManifestTable {
         "\"([A-Za-z_][A-Za-z0-9_]*)\"".r.findAllMatchIn(body)
           .map(_.group(1)).toSeq
     }
+    // optional (absent in pre-feature-level manifests → 0: the key
+    // column stays nullable on read — see [[CurrentWriterVersion]])
+    val writerVersion = """"writerVersion":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
     Manifest(intField("version"), intField("nBuckets"),
       strField("keyCol"), strField("schemaDdl"), buckets, txns, dirRows,
-      dirStats, bloomCols, tombstones, dirFiles, dirNdv, droppedCols)
+      dirStats, bloomCols, tombstones, dirFiles, dirNdv, droppedCols,
+      writerVersion)
   }
 
   /** The current manifest for metadata introspection (GRAFT DESCRIBE). */
@@ -457,7 +478,14 @@ object ManifestTable {
   private[graft] def headVersion(spark: SparkSession, path: String): Option[Int] =
     discoverHead(spark, path).map(_._1)
 
+  /** Test seam: manifest-file reads since JVM start. Pins metadata-IO
+    * bounds (e.g. `GRAFT HISTORY ... LIMIT n` must read O(n) manifests
+    * on a deep-history table, not the whole log).
+    */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def readManifest(spark: SparkSession, path: String, v: Int): Manifest = {
+    manifestReads.incrementAndGet()
     val f = fs(spark, path)
     val in = f.open(new Path(new Path(path, ManifestDir), manifestName(v)))
     try parse(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
@@ -1264,7 +1292,7 @@ object ManifestTable {
       try {
         publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
           staged.map { case (b, d) => b -> Seq(d) }, bloomCols = bloomCols,
-          txns = txns))
+          txns = txns, writerVersion = CurrentWriterVersion))
         done = true
       } catch {
         case e: ConcurrentCommitException =>
@@ -1293,16 +1321,22 @@ object ManifestTable {
     */
   def setBloomColumns(spark: SparkSession, path: String,
                       cols: Seq[String]): Unit = {
-    commitWithRetry(spark, path) { m =>
-      val fields = m.schema.fieldNames.toSet
-      cols.foreach(c => require(fields.contains(c) &&
-        BloomSidecar.supportsType(m.schema(c).dataType),
-        s"bloom column $c must exist in the table schema with string/integral type"))
-      if (m.bloomCols == cols) None
-      else Some(m.copy(version = m.version + 1, bloomCols = cols))
-    }
+    commitWithRetry(spark, path)(m => setBloomColumnsMeta(m, cols))
     val m = currentManifest(spark, path)
     writeBlooms(spark, path, m, m.buckets.values.flatten.toSet)
+  }
+
+  /** [[setBloomColumns]]' validation + metadata transform, pure — see
+    * [[addColumnsMeta]] for why it is split out. None = already set.
+    */
+  private[graft] def setBloomColumnsMeta(m: Manifest,
+                                         cols: Seq[String]): Option[Manifest] = {
+    val fields = m.schema.fieldNames.toSet
+    cols.foreach(c => require(fields.contains(c) &&
+      BloomSidecar.supportsType(m.schema(c).dataType),
+      s"bloom column $c must exist in the table schema with string/integral type"))
+    if (m.bloomCols == cols) None
+    else Some(m.copy(version = m.version + 1, bloomCols = cols))
   }
 
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
@@ -1992,27 +2026,38 @@ object ManifestTable {
   def addColumns(spark: SparkSession, path: String, colsDdl: String): Unit = {
     val newCols = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
     require(newCols.nonEmpty, "no columns to add")
-    commitWithRetry(spark, path) { m =>
-      val existing = m.schema.fieldNames.map(_.toLowerCase).toSet
-      requireNoReservedCols(newCols.fieldNames.toSeq, s"addColumns at $path")
-      val buried = m.droppedCols.map(_.toLowerCase).toSet
-      newCols.fields.foreach { f =>
-        require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
-          s"column name not manifest-safe: ${f.name}")
-        require(!buried.contains(f.name.toLowerCase),
-          s"column ${f.name} was previously dropped — old files still " +
-            "carry it physically, so re-adding the name would resurrect " +
-            "dropped data; pick a new name (or rewrite the table)")
-        require(!existing.contains(f.name.toLowerCase),
-          s"column ${f.name} already exists in table at $path")
-        require(graft.sources.ManifestVectorizedReader.supports(
-          org.apache.spark.sql.types.StructType(Seq(f))),
-          s"column type ${f.dataType.sql} outside the readable surface")
-      }
-      val next = org.apache.spark.sql.types.StructType(
-        m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
-      Some(m.copy(version = m.version + 1, schemaDdl = next.toDDL))
+    commitWithRetry(spark, path)(m => Some(addColumnsMeta(m, newCols, path)))
+  }
+
+  /** [[addColumns]]'s validation + metadata transform as a pure
+    * function of the manifest — shared with the ALTER TABLE pre-pass
+    * ([[graft.sources.ManifestIndexCatalog.alterTable]]), which
+    * simulates EVERY change of a multi-change statement against the
+    * current manifest before any commit lands, so an ineligible change
+    * refuses with nothing half-applied.
+    */
+  private[graft] def addColumnsMeta(m: Manifest,
+      newCols: org.apache.spark.sql.types.StructType,
+      path: String): Manifest = {
+    val existing = m.schema.fieldNames.map(_.toLowerCase).toSet
+    requireNoReservedCols(newCols.fieldNames.toSeq, s"addColumns at $path")
+    val buried = m.droppedCols.map(_.toLowerCase).toSet
+    newCols.fields.foreach { f =>
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"column name not manifest-safe: ${f.name}")
+      require(!buried.contains(f.name.toLowerCase),
+        s"column ${f.name} was previously dropped — old files still " +
+          "carry it physically, so re-adding the name would resurrect " +
+          "dropped data; pick a new name (or rewrite the table)")
+      require(!existing.contains(f.name.toLowerCase),
+        s"column ${f.name} already exists in table at $path")
+      require(graft.sources.ManifestVectorizedReader.supports(
+        org.apache.spark.sql.types.StructType(Seq(f))),
+        s"column type ${f.dataType.sql} outside the readable surface")
     }
+    val next = org.apache.spark.sql.types.StructType(
+      m.schema.fields ++ newCols.fields.map(_.copy(nullable = true)))
+    m.copy(version = m.version + 1, schemaDdl = next.toDDL)
   }
 
   /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION` on this log:
@@ -2077,28 +2122,34 @@ object ManifestTable {
   def dropColumns(spark: SparkSession, path: String,
                   cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "no columns to drop")
-    commitWithRetry(spark, path) { m =>
-      val have = m.schema.fieldNames.toSet
-      cols.foreach { c =>
-        require(have.contains(c), s"column $c does not exist in table at $path")
-        require(c != m.keyCol, s"cannot drop the key column ${m.keyCol}")
-        require(c != "bucket", "cannot drop the derived bucket column")
-        require(!m.bloomCols.contains(c),
-          s"column $c carries bloom sidecars — run setBloomColumns " +
-            "without it first")
-      }
-      val next = org.apache.spark.sql.types.StructType(
-        m.schema.fields.filterNot(f => cols.contains(f.name)))
-      // the dropped names go on a tombstone list: old files still
-      // physically carry the columns, so re-adding the name would
-      // RESURRECT dropped data (same type) or fail tasks on the
-      // physical mismatch (different type) — refused in addColumns.
-      // The burial lifts at the next FULL rewrite (rebucket, rename,
-      // truncate): once no referenced file carries the name, re-adding
-      // it is safe again
-      Some(m.copy(version = m.version + 1, schemaDdl = next.toDDL,
-        droppedCols = (m.droppedCols ++ cols).distinct))
+    commitWithRetry(spark, path)(m => Some(dropColumnsMeta(m, cols, path)))
+  }
+
+  /** [[dropColumns]]'s validation + metadata transform, pure — see
+    * [[addColumnsMeta]] for why it is split out.
+    */
+  private[graft] def dropColumnsMeta(m: Manifest, cols: Seq[String],
+                                     path: String): Manifest = {
+    val have = m.schema.fieldNames.toSet
+    cols.foreach { c =>
+      require(have.contains(c), s"column $c does not exist in table at $path")
+      require(c != m.keyCol, s"cannot drop the key column ${m.keyCol}")
+      require(c != "bucket", "cannot drop the derived bucket column")
+      require(!m.bloomCols.contains(c),
+        s"column $c carries bloom sidecars — run setBloomColumns " +
+          "without it first")
     }
+    val next = org.apache.spark.sql.types.StructType(
+      m.schema.fields.filterNot(f => cols.contains(f.name)))
+    // the dropped names go on a tombstone list: old files still
+    // physically carry the columns, so re-adding the name would
+    // RESURRECT dropped data (same type) or fail tasks on the
+    // physical mismatch (different type) — refused in addColumns.
+    // The burial lifts at the next FULL rewrite (rebucket, rename,
+    // truncate): once no referenced file carries the name, re-adding
+    // it is safe again
+    m.copy(version = m.version + 1, schemaDdl = next.toDDL,
+      droppedCols = (m.droppedCols ++ cols).distinct)
   }
 
   /** RE-BUCKETING: rewrite the whole table under a new bucket count in
@@ -2131,38 +2182,55 @@ object ManifestTable {
   def renameColumn(spark: SparkSession, path: String,
                    from: String, to: String): Unit = {
     commitWithRetry(spark, path) { m =>
-      val names = m.schema.fieldNames
-      require(names.contains(from), s"no column '$from' in table at $path")
-      require(from != "bucket", "cannot rename the derived bucket column")
-      require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"column name not manifest-safe: $to")
-      requireNoReservedCols(Seq(to), s"renameColumn at $path")
-      require(!m.droppedCols.exists(_.equalsIgnoreCase(to)),
-        s"column $to was previously dropped — old files still carry it " +
-          "physically, so renaming onto the name would resurrect " +
-          "dropped data; pick a new name (or rewrite the table)")
+      val meta = renameColumnMeta(m, from, to, path)
       if (from == to) None
       else {
-        require(!names.exists(_.equalsIgnoreCase(to)),
-          s"column '$to' already exists in table at $path")
-        val newKey = if (m.keyCol == from) to else m.keyCol
-        val newBlooms = m.bloomCols.map(c => if (c == from) to else c)
         val all = readFrom(spark, path, m) // tombstones applied
         val staged = stageSlice(spark, path,
           bucketed(all.drop("bucket").withColumnRenamed(from, to),
-            newKey, m.nBuckets),
-          writerOptions = bloomWriteOpts(newBlooms))
-        val newSchema = org.apache.spark.sql.types.StructType(
-          m.schema.fields.map(f =>
-            if (f.name == from) f.copy(name = to) else f))
-        Some(m.copy(version = m.version + 1, keyCol = newKey,
-          schemaDdl = newSchema.toDDL,
+            meta.keyCol, m.nBuckets),
+          writerOptions = bloomWriteOpts(meta.bloomCols))
+        Some(meta.copy(
           buckets = staged.map { case (b, d) => b -> Seq(d) },
-          tombstones = Map.empty, bloomCols = newBlooms,
-          // full rewrite: no referenced file carries a dropped name
-          // anymore, so the resurrection burial can be lifted
-          droppedCols = Seq.empty))
+          tombstones = Map.empty))
       }
+    }
+  }
+
+  /** [[renameColumn]]'s validation + metadata transform, pure — see
+    * [[addColumnsMeta]] for why it is split out. Returns the manifest
+    * unchanged for a self-rename (the closure turns that into a
+    * no-commit); the bucket pointers are the CALLER's to replace (the
+    * rename is an honest rewrite — this function only settles what the
+    * post-rename key/schema/blooms/burials look like).
+    */
+  private[graft] def renameColumnMeta(m: Manifest, from: String,
+                                      to: String, path: String): Manifest = {
+    val names = m.schema.fieldNames
+    require(names.contains(from), s"no column '$from' in table at $path")
+    require(from != "bucket", "cannot rename the derived bucket column")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name not manifest-safe: $to")
+    requireNoReservedCols(Seq(to), s"renameColumn at $path")
+    require(!m.droppedCols.exists(_.equalsIgnoreCase(to)),
+      s"column $to was previously dropped — old files still carry it " +
+        "physically, so renaming onto the name would resurrect " +
+        "dropped data; pick a new name (or rewrite the table)")
+    if (from == to) m
+    else {
+      require(!names.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists in table at $path")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        m.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      m.copy(version = m.version + 1,
+        keyCol = if (m.keyCol == from) to else m.keyCol,
+        schemaDdl = newSchema.toDDL,
+        bloomCols = m.bloomCols.map(c => if (c == from) to else c),
+        // full rewrite: no referenced file carries a dropped name
+        // anymore, so the resurrection burial can be lifted — and every
+        // row re-passes the null-key guard, upgrading the feature level
+        droppedCols = Seq.empty, writerVersion = CurrentWriterVersion)
     }
   }
 
@@ -2177,8 +2245,10 @@ object ManifestTable {
           writerOptions = bloomWriteOpts(m.bloomCols))
         Some(m.copy(version = m.version + 1, nBuckets = newBuckets,
           buckets = staged.map { case (b, d) => b -> Seq(d) },
-          // full rewrite: dropped-name burials lift (see renameColumn)
-          tombstones = Map.empty, droppedCols = Seq.empty))
+          // full rewrite: dropped-name burials lift and the feature
+          // level upgrades (see renameColumnMeta)
+          tombstones = Map.empty, droppedCols = Seq.empty,
+          writerVersion = CurrentWriterVersion))
       }
     }
   }
@@ -2191,9 +2261,10 @@ object ManifestTable {
     commitWithRetry(spark, path) { m =>
       if (m.buckets.isEmpty && !hasTombstones(m)) None
       else Some(m.copy(version = m.version + 1,
-        // nothing referenced: dropped-name burials lift too
+        // nothing referenced: dropped-name burials lift too, and the
+        // feature level upgrades vacuously (zero rows, zero null keys)
         buckets = Map.empty, tombstones = Map.empty,
-        droppedCols = Seq.empty))
+        droppedCols = Seq.empty, writerVersion = CurrentWriterVersion))
     }
 
   /** Bulk EQUALITY DELETE, merge-on-read (Iceberg v2's equality-delete
@@ -2294,15 +2365,29 @@ object ManifestTable {
 
   /** [[merge]]'s commit shape over PRE-STAGED executor-written dirs —
     * the publish half of the DSv2 row-level write path (SQL `UPDATE` /
-    * `MERGE INTO`, [[graft.sources.ManifestDeltaBatchWrite]]): one
-    * atomic commit tombstones the deleted keys' staged dirs over each
-    * touched bucket's pre-commit data dirs and appends the staged
-    * insert dirs after. Rebase semantics under a lost commit race match
-    * [[merge]]: staged dirs commute onto any newer same-layout manifest
-    * (tombstone coverage is recomputed against the CURRENT base each
-    * attempt); a layout change fails loudly via [[requireLayout]].
-    * A delta that stages nothing (statement matched zero rows, or the
-    * tombstoned buckets hold no data) commits nothing.
+    * `MERGE INTO` / non-key `DELETE`,
+    * [[graft.sources.ManifestDeltaBatchWrite]]): one atomic commit
+    * tombstones the deleted keys' staged dirs over each touched
+    * bucket's pre-commit data dirs and appends the staged insert dirs
+    * after. A delta that stages nothing (statement matched zero rows,
+    * or the tombstoned buckets hold no data) commits nothing.
+    *
+    * ISOLATION — unlike the API [[merge]]/[[deleteKeys]] (whose
+    * replace-by-key/delete-by-key semantics carry no read snapshot and
+    * soundly rebase onto any newer same-layout base, serializing last),
+    * a SQL statement's delta was derived from a SCAN: the set of
+    * affected rows was decided against `scanned`, so rebasing it onto a
+    * base whose TOUCHED buckets moved would apply the decision to data
+    * the statement never read — a concurrent insert of a key the
+    * statement deletes would be silently removed (write skew). Delta /
+    * Iceberg fail such commits under their default isolation; so does
+    * this: on base drift, any touched bucket whose dir list or
+    * tombstone set differs from the scanned snapshot raises
+    * `ConcurrentModificationException` for the USER to re-run (the
+    * whole statement re-scans and re-decides — an internal retry here
+    * could not, its delta is already staged). Drift confined to
+    * UNtouched buckets commutes and commits: concurrent writers on
+    * disjoint keys never serialize against each other.
     */
   /** Test seam for the row-level concurrency spec: invoked once after
     * a SQL statement's executors staged their delta and before the
@@ -2314,16 +2399,34 @@ object ManifestTable {
   private[graft] def commitStagedDelta(spark: SparkSession, path: String,
                                        dataDirs: Map[Int, String],
                                        tsDirs: Map[Int, String],
-                                       stagedLayout: Layout): Unit = {
+                                       scanned: Manifest): Unit = {
     deltaPreCommitHook()
+    val stagedLayout = layoutOf(scanned)
     commitWithRetry(spark, path) { m =>
       requireLayout(m, stagedLayout, path)
       (dataDirs.keys ++ tsDirs.keys).find(b => b < 0 || b >= m.nBuckets)
         .foreach(b => throw new IllegalArgumentException(
           s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
+      if (m.version != scanned.version) {
+        val conflicting = (dataDirs.keySet ++ tsDirs.keySet).filter(b =>
+          m.buckets.getOrElse(b, Seq.empty) !=
+            scanned.buckets.getOrElse(b, Seq.empty) ||
+          m.tombstones.getOrElse(b, Seq.empty) !=
+            scanned.tombstones.getOrElse(b, Seq.empty))
+        if (conflicting.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"row-level statement on $path scanned version " +
+              s"${scanned.version} but concurrent commit(s) advanced the " +
+              s"table to ${m.version} and changed bucket(s) " +
+              s"${conflicting.toSeq.sorted.mkString(",")} the statement " +
+              "writes — committing would apply a stale read decision " +
+              "(write skew); re-run the statement")
+      }
       // tombstones cover the base manifest's dirs — computed BEFORE the
       // data dirs are added, so the delta's own inserts are never
-      // filtered (same ordering as merge)
+      // filtered (same ordering as merge); on an accepted drift the
+      // touched buckets' dirs equal the scanned snapshot's, so this is
+      // exactly the coverage the statement's read justifies
       val tsEntries = tsDirs.toSeq.flatMap { case (b, ts) =>
         val over = m.buckets.getOrElse(b, Seq.empty)
         if (over.isEmpty) None else Some(b -> ((ts, over)))

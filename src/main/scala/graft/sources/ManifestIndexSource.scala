@@ -390,20 +390,27 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
     loadTable(ident)
   }
   /** Standard `ALTER TABLE` SQL over the manifest evolution API:
-    * ADD COLUMNS land as ONE metadata-only commit (Spark delivers one
-    * AddColumn change per column — grouped here so the statement stays
-    * atomic), DROP COLUMN as the metadata-only tombstoned narrowing,
-    * RENAME COLUMN as the honest whole-table rewrite
+    * ADD COLUMNS land as ONE metadata-only commit, DROP COLUMNS as ONE
+    * metadata-only tombstoned narrowing (Spark delivers one change per
+    * column — both grouped here so the statement stays atomic), RENAME
+    * COLUMN as the honest whole-table rewrite
     * ([[graft.sinks.ManifestTable.renameColumn]]). Anything else
     * (type changes, repositioning, nested fields, defaults) refuses
     * loudly — the manifest has no migration story for those.
+    *
+    * Validate-all-before-apply-any: the shape pass below rejects
+    * unsupported change KINDS, and an eligibility pre-pass then
+    * simulates every change against the current manifest (via the same
+    * pure `*Meta` transforms the commit closures run), so a statement
+    * mixing a valid change with an ineligible one — `DROP COLUMNS (a,
+    * key_col)`, a rename onto a buried name — refuses with NOTHING
+    * half-applied. (The per-change commits below cannot roll back;
+    * statement atomicity still assumes no concurrent DDL on the same
+    * table, the usual single-DDL-writer discipline.)
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = SparkSession.active
     val path = pathOf(ident)
-    // validate EVERY change before applying ANY: a statement that
-    // mixes a supported change with a refused one must not half-apply
-    // (the per-change commits below cannot be rolled back)
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -427,20 +434,39 @@ class ManifestIndexCatalog extends TableCatalog with FunctionCatalog {
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change for a manifest table: $other")
     }
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.nonEmpty)
-      ManifestTable.addColumns(spark, path, StructType(
-        adds.map(a => StructField(a.fieldNames()(0), a.dataType()))).toDDL)
+    val adds = StructType(changes.collect { case a: TableChange.AddColumn =>
+      StructField(a.fieldNames()(0), a.dataType()) })
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn => d.fieldNames()(0) }
+    def bloomCols(value: String): Seq[String] =
+      value.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    // eligibility pre-pass, in application order (adds, drops, then
+    // renames/bloom in statement order)
+    var sim = ManifestTable.currentManifest(spark, path)
+    if (adds.nonEmpty) sim = ManifestTable.addColumnsMeta(sim, adds, path)
+    if (drops.nonEmpty) sim = ManifestTable.dropColumnsMeta(sim, drops, path)
     changes.foreach {
-      case _: TableChange.AddColumn => // grouped above
-      case d: TableChange.DeleteColumn =>
-        ManifestTable.dropColumns(spark, path, Seq(d.fieldNames()(0)))
+      case r: TableChange.RenameColumn =>
+        sim = ManifestTable.renameColumnMeta(sim, r.fieldNames()(0),
+          r.newName(), path)
+      case s: TableChange.SetProperty if s.property == "bloom" =>
+        sim = ManifestTable.setBloomColumnsMeta(sim, bloomCols(s.value))
+          .getOrElse(sim)
+      case u: TableChange.RemoveProperty if u.property == "bloom" =>
+        sim = ManifestTable.setBloomColumnsMeta(sim, Seq.empty).getOrElse(sim)
+      case _ => // adds/drops simulated grouped above
+    }
+    // apply: every change re-validates against its own commit base
+    // inside commitWithRetry, so concurrency never bypasses the checks
+    if (adds.nonEmpty) ManifestTable.addColumns(spark, path, adds.toDDL)
+    if (drops.nonEmpty) ManifestTable.dropColumns(spark, path, drops)
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.DeleteColumn =>
       case r: TableChange.RenameColumn =>
         ManifestTable.renameColumn(spark, path, r.fieldNames()(0), r.newName())
       case s: TableChange.SetProperty if s.property == "bloom" =>
         // SET TBLPROPERTIES ('bloom'='c1,c2') ≡ GRAFT SET BLOOM
-        ManifestTable.setBloomColumns(spark, path,
-          s.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        ManifestTable.setBloomColumns(spark, path, bloomCols(s.value))
       case u: TableChange.RemoveProperty if u.property == "bloom" =>
         ManifestTable.setBloomColumns(spark, path, Seq.empty)
       case _ => // validated unreachable above
@@ -583,9 +609,16 @@ class ManifestIndexTable(path: String,
   // operations' row id — Spark refuses nullable row ids, the Iceberg
   // identifier-field rule), so the trust is backed by a write-time
   // guarantee, and ANSI store assignment adds the runtime check on
-  // SQL INSERT of nullable sources for free.
+  // SQL INSERT of nullable sources for free. GATED on the manifest's
+  // writer feature level: tables created before the guard existed
+  // (writerVersion 0) could have admitted null keys — xxhash64(null)
+  // hashes to the seed, so old writers placed them happily — and a
+  // false NOT NULL would miscompile consumers; their keys stay
+  // nullable until a full rewrite upgrades the level
+  // ([[graft.sinks.ManifestTable.CurrentWriterVersion]]).
   override def schema(): StructType =
-    ManifestIndexTable.readSchema(m.schema, m.keyCol)
+    ManifestIndexTable.readSchema(m.schema, m.keyCol,
+      keyNotNull = m.writerVersion >= ManifestTable.CurrentWriterVersion)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(m.nBuckets, m.keyCol))
   override def properties(): java.util.Map[String, String] =
@@ -638,12 +671,14 @@ object ManifestIndexTable {
       })
     })
 
-  /** [[deepNullable]] with the key column kept NOT NULL (see
-    * [[ManifestIndexTable.schema]]).
+  /** [[deepNullable]], with the key column kept NOT NULL when the
+    * manifest's writer feature level certifies the guard ran for every
+    * row (see [[ManifestIndexTable.schema]]).
     */
-  private[sources] def readSchema(s: StructType, keyCol: String): StructType =
+  private[sources] def readSchema(s: StructType, keyCol: String,
+                                  keyNotNull: Boolean): StructType =
     StructType(deepNullable(s).fields.map(f =>
-      if (f.name == keyCol) f.copy(nullable = false) else f))
+      if (f.name == keyCol && keyNotNull) f.copy(nullable = false) else f))
 }
 
 /** Key predicate → bucket set, shared by the builder's STATIC pushdown
@@ -2156,7 +2191,7 @@ class ManifestDeltaBatchWrite(path: String, m: ManifestTable.Manifest,
     ManifestTable.commitStagedDelta(SparkSession.active, path,
       dataBuckets.map(b => b -> s"$dataRel/b=$b").toMap,
       tsBuckets.map(b => b -> s"$tsRel/b=$b").toMap,
-      ManifestTable.layoutOf(m))
+      m) // the statement's pinned scan snapshot — the conflict baseline
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

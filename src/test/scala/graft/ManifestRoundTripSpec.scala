@@ -92,11 +92,12 @@ class ManifestRoundTripSpec extends AnyFunSuite {
           .map(_.mkString)
       } yield c -> s"${nulls}n$hx")
     } yield d -> nv)
+    writerVersion <- Gen.chooseNum(0, 3)
   } yield Manifest(version, nBuckets, keyCol,
     // DDL round-trips through StructType.fromDDL elsewhere; here the
     // field carries an arbitrary quote-free token like the renderer allows
     s"${cols.head} BIGINT", buckets, txns, dirRows, dirStats, bloomCols,
-    tombstones, dirFiles, dirNdv, droppedCols)
+    tombstones, dirFiles, dirNdv, droppedCols, writerVersion)
 
   test("render → parse is the identity over the manifest-safe value space") {
     def norm(x: Manifest) = x.copy(

@@ -212,14 +212,25 @@ class RowLevelSqlSpec extends SparkSpec {
       "exactly the 8 live ids under 10 updated")
   }
 
-  test("a concurrent append between scan and commit rebases: its other keys survive") {
+  /** Bucket of a key under the table's layout hash — to construct
+    * concurrent writes that deliberately touch / avoid the statement's
+    * buckets.
+    */
+  private def bucketOf(path: String, key: Long): Int =
+    graft.sources.ManifestBucketPruning.bucketOf(
+      ManifestTable.currentManifest(spark, path), key).get
+
+  test("a concurrent append into a TOUCHED bucket fails the statement: no write skew") {
     val path = tmp()
     mkTable(path, n = 50, buckets = 4)
     ManifestIndexSource.ensureRegistered(spark)
     // the hook fires after the UPDATE's executors staged their delta
     // and before its manifest commit — a concurrent writer lands an
-    // append in that window (new key 900 plus a fresh row for key 5,
-    // the key the UPDATE touches)
+    // append in that window carrying a fresh row for key 5, the key
+    // the UPDATE touches. Silently rebasing would cover the new dir
+    // with the statement's tombstone and delete a row the statement's
+    // scan never read (write skew) — the commit must refuse instead
+    // (Delta/Iceberg's default-isolation conflict failure).
     var fired = false
     ManifestTable.deltaPreCommitHook = () => if (!fired) {
       fired = true
@@ -227,16 +238,48 @@ class RowLevelSqlSpec extends SparkSpec {
         Seq((900L, "late", -1.0), (5L, "late-5", -2.0))
           .toDF("id", "name", "score"), "id")
     }
+    val ex = intercept[Exception] {
+      try spark.sql(s"UPDATE $cat.`$path` SET name = 'won' WHERE id = 5")
+      finally ManifestTable.deltaPreCommitHook = () => ()
+    }
+    assert(fired, "seam must have fired")
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a ConcurrentModificationException in the chain, got $ex")
+    // the failed statement left no trace: the concurrent append's rows
+    // are both intact (key 5 now has its two pre-statement-outcome
+    // rows — the base row and the append's), nothing says 'won'
+    val got = contents(path)
+    assert(got.contains((900L, "late", -1.0)))
+    assert(got.contains((5L, "n-5", 5.0)) && got.contains((5L, "late-5", -2.0)),
+      s"aborted statement must not have deleted anything, got " +
+        s"${got.filter(_._1 == 5L)}")
+    assert(!got.exists(_._2 == "won"), "aborted statement must not apply")
+    assert(got.size == 52)
+  }
+
+  test("a concurrent append into DISJOINT buckets commutes: both effects land") {
+    val path = tmp()
+    mkTable(path, n = 50, buckets = 4)
+    ManifestIndexSource.ensureRegistered(spark)
+    // a concurrent key that hashes AWAY from key 5's bucket: drift
+    // confined to untouched buckets must not serialize against the
+    // statement — concurrent writers on disjoint keys both win
+    val other = (900L to 950L).find(k => bucketOf(path, k) != bucketOf(path, 5L)).get
+    var fired = false
+    ManifestTable.deltaPreCommitHook = () => if (!fired) {
+      fired = true
+      ManifestTable.append(spark, path,
+        Seq((other, "late", -1.0)).toDF("id", "name", "score"), "id")
+    }
     try spark.sql(s"UPDATE $cat.`$path` SET name = 'won' WHERE id = 5")
     finally ManifestTable.deltaPreCommitHook = () => ()
     assert(fired, "seam must have fired")
     val got = contents(path)
-    // rebase semantics (same as API merge): the statement's tombstones
-    // cover the manifest AT COMMIT TIME, so the concurrent append's
-    // key-5 row is superseded by the update — last-writer-wins at
-    // commit order — while its unrelated key survives untouched
-    assert(got.contains((900L, "late", -1.0)),
-      "concurrent append's unrelated key must survive the rebase")
+    assert(got.contains((other, "late", -1.0)),
+      "concurrent append on a disjoint bucket must survive")
     assert(got.count(_._1 == 5L) == 1 &&
       got.exists(r => r._1 == 5L && r._2 == "won"),
       s"key 5 must resolve to the update exactly once, got " +

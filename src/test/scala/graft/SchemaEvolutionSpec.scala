@@ -256,4 +256,105 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(ops.head == "metadata",
       s"bloom toggle must classify metadata, got ${ops.head}")
   }
+
+  test("ALTER eligibility validates ALL changes before applying ANY") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 20).map(i => (i.toLong, s"n-$i", i * 1.0, s"t-$i"))
+        .toDF("id", "name", "score", "tag"),
+      path, "id", 2)
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"${ManifestIndexSource.CatalogName}.`$path`"
+
+    // a statement mixing an eligible drop with the KEY column must
+    // refuse with NOTHING applied — not drop `score` and then die
+    val v0 = ManifestTable.versions(spark, path).last
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMNS (score, id)")
+    }
+    val m0 = ManifestTable.currentManifest(spark, path)
+    assert(m0.version == v0, "half-applied DROP COLUMNS must not commit")
+    assert(m0.schema.fieldNames.contains("score"),
+      "the eligible half of a refused statement must not apply")
+
+    // same through the catalog API with MIXED change kinds: the add
+    // would be applied first in statement order — an ineligible drop
+    // later in the statement must prevent it
+    val catalog = spark.sessionState.catalogManager
+      .catalog(ManifestIndexSource.CatalogName)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, path)
+    import org.apache.spark.sql.connector.catalog.TableChange
+    intercept[Exception] {
+      catalog.alterTable(ident,
+        TableChange.addColumn(Array("fresh"),
+          org.apache.spark.sql.types.IntegerType),
+        TableChange.deleteColumn(Array("id"), false))
+    }
+    val m1 = ManifestTable.currentManifest(spark, path)
+    assert(m1.version == v0 && !m1.schema.fieldNames.contains("fresh"),
+      "an ineligible change later in the statement must poison the adds")
+
+    // an ineligible drop of a bloom-carrying column refuses the batch
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('bloom'='name')")
+    val v1 = ManifestTable.versions(spark, path).last
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMNS (tag, name)")
+    }
+    val m2 = ManifestTable.currentManifest(spark, path)
+    assert(m2.version == v1 && m2.schema.fieldNames.contains("tag"),
+      "bloom-carrying drop must poison the whole statement")
+
+    // an eligible multi-drop lands as ONE commit
+    spark.sql(s"ALTER TABLE $t DROP COLUMNS (score, tag)")
+    val m3 = ManifestTable.currentManifest(spark, path)
+    assert(m3.version == v1 + 1, "grouped drops: one commit per statement")
+    assert(!m3.schema.fieldNames.contains("score") &&
+      !m3.schema.fieldNames.contains("tag"))
+  }
+
+  test("the key's NOT NULL read claim is gated on the writer feature level") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 10).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+      path, "id", 2)
+    ManifestIndexSource.ensureRegistered(spark)
+    val t = s"${ManifestIndexSource.CatalogName}.`$path`"
+    def keyNullable(): Boolean =
+      spark.table(t).schema("id").nullable
+
+    // guard-era table: the write path enforced non-null keys, so the
+    // DSv2 schema may claim NOT NULL
+    assert(ManifestTable.currentManifest(spark, path).writerVersion >=
+      ManifestTable.CurrentWriterVersion)
+    assert(!keyNullable(), "guard-era key must read NOT NULL")
+
+    // a manifest without the feature level (written before the guard)
+    // parses to level 0
+    assert(ManifestTable.parseForTest(
+      """{"version":1,"nBuckets":2,"keyCol":"id","schemaDdl":"id BIGINT",""" +
+        """"buckets":{}}""").writerVersion == 0)
+
+    // simulate a pre-guard table: commit a level-0 manifest (what an
+    // old writer would have published) — the key must fall back to
+    // nullable, because old dirs could hold null keys the guard never
+    // saw (xxhash64(null) hashes to the seed, so they bucketed fine)
+    val cur = ManifestTable.currentManifest(spark, path)
+    ManifestTable.publish(spark, path,
+      cur.copy(version = cur.version + 1, writerVersion = 0))
+    assert(keyNullable(), "pre-guard manifests must not claim NOT NULL")
+
+    // a FULL rewrite passes every row back through the guard and
+    // upgrades the level: the claim returns
+    ManifestTable.rebucket(spark, path, 4)
+    assert(ManifestTable.currentManifest(spark, path).writerVersion >=
+      ManifestTable.CurrentWriterVersion)
+    assert(!keyNullable(), "full rewrite re-certifies NOT NULL")
+    // ...and ordinary commits PRESERVE the level
+    import spark.implicits._
+    ManifestTable.append(spark, path,
+      Seq((100L, "a")).toDF("id", "name"), "id")
+    assert(!keyNullable(), "appends preserve the feature level")
+  }
 }
