@@ -290,6 +290,10 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
   * Versions retired by vacuum are simply absent (their manifests are
   * gone — that is what vacuum means); the oldest retained version
   * reports `baseline` because it has no predecessor to diff against.
+  * Metadata IO is bounded by the LIMIT, not the history depth: only
+  * the newest `limit` manifests (plus one predecessor each) are read,
+  * with the restore look-back loading older ones lazily on demand —
+  * spec-pinned via [[graft.sinks.ManifestTable.manifestReads]].
   */
 case class GraftHistoryCommand(path: String, limit: Int)
   extends LeafRunnableCommand {
@@ -301,19 +305,31 @@ case class GraftHistoryCommand(path: String, limit: Int)
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val vs = ManifestTable.versions(sparkSession, path)
     require(vs.nonEmpty, s"no committed table at $path")
-    val ms = vs.map(v => v -> ManifestTable.readManifest(sparkSession, path, v))
+    // classify ONLY the newest `limit` versions (plus one predecessor
+    // each for the diff): `HISTORY ... LIMIT 5` on a deep-history table
+    // reads ~6 manifests, never the whole log. Older manifests load
+    // lazily (memoized) only when a candidate restore row needs its
+    // equality look-back — nearest-older-first, so the common
+    // restore-to-recent case stops after a few reads.
+    val cache = scala.collection.mutable.Map[Int, ManifestTable.Manifest]()
+    def mAt(v: Int): ManifestTable.Manifest =
+      cache.getOrElseUpdate(v, ManifestTable.readManifest(sparkSession, path, v))
     // a RESTORE commit reproduces an older version's exact state
     // (everything but version + txn watermarks) — recognizable from
     // metadata while its target version survives vacuum; afterwards it
     // degrades to whatever the pointer diff looks like, honestly
     def norm(x: ManifestTable.Manifest) = x.copy(version = 0, txns = Map.empty)
-    val rows = ms.zip(None +: ms.map(Some(_))).map { case ((v, m), prev) =>
+    val window = vs.takeRight(limit)
+    val rows = window.map { v =>
+      val m = mAt(v)
+      val prevV = vs.takeWhile(_ < v).lastOption
       val ts = new java.sql.Timestamp(
         ManifestTable.manifestModTime(sparkSession, path, v)).toInstant.toString
-      prev match {
+      prevV match {
         case None =>
           Row(v.toString, ts, "baseline", "", "", "", m.nBuckets.toString)
-        case Some((_, p)) =>
+        case Some(pv) =>
+          val p = mAt(pv)
           val before = p.buckets.values.flatten.toSet
           val after = m.buckets.values.flatten.toSet
           val added = (after -- before).size
@@ -335,7 +351,8 @@ case class GraftHistoryCommand(path: String, limit: Int)
             else if (norm(m) != norm(p) &&
               (added > 0 || removed > 0 || m.nBuckets != p.nBuckets ||
                 m.schemaDdl != p.schemaDdl || m.tombstones != p.tombstones) &&
-              ms.exists { case (v2, m2) => v2 < v && norm(m2) == norm(m) })
+              vs.takeWhile(_ < v).reverseIterator
+                .exists(v2 => norm(mAt(v2)) == norm(m)))
               "restore"
             else if (m.nBuckets != p.nBuckets) "rebucket"
             else if (m.schemaDdl != p.schemaDdl) {
@@ -364,7 +381,7 @@ case class GraftHistoryCommand(path: String, limit: Int)
             tsDelta.toString, m.nBuckets.toString)
       }
     }
-    rows.reverse.take(limit)
+    rows.reverse
   }
 }
 

@@ -334,6 +334,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(after == Seq(7, 6), s"retention view: $after")
   }
 
+  test("HISTORY LIMIT bounds metadata reads to the window, not the log depth") {
+    val path = tmp()
+    ManifestTable.write(
+      (0 until 10).map(i => (i.toLong, s"n-$i")).toDF("id", "name"),
+      path, "id", 2)
+    // a deep history...
+    (0 until 20).foreach(i => ManifestTable.append(spark, path,
+      Seq((100L + i, s"a-$i")).toDF("id", "name"), "id"))
+    // ...whose newest commits are metadata-only (no pointer movement →
+    // the restore look-back never fires): LIMIT k must read the k
+    // window manifests plus one predecessor each (memoized → k+1),
+    // NEVER the whole log
+    ManifestTable.setBloomColumns(spark, path, Seq("name"))
+    ManifestTable.setBloomColumns(spark, path, Seq.empty)
+    ManifestTable.setBloomColumns(spark, path, Seq("name"))
+    val before = ManifestTable.manifestReads.get()
+    val rows = spark.sql(s"GRAFT HISTORY '$path' LIMIT 3").collect()
+    val delta = ManifestTable.manifestReads.get() - before
+    assert(rows.length == 3 && rows.forall(_.getString(2) == "metadata"),
+      s"got ${rows.map(_.getString(2)).toSeq}")
+    assert(delta <= 6,
+      s"HISTORY LIMIT 3 on a 24-deep log must read ~4 manifests, read $delta")
+  }
+
   test("AutoMaintain: the commit stream drives upkeep to a healthy fixpoint") {
     val path = tmp()
     ManifestTable.write(
