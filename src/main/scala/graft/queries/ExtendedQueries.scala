@@ -786,6 +786,97 @@ object ExtendedQueries {
        |       count(*) FILTER (WHERE b < rate) AS n_sampled
        |FROM t GROUP BY source, rate ORDER BY source""".stripMargin
 
+  /** DSIR-style importance weighting for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling" — the hashed-ngram variant): fit bag-of-hashed-ngram
+    * distributions for the TARGET domain (here lang='en' — the
+    * in-domain slice a curator would point at) and the RAW corpus,
+    * then score every document by its log importance weight
+    * Σ_features log p_target(bucket) − log q_raw(bucket), +0.5
+    * smoothing per bucket. `selected` marks the top-100 by rounded
+    * weight (doc_id tiebreak) — the greedy take of the resampling
+    * step, deterministic on any engine.
+    *
+    * Scale shape: ONE corpus scan + ONE explode of (unigram+bigram)
+    * features, immediately compressed to (doc, bucket) counts by a
+    * map-side-combined aggregate — never a doc×vocab matrix; the
+    * 512-bucket model is a broadcast; the selection cutoff is a
+    * TakeOrdered(100) + 1-row broadcast, NOT a global window (the
+    * single-partition rank that dies at 100 TB).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{MathExprs, Sketches}
+    val B = 512L
+    val db = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(TextAnalysis.tokens(col("text")),
+          Sketches.word_ngrams(col("text"), 2))).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        MathExprs.polyHash(col("gram"), B).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+    val bs = db.groupBy("b").agg(
+      sum(col("c")).as("nq"),
+      coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("np"))
+    val tot = bs.agg(sum(col("nq")).as("tq"), sum(col("np")).as("tp"))
+    val bw = bs.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("np") + lit(0.5)) / (col("tp") + lit(0.5) * lit(B))) -
+          log((col("nq") + lit(0.5)) / (col("tq") + lit(0.5) * lit(B)))).as("w"))
+    val perDoc = db.join(broadcast(bw), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c") * col("w")), 6).as("weight"))
+    // rank-100 cutoff as a struct bound: TakeOrdered(100) → the last
+    // qualifying (weight, doc_id) pair → broadcast compare. Fewer than
+    // 100 docs ⇒ the bound is the global min ⇒ everything selects,
+    // same as rank() would say.
+    val cut = perDoc.orderBy(desc("weight"), col("doc_id")).limit(100)
+      .agg(min(struct(col("weight"), (-col("doc_id")).as("nid"))).as("cut"))
+    perDoc.crossJoin(broadcast(cut))
+      .withColumn("selected",
+        struct(col("weight"), (-col("doc_id")).as("nid")) >= col("cut"))
+      .orderBy("doc_id")
+      .select("doc_id", "lang", "n_feats", "weight", "selected")
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         string_split_regex(trim(text), '\\s+') AS u,
+       |         ${kernelToksSql("text")} AS kt
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang, unnest(u) AS gram FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(kt)),
+       |           i -> kt[i] || ' ' || kt[i + 1])) AS gram
+       |  FROM toks WHERE len(kt) >= 2),
+       |db AS (
+       |  SELECT doc_id, lang,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(gram, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % 512) AS b,
+       |         count(*) AS c
+       |  FROM feats GROUP BY 1, 2, 3),
+       |bs AS (
+       |  SELECT b, sum(c) AS nq,
+       |         coalesce(sum(c) FILTER (WHERE lang = 'en'), 0) AS np
+       |  FROM db GROUP BY b),
+       |tot AS (SELECT sum(nq) AS tq, sum(np) AS tp FROM bs),
+       |bw AS (
+       |  SELECT b, ln((np + 0.5) / (tp + 0.5 * 512)) -
+       |            ln((nq + 0.5) / (tq + 0.5 * 512)) AS w
+       |  FROM bs, tot),
+       |pd AS (
+       |  SELECT db.doc_id, db.lang, CAST(sum(db.c) AS BIGINT) AS n_feats,
+       |         round(sum(db.c * bw.w), 6) AS weight
+       |  FROM db JOIN bw USING (b) GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_feats, weight,
+       |       row_number() OVER (ORDER BY weight DESC, doc_id) <= 100 AS selected
+       |FROM pd ORDER BY doc_id""".stripMargin
+
   /** BPE-style pair statistics: the top-20 most frequent ADJACENT token
     * pairs across the corpus (with multiplicity) — the inner scan of
     * byte-pair/wordpiece tokenizer training, where each merge round
@@ -2911,6 +3002,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "decontamination" -> decontamination _,
     "token_budget_pack" -> tokenBudgetPack _,
     "mixture_sample_stats" -> mixtureSampleStats _,
+    "dsir_weights" -> dsirWeights _,
     "vocabulary_topk" -> vocabularyTopk _,
     "oov_rate" -> oovRate _,
     "ngram_lm_perplexity" -> ngramLmPerplexity _,
@@ -3087,6 +3179,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "decontamination" -> decontaminationSql,
     "token_budget_pack" -> tokenBudgetPackSql,
     "mixture_sample_stats" -> mixtureSampleStatsSql,
+    "dsir_weights" -> dsirWeightsSql,
     "vocabulary_topk" -> vocabularyTopkSql,
     "oov_rate" -> oovRateSql,
     "ngram_lm_perplexity" -> ngramLmPerplexitySql,

@@ -59,6 +59,19 @@ class ExecutedPlanSpec extends SparkSpec {
         "corpus once")
   }
 
+  test("dsir_weights: the (doc,bucket) exchange deduplicates across all derived legs") {
+    // the static plan shows 6 scan+explode+agg legs (db feeds bs, tot,
+    // the per-doc join, and the rank-cutoff branch repeats the stack);
+    // AQE must collapse every repeat onto ONE materialized db exchange
+    val (reused, scans) = executedCounts("dsir_weights")
+    assert(reused >= 4,
+      s"dsir_weights must reuse the shared (doc,bucket) exchange (got " +
+        s"$reused ReusedExchange) — a leg stopped deduplicating and the " +
+        "feature explode now runs per derived shape")
+    assert(scans <= 2,
+      s"dsir_weights executed $scans file scans — expected ≤ 2 after reuse")
+  }
+
   test("source_overlap: the shared shingle exchange deduplicates at runtime") {
     val (reused, scans) = executedCounts("source_overlap")
     assert(reused >= 2,
