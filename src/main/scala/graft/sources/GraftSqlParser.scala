@@ -258,7 +258,7 @@ object GraftSqlParser {
 case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     "table", "version", "n_buckets", "key_col", "rows", "dirs", "files",
-    "bytes", "tombstone_entries", "bloom_cols", "ndv"
+    "bytes", "tombstone_entries", "bloom_cols", "ndv", "writer_version"
   ).map(n => AttributeReference(n, StringType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
@@ -277,7 +277,10 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
       if (dirs.forall(m.dirFiles.contains)) files.flatten.map(_._2).sum.toString else "",
       m.tombstones.valuesIterator.map(_.size).sum.toString,
       m.bloomCols.mkString(","),
-      ndv.mkString(",")))
+      ndv.mkString(","),
+      // the feature level the NOT NULL key claim is gated on — 0 means
+      // a full rewrite would re-certify it (see CurrentWriterVersion)
+      m.writerVersion.toString))
   }
 }
 

@@ -75,6 +75,8 @@ class GraftSqlSpec extends SparkSpec {
     val ndv = "id=(\\d+)".r.findFirstMatchIn(d.getString(10)).map(_.group(1).toInt)
     assert(ndv.exists(n => n >= 180 && n <= 230),
       s"DESCRIBE ndv must estimate ~205 distinct ids, got ${d.getString(10)}")
+    assert(d.getString(11).toInt >= ManifestTable.CurrentWriterVersion,
+      "DESCRIBE surfaces the writer feature level")
   }
 
   test("malformed GRAFT statements fail loudly; ordinary SQL is untouched") {

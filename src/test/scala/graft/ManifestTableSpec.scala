@@ -372,6 +372,12 @@ class ManifestTableSpec extends SparkSpec {
             s"missing=${(model.keySet -- got.keySet).take(3)} " +
             s"extra=${(got.keySet -- model.keySet).take(3)} " +
             s"wrong=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).take(3)}")
+        // a guard-era table never loses its writer feature level: every
+        // op preserves the base's or (full rewrites) re-stamps it, and
+        // restore targets are themselves guard-era snapshots here
+        assert(ManifestTable.currentManifest(spark, path).writerVersion ==
+          ManifestTable.CurrentWriterVersion,
+          s"writer feature level regressed at step $step")
         snaps += ManifestTable.currentManifest(spark, path).version -> model
       }
     }
