@@ -121,7 +121,8 @@ object ManifestTable {
                                      dirFiles: Map[String, Seq[(String, Long)]] = Map.empty,
                                      dirNdv: Map[String, Map[String, String]] = Map.empty,
                                      droppedCols: Seq[String] = Seq.empty,
-                                     writerVersion: Int = 0) {
+                                     writerVersion: Int = 0,
+                                     constraints: Map[String, String] = Map.empty) {
     def schema: org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     def keyType: org.apache.spark.sql.types.DataType =
@@ -153,6 +154,14 @@ object ManifestTable {
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Top-level manifest JSON keys — constraint names must not shadow
+    * them (the flat parser scans by keyed substring).
+    */
+  private val ManifestFieldNames = Set("version", "writerVersion",
+    "nBuckets", "keyCol", "schemaDdl", "constraints", "txns", "dirRows",
+    "dirStats", "dirNdv", "bloomCols", "droppedCols", "tombstones",
+    "dirFiles", "buckets")
 
   private def manifestName(v: Int) = f"v$v%08d.json"
 
@@ -241,9 +250,28 @@ object ManifestTable {
           .map { case (c, hx) => s""""$c":"$hx"""" }.mkString(",")
         s""""$d":{$inner}""" }
       .mkString(",")
+    // CHECK constraints: names identifier-shaped, expressions restricted
+    // at addConstraint time to the quote/brace/newline-free charset the
+    // flat parser round-trips — re-checked here so a hostile value can
+    // never corrupt the manifest silently
+    m.constraints.foreach { case (n, e) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"constraint name not manifest-safe: $n")
+      // a constraint named like a manifest FIELD would alias the flat
+      // parser's keyed substring scans (e.g. a constraint "txns" renders
+      // as "txns":{...}-shaped text before the real txns object)
+      require(!ManifestFieldNames.contains(n),
+        s"constraint name collides with a manifest field: $n")
+      require(!e.exists(c => c == '"' || c == '{' || c == '}' ||
+          c == '\n' || c == '\r'),
+        s"constraint expression not manifest-safe: $e")
+    }
+    val cons = m.constraints.toSeq.sortBy(_._1)
+      .map { case (n, e) => s""""$n":"$e"""" }.mkString(",")
     s"""{"version":${m.version},"writerVersion":${m.writerVersion},""" +
       s""""nBuckets":${m.nBuckets},""" +
       s""""keyCol":"${m.keyCol}","schemaDdl":"${m.schemaDdl}",""" +
+      s""""constraints":{$cons},""" +
       s""""txns":{$txns},""" +
       s""""dirRows":{$rows},""" +
       s""""dirStats":{$stats},""" +
@@ -368,10 +396,20 @@ object ManifestTable {
     // column stays nullable on read — see [[CurrentWriterVersion]])
     val writerVersion = """"writerVersion":(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(0)
+    // optional (absent in pre-constraint manifests): CHECK constraints,
+    // name → SQL expression (values carry no quotes/braces by contract,
+    // so the flat quote-anchored scan is unambiguous)
+    val constraints = s.indexOf("\"constraints\"") match {
+      case -1 => Map.empty[String, String]
+      case i =>
+        val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
+        """"([A-Za-z_][A-Za-z0-9_]*)":"([^"]*)"""".r.findAllMatchIn(body)
+          .map(c => c.group(1) -> c.group(2)).toMap
+    }
     Manifest(intField("version"), intField("nBuckets"),
       strField("keyCol"), strField("schemaDdl"), buckets, txns, dirRows,
       dirStats, bloomCols, tombstones, dirFiles, dirNdv, droppedCols,
-      writerVersion)
+      writerVersion, constraints)
   }
 
   /** The current manifest for metadata introspection (GRAFT DESCRIBE). */
@@ -1223,19 +1261,30 @@ object ManifestTable {
           "partition columns) — rename it"))
   private val ReservedCols = Set("bucket", "b", "s")
 
-  private def bucketed(df: DataFrame, keyCol: String, nBuckets: Int) = {
+  private def bucketed(df: DataFrame, keyCol: String, nBuckets: Int,
+                       constraints: Map[String, String] = Map.empty) = {
     requireNoReservedCols(df.columns.toSeq, "manifest write")
     // keys are NOT NULL by contract: a null key is unreachable by every
     // keyed op (equality never matches null — delete/upsert/lookup would
     // silently skip it forever) and Spark's row-level SQL refuses
     // nullable row ids, so the write fails loudly instead of admitting
     // a zombie row. The check rides the bucket projection (one isNull
-    // next to the xxhash — no extra pass).
+    // next to the xxhash — no extra pass). CHECK constraints ride the
+    // SAME column (fused into the used projection, so column pruning
+    // can never elide the guard): violated = expression IS FALSE, NULL
+    // passes per SQL semantics.
+    val hash = pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
+    val guarded = constraints.toSeq.sortBy(_._1).foldLeft(hash) {
+      case (acc, (name, sql)) =>
+        when(coalesce(expr(sql), lit(true)) === lit(false), raise_error(lit(
+          s"CHECK constraint $name violated by a written row: $sql")))
+          .otherwise(acc)
+    }
     df.withColumn("bucket",
       when(col(keyCol).isNull, raise_error(lit(
         s"null $keyCol: manifest tables require non-null keys (the key " +
           "is the layout's hash input and the SQL row-level identity)")))
-        .otherwise(pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+        .otherwise(guarded)
         .cast("int"))
   }
 
@@ -1324,6 +1373,105 @@ object ManifestTable {
     commitWithRetry(spark, path)(m => setBloomColumnsMeta(m, cols))
     val m = currentManifest(spark, path)
     writeBlooms(spark, path, m, m.buckets.values.flatten.toSet)
+  }
+
+  /** ADD CONSTRAINT — Delta's table CHECK constraints on this log: the
+    * named boolean SQL expression is validated against the CURRENT data
+    * first (one scan; a violated table refuses the constraint, like
+    * Delta), recorded in the manifest in one metadata commit, and from
+    * then on enforced on every NEW-row write path — API append/upsert/
+    * merge (a raise_error guard fused into the bucket projection), SQL
+    * INSERT / INSERT OVERWRITE / streaming toTable, and row-level
+    * UPDATE/MERGE inserts (a bound predicate in the executor-side
+    * writers). Rewrites (compact/OPTIMIZE/rebucket/rename/delete) skip
+    * re-checking — their rows were admitted under the constraint
+    * already. SQL NULL semantics: a constraint evaluating to NULL
+    * passes (violated means IS FALSE), matching Delta and the SQL
+    * standard.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    exprSql: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name not manifest-safe: $name")
+    require(!ManifestFieldNames.contains(name),
+      s"constraint name collides with a manifest field: $name")
+    require(!exprSql.exists(c => c == '"' || c == '{' || c == '}' ||
+        c == '\n' || c == '\r'),
+      "constraint expression must be flat-JSON-safe: use single quotes, " +
+        s"no braces or newlines — got: $exprSql")
+    commitWithRetry(spark, path) { m =>
+      require(!m.constraints.contains(name),
+        s"constraint $name already exists on table at $path")
+      // analysis against the table schema: resolves columns + functions,
+      // demands a BOOLEAN result, and refuses references to the derived
+      // bucket column (not a data column — its value is an engine detail)
+      resolveConstraints(spark, m.schema, Map(name -> exprSql))
+      constraintColumnRefs(exprSql).find(_.equalsIgnoreCase("bucket"))
+        .foreach(_ => throw new IllegalArgumentException(
+          s"constraint $name references the derived bucket column"))
+      val violated = readFrom(spark, path, m)
+        .filter(!coalesce(expr(exprSql), lit(true)))
+        .limit(1).count() > 0
+      require(!violated,
+        s"existing rows violate CHECK $name ($exprSql) on table at " +
+          s"$path — fix the data first (ADD CONSTRAINT validates the " +
+          "table, like Delta)")
+      Some(m.copy(version = m.version + 1,
+        constraints = m.constraints + (name -> exprSql)))
+    }
+  }
+
+  /** DROP CONSTRAINT: one metadata commit; must exist. */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Unit =
+    commitWithRetry(spark, path) { m =>
+      require(m.constraints.contains(name),
+        s"no constraint $name on table at $path " +
+          s"(have: ${m.constraints.keys.toSeq.sorted.mkString(", ")})")
+      Some(m.copy(version = m.version + 1,
+        constraints = m.constraints - name))
+    }
+
+  /** Top-level column names a constraint expression references —
+    * parsed, not regexed, so a column name inside a string literal
+    * never counts. Used to refuse dropping/renaming a column a live
+    * constraint still checks.
+    */
+  private[graft] def constraintColumnRefs(exprSql: String): Seq[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(exprSql).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.head
+      }.distinct
+
+  /** Analyze each constraint against `schema` and return NAME →
+    * null-passing bound predicate expression (BoundReference ordinals
+    * into a row of exactly `schema`) — serializable, so the DSv2
+    * executor-side writers evaluate it per insert row. Fails loudly on
+    * unresolvable columns/functions or a non-boolean result.
+    */
+  private[graft] def resolveConstraints(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      constraints: Map[String, String])
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Coalesce, Literal}
+    constraints.toSeq.sortBy(_._1).map { case (name, sql) =>
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val analyzed = try df.selectExpr(sql).queryExecution.analyzed
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"CHECK $name does not analyze against the table schema " +
+              s"(${schema.simpleString}): ${e.getMessage}") }
+      val resolved = analyzed.expressions.head match {
+        case a: Alias => a.child
+        case e => e
+      }
+      require(resolved.dataType == org.apache.spark.sql.types.BooleanType,
+        s"CHECK $name must be BOOLEAN, got ${resolved.dataType.sql}: $sql")
+      name -> BindReferences.bindReference(
+        Coalesce(Seq(resolved, Literal(true))): org.apache.spark.sql.catalyst.expressions.Expression,
+        analyzed.children.head.output)
+    }
   }
 
   /** [[setBloomColumns]]' validation + metadata transform, pure — see
@@ -1520,20 +1668,23 @@ object ManifestTable {
     // THEM IN (existing rows are read with deletes applied): rebasing
     // onto a manifest whose touched-bucket tombstones changed would
     // resurrect (or lose) the concurrent delete's effect.
-    var stagedFor: Option[(Layout,
+    var stagedFor: Option[(Layout, Map[String, String],
       Map[Int, (Seq[String], Seq[(String, Seq[String])])],
       Map[Int, String], Set[Int])] = None
     commitWithRetry(spark, path) { m =>
       require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
       requireKeyType(m, updates.schema(keyCol).dataType, "upsert")
-      val u = bucketed(updates, keyCol, m.nBuckets)
+      // CHECK constraints guard the update rows (existing rows were
+      // admitted under them already; they pass through the rewrite)
+      val u = bucketed(updates, keyCol, m.nBuckets, m.constraints)
       // ≤ nBuckets values — bounded driver metadata, like a partition listing
       val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).toSet
       val baseState = touched.map(b => b -> (m.buckets.getOrElse(b, Seq.empty),
         m.tombstones.getOrElse(b, Seq.empty))).toMap
       val staged = stagedFor match {
-        case Some((lay, base, dirs, tb))
-            if lay == layoutOf(m) && tb == touched && base == baseState =>
+        case Some((lay, cons, base, dirs, tb))
+            if lay == layoutOf(m) && cons == m.constraints &&
+              tb == touched && base == baseState =>
           dirs // conflicting commit didn't move our buckets: pointer-only rebase
         case _ =>
           val perBucket = touched.toSeq.sorted.map(b =>
@@ -1551,7 +1702,7 @@ object ManifestTable {
           }
           val dirs = stageSlice(spark, path, merged,
             writerOptions = bloomWriteOpts(m.bloomCols))
-          stagedFor = Some((layoutOf(m), baseState, dirs, touched))
+          stagedFor = Some((layoutOf(m), m.constraints, baseState, dirs, touched))
           dirs
       }
       // touched buckets point at the new dirs (a bucket whose rows were all
@@ -1578,7 +1729,7 @@ object ManifestTable {
                                 appId: String, batchVersion: Long): Boolean = {
     require(appId.matches("[A-Za-z0-9._=-]+"),
       s"appId must be manifest-safe: $appId")
-    var stagedFor: Option[(Layout,
+    var stagedFor: Option[(Layout, Map[String, String],
       Map[Int, (Seq[String], Seq[(String, Seq[String])])],
       Map[Int, String], Set[Int])] = None
     var did = false
@@ -1593,13 +1744,14 @@ object ManifestTable {
       else {
         require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
         requireKeyType(m, updates.schema(keyCol).dataType, "upsertOnce")
-        val u = bucketed(updates, keyCol, m.nBuckets)
+        val u = bucketed(updates, keyCol, m.nBuckets, m.constraints)
         val touched = u.select("bucket").distinct().collect().map(_.getInt(0)).toSet
         val baseState = touched.map(b => b -> (m.buckets.getOrElse(b, Seq.empty),
           m.tombstones.getOrElse(b, Seq.empty))).toMap
         val staged = stagedFor match {
-          case Some((lay, base, dirs, tb))
-              if lay == layoutOf(m) && tb == touched && base == baseState =>
+          case Some((lay, cons, base, dirs, tb))
+              if lay == layoutOf(m) && cons == m.constraints &&
+                tb == touched && base == baseState =>
             dirs
           case _ =>
             val perBucket = touched.toSeq.sorted.map(b =>
@@ -1616,7 +1768,7 @@ object ManifestTable {
             val dirs = stageSlice(spark, path, merged,
               Some(s"txn-$appId-$batchVersion"),
               writerOptions = bloomWriteOpts(m.bloomCols))
-            stagedFor = Some((layoutOf(m), baseState, dirs, touched))
+            stagedFor = Some((layoutOf(m), m.constraints, baseState, dirs, touched))
             dirs
         }
         did = true
@@ -1642,17 +1794,20 @@ object ManifestTable {
     // appends commute: staged once, the dirs rebase onto ANY newer
     // SAME-LAYOUT manifest (each touched bucket's list just grows by
     // one) — the retry loop restages only if a concurrent write()
-    // changed the layout the rows were bucketed under
-    var staged: Option[(Layout, Map[Int, String])] = None
+    // changed the layout (or CHECK constraint set) the rows were
+    // staged under
+    var staged: Option[(Layout, Map[String, String], Map[Int, String])] = None
     commitWithRetry(spark, path) { m =>
       require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
       requireKeyType(m, rows.schema(keyCol).dataType, "append")
       val dirs = staged match {
-        case Some((lay, d)) if lay == layoutOf(m) => d
+        case Some((lay, cons, d))
+            if lay == layoutOf(m) && cons == m.constraints => d
         case _ =>
-          val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets),
+          val d = stageSlice(spark, path,
+            bucketed(rows, keyCol, m.nBuckets, m.constraints),
             writerOptions = bloomWriteOpts(m.bloomCols))
-          staged = Some((layoutOf(m), d))
+          staged = Some((layoutOf(m), m.constraints, d))
           d
       }
       val next = dirs.foldLeft(m.buckets) { case (acc, (b, d)) =>
@@ -1674,12 +1829,32 @@ object ManifestTable {
     * the commit loudly, since executor-staged parquet cannot be
     * restaged driver-side. `touched` maps bucket → path-relative dir.
     */
+  /** Executor-staged rows were validated under the CHECK constraints of
+    * the manifest the write was planned against; a concurrent ADD
+    * CONSTRAINT before this commit would admit rows the new constraint
+    * never saw. Unlike the API paths (which restage with the new
+    * guards), executor-staged parquet cannot be re-validated driver-
+    * side — fail for the caller to re-run, like the row-level conflict.
+    */
+  private def requireConstraints(m: Manifest,
+                                 staged: Map[String, String],
+                                 path: String): Unit =
+    if (m.constraints != staged)
+      throw new java.util.ConcurrentModificationException(
+        s"CHECK constraints of table at $path changed since this " +
+          s"statement planned (staged under: ${staged.keys.toSeq.sorted
+            .mkString(",")}; now: ${m.constraints.keys.toSeq.sorted
+            .mkString(",")}) — staged rows were not validated against " +
+          "the new set; re-run the statement")
+
   private[graft] def commitStagedAppend(spark: SparkSession, path: String,
                                         touched: Map[Int, String],
-                                        stagedLayout: Layout): Unit = {
+                                        stagedLayout: Layout,
+                                        stagedConstraints: Map[String, String]): Unit = {
     if (touched.isEmpty) return
     commitWithRetry(spark, path) { m =>
       requireLayout(m, stagedLayout, path)
+      requireConstraints(m, stagedConstraints, path)
       touched.keys.find(b => b < 0 || b >= m.nBuckets).foreach(b =>
         throw new IllegalArgumentException(
           s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
@@ -1700,9 +1875,11 @@ object ManifestTable {
     */
   private[graft] def commitStagedReplace(spark: SparkSession, path: String,
                                          staged: Map[Int, String],
-                                         stagedLayout: Layout): Unit =
+                                         stagedLayout: Layout,
+                                         stagedConstraints: Map[String, String]): Unit =
     commitWithRetry(spark, path) { m =>
       requireLayout(m, stagedLayout, path)
+      requireConstraints(m, stagedConstraints, path)
       staged.keys.find(b => b < 0 || b >= m.nBuckets).foreach(b =>
         throw new IllegalArgumentException(
           s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
@@ -1723,13 +1900,15 @@ object ManifestTable {
                                             touched: Map[Int, String],
                                             stagedLayout: Layout,
                                             appId: String,
-                                            batchVersion: Long): Boolean = {
+                                            batchVersion: Long,
+                                            stagedConstraints: Map[String, String]): Boolean = {
     var did = false
     commitWithRetry(spark, path) { m =>
       did = false // per-attempt: see upsertOnce's lost-race note
       if (m.txns.get(appId).exists(_ >= batchVersion)) None
       else {
         requireLayout(m, stagedLayout, path)
+        requireConstraints(m, stagedConstraints, path)
         touched.keys.find(b => b < 0 || b >= m.nBuckets).foreach(b =>
           throw new IllegalArgumentException(
             s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))
@@ -1773,7 +1952,7 @@ object ManifestTable {
                  keyCol: String, appId: String, batchVersion: Long): Boolean = {
     require(appId.matches("[A-Za-z0-9._=-]+"),
       s"appId must be filename-safe: $appId")
-    var staged: Option[(Layout, Map[Int, String])] = None
+    var staged: Option[(Layout, Map[String, String], Map[Int, String])] = None
     var did = false
     commitWithRetry(spark, path) { m =>
       // reset per attempt: an earlier attempt may have set did=true then
@@ -1787,12 +1966,14 @@ object ManifestTable {
         require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
         requireKeyType(m, rows.schema(keyCol).dataType, "appendOnce")
         val dirs = staged match {
-          case Some((lay, d)) if lay == layoutOf(m) => d
+          case Some((lay, cons, d))
+              if lay == layoutOf(m) && cons == m.constraints => d
           case _ =>
-            val d = stageSlice(spark, path, bucketed(rows, keyCol, m.nBuckets),
+            val d = stageSlice(spark, path,
+              bucketed(rows, keyCol, m.nBuckets, m.constraints),
               Some(s"txn-$appId-$batchVersion"),
               writerOptions = bloomWriteOpts(m.bloomCols))
-            staged = Some((layoutOf(m), d))
+            staged = Some((layoutOf(m), m.constraints, d))
             d
         }
         did = true
@@ -2138,6 +2319,11 @@ object ManifestTable {
       require(!m.bloomCols.contains(c),
         s"column $c carries bloom sidecars — run setBloomColumns " +
           "without it first")
+      m.constraints.find { case (_, e) =>
+        constraintColumnRefs(e).exists(_.equalsIgnoreCase(c)) }
+        .foreach { case (n, e) => throw new IllegalArgumentException(
+          s"column $c is checked by CHECK constraint $n ($e) — drop the " +
+            "constraint first") }
     }
     val next = org.apache.spark.sql.types.StructType(
       m.schema.fields.filterNot(f => cols.contains(f.name)))
@@ -2216,6 +2402,13 @@ object ManifestTable {
       s"column $to was previously dropped — old files still carry it " +
         "physically, so renaming onto the name would resurrect " +
         "dropped data; pick a new name (or rewrite the table)")
+    if (from != to)
+      m.constraints.find { case (_, e) =>
+        constraintColumnRefs(e).exists(_.equalsIgnoreCase(from)) }
+        .foreach { case (n, e) => throw new IllegalArgumentException(
+          s"column $from is checked by CHECK constraint $n ($e) — the " +
+            "stored expression would go stale; drop the constraint, " +
+            "rename, and re-add it under the new name") }
     if (from == to) m
     else {
       require(!names.exists(_.equalsIgnoreCase(to)),
@@ -2333,19 +2526,22 @@ object ManifestTable {
     */
   def merge(spark: SparkSession, path: String, source: DataFrame,
             keyCol: String): Unit = {
-    var staged: Option[(Layout, Map[Int, String], Map[Int, String])] = None
+    var staged: Option[(Layout, Map[String, String],
+      Map[Int, String], Map[Int, String])] = None
     commitWithRetry(spark, path) { m =>
       require(keyCol == m.keyCol, s"table at $path is keyed by ${m.keyCol}, not $keyCol")
       requireKeyType(m, source.schema(keyCol).dataType, "merge")
       val (dataDirs, tsDirs) = staged match {
-        case Some((lay, dd, td)) if lay == layoutOf(m) => (dd, td)
+        case Some((lay, cons, dd, td))
+            if lay == layoutOf(m) && cons == m.constraints => (dd, td)
         case _ =>
-          val dd = stageSlice(spark, path, bucketed(source, keyCol, m.nBuckets),
+          val dd = stageSlice(spark, path,
+            bucketed(source, keyCol, m.nBuckets, m.constraints),
             writerOptions = bloomWriteOpts(m.bloomCols))
           val td = stageSlice(spark, path,
             bucketed(source.select(keyCol).na.drop.distinct(), keyCol, m.nBuckets),
             Some("ts"))
-          staged = Some((layoutOf(m), dd, td))
+          staged = Some((layoutOf(m), m.constraints, dd, td))
           (dd, td)
       }
       // tombstones cover the base manifest's dirs — computed BEFORE the
@@ -2404,6 +2600,7 @@ object ManifestTable {
     val stagedLayout = layoutOf(scanned)
     commitWithRetry(spark, path) { m =>
       requireLayout(m, stagedLayout, path)
+      requireConstraints(m, scanned.constraints, path)
       (dataDirs.keys ++ tsDirs.keys).find(b => b < 0 || b >= m.nBuckets)
         .foreach(b => throw new IllegalArgumentException(
           s"staged bucket $b outside [0, ${m.nBuckets}) of table at $path"))

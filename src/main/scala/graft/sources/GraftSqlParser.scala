@@ -26,6 +26,9 @@ import graft.sinks.ManifestTable
   * GRAFT DROP COLUMNS '/path/t' (tag)              -- metadata-only
   * GRAFT SET BLOOM '/path/t' (id, content_hash)   -- sidecar columns
   * GRAFT ANALYZE '/path/t'                         -- backfill NDV stats
+  * GRAFT ADD CONSTRAINT '/path/t' pos CHECK (score >= 0)
+  *                                                  -- validate + enforce
+  * GRAFT DROP CONSTRAINT '/path/t' pos
   * GRAFT RENAME COLUMN '/path/t' old TO new        -- honest rewrite
   * GRAFT CREATE TEXT INDEX '/idx' FROM '/t' KEY id TEXT body [BUCKETS 8]
   * GRAFT CREATE VECTOR INDEX '/idx' FROM '/t' KEY id VECTOR emb [LISTS 16]
@@ -92,6 +95,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SET\s+BLOOM\s+'([^']+)'\s*\(([^)]*)\)\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
+  private val AddConstraint =
+    """(?is)\s*GRAFT\s+ADD\s+CONSTRAINT\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*""".r
+  private val DropConstraint =
+    """(?is)\s*GRAFT\s+DROP\s+CONSTRAINT\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s*""".r
   private val CreateTextIndex =
     """(?is)\s*GRAFT\s+CREATE\s+TEXT\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+TEXT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*""".r
   private val CreateVectorIndex =
@@ -160,6 +167,12 @@ object GraftSqlParser {
       case Analyze(path) =>
         Some(GraftMaintenanceCommand(path, "analyze", s =>
           ManifestTable.analyzeNdv(s, path)))
+      case AddConstraint(path, name, check) =>
+        Some(GraftMaintenanceCommand(path, "add_constraint", s =>
+          ManifestTable.addConstraint(s, path, name, check.trim)))
+      case DropConstraint(path, name) =>
+        Some(GraftMaintenanceCommand(path, "drop_constraint", s =>
+          ManifestTable.dropConstraint(s, path, name)))
       case CreateTextIndex(idx, src, key, text, buckets) =>
         Some(GraftMaintenanceCommand(idx, "create_text_index", s =>
           graft.ops.Bm25Index.sync(s, idx, src, key, text,
@@ -235,7 +248,8 @@ object GraftSqlParser {
         throw new IllegalArgumentException(
           "malformed GRAFT maintenance statement — expected GRAFT " +
             "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | DROP COLUMNS | " +
-            "RENAME COLUMN | SET BLOOM | ANALYZE | RESTORE | DESCRIBE | " +
+            "RENAME COLUMN | SET BLOOM | ANALYZE | ADD CONSTRAINT | " +
+            "DROP CONSTRAINT | RESTORE | DESCRIBE | " +
             "HISTORY | " +
             "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
             "FEED | CREATE TEXT INDEX | CREATE VECTOR INDEX | REFRESH | " +
@@ -258,7 +272,8 @@ object GraftSqlParser {
 case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     "table", "version", "n_buckets", "key_col", "rows", "dirs", "files",
-    "bytes", "tombstone_entries", "bloom_cols", "ndv", "writer_version"
+    "bytes", "tombstone_entries", "bloom_cols", "ndv", "writer_version",
+    "constraints"
   ).map(n => AttributeReference(n, StringType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
@@ -280,7 +295,9 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
       ndv.mkString(","),
       // the feature level the NOT NULL key claim is gated on — 0 means
       // a full rewrite would re-certify it (see CurrentWriterVersion)
-      m.writerVersion.toString))
+      m.writerVersion.toString,
+      m.constraints.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))
   }
 }
 

@@ -2018,7 +2018,9 @@ class ManifestStreamingWrite(path: String, m: ManifestTable.Manifest,
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(path, s"data/stream-$writerId",
       ManifestIndexTable.deepNullable(m.schema), m.keyCol, m.nBuckets,
-      new SerializableHadoopConf(hadoopConf))
+      new SerializableHadoopConf(hadoopConf),
+      ManifestTable.resolveConstraints(SparkSession.active,
+        ManifestIndexTable.deepNullable(m.schema), m.constraints))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val touched = messages.iterator
@@ -2026,7 +2028,7 @@ class ManifestStreamingWrite(path: String, m: ManifestTable.Manifest,
       .toSeq.distinct.map(b => b -> s"${epochRel(epochId)}/b=$b").toMap
     ManifestTable.commitStagedAppendOnce(SparkSession.active, path, touched,
       ManifestTable.layoutOf(m), appId = s"dsv2-$queryId",
-      batchVersion = epochId)
+      batchVersion = epochId, stagedConstraints = m.constraints)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -2038,12 +2040,14 @@ class ManifestStreamingWrite(path: String, m: ManifestTable.Manifest,
 
 class ManifestStreamingWriterFactory(path: String, commitRelBase: String,
                                      schema: StructType, keyCol: String,
-                                     nBuckets: Int, conf: SerializableHadoopConf)
+                                     nBuckets: Int, conf: SerializableHadoopConf,
+                                     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new ManifestBucketDataWriter(path, s"$commitRelBase-$epochId", schema,
-      keyCol, nBuckets, partitionId, taskId, conf.value)
+      keyCol, nBuckets, partitionId, taskId, conf.value,
+      constraints = constraints)
 }
 
 class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,
@@ -2057,7 +2061,9 @@ class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, s"data/$commitId",
       ManifestIndexTable.deepNullable(m.schema), m.keyCol, m.nBuckets,
-      new SerializableHadoopConf(hadoopConf))
+      new SerializableHadoopConf(hadoopConf),
+      ManifestTable.resolveConstraints(SparkSession.active,
+        ManifestIndexTable.deepNullable(m.schema), m.constraints))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val touched = messages.iterator
@@ -2065,10 +2071,10 @@ class ManifestBatchWrite(path: String, m: ManifestTable.Manifest,
       .toSeq.distinct.map(b => b -> s"data/$commitId/b=$b").toMap
     if (replaceAll)
       ManifestTable.commitStagedReplace(SparkSession.active, path, touched,
-        ManifestTable.layoutOf(m))
+        ManifestTable.layoutOf(m), m.constraints)
     else
       ManifestTable.commitStagedAppend(SparkSession.active, path, touched,
-        ManifestTable.layoutOf(m))
+        ManifestTable.layoutOf(m), m.constraints)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -2182,7 +2188,9 @@ class ManifestDeltaBatchWrite(path: String, m: ManifestTable.Manifest,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new ManifestDeltaWriterFactory(path, dataRel, tsRel,
       ManifestIndexTable.deepNullable(m.schema), m.keyCol, m.nBuckets,
-      new SerializableHadoopConf(hadoopConf))
+      new SerializableHadoopConf(hadoopConf),
+      ManifestTable.resolveConstraints(SparkSession.active,
+        ManifestIndexTable.deepNullable(m.schema), m.constraints))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.map(_.asInstanceOf[ManifestDeltaCommit])
@@ -2208,12 +2216,13 @@ case class ManifestDeltaCommit(dataBuckets: Seq[Int],
 
 class ManifestDeltaWriterFactory(path: String, dataRel: String, tsRel: String,
                                  schema: StructType, keyCol: String,
-                                 nBuckets: Int, conf: SerializableHadoopConf)
+                                 nBuckets: Int, conf: SerializableHadoopConf,
+                                 constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DeltaWriter[InternalRow] =
     new ManifestDeltaWriter(path, dataRel, tsRel, schema, keyCol, nBuckets,
-      partitionId, taskId, conf.value)
+      partitionId, taskId, conf.value, constraints)
 }
 
 /** Per-task delta writer: INSERTs go to an ordinary bucket data writer
@@ -2222,11 +2231,15 @@ class ManifestDeltaWriterFactory(path: String, dataRel: String, tsRel: String,
   */
 class ManifestDeltaWriter(path: String, dataRel: String, tsRel: String,
                           schema: StructType, keyCol: String, nBuckets: Int,
-                          partitionId: Int, taskId: Long, conf: Configuration)
+                          partitionId: Int, taskId: Long, conf: Configuration,
+                          constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
   extends DeltaWriter[InternalRow] {
 
+  // constraints guard INSERTED rows only (an UPDATE's new image arrives
+  // as insert); tombstone deletes carry no data to check
   private val dataWriter = new ManifestBucketDataWriter(path, dataRel, schema,
-    keyCol, nBuckets, partitionId, taskId, conf, deriveBucket = true)
+    keyCol, nBuckets, partitionId, taskId, conf, deriveBucket = true,
+    constraints = constraints)
   private val tsWriter = new ManifestBucketDataWriter(path, tsRel,
     StructType(Seq(schema(schema.fieldIndex(keyCol)))),
     keyCol, nBuckets, partitionId, taskId, conf, deriveBucket = true)
@@ -2263,19 +2276,28 @@ class ManifestDeltaWriter(path: String, dataRel: String, tsRel: String,
 
 class ManifestWriterFactory(path: String, commitRel: String,
                             schema: StructType, keyCol: String, nBuckets: Int,
-                            conf: SerializableHadoopConf)
+                            conf: SerializableHadoopConf,
+                            constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ManifestBucketDataWriter(path, commitRel, schema, keyCol, nBuckets,
-      partitionId, taskId, conf.value)
+      partitionId, taskId, conf.value, constraints = constraints)
 }
 
 class ManifestBucketDataWriter(path: String, commitRel: String,
                                schema: StructType, keyCol: String,
                                nBuckets: Int, partitionId: Int, taskId: Long,
                                conf: Configuration,
-                               deriveBucket: Boolean = false)
+                               deriveBucket: Boolean = false,
+                               constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends DataWriter[InternalRow] {
+
+  // CHECK constraints arrive DRIVER-resolved and bound to this writer's
+  // exact schema ordinals (ManifestTable.resolveConstraints), already
+  // wrapped null-passing; compile per task, evaluate per row
+  private val constraintPreds = constraints.map { case (n, e) =>
+    (n, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+  }
 
   private val keyIdx = schema.fieldIndex(keyCol)
   private val keyType = schema(keyIdx).dataType
@@ -2313,6 +2335,10 @@ class ManifestBucketDataWriter(path: String, commitRel: String,
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(keyIdx),
       s"null $keyCol: manifest tables require non-null keys")
+    constraintPreds.foreach { case (n, p) =>
+      if (!p.eval(row)) throw new IllegalArgumentException(
+        s"CHECK constraint $n violated by a written row (table at $path)")
+    }
     val expect = {
       val h = XxHash64Function.hash(row.get(keyIdx, keyType), keyType, 42L)
       (((h % nBuckets) + nBuckets) % nBuckets).toInt

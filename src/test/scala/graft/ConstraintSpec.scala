@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestTable
+import graft.sources.ManifestIndexSource
+
+/** Table CHECK constraints (Delta parity): ADD validates the existing
+  * data first; the recorded expression is then enforced on every
+  * NEW-row write path — API append/upsert/merge, SQL INSERT / INSERT
+  * OVERWRITE, row-level UPDATE/MERGE inserts — with SQL NULL semantics
+  * (violated means IS FALSE, NULL passes). Constraints survive
+  * rewrites and travel with RESTORE; columns a constraint checks
+  * cannot be dropped or renamed out from under it; a concurrent ADD
+  * CONSTRAINT conflicts with in-flight executor-staged statements
+  * rather than admitting unvalidated rows.
+  */
+class ConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-chk")}/tbl"
+  private def cat = ManifestIndexSource.CatalogName
+
+  private def mkTable(path: String, n: Int = 20): Unit =
+    ManifestTable.write(
+      (0 until n).map(i => (i.toLong, s"n-$i", i * 1.0))
+        .toDF("id", "name", "score"), path, "id", 4)
+
+  test("ADD CONSTRAINT validates existing data; bad expressions refuse") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    val v0 = ManifestTable.currentManifest(spark, path).version
+
+    // violated by existing rows (score 0..19, demand > 5): refused, no commit
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, path, "big", "score > 5")
+    }
+    assert(e.getMessage.contains("existing rows violate"))
+    // unresolvable column / non-boolean / unsafe charset: refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, path, "ghost", "nope > 1") }
+    intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, path, "notbool", "score + 1") }
+    intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, path, "quoted", "name <> \"x\"") }
+    intercept[IllegalArgumentException] { // manifest-field alias refused
+      ManifestTable.addConstraint(spark, path, "txns", "score >= 0") }
+    intercept[IllegalArgumentException] { // engine-internal column
+      ManifestTable.addConstraint(spark, path, "b0", "bucket >= 0") }
+    assert(ManifestTable.currentManifest(spark, path).version == v0,
+      "refused constraints must not commit")
+
+    // a satisfiable one lands as one metadata commit and DESCRIBE shows it
+    ManifestTable.addConstraint(spark, path, "nonneg", "score >= 0")
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.version == v0 + 1 && m.constraints == Map("nonneg" -> "score >= 0"))
+    val d = spark.sql(s"GRAFT DESCRIBE '$path'").collect().head
+    assert(d.getString(12) == "nonneg CHECK (score >= 0)")
+  }
+
+  test("constraints are enforced on every new-row write path; NULL passes") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    spark.sql(s"GRAFT ADD CONSTRAINT '$path' nonneg CHECK (score >= 0)")
+    val v1 = ManifestTable.currentManifest(spark, path).version
+
+    def violates(f: => Unit): Unit = {
+      val e = intercept[Exception](f)
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(c => Option(c.getMessage)
+          .exists(_.contains("CHECK constraint nonneg"))),
+        s"failure must name the constraint, got: $e")
+    }
+
+    // API append / upsert / merge
+    violates(ManifestTable.append(spark, path,
+      Seq((100L, "bad", -1.0)).toDF("id", "name", "score"), "id"))
+    violates(ManifestTable.upsert(spark, path,
+      Seq((5L, "bad", -2.0)).toDF("id", "name", "score"), "id"))
+    violates(ManifestTable.merge(spark, path,
+      Seq((6L, "bad", -3.0)).toDF("id", "name", "score"), "id"))
+    // SQL INSERT and row-level UPDATE
+    violates(spark.sql(s"INSERT INTO $cat.`$path` " +
+      s"SELECT 101L, 'bad', -4.0, $cat.bucket(4, 101L)"))
+    violates(spark.sql(s"UPDATE $cat.`$path` SET score = -9.0 WHERE id = 3"))
+    // nothing above may have committed or changed data
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.version == v1, "violating statements must not commit")
+    assert(ManifestTable.read(spark, path).count() == 20)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("score") < 0).isEmpty)
+
+    // valid writes pass on every path; NULL evaluates as pass
+    ManifestTable.append(spark, path,
+      Seq((100L, "ok", 1.0)).toDF("id", "name", "score"), "id")
+    spark.sql(s"INSERT INTO $cat.`$path` " +
+      s"SELECT 101L, 'ok', 2.0, $cat.bucket(4, 101L)")
+    spark.sql(s"UPDATE $cat.`$path` SET score = 42.0 WHERE id = 3")
+    ManifestTable.append(spark, path,
+      Seq((102L, "nullscore", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "name", "score"), "id")
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() == 23)
+    assert(got.filter(col("id") === 3).select("score")
+      .as[Double].head() == 42.0)
+    assert(got.filter(col("id") === 102).select("score")
+      .as[Option[Double]].head().isEmpty,
+      "NULL passes a CHECK per SQL semantics")
+  }
+
+  test("constraints survive rewrites and RESTORE; DROP lifts enforcement") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    ManifestTable.addConstraint(spark, path, "nonneg", "score >= 0")
+    val constrainedV = ManifestTable.currentManifest(spark, path).version
+
+    ManifestTable.compact(spark, path, maxDirs = 1)
+    ManifestTable.rebucket(spark, path, 8)
+    ManifestTable.optimize(spark, path)
+    assert(ManifestTable.currentManifest(spark, path).constraints
+      .contains("nonneg"), "maintenance must preserve constraints")
+
+    spark.sql(s"GRAFT DROP CONSTRAINT '$path' nonneg")
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropConstraint(spark, path, "nonneg") } // gone
+    ManifestTable.append(spark, path,
+      Seq((200L, "neg", -1.0)).toDF("id", "name", "score"), "id")
+    assert(ManifestTable.read(spark, path).filter(col("score") < 0).count() == 1)
+
+    // RESTORE to the constrained version brings the constraint back
+    // WITH the data that satisfied it
+    ManifestTable.restore(spark, path, constrainedV)
+    assert(ManifestTable.currentManifest(spark, path).constraints
+      .contains("nonneg"))
+    intercept[Exception] { ManifestTable.append(spark, path,
+      Seq((201L, "neg", -2.0)).toDF("id", "name", "score"), "id") }
+  }
+
+  test("a column a constraint checks cannot be dropped or renamed") {
+    val path = tmp()
+    mkTable(path)
+    ManifestTable.addConstraint(spark, path, "named", "length(name) > 0")
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestTable.dropColumns(spark, path, Seq("name")) }
+    assert(e1.getMessage.contains("named"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, path, "name", "label") }
+    assert(e2.getMessage.contains("named"))
+    // a string literal containing the column name is NOT a reference
+    ManifestTable.addConstraint(spark, path, "lit_only", "name <> 'score'")
+    ManifestTable.dropColumns(spark, path, Seq("score"))
+    // after dropping the constraint the column is droppable
+    ManifestTable.dropConstraint(spark, path, "named")
+    ManifestTable.dropConstraint(spark, path, "lit_only")
+    ManifestTable.renameColumn(spark, path, "name", "label")
+    assert(ManifestTable.currentManifest(spark, path)
+      .schema.fieldNames.toSeq.startsWith(Seq("id", "label")))
+  }
+
+  test("a concurrent ADD CONSTRAINT conflicts with an in-flight row-level statement") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    // the UPDATE's executors staged rows validated under ZERO
+    // constraints; a constraint landing before its commit must fail
+    // the statement — its staged rows were never checked
+    var fired = false
+    ManifestTable.deltaPreCommitHook = () => if (!fired) {
+      fired = true
+      ManifestTable.addConstraint(spark, path, "late", "score < 1000")
+    }
+    val ex = intercept[Exception] {
+      try spark.sql(s"UPDATE $cat.`$path` SET score = 7.0 WHERE id = 5")
+      finally ManifestTable.deltaPreCommitHook = () => ()
+    }
+    assert(fired)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]), s"got $ex")
+    assert(ManifestTable.read(spark, path)
+      .filter(col("id") === 5).select("score").as[Double].head() == 5.0,
+      "conflicted statement must not apply")
+  }
+}

@@ -84,7 +84,8 @@ class GraftSqlSpec extends SparkSpec {
     val verbs = intercept[Exception] { spark.sql("GRAFT FROB '/x'") }
     // the verb list in the error stays current with the verb set
     Seq("OPTIMIZE", "VACUUM", "REBUCKET", "ADD COLUMNS", "DROP COLUMNS",
-      "RENAME COLUMN", "SET BLOOM", "ANALYZE", "RESTORE", "DESCRIBE",
+      "RENAME COLUMN", "SET BLOOM", "ANALYZE", "ADD CONSTRAINT",
+      "DROP CONSTRAINT", "RESTORE", "DESCRIBE",
       "HISTORY",
       "MAINTAIN", "CREATE TABLE", "CREATE AGG VIEW", "CREATE CHANGE FEED",
       "CREATE TEXT INDEX", "CREATE VECTOR INDEX",

@@ -93,11 +93,20 @@ class ManifestRoundTripSpec extends AnyFunSuite {
       } yield c -> s"${nulls}n$hx")
     } yield d -> nv)
     writerVersion <- Gen.chooseNum(0, 3)
+    constraints <- Gen.mapOf(for {
+      n <- ident.suchThat(x => !Set("version", "writerVersion", "nBuckets",
+        "keyCol", "schemaDdl", "constraints", "txns", "dirRows", "dirStats",
+        "dirNdv", "bloomCols", "droppedCols", "tombstones", "dirFiles",
+        "buckets").contains(x))
+      e <- Gen.listOfN(12, Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(' ', '>', '<', '=', '+', '-', '(', ')', ',', ':', '\'')))
+        .map(_.mkString)
+    } yield n -> e)
   } yield Manifest(version, nBuckets, keyCol,
     // DDL round-trips through StructType.fromDDL elsewhere; here the
     // field carries an arbitrary quote-free token like the renderer allows
     s"${cols.head} BIGINT", buckets, txns, dirRows, dirStats, bloomCols,
-    tombstones, dirFiles, dirNdv, droppedCols, writerVersion)
+    tombstones, dirFiles, dirNdv, droppedCols, writerVersion, constraints)
 
   test("render → parse is the identity over the manifest-safe value space") {
     def norm(x: Manifest) = x.copy(
@@ -131,5 +140,14 @@ class ManifestRoundTripSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ManifestTable.renderForTest(base.copy(
         dirFiles = Map("data/x/b=0" -> Seq(("part;1.parquet", 7L))))) }
+    intercept[IllegalArgumentException] { // expr with a double quote
+      ManifestTable.renderForTest(base.copy(
+        constraints = Map("c" -> "name <> \"x\""))) }
+    intercept[IllegalArgumentException] { // expr with a brace
+      ManifestTable.renderForTest(base.copy(
+        constraints = Map("c" -> "map{}"))) }
+    intercept[IllegalArgumentException] { // name shadowing a manifest field
+      ManifestTable.renderForTest(base.copy(
+        constraints = Map("txns" -> "score >= 0"))) }
   }
 }
