@@ -1421,6 +1421,151 @@ object ManifestTable {
     }
   }
 
+  /** `GRAFT VERIFY` — fsck for a manifest table. Fast checks are
+    * metadata + filesystem-status only (no data IO): schema parses and
+    * carries the key; every referenced data dir and live tombstone dir
+    * exists; recorded per-dir file lists match the filesystem byte for
+    * byte (the zero-listing read path plans from these — a drifted
+    * list IS data loss waiting); tombstone coverage only names dirs the
+    * manifest knows; CHECK constraints still analyze against the
+    * current schema; bloom sidecar coverage is reported. DEEP adds the
+    * full-scan audits an operator schedules, not defaults: recorded
+    * zone bounds contain each dir's actual min/max (a violated bound
+    * would let pruning skip matching rows — the worst class of silent
+    * wrong answer), CHECK constraints hold over the live data,
+    * duplicate-key multiplicity is reported (informational — append
+    * tables are legitimately multi-valued), and null keys fail on
+    * guard-era tables (writerVersion ≥ 1 promised they cannot exist).
+    *
+    * Returns (check, ok, detail) rows; the SQL verb renders them. The
+    * table never mutates — VERIFY is read-only by construction.
+    */
+  def verifyTable(spark: SparkSession, path: String,
+                  deep: Boolean = false): Seq[(String, Boolean, String)] = {
+    val m = currentManifest(spark, path)
+    val f = fs(spark, path)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+
+    val schemaOk = scala.util.Try(m.schema).toOption
+    out += (("schema", schemaOk.exists(_.fieldNames.contains(m.keyCol)),
+      schemaOk.fold(s"schema DDL does not parse: ${m.schemaDdl}")(s =>
+        if (s.fieldNames.contains(m.keyCol)) s"${s.length} columns, key ${m.keyCol}"
+        else s"key column ${m.keyCol} missing from schema")))
+
+    val dirs = m.buckets.values.flatten.toSeq.distinct
+    val missingDirs = dirs.filterNot(d => f.exists(new Path(path, d)))
+    out += (("referenced_dirs", missingDirs.isEmpty,
+      s"${dirs.size} referenced, ${missingDirs.size} missing" +
+        (if (missingDirs.isEmpty) "" else s": ${missingDirs.take(3).mkString(",")}")))
+
+    val listed = dirs.filter(m.dirFiles.contains)
+    val fileMismatches = listed.flatMap { d =>
+      m.dirFiles(d).flatMap { case (n, bytes) =>
+        val p = new Path(new Path(path, d), n)
+        if (!f.exists(p)) Some(s"$d/$n missing")
+        else if (f.getFileStatus(p).getLen != bytes)
+          Some(s"$d/$n ${f.getFileStatus(p).getLen}B != recorded ${bytes}B")
+        else None
+      }
+    }
+    out += (("file_lists", fileMismatches.isEmpty,
+      s"${listed.size}/${dirs.size} dirs carry lists, " +
+        s"${fileMismatches.size} mismatches" +
+        (if (fileMismatches.isEmpty) "" else s": ${fileMismatches.take(3).mkString("; ")}")))
+
+    val tsEntries = m.tombstones.toSeq.flatMap { case (b, es) => es.map(b -> _) }
+    val tsMissing = tsEntries.map(_._2._1).distinct
+      .filterNot(d => f.exists(new Path(path, d)))
+    val tsUnknown = tsEntries.flatMap { case (b, (_, over)) =>
+      over.filterNot(m.buckets.getOrElse(b, Seq.empty).contains)
+    }
+    // covered dirs absent from the bucket are harmless (cover nothing)
+    // but flag coverage of a dir the whole MANIFEST never referenced —
+    // that is a corrupted entry, not a folded one
+    val everywhere = dirs.toSet
+    val tsCorrupt = tsUnknown.filterNot(everywhere.contains).distinct
+    out += (("tombstones", tsMissing.isEmpty && tsCorrupt.isEmpty,
+      s"${tsEntries.size} live entries, ${tsMissing.size} missing dirs, " +
+        s"${tsCorrupt.size} covering unknown dirs"))
+
+    val consBad = schemaOk match {
+      case None =>
+        m.constraints.keys.toSeq.sorted.map(n => s"$n: schema unparseable")
+      case Some(sc) => m.constraints.toSeq.sortBy(_._1).flatMap { case (n, e) =>
+        scala.util.Try(resolveConstraints(spark, sc, Map(n -> e)))
+          .failed.toOption
+          .map(err => s"$n: ${err.getMessage.linesIterator.next()}")
+      }
+    }
+    out += (("constraints_resolve", consBad.isEmpty,
+      s"${m.constraints.size} constraints" +
+        (if (consBad.isEmpty) "" else s"; stale: ${consBad.mkString("; ")}")))
+
+    if (m.bloomCols.nonEmpty) {
+      val withBloom = m.bloomCols.map { c =>
+        c -> dirs.count(d => f.exists(new Path(new Path(path, d), s"_bloom-$c.bin")))
+      }
+      out += (("bloom_sidecars", true, // gaps only cost pruning, never answers
+        withBloom.map { case (c, n) => s"$c: $n/${dirs.size} dirs" }.mkString(", ")))
+    }
+
+    if (deep && dirs.nonEmpty) {
+      // zone-bound containment, per recorded (dir, numeric column):
+      // one tiny min/max job per dir — the audit is O(table) by design
+      val zoneBad = dirs.filter(m.dirStats.contains).flatMap { d =>
+        val numeric = m.dirStats(d).filterNot(_._2._1.startsWith("s64:"))
+        if (numeric.isEmpty) None
+        else {
+          val cols = numeric.keys.toSeq.sorted
+          val aggs = cols.flatMap(c => Seq(min(col(c)).cast("string"),
+            max(col(c)).cast("string")))
+          val row = spark.read.parquet(s"$path/$d")
+            .agg(aggs.head, aggs.tail: _*).head()
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            val (lo, hi) = numeric(c)
+            val (alo, ahi) = (row.getString(2 * i), row.getString(2 * i + 1))
+            val parsed = scala.util.Try(
+              (BigDecimal(alo), BigDecimal(ahi), BigDecimal(lo), BigDecimal(hi)))
+            if (alo == null) None // all-null column: bounds vacuous
+            else parsed.toOption match {
+              case Some((a1, a2, l, h)) if a1 < l || a2 > h =>
+                Some(s"$d.$c actual [$alo,$ahi] outside recorded [$lo,$hi]")
+              case _ => None // non-decimal rendering: not comparable here
+            }
+          }
+        }
+      }
+      out += (("zone_bounds", zoneBad.isEmpty,
+        s"${dirs.count(m.dirStats.contains)} dirs checked" +
+          (if (zoneBad.isEmpty) "" else s"; ${zoneBad.take(3).mkString("; ")}")))
+
+      val live = readFrom(spark, path, m).cache()
+      try {
+        val consViol = m.constraints.toSeq.sortBy(_._1).flatMap { case (n, e) =>
+          val bad = live.filter(!coalesce(expr(e), lit(true))).count()
+          if (bad == 0) None else Some(s"$n: $bad rows")
+        }
+        out += (("constraint_data", consViol.isEmpty,
+          s"${m.constraints.size} constraints over live data" +
+            (if (consViol.isEmpty) "" else s"; violated: ${consViol.mkString("; ")}")))
+
+        val dups = live.groupBy(col(m.keyCol)).count()
+          .filter(col("count") > 1).count()
+        out += (("duplicate_keys", true, // informational: append tables
+          s"$dups keys with multiplicity > 1")) // are legitimately multi-valued
+
+        val nulls = live.filter(col(m.keyCol).isNull).count()
+        out += (("null_keys",
+          nulls == 0 || m.writerVersion < CurrentWriterVersion,
+          s"$nulls null keys" + (if (nulls > 0 &&
+            m.writerVersion >= CurrentWriterVersion)
+            " — guard-era table promised none (NOT NULL is being trusted)"
+          else "")))
+      } finally live.unpersist()
+    }
+    out.toSeq
+  }
+
   /** DROP CONSTRAINT: one metadata commit; must exist. */
   def dropConstraint(spark: SparkSession, path: String, name: String): Unit =
     commitWithRetry(spark, path) { m =>

@@ -35,6 +35,9 @@ import graft.sinks.ManifestTable
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
+  * GRAFT VERIFY '/path/t' [DEEP]                    -- fsck: metadata,
+  *                                  file lists, tombstones, constraints;
+  *                                  DEEP adds zone-bound + data audits
   * GRAFT MAINTAIN '/path/t'                        -- advise + run upkeep
   * GRAFT MAINTAIN '/path/t' DRY                    -- advice only
   * GRAFT CREATE AGG VIEW '/path/v' FROM '/path/t'
@@ -109,6 +112,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val RestoreTs =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*""".r
+  private val Verify =
+    """(?is)\s*GRAFT\s+VERIFY\s+'([^']+)'\s*(DEEP)?\s*""".r
   private val Describe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*""".r
   private val History =
@@ -194,6 +199,8 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(path, "restore", s =>
           ManifestTable.restoreTimestamp(s, path,
             java.sql.Timestamp.valueOf(ts).getTime)))
+      case Verify(path, deep) =>
+        Some(GraftVerifyCommand(path, deep = deep != null))
       case Describe(path) => Some(GraftDescribeCommand(path))
       case History(path, limit) =>
         Some(GraftHistoryCommand(path,
@@ -250,7 +257,7 @@ object GraftSqlParser {
             "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | DROP COLUMNS | " +
             "RENAME COLUMN | SET BLOOM | ANALYZE | ADD CONSTRAINT | " +
             "DROP CONSTRAINT | RESTORE | DESCRIBE | " +
-            "HISTORY | " +
+            "HISTORY | VERIFY | " +
             "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
             "FEED | CREATE TEXT INDEX | CREATE VECTOR INDEX | REFRESH | " +
             "REBUILD with a " +
@@ -269,6 +276,25 @@ object GraftSqlParser {
   * before deciding to OPTIMIZE, VACUUM, or ANALYZE (or lets
   * `GRAFT MAINTAIN` decide from).
   */
+/** `GRAFT VERIFY '<path>' [DEEP]` — fsck for the manifest table
+  * ([[ManifestTable.verifyTable]]): one row per integrity check, never
+  * mutating. Fast checks are metadata/FS-status only; DEEP adds the
+  * full-scan audits (zone-bound containment, constraint data,
+  * duplicate/null keys).
+  */
+case class GraftVerifyCommand(path: String, deep: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    "table", "check", "status", "detail"
+  ).map(n => AttributeReference(n, StringType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    ManifestTable.verifyTable(sparkSession, path, deep).map {
+      case (check, ok, detail) =>
+        Row(path, check, if (ok) "ok" else "FAIL", detail)
+    }
+}
+
 case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     "table", "version", "n_buckets", "key_col", "rows", "dirs", "files",

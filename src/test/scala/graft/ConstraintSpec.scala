@@ -163,6 +163,72 @@ class ConstraintSpec extends SparkSpec {
       .schema.fieldNames.toSeq.startsWith(Seq("id", "label")))
   }
 
+  test("GRAFT VERIFY: healthy tables pass every audit; planted damage is named") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    ManifestTable.setBloomColumns(spark, path, Seq("id"))
+    ManifestTable.addConstraint(spark, path, "nonneg", "score >= 0")
+    ManifestTable.deleteKeys(spark, path, Seq(3L).toDF("id"), "id")
+
+    def checks(deep: Boolean): Map[String, (String, String)] =
+      spark.sql(s"GRAFT VERIFY '$path'" + (if (deep) " DEEP" else ""))
+        .collect().map(r => r.getString(1) -> (r.getString(2), r.getString(3)))
+        .toMap
+
+    val fast = checks(deep = false)
+    assert(Seq("schema", "referenced_dirs", "file_lists", "tombstones",
+      "constraints_resolve", "bloom_sidecars").forall(c =>
+        fast.get(c).exists(_._1 == "ok")), s"fast checks: $fast")
+    assert(!fast.contains("zone_bounds"), "data audits are DEEP-only")
+    val deep = checks(deep = true)
+    assert(Seq("zone_bounds", "constraint_data", "duplicate_keys",
+      "null_keys").forall(c => deep.get(c).exists(_._1 == "ok")),
+      s"deep checks: $deep")
+
+    // planted damage, each named by its check:
+    // (a) a data file vanishes → file_lists (dir itself still exists)
+    val m = ManifestTable.currentManifest(spark, path)
+    val someDir = m.buckets.values.flatten.toSeq.sorted.head
+    val dirFile = new java.io.File(s"$path/$someDir").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(dirFile.toPath)
+    assert(dirFile.delete())
+    val broken = checks(deep = false)
+    assert(broken("file_lists")._1 == "FAIL" &&
+      broken("file_lists")._2.contains("missing"), s"got $broken")
+    java.nio.file.Files.write(dirFile.toPath, bytes) // heal
+    assert(checks(deep = false)("file_lists")._1 == "ok")
+
+    // (b) zone bounds tampered in the manifest → DEEP zone_bounds
+    val cur = ManifestTable.currentManifest(spark, path)
+    val victim = cur.buckets.values.flatten.toSeq.sorted.head
+    ManifestTable.publish(spark, path, cur.copy(version = cur.version + 1,
+      dirStats = cur.dirStats.updated(victim,
+        cur.dirStats.getOrElse(victim, Map.empty)
+          .updated("score", ("0.0", "0.5")))))
+    val tampered = checks(deep = true)
+    assert(tampered("zone_bounds")._1 == "FAIL" &&
+      tampered("zone_bounds")._2.contains("outside recorded"),
+      s"got ${tampered("zone_bounds")}")
+
+    // (c) a constraint referencing a ghost column → constraints_resolve
+    val cur2 = ManifestTable.currentManifest(spark, path)
+    ManifestTable.publish(spark, path, cur2.copy(version = cur2.version + 1,
+      constraints = cur2.constraints + ("ghostly" -> "ghost > 1")))
+    assert(checks(deep = false)("constraints_resolve")._1 == "FAIL")
+
+    // (d) a constraint the live data violates (snuck in without
+    //     ADD's validation scan) → DEEP constraint_data
+    val cur3 = ManifestTable.currentManifest(spark, path)
+    ManifestTable.publish(spark, path, cur3.copy(version = cur3.version + 1,
+      constraints = cur2.constraints + ("impossible" -> "score > 100")))
+    val viol = checks(deep = true)
+    assert(viol("constraint_data")._1 == "FAIL" &&
+      viol("constraint_data")._2.contains("impossible"),
+      s"got ${viol("constraint_data")}")
+  }
+
   test("a concurrent ADD CONSTRAINT conflicts with an in-flight row-level statement") {
     val path = tmp()
     mkTable(path)

@@ -86,7 +86,7 @@ class GraftSqlSpec extends SparkSpec {
     Seq("OPTIMIZE", "VACUUM", "REBUCKET", "ADD COLUMNS", "DROP COLUMNS",
       "RENAME COLUMN", "SET BLOOM", "ANALYZE", "ADD CONSTRAINT",
       "DROP CONSTRAINT", "RESTORE", "DESCRIBE",
-      "HISTORY",
+      "HISTORY", "VERIFY",
       "MAINTAIN", "CREATE TABLE", "CREATE AGG VIEW", "CREATE CHANGE FEED",
       "CREATE TEXT INDEX", "CREATE VECTOR INDEX",
       "REFRESH", "REBUILD").foreach(v =>
