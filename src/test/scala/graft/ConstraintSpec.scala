@@ -163,6 +163,46 @@ class ConstraintSpec extends SparkSpec {
       .schema.fieldNames.toSeq.startsWith(Seq("id", "label")))
   }
 
+  test("streaming toTable enforces constraints; a violating epoch fails, commits nothing") {
+    val path = tmp()
+    mkTable(path)
+    ManifestIndexSource.ensureRegistered(spark)
+    ManifestTable.addConstraint(spark, path, "nonneg", "score >= 0")
+    val base = Files.createTempDirectory("graft-chk-stream").toString
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def land(name: String, ids: Seq[Long]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$landing/$name"),
+        ids.mkString("", "\n", "\n"))
+    def stream(): Unit =
+      spark.readStream.text(landing)
+        .select(col("value").cast("long").as("id"))
+        .select(col("id"), lit("s").as("name"),
+          // ids ≥ 9000 carry a violating score
+          when(col("id") < 9000, 1.0).otherwise(-5.0).as("score"))
+        .withColumn("bucket", pmod(xxhash64(col("id")), lit(4L)).cast("int"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.`$path`")
+        .awaitTermination(120000)
+
+    land("ok.txt", Seq(8000L, 8001L))
+    stream()
+    assert(ManifestTable.read(spark, path).filter(col("id") >= 8000).count() == 2)
+    val v = ManifestTable.versions(spark, path).max
+    land("bad.txt", Seq(9001L))
+    val e = intercept[Exception](stream())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("CHECK constraint nonneg"))), s"got $e")
+    assert(ManifestTable.versions(spark, path).max == v &&
+      ManifestTable.read(spark, path).filter(col("id") >= 9000).isEmpty,
+      "violating epoch must not commit")
+  }
+
   test("GRAFT VERIFY: healthy tables pass every audit; planted damage is named") {
     val path = tmp()
     mkTable(path)

@@ -109,4 +109,18 @@ class StorageSoakSpec extends SparkSpec {
       .iterator.map(_ % 997).sum // closed-form check would be opaque
     assert(got.getLong(1) == expectedSum)
   }
+
+  test("soak: VERIFY's fast audit passes and stays metadata-bounded at 10M rows") {
+    val m = ManifestTable.currentManifest(spark, path)
+    val nDirs = m.buckets.values.flatten.toSeq.distinct.size
+    val t0 = System.nanoTime()
+    val results = ManifestTable.verifyTable(spark, path, deep = false)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(results.nonEmpty && results.forall(_._2),
+      s"soak table must verify clean: ${results.filterNot(_._2)}")
+    // fast VERIFY is O(dirs + files) metadata calls, never a data read:
+    // 224 dirs (+ sidecar probes) must audit in seconds even at 10M rows
+    assert(secs < 30.0,
+      s"fast VERIFY of $nDirs dirs took ${secs}s — a data read snuck in")
+  }
 }
