@@ -37,6 +37,124 @@ object MathExprs {
 
   def quantizeStats(vec: Column): Column =
     column(QuantizeStatsExpr(expression(vec)))
+
+  def int8Quantize(vec: Column): Column =
+    column(Int8QuantizeExpr(expression(vec)))
+
+  def int8Dot(a: Column, b: Column): Column =
+    column(Int8DotExpr(expression(a), expression(b)))
+}
+
+/** Symmetric int8 quantization of an ARRAY<FLOAT> vector to BINARY —
+  * the STORAGE form of `QuantizeStatsExpr`'s statistics: one signed
+  * byte per dimension (4× smaller than float32, the representation a
+  * 100 TB vector store scans). Same per-vector scale (max|x|/127) and
+  * the same half-away-from-zero rounding as `quantize_stats`, so
+  * q ∈ [−127, 127] always fits a byte. The scale itself is NOT stored:
+  * every consumer here is cosine-shaped, and per-vector scales cancel
+  * out of cosine (sim = Σq_aq_b / (‖q_a‖‖q_b‖)), which is what makes
+  * the whole SQ8 search path exact integer arithmetic — reproducible
+  * bit-for-bit by the DuckDB oracle. CodegenFallback is fine: this
+  * runs once per corpus row in the scan projection, not per pair.
+  */
+case class Int8QuantizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_quantize requires ARRAY<FLOAT>, got ${other.sql}")
+    }
+
+  private def roundHalfAway(v: Double): Long = {
+    val f = math.floor(v)
+    val diff = v - f // exact for |v| < 2^52
+    if (diff > 0.5) f.toLong + 1L
+    else if (diff < 0.5) f.toLong
+    else if (v >= 0) f.toLong + 1L
+    else f.toLong
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(arr.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      out(i) = if (scale == 0.0) 0 else roundHalfAway(x / scale).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Int8QuantizeExpr =
+    copy(child = c)
+  override def prettyName: String = "int8_quantize"
+}
+
+/** Integer dot product over two int8-quantized BINARY vectors — the
+  * SQ8 search kernel (self-dot gives the squared quantized norm). The
+  * accumulator is exact: |Σ q_aq_b| ≤ dim·127² stays far below 2^63.
+  * Codegen'd — this inlines into the generated join projection and
+  * runs once per candidate pair.
+  */
+case class Int8DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_dot requires two BINARY, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x(i).toLong * y(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a[$i]) * ((long) $b[$i]);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8DotExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "int8_dot"
 }
 
 /** Symmetric int8 quantization statistics of an ARRAY<FLOAT> vector in

@@ -48,6 +48,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Exact-over-quantized top-k: cosine computed entirely on the int8
+    * SQ8 representation (`Int8QuantizeExpr`) — the memory-bound regime's
+    * scale path: the pair loop reads 1 byte/dim instead of 4 and the
+    * kernel is integer multiply-add. Per-vector scales cancel out of
+    * cosine, so the score is sq8_dot/(‖q_a‖·‖q_b‖) over EXACT integer
+    * sums — deterministic across engines (one IEEE divide + two sqrt on
+    * exact integers), which is why this path is oracle-checkable where
+    * float-sum ANN needs round-before-rank care. Same output contract
+    * and plan shape as `bruteForceTopK`: broadcast queries, one narrow
+    * corpus pass (quantize + self-dot once per vector, not per pair).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int,
+              roundTo: Option[Int] = None): DataFrame = {
+    import graft.functions.MathExprs.{int8Quantize, int8Dot}
+    val q = queries.select(col(idCol).as("query_id"),
+        int8Quantize(col(vecCol)).as("qq"))
+      .withColumn("qn", int8Dot(col("qq"), col("qq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        int8Quantize(col(vecCol)).as("cq"))
+      .withColumn("cn", int8Dot(col("cq"), col("cq")))
+    val rawSim = when(col("qn") > 0 && col("cn") > 0,
+      int8Dot(col("qq"), col("cq")).cast("double") /
+        (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Approximate top-k via SRP-LSH with 1-bit multi-probe: a corpus row is
     * a candidate for a query if its bucket equals the query's bucket or
     * differs in exactly one of `nPlanes` bits. Candidates are then scored

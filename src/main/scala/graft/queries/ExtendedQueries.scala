@@ -1928,6 +1928,64 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |SELECT query_id, neighbor_id, sim_r, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Top-5 cosine neighbors computed ON the int8-quantized vectors
+    * (SQ8 search — the 4×-smaller scan a 100 TB vector store actually
+    * runs; see `Similarity.sq8TopK`). Oracle-registered WITHOUT the
+    * round-before-rank crutch the float paths need: dot and norms are
+    * exact integer sums in both engines, so even ranking is decided on
+    * identical values (rounding here only normalizes display).
+    */
+  def annTopkSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, roundTo = Some(6))
+      .withColumnRenamed("sim", "sim_r")
+      .orderBy("query_id", "rank")
+  }
+
+  private val annTopkSq8Sql =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, e,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(e, x -> abs(x))),
+      |           (a, b) -> greatest(a, b)) / 127.0 AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id,
+      |         list_transform(e, x -> CASE WHEN scale <> 0.0
+      |           THEN CAST(round(x / scale) AS BIGINT) ELSE 0 END) AS qv
+      |  FROM s),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nsq
+      |  FROM q),
+      |dots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, len(a.qv) + 1),
+      |             i -> a.qv[i] * b.qv[i])), (x, y) -> x + y) AS dot,
+      |         a.nsq AS na, b.nsq AS nb
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         CASE WHEN na > 0 AND nb > 0 THEN
+      |           round(CAST(dot AS DOUBLE) /
+      |                 (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+      |         END AS sim_r
+      |  FROM dots),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim_r DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Per-vector L2 norm and dimensionality. */
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.l2Norm
@@ -3027,6 +3085,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "simhash_nn" -> simhashNn _,
     "ann_topk_lsh" -> annTopkLsh _,
     "ann_topk_ivf" -> annTopkIvf _,
+    "ann_topk_sq8" -> annTopkSq8 _,
     "ivf_recall" -> ivfRecall _,
     "ivf_recall_gate" -> ivfRecallGate _,
     "source_distinct" -> sourceDistinct _,
@@ -3195,6 +3254,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
+    "ann_topk_sq8" -> annTopkSq8Sql,
     "ivf_recall" -> IvfOracle.ivfRecallSql(),
     "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),
     "semantic_dedup" -> IvfOracle.semanticDedupSql(),

@@ -29,6 +29,36 @@ class MathExprSpec extends SparkSpec {
     assert(s3 == 2.0 / 127.0 && qSum3 == 127.0 && qSumSq3 == 127.0 * 127.0 && err3 == 0.0)
   }
 
+  test("int8_quantize + int8_dot: bytes match quantize_stats checksums") {
+    // the BINARY form and the stats form share scale + rounding; the
+    // self-dot of the bytes must equal quantize_stats' q_sumsq, and the
+    // byte sum its q_sum — on every fixture embedding, not toy rows
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ones = lit(Array.fill(64)(1.toByte)) // Σ q_i = q · 1-vector
+    val mismatch = emb.select(
+        MathExprs.quantizeStats($"embedding").as("qs"),
+        MathExprs.int8Quantize($"embedding").as("q"))
+      .select(
+        $"qs" (1).as("q_sum"), $"qs" (2).as("q_sumsq"),
+        MathExprs.int8Dot($"q", $"q").cast("double").as("self_dot"),
+        MathExprs.int8Dot($"q", ones).cast("double").as("byte_sum"))
+      .filter($"q_sumsq" =!= $"self_dot" || $"q_sum" =!= $"byte_sum")
+      .count()
+    assert(mismatch == 0L)
+  }
+
+  test("int8_dot: signed bytes, length mismatch, empty") {
+    val rows = Seq(
+      (Array[Byte](127, -127, 1), Array[Byte](127, 127, -2)),
+      (Array[Byte](), Array[Byte]()),
+      (Array[Byte](5, 7), Array[Byte](3))) // loop stops at min length
+      .toDF("a", "b")
+    val got = rows.select(MathExprs.int8Dot($"a", $"b")).as[Long].collect()
+    assert(got(0) == 127L * 127 - 127L * 127 - 2L)
+    assert(got(1) == 0L)
+    assert(got(2) == 15L)
+  }
+
   test("dot_product == HOF fold, bit-identical, incl. length mismatch and empties") {
     val rows = Seq(
       (Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.25f)),
