@@ -43,6 +43,100 @@ object MathExprs {
 
   def int8Dot(a: Column, b: Column): Column =
     column(Int8DotExpr(expression(a), expression(b)))
+
+  def int8ToLongs(a: Column): Column =
+    column(Int8ToLongsExpr(expression(a)))
+
+  def qdistSq(q: Column, c: Column): Column =
+    column(QDistSqExpr(expression(q), expression(c)))
+}
+
+/** Widen an int8-quantized BINARY vector to ARRAY<LONG> — the bridge
+  * from the packed storage form to Spark's array machinery (posexplode
+  * for per-dimension integer sums in distributed k-means). Once per row
+  * on the aggregation path, so CodegenFallback costs nothing.
+  */
+case class Int8ToLongsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_to_longs requires BINARY, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val out = new Array[Long](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Int8ToLongsExpr =
+    copy(child = c)
+  override def prettyName: String = "int8_to_longs"
+}
+
+/** Squared Euclidean distance between an int8-quantized BINARY vector
+  * and an ARRAY<DOUBLE> centroid, accumulated as a LEFT FOLD — the
+  * k-means assignment kernel, evaluated k times per corpus row per
+  * Lloyd iteration. The fold order is the reproducibility contract:
+  * the DuckDB oracle's `list_reduce` folds the same terms in the same
+  * order over the same deterministic inputs, so the doubles — and the
+  * argmin they decide — are bit-identical. Codegen'd for the hot loop.
+  */
+case class QDistSqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"qdist_sq requires (BINARY, ARRAY<DOUBLE>), got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[Array[Byte]]
+    val c = b.asInstanceOf[ArrayData]
+    val n = math.min(q.length, c.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = q(i).toDouble - c.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $a[$i]) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QDistSqExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "qdist_sq"
 }
 
 /** Symmetric int8 quantization of an ARRAY<FLOAT> vector to BINARY —

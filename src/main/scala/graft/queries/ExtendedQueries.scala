@@ -1986,6 +1986,89 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Distributed k-means over the quantized embedding corpus (k=8, two
+    * Lloyd updates, init = 8 lowest ids) — per-cluster size, integer
+    * distance checksum, and representative. See `Clustering.kmeansSq8`
+    * for why every step (integer sums, left-fold distances, tie rules)
+    * is reproducible: the oracle below replays both iterations CTE for
+    * CTE and must agree on every assignment to hash-match.
+    */
+  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Clustering.kmeansSq8(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 8, updates = 2)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("qdist")).cast("long")).as("qdist_sum"),
+        min("vec_id").as("min_vec_id"))
+      .orderBy("cluster")
+  }
+
+  /** The unrolled-Lloyd DuckDB oracle: assignment aN against centroids
+    * c(N−1), per-dim exact integer sums nN, COALESCE keeping a previous
+    * centroid for an empty cluster — exactly `Clustering.kmeansSq8`.
+    */
+  private def embeddingKmeansSql(k: Int = 8, dim: Int = 64,
+                                 updates: Int = 2): String = {
+    def distFold(qv: String, c: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(range(1, ${dim + 1}),
+         |               i -> (CAST($qv[i] AS DOUBLE) - $c[i]) *
+         |                    (CAST($qv[i] AS DOUBLE) - $c[i]))),
+         |             (x, y) -> x + y)""".stripMargin
+    def iteration(t: Int): String =
+      s"""a$t AS (
+         |  SELECT vec_id, qv, cluster FROM (
+         |    SELECT q.vec_id, q.qv, c${t - 1}.cluster,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             ${distFold("q.qv", s"c${t - 1}.c")} ASC,
+         |             c${t - 1}.cluster ASC) AS rk
+         |    FROM q CROSS JOIN c${t - 1}) WHERE rk = 1),
+         |n$t AS (
+         |  SELECT cluster, list(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+         |  FROM (SELECT a$t.cluster, dims.i, sum(a$t.qv[dims.i]) AS s,
+         |               count(*) AS n
+         |        FROM a$t CROSS JOIN dims GROUP BY a$t.cluster, dims.i)
+         |  GROUP BY cluster),
+         |c$t AS (
+         |  SELECT c${t - 1}.cluster, COALESCE(n$t.c, c${t - 1}.c) AS c
+         |  FROM c${t - 1} LEFT JOIN n$t USING (cluster))""".stripMargin
+    val iters = (1 to updates).map(iteration).mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, e,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(e, x -> abs(x))),
+       |           (a, b) -> greatest(a, b)) / 127.0 AS scale
+       |  FROM v),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(e, x -> CASE WHEN scale <> 0.0
+       |           THEN CAST(round(x / scale) AS BIGINT) ELSE 0 END) AS qv
+       |  FROM s),
+       |dims AS (SELECT unnest(range(1, ${dim + 1})) AS i),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+       |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+       |$iters,
+       |afinal AS (
+       |  SELECT vec_id, cluster, dist FROM (
+       |    SELECT q.vec_id, c$updates.cluster,
+       |           ${distFold("q.qv", s"c$updates.c")} AS dist,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             ${distFold("q.qv", s"c$updates.c")} ASC,
+       |             c$updates.cluster ASC) AS rk
+       |    FROM q CROSS JOIN c$updates) WHERE rk = 1)
+       |SELECT cluster, count(*) AS n,
+       |       CAST(sum(CAST(round(dist) AS BIGINT)) AS BIGINT) AS qdist_sum,
+       |       min(vec_id) AS min_vec_id
+       |FROM afinal GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   /** Per-vector L2 norm and dimensionality. */
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.l2Norm
@@ -3086,6 +3169,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_lsh" -> annTopkLsh _,
     "ann_topk_ivf" -> annTopkIvf _,
     "ann_topk_sq8" -> annTopkSq8 _,
+    "embedding_kmeans" -> embeddingKmeans _,
     "ivf_recall" -> ivfRecall _,
     "ivf_recall_gate" -> ivfRecallGate _,
     "source_distinct" -> sourceDistinct _,
@@ -3255,6 +3339,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
     "ann_topk_sq8" -> annTopkSq8Sql,
+    "embedding_kmeans" -> embeddingKmeansSql(),
     "ivf_recall" -> IvfOracle.ivfRecallSql(),
     "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),
     "semantic_dedup" -> IvfOracle.semanticDedupSql(),
