@@ -40,6 +40,17 @@ object Clustering {
                 k: Int, updates: Int): DataFrame = {
     val q = corpus.select(col(idCol).cast("long").as("vec_id"),
       int8Quantize(col(vecCol)).as("q"))
+    val centroids = lloyd(q, k, updates)
+    assign(q, centroids).select("vec_id", "cluster", "qdist")
+  }
+
+  /** The Lloyd core over an already-quantized (vec_id, q BINARY) frame —
+    * shared by whole-vector k-means above and per-subspace PQ codebook
+    * training (`Pq.train`). Returns the refined centroids; see the
+    * object scaladoc for the determinism contract.
+    */
+  private[graft] def lloyd(q: DataFrame, k: Int,
+                           updates: Int): Array[Array[Double]] = {
     val init: Array[Array[Double]] = q.orderBy("vec_id").limit(k).collect()
       .map(_.getAs[Array[Byte]]("q").map(_.toDouble))
     require(init.length == k, s"corpus has fewer than $k vectors")
@@ -56,7 +67,7 @@ object Clustering {
       }
       centroids = next
     }
-    assign(q, centroids).select("vec_id", "cluster", "qdist")
+    centroids
   }
 
   /** Nearest-centroid assignment as a pure projection: per row, an array
@@ -65,7 +76,7 @@ object Clustering {
     * cluster)`. No shuffle; the k distance kernels inline into one
     * whole-stage-codegen pass.
     */
-  private def assign(q: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  private[graft] def assign(q: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, j) =>
       struct(qdistSq(col("q"), typedlit(c.toSeq)).as("dist"),
         lit(j).as("cluster"))

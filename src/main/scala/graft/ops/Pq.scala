@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.MathExprs.{int8Quantize, qdistSq}
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) over the int8-quantized
+  * embedding column — the codes-only corpus representation: dim d is
+  * split into `m` subspaces; each subvector is replaced by the index of
+  * its nearest per-subspace codebook centroid. With m=8, k=16 a 64-dim
+  * float32 vector (256 B) becomes 8 code bytes — the 32× compression
+  * that lets a 100 TB corpus's ANN index fit in cluster memory.
+  *
+  * Everything inherits `Clustering`'s determinism contract: codebooks
+  * are trained per subspace with the SAME exact-integer distributed
+  * Lloyd core (`Clustering.lloyd` on `substring` slices of the packed
+  * bytes), coding is the same argmin-over-struct projection, and ADC
+  * search computes ‖q − recon(codes)‖² as ONE left fold over all d
+  * dims of the concatenated reconstruction — the fold association is
+  * part of the contract (Σ over per-subspace partials would group the
+  * float additions differently and drift from the oracle).
+  *
+  * ADC = asymmetric distance computation: the query stays an exact
+  * (quantized) vector; only the corpus side is code-compressed.
+  */
+object Pq {
+
+  /** codebooks(s)(j) = centroid j of subspace s, each subDim wide. */
+  case class Model(codebooks: Array[Array[Array[Double]]], subDim: Int) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks(0).length
+  }
+
+  /** Train per-subspace codebooks: m independent Lloyd runs over
+    * `substring` slices of the quantized bytes. Driver state is
+    * m·k·subDim doubles; every corpus-sized step stays distributed.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            dim: Int, m: Int, k: Int, updates: Int): Model = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
+      int8Quantize(col(vecCol)).as("qfull"))
+    val codebooks = (0 until m).map { s =>
+      // substring is 1-based and works on BINARY: the subspace slice
+      Clustering.lloyd(
+        q.select(col("vec_id"),
+          substring(col("qfull"), s * subDim + 1, subDim).as("q")),
+        k, updates)
+    }.toArray
+    Model(codebooks, subDim)
+  }
+
+  /** One narrow pass: per-subspace nearest-code assignment, emitted as
+    * an ARRAY<INT> of m codes per vector (the persisted form).
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             model: Model): DataFrame = {
+    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
+      int8Quantize(col(vecCol)).as("qfull"))
+    val codes = (0 until model.m).map { s =>
+      val sub = substring(col("qfull"), s * model.subDim + 1, model.subDim)
+      val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
+        struct(qdistSq(sub, typedlit(c.toSeq)).as("dist"), lit(j).as("code"))
+      }
+      element_at(array_sort(array(scored: _*), (a, b) =>
+        when(a.getField("dist") < b.getField("dist"), -1)
+          .when(a.getField("dist") > b.getField("dist"), 1)
+          .otherwise(when(a.getField("code") < b.getField("code"), -1)
+            .otherwise(1))), 1).getField("code")
+    }
+    q.select(col("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC top-k: broadcast the (small) query set against the coded
+    * corpus; reconstruct each corpus vector from its codes by codebook
+    * lookup (pure expression — `element_at` on literal arrays) and rank
+    * by the single-fold squared distance. The corpus side of the join
+    * carries only vec_id + m code bytes.
+    */
+  def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, topK: Int, model: Model): DataFrame = {
+    val coded = encode(corpus, idCol, vecCol, model)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      int8Quantize(col(vecCol)).as("qq"))
+    val recon: Column = concat((0 until model.m).map { s =>
+      element_at(typedlit(model.codebooks(s).map(_.toSeq).toSeq),
+        element_at(col("codes"), s + 1) + 1)
+    }: _*)
+    coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", qdistSq(col("qq"), recon))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
+}

@@ -2069,6 +2069,110 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
        |FROM afinal GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** Product-quantized ANN (m=8 subspaces × k=16 codes → 8 code bytes
+    * per vector, 32× smaller than float32) — ADC top-5 for the first 10
+    * queries. Oracle-registered: codebook training is `Clustering`'s
+    * exact-integer Lloyd per subspace and the ADC distance is one
+    * 64-dim left fold against the concatenated reconstruction, so the
+    * oracle replays training, coding, and ranking bit-for-bit.
+    */
+  def annTopkPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ops.Pq.train(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, updates = 1)
+    graft.ops.Pq.searchTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 5, model)
+      .withColumn("dist_r", round(col("dist"), 6))
+      .select("query_id", "neighbor_id", "dist_r", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PQ oracle: per subspace, the same unrolled-Lloyd blocks as
+    * `embeddingKmeansSql` over the 8-dim slice; then codes → list-concat
+    * reconstruction → one 64-dim fold → rank. Generated, not hand-kept:
+    * 8 subspaces × (init + update + code) blocks.
+    */
+  private def annTopkPqSql(dim: Int = 64, m: Int = 8, k: Int = 16): String = {
+    val subDim = dim / m
+    def fold(n: Int, qv: String, c: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(range(1, ${n + 1}),
+         |               i -> (CAST($qv[i] AS DOUBLE) - $c[i]) *
+         |                    (CAST($qv[i] AS DOUBLE) - $c[i]))),
+         |             (x, y) -> x + y)""".stripMargin
+    def subspace(s: Int): String =
+      s"""sub$s AS (
+         |  SELECT vec_id, list_transform(range(1, ${subDim + 1}),
+         |           i -> qv[i + ${s * subDim}]) AS sq
+         |  FROM q),
+         |cb0_$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         |         list_transform(sq, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM (SELECT vec_id, sq FROM sub$s ORDER BY vec_id LIMIT $k)),
+         |as$s AS (
+         |  SELECT vec_id, sq, code FROM (
+         |    SELECT sub$s.vec_id, sub$s.sq, cb0_$s.code,
+         |           row_number() OVER (PARTITION BY sub$s.vec_id ORDER BY
+         |             ${fold(subDim, s"sub$s.sq", s"cb0_$s.c")} ASC,
+         |             cb0_$s.code ASC) AS rk
+         |    FROM sub$s CROSS JOIN cb0_$s) WHERE rk = 1),
+         |ns$s AS (
+         |  SELECT code, list(CAST(su AS DOUBLE) / n ORDER BY i) AS c
+         |  FROM (SELECT as$s.code, dims.i, sum(as$s.sq[dims.i]) AS su,
+         |               count(*) AS n
+         |        FROM as$s CROSS JOIN dims GROUP BY as$s.code, dims.i)
+         |  GROUP BY code),
+         |cb1_$s AS (
+         |  SELECT cb0_$s.code, COALESCE(ns$s.c, cb0_$s.c) AS c
+         |  FROM cb0_$s LEFT JOIN ns$s USING (code)),
+         |code$s AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT sub$s.vec_id, cb1_$s.code,
+         |           row_number() OVER (PARTITION BY sub$s.vec_id ORDER BY
+         |             ${fold(subDim, s"sub$s.sq", s"cb1_$s.c")} ASC,
+         |             cb1_$s.code ASC) AS rk
+         |    FROM sub$s CROSS JOIN cb1_$s) WHERE rk = 1)""".stripMargin
+    val subs = (0 until m).map(subspace).mkString(",\n")
+    val reconJoins = (0 until m).map { s =>
+      (if (s == 0) s"FROM code$s t$s"
+       else s"JOIN code$s t$s ON t$s.vec_id = t0.vec_id") +
+        s" JOIN cb1_$s cc$s ON cc$s.code = t$s.code"
+    }.mkString("\n  ")
+    val reconExpr = (0 until m).map(s => s"cc$s.c").mkString(" || ")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, e,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(e, x -> abs(x))),
+       |           (a, b) -> greatest(a, b)) / 127.0 AS scale
+       |  FROM v),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(e, x -> CASE WHEN scale <> 0.0
+       |           THEN CAST(round(x / scale) AS BIGINT) ELSE 0 END) AS qv
+       |  FROM s),
+       |dims AS (SELECT unnest(range(1, ${subDim + 1})) AS i),
+       |$subs,
+       |recon AS (
+       |  SELECT t0.vec_id, $reconExpr AS rc
+       |  $reconJoins),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |         ${fold(dim, "q.qv", "r.rc")} AS dist
+       |  FROM q JOIN recon r ON q.vec_id <> r.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY dist ASC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, round(dist, 6) AS dist_r,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Per-vector L2 norm and dimensionality. */
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.l2Norm
@@ -3170,6 +3274,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_ivf" -> annTopkIvf _,
     "ann_topk_sq8" -> annTopkSq8 _,
     "embedding_kmeans" -> embeddingKmeans _,
+    "ann_topk_pq" -> annTopkPq _,
     "ivf_recall" -> ivfRecall _,
     "ivf_recall_gate" -> ivfRecallGate _,
     "source_distinct" -> sourceDistinct _,
@@ -3340,6 +3445,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
     "ann_topk_sq8" -> annTopkSq8Sql,
     "embedding_kmeans" -> embeddingKmeansSql(),
+    "ann_topk_pq" -> annTopkPqSql(),
     "ivf_recall" -> IvfOracle.ivfRecallSql(),
     "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),
     "semantic_dedup" -> IvfOracle.semanticDedupSql(),
