@@ -2007,9 +2007,10 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
   /** The unrolled-Lloyd DuckDB oracle: assignment aN against centroids
     * c(N−1), per-dim exact integer sums nN, COALESCE keeping a previous
     * centroid for an empty cluster — exactly `Clustering.kmeansSq8`.
+    * Shared by `embedding_kmeans` and `cluster_balanced_sample`, which
+    * differ only in the SELECT tail over the final assignment `afinal`.
     */
-  private def embeddingKmeansSql(k: Int = 8, dim: Int = 64,
-                                 updates: Int = 2): String = {
+  private def kmeansLloydCtes(k: Int, dim: Int, updates: Int): String = {
     def distFold(qv: String, c: String) =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |             list_transform(range(1, ${dim + 1}),
@@ -2062,11 +2063,55 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |             ${distFold("q.qv", s"c$updates.c")} ASC,
        |             c$updates.cluster ASC) AS rk
-       |    FROM q CROSS JOIN c$updates) WHERE rk = 1)
+       |    FROM q CROSS JOIN c$updates) WHERE rk = 1)""".stripMargin
+  }
+
+  private def embeddingKmeansSql(k: Int = 8, dim: Int = 64,
+                                 updates: Int = 2): String =
+    s"""${kmeansLloydCtes(k, dim, updates)}
        |SELECT cluster, count(*) AS n,
        |       CAST(sum(CAST(round(dist) AS BIGINT)) AS BIGINT) AS qdist_sum,
        |       min(vec_id) AS min_vec_id
        |FROM afinal GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  /** Cluster-balanced sampling — the downstream consumer of
+    * `embedding_kmeans`: an equal per-cluster cap (10) drawn in
+    * portable-hash order (affine id hash, vec_id tiebreak — the
+    * `stratified_sample` recipe with k-means clusters as the strata).
+    * This is the DCLM/SemDeDup-style selection that stops a head topic
+    * from dominating the training mix: the draw is engine/order/scale
+    * invariant AND balanced across semantic clusters rather than
+    * metadata strata.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Sketches.{polyHash, P1}
+    val ha = polyHash("graft-cbs-a", P1 - 1) + 1L
+    val hb = polyHash("graft-cbs-b", P1)
+    val assigned = graft.ops.Clustering.kmeansSq8(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      k = 8, updates = 2)
+    assigned
+      .withColumn("h", (pmod(col("vec_id"), lit(P1)) * ha + hb) % P1)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("cluster", "vec_id", "rk")
+      .orderBy("cluster", "rk")
+  }
+
+  private def clusterBalancedSampleSql: String = {
+    import graft.functions.Sketches.{polyHash, P1}
+    val ha = polyHash("graft-cbs-a", P1 - 1) + 1L
+    val hb = polyHash("graft-cbs-b", P1)
+    s"""${kmeansLloydCtes(k = 8, dim = 64, updates = 2)},
+       |sel AS (
+       |  SELECT cluster, vec_id,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY
+       |           ((vec_id % $P1) * $ha + $hb) % $P1, vec_id) AS rk
+       |  FROM afinal)
+       |SELECT cluster, vec_id, CAST(rk AS BIGINT) AS rk
+       |FROM sel WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin
   }
 
   /** Product-quantized ANN (m=8 subspaces × k=16 codes → 8 code bytes
@@ -3275,6 +3320,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_sq8" -> annTopkSq8 _,
     "embedding_kmeans" -> embeddingKmeans _,
     "ann_topk_pq" -> annTopkPq _,
+    "cluster_balanced_sample" -> clusterBalancedSample _,
     "ivf_recall" -> ivfRecall _,
     "ivf_recall_gate" -> ivfRecallGate _,
     "source_distinct" -> sourceDistinct _,
@@ -3446,6 +3492,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_sq8" -> annTopkSq8Sql,
     "embedding_kmeans" -> embeddingKmeansSql(),
     "ann_topk_pq" -> annTopkPqSql(),
+    "cluster_balanced_sample" -> clusterBalancedSampleSql,
     "ivf_recall" -> IvfOracle.ivfRecallSql(),
     "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),
     "semantic_dedup" -> IvfOracle.semanticDedupSql(),
