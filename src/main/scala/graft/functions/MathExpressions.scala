@@ -49,6 +49,41 @@ object MathExprs {
 
   def qdistSq(q: Column, c: Column): Column =
     column(QDistSqExpr(expression(q), expression(c)))
+
+  def packInt8(a: Column): Column =
+    column(PackInt8Expr(expression(a)))
+}
+
+/** Pack an ARRAY<INT> of small values (PQ codes) into BINARY, one byte
+  * per element — the persisted codes-only form (8 bytes per vector at
+  * m=8). Values must fit a signed byte; PQ codes (0 ≤ code < k ≤ 128)
+  * do by construction. Inverse bridge is `Int8ToLongsExpr`.
+  */
+case class PackInt8Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_int8 requires ARRAY<INT>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = arr.getInt(i).toByte; i += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): PackInt8Expr =
+    copy(child = c)
+  override def prettyName: String = "pack_int8"
 }
 
 /** Widen an int8-quantized BINARY vector to ARRAY<LONG> — the bridge

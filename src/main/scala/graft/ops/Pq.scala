@@ -54,14 +54,21 @@ object Pq {
   }
 
   /** One narrow pass: per-subspace nearest-code assignment, emitted as
-    * an ARRAY<INT> of m codes per vector (the persisted form).
+    * BINARY of m code bytes per vector (the persisted form — 8 bytes at
+    * m=8; `Int8ToLongsExpr` is the read-side bridge).
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-             model: Model): DataFrame = {
-    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
-      int8Quantize(col(vecCol)).as("qfull"))
+             model: Model): DataFrame =
+    corpus.select(col(idCol).cast("long").as("vec_id"),
+      codesCol(int8Quantize(col(vecCol)), model).as("codes"))
+
+  /** The coding expression over an already-quantized BINARY vector —
+    * shared by [[encode]] and the persisted index's build/append pass.
+    */
+  private[graft] def codesCol(qfull: Column, model: Model): Column = {
+    import graft.functions.MathExprs.packInt8
     val codes = (0 until model.m).map { s =>
-      val sub = substring(col("qfull"), s * model.subDim + 1, model.subDim)
+      val sub = substring(qfull, s * model.subDim + 1, model.subDim)
       val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
         struct(qdistSq(sub, typedlit(c.toSeq)).as("dist"), lit(j).as("code"))
       }
@@ -71,7 +78,19 @@ object Pq {
           .otherwise(when(a.getField("code") < b.getField("code"), -1)
             .otherwise(1))), 1).getField("code")
     }
-    q.select(col("vec_id"), array(codes: _*).as("codes"))
+    packInt8(array(codes: _*))
+  }
+
+  /** Reconstruction from a BINARY codes column: per-subspace literal
+    * codebook lookup, concatenated to the full-dim ARRAY<DOUBLE> (the
+    * single-fold ADC distance contract needs the whole vector).
+    */
+  private[graft] def reconCol(codes: Column, model: Model): Column = {
+    import graft.functions.MathExprs.int8ToLongs
+    concat((0 until model.m).map { s =>
+      element_at(typedlit(model.codebooks(s).map(_.toSeq).toSeq),
+        element_at(int8ToLongs(codes), s + 1).cast("int") + 1)
+    }: _*)
   }
 
   /** ADC top-k: broadcast the (small) query set against the coded
@@ -86,10 +105,7 @@ object Pq {
       .withColumnRenamed("vec_id", "neighbor_id")
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       int8Quantize(col(vecCol)).as("qq"))
-    val recon: Column = concat((0 until model.m).map { s =>
-      element_at(typedlit(model.codebooks(s).map(_.toSeq).toSeq),
-        element_at(col("codes"), s + 1) + 1)
-    }: _*)
+    val recon: Column = reconCol(col("codes"), model)
     coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("dist", qdistSq(col("qq"), recon))
       .withColumn("rank", row_number().over(

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MathExprs.{int8Quantize, qdistSq}
+import graft.sinks.ManifestTable
+
+/** PERSISTED IVF-PQ index — the FAISS `IVFPQ` shape on the manifest
+  * storage layer: a coarse quantizer routes each vector to an inverted
+  * list, and the list entry stores ONLY (list_id, id, codes) — m code
+  * bytes per vector (8 B at m=8 vs 256 B float32 + 8 B norm in
+  * [[IvfIndex]]'s lists). A probe therefore reads ~nProbe/kLists of
+  * the corpus at the DIRECTORY level (manifest bucket cut, like
+  * IvfIndex) and ~1/32 of the bytes WITHIN what it opens — the double
+  * cut that lets a 100 TB corpus's search tier live on a few TB.
+  *
+  * Unlike [[IvfIndex]] (cosine coarse quantizer + exact float
+  * rescoring), everything here is ONE metric in ONE space: the coarse
+  * quantizer is [[Clustering.lloyd]] over the int8-quantized vectors
+  * (L2, exact-integer training), list assignment is its argmin
+  * projection, and search is ADC — L2 against the PQ reconstruction.
+  * That buys the determinism contract end to end: build twice, get the
+  * same index; search the index or run the in-query pieces, get the
+  * same ranking (spec-pinned).
+  *
+  * {{{
+  * <indexPath>/_centroids/   kLists × dim doubles (coarse, tiny)
+  * <indexPath>/_codebooks/   m × k × subDim doubles (PQ, tiny)
+  * <indexPath>/lists/        ManifestTable keyed by list_id:
+  *                           (list_id, id, codes BINARY(m))
+  * }}}
+  *
+  * APPEND encodes against the FROZEN coarse centroids + codebooks and
+  * lands as an O(batch) manifest append (FAISS's add-after-train
+  * contract); appended vectors are immediately searchable.
+  */
+object PqIndex {
+
+  private val CentroidsDir = "_centroids"
+  private val CodebooksDir = "_codebooks"
+  private def listsPath(indexPath: String) = s"$indexPath/lists"
+
+  /** Train coarse + PQ on the corpus, persist both models and the
+    * coded inverted lists. Driver state: kLists·dim + m·k·subDim
+    * doubles — model-sized, never corpus-sized.
+    */
+  def build(spark: SparkSession, indexPath: String, corpus: DataFrame,
+            idCol: String, vecCol: String, dim: Int, kLists: Int = 8,
+            m: Int = 8, k: Int = 16, updates: Int = 1,
+            nBuckets: Int = 4): Unit = {
+    import spark.implicits._
+    val q = quantized(corpus, idCol, vecCol)
+    val coarse = Clustering.lloyd(q, kLists, updates)
+    val pq = Pq.train(corpus, idCol, vecCol, dim, m, k, updates)
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("error").parquet(s"$indexPath/$CentroidsDir")
+    (for { s <- 0 until pq.m; j <- 0 until pq.k }
+      yield (s, j, pq.codebooks(s)(j).toSeq)).toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("error").parquet(s"$indexPath/$CodebooksDir")
+    ManifestTable.write(assigned(q, coarse, pq), listsPath(indexPath),
+      "list_id", nBuckets)
+  }
+
+  /** Encode `rows` with the frozen models and append — O(batch) IO, no
+    * retrain, immediately searchable.
+    */
+  def append(spark: SparkSession, indexPath: String, rows: DataFrame,
+             idCol: String, vecCol: String): Unit =
+    ManifestTable.append(spark, listsPath(indexPath),
+      assigned(quantized(rows, idCol, vecCol),
+        loadCoarse(spark, indexPath), loadPq(spark, indexPath)), "list_id")
+
+  private def quantized(rows: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    rows.select(col(idCol).cast("long").as("vec_id"),
+      int8Quantize(col(vecCol)).as("q"))
+
+  /** One narrow pass: coarse argmin → list_id, PQ coding → codes. */
+  private def assigned(q: DataFrame, coarse: Array[Array[Double]],
+                       pq: Pq.Model): DataFrame =
+    Clustering.assign(q, coarse)
+      .select(col("cluster").as("list_id"), col("vec_id").as("id"),
+        Pq.codesCol(col("q"), pq).as("codes"))
+
+  def loadCoarse(spark: SparkSession, indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexPath/$CentroidsDir")
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  def loadPq(spark: SparkSession, indexPath: String): Pq.Model = {
+    val rows = spark.read.parquet(s"$indexPath/$CodebooksDir")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val books = (0 until m).map { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }.toArray
+    Pq.Model(books, books(0)(0).length)
+  }
+
+  /** ADC top-k from the persisted lists: probe the nProbe
+    * nearest-coarse-centroid lists, open ONLY their manifest buckets,
+    * reconstruct candidates from their code bytes, rank by the
+    * single-fold L2 distance. Output: (query_id, neighbor_id, dist,
+    * rank).
+    */
+  def search(spark: SparkSession, indexPath: String, queries: DataFrame,
+             idCol: String, vecCol: String, topK: Int = 5,
+             nProbe: Int = 2): DataFrame = {
+    val coarse = loadCoarse(spark, indexPath)
+    val pq = loadPq(spark, indexPath)
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        int8Quantize(col(vecCol)).as("qq"))
+      .withColumn("probe", explode(probeLists(col("qq"), coarse, nProbe)))
+    val indexed = ManifestTable.readBuckets(spark, listsPath(indexPath),
+      probes.select(col("probe").as("list_id")))
+    indexed.join(broadcast(probes),
+        col("list_id") === col("probe") && col("query_id") =!= col("id"))
+      .withColumn("dist", qdistSq(col("qq"), Pq.reconCol(col("codes"), pq)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("id")))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("dist"), col("rank"))
+  }
+
+  /** The nProbe nearest coarse lists for a quantized query column —
+    * [[Ivf.probeLists]]'s shape with the index's own metric (L2 via
+    * `qdist_sq`, ties by list id).
+    */
+  private[graft] def probeLists(qq: Column, coarse: Array[Array[Double]],
+                              nProbe: Int): Column = {
+    val scored = coarse.zipWithIndex.map { case (c, i) =>
+      struct(qdistSq(qq, typedlit(c.toSeq)).as("dist"), lit(i).as("cid"))
+    }
+    slice(
+      transform(
+        array_sort(array(scored: _*), (a, b) =>
+          when(a.getField("dist") < b.getField("dist"), -1)
+            .when(a.getField("dist") > b.getField("dist"), 1)
+            .otherwise(when(a.getField("cid") < b.getField("cid"), -1)
+              .otherwise(1))),
+        s => s.getField("cid")),
+      1, nProbe)
+  }
+}

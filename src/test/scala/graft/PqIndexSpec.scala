@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MathExprs.{int8Quantize, qdistSq}
+import graft.ops.{Clustering, Pq, PqIndex}
+import graft.sinks.ManifestTable
+
+/** The persisted IVF-PQ index must be a pure relocation of the
+  * in-query pieces: same exact-integer coarse training
+  * (`Clustering.lloyd`), same coding (`Pq.codesCol`), so
+  * build-then-search ≡ composing those pieces in-query — while IO
+  * drops to "open only the probed lists' buckets, read only code
+  * bytes". Appends encode against frozen models.
+  */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered(n: Int, dim: Int = 64): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian().toFloat * 4f)
+    (0 until n).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.2f * rnd.nextGaussian().toFloat))
+    }
+  }
+
+  private def tmp() = s"${Files.createTempDirectory("graft-pqidx")}/idx"
+
+  /** The in-query expectation: quantize, train coarse+PQ with the same
+    * params, assign lists, encode, keep candidates in the query's
+    * probed lists, ADC-rank — element for element what search() does,
+    * built only from the open-coded operator pieces.
+    */
+  private def inQuery(df: DataFrame, queries: DataFrame,
+                      coarse: Array[Array[Double]], pq: Pq.Model,
+                      topK: Int, nProbe: Int): Set[(Long, Long, Long)] = {
+    val q = df.select($"vec_id", int8Quantize($"embedding").as("q"))
+    val coded = Clustering.assign(q, coarse)
+      .select($"cluster".as("list_id"), $"vec_id".as("id"),
+        Pq.codesCol($"q", pq).as("codes"))
+    val probes = queries
+      .select($"vec_id".as("query_id"), int8Quantize($"embedding").as("qq"))
+      .withColumn("probe", explode(PqIndex.probeLists($"qq", coarse, nProbe)))
+    coded.join(broadcast(probes),
+        $"list_id" === $"probe" && $"query_id" =!= $"id")
+      .withColumn("dist", qdistSq($"qq", Pq.reconCol($"codes", pq)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy($"dist", $"id")).cast("long"))
+      .filter($"rank" <= topK)
+      .select($"query_id", $"id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+  }
+
+  test("persisted search ≡ in-query composition; probes open only their buckets") {
+    val df = clustered(200).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val path = tmp()
+    PqIndex.build(spark, path, df, "vec_id", "embedding", dim = 64,
+      kLists = 4, m = 8, k = 16, updates = 1, nBuckets = 4)
+
+    val persisted = PqIndex.search(spark, path, queries, "vec_id", "embedding",
+        topK = 3, nProbe = 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val coarse = PqIndex.loadCoarse(spark, path)
+    val pq = PqIndex.loadPq(spark, path)
+    assert(persisted == inQuery(df, queries, coarse, pq, 3, 2),
+      "persisted path must reproduce the in-query composition exactly")
+
+    // IO scope: one query probing 2 of 4 lists must not open all buckets
+    val probed = ManifestTable.readBuckets(spark, s"$path/lists",
+      queries.limit(1).select(
+        explode(PqIndex.probeLists(int8Quantize($"embedding"), coarse, 2))
+          .as("list_id")))
+    val total = ManifestTable.read(spark, s"$path/lists").inputFiles.length
+    assert(probed.inputFiles.length < total,
+      s"probe opened all $total files — manifest cut absent")
+  }
+
+  test("persisted models round-trip bit-for-bit") {
+    val df = clustered(150).toDF("vec_id", "embedding")
+    val path = tmp()
+    PqIndex.build(spark, path, df, "vec_id", "embedding", dim = 64,
+      kLists = 4, m = 8, k = 16, updates = 1, nBuckets = 4)
+    val q = df.select($"vec_id", int8Quantize($"embedding").as("q"))
+    val coarseTrained = Clustering.lloyd(q, 4, 1)
+    val pqTrained = Pq.train(df, "vec_id", "embedding", 64, 8, 16, 1)
+    assert(PqIndex.loadCoarse(spark, path).map(_.toSeq).toSeq ==
+      coarseTrained.map(_.toSeq).toSeq)
+    assert(PqIndex.loadPq(spark, path).codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pqTrained.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("append encodes against frozen models; appended vectors immediately searchable") {
+    val all = clustered(160)
+    val (first, second) = all.splitAt(100)
+    val path = tmp()
+    PqIndex.build(spark, path, first.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 64, kLists = 4, m = 8, k = 16,
+      updates = 1, nBuckets = 4)
+    PqIndex.append(spark, path, second.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+
+    val q = second.take(2).toDF("vec_id", "embedding")
+    val res = PqIndex.search(spark, path, q, "vec_id", "embedding",
+        topK = 5, nProbe = 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+    assert(res.nonEmpty, "appended index must answer")
+    // equivalence vs the in-query composition over the FULL corpus with
+    // the frozen (first-batch-trained) models — append must not perturb
+    val coarse = PqIndex.loadCoarse(spark, path)
+    val pq = PqIndex.loadPq(spark, path)
+    assert(res.toSet ==
+      inQuery(all.toDF("vec_id", "embedding"), q, coarse, pq, 5, 2))
+    // every ADC hit stays in the query's planted cluster
+    assert(res.forall { case (qid, nid, _) => qid % 4 == nid % 4 })
+  }
+}

@@ -8,16 +8,18 @@ class PqSpec extends SparkSpec {
 
   private def fixture = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  test("PQ codes: m codes per vector, all within [0, k)") {
+  test("PQ codes: m code BYTES per vector, all within [0, k)") {
+    import graft.functions.MathExprs.int8ToLongs
     val model = Pq.train(fixture, "vec_id", "embedding",
       dim = 64, m = 8, k = 16, updates = 1)
     assert(model.m == 8 && model.k == 16 && model.subDim == 8)
     val bad = Pq.encode(fixture, "vec_id", "embedding", model)
-      .select($"vec_id", explode($"codes").as("c"))
+      .select($"vec_id", explode(int8ToLongs($"codes")).as("c"))
       .filter($"c" < 0 || $"c" >= 16).count()
     assert(bad == 0L)
+    // the persisted form really is 8 bytes per vector
     val arity = Pq.encode(fixture, "vec_id", "embedding", model)
-      .filter(size($"codes") =!= 8).count()
+      .filter(length($"codes") =!= 8).count()
     assert(arity == 0L)
   }
 
