@@ -33,24 +33,64 @@ object Pq {
     def k: Int = codebooks(0).length
   }
 
-  /** Train per-subspace codebooks: m independent Lloyd runs over
-    * `substring` slices of the quantized bytes. Driver state is
-    * m·k·subDim doubles; every corpus-sized step stays distributed.
+  /** Train per-subspace codebooks — m logically independent Lloyd
+    * runs, executed as ONE distributed job per update: every subspace's
+    * (code, dim, Σq, n) lands in a single explode → map-side-combined
+    * aggregation (m·subDim = d rows per vector, the same volume one
+    * whole-vector k-means shuffles), instead of m sequential corpus
+    * passes. Per-subspace arithmetic — init from the k lowest-id rows,
+    * argmin assignment, exact BIGINT sums, empty-code keep-old — is
+    * element-for-element `Clustering.lloyd`'s, so results are
+    * bit-identical to training each subspace separately (the
+    * `ann_topk_pq` oracle replays exactly that). Driver state is
+    * m·k·subDim doubles.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             dim: Int, m: Int, k: Int, updates: Int): Model = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
+    import graft.functions.MathExprs.int8ToLongs
     val q = corpus.select(col(idCol).cast("long").as("vec_id"),
       int8Quantize(col(vecCol)).as("qfull"))
-    val codebooks = (0 until m).map { s =>
-      // substring is 1-based and works on BINARY: the subspace slice
-      Clustering.lloyd(
-        q.select(col("vec_id"),
-          substring(col("qfull"), s * subDim + 1, subDim).as("q")),
-        k, updates)
-    }.toArray
-    Model(codebooks, subDim)
+    val initRows = q.orderBy("vec_id").limit(k).collect()
+      .map(_.getAs[Array[Byte]]("qfull"))
+    require(initRows.length == k, s"corpus has fewer than $k vectors")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, k)((s, j) =>
+      initRows(j).slice(s * subDim, (s + 1) * subDim).map(_.toDouble))
+    for (_ <- 1 to updates) {
+      val subStructs = (0 until m).map { s =>
+        val sub = substring(col("qfull"), s * subDim + 1, subDim)
+        struct(lit(s).as("sub"), argminCode(sub, books(s)).as("code"),
+          int8ToLongs(sub).as("bytes"))
+      }
+      val sums = q.select(explode(array(subStructs: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          posexplode(col("e.bytes")).as(Seq("pos", "qi")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("qi")).as("su"), count(lit(1)).as("n"))
+        .collect() // m·k·subDim rows — model-sized
+      val next = books.map(_.map(_.clone())) // empty code → previous centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / r.getLong(4)
+      }
+      books = next
+    }
+    Model(books, subDim)
+  }
+
+  /** Nearest-code argmin for one subspace slice — ties to the lower
+    * code, `Clustering.assign`'s total order.
+    */
+  private def argminCode(sub: Column, book: Array[Array[Double]]): Column = {
+    val scored = book.zipWithIndex.map { case (c, j) =>
+      struct(qdistSq(sub, typedlit(c.toSeq)).as("dist"), lit(j).as("code"))
+    }
+    element_at(array_sort(array(scored: _*), (a, b) =>
+      when(a.getField("dist") < b.getField("dist"), -1)
+        .when(a.getField("dist") > b.getField("dist"), 1)
+        .otherwise(when(a.getField("code") < b.getField("code"), -1)
+          .otherwise(1))), 1).getField("code")
   }
 
   /** One narrow pass: per-subspace nearest-code assignment, emitted as
@@ -67,18 +107,10 @@ object Pq {
     */
   private[graft] def codesCol(qfull: Column, model: Model): Column = {
     import graft.functions.MathExprs.packInt8
-    val codes = (0 until model.m).map { s =>
-      val sub = substring(qfull, s * model.subDim + 1, model.subDim)
-      val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
-        struct(qdistSq(sub, typedlit(c.toSeq)).as("dist"), lit(j).as("code"))
-      }
-      element_at(array_sort(array(scored: _*), (a, b) =>
-        when(a.getField("dist") < b.getField("dist"), -1)
-          .when(a.getField("dist") > b.getField("dist"), 1)
-          .otherwise(when(a.getField("code") < b.getField("code"), -1)
-            .otherwise(1))), 1).getField("code")
-    }
-    packInt8(array(codes: _*))
+    packInt8(array((0 until model.m).map { s =>
+      argminCode(substring(qfull, s * model.subDim + 1, model.subDim),
+        model.codebooks(s))
+    }: _*))
   }
 
   /** Reconstruction from a BINARY codes column: per-subspace literal

@@ -3423,9 +3423,45 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     graft.ops.Bm25Index.search(spark, path, terms.toDF("term"), k = 20)
   }
 
+  /** Fixture cache for the persisted IVF-PQ index — same build-once
+    * contract as the BM25 fixture (warmup pays the build; timed passes
+    * measure probes against the frozen index).
+    */
+  private val benchPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def benchPqIndex(spark: SparkSession, dir: String): String =
+    benchPqCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-bench-pq").toString + "/idx"
+      graft.ops.PqIndex.build(spark, p, Tables.embeddings(spark, dir),
+        "vec_id", "embedding", dim = 64, kLists = 8, m = 8, k = 16,
+        updates = 1, nBuckets = 4)
+      p
+    })
+
+  /** Bench-only: ANN against the PERSISTED IVF-PQ index
+    * ([[graft.ops.PqIndex]]) — what a vector-search endpoint pays once
+    * training/coding are paid at build time: probe 2 of 8 lists (open
+    * only their manifest buckets), read 8 code bytes per candidate,
+    * ADC-rank. The delta against the oracled `ann_topk_pq` (which
+    * retrains and recodes per query) is the index's payoff. Not
+    * oracle-registrable: the fixture build is a side effect.
+    */
+  def pqIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val path = benchPqIndex(spark, dir)
+    graft.ops.PqIndex.search(spark, path,
+        Tables.embeddings(spark, dir).filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 5, nProbe = 2)
+      .withColumn("dist_r", round(col("dist"), 6))
+      .select("query_id", "neighbor_id", "dist_r", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_index_search" -> bm25IndexSearch _,
     "manifest_point_lookup" -> manifestPointLookup _,
+    "pq_index_search" -> pqIndexSearch _,
     "line_dedup_fp" -> ((s: SparkSession, d: String) =>
       Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text",
         maxOccur = 1L, fingerprintKeys = true)
