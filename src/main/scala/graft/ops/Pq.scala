@@ -14,9 +14,10 @@ import graft.functions.MathExprs.{int8Quantize, qdistSq}
   * that lets a 100 TB corpus's ANN index fit in cluster memory.
   *
   * Everything inherits `Clustering`'s determinism contract: codebooks
-  * are trained per subspace with the SAME exact-integer distributed
-  * Lloyd core (`Clustering.lloyd` on `substring` slices of the packed
-  * bytes), coding is the same argmin-over-struct projection, and ADC
+  * are trained with the same exact-integer Lloyd arithmetic
+  * (element-for-element `Clustering.lloyd` per subspace, batched into
+  * one job per update across all m subspaces — see [[train]]), coding
+  * is the same argmin-over-struct projection, and ADC
   * search computes ‖q − recon(codes)‖² as ONE left fold over all d
   * dims of the concatenated reconstruction — the fold association is
   * part of the contract (Σ over per-subspace partials would group the
