@@ -111,6 +111,7 @@ object Bm25Index {
     val doRefresh: () => Unit = d.getOrElse("kind", "?") match {
       case "bm25" => () => { refresh(spark, indexPath); () }
       case "ivf" => () => { IvfIndex.refresh(spark, indexPath); () }
+      case "ivfpq" => () => { PqIndex.refresh(spark, indexPath); () }
       case other => throw new IllegalStateException(
         s"unknown index kind at $indexPath: $other")
     }

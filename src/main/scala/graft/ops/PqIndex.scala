@@ -73,6 +73,82 @@ object PqIndex {
       assigned(quantized(rows, idCol, vecCol),
         loadCoarse(spark, indexPath), loadPq(spark, indexPath)), "list_id")
 
+  private val AppId = "graft-ivfpq-sync"
+
+  private def writeDef(spark: SparkSession, indexPath: String,
+                       corpusPath: String, idCol: String,
+                       vecCol: String): Unit =
+    Bm25Index.writeDefJson(spark, indexPath,
+      s"""{"kind":"ivfpq","sourcePath":"$corpusPath","idCol":"$idCol",""" +
+        s""""vecCol":"$vecCol"}""",
+      Seq(corpusPath, idCol, vecCol))
+
+  /** [[sync]] by path alone, from the persisted definition. */
+  def refresh(spark: SparkSession, indexPath: String): Boolean = {
+    val d = Bm25Index.readDef(spark, indexPath)
+    require(d.get("kind").contains("ivfpq"),
+      s"index at $indexPath is not an ivfpq index: ${d.get("kind")}")
+    sync(spark, indexPath, d("sourcePath"), d("idCol"), d("vecCol"))
+  }
+
+  /** Exactly-once incremental maintenance for a MANIFEST-TABLE corpus —
+    * [[IvfIndex.sync]]'s contract verbatim, with BOTH models (coarse
+    * centroids + PQ codebooks) frozen at the first sync: later syncs
+    * assign + encode only the corpus dirs added since (O(delta)) under
+    * the version watermark (crash replays no-op); non-append corpus
+    * changes refuse loudly — coded lists cannot subtract. The vector
+    * dimension is read from the corpus itself (one `size()` row).
+    */
+  def sync(spark: SparkSession, indexPath: String, corpusPath: String,
+           idCol: String, vecCol: String, kLists: Int = 8, m: Int = 8,
+           k: Int = 16, updates: Int = 1, nBuckets: Int = 4): Boolean = {
+    val head = ManifestTable.headVersion(spark, corpusPath).getOrElse(
+      throw new IllegalArgumentException(s"no committed corpus at $corpusPath"))
+    val lists = listsPath(indexPath)
+    if (ManifestTable.headVersion(spark, lists).isEmpty) {
+      val docs = ManifestTable.readVersion(spark, corpusPath, head)
+      val dim = docs.select(size(col(vecCol))).head().getInt(0)
+      val q = quantized(docs, idCol, vecCol)
+      val coarse = Clustering.lloyd(q, kLists, updates)
+      val pq = Pq.train(docs, idCol, vecCol, dim, m, k, updates)
+      import spark.implicits._
+      writeDef(spark, indexPath, corpusPath, idCol, vecCol)
+      // overwrite, not error: leftovers from a crashed first sync must
+      // not wedge the retry — the retrain reproduces them exactly
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/$CentroidsDir")
+      (for { s <- 0 until pq.m; j <- 0 until pq.k }
+        yield (s, j, pq.codebooks(s)(j).toSeq)).toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/$CodebooksDir")
+      ManifestTable.writeWithTxn(assigned(q, coarse, pq), lists,
+        "list_id", nBuckets, AppId, head.toLong)
+      return true
+    }
+    val last = ManifestTable.txnVersion(spark, lists, AppId).getOrElse(
+      throw new IllegalStateException(
+        s"lists at $lists lack the sync watermark — an index built " +
+          "with build() takes append(), not sync()")).toInt
+    if (head <= last) return false
+    val mFrom = ManifestTable.readManifest(spark, corpusPath, last)
+    val mTo = ManifestTable.readManifest(spark, corpusPath, head)
+    val (before, after) = (mFrom.buckets.values.flatten.toSet,
+      mTo.buckets.values.flatten.toSet)
+    require((before -- after).isEmpty && mFrom.tombstones == mTo.tombstones,
+      s"corpus at $corpusPath changed non-append between versions $last " +
+        s"and $head (rewrite or delete): coded lists cannot subtract — " +
+        "rebuild the index")
+    val newDirs = (after -- before).toSeq.sorted
+    if (newDirs.isEmpty) return false
+    val batch = spark.read.parquet(newDirs.map(r => s"$corpusPath/$r"): _*)
+    ManifestTable.appendOnce(spark, lists,
+      assigned(quantized(batch, idCol, vecCol),
+        loadCoarse(spark, indexPath), loadPq(spark, indexPath)),
+      "list_id", AppId, head.toLong)
+  }
+
   private def quantized(rows: DataFrame, idCol: String,
                         vecCol: String): DataFrame =
     rows.select(col(idCol).cast("long").as("vec_id"),

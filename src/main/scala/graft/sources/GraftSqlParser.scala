@@ -31,7 +31,8 @@ import graft.sinks.ManifestTable
   * GRAFT DROP CONSTRAINT '/path/t' pos
   * GRAFT RENAME COLUMN '/path/t' old TO new        -- honest rewrite
   * GRAFT CREATE TEXT INDEX '/idx' FROM '/t' KEY id TEXT body [BUCKETS 8]
-  * GRAFT CREATE VECTOR INDEX '/idx' FROM '/t' KEY id VECTOR emb [LISTS 16]
+  * GRAFT CREATE VECTOR INDEX '/idx' FROM '/t' KEY id VECTOR emb
+  *   [LISTS 16] [BUCKETS 8] [USING PQ]            -- PQ: coded IVF-PQ lists
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
@@ -105,7 +106,7 @@ object GraftSqlParser {
   private val CreateTextIndex =
     """(?is)\s*GRAFT\s+CREATE\s+TEXT\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+TEXT\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s*""".r
   private val CreateVectorIndex =
-    """(?is)\s*GRAFT\s+CREATE\s+VECTOR\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+VECTOR\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LISTS\s+(\d+))?(?:\s+BUCKETS\s+(\d+))?\s*""".r
+    """(?is)\s*GRAFT\s+CREATE\s+VECTOR\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+VECTOR\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LISTS\s+(\d+))?(?:\s+BUCKETS\s+(\d+))?(?:\s+(USING\s+PQ))?\s*""".r
   private val RenameCol =
     """(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*""".r
   private val Restore =
@@ -183,11 +184,16 @@ object GraftSqlParser {
           graft.ops.Bm25Index.sync(s, idx, src, key, text,
             Option(buckets).map(_.toInt).getOrElse(8)),
           versionPath = Some(s"$idx/postings")))
-      case CreateVectorIndex(idx, src, key, vec, lists, buckets) =>
+      case CreateVectorIndex(idx, src, key, vec, lists, buckets, usingPq) =>
         Some(GraftMaintenanceCommand(idx, "create_vector_index", s =>
-          graft.ops.IvfIndex.sync(s, idx, src, key, vec,
-            k = Option(lists).map(_.toInt).getOrElse(16),
-            nBuckets = Option(buckets).map(_.toInt).getOrElse(8)),
+          if (usingPq != null)
+            graft.ops.PqIndex.sync(s, idx, src, key, vec,
+              kLists = Option(lists).map(_.toInt).getOrElse(8),
+              nBuckets = Option(buckets).map(_.toInt).getOrElse(4))
+          else
+            graft.ops.IvfIndex.sync(s, idx, src, key, vec,
+              k = Option(lists).map(_.toInt).getOrElse(16),
+              nBuckets = Option(buckets).map(_.toInt).getOrElse(8)),
           versionPath = Some(s"$idx/lists")))
       case RenameCol(path, from, to) =>
         Some(GraftMaintenanceCommand(path, "rename_column", s =>
@@ -486,6 +492,8 @@ case class GraftRefreshCommand(view: String) extends LeafRunnableCommand {
           case "bm25" => (graft.ops.Bm25Index.refresh(sparkSession, view),
             s"$view/postings")
           case "ivf" => (graft.ops.IvfIndex.refresh(sparkSession, view),
+            s"$view/lists")
+          case "ivfpq" => (graft.ops.PqIndex.refresh(sparkSession, view),
             s"$view/lists")
           case other => throw new IllegalStateException(
             s"unknown index kind at $view: $other")

@@ -96,6 +96,57 @@ class PqIndexSpec extends SparkSpec {
       pqTrained.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("sync: exactly-once maintenance from a manifest corpus, SQL lifecycle") {
+    val all = clustered(160)
+    val (a, b) = all.splitAt(100)
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(a.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    assert(PqIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4), "first sync builds")
+    // SQL lifecycle: USING PQ routes to the coded index — created at
+    // the SAME corpus state, so its frozen models equal sync's (PQ
+    // ranks depend on the codebooks, unlike IvfIndex's exact rescoring)
+    val sqlIdx = tmp()
+    spark.sql(s"GRAFT CREATE VECTOR INDEX '$sqlIdx' FROM '$corpus' " +
+      "KEY vec_id VECTOR embedding LISTS 4 BUCKETS 4 USING PQ")
+
+    ManifestTable.append(spark, corpus,
+      b.toDF("vec_id", "embedding"), "vec_id")
+    assert(PqIndex.sync(spark, idx, corpus, "vec_id", "embedding"),
+      "second sync folds the delta")
+    assert(!PqIndex.sync(spark, idx, corpus, "vec_id", "embedding"),
+      "current index must report false")
+
+    // ≡ build(a) + append(b): training is id-sorted, coding frozen
+    val ref = tmp()
+    PqIndex.build(spark, ref, a.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 64, kLists = 4, nBuckets = 4)
+    PqIndex.append(spark, ref, b.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val q = all.take(4).toDF("vec_id", "embedding")
+    def res(p: String) = PqIndex.search(spark, p, q, "vec_id", "embedding",
+        topK = 4, nProbe = 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(res(idx) == res(ref), "sync must equal build+append")
+
+    // GRAFT REFRESH dispatches on the def's ivfpq kind: folds the
+    // appended delta into the SQL-created index, after which it equals
+    // the sync-maintained one exactly
+    assert(spark.sql(s"GRAFT REFRESH '$sqlIdx'").collect()
+      .head.getString(2) == "true", "refresh must fold the delta")
+    assert(res(sqlIdx) == res(idx), "refreshed SQL index must equal sync's")
+    assert(spark.sql(s"GRAFT REFRESH '$idx'").collect()
+      .head.getString(2) == "false", "current index must report false via SQL")
+
+    // non-append corpus change refuses with the rebuild demand
+    ManifestTable.deleteKeys(spark, corpus, Seq(5L).toDF("vec_id"), "vec_id")
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.sync(spark, idx, corpus, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("append encodes against frozen models; appended vectors immediately searchable") {
     val all = clustered(160)
     val (first, second) = all.splitAt(100)
