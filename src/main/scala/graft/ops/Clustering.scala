@@ -28,6 +28,12 @@ import graft.functions.MathExprs.{int8Quantize, int8ToLongs, qdistSq}
   *    broken by cluster index;
   *  - init is the k lowest-id vectors (no RNG);
   *  - an empty cluster keeps its previous centroid.
+  *
+  * Each Lloyd update re-reads the corpus (scan + quantize are the
+  * narrow pass) — the inherent k-means shape. At 100 TB a caller doing
+  * many updates should land the quantized (vec_id, q) projection once
+  * (persist, or a manifest table — it IS the stored form, 1 byte/dim)
+  * and cluster that; the arithmetic and results are identical.
   */
 object Clustering {
 

@@ -107,7 +107,9 @@ object PqIndex {
     val lists = listsPath(indexPath)
     if (ManifestTable.headVersion(spark, lists).isEmpty) {
       val docs = ManifestTable.readVersion(spark, corpusPath, head)
-      val dim = docs.select(size(col(vecCol))).head().getInt(0)
+      val dimRow = docs.select(size(col(vecCol))).take(1)
+      require(dimRow.nonEmpty, s"empty corpus at $corpusPath — nothing to train on")
+      val dim = dimRow.head.getInt(0)
       val q = quantized(docs, idCol, vecCol)
       val coarse = Clustering.lloyd(q, kLists, updates)
       val pq = Pq.train(docs, idCol, vecCol, dim, m, k, updates)
