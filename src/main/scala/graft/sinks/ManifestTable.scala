@@ -283,13 +283,45 @@ object ManifestTable {
       s""""buckets":{$entries}}"""
   }
 
+  /** Positions of the manifest's TOP-LEVEL field keys, via a
+    * quote-aware depth scan. Every optional-field lookup anchors here
+    * rather than on a raw `indexOf`, so a key-shaped token nested in a
+    * later object — a data column named `constraints` in a legacy
+    * manifest's dirStats, an appendOnce appId named `writerVersion` in
+    * txns, a dir named `buckets` in dirFiles — can never alias a field
+    * the manifest predates (which would crash the substring math or
+    * fabricate phantom values). Quoted spans are skipped atomically;
+    * the render contract forbids quotes inside values, so no escapes.
+    */
+  private def topLevelFields(s: String): Map[String, Int] = {
+    val out = scala.collection.mutable.Map[String, Int]()
+    var depth = 0; var i = 0; val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' =>
+          val close = s.indexOf('"', i + 1)
+          if (close < 0) i = n
+          else {
+            if (depth == 1 && close + 1 < n && s.charAt(close + 1) == ':')
+              out.getOrElseUpdate(s.substring(i + 1, close), i)
+            i = close + 1
+          }
+        case _ => i += 1
+      }
+    }
+    out.toMap
+  }
+
   private def parse(s: String): Manifest = {
+    val fields = topLevelFields(s)
     def intField(k: String) =
-      s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+      s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s.substring(fields(k))).get.group(1).toInt
     def strField(k: String) =
-      s"""\"$k\":\"([^\"]*)\"""".r.findFirstMatchIn(s).get.group(1)
+      s"""\"$k\":\"([^\"]*)\"""".r.findFirstMatchIn(s.substring(fields(k))).get.group(1)
     val buckets = s"""\"(\\d+)\":\\[([^\\]]*)\\]""".r.findAllMatchIn(
-      s.substring(s.indexOf("\"buckets\""))
+      s.substring(fields("buckets"))
     ).map { m =>
       val dirs = "\"([^\"]+)\"".r.findAllMatchIn(m.group(2))
         .map(_.group(1)).toSeq
@@ -297,7 +329,7 @@ object ManifestTable {
     }.toMap
     // optional (absent in pre-txn manifests): scoped to the txns object,
     // which render always emits BEFORE buckets
-    val txns = s.indexOf("\"txns\"") match {
+    val txns = fields.getOrElse("txns", -1) match {
       case -1 => Map.empty[String, Long]
       case i =>
         val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
@@ -306,7 +338,7 @@ object ManifestTable {
     }
     // optional (absent in pre-stats manifests): per-directory row counts,
     // rendered before buckets like txns
-    val dirRows = s.indexOf("\"dirRows\"") match {
+    val dirRows = fields.getOrElse("dirRows", -1) match {
       case -1 => Map.empty[String, Long]
       case i =>
         val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
@@ -315,7 +347,7 @@ object ManifestTable {
     }
     // optional: per-directory numeric column min/max (zone maps). The
     // object NESTS one level, so take the balanced {...} body.
-    val dirStats = s.indexOf("\"dirStats\"") match {
+    val dirStats = fields.getOrElse("dirStats", -1) match {
       case -1 => Map.empty[String, Map[String, (String, String)]]
       case i =>
         val open = s.indexOf('{', i)
@@ -332,7 +364,7 @@ object ManifestTable {
     }
     // optional (absent in pre-bloom manifests): columns with per-dir
     // bloom sidecars; rendered before buckets, a flat string array
-    val bloomCols = s.indexOf("\"bloomCols\"") match {
+    val bloomCols = fields.getOrElse("bloomCols", -1) match {
       case -1 => Seq.empty[String]
       case i =>
         val body = s.substring(s.indexOf('[', i) + 1, s.indexOf(']', i))
@@ -341,7 +373,7 @@ object ManifestTable {
     }
     // optional (absent in pre-merge-on-read manifests): per-bucket
     // equality-delete entries, each a flat "tsDir;covered..." string
-    val tombstones = s.indexOf("\"tombstones\"") match {
+    val tombstones = fields.getOrElse("tombstones", -1) match {
       case -1 => Map.empty[Int, Seq[(String, Seq[String])]]
       case i =>
         val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
@@ -356,7 +388,7 @@ object ManifestTable {
     }
     // optional (absent in pre-file-list manifests): per-dir parquet
     // file names + sizes, "name;bytes" flat strings
-    val dirFiles = s.indexOf("\"dirFiles\"") match {
+    val dirFiles = fields.getOrElse("dirFiles", -1) match {
       case -1 => Map.empty[String, Seq[(String, Long)]]
       case i =>
         val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
@@ -368,7 +400,7 @@ object ManifestTable {
     }
     // optional (absent in pre-NDV manifests): per-dir per-column HLL
     // sketches, hex-encoded; nests one level like dirStats
-    val dirNdv = s.indexOf("\"dirNdv\"") match {
+    val dirNdv = fields.getOrElse("dirNdv", -1) match {
       case -1 => Map.empty[String, Map[String, String]]
       case i =>
         val open = s.indexOf('{', i)
@@ -385,7 +417,7 @@ object ManifestTable {
     }
     // optional (absent in pre-drop manifests): names whose physical
     // columns may linger in old files — re-adding them is refused
-    val droppedCols = s.indexOf("\"droppedCols\"") match {
+    val droppedCols = fields.getOrElse("droppedCols", -1) match {
       case -1 => Seq.empty[String]
       case i =>
         val body = s.substring(s.indexOf('[', i) + 1, s.indexOf(']', i))
@@ -394,12 +426,13 @@ object ManifestTable {
     }
     // optional (absent in pre-feature-level manifests → 0: the key
     // column stays nullable on read — see [[CurrentWriterVersion]])
-    val writerVersion = """"writerVersion":(\d+)""".r.findFirstMatchIn(s)
-      .map(_.group(1).toInt).getOrElse(0)
+    val writerVersion = fields.get("writerVersion")
+      .map(i => """"writerVersion":(\d+)""".r.findFirstMatchIn(s.substring(i))
+        .get.group(1).toInt).getOrElse(0)
     // optional (absent in pre-constraint manifests): CHECK constraints,
     // name → SQL expression (values carry no quotes/braces by contract,
     // so the flat quote-anchored scan is unambiguous)
-    val constraints = s.indexOf("\"constraints\"") match {
+    val constraints = fields.getOrElse("constraints", -1) match {
       case -1 => Map.empty[String, String]
       case i =>
         val body = s.substring(s.indexOf('{', i) + 1, s.indexOf('}', i))
@@ -1326,7 +1359,15 @@ object ManifestTable {
                             nBuckets: Int, bloomCols: Seq[String],
                             txns: Map[String, Long]): Unit = {
     val spark = df.sparkSession
-    val slice = bucketed(df, keyCol, nBuckets)
+    // A whole-table replace of an EXISTING table keeps its CHECK
+    // constraints: they are durable table metadata (as in Delta), so
+    // the replacement rows are validated against them and the set
+    // survives the rewrite — matching every other full-rewrite path
+    // (rebucket, rename, INSERT OVERWRITE). New tables start
+    // unconstrained.
+    val cons = if (versions(spark, path).isEmpty) Map.empty[String, String]
+               else currentManifest(spark, path).constraints
+    val slice = bucketed(df, keyCol, nBuckets, cons)
     bloomCols.foreach(c => require(slice.columns.contains(c) &&
       BloomSidecar.supportsType(slice.schema(c).dataType),
       s"bloom column $c must exist with string/integral type"))
@@ -1341,12 +1382,21 @@ object ManifestTable {
       try {
         publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
           staged.map { case (b, d) => b -> Seq(d) }, bloomCols = bloomCols,
-          txns = txns, writerVersion = CurrentWriterVersion))
+          txns = txns, writerVersion = CurrentWriterVersion,
+          constraints = cons))
         done = true
       } catch {
         case e: ConcurrentCommitException =>
           tries += 1
           if (tries >= 5) throw e
+          // the staged rows were validated against `cons`; if a racing
+          // ALTER changed the constraint set, committing them would
+          // bypass the new contract — refuse and let the caller retry
+          if (currentManifest(spark, path).constraints != cons)
+            throw new IllegalStateException(
+              "concurrent ALTER changed the table's CHECK constraints " +
+                "during a whole-table write — re-run the write so the " +
+                "rows are validated against the current set")
       }
     }
   }

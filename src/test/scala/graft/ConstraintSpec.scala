@@ -142,6 +142,27 @@ class ConstraintSpec extends SparkSpec {
       Seq((201L, "neg", -2.0)).toDF("id", "name", "score"), "id") }
   }
 
+  test("whole-table write() keeps the constraint set and validates the new rows") {
+    val path = tmp()
+    mkTable(path)
+    ManifestTable.addConstraint(spark, path, "nonneg", "score >= 0")
+
+    // a violating replacement refuses — the constraint guards write()
+    // exactly like append/upsert/merge/INSERT OVERWRITE
+    intercept[Exception] {
+      ManifestTable.write(Seq((1L, "bad", -5.0)).toDF("id", "name", "score"),
+        path, "id", 4)
+    }
+    // a clean replacement commits AND the constraint survives it
+    ManifestTable.write(Seq((1L, "ok", 7.0)).toDF("id", "name", "score"),
+      path, "id", 4)
+    val m = ManifestTable.currentManifest(spark, path)
+    assert(m.constraints == Map("nonneg" -> "score >= 0"),
+      "write() must carry the table's CHECK constraints forward")
+    intercept[Exception] { ManifestTable.append(spark, path,
+      Seq((2L, "neg", -1.0)).toDF("id", "name", "score"), "id") }
+  }
+
   test("a column a constraint checks cannot be dropped or renamed") {
     val path = tmp()
     mkTable(path)

@@ -121,6 +121,31 @@ class ManifestRoundTripSpec extends AnyFunSuite {
     assert(result.passed, s"round-trip property failed: ${result.status}")
   }
 
+  test("legacy manifests with field-shaped tokens nested in later objects parse clean") {
+    // A manifest written BEFORE the constraints / writerVersion fields
+    // existed, whose user-chosen names legitimately collide with them:
+    // a data column named `constraints` (recorded in dirStats), an
+    // appendOnce appId `writerVersion` (in txns), a dir named `buckets`
+    // (in dirFiles). The parser must anchor on TOP-LEVEL keys only —
+    // an unanchored indexOf would crash on the inverted substring
+    // bounds or fabricate phantom constraints / a false feature level.
+    val legacy =
+      """{"version":7,"nBuckets":4,"keyCol":"id",""" +
+      """"schemaDdl":"id BIGINT,constraints BIGINT",""" +
+      """"txns":{"writerVersion":5},""" +
+      """"dirRows":{"data/a/b=0":10},""" +
+      """"dirStats":{"data/a/b=0":{"constraints":["1","9"]}},""" +
+      """"dirFiles":{"buckets":["part-x.parquet;33"]},""" +
+      """"buckets":{"0":["data/a/b=0"]}}"""
+    val m = ManifestTable.parseForTest(legacy)
+    assert(m.constraints.isEmpty)        // NOT the dirStats column
+    assert(m.writerVersion == 0)         // NOT the txn's appId value
+    assert(m.txns == Map("writerVersion" -> 5L))
+    assert(m.dirStats == Map("data/a/b=0" -> Map("constraints" -> ("1", "9"))))
+    assert(m.dirFiles == Map("buckets" -> Seq(("part-x.parquet", 33L))))
+    assert(m.buckets == Map(0 -> Seq("data/a/b=0")))
+  }
+
   test("hostile inputs are rejected at render time, never silently corrupted") {
     val base = Manifest(1, 4, "id", "id BIGINT", Map(0 -> Seq("data/x/b=0")))
     intercept[IllegalArgumentException] {
