@@ -21,7 +21,51 @@ import org.apache.spark.sql.SparkSession
   *    pass still executes the full plan).
   */
 object Bench {
+
+  /** Machine-state watermark: (1/5/15-min load averages, running JVM
+    * count) from /proc. Five host-variance incidents in six rounds
+    * (r6/r8/r9/r12/r13) were diagnosable only by re-running on a
+    * provably idle box — the artifact itself recorded no machine state.
+    * Stamped at start AND end of the run: the start stamp is the
+    * external-load signal (a 1-min load > 0.5 before this JVM has done
+    * anything means something else is, or just was, running — a
+    * just-exited verify JVM leaves load ~1.5 and still inflates); the
+    * end stamp mostly reflects the bench's own work and is kept for
+    * the trail.
+    */
+  private def envStamp(): (Seq[Double], Int) = {
+    val load =
+      try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty[Double] }
+    val jvms =
+      try {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count { p =>
+            p.getFileName.toString.forall(_.isDigit) &&
+              (try java.nio.file.Files.readString(p.resolve("comm"))
+                 .trim == "java"
+               catch { case _: Throwable => false })
+          }
+        } finally s.close()
+      } catch { case _: Throwable => -1 }
+    (load, jvms)
+  }
+
+  private def envJson(start: (Seq[Double], Int),
+                      end: (Seq[Double], Int)): String = {
+    val loaded = start._1.headOption.exists(_ > 0.5)
+    s"""{"load_start":${start._1.mkString("[", ",", "]")},""" +
+      s""""jvms_start":${start._2},""" +
+      s""""load_end":${end._1.mkString("[", ",", "]")},""" +
+      s""""jvms_end":${end._2},"loaded":$loaded}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val envStart = envStamp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -96,8 +140,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val env = envJson(envStart, envStamp())
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"flaky":${flaky.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"flaky":${flaky.mkString("{", ",", "}")},"env":$env,"sf":"$sfDir"}"""
     println(json)
     // stdout of a driver-run sbt process gets tail-truncated (~11 of 73
     // per-query timings were lost in round 3) — the file is the durable,
