@@ -146,4 +146,55 @@ object Pq {
       .filter(col("rank") <= topK)
       .select("query_id", "neighbor_id", "dist", "rank")
   }
+
+  /** ADC top-k WITH EXACT RE-RANK — the refine stage every production
+    * IVFADC system runs (Jégou et al. §V-D; FAISS `IndexRefineFlat`):
+    * ADC ranks a candidate set of c = refineFactor·topK per query from
+    * the 32×-compressed codes alone (cheap, but quantization error makes
+    * its fine ordering unreliable — on near-isotropic data ADC top-k is
+    * near chance, PqSpec documents it); the candidates' EXACT quantized
+    * vectors are then fetched and re-scored with the true L2, and the
+    * emitted top-k is decided on exact distances.
+    *
+    * `dist` in the output is the EXACT squared int8 distance (an
+    * integer, emitted as such) — sums of squared byte differences stay
+    * far below 2^53, so the re-score is order-independent exact
+    * arithmetic and the ranking is oracle-reproducible with no rounding
+    * crutch.
+    */
+  def searchTopKRefined(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, topK: Int,
+                        model: Model, refineFactor: Int = 4): DataFrame = {
+    val candidates = searchTopK(corpus, queries, idCol, vecCol,
+        topK * refineFactor, model)
+      .select("query_id", "neighbor_id")
+    refineExact(candidates,
+      corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        int8Quantize(col(vecCol)).as("qn")),
+      queries.select(col(idCol).cast("long").as("query_id"),
+        int8Quantize(col(vecCol)).as("qq")),
+      topK)
+  }
+
+  /** Shared exact re-rank over an ADC candidate set: the candidate list
+    * (nQueries·c rows — model-sized, broadcast) joins the corpus's
+    * quantized vectors in ONE narrow scan (at 100 TB against a manifest
+    * corpus the broadcast id list additionally prunes via the bucket/
+    * bloom ladder), queries broadcast in, and the final rank is
+    * row_number over the exact distance. Candidates must carry
+    * (query_id, neighbor_id); `exact` carries (neighbor_id, qn BINARY);
+    * `queriesQ` carries (query_id, qq BINARY).
+    */
+  private[graft] def refineExact(candidates: DataFrame, exact: DataFrame,
+                                 queriesQ: DataFrame, topK: Int): DataFrame = {
+    import graft.functions.MathExprs.int8ToLongs
+    exact.join(broadcast(candidates), "neighbor_id")
+      .join(broadcast(queriesQ), "query_id")
+      .withColumn("dist",
+        qdistSq(col("qq"), transform(int8ToLongs(col("qn")), _.cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
 }

@@ -207,6 +207,35 @@ object PqIndex {
         col("dist"), col("rank"))
   }
 
+  /** [[search]] WITH EXACT RE-RANK (the IVFADC refine stage, FAISS
+    * `IndexRefineFlat`): the ADC probe ranks c = refineFactor·topK
+    * candidates per query from the coded lists alone; their EXACT
+    * vectors are then fetched from `exactCorpus` (the source table the
+    * index was built over — the index itself stores only code bytes)
+    * and the emitted top-k is re-decided on true int8 L2 distances.
+    * `dist` is the exact integer distance (see
+    * [[Pq.searchTopKRefined]]).
+    *
+    * Scale shape: the refine adds ONE narrow pass over `exactCorpus`
+    * driven by a broadcast candidate-id list (nQueries·c rows) — when
+    * the corpus is a manifest table, the point-lookup ladder (bucket
+    * cut + bloom sidecars) turns that pass into O(candidates) IO.
+    */
+  def searchRefined(spark: SparkSession, indexPath: String,
+                    queries: DataFrame, exactCorpus: DataFrame,
+                    idCol: String, vecCol: String, topK: Int = 5,
+                    nProbe: Int = 2, refineFactor: Int = 4): DataFrame = {
+    val candidates = search(spark, indexPath, queries, idCol, vecCol,
+        topK * refineFactor, nProbe)
+      .select("query_id", "neighbor_id")
+    Pq.refineExact(candidates,
+      exactCorpus.select(col(idCol).cast("long").as("neighbor_id"),
+        int8Quantize(col(vecCol)).as("qn")),
+      queries.select(col(idCol).cast("long").as("query_id"),
+        int8Quantize(col(vecCol)).as("qq")),
+      topK)
+  }
+
   /** The nProbe nearest coarse lists for a quantized query column —
     * [[Ivf.probeLists]]'s shape with the index's own metric (L2 via
     * `qdist_sq`, ties by list id).

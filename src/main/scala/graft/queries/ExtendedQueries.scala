@@ -2135,16 +2135,19 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
   /** The PQ oracle: per subspace, the same unrolled-Lloyd blocks as
     * `embeddingKmeansSql` over the 8-dim slice; then codes → list-concat
     * reconstruction → one 64-dim fold → rank. Generated, not hand-kept:
-    * 8 subspaces × (init + update + code) blocks.
+    * 8 subspaces × (init + update + code) blocks. The shared CTE prefix
+    * (through the ADC ranking) also feeds the refined variant's oracle.
     */
-  private def annTopkPqSql(dim: Int = 64, m: Int = 8, k: Int = 16): String = {
+  private def pqFold(n: Int, qv: String, c: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list_transform(range(1, ${n + 1}),
+       |               i -> (CAST($qv[i] AS DOUBLE) - $c[i]) *
+       |                    (CAST($qv[i] AS DOUBLE) - $c[i]))),
+       |             (x, y) -> x + y)""".stripMargin
+
+  private def pqAdcCtes(dim: Int = 64, m: Int = 8, k: Int = 16): String = {
     val subDim = dim / m
-    def fold(n: Int, qv: String, c: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |             list_transform(range(1, ${n + 1}),
-         |               i -> (CAST($qv[i] AS DOUBLE) - $c[i]) *
-         |                    (CAST($qv[i] AS DOUBLE) - $c[i]))),
-         |             (x, y) -> x + y)""".stripMargin
+    def fold(n: Int, qv: String, c: String) = pqFold(n, qv, c)
     def subspace(s: Int): String =
       s"""sub$s AS (
          |  SELECT vec_id, list_transform(range(1, ${subDim + 1}),
@@ -2212,10 +2215,57 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY dist ASC, neighbor_id) AS rank
-       |  FROM pairs)
+       |  FROM pairs)""".stripMargin
+  }
+
+  private def annTopkPqSql(dim: Int = 64, m: Int = 8, k: Int = 16): String =
+    s"""${pqAdcCtes(dim, m, k)}
        |SELECT query_id, neighbor_id, round(dist, 6) AS dist_r,
        |       CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The refine oracle: ADC top-c candidates from the shared prefix,
+    * re-scored on the EXACT quantized vectors (integer arithmetic — no
+    * rounding crutch) and re-ranked. Mirrors `Pq.searchTopKRefined`
+    * stage for stage.
+    */
+  private def annTopkPqRefinedSql(dim: Int = 64, m: Int = 8, k: Int = 16,
+                                  topK: Int = 5, refineFactor: Int = 4): String =
+    s"""${pqAdcCtes(dim, m, k)},
+       |refined AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         ${pqFold(dim, "q1.qv", "q2.qv")} AS edist
+       |  FROM (SELECT query_id, neighbor_id FROM ranked
+       |        WHERE rank <= ${topK * refineFactor}) c
+       |  JOIN q q1 ON q1.vec_id = c.query_id
+       |  JOIN q q2 ON q2.vec_id = c.neighbor_id),
+       |rranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY edist ASC, neighbor_id) AS rank
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, CAST(edist AS BIGINT) AS dist_q,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM rranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** PQ ANN with the exact re-rank stage (IVFADC refine — Jégou et al.
+    * §V-D): ADC top-20 candidates per query from the codes, re-scored on
+    * the exact quantized vectors, exact top-5 emitted. `dist_q` is the
+    * exact integer squared distance — the refine's arithmetic is
+    * order-independent, so this query hash-verifies the whole
+    * candidate-cut + re-rank contract with no rounding crutch. The delta
+    * against `ann_topk_pq` (ADC-only ranking) is the refine's payoff:
+    * coded ranking decides WHO is a candidate, exact distances decide
+    * the answer.
+    */
+  def annTopkPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ops.Pq.train(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, updates = 1)
+    graft.ops.Pq.searchTopKRefined(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 5, model, refineFactor = 4)
+      .withColumn("dist_q", col("dist").cast("long"))
+      .select("query_id", "neighbor_id", "dist_q", "rank")
+      .orderBy("query_id", "rank")
   }
 
   /** Per-vector L2 norm and dimensionality. */
@@ -3320,6 +3370,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_sq8" -> annTopkSq8 _,
     "embedding_kmeans" -> embeddingKmeans _,
     "ann_topk_pq" -> annTopkPq _,
+    "ann_topk_pq_refined" -> annTopkPqRefined _,
     "cluster_balanced_sample" -> clusterBalancedSample _,
     "ivf_recall" -> ivfRecall _,
     "ivf_recall_gate" -> ivfRecallGate _,
@@ -3458,10 +3509,32 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       .orderBy("query_id", "rank")
   }
 
+  /** Bench-only: the persisted-index probe with the exact re-rank stage
+    * ([[graft.ops.PqIndex.searchRefined]]) — what a production vector
+    * endpoint actually serves (FAISS IndexRefineFlat over IVFPQ). The
+    * delta against `pq_index_search` is the refine pass's cost: one
+    * broadcast-candidate lookup into the exact corpus + a 40-row
+    * re-score. Not oracle-registrable (fixture build is a side effect);
+    * the refine arithmetic itself is hash-verified by
+    * `ann_topk_pq_refined`, and PqIndexSpec pins this path against the
+    * in-query composition.
+    */
+  def pqIndexSearchRefined(spark: SparkSession, dir: String): DataFrame = {
+    val path = benchPqIndex(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    graft.ops.PqIndex.searchRefined(spark, path,
+        emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", topK = 5, nProbe = 2, refineFactor = 4)
+      .withColumn("dist_q", col("dist").cast("long"))
+      .select("query_id", "neighbor_id", "dist_q", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_index_search" -> bm25IndexSearch _,
     "manifest_point_lookup" -> manifestPointLookup _,
     "pq_index_search" -> pqIndexSearch _,
+    "pq_index_search_refined" -> pqIndexSearchRefined _,
     "line_dedup_fp" -> ((s: SparkSession, d: String) =>
       Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text",
         maxOccur = 1L, fingerprintKeys = true)
@@ -3528,6 +3601,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_sq8" -> annTopkSq8Sql,
     "embedding_kmeans" -> embeddingKmeansSql(),
     "ann_topk_pq" -> annTopkPqSql(),
+    "ann_topk_pq_refined" -> annTopkPqRefinedSql(),
     "cluster_balanced_sample" -> clusterBalancedSampleSql,
     "ivf_recall" -> IvfOracle.ivfRecallSql(),
     "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),

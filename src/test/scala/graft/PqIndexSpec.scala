@@ -82,6 +82,40 @@ class PqIndexSpec extends SparkSpec {
       s"probe opened all $total files — manifest cut absent")
   }
 
+  test("searchRefined re-ranks the ADC candidate set on exact distances") {
+    import graft.functions.MathExprs.int8ToLongs
+    val df = clustered(200).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val path = tmp()
+    PqIndex.build(spark, path, df, "vec_id", "embedding", dim = 64,
+      kLists = 4, m = 8, k = 16, updates = 1, nBuckets = 4)
+    val refined = PqIndex.searchRefined(spark, path, queries, df,
+        "vec_id", "embedding", topK = 3, nProbe = 2, refineFactor = 4)
+      .select($"query_id", $"neighbor_id", $"dist", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // independent expectation: the persisted ADC probe's top-c candidate
+    // set, re-scored on exact quantized vectors composed from the public
+    // pieces (different join shape, same kernels)
+    val cands = PqIndex.search(spark, path, queries, "vec_id", "embedding",
+        topK = 12, nProbe = 2)
+      .select("query_id", "neighbor_id")
+    val qz = df.select($"vec_id", int8Quantize($"embedding").as("qv"))
+    val expected = cands
+      .join(qz.toDF("neighbor_id", "qn"), "neighbor_id")
+      .join(qz.toDF("query_id", "qq"), "query_id")
+      .withColumn("dist",
+        qdistSq($"qq", transform(int8ToLongs($"qn"), _.cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy($"dist", $"neighbor_id")).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id", $"dist", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(refined == expected,
+      "searchRefined must equal exact re-rank of the ADC candidate set")
+    // exact re-score is integer arithmetic
+    assert(refined.forall { case (_, _, d, _) => d == math.rint(d) })
+  }
+
   test("persisted models round-trip bit-for-bit") {
     val df = clustered(150).toDF("vec_id", "embedding")
     val path = tmp()

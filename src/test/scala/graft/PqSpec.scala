@@ -49,6 +49,44 @@ class PqSpec extends SparkSpec {
     assert(offCluster == 0, s"$offCluster ADC hits crossed planted clusters")
   }
 
+  test("refined search recovers the exact top-k (recall >= 0.9) where ADC alone is containment-only") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.MathExprs.{int8Quantize, int8ToLongs, qdistSq}
+    val df = planted(90).toDF("vec_id", "embedding")
+    val model = Pq.train(df, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, updates = 1)
+    // c = 8×k: inside a 30-member planted cluster ADC's fine ordering is
+    // noisy (refineFactor 4 measured recall 0.889 — 5 of 45 true
+    // neighbors fell outside ADC top-12), so the candidate set must be
+    // wide enough to contain the true top-k before exact re-rank fixes
+    // the order
+    val refined = Pq.searchTopKRefined(df, df.filter($"vec_id" < 15),
+        "vec_id", "embedding", topK = 3, model, refineFactor = 8)
+      .select($"query_id", $"neighbor_id", $"dist")
+      .as[(Long, Long, Double)].collect()
+    // exact distances are integer arithmetic — no float fuzz in the rank
+    assert(refined.forall { case (_, _, d) => d == math.rint(d) },
+      "refined dist must be the exact integer squared distance")
+    // ground truth: brute-force exact top-3 on the same quantized metric
+    val qz = df.select($"vec_id", int8Quantize($"embedding").as("qv"))
+    val exact = qz.toDF("query_id", "qq").filter($"query_id" < 15)
+      .crossJoin(qz.toDF("neighbor_id", "qn"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("dist",
+        qdistSq($"qq", transform(int8ToLongs($"qn"), _.cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy($"dist", $"neighbor_id")))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val got = refined.map(t => (t._1, t._2)).toSet
+    val hits = exact.count(got.contains)
+    val recall = hits.toDouble / exact.length
+    info(f"exact-top-k recall after refine: $recall%.3f ($hits/${exact.length})")
+    assert(recall >= 0.9,
+      f"refined top-k recall $recall%.3f < 0.9 — the refine stage is not " +
+        "recovering the exact neighbors from the ADC candidate set")
+  }
+
   test("training and search are deterministic across runs") {
     val emb = fixture
     def run() = {
