@@ -29,13 +29,30 @@ import graft.functions.MathExprs.{int8Quantize, int8ToLongs, qdistSq}
   *  - init is the k lowest-id vectors (no RNG);
   *  - an empty cluster keeps its previous centroid.
   *
-  * Each Lloyd update re-reads the corpus (scan + quantize are the
-  * narrow pass) — the inherent k-means shape. At 100 TB a caller doing
-  * many updates should land the quantized (vec_id, q) projection once
-  * (persist, or a manifest table — it IS the stored form, 1 byte/dim)
-  * and cluster that; the arithmetic and results are identical.
+  * The quantized (vec_id, q) projection is PERSISTED through the loop
+  * (MEMORY_AND_DISK — it IS the stored form, 1 byte/dim, so even a 100
+  * TB float corpus's projection is cluster-cacheable): one corpus scan
+  * fills the cache, every Lloyd update reads it, and the projection
+  * unpersists when the loop ends. Without this the loop re-scanned and
+  * re-quantized the corpus once per update — `updates`+1 full-corpus
+  * reads where one suffices. Persistence cannot perturb results
+  * (identical deterministic bytes either way); ClusteringSpec pins the
+  * plan shape (parquet scans don't grow with `updates`).
   */
 object Clustering {
+
+  /** Run `f` with `q` persisted (MEMORY_AND_DISK), unpersisting after —
+    * unless the caller already persisted it (composed pipelines like
+    * PqIndex.build share ONE cached projection across coarse training,
+    * codebook training, and the coded write; the outermost scope owns
+    * the cache lifetime).
+    */
+  private[graft] def withPersistedQ[T](q: DataFrame)(f: DataFrame => T): T = {
+    val fresh = q.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (fresh) q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(q)
+    finally if (fresh) q.unpersist(blocking = false)
+  }
 
   /** Final per-vector assignment after `updates` Lloyd refinements:
     * (vec_id, cluster, qdist) where qdist is the squared quantized
@@ -56,7 +73,7 @@ object Clustering {
     * object scaladoc for the determinism contract.
     */
   private[graft] def lloyd(q: DataFrame, k: Int,
-                           updates: Int): Array[Array[Double]] = {
+                           updates: Int): Array[Array[Double]] = withPersistedQ(q) { q =>
     val init: Array[Array[Double]] = q.orderBy("vec_id").limit(k).collect()
       .map(_.getAs[Array[Byte]]("q").map(_.toDouble))
     require(init.length == k, s"corpus has fewer than $k vectors")

@@ -47,37 +47,49 @@ object Pq {
     * m·k·subDim doubles.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-            dim: Int, m: Int, k: Int, updates: Int): Model = {
+            dim: Int, m: Int, k: Int, updates: Int): Model =
+    trainQuantized(corpus.select(col(idCol).cast("long").as("vec_id"),
+      int8Quantize(col(vecCol)).as("q")), dim, m, k, updates)
+
+  /** [[train]] over an ALREADY-QUANTIZED (vec_id, q BINARY) frame — the
+    * form composed pipelines (PqIndex.build/sync) share with coarse
+    * training so the corpus quantizes and caches ONCE. The projection
+    * is persisted through the update loop (`Clustering.withPersistedQ`:
+    * a caller-persisted frame is respected, an unpersisted one is
+    * cached here and released at return).
+    */
+  private[graft] def trainQuantized(q: DataFrame, dim: Int, m: Int, k: Int,
+                                    updates: Int): Model = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     import graft.functions.MathExprs.int8ToLongs
-    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
-      int8Quantize(col(vecCol)).as("qfull"))
-    val initRows = q.orderBy("vec_id").limit(k).collect()
-      .map(_.getAs[Array[Byte]]("qfull"))
-    require(initRows.length == k, s"corpus has fewer than $k vectors")
-    var books: Array[Array[Array[Double]]] = Array.tabulate(m, k)((s, j) =>
-      initRows(j).slice(s * subDim, (s + 1) * subDim).map(_.toDouble))
-    for (_ <- 1 to updates) {
-      val subStructs = (0 until m).map { s =>
-        val sub = substring(col("qfull"), s * subDim + 1, subDim)
-        struct(lit(s).as("sub"), argminCode(sub, books(s)).as("code"),
-          int8ToLongs(sub).as("bytes"))
+    Clustering.withPersistedQ(q) { q =>
+      val initRows = q.orderBy("vec_id").limit(k).collect()
+        .map(_.getAs[Array[Byte]]("q"))
+      require(initRows.length == k, s"corpus has fewer than $k vectors")
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m, k)((s, j) =>
+        initRows(j).slice(s * subDim, (s + 1) * subDim).map(_.toDouble))
+      for (_ <- 1 to updates) {
+        val subStructs = (0 until m).map { s =>
+          val sub = substring(col("q"), s * subDim + 1, subDim)
+          struct(lit(s).as("sub"), argminCode(sub, books(s)).as("code"),
+            int8ToLongs(sub).as("bytes"))
+        }
+        val sums = q.select(explode(array(subStructs: _*)).as("e"))
+          .select(col("e.sub").as("sub"), col("e.code").as("code"),
+            posexplode(col("e.bytes")).as(Seq("pos", "qi")))
+          .groupBy("sub", "code", "pos")
+          .agg(sum(col("qi")).as("su"), count(lit(1)).as("n"))
+          .collect() // m·k·subDim rows — model-sized
+        val next = books.map(_.map(_.clone())) // empty code → previous centroid
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getLong(3).toDouble / r.getLong(4)
+        }
+        books = next
       }
-      val sums = q.select(explode(array(subStructs: _*)).as("e"))
-        .select(col("e.sub").as("sub"), col("e.code").as("code"),
-          posexplode(col("e.bytes")).as(Seq("pos", "qi")))
-        .groupBy("sub", "code", "pos")
-        .agg(sum(col("qi")).as("su"), count(lit(1)).as("n"))
-        .collect() // m·k·subDim rows — model-sized
-      val next = books.map(_.map(_.clone())) // empty code → previous centroid
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getLong(3).toDouble / r.getLong(4)
-      }
-      books = next
+      Model(books, subDim)
     }
-    Model(books, subDim)
   }
 
   /** Nearest-code argmin for one subspace slice — ties to the lower

@@ -51,17 +51,21 @@ object PqIndex {
             m: Int = 8, k: Int = 16, updates: Int = 1,
             nBuckets: Int = 4): Unit = {
     import spark.implicits._
-    val q = quantized(corpus, idCol, vecCol)
-    val coarse = Clustering.lloyd(q, kLists, updates)
-    val pq = Pq.train(corpus, idCol, vecCol, dim, m, k, updates)
-    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid")
-      .coalesce(1).write.mode("error").parquet(s"$indexPath/$CentroidsDir")
-    (for { s <- 0 until pq.m; j <- 0 until pq.k }
-      yield (s, j, pq.codebooks(s)(j).toSeq)).toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("error").parquet(s"$indexPath/$CodebooksDir")
-    ManifestTable.write(assigned(q, coarse, pq), listsPath(indexPath),
-      "list_id", nBuckets)
+    // ONE quantized projection, persisted across all three consumers
+    // (coarse Lloyd, per-subspace codebook Lloyd, the coded write):
+    // the corpus is scanned and quantized once, not once per phase
+    Clustering.withPersistedQ(quantized(corpus, idCol, vecCol)) { q =>
+      val coarse = Clustering.lloyd(q, kLists, updates)
+      val pq = Pq.trainQuantized(q, dim, m, k, updates)
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("error").parquet(s"$indexPath/$CentroidsDir")
+      (for { s <- 0 until pq.m; j <- 0 until pq.k }
+        yield (s, j, pq.codebooks(s)(j).toSeq)).toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("error").parquet(s"$indexPath/$CodebooksDir")
+      ManifestTable.write(assigned(q, coarse, pq), listsPath(indexPath),
+        "list_id", nBuckets)
+    }
   }
 
   /** Encode `rows` with the frozen models and append — O(batch) IO, no
@@ -110,23 +114,25 @@ object PqIndex {
       val dimRow = docs.select(size(col(vecCol))).take(1)
       require(dimRow.nonEmpty, s"empty corpus at $corpusPath — nothing to train on")
       val dim = dimRow.head.getInt(0)
-      val q = quantized(docs, idCol, vecCol)
-      val coarse = Clustering.lloyd(q, kLists, updates)
-      val pq = Pq.train(docs, idCol, vecCol, dim, m, k, updates)
-      import spark.implicits._
-      writeDef(spark, indexPath, corpusPath, idCol, vecCol)
-      // overwrite, not error: leftovers from a crashed first sync must
-      // not wedge the retry — the retrain reproduces them exactly
-      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("list_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexPath/$CentroidsDir")
-      (for { s <- 0 until pq.m; j <- 0 until pq.k }
-        yield (s, j, pq.codebooks(s)(j).toSeq)).toDF("sub", "code", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexPath/$CodebooksDir")
-      ManifestTable.writeWithTxn(assigned(q, coarse, pq), lists,
-        "list_id", nBuckets, AppId, head.toLong)
+      // same shared-projection shape as build(): quantize + cache once
+      Clustering.withPersistedQ(quantized(docs, idCol, vecCol)) { q =>
+        val coarse = Clustering.lloyd(q, kLists, updates)
+        val pq = Pq.trainQuantized(q, dim, m, k, updates)
+        import spark.implicits._
+        writeDef(spark, indexPath, corpusPath, idCol, vecCol)
+        // overwrite, not error: leftovers from a crashed first sync must
+        // not wedge the retry — the retrain reproduces them exactly
+        coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("list_id", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexPath/$CentroidsDir")
+        (for { s <- 0 until pq.m; j <- 0 until pq.k }
+          yield (s, j, pq.codebooks(s)(j).toSeq)).toDF("sub", "code", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexPath/$CodebooksDir")
+        ManifestTable.writeWithTxn(assigned(q, coarse, pq), lists,
+          "list_id", nBuckets, AppId, head.toLong)
+      }
       return true
     }
     val last = ManifestTable.txnVersion(spark, lists, AppId).getOrElse(

@@ -45,6 +45,22 @@ class ClusteringSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("Lloyd loop reads a persisted projection: planned parquet scans don't grow with updates") {
+    // 4 updates over a parquet-backed corpus: the init collect and every
+    // update must read the cached quantized projection (InMemoryTableScan
+    // — 0 planned parquet scans), leaving only the final assignment pass
+    // as a real scan. The pre-fix loop planned updates+2 = 6 scans here.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val scans = WorkMeter.plannedParquetScans(spark) {
+      Clustering.kmeansSq8(emb, "vec_id", "embedding", k = 4, updates = 4)
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(scans <= 2,
+      s"kmeansSq8(updates=4) planned $scans parquet scans — the quantized " +
+        "projection must be persisted through the Lloyd loop, not " +
+        "re-scanned per update")
+  }
+
   test("kmeansSq8 refuses a corpus smaller than k") {
     val df = planted(3, 8).map(t => (t._1, t._2)).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {

@@ -49,6 +49,18 @@ class PqSpec extends SparkSpec {
     assert(offCluster == 0, s"$offCluster ADC hits crossed planted clusters")
   }
 
+  test("codebook training reads a persisted projection: planned parquet scans don't grow with updates") {
+    // init + 3 updates must all read the cached quantized projection —
+    // the pre-fix loop planned updates+1 = 4 corpus scans here
+    val scans = WorkMeter.plannedParquetScans(spark) {
+      Pq.train(fixture, "vec_id", "embedding", dim = 64, m = 8, k = 16,
+        updates = 3)
+    }
+    assert(scans <= 1,
+      s"Pq.train(updates=3) planned $scans parquet scans — the quantized " +
+        "projection must be persisted through the update loop")
+  }
+
   test("refined search recovers the exact top-k (recall >= 0.9) where ADC alone is containment-only") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.MathExprs.{int8Quantize, int8ToLongs, qdistSq}

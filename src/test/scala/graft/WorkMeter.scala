@@ -41,6 +41,64 @@ object WorkMeter {
     def total: Long = shuffleRead + shuffleWritten
   }
 
+  /** Count PLANNED parquet-scan nodes across every SQL execution the
+    * measured thread triggers — the plan-shape pin for driver-loop
+    * operators (Lloyd k-means, PQ codebook training): a loop that
+    * re-plans a corpus scan per update shows `updates`+2 scan nodes,
+    * one that reads a persisted projection shows the cache fill's
+    * (hidden behind InMemoryTableScan) plus the final output pass. Like
+    * [[measure]], executions are attributed through the job group so
+    * parallel sibling suites can't pollute the count.
+    */
+  def plannedParquetScans(spark: SparkSession)(run: => Unit): Int = {
+    import org.apache.spark.sql.execution.SparkPlanInfo
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val sc = spark.sparkContext
+    val group = s"graft-scanmeter-${java.util.UUID.randomUUID()}"
+    val myExecs = ConcurrentHashMap.newKeySet[Long]()
+    val scanCounts = new ConcurrentHashMap[Long, Int]()
+    // don't descend into InMemoryTableScan: SparkPlanInfo attaches the
+    // cached relation's plan as its child (for the UI), so the original
+    // parquet node stays visible under every cache read — but a cached
+    // read is exactly what this pin wants NOT to count as a scan
+    def scans(p: SparkPlanInfo): Int =
+      if (p.nodeName.startsWith("InMemoryTableScan")) 0
+      else (if (p.nodeName.startsWith("Scan parquet")) 1 else 0) +
+        p.children.map(scans).sum
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id")) {
+          val id = j.properties.getProperty("spark.sql.execution.id")
+          if (id != null) myExecs.add(id.toLong)
+        }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: SparkListenerSQLExecutionStart =>
+            scanCounts.putIfAbsent(s.executionId, scans(s.sparkPlanInfo))
+          case _ => ()
+        }
+    }
+    sc.addSparkListener(listener)
+    sc.setJobGroup(group, "graft scan measurement", interruptOnCancel = false)
+    try {
+      run
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      var cur = myExecs.size()
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur
+        Thread.sleep(100)
+        cur = myExecs.size()
+      }
+      import scala.jdk.CollectionConverters._
+      myExecs.asScala.toSeq.map(id => scanCounts.getOrDefault(id, 0)).sum
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+
   def measure(spark: SparkSession)(run: => Unit): Work = {
     val sc = spark.sparkContext
     val group = s"graft-workmeter-${java.util.UUID.randomUUID()}"
