@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ManifestTable
+
+/** `GRAFT VERIFY` for PERSISTED INDEX paths — the fsck a search tier
+  * needs but a table fsck can't give: a vector index whose frozen
+  * models have drifted from the corpus (appends far from any trained
+  * centroid, or corrupted model files) still passes every zone-bound
+  * and constraint audit on its lists table while answering similarity
+  * queries badly. The only honest check is to ASK it something and
+  * compare against ground truth.
+  *
+  * Fast checks (always): the definition file parses and names a
+  * source; the model files load and are shape-consistent; the postings
+  * /lists manifest table passes its own fsck (delegated, prefixed
+  * `lists:`).
+  *
+  * DEEP adds the recall audit for vector indexes (ivf/ivfpq): sample
+  * the `q` lowest-id corpus vectors as queries (deterministic — the
+  * audit is re-runnable and diffable), answer them through the index's
+  * production probe (`PqIndex.searchRefined` / `IvfIndex.search`), and
+  * compare against the exact brute-force top-k under the index's own
+  * metric (int8 L2 for ivfpq, cosine for ivf). Mean recall@k below
+  * [[IndexAudit.RecallFloor]] reports WARN (not FAIL — low recall on
+  * hard data can be a tuning problem, but the operator must see the
+  * number). Cost: one corpus scan against a broadcast query sample —
+  * the same order as VERIFY DEEP's zone-bound audit.
+  */
+object IndexAudit {
+
+  /** Below this mean recall@k the DEEP audit reports WARN. A healthy
+    * index over clusterable data measures ~1.0; a centroid-drifted one
+    * routes probes to lists its codes weren't assigned under and
+    * collapses toward 0 (PqIndexSpec plants exactly that).
+    */
+  val RecallFloor = 0.7
+
+  private val SampleQueries = 8
+
+  /** Does `path` hold a persisted index (bm25/ivf/ivfpq definition)? */
+  def isIndex(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, Bm25Index.DefFile)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One (check, status, detail) row per audit — status ok/WARN/FAIL. */
+  def audit(spark: SparkSession, path: String,
+            deep: Boolean): Seq[(String, String, String)] = {
+    val d = Bm25Index.readDef(spark, path)
+    val kind = d.getOrElse("kind", "?")
+    val src = d.getOrElse("sourcePath", "")
+    val defRow =
+      if (Set("bm25", "ivf", "ivfpq")(kind) && src.nonEmpty)
+        ("index_def", "ok", s"kind=$kind source=$src")
+      else
+        ("index_def", "FAIL", s"unreadable or unknown definition: kind=$kind")
+    if (defRow._2 == "FAIL") return Seq(defRow)
+
+    val modelRows = kind match {
+      case "ivf" =>
+        Seq(modelCheck("index_models", s"centroids ${centroidSummary(spark, path)}"))
+      case "ivfpq" =>
+        Seq(modelCheck("index_models",
+          s"centroids ${centroidSummary(spark, path)}, " +
+            s"codebooks ${codebookSummary(spark, path)}"))
+      case _ => Seq.empty
+    }
+
+    val dataPath = if (kind == "bm25") s"$path/postings" else s"$path/lists"
+    val listRows = ManifestTable.verifyTable(spark, dataPath, deep).map {
+      case (check, ok, detail) =>
+        (s"lists:$check", if (ok) "ok" else "FAIL", detail)
+    }
+
+    val recallRows =
+      if (deep && (kind == "ivf" || kind == "ivfpq"))
+        Seq(recallCheck(spark, path, kind, src, d("idCol"), d("vecCol")))
+      else Seq.empty
+
+    Seq(defRow) ++ modelRows ++ listRows ++ recallRows
+  }
+
+  private def modelCheck(name: String, detail: => String): (String, String, String) =
+    try (name, "ok", detail)
+    catch { case e: Throwable => (name, "FAIL", s"model load failed: ${e.getMessage}") }
+
+  private def centroidSummary(spark: SparkSession, path: String): String = {
+    val c = PqIndex.loadCoarse(spark, path)
+    require(c.nonEmpty && c.forall(_.length == c.head.length),
+      "centroid rows are empty or ragged")
+    s"${c.length}x${c.head.length}"
+  }
+
+  private def codebookSummary(spark: SparkSession, path: String): String = {
+    val m = PqIndex.loadPq(spark, path)
+    require(m.codebooks.forall(_.length == m.k) &&
+      m.codebooks.forall(_.forall(_.length == m.subDim)),
+      "codebook shape inconsistent")
+    s"${m.m}x${m.k}x${m.subDim}"
+  }
+
+  /** Mean recall@k of the index's production probe vs exact brute force
+    * under the index's own metric, over the q lowest-id corpus vectors.
+    */
+  private def recallCheck(spark: SparkSession, indexPath: String,
+                          kind: String, sourcePath: String, idCol: String,
+                          vecCol: String, topK: Int = 5,
+                          nProbe: Int = 2): (String, String, String) =
+    try {
+      val corpus = ManifestTable.read(spark, sourcePath)
+      val queries = corpus.orderBy(col(idCol)).limit(SampleQueries)
+      val probe = kind match {
+        case "ivfpq" =>
+          PqIndex.searchRefined(spark, indexPath, queries, corpus,
+            idCol, vecCol, topK, nProbe, refineFactor = 8)
+        case _ =>
+          IvfIndex.search(spark, indexPath, queries, idCol, vecCol,
+            topK, nProbe)
+      }
+      val got = pairSet(probe)
+      val truth = pairSet(kind match {
+        case "ivfpq" => bruteL2Int8(corpus, queries, idCol, vecCol, topK)
+        case _ => bruteCosine(corpus, queries, idCol, vecCol, topK)
+      })
+      val byQuery = truth.groupBy(_._1)
+      val recall =
+        if (byQuery.isEmpty) 1.0
+        else byQuery.map { case (_, t) => t.count(got).toDouble / t.size }
+          .sum / byQuery.size
+      val detail = f"recall@$topK=$recall%.3f over ${byQuery.size} sampled " +
+        f"queries, nProbe=$nProbe (floor $RecallFloor%.2f)"
+      if (recall >= RecallFloor) ("index_recall", "ok", detail)
+      else ("index_recall", "WARN",
+        s"$detail — index quality has drifted from the corpus; " +
+          "rebuild or raise nProbe")
+    } catch {
+      case e: Throwable => ("index_recall", "FAIL", s"audit failed: ${e.getMessage}")
+    }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Exact top-k by int8-quantized L2 — ivfpq's metric (the SQ8 brute
+    * the `ann_topk_pq_refined` oracle family pins).
+    */
+  private def bruteL2Int8(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, topK: Int): DataFrame = {
+    import graft.functions.MathExprs.{int8Quantize, int8ToLongs, qdistSq}
+    val qz = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      int8Quantize(col(vecCol)).as("qn"))
+    val qs = queries.select(col(idCol).cast("long").as("query_id"),
+      int8Quantize(col(vecCol)).as("qq"))
+    qz.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        qdistSq(col("qq"), transform(int8ToLongs(col("qn")), _.cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id")
+  }
+
+  /** Exact top-k by cosine — ivf's metric. */
+  private def bruteCosine(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, topK: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    val v = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("nv"))
+    val qs = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    v.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        when(l2Norm(col("qv")) * l2Norm(col("nv")) > 0,
+          dot(col("qv"), col("nv")) / (l2Norm(col("qv")) * l2Norm(col("nv")))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id")
+  }
+}

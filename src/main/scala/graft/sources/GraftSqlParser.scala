@@ -287,6 +287,13 @@ object GraftSqlParser {
   * mutating. Fast checks are metadata/FS-status only; DEEP adds the
   * full-scan audits (zone-bound containment, constraint data,
   * duplicate/null keys).
+  *
+  * A PERSISTED INDEX path (bm25/ivf/ivfpq definition present) routes
+  * to [[graft.ops.IndexAudit]] instead: definition + model-shape
+  * checks, the lists table's own fsck, and — under DEEP — the recall
+  * audit comparing the index's probe against exact brute force (WARN
+  * below the floor: a drifted index passes every storage check while
+  * answering similarity queries badly).
   */
 case class GraftVerifyCommand(path: String, deep: Boolean)
   extends LeafRunnableCommand {
@@ -295,10 +302,15 @@ case class GraftVerifyCommand(path: String, deep: Boolean)
   ).map(n => AttributeReference(n, StringType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] =
-    ManifestTable.verifyTable(sparkSession, path, deep).map {
-      case (check, ok, detail) =>
-        Row(path, check, if (ok) "ok" else "FAIL", detail)
-    }
+    if (graft.ops.IndexAudit.isIndex(sparkSession, path))
+      graft.ops.IndexAudit.audit(sparkSession, path, deep).map {
+        case (check, status, detail) => Row(path, check, status, detail)
+      }
+    else
+      ManifestTable.verifyTable(sparkSession, path, deep).map {
+        case (check, ok, detail) =>
+          Row(path, check, if (ok) "ok" else "FAIL", detail)
+      }
 }
 
 case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {

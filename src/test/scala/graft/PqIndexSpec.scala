@@ -181,6 +181,41 @@ class PqIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("GRAFT VERIFY DEEP audits index recall and names a centroid-drifted index") {
+    val all = clustered(160)
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(all.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    PqIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4)
+    def recallRow() = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+      .find(_.getString(1) == "index_recall")
+      .getOrElse(fail("VERIFY DEEP on an index must include index_recall"))
+    val healthy = recallRow()
+    assert(healthy.getString(2) == "ok",
+      s"healthy index must pass the recall audit: ${healthy.getString(3)}")
+    // fast (non-DEEP) checks: def + model shapes + lists fsck, all green,
+    // and no recall row (it is the DEEP full-scan audit)
+    val fast = spark.sql(s"GRAFT VERIFY '$idx'").collect()
+    assert(fast.nonEmpty && fast.forall(_.getString(2) == "ok"),
+      fast.map(r => s"${r.getString(1)}=${r.getString(2)}").mkString(", "))
+    assert(!fast.exists(_.getString(1) == "index_recall"))
+    // plant drift: rotate the coarse centroids one list over — the coded
+    // lists stay assigned under the OLD routing, probes follow the new
+    // one, so every query lands in the wrong inverted list. Storage
+    // checks cannot see this; only the recall audit can.
+    val cents = spark.read.parquet(s"$idx/_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val k = cents.length
+    cents.map { case (id, c) => ((id + 1) % k, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/_centroids")
+    val drifted = recallRow()
+    assert(drifted.getString(2) == "WARN",
+      s"drifted index must WARN: ${drifted.getString(2)} ${drifted.getString(3)}")
+    assert(drifted.getString(3).contains("recall@5"),
+      "the audit detail must carry the measured recall")
+  }
+
   test("append encodes against frozen models; appended vectors immediately searchable") {
     val all = clustered(160)
     val (first, second) = all.splitAt(100)
