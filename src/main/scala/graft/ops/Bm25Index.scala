@@ -40,7 +40,7 @@ import graft.sinks.ManifestTable
 object Bm25Index {
 
   private val StatsDir = "_stats"
-  private val AppId = "graft-bm25-sync"
+  private[graft] val AppId = "graft-bm25-sync"
   private[graft] val DefFile = "_index.json"
   private def postingsPath(indexPath: String) = s"$indexPath/postings"
 

@@ -47,6 +47,91 @@ object IndexAudit {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** (kind, data path) for an index root — `lists/` for the vector
+    * kinds, `postings/` for bm25.
+    */
+  private[graft] def indexLayout(spark: SparkSession,
+                                 path: String): (String, Map[String, String], String) = {
+    val d = Bm25Index.readDef(spark, path)
+    val kind = d.getOrElse("kind", "?")
+    (kind, d, if (kind == "bm25") s"$path/postings" else s"$path/lists")
+  }
+
+  /** Sync watermark vs corpus head for a sync-managed index:
+    * (as_of corpus version the index reflects, current corpus head).
+    * None for build()-managed indexes (no watermark) or unknown kinds.
+    */
+  def staleness(spark: SparkSession, path: String): Option[(Long, Int)] = {
+    val (kind, d, dataPath) = indexLayout(spark, path)
+    val appId = kind match {
+      case "bm25" => Bm25Index.AppId
+      case "ivf" => IvfIndex.AppId
+      case "ivfpq" => PqIndex.AppId
+      case _ => return None
+    }
+    for {
+      asOf <- ManifestTable.txnVersion(spark, dataPath, appId)
+      head <- ManifestTable.headVersion(spark, d("sourcePath"))
+    } yield (asOf, head)
+  }
+
+  /** Maintenance advice for an index root: REFRESH when the sync
+    * watermark trails the corpus head by more than `staleLag` versions
+    * (default 0 — any lag is read tax: queries are answering against a
+    * corpus that has already moved), plus the lists/postings manifest
+    * table's own layout advice (small files, tombstones, history).
+    */
+  def indexAdvice(spark: SparkSession, path: String, staleLag: Int = 0,
+                  targetFileBytes: Long = 128L << 20,
+                  maxVersions: Int = 10): Seq[ManifestTable.MaintenanceAdvice] = {
+    val (kind, _, dataPath) = indexLayout(spark, path)
+    val stale = staleness(spark, path) match {
+      case Some((asOf, head)) if head - asOf > staleLag =>
+        Seq(ManifestTable.MaintenanceAdvice("refresh",
+          s"$kind index as_of corpus v$asOf trails head v$head by " +
+            s"${head - asOf} version(s) — queries miss committed data"))
+      case _ => Seq.empty
+    }
+    stale ++ ManifestTable.maintenanceAdvice(spark, dataPath,
+      targetFileBytes, maxVersions)
+  }
+
+  /** `GRAFT MAINTAIN` for an index root: run [[indexAdvice]]'s set —
+    * refresh folds the corpus delta through the kind's sync (frozen
+    * models, O(delta)); layout actions run against the lists/postings
+    * table. Refresh is advised (and runs) FIRST so a same-pass optimize
+    * compacts the refresh's own append too. Returns each advice with
+    * the data table's head version after its action ran.
+    */
+  def maintainIndex(spark: SparkSession, path: String,
+                    targetFileBytes: Long = 128L << 20,
+                    maxVersions: Int = 10, keepVersions: Int = 2,
+                    dryRun: Boolean = false): Seq[(ManifestTable.MaintenanceAdvice, Int)] = {
+    val (kind, _, dataPath) = indexLayout(spark, path)
+    val advice = indexAdvice(spark, path, staleLag = 0, targetFileBytes,
+      maxVersions)
+    if (dryRun) {
+      val v = ManifestTable.headVersion(spark, dataPath).getOrElse(0)
+      return advice.map(_ -> v)
+    }
+    val ran = scala.collection.mutable.Set[String]()
+    advice.map { a =>
+      if (ran.add(a.action)) {
+        a.action match {
+          case "refresh" => kind match {
+            case "bm25" => Bm25Index.refresh(spark, path)
+            case "ivf" => IvfIndex.refresh(spark, path)
+            case "ivfpq" => PqIndex.refresh(spark, path)
+          }
+          case "optimize" => ManifestTable.optimize(spark, dataPath, targetFileBytes)
+          case "vacuum" => ManifestTable.vacuum(spark, dataPath, keepVersions)
+          case "analyze" => ManifestTable.analyzeNdv(spark, dataPath)
+        }
+      }
+      a -> ManifestTable.headVersion(spark, dataPath).getOrElse(0)
+    }
+  }
+
   /** One (check, status, detail) row per audit — status ok/WARN/FAIL. */
   def audit(spark: SparkSession, path: String,
             deep: Boolean): Seq[(String, String, String)] = {
@@ -70,6 +155,15 @@ object IndexAudit {
       case _ => Seq.empty
     }
 
+    val freshRows = staleness(spark, path).toSeq.map {
+      case (asOf, head) if head > asOf =>
+        ("index_freshness", "WARN",
+          s"as_of corpus v$asOf trails head v$head — run GRAFT MAINTAIN " +
+            "or GRAFT REFRESH")
+      case (asOf, _) =>
+        ("index_freshness", "ok", s"as_of corpus v$asOf = head")
+    }
+
     val dataPath = if (kind == "bm25") s"$path/postings" else s"$path/lists"
     val listRows = ManifestTable.verifyTable(spark, dataPath, deep).map {
       case (check, ok, detail) =>
@@ -81,7 +175,7 @@ object IndexAudit {
         Seq(recallCheck(spark, path, kind, src, d("idCol"), d("vecCol")))
       else Seq.empty
 
-    Seq(defRow) ++ modelRows ++ listRows ++ recallRows
+    Seq(defRow) ++ modelRows ++ freshRows ++ listRows ++ recallRows
   }
 
   private def modelCheck(name: String, detail: => String): (String, String, String) =

@@ -62,7 +62,7 @@ object IvfIndex {
     ManifestTable.append(spark, listsPath(indexPath),
       assigned(rows, idCol, vecCol, loadModel(spark, indexPath)), "list_id")
 
-  private val AppId = "graft-ivf-sync"
+  private[graft] val AppId = "graft-ivf-sync"
 
   private def writeDef(spark: SparkSession, indexPath: String,
                        corpusPath: String, idCol: String,

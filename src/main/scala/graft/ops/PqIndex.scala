@@ -77,7 +77,7 @@ object PqIndex {
       assigned(quantized(rows, idCol, vecCol),
         loadCoarse(spark, indexPath), loadPq(spark, indexPath)), "list_id")
 
-  private val AppId = "graft-ivfpq-sync"
+  private[graft] val AppId = "graft-ivfpq-sync"
 
   private def writeDef(spark: SparkSession, indexPath: String,
                        corpusPath: String, idCol: String,

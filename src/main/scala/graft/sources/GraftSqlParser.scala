@@ -321,7 +321,18 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
   ).map(n => AttributeReference(n, StringType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val m = ManifestTable.describeManifest(sparkSession, path)
+    // an index root describes its lists/postings table, with the sync
+    // watermark (which corpus version the index reflects, vs the corpus
+    // head) carried in the version column — the staleness vital GRAFT
+    // MAINTAIN's refresh advice reads
+    val (dataPath, versionSuffix) =
+      if (graft.ops.IndexAudit.isIndex(sparkSession, path)) {
+        val suffix = graft.ops.IndexAudit.staleness(sparkSession, path)
+          .map { case (asOf, head) => s" (as_of corpus v$asOf of v$head)" }
+          .getOrElse("")
+        (graft.ops.IndexAudit.indexLayout(sparkSession, path)._3, suffix)
+      } else (path, "")
+    val m = ManifestTable.describeManifest(sparkSession, dataPath)
     val dirs = m.buckets.values.flatten.toSeq
     val files = dirs.flatMap(m.dirFiles.get)
     // whole-table distinct counts from the manifest's HLL registers —
@@ -329,7 +340,7 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
     // choosing join strategies or bucket counts
     val ndv = ManifestTable.ndvColumns(m).flatMap(c =>
       ManifestTable.mergedNdv(m, dirs, c).map { case (est, _) => s"$c=$est" })
-    Seq(Row(path, m.version.toString, m.nBuckets.toString, m.keyCol,
+    Seq(Row(path, m.version.toString + versionSuffix, m.nBuckets.toString, m.keyCol,
       m.totalRows.fold("")(_.toString),
       dirs.size.toString,
       if (dirs.forall(m.dirFiles.contains)) files.map(_.size).sum.toString else "",
@@ -463,9 +474,19 @@ case class GraftMaintainCommand(path: String, dryRun: Boolean)
   ).map(n => AttributeReference(n, StringType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val results = ManifestTable.maintain(sparkSession, path, dryRun = dryRun)
+    // an index root gets the index policy: REFRESH when the sync
+    // watermark trails the corpus head, plus the lists table's own
+    // layout upkeep
+    val isIdx = graft.ops.IndexAudit.isIndex(sparkSession, path)
+    val results =
+      if (isIdx) graft.ops.IndexAudit.maintainIndex(sparkSession, path,
+        dryRun = dryRun)
+      else ManifestTable.maintain(sparkSession, path, dryRun = dryRun)
     if (results.isEmpty) {
-      val v = ManifestTable.headVersion(sparkSession, path).getOrElse(0)
+      val vPath =
+        if (isIdx) graft.ops.IndexAudit.indexLayout(sparkSession, path)._3
+        else path
+      val v = ManifestTable.headVersion(sparkSession, vPath).getOrElse(0)
       Seq(Row(path, "none", "vitals healthy", "false", v.toString))
     } else results.map { case (a, v) =>
       Row(path, a.action, a.reason, (!dryRun).toString, v.toString)

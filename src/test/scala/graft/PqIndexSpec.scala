@@ -216,6 +216,48 @@ class PqIndexSpec extends SparkSpec {
       "the audit detail must carry the measured recall")
   }
 
+  test("MAINTAIN heals a stale index: REFRESH advised in DRY, executed otherwise; DESCRIBE shows the watermark") {
+    val all = clustered(160)
+    val (a, b) = all.splitAt(100)
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(a.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    PqIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4)
+    // current index: no refresh advised, VERIFY freshness green
+    assert(!spark.sql(s"GRAFT MAINTAIN '$idx' DRY").collect()
+      .exists(_.getString(1) == "refresh"))
+    // the corpus moves; the index watermark now trails
+    ManifestTable.append(spark, corpus, b.toDF("vec_id", "embedding"), "vec_id")
+    val head = ManifestTable.headVersion(spark, corpus).get
+    val asOf = graft.ops.IndexAudit.staleness(spark, idx).get._1
+    assert(asOf < head, "fixture must be stale")
+    // DESCRIBE carries the trailing watermark
+    assert(spark.sql(s"GRAFT DESCRIBE '$idx'").collect().head.getString(1)
+      .contains(s"as_of corpus v$asOf of v$head"))
+    // VERIFY's fast freshness check names it
+    val freshness = spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .find(_.getString(1) == "index_freshness").get
+    assert(freshness.getString(2) == "WARN", freshness.getString(3))
+    // DRY advises REFRESH and executes nothing
+    val dry = spark.sql(s"GRAFT MAINTAIN '$idx' DRY").collect()
+      .filter(_.getString(1) == "refresh")
+    assert(dry.nonEmpty && dry.head.getString(3) == "false",
+      "DRY must advise refresh without executing")
+    assert(graft.ops.IndexAudit.staleness(spark, idx).get._1 == asOf)
+    // non-DRY executes: the watermark heals to the corpus head
+    assert(spark.sql(s"GRAFT MAINTAIN '$idx'").collect()
+      .exists(r => r.getString(1) == "refresh" && r.getString(3) == "true"))
+    assert(graft.ops.IndexAudit.staleness(spark, idx).get == (head.toLong, head))
+    assert(!spark.sql(s"GRAFT MAINTAIN '$idx' DRY").collect()
+      .exists(_.getString(1) == "refresh"))
+    assert(spark.sql(s"GRAFT DESCRIBE '$idx'").collect().head.getString(1)
+      .contains(s"as_of corpus v$head of v$head"))
+    // and the healed index answers over the appended vectors
+    val q = b.take(2).toDF("vec_id", "embedding")
+    assert(PqIndex.search(spark, idx, q, "vec_id", "embedding",
+      topK = 3, nProbe = 2).count() > 0)
+  }
+
   test("append encodes against frozen models; appended vectors immediately searchable") {
     val all = clustered(160)
     val (first, second) = all.splitAt(100)
