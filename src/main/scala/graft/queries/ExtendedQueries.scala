@@ -2268,6 +2268,119 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       .orderBy("query_id", "rank")
   }
 
+  /** Per-query recall@5 of the refined PQ search against the exact
+    * int8-L2 brute top-5 — the accuracy of the coded path as a measured
+    * number (the `ivf_recall` discipline applied to the PQ family).
+    */
+  private def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MathExprs.{int8Quantize, int8ToLongs, qdistSq}
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    // the candidate cut SCALES with the corpus (c = max(80, N/6)): on
+    // isotropic data ADC containment of the true top-k decays as N grows
+    // past a fixed c (measured 0.86 → 0.42 from sf0.01 to sf0.1 at
+    // c=80), so a recall gate with a fixed cut silently degrades with
+    // scale — the production knob is candidates-per-corpus-fraction,
+    // and the oracle computes the same cut from its own count(*)
+    val c = math.max(80L, emb.count() / 6).toInt
+    val model = graft.ops.Pq.train(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, updates = 1)
+    val refined = graft.ops.Pq.searchTopKRefined(emb, queries,
+        "vec_id", "embedding", topK = 5, model,
+        refineFactor = math.max(1, c / 5))
+      .select("query_id", "neighbor_id")
+    val qz = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+      int8Quantize(col("embedding")).as("qn"))
+    val qs = queries.select(col("vec_id").cast("long").as("query_id"),
+      int8Quantize(col("embedding")).as("qq"))
+    val brute = qz.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        qdistSq(col("qq"), transform(int8ToLongs(col("qn")), _.cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(refined, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").cast("long").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
+  /** Hard gate on PQ-refine accuracy in the driver artifact (the
+    * `ivf_recall_gate` shape): one row with the mean recall@5 of the
+    * refined search vs the exact int8-L2 brute — emitted ONLY above the
+    * floor, so a recall collapse is `spark_rows: 0` in the correctness
+    * artifact, not just a ScalaTest failure. Oracle-registered: the
+    * generated SQL replays codebook training, ADC candidate cut, exact
+    * re-rank, the brute top-5, and the recall arithmetic bit-for-bit.
+    */
+  def pqRecallGate(spark: SparkSession, dir: String): DataFrame =
+    pqRecall(spark, dir)
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall_at_5")), 6).as("mean_recall_r"))
+      .filter(col("mean_recall_r") >= PqRecallFloor)
+
+  /** See [[pqRecallGate]]; set from measured isotropic-fixture recall
+    * (ANN's worst case — concentrated distances; clustered corpora
+    * measure ~1.0): 0.72 / 0.86 / 0.82 at sf0.001/0.01/0.1 under the
+    * scaled cut. The values are exact deterministic arithmetic, so the
+    * floor is a real gate, not a flake margin.
+    */
+  private val PqRecallFloor = 0.7
+
+  /** The recall-gate oracle: the shared ADC prefix cut at the scaled
+    * candidate count (computed from the oracle's own count(*), same
+    * integer arithmetic as the Spark side), exact re-rank, exact brute
+    * top-5, per-query hit ratio, gated mean. Mirrors [[pqRecall]] +
+    * [[pqRecallGate]] stage for stage.
+    */
+  private def pqRecallGateSql(dim: Int = 64, m: Int = 8, k: Int = 16): String =
+    s"""${pqAdcCtes(dim, m, k)},
+       |cut AS (
+       |  SELECT 5 * greatest(1, greatest(80, count(*) // 6) // 5) AS c
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM ranked
+       |  WHERE rank <= (SELECT c FROM cut)),
+       |refined AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         ${pqFold(dim, "q1.qv", "q2.qv")} AS edist
+       |  FROM cand c
+       |  JOIN q q1 ON q1.vec_id = c.query_id
+       |  JOIN q q2 ON q2.vec_id = c.neighbor_id),
+       |rtop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY edist ASC, neighbor_id) AS rank FROM refined)
+       |  WHERE rank <= 5),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${pqFold(dim, "a.qv", "b.qv")} ASC, b.vec_id) AS rank
+       |    FROM q a JOIN q b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 10)
+       |  WHERE rank <= 5),
+       |hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b JOIN rtop r
+       |    ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id),
+       |perq AS (
+       |  SELECT qq.vec_id AS query_id,
+       |         COALESCE(h.n_hits, 0) / 5.0 AS recall_at_5
+       |  FROM (SELECT DISTINCT vec_id FROM q WHERE vec_id < 10) qq
+       |  LEFT JOIN hits h ON h.query_id = qq.vec_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |       round(avg(recall_at_5), 6) AS mean_recall_r
+       |FROM perq
+       |HAVING round(avg(recall_at_5), 6) >= 0.7""".stripMargin
+
   /** Per-vector L2 norm and dimensionality. */
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.l2Norm
@@ -3371,6 +3484,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "embedding_kmeans" -> embeddingKmeans _,
     "ann_topk_pq" -> annTopkPq _,
     "ann_topk_pq_refined" -> annTopkPqRefined _,
+    "pq_recall_gate" -> pqRecallGate _,
     "cluster_balanced_sample" -> clusterBalancedSample _,
     "ivf_recall" -> ivfRecall _,
     "ivf_recall_gate" -> ivfRecallGate _,
@@ -3602,6 +3716,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "embedding_kmeans" -> embeddingKmeansSql(),
     "ann_topk_pq" -> annTopkPqSql(),
     "ann_topk_pq_refined" -> annTopkPqRefinedSql(),
+    "pq_recall_gate" -> pqRecallGateSql(),
     "cluster_balanced_sample" -> clusterBalancedSampleSql,
     "ivf_recall" -> IvfOracle.ivfRecallSql(),
     "ivf_recall_gate" -> IvfOracle.ivfRecallGateSql(),
