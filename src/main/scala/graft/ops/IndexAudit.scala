@@ -96,40 +96,41 @@ object IndexAudit {
       targetFileBytes, maxVersions)
   }
 
-  /** `GRAFT MAINTAIN` for an index root: run [[indexAdvice]]'s set —
-    * refresh folds the corpus delta through the kind's sync (frozen
-    * models, O(delta)); layout actions run against the lists/postings
-    * table. Refresh is advised (and runs) FIRST so a same-pass optimize
-    * compacts the refresh's own append too. Returns each advice with
-    * the data table's head version after its action ran.
+  /** `GRAFT MAINTAIN` for an index root: the refresh runs FIRST (folds
+    * the corpus delta through the kind's sync — frozen models,
+    * O(delta)), and the lists/postings table's layout advice is
+    * computed AFTER it, so a same-pass optimize sees — and compacts —
+    * the refresh's own append. One pass therefore converges to a
+    * fixpoint, which matters for [[graft.streaming.AutoMaintain
+    * .startIndex]]: its driving stream watches the CORPUS, so index
+    * commits don't re-trigger the policy — residual layout debt would
+    * otherwise sit until the next corpus commit. Returns each advice
+    * with the data table's head version after its action ran.
     */
   def maintainIndex(spark: SparkSession, path: String,
                     targetFileBytes: Long = 128L << 20,
                     maxVersions: Int = 10, keepVersions: Int = 2,
                     dryRun: Boolean = false): Seq[(ManifestTable.MaintenanceAdvice, Int)] = {
     val (kind, _, dataPath) = indexLayout(spark, path)
-    val advice = indexAdvice(spark, path, staleLag = 0, targetFileBytes,
-      maxVersions)
     if (dryRun) {
       val v = ManifestTable.headVersion(spark, dataPath).getOrElse(0)
-      return advice.map(_ -> v)
+      return indexAdvice(spark, path, staleLag = 0, targetFileBytes,
+        maxVersions).map(_ -> v)
     }
-    val ran = scala.collection.mutable.Set[String]()
-    advice.map { a =>
-      if (ran.add(a.action)) {
-        a.action match {
-          case "refresh" => kind match {
-            case "bm25" => Bm25Index.refresh(spark, path)
-            case "ivf" => IvfIndex.refresh(spark, path)
-            case "ivfpq" => PqIndex.refresh(spark, path)
-          }
-          case "optimize" => ManifestTable.optimize(spark, dataPath, targetFileBytes)
-          case "vacuum" => ManifestTable.vacuum(spark, dataPath, keepVersions)
-          case "analyze" => ManifestTable.analyzeNdv(spark, dataPath)
+    val refreshRows = staleness(spark, path).toSeq.collect {
+      case (asOf, head) if head > asOf =>
+        kind match {
+          case "bm25" => Bm25Index.refresh(spark, path)
+          case "ivf" => IvfIndex.refresh(spark, path)
+          case "ivfpq" => PqIndex.refresh(spark, path)
         }
-      }
-      a -> ManifestTable.headVersion(spark, dataPath).getOrElse(0)
+        ManifestTable.MaintenanceAdvice("refresh",
+          s"$kind index as_of corpus v$asOf trails head v$head by " +
+            s"${head - asOf} version(s) — queries miss committed data") ->
+          ManifestTable.headVersion(spark, dataPath).getOrElse(0)
     }
+    refreshRows ++ ManifestTable.maintain(spark, dataPath, targetFileBytes,
+      maxVersions, keepVersions)
   }
 
   /** One (check, status, detail) row per audit — status ok/WARN/FAIL. */

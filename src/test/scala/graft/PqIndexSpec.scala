@@ -258,6 +258,37 @@ class PqIndexSpec extends SparkSpec {
       topK = 3, nProbe = 2).count() > 0)
   }
 
+  test("AutoMaintain.startIndex: corpus commits drive the index back to fresh, hands-off") {
+    val all = clustered(160)
+    val (a, b) = all.splitAt(100)
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(a.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    PqIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4)
+    // corpus moves → stale index
+    ManifestTable.append(spark, corpus, b.toDF("vec_id", "embedding"), "vec_id")
+    val head = ManifestTable.headVersion(spark, corpus).get
+    assert(graft.ops.IndexAudit.staleness(spark, idx).get._1 < head)
+    // one drain of the corpus commit stream heals the watermark
+    val ckpt = s"${Files.createTempDirectory("graft-am-idx")}/ckpt"
+    graft.streaming.AutoMaintain.startIndex(spark, idx, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination(180000)
+    assert(graft.ops.IndexAudit.staleness(spark, idx).get == (head.toLong, head),
+      "drain must refresh the index to the corpus head")
+    // fixpoint: a second drain over a fresh checkpoint commits nothing
+    val v = ManifestTable.headVersion(spark, s"$idx/lists").get
+    graft.streaming.AutoMaintain.startIndex(spark, idx,
+        s"${Files.createTempDirectory("graft-am-idx")}/ckpt2",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination(180000)
+    assert(ManifestTable.headVersion(spark, s"$idx/lists").get == v,
+      "fresh index must not re-commit")
+    // and the healed index answers over the appended vectors
+    assert(PqIndex.search(spark, idx, b.take(2).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", topK = 3, nProbe = 2).count() > 0)
+  }
+
   test("append encodes against frozen models; appended vectors immediately searchable") {
     val all = clustered(160)
     val (first, second) = all.splitAt(100)
