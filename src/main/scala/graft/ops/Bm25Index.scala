@@ -340,6 +340,69 @@ object Bm25Index {
     * from the probed rows, score with the persisted globals. Output
     * matches the oracled `bm25_search`: (doc_id, matched_terms, score).
     */
+  /** Second-stage RE-SCORE hook over a BM25 candidate set — the
+    * cross-encoder position of a production two-stage retrieval stack
+    * (BM25 recalls cheaply from postings; an expensive scorer that
+    * needs the full document text re-ranks the top-c). The scorer here
+    * is query-term PROXIMITY (Rasolofo & Savoy-style): for each
+    * candidate, the minimal token window covering one occurrence of
+    * every matched query term, boosting `matched_terms / span` onto the
+    * BM25 score — tight co-occurrence outranks scattered mentions at
+    * equal term statistics. Deterministic arithmetic end to end, so
+    * the whole two-stage contract is oracle-checkable (a learned
+    * cross-encoder would slot into the same position: candidates ×
+    * fetched text → score column).
+    *
+    * Scale shape: every stage-2 cost is CANDIDATE-BOUND — the
+    * broadcast candidate id list fetches `textCol` in one narrow pass
+    * over `docs` (the manifest point-lookup ladder applies), and the
+    * relational min-cover enumeration (windows between query-term
+    * occurrence pairs, coverage-checked) is O(occ²·occ) per candidate
+    * document, independent of corpus size. `cands` must carry
+    * (doc_id, matched_terms, score); `qterms` carries (term).
+    */
+  def proximityRescore(cands: DataFrame, docs: DataFrame, qterms: DataFrame,
+                       idCol: String, textCol: String, topK: Int): DataFrame = {
+    val pos = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+      .join(broadcast(cands.select(col("doc_id"))), "doc_id")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(qterms.select(col("term"))), "term")
+      .select("doc_id", "pos", "term")
+    // min cover: the optimal window starts and ends at occurrences, so
+    // enumerate occurrence pairs and keep those covering every term
+    // the document actually matched
+    val present = pos.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_present"))
+    val wins = pos.select(col("doc_id"), col("pos").as("s"))
+      .join(pos.select(col("doc_id"), col("pos").as("e")), Seq("doc_id"))
+      .filter(col("e") >= col("s"))
+    val span = wins.join(pos, Seq("doc_id"))
+      .filter(col("pos") >= col("s") && col("pos") <= col("e"))
+      .groupBy("doc_id", "s", "e")
+      .agg(countDistinct(col("term")).as("n_in"))
+      .join(present, "doc_id")
+      .filter(col("n_in") === col("n_present"))
+      .groupBy("doc_id")
+      .agg(min(col("e") - col("s") + 1).cast("long").as("span"))
+    cands.join(span, "doc_id") // every candidate matched ≥ 1 term
+      .withColumn("rescored", round(col("score") +
+        col("matched_terms").cast("double") / col("span"), 6))
+      .orderBy(desc("rescored"), col("doc_id"))
+      .limit(topK)
+      .select("doc_id", "matched_terms", "span", "rescored")
+  }
+
+  /** Two-stage retrieval against the PERSISTED index: BM25 top-c from
+    * the postings (index IO only), then [[proximityRescore]] over the
+    * candidates' text fetched from `docs`.
+    */
+  def searchRescored(spark: SparkSession, indexPath: String,
+                     terms: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String, k: Int = 10, c: Int = 20): DataFrame =
+    proximityRescore(search(spark, indexPath, terms, c), docs, terms,
+      idCol, textCol, k)
+
   def search(spark: SparkSession, indexPath: String, terms: DataFrame,
              k: Int = 20): DataFrame = {
     val (nDocs, totalToks) = readStats(spark, indexPath)

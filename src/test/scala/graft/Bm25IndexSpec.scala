@@ -48,6 +48,41 @@ class Bm25IndexSpec extends SparkSpec {
       s"probe opened all $total files — manifest cut absent")
   }
 
+  test("searchRescored: proximity flips the order BM25 alone gets wrong; index ≡ in-query") {
+    import spark.implicits._
+    // planted corpus: doc 1 carries the query terms TIGHTLY (span 3),
+    // doc 2 carries them twice each but scattered wall-to-wall — BM25
+    // ranks 2 over 1 on term stats alone, proximity must flip it
+    val filler = (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler alpha beta gamma $filler"),
+      (2L, s"alpha $filler beta $filler gamma alpha $filler beta gamma x"),
+      (3L, s"alpha $filler $filler"),
+      (4L, s"$filler plain text $filler")
+    ).toDF("doc_id", "text")
+    val qterms = Seq("alpha", "beta", "gamma").toDF("term")
+    val path = tmp()
+    Bm25Index.build(spark, path, docs, "doc_id", "text", nBuckets = 4)
+    val bm25 = Bm25Index.search(spark, path, qterms, k = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(bm25.head._1 == 2L, s"fixture must make BM25 prefer doc 2: $bm25")
+    val rescored = Bm25Index.searchRescored(spark, path, qterms, docs,
+        "doc_id", "text", k = 4, c = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rescored.head._1 == 1L,
+      s"proximity must rank the tight doc first: ${rescored.toSeq}")
+    val spans = rescored.map(r => r._1 -> r._3).toMap
+    assert(spans(1L) == 3L, s"doc 1's terms are adjacent: ${spans(1L)}")
+    assert(spans(3L) == 1L, "single matched term → span 1")
+    assert(spans(2L) > 3L, s"doc 2's cover must be wide: ${spans(2L)}")
+    // the persisted two-stage path ≡ composing the in-query pieces
+    val composed = Bm25Index.proximityRescore(
+        Bm25Index.search(spark, path, qterms, k = 4), docs, qterms,
+        "doc_id", "text", topK = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rescored.toSeq == composed)
+  }
+
   test("append tokenizes only the batch; new docs searchable with folded stats") {
     val docs = Tables.documents(spark, sfDir)
     val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
