@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sinks.ManifestTable
@@ -363,28 +363,49 @@ object Bm25Index {
     */
   def proximityRescore(cands: DataFrame, docs: DataFrame, qterms: DataFrame,
                        idCol: String, textCol: String, topK: Int): DataFrame = {
-    val pos = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+    import org.apache.spark.sql.expressions.Window
+    // query terms indexed 1..q so the sweep's state can track one
+    // last-seen slot per term (q is the query arity — tiny)
+    val qIdx = qterms.select(col("term"))
+      .withColumn("tidx", row_number().over(Window.orderBy(col("term"))))
+    val nQ = 3 // state arity; extra slots stay inert for shorter queries
+    // ONE narrow corpus pass: candidate docs' query-term occurrences,
+    // collected per doc in position order (candidate-bound array)
+    val occ = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
       .join(broadcast(cands.select(col("doc_id"))), "doc_id")
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
-      .join(broadcast(qterms.select(col("term"))), "term")
-      .select("doc_id", "pos", "term")
-    // min cover: the optimal window starts and ends at occurrences, so
-    // enumerate occurrence pairs and keep those covering every term
-    // the document actually matched
-    val present = pos.groupBy("doc_id")
-      .agg(countDistinct(col("term")).as("n_present"))
-    val wins = pos.select(col("doc_id"), col("pos").as("s"))
-      .join(pos.select(col("doc_id"), col("pos").as("e")), Seq("doc_id"))
-      .filter(col("e") >= col("s"))
-    val span = wins.join(pos, Seq("doc_id"))
-      .filter(col("pos") >= col("s") && col("pos") <= col("e"))
-      .groupBy("doc_id", "s", "e")
-      .agg(countDistinct(col("term")).as("n_in"))
-      .join(present, "doc_id")
-      .filter(col("n_in") === col("n_present"))
+      .join(broadcast(qIdx), "term")
       .groupBy("doc_id")
-      .agg(min(col("e") - col("s") + 1).cast("long").as("span"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tidx")))).as("os"))
+    // min cover as the classic single left-to-right sweep (O(occ), one
+    // fold — a relational occurrence-pair enumeration would self-join
+    // this set, and AQE's broadcast conversion of those tiny joins
+    // re-ran the corpus scan per leg; ExecutedPlanSpec pins the count):
+    // the state carries the last-seen position per term (absent terms
+    // pinned to a huge sentinel so they never gate coverage, unseen
+    // PRESENT terms at -1 so they do) and the best window ending at
+    // each occurrence is pos - min(last-seen) + 1.
+    val bigM = Int.MaxValue
+    def lastInit(i: Int): Column =
+      when(exists(col("os"), e => e.getField("tidx") === i), lit(-1))
+        .otherwise(lit(bigM))
+    val init = struct(
+      (1 to nQ).map(i => lastInit(i).as(s"l$i")) :+ lit(bigM).as("best"): _*)
+    val sweep = aggregate(col("os"), init,
+      (st, e) => {
+        val ls = (1 to nQ).map(i =>
+          when(e.getField("tidx") === i, e.getField("pos"))
+            .otherwise(st.getField(s"l$i")))
+        val mn = least(ls: _*)
+        val win = e.getField("pos") - mn + 1
+        struct(
+          ls.zipWithIndex.map { case (l, i) => l.as(s"l${i + 1}") } :+
+            when(mn >= 0 && win < st.getField("best"), win)
+              .otherwise(st.getField("best")).as("best"): _*)
+      },
+      st => st.getField("best"))
+    val span = occ.select(col("doc_id"), sweep.cast("long").as("span"))
     cands.join(span, "doc_id") // every candidate matched ≥ 1 term
       .withColumn("rescored", round(col("score") +
         col("matched_terms").cast("double") / col("span"), 6))

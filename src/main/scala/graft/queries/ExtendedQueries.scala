@@ -1828,7 +1828,18 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * 6-decimal rounding, and ranking uses the ROUNDED score with doc_id
     * tiebreak.
     */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Parts(spark, dir)._1
+
+  /** (top-20 candidates, derived query terms) — the shared stage-1 of
+    * `bm25_search` and `bm25_rescore`. Returning the SAME qterms
+    * DataFrame both stages compose keeps the subplans identical, which
+    * is what lets AQE collapse stage 2's term usage onto stage 1's
+    * materialized tf exchange (a re-derivation with a different plan
+    * shape re-exploded the corpus — ExecutedPlanSpec pins the count).
+    */
+  private def bm25Parts(spark: SparkSession,
+                        dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -1855,11 +1866,12 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
           (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
-    contrib.groupBy("doc_id")
+    val cands = contrib.groupBy("doc_id")
       .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(20)
       .select("doc_id", "matched_terms", "score")
+    (cands, qterms.select("term"))
   }
 
   private val bm25SearchSql =
@@ -1895,13 +1907,10 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * size.
     */
   def bm25Rescore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("term"))
-    val qterms = toks.groupBy("term").agg(count(lit(1)).as("gtf"))
-      .orderBy(desc("gtf"), col("term")).limit(3).select("term")
+    val (cands, qterms) = bm25Parts(spark, dir)
     graft.ops.Bm25Index.proximityRescore(
-      bm25Search(spark, dir), docs, qterms, "doc_id", "text", topK = 10)
+      cands, Tables.documents(spark, dir), qterms, "doc_id", "text",
+      topK = 10)
   }
 
   /** The rescore oracle: `bm25SearchSql`'s candidate CTEs, positions of

@@ -72,6 +72,22 @@ class ExecutedPlanSpec extends SparkSpec {
       s"dsir_weights executed $scans file scans — expected ≤ 2 after reuse")
   }
 
+  test("bm25_rescore: stage 2 rides stage 1's exchanges — the corpus is not re-exploded per stage") {
+    // stage 2 must add exactly ONE corpus pass (the candidate text
+    // fetch) on top of stage 1's ≤ 3: the shared qterms plan rides
+    // stage 1's tf exchange, and the min-cover is a single fold over
+    // the per-doc occurrence array — the first relational formulation
+    // self-joined the position set and AQE's broadcast conversion of
+    // those tiny joins re-ran the corpus scan per leg (measured 8)
+    val (reused, scans) = executedCounts("bm25_rescore")
+    assert(reused >= 2,
+      s"bm25_rescore must reuse the shared tf exchange (got $reused " +
+        "ReusedExchange) — a stage stopped deduplicating")
+    assert(scans <= 4,
+      s"bm25_rescore executed $scans file scans — expected ≤ 4 " +
+        "(stage-1's ≤ 3 + the one candidate text fetch)")
+  }
+
   test("source_overlap: the shared shingle exchange deduplicates at runtime") {
     val (reused, scans) = executedCounts("source_overlap")
     assert(reused >= 2,
