@@ -201,10 +201,23 @@ class Bm25IndexSpec extends SparkSpec {
       .count() > 0, "SQL-created index must answer")
     ManifestTable.append(spark, corpus,
       mk(30 until 45, "sqlnew").toDF("doc_id", "text"), "doc_id")
+    // staleness surfaces through the standard verbs before the refresh:
+    // VERIFY warns, MAINTAIN DRY advises, DESCRIBE shows the lag
+    assert(spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .find(_.getString(1) == "index_freshness").get.getString(2) == "WARN")
+    assert(spark.sql(s"GRAFT MAINTAIN '$idx' DRY").collect()
+      .exists(r => r.getString(1) == "refresh" && r.getString(3) == "false"))
+    assert(spark.sql(s"GRAFT DESCRIBE '$idx'").collect().head.getString(1)
+      .contains("as_of corpus v1 of v2"))
     assert(spark.sql(s"GRAFT REFRESH '$idx'").collect().head
       .getString(2) == "true")
     assert(Bm25Index.search(spark, idx, Seq("sqlnew").toDF("term"), k = 5)
       .count() > 0)
+    // healed: freshness green, no refresh advised
+    assert(spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .find(_.getString(1) == "index_freshness").get.getString(2) == "ok")
+    assert(!spark.sql(s"GRAFT MAINTAIN '$idx' DRY").collect()
+      .exists(_.getString(1) == "refresh"))
   }
 
   test("continuous sync drains with AvailableNow; replays are no-ops") {

@@ -87,6 +87,22 @@ class IvfIndexSpec extends SparkSpec {
       "append path must equal frozen-model in-query search")
   }
 
+  test("GRAFT VERIFY DEEP audits the ivf kind: cosine-brute recall on a healthy index") {
+    val all = clustered(200, 12)
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(all.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    val rows = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+    val recall = rows.find(_.getString(1) == "index_recall")
+      .getOrElse(fail("ivf VERIFY DEEP must include index_recall"))
+    assert(recall.getString(2) == "ok",
+      s"healthy clustered ivf index must clear the floor: ${recall.getString(3)}")
+    assert(rows.find(_.getString(1) == "index_def").get.getString(3)
+      .contains("kind=ivf"))
+    assert(rows.find(_.getString(1) == "index_freshness").get.getString(2) == "ok")
+  }
+
   test("sync: exactly-once maintenance from a manifest corpus") {
     val all = clustered(240, 12)
     val (a, b) = all.splitAt(160)
