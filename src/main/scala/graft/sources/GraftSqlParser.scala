@@ -1,12 +1,13 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 
 import graft.sinks.ManifestTable
 
@@ -33,6 +34,10 @@ import graft.sinks.ManifestTable
   * GRAFT CREATE TEXT INDEX '/idx' FROM '/t' KEY id TEXT body [BUCKETS 8]
   * GRAFT CREATE VECTOR INDEX '/idx' FROM '/t' KEY id VECTOR emb
   *   [LISTS 16] [BUCKETS 8] [USING PQ]            -- PQ: coded IVF-PQ lists
+  * GRAFT SEARCH TEXT '/idx' TERMS ('a', 'b') [TOP 20] [RESCORE]
+  *                                    -- BM25 (+ proximity re-rank) from SQL
+  * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE 2]
+  *   [REFINE [FACTOR 8]]              -- ANN probe (+ exact re-rank on PQ)
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
@@ -127,6 +132,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CREATE\s+TABLE\s+'([^']+)'\s*\((.+?)\)\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+BUCKETS\s+(\d+)\s*(?:BLOOM\s*\(([^)]*)\)\s*)?""".r
   private val CreateChangeFeed =
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
+  private val SearchText =
+    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE))?\s*""".r
+  private val SearchVector =
+    """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val Refresh =
     """(?is)\s*GRAFT\s+REFRESH\s+'([^']+)'\s*""".r
   private val Rebuild =
@@ -253,6 +262,20 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
           graft.streaming.ChangeFeed.create(s, feed, src,
             Option(fromV).map(_.toInt))))
+      case SearchText(idx, termsRaw, top, rescore) =>
+        val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
+          .map(_.group(1)).toSeq
+        if (terms.isEmpty) throw new IllegalArgumentException(
+          "GRAFT SEARCH TEXT needs TERMS ('a', 'b', ...) — quoted, " +
+            s"comma-separated; got: $termsRaw")
+        Some(GraftSearchTextCommand(idx, terms,
+          Option(top).map(_.toInt).getOrElse(20), rescore != null))
+      case SearchVector(idx, queries, top, probe, refine, factor) =>
+        Some(GraftSearchVectorCommand(idx, queries,
+          Option(top).map(_.toInt).getOrElse(5),
+          Option(probe).map(_.toInt).getOrElse(2),
+          refine = refine != null,
+          refineFactor = Option(factor).map(_.toInt).getOrElse(8)))
       case Refresh(view) => Some(GraftRefreshCommand(view))
       case Rebuild(view) =>
         Some(GraftMaintenanceCommand(view, "rebuild", s =>
@@ -265,7 +288,8 @@ object GraftSqlParser {
             "DROP CONSTRAINT | RESTORE | DESCRIBE | " +
             "HISTORY | VERIFY | " +
             "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
-            "FEED | CREATE TEXT INDEX | CREATE VECTOR INDEX | REFRESH | " +
+            "FEED | CREATE TEXT INDEX | CREATE VECTOR INDEX | SEARCH " +
+            "TEXT | SEARCH VECTOR | REFRESH | " +
             "REBUILD with a " +
             s"quoted table path, got: $sql")
       case _ => None
@@ -491,6 +515,102 @@ case class GraftMaintainCommand(path: String, dryRun: Boolean)
     } else results.map { case (a, v) =>
       Row(path, a.action, a.reason, (!dryRun).toString, v.toString)
     }
+  }
+}
+
+/** `GRAFT SEARCH TEXT '<idx>' TERMS ('a', 'b') [TOP n] [RESCORE]` —
+  * keyword retrieval against a persisted BM25 index FROM SQL: the
+  * query surface that completes the index lifecycle verbs (create /
+  * refresh / verify / maintain could already be driven from SQL; the
+  * actual search required the Scala API). RESCORE runs the two-stage
+  * path ([[graft.ops.Bm25Index.searchRescored]]): BM25 top-2n
+  * candidates from the postings, proximity re-rank over their text
+  * fetched from the index's defined source corpus. Results materialize
+  * to the driver — bounded at n rows (TOP n per statement).
+  */
+case class GraftSearchTextCommand(idx: String, terms: Seq[String],
+                                  topK: Int, rescore: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (rescore) Seq(
+      AttributeReference("doc_id", LongType, nullable = false)(),
+      AttributeReference("matched_terms", LongType, nullable = false)(),
+      AttributeReference("span", LongType, nullable = false)(),
+      AttributeReference("rescored", DoubleType, nullable = false)())
+    else Seq(
+      AttributeReference("doc_id", LongType, nullable = false)(),
+      AttributeReference("matched_terms", LongType, nullable = false)(),
+      AttributeReference("score", DoubleType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val d = graft.ops.Bm25Index.readDef(sparkSession, idx)
+    require(d.get("kind").contains("bm25"),
+      s"GRAFT SEARCH TEXT needs a bm25 index; $idx is ${d.get("kind")}")
+    import sparkSession.implicits._
+    val t = terms.toDF("term")
+    val res =
+      if (rescore)
+        graft.ops.Bm25Index.searchRescored(sparkSession, idx, t,
+          ManifestTable.read(sparkSession, d("sourcePath")),
+          d("idCol"), d("textCol"), k = topK, c = math.max(20, topK * 2))
+      else
+        graft.ops.Bm25Index.search(sparkSession, idx, t, k = topK)
+          .select(col("doc_id").cast("long"), col("matched_terms"),
+            col("score"))
+    res.collect().toSeq
+  }
+}
+
+/** `GRAFT SEARCH VECTOR '<idx>' FROM '<queries>' [TOP n] [PROBE p]
+  * [REFINE [FACTOR f]]` — ANN against a persisted IVF / IVF-PQ index
+  * from SQL: every row of the queries table (manifest table, read at
+  * its head snapshot) is a query, addressed by the index definition's
+  * own key/vector column names. REFINE runs the exact re-rank stage
+  * on PQ indexes ([[graft.ops.PqIndex.searchRefined]], exact vectors
+  * fetched from the defined source corpus); plain ivf indexes already
+  * re-score exact cosine and refuse the flag rather than implying a
+  * second refinement exists. `score` is the index's metric (exact
+  * int8 L2 for refined PQ, ADC distance unrefined, cosine for ivf).
+  */
+case class GraftSearchVectorCommand(idx: String, queriesPath: String,
+                                    topK: Int, nProbe: Int,
+                                    refine: Boolean, refineFactor: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("query_id", LongType, nullable = false)(),
+    AttributeReference("neighbor_id", LongType, nullable = false)(),
+    AttributeReference("score", DoubleType, nullable = false)(),
+    AttributeReference("rank", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val d = graft.ops.Bm25Index.readDef(sparkSession, idx)
+    val kind = d.getOrElse("kind", "?")
+    val queries = ManifestTable.read(sparkSession, queriesPath)
+    val res = kind match {
+      case "ivfpq" =>
+        val base =
+          if (refine)
+            graft.ops.PqIndex.searchRefined(sparkSession, idx, queries,
+              ManifestTable.read(sparkSession, d("sourcePath")),
+              d("idCol"), d("vecCol"), topK, nProbe, refineFactor)
+          else
+            graft.ops.PqIndex.search(sparkSession, idx, queries,
+              d("idCol"), d("vecCol"), topK, nProbe)
+        base.select(col("query_id"), col("neighbor_id"),
+          col("dist").as("score"), col("rank"))
+      case "ivf" =>
+        require(!refine,
+          "REFINE applies to PQ indexes — an ivf index already " +
+            "re-scores candidates with exact cosine")
+        graft.ops.IvfIndex.search(sparkSession, idx, queries,
+            d("idCol"), d("vecCol"), topK, nProbe)
+          .select(col("query_id").cast("long"),
+            col("neighbor_id").cast("long"),
+            col("sim").as("score"), col("rank"))
+      case other => throw new IllegalArgumentException(
+        s"GRAFT SEARCH VECTOR needs an ivf/ivfpq index; $idx is $other")
+    }
+    res.collect().toSeq
   }
 }
 

@@ -220,6 +220,28 @@ class Bm25IndexSpec extends SparkSpec {
       .exists(_.getString(1) == "refresh"))
   }
 
+  test("GRAFT SEARCH TEXT queries the index from SQL; RESCORE runs the two-stage path") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(mk(0 until 40, "one").toDF("doc_id", "text"),
+      corpus, "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4)
+    val qterms = Seq("alpha", "beta", "one").toDF("term")
+    val sql = spark.sql(
+        s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha', 'beta', 'one') TOP 5")
+      .as[(Long, Long, Double)].collect().toSeq
+    val api = Bm25Index.search(spark, idx, qterms, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(sql == api, "SQL search must equal the API search")
+    val sqlRe = spark.sql(
+        s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha', 'beta', 'one') TOP 5 RESCORE")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val apiRe = Bm25Index.searchRescored(spark, idx, qterms,
+        ManifestTable.read(spark, corpus), "doc_id", "text", k = 5, c = 20)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sqlRe == apiRe, "SQL RESCORE must equal the two-stage API path")
+    assert(sqlRe.nonEmpty && sqlRe.forall(_._3 >= 1L), "spans are positive")
+  }
+
   test("continuous sync drains with AvailableNow; replays are no-ops") {
     val corpus = tmp(); val idx = tmp()
     ManifestTable.write(mk(0 until 30, "one").toDF("doc_id", "text"),

@@ -258,6 +258,47 @@ class PqIndexSpec extends SparkSpec {
       topK = 3, nProbe = 2).count() > 0)
   }
 
+  test("GRAFT SEARCH VECTOR queries the index from SQL; REFINE runs the exact re-rank") {
+    import graft.ops.IvfIndex
+    val all = clustered(160)
+    val corpus = tmp(); val idx = tmp(); val qtab = tmp()
+    ManifestTable.write(all.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    PqIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4)
+    val qRows = all.take(4)
+    ManifestTable.write(qRows.toDF("vec_id", "embedding"), qtab, "vec_id", 2)
+    val queries = ManifestTable.read(spark, qtab)
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().sortBy(t => (t._1, t._4)).toSeq
+    // plain ADC probe ≡ API
+    assert(collected(spark.sql(
+        s"GRAFT SEARCH VECTOR '$idx' FROM '$qtab' TOP 3 PROBE 2")) ==
+      collected(PqIndex.search(spark, idx, queries, "vec_id", "embedding",
+          topK = 3, nProbe = 2)
+        .select($"query_id", $"neighbor_id", $"dist".as("score"), $"rank")))
+    // refined ≡ API refine
+    assert(collected(spark.sql(
+        s"GRAFT SEARCH VECTOR '$idx' FROM '$qtab' TOP 3 PROBE 2 REFINE FACTOR 8")) ==
+      collected(PqIndex.searchRefined(spark, idx, queries,
+          ManifestTable.read(spark, corpus), "vec_id", "embedding",
+          topK = 3, nProbe = 2, refineFactor = 8)
+        .select($"query_id", $"neighbor_id", $"dist".as("score"), $"rank")))
+    // the ivf kind answers too, and refuses REFINE honestly
+    val ivfIdx = tmp()
+    IvfIndex.sync(spark, ivfIdx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    assert(collected(spark.sql(
+        s"GRAFT SEARCH VECTOR '$ivfIdx' FROM '$qtab' TOP 3 PROBE 2")) ==
+      collected(IvfIndex.search(spark, ivfIdx, queries, "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .select($"query_id".cast("long"), $"neighbor_id".cast("long"),
+          $"sim".as("score"), $"rank")))
+    val e = intercept[Exception] {
+      spark.sql(s"GRAFT SEARCH VECTOR '$ivfIdx' FROM '$qtab' REFINE").collect()
+    }
+    assert(e.getMessage.contains("REFINE applies to PQ indexes"))
+  }
+
   test("AutoMaintain.startIndex: corpus commits drive the index back to fresh, hands-off") {
     val all = clustered(160)
     val (a, b) = all.splitAt(100)
