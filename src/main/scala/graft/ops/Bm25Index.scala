@@ -354,25 +354,44 @@ object Bm25Index {
     * fetched text → score column).
     *
     * Scale shape: every stage-2 cost is CANDIDATE-BOUND — the
-    * broadcast candidate id list fetches `textCol` in one narrow pass
-    * over `docs` (the manifest point-lookup ladder applies), and the
-    * relational min-cover enumeration (windows between query-term
-    * occurrence pairs, coverage-checked) is O(occ²·occ) per candidate
+    * candidate id list (broadcast-hinted only under a known row bound;
+    * see `candBound`) fetches `textCol` in one narrow pass over `docs`
+    * (the manifest point-lookup ladder applies), and the min-cover is
+    * the classic single left-to-right sweep — O(occ) per candidate
     * document, independent of corpus size. `cands` must carry
     * (doc_id, matched_terms, score); `qterms` carries (term).
+    *
+    * `candBound`: an upper bound on `cands`' row count when the caller
+    * knows one (top-c search output does); below [[Pq.BroadcastRowCap]]
+    * the id fetch is broadcast-hinted, above it AQE picks the join
+    * strategy. Pass a negative value to have this method count `cands`
+    * once (the raw-API fallback — re-executes the candidate plan).
     */
   def proximityRescore(cands: DataFrame, docs: DataFrame, qterms: DataFrame,
-                       idCol: String, textCol: String, topK: Int): DataFrame = {
+                       idCol: String, textCol: String, topK: Int,
+                       candBound: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // query terms indexed 1..q so the sweep's state can track one
-    // last-seen slot per term (q is the query arity — tiny)
-    val qIdx = qterms.select(col("term"))
+    // DISTINCT query terms indexed 1..nQ — the sweep's state carries
+    // one last-seen slot per term, so the state arity is derived from
+    // the ACTUAL query (driver-side count of the tiny term frame): a
+    // fixed arity silently min-covered only a 3-term subset of longer
+    // queries while matched_terms reported them all (VERDICT r14 #1),
+    // and duplicate TERMS entries inflated tidx past the slot count.
+    val qDistinct = qterms.select(col("term")).na.drop().distinct()
+    val nQ = qDistinct.count().toInt
+    require(nQ >= 1, "proximityRescore needs at least one query term")
+    val qIdx = qDistinct
       .withColumn("tidx", row_number().over(Window.orderBy(col("term"))))
-    val nQ = 3 // state arity; extra slots stay inert for shorter queries
+    val bound = if (candBound >= 0) candBound else cands.count()
+    // cands' key is normalized to long here so the output type is
+    // stable across int- and long-keyed corpora (the SQL SEARCH verb
+    // declares LongType for both branches)
+    val candsL = cands.withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("matched_terms", col("matched_terms").cast("long"))
     // ONE narrow corpus pass: candidate docs' query-term occurrences,
     // collected per doc in position order (candidate-bound array)
     val occ = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
-      .join(broadcast(cands.select(col("doc_id"))), "doc_id")
+      .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound), "doc_id")
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
       .join(broadcast(qIdx), "term")
@@ -406,7 +425,7 @@ object Bm25Index {
       },
       st => st.getField("best"))
     val span = occ.select(col("doc_id"), sweep.cast("long").as("span"))
-    cands.join(span, "doc_id") // every candidate matched ≥ 1 term
+    candsL.join(span, "doc_id") // every candidate matched ≥ 1 term
       .withColumn("rescored", round(col("score") +
         col("matched_terms").cast("double") / col("span"), 6))
       .orderBy(desc("rescored"), col("doc_id"))
@@ -422,7 +441,7 @@ object Bm25Index {
                      terms: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String, k: Int = 10, c: Int = 20): DataFrame =
     proximityRescore(search(spark, indexPath, terms, c), docs, terms,
-      idCol, textCol, k)
+      idCol, textCol, k, candBound = c.toLong)
 
   def search(spark: SparkSession, indexPath: String, terms: DataFrame,
              k: Int = 20): DataFrame = {

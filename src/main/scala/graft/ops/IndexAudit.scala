@@ -136,7 +136,14 @@ object IndexAudit {
   /** One (check, status, detail) row per audit — status ok/WARN/FAIL. */
   def audit(spark: SparkSession, path: String,
             deep: Boolean): Seq[(String, String, String)] = {
-    val d = Bm25Index.readDef(spark, path)
+    // isIndex() only proves _index.json EXISTS — a corrupt/unparseable
+    // definition must surface as the documented FAIL row, not crash the
+    // one surface meant to diagnose a broken index (ADVICE r14)
+    val d = try Bm25Index.readDef(spark, path) catch {
+      case scala.util.control.NonFatal(e) =>
+        return Seq(("index_def", "FAIL",
+          s"unparseable index definition: ${e.getMessage}"))
+    }
     val kind = d.getOrElse("kind", "?")
     val src = d.getOrElse("sourcePath", "")
     val defRow =

@@ -28,6 +28,22 @@ import graft.functions.MathExprs.{int8Quantize, qdistSq}
   */
 object Pq {
 
+  /** Executor-safe cap (rows) for HINTED broadcast build sides: ~4M
+    * two-long rows ≈ 64 MB serialized. A forced `broadcast()` on a
+    * candidate set that is bounded per query but unbounded in query-
+    * batch size is a driver/executor OOM at scale; above the cap the
+    * hint is omitted and AQE picks the strategy from measured size.
+    */
+  private[graft] val BroadcastRowCap: Long = 4L * 1000 * 1000
+
+  /** Broadcast-hint `df` only when the caller KNOWS a row bound and it
+    * fits [[BroadcastRowCap]]; `bound < 0` means unknown → no hint
+    * (never count a derived frame here — re-executing the candidate
+    * plan to size it would cost more than the hint saves).
+    */
+  private[graft] def hintIfSmall(df: DataFrame, bound: Long): DataFrame =
+    if (bound >= 0 && bound <= BroadcastRowCap) broadcast(df) else df
+
   /** codebooks(s)(j) = centroid j of subspace s, each subDim wide. */
   case class Model(codebooks: Array[Array[Array[Double]]], subDim: Int) {
     def m: Int = codebooks.length
@@ -176,32 +192,47 @@ object Pq {
     */
   def searchTopKRefined(corpus: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, topK: Int,
-                        model: Model, refineFactor: Int = 4): DataFrame = {
+                        model: Model, refineFactor: Int = 4,
+                        queryBound: Long = -1L): DataFrame = {
     val candidates = searchTopK(corpus, queries, idCol, vecCol,
         topK * refineFactor, model)
       .select("query_id", "neighbor_id")
+    // the candidate row bound is nQueries · c: known exactly once the
+    // query-batch size is (cheaply) known — callers that know it pass
+    // `queryBound`; otherwise one count of the QUERY frame (never the
+    // candidate plan) sizes the hint decision
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
+    val c = topK.toLong * refineFactor
+    val candBound = if (c > 0 && nQ > Long.MaxValue / c) Long.MaxValue
+                    else nQ * c
     refineExact(candidates,
       corpus.select(col(idCol).cast("long").as("neighbor_id"),
         int8Quantize(col(vecCol)).as("qn")),
       queries.select(col(idCol).cast("long").as("query_id"),
         int8Quantize(col(vecCol)).as("qq")),
-      topK)
+      topK, candBound = candBound, queryBound = nQ)
   }
 
   /** Shared exact re-rank over an ADC candidate set: the candidate list
-    * (nQueries·c rows — model-sized, broadcast) joins the corpus's
-    * quantized vectors in ONE narrow scan (at 100 TB against a manifest
-    * corpus the broadcast id list additionally prunes via the bucket/
-    * bloom ladder), queries broadcast in, and the final rank is
-    * row_number over the exact distance. Candidates must carry
+    * (nQueries·c rows) joins the corpus's quantized vectors in ONE
+    * narrow scan (at 100 TB against a manifest corpus the candidate id
+    * list additionally prunes via the bucket/bloom ladder), queries
+    * join in, and the final rank is row_number over the exact distance.
+    * Both small sides are broadcast-HINTED only when the caller-known
+    * row bounds fit [[BroadcastRowCap]] — candidates are bounded per
+    * query but unbounded in query-batch size, and a forced broadcast of
+    * a 1M-query × c candidate list would OOM where AQE would have
+    * shuffled it (VERDICT r14). Candidates must carry
     * (query_id, neighbor_id); `exact` carries (neighbor_id, qn BINARY);
     * `queriesQ` carries (query_id, qq BINARY).
     */
   private[graft] def refineExact(candidates: DataFrame, exact: DataFrame,
-                                 queriesQ: DataFrame, topK: Int): DataFrame = {
+                                 queriesQ: DataFrame, topK: Int,
+                                 candBound: Long = -1L,
+                                 queryBound: Long = -1L): DataFrame = {
     import graft.functions.MathExprs.int8ToLongs
-    exact.join(broadcast(candidates), "neighbor_id")
-      .join(broadcast(queriesQ), "query_id")
+    exact.join(hintIfSmall(candidates, candBound), "neighbor_id")
+      .join(hintIfSmall(queriesQ, queryBound), "query_id")
       .withColumn("dist",
         qdistSq(col("qq"), transform(int8ToLongs(col("qn")), _.cast("double"))))
       .withColumn("rank", row_number().over(

@@ -230,16 +230,23 @@ object PqIndex {
   def searchRefined(spark: SparkSession, indexPath: String,
                     queries: DataFrame, exactCorpus: DataFrame,
                     idCol: String, vecCol: String, topK: Int = 5,
-                    nProbe: Int = 2, refineFactor: Int = 4): DataFrame = {
+                    nProbe: Int = 2, refineFactor: Int = 4,
+                    queryBound: Long = -1L): DataFrame = {
     val candidates = search(spark, indexPath, queries, idCol, vecCol,
         topK * refineFactor, nProbe)
       .select("query_id", "neighbor_id")
+    // broadcast hints on the refine joins are gated on the query-batch
+    // size (see Pq.refineExact); one count of the QUERY frame decides
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
+    val c = topK.toLong * refineFactor
+    val candBound = if (c > 0 && nQ > Long.MaxValue / c) Long.MaxValue
+                    else nQ * c
     Pq.refineExact(candidates,
       exactCorpus.select(col(idCol).cast("long").as("neighbor_id"),
         int8Quantize(col(vecCol)).as("qn")),
       queries.select(col(idCol).cast("long").as("query_id"),
         int8Quantize(col(vecCol)).as("qq")),
-      topK)
+      topK, candBound = candBound, queryBound = nQ)
   }
 
   /** The nProbe nearest coarse lists for a quantized query column —

@@ -1910,7 +1910,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val (cands, qterms) = bm25Parts(spark, dir)
     graft.ops.Bm25Index.proximityRescore(
       cands, Tables.documents(spark, dir), qterms, "doc_id", "text",
-      topK = 10)
+      topK = 10, candBound = 20L)
   }
 
   /** The rescore oracle: `bm25SearchSql`'s candidate CTEs, positions of
@@ -2345,7 +2345,8 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val model = graft.ops.Pq.train(emb, "vec_id", "embedding",
       dim = 64, m = 8, k = 16, updates = 1)
     graft.ops.Pq.searchTopKRefined(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", topK = 5, model, refineFactor = 4)
+        "vec_id", "embedding", topK = 5, model, refineFactor = 4,
+        queryBound = 10L)
       .withColumn("dist_q", col("dist").cast("long"))
       .select("query_id", "neighbor_id", "dist_q", "rank")
       .orderBy("query_id", "rank")
@@ -2371,7 +2372,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       dim = 64, m = 8, k = 16, updates = 1)
     val refined = graft.ops.Pq.searchTopKRefined(emb, queries,
         "vec_id", "embedding", topK = 5, model,
-        refineFactor = math.max(1, c / 5))
+        refineFactor = math.max(1, c / 5), queryBound = 10L)
       .select("query_id", "neighbor_id")
     val qz = emb.select(col("vec_id").cast("long").as("neighbor_id"),
       int8Quantize(col("embedding")).as("qn"))
@@ -3736,7 +3737,8 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val emb = Tables.embeddings(spark, dir)
     graft.ops.PqIndex.searchRefined(spark, path,
         emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", topK = 5, nProbe = 2, refineFactor = 4)
+        "vec_id", "embedding", topK = 5, nProbe = 2, refineFactor = 4,
+        queryBound = 10L)
       .withColumn("dist_q", col("dist").cast("long"))
       .select("query_id", "neighbor_id", "dist_q", "rank")
       .orderBy("query_id", "rank")

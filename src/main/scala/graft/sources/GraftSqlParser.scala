@@ -579,7 +579,10 @@ case class GraftSearchVectorCommand(idx: String, queriesPath: String,
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
     AttributeReference("neighbor_id", LongType, nullable = false)(),
-    AttributeReference("score", DoubleType, nullable = false)(),
+    // nullable: the ivf branch's cosine is NULL for zero-norm vectors
+    // (IvfIndex.search's `when` has no otherwise) — declaring non-null
+    // here would hand downstream operators rows violating their schema
+    AttributeReference("score", DoubleType, nullable = true)(),
     AttributeReference("rank", LongType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {

@@ -258,4 +258,94 @@ class Bm25IndexSpec extends SparkSpec {
     assert(Bm25Index.search(spark, idx, Seq("late").toDF("term"), k = 5)
       .count() > 0, "streamed delta must be searchable")
   }
+
+  // --- r15: query-arity-general proximity sweep (VERDICT r14 #1) ---
+
+  private def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.size
+
+  test("proximityRescore: a 4-term query's span covers ALL four terms") {
+    import spark.implicits._
+    // the regression fixture: under the old fixed 3-slot sweep, tidx is
+    // row_number over alphabetical term order — alpha(1) beta(2)
+    // delta(3) omega(4) — so omega updated no slot and doc 1's span
+    // read 3 (the tight alpha-beta-delta prefix) instead of 11
+    val far = (1 to 7).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta delta $far omega"),           // 4 terms, span 11
+      (2L, s"x y alpha beta delta omega z"),          // 4 terms, span 4
+      (3L, s"alpha $far beta")                        // 2 terms, span 9
+    ).toDF("doc_id", "text")
+    val qterms = Seq("alpha", "beta", "delta", "omega").toDF("term")
+    val path = tmp()
+    Bm25Index.build(spark, path, docs, "doc_id", "text", nBuckets = 2)
+    val res = Bm25Index.searchRescored(spark, path, qterms, docs,
+        "doc_id", "text", k = 3, c = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val spans = res.map(r => r._1 -> r._3).toMap
+    assert(spans(1L) == 11L,
+      s"doc 1's min cover must reach the far 4th term (omega): $spans")
+    assert(spans(2L) == 4L, s"doc 2's four terms are adjacent: $spans")
+    assert(spans(3L) == 9L, s"doc 3 covers its two PRESENT terms: $spans")
+    val matched = res.map(r => r._1 -> r._2).toMap
+    assert(matched(1L) == 4L && matched(2L) == 4L,
+      s"matched_terms counts all four: $matched")
+    // the tight doc must outrank the scattered one on the boost
+    assert(res.head._1 == 2L,
+      s"span-4 doc outranks span-11 at equal matched_terms: ${res.toSeq}")
+  }
+
+  test("proximityRescore: duplicate TERMS entries don't corrupt the sweep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha x x x beta"),
+      (2L, "alpha beta y")
+    ).toDF("doc_id", "text")
+    val path = tmp()
+    Bm25Index.build(spark, path, docs, "doc_id", "text", nBuckets = 2)
+    val clean = Seq("alpha", "beta").toDF("term")
+    val dups = Seq("alpha", "beta", "alpha", "beta", "alpha").toDF("term")
+    val a = Bm25Index.searchRescored(spark, path, clean, docs,
+      "doc_id", "text", k = 2, c = 2).collect().toSeq
+    val b = Bm25Index.searchRescored(spark, path, dups, docs,
+      "doc_id", "text", k = 2, c = 2).collect().toSeq
+    assert(a == b, s"dup terms must dedupe to the same result: $a vs $b")
+    assert(a.map(_.getLong(2)).toSet == Set(5L, 2L),
+      s"spans must be 5 and 2: $a")
+  }
+
+  test("proximityRescore: candidate id fetch is broadcast-hinted only under the row cap") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    val qterms = Seq("alpha", "beta").toDF("term")
+    val cands = Seq((1L, 2L, 1.0), (2L, 2L, 0.9))
+      .toDF("doc_id", "matched_terms", "score")
+    val small = Bm25Index.proximityRescore(cands, docs, qterms,
+      "doc_id", "text", topK = 2, candBound = 2L)
+    val large = Bm25Index.proximityRescore(cands, docs, qterms,
+      "doc_id", "text", topK = 2, candBound = 50L * 1000 * 1000)
+    assert(hintCount(small) == hintCount(large) + 1,
+      s"above the cap the id-fetch hint must drop (AQE decides): " +
+        s"small=${hintCount(small)} large=${hintCount(large)}")
+    // and the un-hinted plan still computes the same answer
+    assert(small.collect().toSeq == large.collect().toSeq)
+  }
+
+  test("proximityRescore: int-keyed cands surface as long doc_id (SQL schema contract)") {
+    import spark.implicits._
+    val docs = Seq((1, "alpha beta"), (2, "beta x alpha"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1, 2, 1.0), (2, 2, 0.9))
+      .toDF("doc_id", "matched_terms", "score")
+    val qterms = Seq("alpha", "beta").toDF("term")
+    val out = Bm25Index.proximityRescore(cands, docs, qterms,
+      "doc_id", "text", topK = 2, candBound = 2L)
+    import org.apache.spark.sql.types.LongType
+    assert(out.schema("doc_id").dataType == LongType &&
+      out.schema("matched_terms").dataType == LongType,
+      s"rescore output must be long-keyed regardless of corpus key type: ${out.schema}")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
 }

@@ -355,4 +355,19 @@ class PqIndexSpec extends SparkSpec {
     // every ADC hit stays in the query's planted cluster
     assert(res.forall { case (qid, nid, _) => qid % 4 == nid % 4 })
   }
+
+  test("GRAFT VERIFY on a corrupt index definition reports FAIL, not a crash") {
+    // isIndex() only proves _index.json EXISTS; an unreadable definition
+    // (here: a directory where the file should be) must surface as the
+    // documented (index_def, FAIL, ...) row — the audit is the one
+    // surface meant to DIAGNOSE a broken index (ADVICE r14)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-corrupt-idx").toString
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(path, "_index.json"))
+    val rows = spark.sql(s"GRAFT VERIFY '$path'").collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "index_def" &&
+      rows.head.getString(2) == "FAIL",
+      s"corrupt def must produce the FAIL row: ${rows.toSeq}")
+  }
 }
