@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    // composable search: table-valued functions that plant the
+    // persisted-index search composition as a RELATION inside the
+    // calling query's plan (join/filter/aggregate in one Catalyst
+    // plan), vs the GRAFT SEARCH verbs' driver-materialized rows
+    GraftExtensions.tableBuilders.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
     // maintenance SQL (GRAFT OPTIMIZE/VACUUM/REBUCKET/ADD COLUMNS) —
     // prefix-gated, everything else delegates to Spark's parser
     ext.injectParser((_, delegate) =>
@@ -76,10 +86,77 @@ object GraftExtensions {
       strArg(es(1), "first"), strArg(es(2), "second")))
   )
 
+  /** Table-valued search functions — `FROM graft_search_text(...)`.
+    * Each builder runs at ANALYSIS time and returns the lazy logical
+    * plan of the corresponding [[graft.sources.SearchRelations]]
+    * composition, so the search participates in the outer query's
+    * optimization (the search side is top-k-bounded → broadcast-able
+    * against the corpus; outer filters push into the joined scans).
+    * Arguments must be literals — the index path and query shape
+    * decide the PLAN, they cannot vary per row.
+    *
+    *  - `graft_search_text(idx, 'alpha beta', k)` →
+    *    (doc_id, matched_terms, score)
+    *  - `graft_search_text_rescored(idx, terms, k[, factor])` →
+    *    (doc_id, matched_terms, span, rescored); candidate cut f·k, or
+    *    corpus-scaled when omitted
+    *  - `graft_search_vector(idx, queriesPath, k, probe[, refineFactor])`
+    *    → (query_id, neighbor_id, score, rank); a 5th arg runs the
+    *    exact re-rank (pq indexes)
+    */
+  val tableBuilders: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "graft_search_text" -> (es => {
+      requireArity(es, 2, 3, "graft_search_text(index, terms[, k])")
+      graft.sources.SearchRelations.text(SparkSession.active,
+          strArg(es(0), "index_path"), termList(strArg(es(1), "terms")),
+          if (es.size > 2) intArg(es(2), "k") else 20)
+        .queryExecution.logical
+    }),
+    "graft_search_text_rescored" -> (es => {
+      requireArity(es, 2, 4,
+        "graft_search_text_rescored(index, terms[, k[, factor]])")
+      graft.sources.SearchRelations.textRescored(SparkSession.active,
+          strArg(es(0), "index_path"), termList(strArg(es(1), "terms")),
+          if (es.size > 2) intArg(es(2), "k") else 10,
+          if (es.size > 3) Some(intArg(es(3), "factor")) else None)
+        .queryExecution.logical
+    }),
+    "graft_search_vector" -> (es => {
+      requireArity(es, 2, 5,
+        "graft_search_vector(index, queries_path[, k[, probe[, refine_factor]]])")
+      graft.sources.SearchRelations.vector(SparkSession.active,
+          strArg(es(0), "index_path"), strArg(es(1), "queries_path"),
+          if (es.size > 2) intArg(es(2), "k") else 5,
+          if (es.size > 3) intArg(es(3), "probe") else 2,
+          refine = es.size > 4,
+          refineFactor = if (es.size > 4) intArg(es(4), "refine_factor") else 8)
+        .queryExecution.logical
+    })
+  )
+
+  private def requireArity(es: Seq[Expression], lo: Int, hi: Int,
+                           usage: String): Unit =
+    if (es.size < lo || es.size > hi)
+      throw new IllegalArgumentException(
+        s"expected $lo..$hi arguments: $usage — got ${es.size}")
+
+  /** Terms in one string literal, comma- and/or whitespace-separated. */
+  private def termList(raw: String): Seq[String] = {
+    val ts = raw.split("[,\\s]+").map(_.trim).filter(_.nonEmpty).toSeq
+    if (ts.isEmpty) throw new IllegalArgumentException(
+      s"terms must be a non-empty 'alpha beta ...' string, got: '$raw'")
+    ts
+  }
+
   /** Register into an already-built session as temp functions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    tableBuilders.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }

@@ -285,7 +285,7 @@ object Bm25Index {
       .parquet(s"$indexPath/$StatsDir")
   }
 
-  private def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
+  private[graft] def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
     val (n, t, _) = readStatsResilient(spark, indexPath)
     (n, t)
   }

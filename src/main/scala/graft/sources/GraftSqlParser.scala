@@ -133,7 +133,7 @@ object GraftSqlParser {
   private val CreateChangeFeed =
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
   private val SearchText =
-    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val SearchVector =
     """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val Refresh =
@@ -262,14 +262,15 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
           graft.streaming.ChangeFeed.create(s, feed, src,
             Option(fromV).map(_.toInt))))
-      case SearchText(idx, termsRaw, top, rescore) =>
+      case SearchText(idx, termsRaw, top, rescore, factor) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
           .map(_.group(1)).toSeq
         if (terms.isEmpty) throw new IllegalArgumentException(
           "GRAFT SEARCH TEXT needs TERMS ('a', 'b', ...) — quoted, " +
             s"comma-separated; got: $termsRaw")
         Some(GraftSearchTextCommand(idx, terms,
-          Option(top).map(_.toInt).getOrElse(20), rescore != null))
+          Option(top).map(_.toInt).getOrElse(20), rescore != null,
+          Option(factor).map(_.toInt)))
       case SearchVector(idx, queries, top, probe, refine, factor) =>
         Some(GraftSearchVectorCommand(idx, queries,
           Option(top).map(_.toInt).getOrElse(5),
@@ -518,18 +519,23 @@ case class GraftMaintainCommand(path: String, dryRun: Boolean)
   }
 }
 
-/** `GRAFT SEARCH TEXT '<idx>' TERMS ('a', 'b') [TOP n] [RESCORE]` —
-  * keyword retrieval against a persisted BM25 index FROM SQL: the
-  * query surface that completes the index lifecycle verbs (create /
-  * refresh / verify / maintain could already be driven from SQL; the
-  * actual search required the Scala API). RESCORE runs the two-stage
-  * path ([[graft.ops.Bm25Index.searchRescored]]): BM25 top-2n
-  * candidates from the postings, proximity re-rank over their text
-  * fetched from the index's defined source corpus. Results materialize
-  * to the driver — bounded at n rows (TOP n per statement).
+/** `GRAFT SEARCH TEXT '<idx>' TERMS ('a', 'b') [TOP n]
+  * [RESCORE [FACTOR f]]` — keyword retrieval against a persisted BM25
+  * index FROM SQL: the query surface that completes the index
+  * lifecycle verbs (create / refresh / verify / maintain could already
+  * be driven from SQL; the actual search required the Scala API).
+  * RESCORE runs the two-stage path
+  * ([[graft.ops.Bm25Index.searchRescored]]): BM25 top-c candidates
+  * from the postings, proximity re-rank over their text fetched from
+  * the index's defined source corpus; c = f·n with FACTOR, or the
+  * corpus-scaled default ([[SearchRelations.scaledCut]] — a fixed cut
+  * silently decays as the corpus grows). Results materialize to the
+  * driver — bounded at n rows (TOP n per statement); for composable
+  * (joinable) search use the `graft_search_text(...)` table function.
   */
 case class GraftSearchTextCommand(idx: String, terms: Seq[String],
-                                  topK: Int, rescore: Boolean)
+                                  topK: Int, rescore: Boolean,
+                                  factor: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (rescore) Seq(
@@ -543,20 +549,11 @@ case class GraftSearchTextCommand(idx: String, terms: Seq[String],
       AttributeReference("score", DoubleType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val d = graft.ops.Bm25Index.readDef(sparkSession, idx)
-    require(d.get("kind").contains("bm25"),
-      s"GRAFT SEARCH TEXT needs a bm25 index; $idx is ${d.get("kind")}")
-    import sparkSession.implicits._
-    val t = terms.toDF("term")
     val res =
       if (rescore)
-        graft.ops.Bm25Index.searchRescored(sparkSession, idx, t,
-          ManifestTable.read(sparkSession, d("sourcePath")),
-          d("idCol"), d("textCol"), k = topK, c = math.max(20, topK * 2))
+        SearchRelations.textRescored(sparkSession, idx, terms, topK, factor)
       else
-        graft.ops.Bm25Index.search(sparkSession, idx, t, k = topK)
-          .select(col("doc_id").cast("long"), col("matched_terms"),
-            col("score"))
+        SearchRelations.text(sparkSession, idx, terms, topK)
     res.collect().toSeq
   }
 }
@@ -585,36 +582,9 @@ case class GraftSearchVectorCommand(idx: String, queriesPath: String,
     AttributeReference("score", DoubleType, nullable = true)(),
     AttributeReference("rank", LongType, nullable = false)())
 
-  override def run(sparkSession: SparkSession): Seq[Row] = {
-    val d = graft.ops.Bm25Index.readDef(sparkSession, idx)
-    val kind = d.getOrElse("kind", "?")
-    val queries = ManifestTable.read(sparkSession, queriesPath)
-    val res = kind match {
-      case "ivfpq" =>
-        val base =
-          if (refine)
-            graft.ops.PqIndex.searchRefined(sparkSession, idx, queries,
-              ManifestTable.read(sparkSession, d("sourcePath")),
-              d("idCol"), d("vecCol"), topK, nProbe, refineFactor)
-          else
-            graft.ops.PqIndex.search(sparkSession, idx, queries,
-              d("idCol"), d("vecCol"), topK, nProbe)
-        base.select(col("query_id"), col("neighbor_id"),
-          col("dist").as("score"), col("rank"))
-      case "ivf" =>
-        require(!refine,
-          "REFINE applies to PQ indexes — an ivf index already " +
-            "re-scores candidates with exact cosine")
-        graft.ops.IvfIndex.search(sparkSession, idx, queries,
-            d("idCol"), d("vecCol"), topK, nProbe)
-          .select(col("query_id").cast("long"),
-            col("neighbor_id").cast("long"),
-            col("sim").as("score"), col("rank"))
-      case other => throw new IllegalArgumentException(
-        s"GRAFT SEARCH VECTOR needs an ivf/ivfpq index; $idx is $other")
-    }
-    res.collect().toSeq
-  }
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SearchRelations.vector(sparkSession, idx, queriesPath, topK, nProbe,
+      refine, refineFactor).collect().toSeq
 }
 
 /** `GRAFT REFRESH '<view>'` — incremental materialized-view refresh

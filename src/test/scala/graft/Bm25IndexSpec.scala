@@ -233,7 +233,7 @@ class Bm25IndexSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(sql == api, "SQL search must equal the API search")
     val sqlRe = spark.sql(
-        s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha', 'beta', 'one') TOP 5 RESCORE")
+        s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha', 'beta', 'one') TOP 5 RESCORE FACTOR 4")
       .as[(Long, Long, Long, Double)].collect().toSeq
     val apiRe = Bm25Index.searchRescored(spark, idx, qterms,
         ManifestTable.read(spark, corpus), "doc_id", "text", k = 5, c = 20)
@@ -347,5 +347,49 @@ class Bm25IndexSpec extends SparkSpec {
       out.schema("matched_terms").dataType == LongType,
       s"rescore output must be long-keyed regardless of corpus key type: ${out.schema}")
     assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("RESCORE FACTOR widens the candidate cut; the wider cut flips the winner") {
+    import spark.implicits._
+    // docs 1-3: high term stats (tf 3+3) but alpha/beta occurrences
+    // scattered (span 5, boost 0.4); doc 4: tf 1+1 — BELOW the BM25
+    // top-2 — but adjacent terms (span 2, boost 1.0). With FACTOR 2
+    // the cut never sees doc 4; FACTOR 8 admits it and proximity
+    // makes it the winner. A fixed cut is exactly what decayed in the
+    // pq_recall_gate measurements — FACTOR is the SQL knob for it.
+    val scattered = "alpha x alpha x alpha y y y beta z beta z beta"
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(Seq(
+        (1L, scattered), (2L, scattered + " w1"), (3L, scattered + " w1 w2"),
+        (4L, "alpha beta f1 f2 f3 f4 f5 f6")
+      ).toDF("doc_id", "text"), corpus, "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 2)
+    val bm25 = Bm25Index.search(spark, idx,
+      Seq("alpha", "beta").toDF("term"), k = 2)
+      .as[(Long, Long, Double)].collect().map(_._1)
+    assert(!bm25.contains(4L),
+      s"fixture: doc 4 must sit OUTSIDE the BM25 top-2, got ${bm25.toSeq}")
+    val narrow = spark.sql(
+      s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha', 'beta') TOP 1 RESCORE FACTOR 2")
+      .collect().map(_.getLong(0)).toSeq
+    val wide = spark.sql(
+      s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha', 'beta') TOP 1 RESCORE FACTOR 8")
+      .collect().map(_.getLong(0)).toSeq
+    assert(narrow.head != 4L,
+      s"narrow cut cannot see doc 4: $narrow")
+    assert(wide == Seq(4L),
+      s"the wider cut must admit and crown the tight doc: $wide")
+    // no FACTOR → the corpus-scaled default (floored at 2k here)
+    val dflt = spark.sql(
+      s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha', 'beta') TOP 1 RESCORE")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dflt == narrow, "4-doc corpus: scaled default floors at 2k = 2")
+  }
+
+  test("scaledCut grows with the corpus between the 2k floor and 64k cap") {
+    import graft.sources.SearchRelations.scaledCut
+    assert(scaledCut(4, 1) == 2, "floor: 2k")
+    assert(scaledCut(600, 10) == 100, "interior: nDocs/6")
+    assert(scaledCut(10L * 1000 * 1000, 10) == 640, "cap: 64k")
   }
 }

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bm25Index, PqIndex}
+import graft.sinks.ManifestTable
+
+/** `graft_search_text` / `graft_search_vector` as TABLE-VALUED
+  * FUNCTIONS: search output must be a RELATION — joinable, filterable,
+  * aggregatable inside ONE Catalyst plan — not driver-materialized
+  * rows (VERDICT r14 #2: the reference's whole query idiom is
+  * predicates stacked on a source; retrieval output that can't be
+  * composed forfeits the optimizer on the most common follow-up
+  * query). Pinned: TVF ≡ verb ≡ Scala API, and the join-back to the
+  * corpus adds exactly ONE planned corpus scan to the search's own
+  * plan — no re-execution, no driver round-trip.
+  */
+class SearchTvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-tvf")}/t"
+
+  private lazy val textFixture: (String, String) = {
+    val corpus = tmp(); val idx = tmp()
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta word$i tail${i % 5} " * (1 + (i % 3).toInt)))
+    ManifestTable.write(docs.toDF("doc_id", "text"), corpus, "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4)
+    (corpus, idx)
+  }
+
+  test("graft_search_text: TVF ≡ GRAFT SEARCH verb ≡ Scala API") {
+    val (_, idx) = textFixture
+    val tvf = spark.sql(
+        s"SELECT * FROM graft_search_text('$idx', 'alpha beta tail1', 5)")
+      .as[(Long, Long, Double)].collect().toSeq
+    val verb = spark.sql(
+        s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha', 'beta', 'tail1') TOP 5")
+      .as[(Long, Long, Double)].collect().toSeq
+    val api = Bm25Index.search(spark, idx,
+        Seq("alpha", "beta", "tail1").toDF("term"), k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(tvf == verb && verb == api,
+      s"three surfaces, one answer: tvf=$tvf verb=$verb api=$api")
+  }
+
+  test("search output joins the corpus in ONE plan — exactly one extra scan") {
+    val (corpus, idx) = textFixture
+    val searchSql =
+      s"SELECT * FROM graft_search_text('$idx', 'alpha beta tail1', 5)"
+    val alone = WorkMeter.plannedParquetScans(spark) {
+      spark.sql(searchSql).collect()
+    }
+    ManifestTable.read(spark, corpus).createOrReplaceTempView("tvf_corpus")
+    val joined = WorkMeter.plannedParquetScans(spark) {
+      spark.sql(
+        s"""SELECT s.doc_id, d.text, s.score
+           |FROM graft_search_text('$idx', 'alpha beta tail1', 5) s
+           |JOIN tvf_corpus d USING (doc_id)
+           |WHERE s.score > 0""".stripMargin).collect()
+    }
+    assert(joined == alone + 1,
+      s"the corpus join must add exactly ONE planned scan to the search " +
+        s"plan (search=$alone, joined=$joined) — more means the search " +
+        "re-executed or the corpus was read twice")
+    // and the composition actually answers
+    val rows = spark.sql(
+      s"""SELECT s.doc_id, d.text FROM
+         |graft_search_text('$idx', 'alpha beta tail1', 5) s
+         |JOIN tvf_corpus d USING (doc_id)""".stripMargin).collect()
+    assert(rows.length == 5 && rows.forall(_.getString(1).contains("alpha")))
+  }
+
+  test("graft_search_text_rescored: TVF ≡ two-stage API; factor arg honored") {
+    val (corpus, idx) = textFixture
+    val tvf = spark.sql(
+        s"""SELECT * FROM
+           |graft_search_text_rescored('$idx', 'alpha beta tail1', 5, 4)"""
+          .stripMargin)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val api = Bm25Index.searchRescored(spark, idx,
+        Seq("alpha", "beta", "tail1").toDF("term"),
+        ManifestTable.read(spark, corpus), "doc_id", "text", k = 5, c = 20)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(tvf == api, s"rescored TVF must equal the API: $tvf vs $api")
+  }
+
+  test("graft_search_vector: TVF ≡ API, refined via the 5th argument") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 120L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(64)(d =>
+        ((if (d % 3 == c) 4.0 else 0.0) + rnd.nextDouble() * 0.8).toFloat))
+    }
+    val corpus = tmp(); val idx = tmp(); val qtab = tmp()
+    ManifestTable.write(vecs.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    PqIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4)
+    ManifestTable.write(vecs.take(3).toDF("vec_id", "embedding"), qtab,
+      "vec_id", 2)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect()
+        .sortBy(t => (t._1, t._4)).toSeq
+    val tvf = sorted(spark.sql(
+      s"SELECT * FROM graft_search_vector('$idx', '$qtab', 3, 2)"))
+    val api = sorted(PqIndex.search(spark, idx,
+        ManifestTable.read(spark, qtab), "vec_id", "embedding",
+        topK = 3, nProbe = 2)
+      .select($"query_id", $"neighbor_id", $"dist".as("score"), $"rank"))
+    assert(tvf == api)
+    val tvfRef = sorted(spark.sql(
+      s"SELECT * FROM graft_search_vector('$idx', '$qtab', 3, 2, 8)"))
+    val apiRef = sorted(PqIndex.searchRefined(spark, idx,
+        ManifestTable.read(spark, qtab), ManifestTable.read(spark, corpus),
+        "vec_id", "embedding", topK = 3, nProbe = 2, refineFactor = 8)
+      .select($"query_id", $"neighbor_id", $"dist".as("score"), $"rank"))
+    assert(tvfRef == apiRef, "5-arg form runs the exact re-rank")
+    assert(tvfRef != tvf, "fixture must make refine actually re-rank")
+    // vector search composes too: top-k neighbors per query via SQL agg
+    ManifestTable.read(spark, corpus).createOrReplaceTempView("tvf_vec_corpus")
+    val agg = spark.sql(
+      s"""SELECT s.query_id, count(*) AS n
+         |FROM graft_search_vector('$idx', '$qtab', 3, 2) s
+         |JOIN tvf_vec_corpus c ON c.vec_id = s.neighbor_id
+         |GROUP BY s.query_id""".stripMargin).collect()
+    assert(agg.length == 3 && agg.forall(_.getLong(1) == 3L))
+  }
+
+  test("TVF argument errors are loud and name the usage") {
+    val (_, idx) = textFixture
+    val tooFew = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_search_text('$idx')").collect()
+    }
+    assert(tooFew.getMessage.contains("graft_search_text"),
+      s"arity error must name the usage: ${tooFew.getMessage}")
+    val badTerms = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_search_text('$idx', '  ', 5)").collect()
+    }
+    assert(badTerms.getMessage.contains("terms"),
+      s"empty terms must be refused: ${badTerms.getMessage}")
+    val notIndex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_search_text('/tmp/nope-missing', 'a', 5)")
+        .collect()
+    }
+    assert(notIndex != null)
+  }
+}
