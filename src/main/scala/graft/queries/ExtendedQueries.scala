@@ -1919,7 +1919,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * score entering stage 2 is already rounded on both sides, so the
     * rescored ordering is decided on identical doubles.
     */
-  private val bm25RescoreSql =
+  private val bm25RescoreCtes =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
       |  FROM documents),
@@ -1960,7 +1960,74 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |  SELECT c.doc_id, CAST(min(c.e - c.s + 1) AS BIGINT) AS span
       |  FROM cover c JOIN present pr ON pr.doc_id = c.doc_id
       |                              AND c.n_in = pr.n_present
-      |  GROUP BY 1)
+      |  GROUP BY 1)""".stripMargin
+
+  /** Recall gate for the TWO-STAGE text path — the `pq_recall_gate`
+    * discipline applied to retrieval: the proximity stage must move the
+    * candidate ranking TOWARD the graded-relevance ordering (more
+    * matched terms, then tighter span — exactly the co-occurrence
+    * semantics stage 2 exists to reward) and never away from it. Gold =
+    * the BM25 top-20 candidates ranked by (matched_terms desc, span
+    * asc); recall@10 of the rescored top-10 vs BM25-alone top-10
+    * against that gold set. The single row is emitted ONLY when
+    * rescored recall >= BM25 recall AND >= the floor, so a proximity
+    * regression shows as `spark_rows: 0` in the driver's correctness
+    * artifact, not just a ScalaTest failure. All arithmetic (spans,
+    * rounded recalls) is exact, mirrored CTE-for-CTE by the oracle.
+    */
+  def bm25RescoreGate(spark: SparkSession, dir: String): DataFrame = {
+    val (cands, qterms) = bm25Parts(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val all20 = graft.ops.Bm25Index.proximityRescore(
+      cands, docs, qterms, "doc_id", "text", topK = 20, candBound = 20L)
+    val gold = all20.orderBy(desc("matched_terms"), col("span"), col("doc_id"))
+      .limit(10).select("doc_id")
+    val re10 = all20.orderBy(desc("rescored"), col("doc_id"))
+      .limit(10).select("doc_id")
+    val bm10 = cands.orderBy(desc("score"), col("doc_id"))
+      .limit(10).select("doc_id")
+    val m = re10.join(gold, "doc_id")
+      .agg(count(lit(1)).cast("double").as("hits_re"))
+      .crossJoin(bm10.join(gold, "doc_id")
+        .agg(count(lit(1)).cast("double").as("hits_bm")))
+      .crossJoin(gold.agg(count(lit(1)).cast("double").as("n_gold")))
+    m.select(col("n_gold").cast("long").as("n_gold"),
+        round(col("hits_bm") / col("n_gold"), 6).as("recall_bm25_r"),
+        round(col("hits_re") / col("n_gold"), 6).as("recall_rescored_r"))
+      .filter(col("recall_rescored_r") >= col("recall_bm25_r") &&
+        col("recall_rescored_r") >= Bm25RescoreFloor)
+  }
+
+  /** See [[bm25RescoreGate]]; set from measured fixture recalls under
+    * the span-graded gold (values are exact deterministic arithmetic,
+    * so the floor is a real gate, not a flake margin).
+    */
+  private val Bm25RescoreFloor = 0.7
+
+  private val bm25RescoreGateSql = bm25RescoreCtes +
+    """,
+      |all20 AS (
+      |  SELECT cand.doc_id, cand.matched_terms, span.span, cand.score,
+      |         round(cand.score +
+      |               CAST(cand.matched_terms AS DOUBLE) / span.span, 6) AS rescored
+      |  FROM cand JOIN span USING (doc_id)),
+      |gold AS (SELECT doc_id FROM all20
+      |         ORDER BY matched_terms DESC, span, doc_id LIMIT 10),
+      |re10 AS (SELECT doc_id FROM all20 ORDER BY rescored DESC, doc_id LIMIT 10),
+      |bm10 AS (SELECT doc_id FROM cand ORDER BY score DESC, doc_id LIMIT 10),
+      |m AS (SELECT
+      |  (SELECT CAST(count(*) AS DOUBLE) FROM gold) AS n_gold,
+      |  (SELECT CAST(count(*) AS DOUBLE) FROM re10 JOIN gold USING (doc_id)) AS hits_re,
+      |  (SELECT CAST(count(*) AS DOUBLE) FROM bm10 JOIN gold USING (doc_id)) AS hits_bm)
+      |SELECT CAST(n_gold AS BIGINT) AS n_gold,
+      |       round(hits_bm / n_gold, 6) AS recall_bm25_r,
+      |       round(hits_re / n_gold, 6) AS recall_rescored_r
+      |FROM m
+      |WHERE round(hits_re / n_gold, 6) >= round(hits_bm / n_gold, 6)
+      |  AND round(hits_re / n_gold, 6) >= 0.7""".stripMargin
+
+  private val bm25RescoreSql = bm25RescoreCtes +
+    """
       |SELECT cand.doc_id, cand.matched_terms, span.span,
       |       round(cand.score +
       |             CAST(cand.matched_terms AS DOUBLE) / span.span, 6) AS rescored
@@ -3553,6 +3620,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "bm25_search" -> bm25Search _,
     "bm25_rescore" -> bm25Rescore _,
+    "bm25_rescore_gate" -> bm25RescoreGate _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
     "media_metadata" -> mediaMetadata _,
@@ -3811,6 +3879,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "bm25_search" -> bm25SearchSql,
     "bm25_rescore" -> bm25RescoreSql,
+    "bm25_rescore_gate" -> bm25RescoreGateSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
