@@ -41,6 +41,16 @@ object Bm25Index {
 
   private val StatsDir = "_stats"
   private[graft] val AppId = "graft-bm25-sync"
+
+  /** Test seam for the index conflict walk
+    * ([[graft.IndexConflictWalkSpec]]): invoked by [[sync]] (and
+    * [[PqIndex.sync]]) right after the corpus head version is pinned
+    * and before any index commit — the window a concurrent corpus
+    * append can land in. Deterministic-schedule counterpart of
+    * [[graft.sinks.ManifestTable.deltaPreCommitHook]]. No-op in
+    * production.
+    */
+  private[graft] var syncMidHook: () => Unit = () => ()
   private[graft] val DefFile = "_index.json"
   private def postingsPath(indexPath: String) = s"$indexPath/postings"
 
@@ -201,6 +211,7 @@ object Bm25Index {
            idCol: String, textCol: String, nBuckets: Int = 8): Boolean = {
     val head = ManifestTable.headVersion(spark, corpusPath).getOrElse(
       throw new IllegalArgumentException(s"no committed corpus at $corpusPath"))
+    syncMidHook()
     val pPath = postingsPath(indexPath)
     if (ManifestTable.headVersion(spark, pPath).isEmpty) {
       val docs = ManifestTable.readVersion(spark, corpusPath, head)

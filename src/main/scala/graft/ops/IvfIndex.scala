@@ -98,6 +98,7 @@ object IvfIndex {
            iterations: Int = 5, maxSample: Int = 2000): Boolean = {
     val head = ManifestTable.headVersion(spark, corpusPath).getOrElse(
       throw new IllegalArgumentException(s"no committed corpus at $corpusPath"))
+    Bm25Index.syncMidHook() // shared walk seam — see its scaladoc
     val lists = listsPath(indexPath)
     if (ManifestTable.headVersion(spark, lists).isEmpty) {
       val docs = ManifestTable.readVersion(spark, corpusPath, head)

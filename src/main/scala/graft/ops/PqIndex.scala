@@ -108,6 +108,7 @@ object PqIndex {
            k: Int = 16, updates: Int = 1, nBuckets: Int = 4): Boolean = {
     val head = ManifestTable.headVersion(spark, corpusPath).getOrElse(
       throw new IllegalArgumentException(s"no committed corpus at $corpusPath"))
+    Bm25Index.syncMidHook() // shared walk seam — see its scaladoc
     val lists = listsPath(indexPath)
     if (ManifestTable.headVersion(spark, lists).isEmpty) {
       val docs = ManifestTable.readVersion(spark, corpusPath, head)

@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bm25Index, PqIndex}
+import graft.sinks.ManifestTable
+
+/** Seeded random-schedule concurrency walk for the INDEX layer — the
+  * row-level walk's discipline applied to `Bm25Index.sync` /
+  * `PqIndex.sync` / `GRAFT MAINTAIN` racing corpus appends. Each step
+  * draws a schedule: corpus appends landing BEFORE a sync, INSIDE a
+  * sync's head-pin→commit window (via [[Bm25Index.syncMidHook]] — a
+  * sync that pinned head v then sees v+1 land must index exactly
+  * through v and leave v+1 for the next pass), under `GRAFT MAINTAIN`'s
+  * refresh+layout pass, racing double-syncs, or with the index
+  * deliberately left stale. Invariants asserted on EVERY schedule:
+  *
+  *  - exactly-once postings/codes: no (doc_id, term) posting dup, no
+  *    vec_id coded twice — a replayed or raced sync must fold nothing
+  *    twice (the txn-watermark contract);
+  *  - watermark monotonicity: the sync watermark never moves backward;
+  *  - drain convergence (every 10th step): syncing until quiescent
+  *    reaches watermark == corpus head, stats == corpus totals, and
+  *    search over the incrementally-raced index ≡ a fresh one-shot
+  *    build over the same corpus, bit-for-bit (BM25; PQ compares the
+  *    coded row inventory — models are frozen at first sync by
+  *    design, so a retrained rebuild is not the oracle there).
+  */
+class IndexConflictWalkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-idx-walk")}/t"
+
+  test("BM25 index walk: 100 schedules of corpus appends racing sync/MAINTAIN") {
+    val rnd = new scala.util.Random(1515)
+    val corpus = tmp(); val idx = tmp()
+    val postings = s"$idx/postings"
+    var nextId = 0L
+    def batch(n: Int): DataFrame = {
+      val rows = (0 until n).map { _ =>
+        val i = nextId; nextId += 1
+        // deterministic word soup with tf variety and shared vocab
+        (i, s"w${i % 7} w${i % 7} common x${i % 11} t${i % 5} tail${i % 3}")
+      }
+      rows.toDF("doc_id", "text")
+    }
+    ManifestTable.write(batch(20), corpus, "doc_id", 2)
+    assert(Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4))
+    var lastWm = ManifestTable.txnVersion(spark, postings, Bm25Index.AppId).get
+
+    val qterms = Seq("common", "w1", "t2").toDF("term")
+    var midLanded = 0
+    var staleSteps = 0
+    (1 to 100).foreach { step =>
+      var fired = false
+      def midAppend(n: Int): Unit = {
+        Bm25Index.syncMidHook = () =>
+          if (!fired) { fired = true; midLanded += 1
+            ManifestTable.append(spark, corpus, batch(n), "doc_id") }
+      }
+      try {
+        rnd.nextInt(6) match {
+          case 0 | 1 => // plain append then sync
+            ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(3)),
+              "doc_id")
+            assert(Bm25Index.sync(spark, idx, corpus, "doc_id", "text"),
+              s"step $step: sync over new data must report work")
+          case 2 => // append lands INSIDE the sync window
+            ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(2)),
+              "doc_id")
+            midAppend(1 + rnd.nextInt(2))
+            Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
+            assert(fired, s"step $step: mid-window hook must have fired")
+          case 3 => // MAINTAIN drives refresh + layout upkeep, mid-append racing
+            midAppend(1)
+            spark.sql(s"GRAFT MAINTAIN '$idx'").collect()
+          case 4 => // double sync: the second pass must be a no-op
+            ManifestTable.append(spark, corpus, batch(1), "doc_id")
+            Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
+            assert(!Bm25Index.sync(spark, idx, corpus, "doc_id", "text"),
+              s"step $step: quiescent re-sync must fold nothing")
+          case _ => // corpus moves, index deliberately left stale
+            ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(2)),
+              "doc_id")
+            staleSteps += 1
+        }
+      } finally Bm25Index.syncMidHook = () => ()
+
+      // ---- invariants on every schedule ----
+      val wm = ManifestTable.txnVersion(spark, postings, Bm25Index.AppId).get
+      assert(wm >= lastWm,
+        s"step $step: watermark moved backward ($lastWm -> $wm)")
+      lastWm = wm
+      val dups = ManifestTable.read(spark, postings)
+        .groupBy("doc_id", "term").count().filter(col("count") > 1).count()
+      assert(dups == 0L,
+        s"step $step: $dups duplicated (doc, term) postings — a raced " +
+          "sync folded a batch twice")
+
+      if (step % 10 == 0) { // drain to quiescence, then the deep oracle
+        while (Bm25Index.sync(spark, idx, corpus, "doc_id", "text")) ()
+        val head = ManifestTable.headVersion(spark, corpus).get
+        assert(ManifestTable.txnVersion(spark, postings, Bm25Index.AppId)
+          .get == head.toLong,
+          s"step $step: drained watermark must equal corpus head $head")
+        lastWm = head.toLong
+        val fresh = tmp()
+        Bm25Index.build(spark, fresh, ManifestTable.read(spark, corpus),
+          "doc_id", "text", nBuckets = 4)
+        val raced = Bm25Index.search(spark, idx, qterms, k = 50)
+          .as[(Long, Long, Double)].collect().toSet
+        val oneShot = Bm25Index.search(spark, fresh, qterms, k = 50)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(raced == oneShot,
+          s"step $step: raced incremental index diverged from one-shot " +
+            s"build (missing=${(oneShot -- raced).take(3)} " +
+            s"extra=${(raced -- oneShot).take(3)})")
+        val nDocs = ManifestTable.read(spark, corpus).count()
+        val indexed = ManifestTable.read(spark, postings)
+          .select("doc_id").distinct().count()
+        assert(indexed == nDocs,
+          s"step $step: $indexed docs indexed of $nDocs committed")
+      }
+    }
+    info(s"mid-window appends landed: $midLanded, stale steps: $staleSteps " +
+      s"of 100; final corpus ${nextId} docs")
+    assert(midLanded >= 15, s"seed exercised only $midLanded mid-window races")
+    assert(staleSteps >= 8, s"seed exercised only $staleSteps stale steps")
+  }
+
+  test("PQ index walk: 50 schedules — codes exactly-once under racing syncs") {
+    val rnd = new scala.util.Random(909)
+    val corpus = tmp(); val idx = tmp()
+    val lists = s"$idx/lists"
+    var nextId = 0L
+    def batch(n: Int): DataFrame = {
+      val rows = (0 until n).map { _ =>
+        val i = nextId; nextId += 1
+        (i, Array.tabulate(16)(d =>
+          (math.sin(i * 16 + d) * 3 + (if (d % 4 == i % 4) 5 else 0)).toFloat))
+      }
+      rows.toDF("vec_id", "embedding")
+    }
+    ManifestTable.write(batch(60), corpus, "vec_id", 2)
+    assert(PqIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      kLists = 2, m = 4, k = 8, nBuckets = 2))
+    val appId = PqIndex.AppId
+    var lastWm = ManifestTable.txnVersion(spark, lists, appId).get
+
+    var midLanded = 0
+    (1 to 50).foreach { step =>
+      var fired = false
+      try {
+        rnd.nextInt(5) match {
+          case 0 | 1 => // append then sync
+            ManifestTable.append(spark, corpus, batch(2 + rnd.nextInt(3)),
+              "vec_id")
+            assert(PqIndex.sync(spark, idx, corpus, "vec_id", "embedding"))
+          case 2 => // append inside the sync window
+            ManifestTable.append(spark, corpus, batch(2), "vec_id")
+            Bm25Index.syncMidHook = () =>
+              if (!fired) { fired = true; midLanded += 1
+                ManifestTable.append(spark, corpus, batch(2), "vec_id") }
+            PqIndex.sync(spark, idx, corpus, "vec_id", "embedding")
+            assert(fired, s"step $step: hook must fire")
+          case 3 => // MAINTAIN refresh path
+            ManifestTable.append(spark, corpus, batch(1), "vec_id")
+            spark.sql(s"GRAFT MAINTAIN '$idx'").collect()
+          case _ => // stale
+            ManifestTable.append(spark, corpus, batch(1), "vec_id")
+        }
+      } finally Bm25Index.syncMidHook = () => ()
+
+      val wm = ManifestTable.txnVersion(spark, lists, appId).get
+      assert(wm >= lastWm,
+        s"step $step: watermark moved backward ($lastWm -> $wm)")
+      lastWm = wm
+      val dup = ManifestTable.read(spark, lists)
+        .groupBy("id").count().filter(col("count") > 1).count()
+      assert(dup == 0L,
+        s"step $step: $dup vectors coded twice — raced sync double-folded")
+
+      if (step % 10 == 0) {
+        while (PqIndex.sync(spark, idx, corpus, "vec_id", "embedding")) ()
+        val nVecs = ManifestTable.read(spark, corpus).count()
+        val coded = ManifestTable.read(spark, lists).count()
+        assert(coded == nVecs,
+          s"step $step: $coded vectors coded of $nVecs committed")
+        assert(ManifestTable.txnVersion(spark, lists, appId).get ==
+          ManifestTable.headVersion(spark, corpus).get.toLong,
+          s"step $step: drained watermark must equal corpus head")
+        // the drained index answers over the full corpus
+        val q = ManifestTable.read(spark, corpus).limit(2)
+        assert(PqIndex.search(spark, idx, q, "vec_id", "embedding",
+          topK = 3, nProbe = 2).count() == 6L)
+      }
+    }
+    info(s"mid-window appends landed: $midLanded of 50")
+    assert(midLanded >= 5, s"seed exercised only $midLanded mid-window races")
+  }
+}
