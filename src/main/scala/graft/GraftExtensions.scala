@@ -131,6 +131,17 @@ object GraftExtensions {
           refine = es.size > 4,
           refineFactor = if (es.size > 4) intArg(es(4), "refine_factor") else 8)
         .queryExecution.logical
+    }),
+    "graft_search_hybrid" -> (es => {
+      requireArity(es, 4, 6,
+        "graft_search_hybrid(text_index, vector_index, terms, " +
+          "queries_path[, k[, probe]])")
+      graft.sources.SearchRelations.hybrid(SparkSession.active,
+          strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
+          termList(strArg(es(2), "terms")), strArg(es(3), "queries_path"),
+          if (es.size > 4) intArg(es(4), "k") else 10,
+          nProbe = if (es.size > 5) intArg(es(5), "probe") else 2)
+        .queryExecution.logical
     })
   )
 

@@ -1962,6 +1962,87 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |                              AND c.n_in = pr.n_present
       |  GROUP BY 1)""".stripMargin
 
+  /** Hybrid retrieval — RECIPROCAL RANK FUSION (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) of the BM25 keyword list and the cosine
+    * vector list: rrf(d) = Σ_lists 1/(60 + rank_d), the
+    * score-agnostic fusion every production hybrid-search stack ships
+    * (it needs only RANKS, so BM25's unbounded scores and cosine's
+    * [-1,1] need no calibration). Text list = the oracled `bm25_search`
+    * kernel's top-20; vector list = exact cosine top-20 for vec 0's
+    * embedding (`ann_topk_brute`'s kernel); both ranked on their
+    * ROUNDED scores so rank assignment is engine-exact, and the fused
+    * 1/(60+r) sums are two IEEE divides + one add in fixed order —
+    * deterministic, hash-oracled. Docs missing from one list
+    * contribute nothing (their rank column stays NULL in the output).
+    *
+    * Scale shape: fusion cost is LIST-bound (two top-c inputs,
+    * full-outer on doc_id), independent of corpus size; each input
+    * list is its own already-audited retrieval plan.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cands, _) = bm25Parts(spark, dir)
+    val tRank = cands.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+        .cast("long").as("rank_text"))
+    val emb = Tables.embeddings(spark, dir)
+    val vRank = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 20, roundTo = Some(6))
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    tRank.join(vRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_r", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6))
+      .orderBy(desc("rrf_r"), col("doc_id"))
+      .limit(10)
+      .select("doc_id", "rank_text", "rank_vec", "rrf_r")
+  }
+
+  /** The RRF oracle: the shared BM25 candidate CTEs (`cand`), the
+    * brute-cosine CTEs for query vector 0, rank both on rounded
+    * scores, fuse with the same fixed-order arithmetic.
+    */
+  private val hybridRrfSql = bm25RescoreCtes +
+    """,
+      |hflat AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |hnorms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM hflat GROUP BY vec_id),
+      |hdots AS (
+      |  SELECT c.vec_id AS neighbor_id,
+      |         sum(CAST(qv.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+      |  FROM hflat qv JOIN hflat c ON qv.i = c.i
+      |  WHERE qv.vec_id = 0 AND c.vec_id <> 0
+      |  GROUP BY 1),
+      |hscored AS (
+      |  SELECT neighbor_id,
+      |         round(dot / (nq.nrm * nc.nrm), 6) AS sim_r
+      |  FROM hdots
+      |  JOIN hnorms nq ON nq.vec_id = 0
+      |  JOIN hnorms nc ON nc.vec_id = neighbor_id),
+      |vrank AS (
+      |  SELECT doc_id, rank_vec FROM (
+      |    SELECT neighbor_id AS doc_id,
+      |           CAST(row_number() OVER (ORDER BY sim_r DESC, neighbor_id)
+      |                AS BIGINT) AS rank_vec
+      |    FROM hscored) WHERE rank_vec <= 20),
+      |trank AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+      |              AS BIGINT) AS rank_text
+      |  FROM cand)
+      |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |       t.rank_text, v.rank_vec,
+      |       round(COALESCE(1.0 / (60 + t.rank_text), 0) +
+      |             COALESCE(1.0 / (60 + v.rank_vec), 0), 6) AS rrf_r
+      |FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+      |ORDER BY rrf_r DESC, doc_id LIMIT 10""".stripMargin
+
   /** Recall gate for the TWO-STAGE text path — the `pq_recall_gate`
     * discipline applied to retrieval: the proximity stage must move the
     * candidate ranking TOWARD the graded-relevance ordering (more
@@ -3621,6 +3702,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_search" -> bm25Search _,
     "bm25_rescore" -> bm25Rescore _,
     "bm25_rescore_gate" -> bm25RescoreGate _,
+    "hybrid_rrf" -> hybridRrf _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
     "media_metadata" -> mediaMetadata _,
@@ -3880,6 +3962,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_search" -> bm25SearchSql,
     "bm25_rescore" -> bm25RescoreSql,
     "bm25_rescore_gate" -> bm25RescoreGateSql,
+    "hybrid_rrf" -> hybridRrfSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),

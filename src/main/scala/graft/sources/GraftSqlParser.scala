@@ -34,10 +34,16 @@ import graft.sinks.ManifestTable
   * GRAFT CREATE TEXT INDEX '/idx' FROM '/t' KEY id TEXT body [BUCKETS 8]
   * GRAFT CREATE VECTOR INDEX '/idx' FROM '/t' KEY id VECTOR emb
   *   [LISTS 16] [BUCKETS 8] [USING PQ]            -- PQ: coded IVF-PQ lists
-  * GRAFT SEARCH TEXT '/idx' TERMS ('a', 'b') [TOP 20] [RESCORE]
-  *                                    -- BM25 (+ proximity re-rank) from SQL
+  * GRAFT SEARCH TEXT '/idx' TERMS ('a', 'b') [TOP 20] [RESCORE [FACTOR f]]
+  *                                    -- BM25 (+ proximity re-rank) from SQL;
+  *                                       FACTOR sets the candidate cut f·k,
+  *                                       default scales with the corpus
   * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE 2]
   *   [REFINE [FACTOR 8]]              -- ANN probe (+ exact re-rank on PQ)
+  * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS ('a', 'b')
+  *   FROM '/queries' [TOP 10] [PROBE 2]   -- reciprocal-rank fusion
+  *                                    -- (composable forms: the
+  *                                       graft_search_* table functions)
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
@@ -134,6 +140,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
   private val SearchText =
     """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
+  private val SearchHybrid =
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?\s*""".r
   private val SearchVector =
     """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val Refresh =
@@ -271,6 +279,15 @@ object GraftSqlParser {
         Some(GraftSearchTextCommand(idx, terms,
           Option(top).map(_.toInt).getOrElse(20), rescore != null,
           Option(factor).map(_.toInt)))
+      case SearchHybrid(tIdx, vIdx, termsRaw, queries, top, probe) =>
+        val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
+          .map(_.group(1)).toSeq
+        if (terms.isEmpty) throw new IllegalArgumentException(
+          "GRAFT SEARCH HYBRID needs TERMS ('a', 'b', ...) — quoted, " +
+            s"comma-separated; got: $termsRaw")
+        Some(GraftSearchHybridCommand(tIdx, vIdx, terms, queries,
+          Option(top).map(_.toInt).getOrElse(10),
+          Option(probe).map(_.toInt).getOrElse(2)))
       case SearchVector(idx, queries, top, probe, refine, factor) =>
         Some(GraftSearchVectorCommand(idx, queries,
           Option(top).map(_.toInt).getOrElse(5),
@@ -290,7 +307,7 @@ object GraftSqlParser {
             "HISTORY | VERIFY | " +
             "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
             "FEED | CREATE TEXT INDEX | CREATE VECTOR INDEX | SEARCH " +
-            "TEXT | SEARCH VECTOR | REFRESH | " +
+            "TEXT | SEARCH VECTOR | SEARCH HYBRID | REFRESH | " +
             "REBUILD with a " +
             s"quoted table path, got: $sql")
       case _ => None
@@ -585,6 +602,32 @@ case class GraftSearchVectorCommand(idx: String, queriesPath: String,
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.vector(sparkSession, idx, queriesPath, topK, nProbe,
       refine, refineFactor).collect().toSeq
+}
+
+/** `GRAFT SEARCH HYBRID TEXT '<tidx>' VECTOR '<vidx>' TERMS ('a', 'b')
+  * FROM '<queries>' [TOP n] [PROBE p]` — reciprocal-rank fusion of the
+  * BM25 keyword list and each query row's ANN list
+  * ([[SearchRelations.hybrid]]): the production hybrid-search verb.
+  * Rank-only fusion, so it works unchanged over ivf and ivfpq vector
+  * indexes. For composable output use `graft_search_hybrid(...)`.
+  */
+case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
+                                    terms: Seq[String], queriesPath: String,
+                                    topK: Int, nProbe: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("query_id", LongType, nullable = false)(),
+    AttributeReference("doc_id", LongType, nullable = false)(),
+    // a doc absent from one list keeps a NULL rank there — that IS the
+    // fusion semantics, not a data defect
+    AttributeReference("rank_text", LongType, nullable = true)(),
+    AttributeReference("rank_vec", LongType, nullable = true)(),
+    AttributeReference("rrf", DoubleType, nullable = false)(),
+    AttributeReference("rank", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SearchRelations.hybrid(sparkSession, textIdx, vecIdx, terms,
+      queriesPath, topK, nProbe).collect().toSeq
 }
 
 /** `GRAFT REFRESH '<view>'` — incremental materialized-view refresh

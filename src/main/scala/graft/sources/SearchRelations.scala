@@ -112,6 +112,45 @@ object SearchRelations {
     }
   }
 
+  /** HYBRID retrieval over persisted indexes — reciprocal rank fusion
+    * (Cormack, Clarke & Buettcher, SIGIR 2009) of the BM25 keyword
+    * list and the ANN vector list: rrf(q, d) = Σ_lists 1/(rrfK +
+    * rank_d). Rank-only fusion needs no score calibration, so it is
+    * metric-agnostic across index kinds (ivf cosine ranks descending,
+    * pq ADC ascending — both enter as ranks). Every query row in
+    * `queriesPath` fuses the SHARED text list (one term set per call)
+    * with its OWN vector list; docs absent from a list keep a NULL
+    * rank and contribute nothing. Fusion cost is list-bound: two top-c
+    * retrievals (c = max(2k, 20)) + a per-query full-outer on doc_id —
+    * independent of corpus size.
+    */
+  def hybrid(spark: SparkSession, textIdx: String, vecIdx: String,
+             terms: Seq[String], queriesPath: String, k: Int,
+             nProbe: Int = 2, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = math.max(2 * k, 20)
+    val tRank = text(spark, textIdx, terms, c)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+          .cast("long").as("rank_text"))
+    val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
+        refine = false, refineFactor = 8)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    // the shared text list fans out per query id (tiny × tiny), so the
+    // fusion join has one uniform (query_id, doc_id) key space
+    val tAll = vRank.select("query_id").distinct().crossJoin(tRank)
+    tAll.join(vRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank_text", "rank_vec", "rrf", "rank")
+  }
+
   private def requireKind(spark: SparkSession, idx: String,
                           kind: String): Map[String, String] = {
     val d = Bm25Index.readDef(spark, idx)

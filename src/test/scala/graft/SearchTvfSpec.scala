@@ -146,4 +146,64 @@ class SearchTvfSpec extends SparkSpec {
     }
     assert(notIndex != null)
   }
+
+  test("hybrid RRF: verb ≡ TVF ≡ API; fusion surfaces docs from both lists") {
+    import graft.sources.SearchRelations
+    // corpora sharing one id space: docs 0-39 with text, vectors 0-39
+    val rnd = new scala.util.Random(11)
+    val corpus = tmp(); val tIdx = tmp(); val vIdx = tmp(); val qtab = tmp()
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta word$i tail${i % 5} " * (1 + (i % 3).toInt)))
+    ManifestTable.write(docs.toDF("doc_id", "text"), corpus, "doc_id", 2)
+    Bm25Index.sync(spark, tIdx, corpus, "doc_id", "text", nBuckets = 4)
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) + rnd.nextDouble() * 0.5).toFloat))
+    }
+    val vcorpus = tmp()
+    ManifestTable.write(vecs.toDF("vec_id", "embedding"), vcorpus, "vec_id", 2)
+    graft.ops.IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(vecs.take(2).toDF("vec_id", "embedding"), qtab,
+      "vec_id", 2)
+
+    def sorted(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._6)).toSeq
+
+    val api = sorted(SearchRelations.hybrid(spark, tIdx, vIdx,
+      Seq("alpha", "tail1"), qtab, k = 5))
+    val verb = sorted(spark.sql(
+      s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$vIdx' " +
+        s"TERMS ('alpha', 'tail1') FROM '$qtab' TOP 5 PROBE 2"))
+    val tvf = sorted(spark.sql(
+      s"SELECT * FROM graft_search_hybrid('$tIdx', '$vIdx', " +
+        s"'alpha tail1', '$qtab', 5, 2)"))
+    assert(api == verb && verb == tvf,
+      s"three hybrid surfaces, one answer:\napi=$api\nverb=$verb\ntvf=$tvf")
+    assert(api.nonEmpty && api.map(_._1).distinct.length == 2,
+      "both query rows fused")
+    // fusion semantics: some fused doc carries ranks from BOTH lists or
+    // the output mixes text-only and vector-only docs
+    assert(api.exists(_._3 >= 0) && api.exists(_._4 >= 0),
+      s"fusion must surface contributions from both lists: $api")
+    // rrf arithmetic spot check: rank_text=t, rank_vec=v => 1/(60+t)+1/(60+v)
+    api.foreach { case (_, _, t, v, rrf, _) =>
+      val expect = (if (t >= 0) 1.0 / (60 + t) else 0.0) +
+        (if (v >= 0) 1.0 / (60 + v) else 0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"rrf mismatch: $rrf vs $expect")
+    }
+    // and the TVF composes: joinable back to the corpus in one plan
+    ManifestTable.read(spark, corpus).createOrReplaceTempView("hybrid_corpus")
+    val joined = spark.sql(
+      s"""SELECT h.query_id, h.doc_id, d.text
+         |FROM graft_search_hybrid('$tIdx', '$vIdx', 'alpha tail1',
+         |                         '$qtab', 5, 2) h
+         |JOIN hybrid_corpus d USING (doc_id)""".stripMargin).collect()
+    assert(joined.length == api.length)
+  }
 }
