@@ -3894,7 +3894,35 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       .orderBy("query_id", "rank")
   }
 
+  /** Bench-only: HYBRID retrieval over the persisted indexes — the
+    * production two-list query endpoint: BM25 top-20 from the postings
+    * fixture + ADC top-20 per query from the coded lists fixture, fused
+    * by reciprocal rank ([[graft.sources.SearchRelations.fuseRrf]]).
+    * The fusion arithmetic itself is hash-verified by the oracled
+    * `hybrid_rrf`; this entry prices the index-backed path (both
+    * probes + the list-bound fusion join).
+    */
+  def hybridIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (tPath, terms) = benchBm25Index(spark, dir)
+    val pPath = benchPqIndex(spark, dir)
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+    val tRank = graft.ops.Bm25Index.search(spark, tPath,
+        terms.toDF("term"), k = 20)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+          .cast("long").as("rank_text"))
+    val vRank = graft.ops.PqIndex.search(spark, pPath, queries,
+        "vec_id", "embedding", topK = 20, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    graft.sources.SearchRelations.fuseRrf(tRank, vRank, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_index_search" -> hybridIndexSearch _,
     "bm25_index_search" -> bm25IndexSearch _,
     "bm25_index_search_rescored" -> bm25IndexSearchRescored _,
     "manifest_point_lookup" -> manifestPointLookup _,

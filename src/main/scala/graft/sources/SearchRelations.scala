@@ -137,6 +137,19 @@ object SearchRelations {
         refine = false, refineFactor = 8)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
+    fuseRrf(tRank, vRank, k, rrfK)
+  }
+
+  /** The rank-only fusion core shared by [[hybrid]] and bench
+    * compositions over `build()`-made indexes: `tRank` carries
+    * (doc_id, rank_text) — ONE shared text list; `vRank` carries
+    * (query_id, doc_id, rank_vec) — one list per query. Output:
+    * (query_id, doc_id, rank_text, rank_vec, rrf, rank), top-k per
+    * query by fused score.
+    */
+  def fuseRrf(tRank: DataFrame, vRank: DataFrame, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the shared text list fans out per query id (tiny × tiny), so the
     // fusion join has one uniform (query_id, doc_id) key space
     val tAll = vRank.select("query_id").distinct().crossJoin(tRank)
