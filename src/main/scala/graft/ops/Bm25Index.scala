@@ -381,18 +381,24 @@ object Bm25Index {
   def proximityRescore(cands: DataFrame, docs: DataFrame, qterms: DataFrame,
                        idCol: String, textCol: String, topK: Int,
                        candBound: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // DISTINCT query terms indexed 1..nQ — the sweep's state carries
     // one last-seen slot per term, so the state arity is derived from
-    // the ACTUAL query (driver-side count of the tiny term frame): a
-    // fixed arity silently min-covered only a 3-term subset of longer
-    // queries while matched_terms reported them all (VERDICT r14 #1),
-    // and duplicate TERMS entries inflated tidx past the slot count.
-    val qDistinct = qterms.select(col("term")).na.drop().distinct()
-    val nQ = qDistinct.count().toInt
+    // the ACTUAL query: a fixed arity silently min-covered only a
+    // 3-term subset of longer queries while matched_terms reported
+    // them all (VERDICT r14 #1), and duplicate TERMS entries inflated
+    // tidx past the slot count. The terms COLLECT here is query-arity
+    // -sized by definition (it sizes the sweep's state struct, which
+    // is composed driver-side either way); planting them back as a
+    // local relation also keeps a derived `qterms` subplan (e.g. the
+    // oracled queries' top-global-tf derivation) out of the main job.
+    val terms = qterms.select(col("term")).na.drop().distinct()
+      .collect().map(_.getString(0)).sorted
+    val nQ = terms.length
     require(nQ >= 1, "proximityRescore needs at least one query term")
-    val qIdx = qDistinct
-      .withColumn("tidx", row_number().over(Window.orderBy(col("term"))))
+    val qSession = cands.sparkSession
+    import qSession.implicits._
+    val qIdx = terms.zipWithIndex.map { case (t, i) => (t, i + 1) }
+      .toSeq.toDF("term", "tidx")
     val bound = if (candBound >= 0) candBound else cands.count()
     // cands' key is normalized to long here so the output type is
     // stable across int- and long-keyed corpora (the SQL SEARCH verb
