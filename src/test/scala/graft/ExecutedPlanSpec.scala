@@ -95,4 +95,16 @@ class ExecutedPlanSpec extends SparkSpec {
     assert(scans <= 1,
       s"source_overlap executed $scans file scans — expected 1 after reuse")
   }
+
+  test("hybrid_index_search: fusion adds no corpus pass — scans stay index-bound") {
+    // the two-probe endpoint reads ONLY: the postings buckets (text
+    // probe), the coded lists buckets (vector probe), and the queries
+    // slice — fusion itself is a list-bound join over the two top-c
+    // outputs and must touch no further files
+    val (_, scans) = executedCounts("hybrid_index_search")
+    assert(scans <= 4,
+      s"hybrid_index_search executed $scans file scans — expected <= 4 " +
+        "(postings probe + lists probe + queries slice + at most one " +
+        "uncollapsed leg); more means fusion re-read an index or corpus")
+  }
 }
