@@ -377,28 +377,53 @@ object Bm25Index {
     * the id fetch is broadcast-hinted, above it AQE picks the join
     * strategy. Pass a negative value to have this method count `cands`
     * once (the raw-API fallback — re-executes the candidate plan).
+    *
+    * `qArity`: an UPPER BOUND on the number of distinct query terms
+    * when the caller knows one (a literal TERMS list's size is one) —
+    * it sizes the sweep's state struct, which is composed driver-side,
+    * so SOME driver-side arity is unavoidable. With a bound, `qterms`
+    * stays a relational subplan (a derived term frame — e.g. the
+    * oracled queries' top-global-tf derivation — rides the main job's
+    * exchanges via AQE reuse; collecting it instead re-ran that
+    * pipeline as a separate reuse-less job, +26% on `bm25_rescore`).
+    * A bound BELOW the true distinct count fails loudly in-plan rather
+    * than silently shrinking the cover (the r14 bug class). Pass a
+    * negative value to have this method collect the tiny distinct-term
+    * set once and derive the exact arity (the raw-API fallback).
     */
   def proximityRescore(cands: DataFrame, docs: DataFrame, qterms: DataFrame,
                        idCol: String, textCol: String, topK: Int,
-                       candBound: Long = -1L): DataFrame = {
+                       candBound: Long = -1L, qArity: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // DISTINCT query terms indexed 1..nQ — the sweep's state carries
     // one last-seen slot per term, so the state arity is derived from
     // the ACTUAL query: a fixed arity silently min-covered only a
     // 3-term subset of longer queries while matched_terms reported
     // them all (VERDICT r14 #1), and duplicate TERMS entries inflated
-    // tidx past the slot count. The terms COLLECT here is query-arity
-    // -sized by definition (it sizes the sweep's state struct, which
-    // is composed driver-side either way); planting them back as a
-    // local relation also keeps a derived `qterms` subplan (e.g. the
-    // oracled queries' top-global-tf derivation) out of the main job.
-    val terms = qterms.select(col("term")).na.drop().distinct()
-      .collect().map(_.getString(0)).sorted
-    val nQ = terms.length
+    // tidx past the slot count (distinct() retires that side).
+    val qDistinct = qterms.select(col("term")).na.drop().distinct()
+    val (nQ, qIdx) =
+      if (qArity >= 1) {
+        // tidx beyond nQ would silently update no sweep slot — the
+        // exact r14 bug — so a too-small caller bound must explode
+        val idx = qDistinct
+          .withColumn("tidx", row_number().over(Window.orderBy(col("term"))))
+          .withColumn("tidx",
+            when(col("tidx") <= qArity, col("tidx")).otherwise(raise_error(
+              concat(lit(s"proximityRescore: qArity $qArity is below the "
+                + "distinct query-term count — term '"), col("term"),
+                lit("' would be silently ignored")))))
+        (qArity, idx)
+      } else {
+        val terms = qDistinct.collect().map(_.getString(0)).sorted
+        require(terms.nonEmpty,
+          "proximityRescore needs at least one query term")
+        val qSession = cands.sparkSession
+        import qSession.implicits._
+        (terms.length, terms.zipWithIndex.map { case (t, i) => (t, i + 1) }
+          .toSeq.toDF("term", "tidx"))
+      }
     require(nQ >= 1, "proximityRescore needs at least one query term")
-    val qSession = cands.sparkSession
-    import qSession.implicits._
-    val qIdx = terms.zipWithIndex.map { case (t, i) => (t, i + 1) }
-      .toSeq.toDF("term", "tidx")
     val bound = if (candBound >= 0) candBound else cands.count()
     // cands' key is normalized to long here so the output type is
     // stable across int- and long-keyed corpora (the SQL SEARCH verb
@@ -456,9 +481,10 @@ object Bm25Index {
     */
   def searchRescored(spark: SparkSession, indexPath: String,
                      terms: DataFrame, docs: DataFrame, idCol: String,
-                     textCol: String, k: Int = 10, c: Int = 20): DataFrame =
+                     textCol: String, k: Int = 10, c: Int = 20,
+                     qArity: Int = -1): DataFrame =
     proximityRescore(search(spark, indexPath, terms, c), docs, terms,
-      idCol, textCol, k, candBound = c.toLong)
+      idCol, textCol, k, candBound = c.toLong, qArity = qArity)
 
   def search(spark: SparkSession, indexPath: String, terms: DataFrame,
              k: Int = 20): DataFrame = {

@@ -1910,7 +1910,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val (cands, qterms) = bm25Parts(spark, dir)
     graft.ops.Bm25Index.proximityRescore(
       cands, Tables.documents(spark, dir), qterms, "doc_id", "text",
-      topK = 10, candBound = 20L)
+      topK = 10, candBound = 20L, qArity = 3)
   }
 
   /** The rescore oracle: `bm25SearchSql`'s candidate CTEs, positions of
@@ -2060,7 +2060,8 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val (cands, qterms) = bm25Parts(spark, dir)
     val docs = Tables.documents(spark, dir)
     val all20 = graft.ops.Bm25Index.proximityRescore(
-      cands, docs, qterms, "doc_id", "text", topK = 20, candBound = 20L)
+      cands, docs, qterms, "doc_id", "text", topK = 20, candBound = 20L,
+      qArity = 3)
     val gold = all20.orderBy(desc("matched_terms"), col("span"), col("doc_id"))
       .limit(10).select("doc_id")
     val re10 = all20.orderBy(desc("rescored"), col("doc_id"))
@@ -3834,7 +3835,8 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     import spark.implicits._
     val (path, terms) = benchBm25Index(spark, dir)
     graft.ops.Bm25Index.searchRescored(spark, path, terms.toDF("term"),
-      Tables.documents(spark, dir), "doc_id", "text", k = 10, c = 20)
+      Tables.documents(spark, dir), "doc_id", "text", k = 10, c = 20,
+      qArity = terms.size)
   }
 
   /** Fixture cache for the persisted IVF-PQ index — same build-once

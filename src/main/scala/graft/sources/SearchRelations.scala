@@ -71,7 +71,7 @@ object SearchRelations {
     }
     Bm25Index.searchRescored(spark, idx, terms.toDF("term"),
       ManifestTable.read(spark, d("sourcePath")),
-      d("idCol"), d("textCol"), k = k, c = c)
+      d("idCol"), d("textCol"), k = k, c = c, qArity = terms.size)
   }
 
   /** ANN against a persisted ivf / ivfpq index; queries come from a

@@ -392,4 +392,26 @@ class Bm25IndexSpec extends SparkSpec {
     assert(scaledCut(600, 10) == 100, "interior: nDocs/6")
     assert(scaledCut(10L * 1000 * 1000, 10) == 640, "cap: 64k")
   }
+
+  test("proximityRescore: a caller arity bound below the true term count fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val cands = Seq((1L, 3L, 1.0)).toDF("doc_id", "matched_terms", "score")
+    val qterms = Seq("alpha", "beta", "gamma").toDF("term")
+    // qArity 2 against 3 distinct terms: the in-plan guard must explode
+    // (the silent alternative is exactly the r14 shrunken-cover bug)
+    val e = intercept[Exception] {
+      Bm25Index.proximityRescore(cands, docs, qterms, "doc_id", "text",
+        topK = 1, candBound = 1L, qArity = 2).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("qArity"),
+      s"too-small bound must name the guard, got: $msgs")
+    // and an over-estimate is harmless: extra slots stay inert
+    val ok = Bm25Index.proximityRescore(cands, docs, qterms, "doc_id", "text",
+      topK = 1, candBound = 1L, qArity = 7).collect()
+    assert(ok.length == 1 && ok.head.getLong(2) == 3L,
+      s"over-bound arity must still cover all terms: ${ok.toSeq}")
+  }
 }
