@@ -60,6 +60,8 @@ import graft.sinks.ManifestTable
   *   [STARTING VERSION n]                          -- CDC feed table
   * GRAFT CREATE TABLE '/path/t' (id BIGINT, name STRING)
   *   KEY id BUCKETS 16 [BLOOM (id)]                -- empty v1 table
+  * GRAFT DROP TABLE '/path/t'                      -- delete table + history
+  * GRAFT DROP INDEX '/path/idx'                    -- delete a search index
   * }}}
   *
   * Statements are recognized by a `GRAFT <verb>` prefix match and
@@ -104,6 +106,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+REBUCKET\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
   private val AddColumns =
     """(?is)\s*GRAFT\s+ADD\s+COLUMNS\s+'([^']+)'\s*\((.+)\)\s*""".r
+  private val DropTable =
+    """(?is)\s*GRAFT\s+DROP\s+TABLE\s+'([^']+)'\s*""".r
+  private val DropIndex =
+    """(?is)\s*GRAFT\s+DROP\s+INDEX\s+'([^']+)'\s*""".r
   private val DropColumns =
     """(?is)\s*GRAFT\s+DROP\s+COLUMNS\s+'([^']+)'\s*\(([^)]+)\)\s*""".r
   private val SetBloom =
@@ -179,6 +185,10 @@ object GraftSqlParser {
       case AddColumns(path, ddl) =>
         Some(GraftMaintenanceCommand(path, "add_columns", s =>
           ManifestTable.addColumns(s, path, ddl)))
+      case DropTable(path) =>
+        Some(GraftDropCommand(path, index = false))
+      case DropIndex(path) =>
+        Some(GraftDropCommand(path, index = true))
       case DropColumns(path, cols) =>
         val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         Some(GraftMaintenanceCommand(path, "drop_columns", s =>
@@ -303,6 +313,7 @@ object GraftSqlParser {
           "malformed GRAFT maintenance statement — expected GRAFT " +
             "OPTIMIZE | VACUUM | REBUCKET | ADD COLUMNS | DROP COLUMNS | " +
             "RENAME COLUMN | SET BLOOM | ANALYZE | ADD CONSTRAINT | " +
+            "DROP TABLE | DROP INDEX | " +
             "DROP CONSTRAINT | RESTORE | DESCRIBE | " +
             "HISTORY | VERIFY | " +
             "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
@@ -679,6 +690,42 @@ case class GraftRefreshCommand(view: String) extends LeafRunnableCommand {
 /** One maintenance verb as a runnable command: executes on the driver,
   * returns the table's post-action head version.
   */
+/** `GRAFT DROP TABLE '<path>'` / `GRAFT DROP INDEX '<path>'` — the
+  * lifecycle verbs' inverse: recursively delete a manifest table (all
+  * versions, sidecars, history) or a persisted search index (its def,
+  * models, and postings/lists sub-table). The path is TYPE-CHECKED
+  * first — DROP TABLE refuses an index root (and points at DROP
+  * INDEX), DROP INDEX refuses a plain table, and both refuse a path
+  * with neither a manifest nor an index definition — so a typo'd path
+  * can never recursively delete arbitrary files.
+  */
+case class GraftDropCommand(path: String, index: Boolean)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("dropped", StringType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val isIdx = graft.ops.IndexAudit.isIndex(sparkSession, path)
+    val isTable = !isIdx &&
+      ManifestTable.headVersion(sparkSession, path).nonEmpty
+    if (index) require(isIdx,
+      s"GRAFT DROP INDEX: no index definition at $path" +
+        (if (isTable) " — it is a manifest table; use GRAFT DROP TABLE"
+         else ""))
+    else require(isTable,
+      s"GRAFT DROP TABLE: no manifest table at $path" +
+        (if (isIdx) " — it is a search index; use GRAFT DROP INDEX"
+         else ""))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sparkSession.sparkContext.hadoopConfiguration)
+    require(fs.delete(p, true), s"delete failed for $path")
+    Seq(Row(path, if (index) "drop_index" else "drop_table", "true"))
+  }
+}
+
 case class GraftMaintenanceCommand(path: String, action: String,
                                    op: SparkSession => Unit,
                                    versionPath: Option[String] = None)

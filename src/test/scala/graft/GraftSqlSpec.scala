@@ -440,4 +440,55 @@ class GraftSqlSpec extends SparkSpec {
     assert(got.getLong(0) == 210L,
       s"200 - 2 deleted + 12 appended rows, got ${got.getLong(0)}")
   }
+
+  test("DROP TABLE / DROP INDEX delete their targets; type checks refuse a mixed-up verb") {
+    import graft.ops.Bm25Index
+    // a real table drops cleanly and the path is reusable
+    val path = tmp()
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      path, "id", 2)
+    val r = spark.sql(s"GRAFT DROP TABLE '$path'").collect().head
+    assert(r.getString(1) == "drop_table" && r.getString(2) == "true")
+    assert(!new java.io.File(path).exists(), "table dir must be gone")
+    assert(ManifestTable.headVersion(spark, path).isEmpty)
+    spark.sql(s"GRAFT CREATE TABLE '$path' (id BIGINT, name STRING) " +
+      "KEY id BUCKETS 2").collect()
+    assert(ManifestTable.headVersion(spark, path).nonEmpty,
+      "dropped path must be re-creatable")
+
+    // an index drops through DROP INDEX — and only through it
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write((0L until 10L).map(i => (i, s"alpha w$i"))
+      .toDF("doc_id", "text"), corpus, "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 2)
+    val wrongVerb = intercept[Exception] {
+      spark.sql(s"GRAFT DROP TABLE '$idx'").collect()
+    }
+    assert(wrongVerb.getMessage.contains("DROP INDEX"),
+      s"table verb on an index must point at DROP INDEX: ${wrongVerb.getMessage}")
+    val wrongVerb2 = intercept[Exception] {
+      spark.sql(s"GRAFT DROP INDEX '$corpus'").collect()
+    }
+    assert(wrongVerb2.getMessage.contains("DROP TABLE"),
+      s"index verb on a table must point at DROP TABLE: ${wrongVerb2.getMessage}")
+    assert(spark.sql(s"GRAFT DROP INDEX '$idx'").collect()
+      .head.getString(1) == "drop_index")
+    assert(!new java.io.File(idx).exists(), "index dir must be gone")
+    // the corpus the index was built over is untouched
+    assert(ManifestTable.read(spark, corpus).count() == 10L)
+
+    // neither verb touches a path that is neither table nor index
+    val stray = s"${Files.createTempDirectory("graft-sql-stray")}"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stray, "precious.txt"), "do not delete")
+    val refuse = intercept[Exception] {
+      spark.sql(s"GRAFT DROP TABLE '$stray'").collect()
+    }
+    assert(refuse.getMessage.contains("no manifest table"))
+    assert(new java.io.File(s"$stray/precious.txt").exists(),
+      "a refused drop must leave the path untouched")
+    intercept[Exception] {
+      spark.sql("GRAFT DROP TABLE '/tmp/graft-definitely-missing'").collect()
+    }
+  }
 }
