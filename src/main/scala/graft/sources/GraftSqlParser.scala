@@ -41,7 +41,9 @@ import graft.sinks.ManifestTable
   * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE 2]
   *   [REFINE [FACTOR 8]]              -- ANN probe (+ exact re-rank on PQ)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS ('a', 'b')
-  *   FROM '/queries' [TOP 10] [PROBE 2]   -- reciprocal-rank fusion
+  *   FROM '/queries' [TOP 10] [PROBE 2] [REFINE [FACTOR 8]]
+  *                                    -- reciprocal-rank fusion (REFINE:
+  *                                       exact-re-ranked vector list, PQ)
   *                                    -- (composable forms: the
   *                                       graft_search_* table functions)
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
@@ -147,7 +149,7 @@ object GraftSqlParser {
   private val SearchText =
     """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val SearchHybrid =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val SearchVector =
     """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val Refresh =
@@ -289,7 +291,8 @@ object GraftSqlParser {
         Some(GraftSearchTextCommand(idx, terms,
           Option(top).map(_.toInt).getOrElse(20), rescore != null,
           Option(factor).map(_.toInt)))
-      case SearchHybrid(tIdx, vIdx, termsRaw, queries, top, probe) =>
+      case SearchHybrid(tIdx, vIdx, termsRaw, queries, top, probe,
+                        refine, factor) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
           .map(_.group(1)).toSeq
         if (terms.isEmpty) throw new IllegalArgumentException(
@@ -297,7 +300,9 @@ object GraftSqlParser {
             s"comma-separated; got: $termsRaw")
         Some(GraftSearchHybridCommand(tIdx, vIdx, terms, queries,
           Option(top).map(_.toInt).getOrElse(10),
-          Option(probe).map(_.toInt).getOrElse(2)))
+          Option(probe).map(_.toInt).getOrElse(2),
+          refine = refine != null,
+          refineFactor = Option(factor).map(_.toInt).getOrElse(8)))
       case SearchVector(idx, queries, top, probe, refine, factor) =>
         Some(GraftSearchVectorCommand(idx, queries,
           Option(top).map(_.toInt).getOrElse(5),
@@ -624,7 +629,9 @@ case class GraftSearchVectorCommand(idx: String, queriesPath: String,
   */
 case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
                                     terms: Seq[String], queriesPath: String,
-                                    topK: Int, nProbe: Int)
+                                    topK: Int, nProbe: Int,
+                                    refine: Boolean = false,
+                                    refineFactor: Int = 8)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -638,7 +645,8 @@ case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.hybrid(sparkSession, textIdx, vecIdx, terms,
-      queriesPath, topK, nProbe).collect().toSeq
+      queriesPath, topK, nProbe, refine = refine,
+      refineFactor = refineFactor).collect().toSeq
 }
 
 /** `GRAFT REFRESH '<view>'` — incremental materialized-view refresh

@@ -121,12 +121,22 @@ object SearchRelations {
     * `queriesPath` fuses the SHARED text list (one term set per call)
     * with its OWN vector list; docs absent from a list keep a NULL
     * rank and contribute nothing. Fusion cost is list-bound: two top-c
-    * retrievals (c = max(2k, 20)) + a per-query full-outer on doc_id —
-    * independent of corpus size.
+    * retrievals + a per-query full-outer on doc_id — independent of
+    * corpus size. The list depth c = max(2k, 20) is deliberately
+    * k-proportional, NOT corpus-scaled: unlike a re-rank candidate cut
+    * (where a missed candidate is lost outright — why RESCORE's
+    * default scales), RRF contributions decay as 1/(rrfK + rank), so a
+    * doc past depth ~c adds ≤ 1/(60 + 2k) — fusing deeper changes
+    * fused top-k order negligibly while costing list size.
+    *
+    * `refine` runs the vector list through the exact re-rank
+    * (pq indexes; [[PqIndex.searchRefined]]) before fusion — exact
+    * ranks enter the fusion instead of ADC ranks.
     */
   def hybrid(spark: SparkSession, textIdx: String, vecIdx: String,
              terms: Seq[String], queriesPath: String, k: Int,
-             nProbe: Int = 2, rrfK: Int = 60): DataFrame = {
+             nProbe: Int = 2, rrfK: Int = 60, refine: Boolean = false,
+             refineFactor: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = math.max(2 * k, 20)
     val tRank = text(spark, textIdx, terms, c)
@@ -134,7 +144,7 @@ object SearchRelations {
         row_number().over(Window.orderBy(desc("score"), col("doc_id")))
           .cast("long").as("rank_text"))
     val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
-        refine = false, refineFactor = 8)
+        refine = refine, refineFactor = refineFactor)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
     fuseRrf(tRank, vRank, k, rrfK)

@@ -197,6 +197,28 @@ class SearchTvfSpec extends SparkSpec {
         (if (v >= 0) 1.0 / (60 + v) else 0.0)
       assert(math.abs(rrf - expect) < 1e-6, s"rrf mismatch: $rrf vs $expect")
     }
+    // REFINE fuses the exact-re-ranked vector list (pq indexes); an
+    // ivf vector index refuses the flag through the same honest path
+    val refuse = intercept[Exception] {
+      spark.sql(s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$vIdx' " +
+        s"TERMS ('alpha') FROM '$qtab' TOP 3 REFINE").collect()
+    }
+    assert(refuse.getMessage.contains("REFINE applies to PQ indexes"))
+    val pqIdx = tmp()
+    graft.ops.PqIndex.sync(spark, pqIdx, vcorpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4)
+    val hybridRefined = sorted(spark.sql(
+      s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$pqIdx' " +
+        s"TERMS ('alpha', 'tail1') FROM '$qtab' TOP 5 PROBE 2 REFINE FACTOR 8"))
+    val apiRefined = sorted(SearchRelations.hybrid(spark, tIdx, pqIdx,
+      Seq("alpha", "tail1"), qtab, k = 5, nProbe = 2, refine = true,
+      refineFactor = 8))
+    assert(hybridRefined == apiRefined, "REFINE verb must equal the API")
+    val hybridAdc = sorted(SearchRelations.hybrid(spark, tIdx, pqIdx,
+      Seq("alpha", "tail1"), qtab, k = 5, nProbe = 2))
+    assert(hybridRefined != hybridAdc,
+      "exact re-rank must actually change the fused vector ranks")
+
     // and the TVF composes: joinable back to the corpus in one plan
     ManifestTable.read(spark, corpus).createOrReplaceTempView("hybrid_corpus")
     val joined = spark.sql(
