@@ -218,10 +218,11 @@ object IndexAudit {
       val probe = kind match {
         case "ivfpq" =>
           PqIndex.searchRefined(spark, indexPath, queries, corpus,
-            idCol, vecCol, topK, nProbe, refineFactor = 8)
+            idCol, vecCol, topK, nProbe, refineFactor = 8,
+            queryBound = SampleQueries)
         case _ =>
           IvfIndex.search(spark, indexPath, queries, idCol, vecCol,
-            topK, nProbe)
+            topK, nProbe, queryBound = SampleQueries)
       }
       val got = pairSet(probe)
       val truth = pairSet(kind match {

@@ -130,10 +130,16 @@ object Ivf {
       .withColumn("centroid_sim", top.getField("sim"))
   }
 
-  /** Probe the nProbe nearest lists per query, exact-score candidates. */
+  /** Probe the nProbe nearest lists per query, exact-score candidates.
+    * The probe side (nQueries × nProbe rows) is broadcast-HINTED only
+    * when the caller-known `queryBound` keeps it under
+    * `Pq.BroadcastRowCap` (unknown → one count of the query frame);
+    * over the cap the equi-join on the list id shuffles instead of
+    * forcing a multi-GB broadcast (VERDICT r15).
+    */
   def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, model: Model,
-                 nProbe: Int = 3): DataFrame = {
+                 nProbe: Int = 3, queryBound: Long = -1L): DataFrame = {
     val indexed = index(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
         .withColumn("cn", l2Norm(col("cv"))), "cv", model)
@@ -144,7 +150,9 @@ object Ivf {
         .withColumn("qn", l2Norm(col("qv"))), "qv", model)
       .drop("list_id")
       .withColumn("probe", explode(probeLists(col("qv"), model, nProbe)))
-    val cands = indexed.join(broadcast(probes),
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
+    val cands = indexed.join(
+      Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
       col("list_id") === col("probe") && col("query_id") =!= col("neighbor_id"))
     cands
       .withColumn("sim",

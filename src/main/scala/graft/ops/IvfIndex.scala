@@ -155,11 +155,15 @@ object IvfIndex {
   /** Top-k neighbors per query from the persisted lists: probe the
     * nProbe nearest lists, open ONLY their buckets, exact-score, rank.
     * Output matches [[Ivf.searchTopK]]: (query_id, neighbor_id, sim,
-    * rank).
+    * rank). The probe side (nQueries × nProbe rows) is broadcast-HINTED
+    * only when the caller-known `queryBound` keeps it under
+    * `Pq.BroadcastRowCap` (unknown → one count of the query frame —
+    * SQL entry points pass the queries manifest's rowcount instead);
+    * over the cap the list-id equi-join shuffles (VERDICT r15).
     */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int = 5,
-             nProbe: Int = 3): DataFrame = {
+             nProbe: Int = 3, queryBound: Long = -1L): DataFrame = {
     val model = loadModel(spark, indexPath)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -169,7 +173,8 @@ object IvfIndex {
     // listed or opened; unprobed lists sharing a bucket are joined away
     val indexed = ManifestTable.readBuckets(spark, listsPath(indexPath),
       probes.select(col("probe").as("list_id")))
-    indexed.join(broadcast(probes),
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
+    indexed.join(Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
         col("list_id") === col("probe") && col("query_id") =!= col("id"))
       .withColumn("sim", when(col("qn") * col("norm") > 0,
         dot(col("qv"), col("vec")) / (col("qn") * col("norm"))))

@@ -44,6 +44,14 @@ object Pq {
   private[graft] def hintIfSmall(df: DataFrame, bound: Long): DataFrame =
     if (bound >= 0 && bound <= BroadcastRowCap) broadcast(df) else df
 
+  /** Saturating product of two row bounds; either side unknown (< 0)
+    * leaves the product unknown. For sizing hint decisions only.
+    */
+  private[graft] def mulBound(a: Long, b: Long): Long =
+    if (a < 0 || b < 0) -1L
+    else if (b > 0 && a > Long.MaxValue / b) Long.MaxValue
+    else a * b
+
   /** codebooks(s)(j) = centroid j of subspace s, each subDim wide. */
   case class Model(codebooks: Array[Array[Array[Double]]], subDim: Int) {
     def m: Int = codebooks.length
@@ -154,20 +162,27 @@ object Pq {
     }: _*)
   }
 
-  /** ADC top-k: broadcast the (small) query set against the coded
-    * corpus; reconstruct each corpus vector from its codes by codebook
-    * lookup (pure expression — `element_at` on literal arrays) and rank
-    * by the single-fold squared distance. The corpus side of the join
-    * carries only vec_id + m code bytes.
+  /** ADC top-k: the query set joins the coded corpus; reconstruct each
+    * corpus vector from its codes by codebook lookup (pure expression —
+    * `element_at` on literal arrays) and rank by the single-fold
+    * squared distance. The corpus side of the join carries only
+    * vec_id + m code bytes. The query side is broadcast-HINTED only
+    * when its caller-known row bound fits [[BroadcastRowCap]]
+    * (`queryBound`; unknown → ONE count of the caller's query frame,
+    * never a derived plan) — a forced broadcast of an unbounded query
+    * batch is the executor-OOM edge (VERDICT r15); over the cap the
+    * all-pairs join falls back to Spark's stats-driven strategy.
     */
   def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, topK: Int, model: Model): DataFrame = {
+                 vecCol: String, topK: Int, model: Model,
+                 queryBound: Long = -1L): DataFrame = {
     val coded = encode(corpus, idCol, vecCol, model)
       .withColumnRenamed("vec_id", "neighbor_id")
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       int8Quantize(col(vecCol)).as("qq"))
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
     val recon: Column = reconCol(col("codes"), model)
-    coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    coded.join(hintIfSmall(q, nQ), col("query_id") =!= col("neighbor_id"))
       .withColumn("dist", qdistSq(col("qq"), recon))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))).cast("long"))
@@ -194,17 +209,15 @@ object Pq {
                         idCol: String, vecCol: String, topK: Int,
                         model: Model, refineFactor: Int = 4,
                         queryBound: Long = -1L): DataFrame = {
-    val candidates = searchTopK(corpus, queries, idCol, vecCol,
-        topK * refineFactor, model)
-      .select("query_id", "neighbor_id")
     // the candidate row bound is nQueries · c: known exactly once the
     // query-batch size is (cheaply) known — callers that know it pass
     // `queryBound`; otherwise one count of the QUERY frame (never the
     // candidate plan) sizes the hint decision
     val nQ = if (queryBound >= 0) queryBound else queries.count()
-    val c = topK.toLong * refineFactor
-    val candBound = if (c > 0 && nQ > Long.MaxValue / c) Long.MaxValue
-                    else nQ * c
+    val candidates = searchTopK(corpus, queries, idCol, vecCol,
+        topK * refineFactor, model, queryBound = nQ)
+      .select("query_id", "neighbor_id")
+    val candBound = mulBound(nQ, topK.toLong * refineFactor)
     refineExact(candidates,
       corpus.select(col(idCol).cast("long").as("neighbor_id"),
         int8Quantize(col(vecCol)).as("qn")),

@@ -194,7 +194,7 @@ object PqIndex {
     */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              idCol: String, vecCol: String, topK: Int = 5,
-             nProbe: Int = 2): DataFrame = {
+             nProbe: Int = 2, queryBound: Long = -1L): DataFrame = {
     val coarse = loadCoarse(spark, indexPath)
     val pq = loadPq(spark, indexPath)
     val probes = queries
@@ -203,7 +203,11 @@ object PqIndex {
       .withColumn("probe", explode(probeLists(col("qq"), coarse, nProbe)))
     val indexed = ManifestTable.readBuckets(spark, listsPath(indexPath),
       probes.select(col("probe").as("list_id")))
-    indexed.join(broadcast(probes),
+    // probe side (nQueries × nProbe rows) hinted only under the
+    // caller-known cap; unknown → one count of the query frame (the SQL
+    // entry passes the queries manifest's rowcount — VERDICT r15)
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
+    indexed.join(Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
         col("list_id") === col("probe") && col("query_id") =!= col("id"))
       .withColumn("dist", qdistSq(col("qq"), Pq.reconCol(col("codes"), pq)))
       .withColumn("rank", row_number().over(
@@ -233,15 +237,14 @@ object PqIndex {
                     idCol: String, vecCol: String, topK: Int = 5,
                     nProbe: Int = 2, refineFactor: Int = 4,
                     queryBound: Long = -1L): DataFrame = {
-    val candidates = search(spark, indexPath, queries, idCol, vecCol,
-        topK * refineFactor, nProbe)
-      .select("query_id", "neighbor_id")
-    // broadcast hints on the refine joins are gated on the query-batch
-    // size (see Pq.refineExact); one count of the QUERY frame decides
+    // broadcast hints on the probe AND refine joins are gated on the
+    // query-batch size (see Pq.refineExact); one count of the QUERY
+    // frame decides when the caller doesn't know the bound
     val nQ = if (queryBound >= 0) queryBound else queries.count()
-    val c = topK.toLong * refineFactor
-    val candBound = if (c > 0 && nQ > Long.MaxValue / c) Long.MaxValue
-                    else nQ * c
+    val candidates = search(spark, indexPath, queries, idCol, vecCol,
+        topK * refineFactor, nProbe, queryBound = nQ)
+      .select("query_id", "neighbor_id")
+    val candBound = Pq.mulBound(nQ, topK.toLong * refineFactor)
     Pq.refineExact(candidates,
       exactCorpus.select(col(idCol).cast("long").as("neighbor_id"),
         int8Quantize(col(vecCol)).as("qn")),

@@ -23,8 +23,13 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Exact top-k cosine neighbors of each query vector. `queries` must be
-    * small (broadcast); excludes self-matches by id.
+  /** Exact top-k cosine neighbors of each query vector; excludes
+    * self-matches by id. The query side is broadcast-HINTED only when
+    * its caller-known row bound fits `Pq.BroadcastRowCap`
+    * (`queryBound`; unknown → ONE count of the caller's query frame) —
+    * over the cap the hint is dropped and the inherently-all-pairs join
+    * runs under Spark's own stats-driven strategy instead of a forced
+    * multi-GB broadcast (VERDICT r15).
     */
   /** `roundTo`: round similarities to that many decimals BEFORE ranking —
     * engines computing the same cosine differ at ~1e-15, so ranking on the
@@ -32,14 +37,17 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
-                     roundTo: Option[Int] = None): DataFrame = {
+                     roundTo: Option[Int] = None,
+                     queryBound: Long = -1L): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
     val rawSim = when(col("qn") * col("cn") > 0,
       dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(Pq.hintIfSmall(q, nQ),
+      col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
     scored
       .withColumn("rank", row_number().over(
@@ -56,12 +64,14 @@ object Similarity {
     * sums — deterministic across engines (one IEEE divide + two sqrt on
     * exact integers), which is why this path is oracle-checkable where
     * float-sum ANN needs round-before-rank care. Same output contract
-    * and plan shape as `bruteForceTopK`: broadcast queries, one narrow
-    * corpus pass (quantize + self-dot once per vector, not per pair).
+    * and plan shape as `bruteForceTopK`: size-gated query broadcast,
+    * one narrow corpus pass (quantize + self-dot once per vector, not
+    * per pair). `queryBound` gates the hint as in `bruteForceTopK`.
     */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int,
-              roundTo: Option[Int] = None): DataFrame = {
+              roundTo: Option[Int] = None,
+              queryBound: Long = -1L): DataFrame = {
     import graft.functions.MathExprs.{int8Quantize, int8Dot}
     val q = queries.select(col(idCol).as("query_id"),
         int8Quantize(col(vecCol)).as("qq"))
@@ -69,10 +79,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         int8Quantize(col(vecCol)).as("cq"))
       .withColumn("cn", int8Dot(col("cq"), col("cq")))
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
     val rawSim = when(col("qn") > 0 && col("cn") > 0,
       int8Dot(col("qq"), col("cq")).cast("double") /
         (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(Pq.hintIfSmall(q, nQ),
+      col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
     scored
       .withColumn("rank", row_number().over(
@@ -89,7 +101,8 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nPlanes: Int = 12,
-              roundTo: Option[Int] = None): DataFrame = {
+              roundTo: Option[Int] = None,
+              queryBound: Long = -1L): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
       .withColumn("bucket", srpBucket(col("cv"), dim, nPlanes))
@@ -100,7 +113,10 @@ object Similarity {
       .withColumn("probe", explode(array(
         col("qbucket") +:
           (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
-    val cands = c.join(broadcast(q),
+    // probe rows = nQueries × (1 + nPlanes); over the broadcast cap the
+    // hint drops and the equi-join on the bucket key shuffles instead
+    val nQ = if (queryBound >= 0) queryBound else queries.count()
+    val cands = c.join(Pq.hintIfSmall(q, Pq.mulBound(nQ, 1L + nPlanes)),
       col("bucket") === col("probe") && col("query_id") =!= col("neighbor_id"))
     val rawSim = when(col("qn") * col("cn") > 0,
       dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

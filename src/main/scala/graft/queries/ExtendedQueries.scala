@@ -1988,7 +1988,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val emb = Tables.embeddings(spark, dir)
     val vRank = Similarity.bruteForceTopK(emb,
         emb.filter(col("vec_id") === 0), "vec_id", "embedding",
-        k = 20, roundTo = Some(6))
+        k = 20, roundTo = Some(6), queryBound = 1L)
       .select(col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
     tRank.join(vRank, Seq("doc_id"), "full_outer")
@@ -2128,7 +2128,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
   def annTopkBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, roundTo = Some(6))
+        "vec_id", "embedding", k = 5, roundTo = Some(6), queryBound = 10L)
       .withColumnRenamed("sim", "sim_r")
       .orderBy("query_id", "rank")
   }
@@ -2170,7 +2170,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
   def annTopkSq8(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, roundTo = Some(6))
+        "vec_id", "embedding", k = 5, roundTo = Some(6), queryBound = 10L)
       .withColumnRenamed("sim", "sim_r")
       .orderBy("query_id", "rank")
   }
@@ -2358,7 +2358,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val model = graft.ops.Pq.train(emb, "vec_id", "embedding",
       dim = 64, m = 8, k = 16, updates = 1)
     graft.ops.Pq.searchTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", topK = 5, model)
+        "vec_id", "embedding", topK = 5, model, queryBound = 10L)
       .withColumn("dist_r", round(col("dist"), 6))
       .select("query_id", "neighbor_id", "dist_r", "rank")
       .orderBy("query_id", "rank")
@@ -3069,7 +3069,8 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
   def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8, roundTo = Some(6))
+        "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8,
+        roundTo = Some(6), queryBound = 10L)
       .withColumnRenamed("sim", "sim_r")
       .orderBy("query_id", "rank")
   }
@@ -3140,7 +3141,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val emb = Tables.embeddings(spark, dir)
     val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
     graft.ops.Ivf.searchTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, model, nProbe = 2)
+        "vec_id", "embedding", k = 5, model, nProbe = 2, queryBound = 10L)
       .withColumn("sim_r", round(col("sim"), 6))
       .select("query_id", "neighbor_id", "sim_r", "rank")
       .orderBy("query_id", "rank")
@@ -3161,7 +3162,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
   def embeddingNn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50),
-        "vec_id", "embedding", k = 1, roundTo = Some(6))
+        "vec_id", "embedding", k = 1, roundTo = Some(6), queryBound = 50L)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"),
         col("sim").as("sim_r"))
       .orderBy("vec_id")
@@ -3539,7 +3540,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
-        k = 5, roundTo = Some(6))
+        k = 5, roundTo = Some(6), queryBound = 10L)
       .select("query_id", "neighbor_id")
     // nProbe=5 of 8 lists: the fixture embeddings are near-uniform (no
     // cluster structure), the worst case for IVF — neighbors sit near
@@ -3548,7 +3549,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     // 1-2 probes (that asymmetry IS the quality signal this gate tracks)
     val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
     val ivf = graft.ops.Ivf.searchTopK(emb, queries, "vec_id", "embedding",
-        k = 5, model, nProbe = 5)
+        k = 5, model, nProbe = 5, queryBound = 10L)
       .select("query_id", "neighbor_id")
     val hits = brute.join(ivf, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -3868,7 +3869,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val path = benchPqIndex(spark, dir)
     graft.ops.PqIndex.search(spark, path,
         Tables.embeddings(spark, dir).filter(col("vec_id") < 10),
-        "vec_id", "embedding", topK = 5, nProbe = 2)
+        "vec_id", "embedding", topK = 5, nProbe = 2, queryBound = 10L)
       .withColumn("dist_r", round(col("dist"), 6))
       .select("query_id", "neighbor_id", "dist_r", "rank")
       .orderBy("query_id", "rank")
@@ -3916,7 +3917,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
         row_number().over(Window.orderBy(desc("score"), col("doc_id")))
           .cast("long").as("rank_text"))
     val vRank = graft.ops.PqIndex.search(spark, pPath, queries,
-        "vec_id", "embedding", topK = 20, nProbe = 2)
+        "vec_id", "embedding", topK = 20, nProbe = 2, queryBound = 10L)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
     graft.sources.SearchRelations.fuseRrf(tRank, vRank, k = 10)

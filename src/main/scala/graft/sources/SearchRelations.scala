@@ -43,7 +43,10 @@ object SearchRelations {
     * candidate-bound at any corpus size.
     */
   def scaledCut(nDocs: Long, k: Int): Int =
-    math.max(2L * k, math.min(nDocs / 6, 64L * k)).toInt
+    // all-Long, clamped to Int.MaxValue: 64L*k can exceed Int for
+    // extreme k, and a wrapped cut would silently shrink stage 2
+    math.min(math.max(2L * k, math.min(nDocs / 6, 64L * k)),
+      Int.MaxValue.toLong).toInt
 
   /** BM25 top-k from the postings — (doc_id, matched_terms, score). */
   def text(spark: SparkSession, idx: String, terms: Seq[String],
@@ -66,7 +69,9 @@ object SearchRelations {
     val c = factor match {
       case Some(f) =>
         require(f >= 1, s"RESCORE FACTOR must be >= 1, got $f")
-        math.max(f * k, k)
+        // Long math, clamped: Int f·k wraps negative for large FACTOR
+        // and max() would then silently ignore it (ADVICE r15)
+        math.min(math.max(f.toLong * k, k.toLong), Int.MaxValue.toLong).toInt
       case None => scaledCut(Bm25Index.readStats(spark, idx)._1, k)
     }
     Bm25Index.searchRescored(spark, idx, terms.toDF("term"),
@@ -86,16 +91,22 @@ object SearchRelations {
              refineFactor: Int): DataFrame = {
     val d = Bm25Index.readDef(spark, idx)
     val queries = ManifestTable.read(spark, queriesPath)
+    // the probe/refine broadcast hints are gated on the query-batch
+    // size, known here for FREE from the queries manifest's metadata
+    // rowcount — a user-supplied 10M-row queries table must shuffle,
+    // not force a multi-GB broadcast (VERDICT r15)
+    val qBound = ManifestTable.rowCount(spark, queriesPath).getOrElse(-1L)
     d.getOrElse("kind", "?") match {
       case "ivfpq" =>
         val base =
           if (refine)
             PqIndex.searchRefined(spark, idx, queries,
               ManifestTable.read(spark, d("sourcePath")),
-              d("idCol"), d("vecCol"), k, nProbe, refineFactor)
+              d("idCol"), d("vecCol"), k, nProbe, refineFactor,
+              queryBound = qBound)
           else
             PqIndex.search(spark, idx, queries,
-              d("idCol"), d("vecCol"), k, nProbe)
+              d("idCol"), d("vecCol"), k, nProbe, queryBound = qBound)
         base.select(col("query_id"), col("neighbor_id"),
           col("dist").as("score"), col("rank"))
       case "ivf" =>
@@ -103,7 +114,7 @@ object SearchRelations {
           "REFINE applies to PQ indexes — an ivf index already " +
             "re-scores candidates with exact cosine")
         IvfIndex.search(spark, idx, queries,
-            d("idCol"), d("vecCol"), k, nProbe)
+            d("idCol"), d("vecCol"), k, nProbe, queryBound = qBound)
           .select(col("query_id").cast("long").as("query_id"),
             col("neighbor_id").cast("long").as("neighbor_id"),
             col("sim").as("score"), col("rank"))
@@ -147,7 +158,13 @@ object SearchRelations {
         refine = refine, refineFactor = refineFactor)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
-    fuseRrf(tRank, vRank, k, rrfK)
+    // the query-id universe comes from the QUERIES TABLE, not from
+    // vRank: a query whose ANN list is empty (all probed lists empty)
+    // must still fuse the text list instead of vanishing (ADVICE r15)
+    val vd = Bm25Index.readDef(spark, vecIdx)
+    val qIds = ManifestTable.read(spark, queriesPath)
+      .select(col(vd("idCol")).cast("long").as("query_id")).distinct()
+    fuseRrf(tRank, vRank, k, rrfK, queryIds = Some(qIds))
   }
 
   /** The rank-only fusion core shared by [[hybrid]] and bench
@@ -155,14 +172,20 @@ object SearchRelations {
     * (doc_id, rank_text) — ONE shared text list; `vRank` carries
     * (query_id, doc_id, rank_vec) — one list per query. Output:
     * (query_id, doc_id, rank_text, rank_vec, rrf, rank), top-k per
-    * query by fused score.
+    * query by fused score. `queryIds` is the query-id UNIVERSE (one
+    * `query_id` column); pass it whenever the caller knows the queries
+    * relation — deriving the universe from vRank alone would silently
+    * drop a query whose vector list came back empty instead of fusing
+    * its text-only ranks (ADVICE r15).
     */
   def fuseRrf(tRank: DataFrame, vRank: DataFrame, k: Int,
-              rrfK: Int = 60): DataFrame = {
+              rrfK: Int = 60,
+              queryIds: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the shared text list fans out per query id (tiny × tiny), so the
     // fusion join has one uniform (query_id, doc_id) key space
-    val tAll = vRank.select("query_id").distinct().crossJoin(tRank)
+    val universe = queryIds.getOrElse(vRank.select("query_id").distinct())
+    val tAll = universe.select("query_id").distinct().crossJoin(tRank)
     tAll.join(vRank, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("rank_text")), lit(0.0)) +

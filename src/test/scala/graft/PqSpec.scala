@@ -131,8 +131,10 @@ class PqSpec extends SparkSpec {
       topK = 3, model, refineFactor = 2, queryBound = 5L)
     val large = Pq.searchTopKRefined(emb, queries, "vec_id", "embedding",
       topK = 3, model, refineFactor = 2, queryBound = 5L * 1000 * 1000)
-    assert(hints(small) == hints(large) + 2,
-      s"candidate + query hints must drop above the cap: " +
+    // r15 extended the gate to the ADC probe side, so all THREE forced
+    // broadcasts (probe + candidate list + refine query side) drop
+    assert(hints(small) == hints(large) + 3,
+      s"probe + candidate + query hints must drop above the cap: " +
         s"small=${hints(small)} large=${hints(large)}")
     // strategy changes, answers don't
     val a = small.select($"query_id", $"neighbor_id", $"rank")
