@@ -95,6 +95,15 @@ object GraftExtensions {
     * Arguments must be literals — the index path and query shape
     * decide the PLAN, they cannot vary per row.
     *
+    * BY DESIGN the builders do driver work at ANALYSIS time: index
+    * definitions/manifests are read to shape the plan, and
+    * `graft_search_text_rescored` without a factor runs the index
+    * stats read (a small Spark job) to compute the corpus-scaled cut —
+    * so merely EXPLAINing a query containing a TVF pays that index IO,
+    * and a missing/corrupt index surfaces as an analysis error rather
+    * than an execution error. This is the cost of args-decide-the-plan
+    * (the same trade `CREATE TABLE ... LOCATION` makes).
+    *
     *  - `graft_search_text(idx, 'alpha beta', k)` →
     *    (doc_id, matched_terms, score)
     *  - `graft_search_text_rescored(idx, terms, k[, factor])` →

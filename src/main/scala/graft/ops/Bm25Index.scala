@@ -48,9 +48,22 @@ object Bm25Index {
     * and before any index commit — the window a concurrent corpus
     * append can land in. Deterministic-schedule counterpart of
     * [[graft.sinks.ManifestTable.deltaPreCommitHook]]. No-op in
-    * production.
+    * production. A DynamicVariable, not a bare var: the setter scopes
+    * to the calling thread's dynamic extent, so concurrently-running
+    * walk suites (or any two tests using the seam) cannot cross-fire
+    * each other's schedules (ADVICE r15). Set via [[withSyncMidHook]];
+    * note the scope is per-THREAD — a sync launched on another thread
+    * inside the block must install its own hook (the walk specs run
+    * their racing syncs on the hooked thread or pass hooks explicitly).
     */
-  private[graft] var syncMidHook: () => Unit = () => ()
+  private val syncMidHookVar =
+    new scala.util.DynamicVariable[() => Unit](() => ())
+
+  private[graft] def syncMidHook(): Unit = syncMidHookVar.value()
+
+  /** Run `body` with the walk seam installed for the current thread. */
+  private[graft] def withSyncMidHook[T](hook: () => Unit)(body: => T): T =
+    syncMidHookVar.withValue(hook)(body)
   private[graft] val DefFile = "_index.json"
   private def postingsPath(indexPath: String) = s"$indexPath/postings"
 

@@ -703,9 +703,13 @@ case class GraftRefreshCommand(view: String) extends LeafRunnableCommand {
   * versions, sidecars, history) or a persisted search index (its def,
   * models, and postings/lists sub-table). The path is TYPE-CHECKED
   * first — DROP TABLE refuses an index root (and points at DROP
-  * INDEX), DROP INDEX refuses a plain table, and both refuse a path
-  * with neither a manifest nor an index definition — so a typo'd path
-  * can never recursively delete arbitrary files.
+  * INDEX), DROP INDEX refuses a plain table, DROP TABLE refuses a
+  * table that is an index's INTERNAL sub-table (`<idx>/postings`,
+  * `<idx>/lists` — real manifest tables with no def of their own;
+  * deleting one would leave a corrupt index whose root definition
+  * still advertises it, ADVICE r15), and both refuse a path with
+  * neither a manifest nor an index definition — so a typo'd path
+  * cannot recursively delete arbitrary files or gut a live index.
   */
 case class GraftDropCommand(path: String, index: Boolean)
   extends LeafRunnableCommand {
@@ -719,6 +723,16 @@ case class GraftDropCommand(path: String, index: Boolean)
     val isIdx = graft.ops.IndexAudit.isIndex(sparkSession, path)
     val isTable = !isIdx &&
       ManifestTable.headVersion(sparkSession, path).nonEmpty
+    if (isTable && !index) {
+      // index internals pass the isTable check (they carry no def) —
+      // gate on the PARENT directory holding an index definition
+      val parent = new org.apache.hadoop.fs.Path(path).getParent
+      require(parent == null ||
+        !graft.ops.IndexAudit.isIndex(sparkSession, parent.toString),
+        s"GRAFT DROP TABLE: $path is internal to the search index at " +
+          s"$parent — dropping it would corrupt the index; use " +
+          s"GRAFT DROP INDEX '$parent' to remove the whole index")
+    }
     if (index) require(isIdx,
       s"GRAFT DROP INDEX: no index definition at $path" +
         (if (isTable) " — it is a manifest table; use GRAFT DROP TABLE"

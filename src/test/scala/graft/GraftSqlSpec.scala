@@ -471,6 +471,19 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(wrongVerb2.getMessage.contains("DROP TABLE"),
       s"index verb on a table must point at DROP TABLE: ${wrongVerb2.getMessage}")
+    // index INTERNALS are real manifest tables with no def of their own
+    // — DROP TABLE on '<idx>/postings' must refuse and point at the
+    // index root, not gut a live index (ADVICE r15)
+    val gut = intercept[Exception] {
+      spark.sql(s"GRAFT DROP TABLE '$idx/postings'").collect()
+    }
+    assert(gut.getMessage.contains("internal to the search index") &&
+      gut.getMessage.contains(s"GRAFT DROP INDEX"),
+      s"index-internal drop must refuse and redirect: ${gut.getMessage}")
+    assert(ManifestTable.headVersion(spark, s"$idx/postings").nonEmpty,
+      "a refused internal drop must leave the postings intact")
+    assert(spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha') TOP 3")
+      .count() > 0, "index must still answer after the refused drop")
     assert(spark.sql(s"GRAFT DROP INDEX '$idx'").collect()
       .head.getString(1) == "drop_index")
     assert(!new java.io.File(idx).exists(), "index dir must be gone")

@@ -56,12 +56,15 @@ class IndexConflictWalkSpec extends SparkSpec {
     var staleSteps = 0
     (1 to 100).foreach { step =>
       var fired = false
+      // the seam is thread-scoped (DynamicVariable): installed once per
+      // step around the whole action, armed by midAppend
+      var pending: () => Unit = () => ()
       def midAppend(n: Int): Unit = {
-        Bm25Index.syncMidHook = () =>
+        pending = () =>
           if (!fired) { fired = true; midLanded += 1
             ManifestTable.append(spark, corpus, batch(n), "doc_id") }
       }
-      try {
+      Bm25Index.withSyncMidHook(() => pending()) {
         rnd.nextInt(6) match {
           case 0 | 1 => // plain append then sync
             ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(3)),
@@ -87,7 +90,7 @@ class IndexConflictWalkSpec extends SparkSpec {
               "doc_id")
             staleSteps += 1
         }
-      } finally Bm25Index.syncMidHook = () => ()
+      }
 
       // ---- invariants on every schedule ----
       val wm = ManifestTable.txnVersion(spark, postings, Bm25Index.AppId).get
@@ -153,7 +156,8 @@ class IndexConflictWalkSpec extends SparkSpec {
     var midLanded = 0
     (1 to 50).foreach { step =>
       var fired = false
-      try {
+      var pending: () => Unit = () => ()
+      Bm25Index.withSyncMidHook(() => pending()) {
         rnd.nextInt(5) match {
           case 0 | 1 => // append then sync
             ManifestTable.append(spark, corpus, batch(2 + rnd.nextInt(3)),
@@ -161,7 +165,7 @@ class IndexConflictWalkSpec extends SparkSpec {
             assert(PqIndex.sync(spark, idx, corpus, "vec_id", "embedding"))
           case 2 => // append inside the sync window
             ManifestTable.append(spark, corpus, batch(2), "vec_id")
-            Bm25Index.syncMidHook = () =>
+            pending = () =>
               if (!fired) { fired = true; midLanded += 1
                 ManifestTable.append(spark, corpus, batch(2), "vec_id") }
             PqIndex.sync(spark, idx, corpus, "vec_id", "embedding")
@@ -172,7 +176,7 @@ class IndexConflictWalkSpec extends SparkSpec {
           case _ => // stale
             ManifestTable.append(spark, corpus, batch(1), "vec_id")
         }
-      } finally Bm25Index.syncMidHook = () => ()
+      }
 
       val wm = ManifestTable.txnVersion(spark, lists, appId).get
       assert(wm >= lastWm,
