@@ -112,6 +112,11 @@ object GraftExtensions {
     *  - `graft_search_vector(idx, queriesPath, k, probe[, refineFactor])`
     *    → (query_id, neighbor_id, score, rank); a 5th arg runs the
     *    exact re-rank (pq indexes)
+    *  - `graft_search_hybrid(tIdx, vIdx, terms, queriesPath[, k[, probe]])`
+    *    → RRF fusion, ONE shared term set per call
+    *  - `graft_search_hybrid_col(tIdx, vIdx, queriesPath, termsCol[, k[,
+    *    probe]])` → RRF fusion with PER-QUERY term sets read from a
+    *    column of the queries table (the batch form)
     */
   val tableBuilders: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     "graft_search_text" -> (es => {
@@ -148,6 +153,17 @@ object GraftExtensions {
       graft.sources.SearchRelations.hybrid(SparkSession.active,
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
           termList(strArg(es(2), "terms")), strArg(es(3), "queries_path"),
+          if (es.size > 4) intArg(es(4), "k") else 10,
+          nProbe = if (es.size > 5) intArg(es(5), "probe") else 2)
+        .queryExecution.logical
+    }),
+    "graft_search_hybrid_col" -> (es => {
+      requireArity(es, 4, 6,
+        "graft_search_hybrid_col(text_index, vector_index, " +
+          "queries_path, terms_col[, k[, probe]])")
+      graft.sources.SearchRelations.hybridPerQuery(SparkSession.active,
+          strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
+          strArg(es(2), "queries_path"), strArg(es(3), "terms_col"),
           if (es.size > 4) intArg(es(4), "k") else 10,
           nProbe = if (es.size > 5) intArg(es(5), "probe") else 2)
         .queryExecution.logical

@@ -522,4 +522,57 @@ object Bm25Index {
       .limit(k)
       .select("doc_id", "matched_terms", "score")
   }
+
+  /** BM25 top-k PER QUERY from the postings — the batch form of
+    * [[search]]: `queryTerms` carries (query_id LONG, term STRING), one
+    * row per query term, so every query row ranks against its OWN term
+    * set. The postings are probed ONCE for the union of all queries'
+    * terms (same bucket cut as [[search]] — IO ≈ |distinct terms| /
+    * nBuckets of the index, independent of corpus size and of the
+    * query count); per-(doc, term) BM25 contributions are computed once
+    * and fan out to the queries that asked for that term through one
+    * term-keyed join. df stays the probed term's exact posting count —
+    * a corpus statistic, shared across queries by construction.
+    * Ranking is row_number within query_id (score desc, doc_id), the
+    * per-query twin of [[search]]'s global ORDER BY.
+    *
+    * Output: (query_id, doc_id, matched_terms, score, rank), rank ≤ k.
+    *
+    * `pairBound`: caller-known bound on `queryTerms`' ROW count (query
+    * rows × arity) gating the fan-out join's broadcast hint
+    * (`Pq.hintIfSmall`); unknown → one count of the caller's frame.
+    * The vocabulary-side broadcasts (`q`, `df`) are bounded by the
+    * same figure — distinct terms never exceed the pair count.
+    */
+  def searchPerQuery(spark: SparkSession, indexPath: String,
+                     queryTerms: DataFrame, k: Int = 20,
+                     pairBound: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (nDocs, totalToks) = readStats(spark, indexPath)
+    val qt = queryTerms.select(col("query_id").cast("long").as("query_id"),
+      col("term")).na.drop().distinct()
+    val nPairs = if (pairBound >= 0) pairBound else qt.count()
+    val q = qt.select("term").distinct()
+    val probed = ManifestTable.readBuckets(spark, postingsPath(indexPath),
+        q)
+      .join(Pq.hintIfSmall(q, nPairs), "term")
+    val df = probed.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val contrib = probed.join(Pq.hintIfSmall(df, nPairs), "term")
+      .withColumn("c",
+        log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") /
+              (lit(totalToks.toDouble) / lit(nDocs.toDouble)))))
+    contrib.join(Pq.hintIfSmall(qt, nPairs), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "matched_terms", "score", "rank")
+  }
 }

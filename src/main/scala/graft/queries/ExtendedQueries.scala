@@ -2043,6 +2043,146 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
       |ORDER BY rrf_r DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Hybrid retrieval with PER-QUERY TERM SETS — the batch form of
+    * `hybrid_rrf` (VERDICT r15 What's-missing #1: one shared term set
+    * made HYBRID a single-query verb wearing a batch signature). Two
+    * query rows carry provably DISTINCT term sets — query 0 the top-3
+    * corpus terms by global frequency, query 1 the terms ranked 4-6
+    * (both orderings exact-integer, id-tie-broken, so the assignment
+    * is engine-portable) — and their own query vectors (embeddings 0
+    * and 1). Each query's BM25 list is ranked within query_id over the
+    * per-(doc, term) contributions computed ONCE and fanned out
+    * term-keyed (the `Bm25Index.searchPerQuery` shape); the vector
+    * lists are the exact brute-cosine top-20 per query; fusion is the
+    * production [[graft.sources.SearchRelations.fuseRrfKeyed]] core —
+    * one full-outer on (query_id, doc_id), so this oracle also pins
+    * the keyed-fusion arithmetic end to end.
+    *
+    * Scale shape: corpus work is ONE (doc, term) shuffle shared by all
+    * queries regardless of query count; fusion is list-bound.
+    */
+  def hybridRrfPerQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
+    val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
+      count(lit(1)).cast("double").as("df"))
+    // terms ranked 1-3 belong to query 0, ranks 4-6 to query 1:
+    // two DISTINCT per-query term sets, derived portably from the data
+    val qt = byTerm
+      .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
+      .filter(col("r") <= 6)
+      .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
+        col("term"), col("df"))
+    val contrib = tf.join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(totDf))
+      .withColumn("c",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
+    val tRank = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 6).as("score"))
+      .withColumn("rank_text", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rank_text") <= 20)
+      .select("query_id", "doc_id", "rank_text")
+    val emb = Tables.embeddings(spark, dir)
+    val vRank = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        k = 20, roundTo = Some(6), queryBound = 2L)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    graft.sources.SearchRelations.fuseRrfKeyed(tRank, vRank, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank_text"),
+        col("rank_vec"), col("rrf").as("rrf_r"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The per-query RRF oracle: the shared tf CTEs, a qt(query_id,
+    * term, df) table from the same rank-1..6 split, per-query BM25
+    * ranks, per-query brute-cosine ranks for vecs 0 and 1, keyed
+    * full-outer fusion — CTE-for-CTE the Spark composition.
+    */
+  private val hybridRrfPerQuerySql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+      |byterm AS (SELECT term, sum(tf) AS gtf, CAST(count(*) AS DOUBLE) AS df
+      |           FROM tf GROUP BY 1),
+      |qt AS (
+      |  SELECT CAST(floor((r - 1) / 3) AS BIGINT) AS query_id, term, df
+      |  FROM (SELECT term, df,
+      |               row_number() OVER (ORDER BY gtf DESC, term) AS r
+      |        FROM byterm)
+      |  WHERE r <= 6),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         ln((n.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |         (tf.tf * 2.2) /
+      |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.total_toks / n.n))) AS c
+      |  FROM tf JOIN qt USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
+      |trank AS (
+      |  SELECT query_id, doc_id, rank_text FROM (
+      |    SELECT query_id, doc_id,
+      |           CAST(row_number() OVER (PARTITION BY query_id
+      |                ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
+      |    FROM (SELECT query_id, doc_id, round(sum(c), 6) AS score
+      |          FROM contrib GROUP BY 1, 2))
+      |  WHERE rank_text <= 20),
+      |hflat AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |hnorms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM hflat GROUP BY vec_id),
+      |hdots AS (
+      |  SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         sum(CAST(qv.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+      |  FROM hflat qv JOIN hflat c ON qv.i = c.i
+      |  WHERE qv.vec_id < 2 AND c.vec_id <> qv.vec_id
+      |  GROUP BY 1, 2),
+      |vrank AS (
+      |  SELECT query_id, doc_id, rank_vec FROM (
+      |    SELECT h.query_id, h.neighbor_id AS doc_id,
+      |           CAST(row_number() OVER (PARTITION BY h.query_id
+      |                ORDER BY round(h.dot / (nq.nrm * nc.nrm), 6) DESC,
+      |                         h.neighbor_id) AS BIGINT) AS rank_vec
+      |    FROM hdots h
+      |    JOIN hnorms nq ON nq.vec_id = h.query_id
+      |    JOIN hnorms nc ON nc.vec_id = h.neighbor_id)
+      |  WHERE rank_vec <= 20),
+      |fused AS (
+      |  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+      |         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |         t.rank_text, v.rank_vec,
+      |         round(COALESCE(1.0 / (60 + t.rank_text), 0) +
+      |               COALESCE(1.0 / (60 + v.rank_vec), 0), 6) AS rrf_r
+      |  FROM trank t FULL OUTER JOIN vrank v
+      |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+      |SELECT query_id, doc_id, rank_text, rank_vec, rrf_r, rank FROM (
+      |  SELECT query_id, doc_id, rank_text, rank_vec, rrf_r,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS rank
+      |  FROM fused)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Recall gate for the TWO-STAGE text path — the `pq_recall_gate`
     * discipline applied to retrieval: the proximity stage must move the
     * candidate ranking TOWARD the graded-relevance ordering (more
@@ -3705,6 +3845,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_rescore" -> bm25Rescore _,
     "bm25_rescore_gate" -> bm25RescoreGate _,
     "hybrid_rrf" -> hybridRrf _,
+    "hybrid_rrf_per_query" -> hybridRrfPerQuery _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
     "media_metadata" -> mediaMetadata _,
@@ -3994,6 +4135,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_rescore" -> bm25RescoreSql,
     "bm25_rescore_gate" -> bm25RescoreGateSql,
     "hybrid_rrf" -> hybridRrfSql,
+    "hybrid_rrf_per_query" -> hybridRrfPerQuerySql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),

@@ -44,6 +44,10 @@ import graft.sinks.ManifestTable
   *   FROM '/queries' [TOP 10] [PROBE 2] [REFINE [FACTOR 8]]
   *                                    -- reciprocal-rank fusion (REFINE:
   *                                       exact-re-ranked vector list, PQ)
+  * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS COLUMN qterms
+  *   FROM '/queries' [TOP 10] [PROBE 2] [REFINE [FACTOR 8]]
+  *                                    -- per-query term sets from a
+  *                                       queries-table column (batch form)
   *                                    -- (composable forms: the
   *                                       graft_search_* table functions)
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
@@ -150,6 +154,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val SearchHybrid =
     """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
+  private val SearchHybridCol =
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val SearchVector =
     """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val Refresh =
@@ -291,6 +297,15 @@ object GraftSqlParser {
         Some(GraftSearchTextCommand(idx, terms,
           Option(top).map(_.toInt).getOrElse(20), rescore != null,
           Option(factor).map(_.toInt)))
+      case SearchHybridCol(tIdx, vIdx, termsCol, queries, top, probe,
+                           refine, factor) =>
+        // per-query term sets: each queries-table row carries its own
+        // terms in <termsCol> — the batch-retrieval form
+        Some(GraftSearchHybridColCommand(tIdx, vIdx, termsCol, queries,
+          Option(top).map(_.toInt).getOrElse(10),
+          Option(probe).map(_.toInt).getOrElse(2),
+          refine = refine != null,
+          refineFactor = Option(factor).map(_.toInt).getOrElse(8)))
       case SearchHybrid(tIdx, vIdx, termsRaw, queries, top, probe,
                         refine, factor) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
@@ -646,6 +661,34 @@ case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.hybrid(sparkSession, textIdx, vecIdx, terms,
       queriesPath, topK, nProbe, refine = refine,
+      refineFactor = refineFactor).collect().toSeq
+}
+
+/** `GRAFT SEARCH HYBRID TEXT '<tidx>' VECTOR '<vidx>' TERMS COLUMN
+  * <col> FROM '<queries>' [TOP n] [PROBE p] [REFINE [FACTOR f]]` —
+  * [[GraftSearchHybridCommand]] with PER-QUERY term sets: each row of
+  * the queries table carries its own text terms in `<col>` beside its
+  * embedding ([[SearchRelations.hybridPerQuery]]). The batch form of
+  * hybrid retrieval — N requests, one plan. For composable output use
+  * `graft_search_hybrid_col(...)`.
+  */
+case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
+                                       termsCol: String, queriesPath: String,
+                                       topK: Int, nProbe: Int,
+                                       refine: Boolean = false,
+                                       refineFactor: Int = 8)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("query_id", LongType, nullable = false)(),
+    AttributeReference("doc_id", LongType, nullable = false)(),
+    AttributeReference("rank_text", LongType, nullable = true)(),
+    AttributeReference("rank_vec", LongType, nullable = true)(),
+    AttributeReference("rrf", DoubleType, nullable = false)(),
+    AttributeReference("rank", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SearchRelations.hybridPerQuery(sparkSession, textIdx, vecIdx,
+      queriesPath, termsCol, topK, nProbe, refine = refine,
       refineFactor = refineFactor).collect().toSeq
 }
 

