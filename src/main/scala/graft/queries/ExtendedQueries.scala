@@ -2183,6 +2183,129 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Recall gate for HYBRID FUSION — the `bm25_rescore_gate` discipline
+    * one level up (VERDICT r15 #3): fusing two lists must never do
+    * worse than the better single list against a cross-modal gold set.
+    * Gold = the union of the per-modality ideal top-10s (BM25 text
+    * top-10 ∪ exact brute-cosine top-10 for query vector 0) — the
+    * graded set both lists approximate from their own side. The gate
+    * asserts recall@10 of the FUSED ranking ≥ max(text-only,
+    * vector-only recall) AND ≥ the floor; the single row vanishes
+    * (`spark_rows: 0` in the driver's artifact) on any fusion
+    * regression — e.g. the r15 query-universe bug class, where a list
+    * silently dropped out of fusion. On this fixture the text and
+    * vector lists are UNRELATED (synthetic embeddings), the hardest
+    * honest case for fusion: RRF's guarantee there is parity with the
+    * best list (Cormack et al.'s robustness property — as good as the
+    * best list without knowing which), so the expected gate value is
+    * equality at 10/|gold|, and beating it is impossible by
+    * construction (each single list already covers its own half of the
+    * union gold perfectly). All arithmetic exact; fusion runs through
+    * the production [[graft.sources.SearchRelations.fuseRrfKeyed]].
+    */
+  def hybridRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cands, _) = bm25Parts(spark, dir)
+    val tRank = cands.select(lit(0L).as("query_id"), col("doc_id"),
+      row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+        .cast("long").as("rank_text"))
+    val emb = Tables.embeddings(spark, dir)
+    val vRank = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 20, roundTo = Some(6), queryBound = 1L)
+      .select(lit(0L).as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    val fused = graft.sources.SearchRelations.fuseRrfKeyed(
+      tRank, vRank, k = 10)
+    val gold = tRank.filter(col("rank_text") <= 10).select("doc_id")
+      .union(vRank.filter(col("rank_vec") <= 10).select("doc_id"))
+      .distinct()
+    val nGold = gold.agg(count(lit(1)).cast("double").as("n_gold"))
+    val hitsT = tRank.filter(col("rank_text") <= 10).select("doc_id")
+      .join(gold, "doc_id").agg(count(lit(1)).cast("double").as("hits_t"))
+    val hitsV = vRank.filter(col("rank_vec") <= 10).select("doc_id")
+      .join(gold, "doc_id").agg(count(lit(1)).cast("double").as("hits_v"))
+    val hitsF = fused.select("doc_id")
+      .join(gold, "doc_id").agg(count(lit(1)).cast("double").as("hits_f"))
+    hitsF.crossJoin(hitsT).crossJoin(hitsV).crossJoin(nGold)
+      .select(col("n_gold").cast("long").as("n_gold"),
+        round(col("hits_t") / col("n_gold"), 6).as("recall_text_r"),
+        round(col("hits_v") / col("n_gold"), 6).as("recall_vec_r"),
+        round(col("hits_f") / col("n_gold"), 6).as("recall_fused_r"))
+      .filter(col("recall_fused_r") >=
+          greatest(col("recall_text_r"), col("recall_vec_r")) &&
+        col("recall_fused_r") >= HybridRecallFloor)
+  }
+
+  /** See [[hybridRecallGate]]: with unrelated lists the fused recall
+    * against the union gold is exactly 10/|gold| ∈ [0.5, 1.0] (|gold|
+    * ≤ 20); the floor sits under the worst case with no flake margin —
+    * every input to it is exact deterministic arithmetic.
+    */
+  private val HybridRecallFloor = 0.45
+
+  private val hybridRecallGateSql = bm25RescoreCtes +
+    """,
+      |trank AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+      |              AS BIGINT) AS rank_text
+      |  FROM cand),
+      |hflat AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |hnorms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM hflat GROUP BY vec_id),
+      |hdots AS (
+      |  SELECT c.vec_id AS neighbor_id,
+      |         sum(CAST(qv.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+      |  FROM hflat qv JOIN hflat c ON qv.i = c.i
+      |  WHERE qv.vec_id = 0 AND c.vec_id <> 0
+      |  GROUP BY 1),
+      |vrank AS (
+      |  SELECT doc_id, rank_vec FROM (
+      |    SELECT neighbor_id AS doc_id,
+      |           CAST(row_number() OVER (
+      |                ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+      |                         neighbor_id) AS BIGINT) AS rank_vec
+      |    FROM hdots
+      |    JOIN hnorms nq ON nq.vec_id = 0
+      |    JOIN hnorms nc ON nc.vec_id = neighbor_id)
+      |  WHERE rank_vec <= 20),
+      |fused AS (
+      |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |         round(COALESCE(1.0 / (60 + t.rank_text), 0) +
+      |               COALESCE(1.0 / (60 + v.rank_vec), 0), 6) AS rrf
+      |  FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id),
+      |fused10 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS r
+      |    FROM fused) WHERE r <= 10),
+      |gold AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id FROM trank WHERE rank_text <= 10
+      |    UNION ALL SELECT doc_id FROM vrank WHERE rank_vec <= 10)),
+      |m AS (
+      |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM gold) AS n_gold,
+      |         (SELECT CAST(count(*) AS DOUBLE) FROM trank t
+      |          JOIN gold g ON g.doc_id = t.doc_id
+      |          WHERE t.rank_text <= 10) AS hits_t,
+      |         (SELECT CAST(count(*) AS DOUBLE) FROM vrank v
+      |          JOIN gold g ON g.doc_id = v.doc_id
+      |          WHERE v.rank_vec <= 10) AS hits_v,
+      |         (SELECT CAST(count(*) AS DOUBLE) FROM fused10 f
+      |          JOIN gold g ON g.doc_id = f.doc_id) AS hits_f)
+      |SELECT CAST(n_gold AS BIGINT) AS n_gold,
+      |       round(hits_t / n_gold, 6) AS recall_text_r,
+      |       round(hits_v / n_gold, 6) AS recall_vec_r,
+      |       round(hits_f / n_gold, 6) AS recall_fused_r
+      |FROM m
+      |WHERE round(hits_f / n_gold, 6) >=
+      |        greatest(round(hits_t / n_gold, 6), round(hits_v / n_gold, 6))
+      |  AND round(hits_f / n_gold, 6) >= 0.45""".stripMargin
+
   /** Recall gate for the TWO-STAGE text path — the `pq_recall_gate`
     * discipline applied to retrieval: the proximity stage must move the
     * candidate ranking TOWARD the graded-relevance ordering (more
@@ -3846,6 +3969,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_rescore_gate" -> bm25RescoreGate _,
     "hybrid_rrf" -> hybridRrf _,
     "hybrid_rrf_per_query" -> hybridRrfPerQuery _,
+    "hybrid_recall_gate" -> hybridRecallGate _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
     "media_metadata" -> mediaMetadata _,
@@ -4136,6 +4260,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_rescore_gate" -> bm25RescoreGateSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_per_query" -> hybridRrfPerQuerySql,
+    "hybrid_recall_gate" -> hybridRecallGateSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
