@@ -390,7 +390,7 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     "table", "version", "n_buckets", "key_col", "rows", "dirs", "files",
     "bytes", "tombstone_entries", "bloom_cols", "ndv", "writer_version",
-    "constraints"
+    "constraints", "rescore_cut"
   ).map(n => AttributeReference(n, StringType, nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
@@ -398,13 +398,32 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
     // watermark (which corpus version the index reflects, vs the corpus
     // head) carried in the version column — the staleness vital GRAFT
     // MAINTAIN's refresh advice reads
+    val isIdx = graft.ops.IndexAudit.isIndex(sparkSession, path)
     val (dataPath, versionSuffix) =
-      if (graft.ops.IndexAudit.isIndex(sparkSession, path)) {
+      if (isIdx) {
         val suffix = graft.ops.IndexAudit.staleness(sparkSession, path)
           .map { case (asOf, head) => s" (as_of corpus v$asOf of v$head)" }
           .getOrElse("")
         (graft.ops.IndexAudit.indexLayout(sparkSession, path)._3, suffix)
       } else (path, "")
+    // bm25 indexes surface the two-stage default candidate cut AND
+    // whether its 64k cap binds: SearchRelations.scaledCut saturates on
+    // a large corpus and stage-2 recall then quietly degrades with
+    // growth — an operator must SEE that and raise FACTOR/k, the same
+    // observability the staleness watermark gives REFRESH (VERDICT r15
+    // #6). Reported at the verbs' default k=10.
+    val rescoreCut =
+      if (isIdx &&
+          graft.ops.IndexAudit.indexLayout(sparkSession, path)._1 == "bm25") {
+        val k = 10
+        val nDocs = graft.ops.Bm25Index.readStats(sparkSession, path)._1
+        val cut = graft.sources.SearchRelations.scaledCut(nDocs, k)
+        if (nDocs / 6 > 64L * k)
+          s"c@k$k=$cut (SATURATED: cap 64k binds, corpus/6=${nDocs / 6} — " +
+            "recall degrades with corpus growth; raise RESCORE FACTOR or TOP)"
+        else if (nDocs / 6 < 2L * k) s"c@k$k=$cut (floor 2k)"
+        else s"c@k$k=$cut (corpus-scaled)"
+      } else ""
     val m = ManifestTable.describeManifest(sparkSession, dataPath)
     val dirs = m.buckets.values.flatten.toSeq
     val files = dirs.flatMap(m.dirFiles.get)
@@ -425,7 +444,8 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
       // a full rewrite would re-certify it (see CurrentWriterVersion)
       m.writerVersion.toString,
       m.constraints.toSeq.sortBy(_._1)
-        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))
+        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "),
+      rescoreCut))
   }
 }
 

@@ -414,4 +414,40 @@ class Bm25IndexSpec extends SparkSpec {
     assert(ok.length == 1 && ok.head.getLong(2) == 3L,
       s"over-bound arity must still cover all terms: ${ok.toSeq}")
   }
+
+  test("DESCRIBE surfaces the two-stage rescore cut and its regime (floor / scaled / saturated)") {
+    import graft.sources.SearchRelations.scaledCut
+    // the cut formula's three regimes — the saturated one is the scale
+    // hazard DESCRIBE exists to surface: past nDocs = 6·64k the cap
+    // binds and stage-2 recall quietly degrades with corpus growth
+    assert(scaledCut(40, 10) == 20, "tiny corpus → floor 2k")
+    assert(scaledCut(1998, 10) == 333, "mid corpus → corpus/6")
+    assert(scaledCut(10L * 1000 * 1000, 10) == 640, "large corpus → cap 64k")
+    assert(scaledCut(Long.MaxValue / 4, Int.MaxValue / 2) > 0,
+      "extreme k must clamp, not wrap negative")
+
+    // a 40-doc index reports the floor regime
+    val corpusA = s"${Files.createTempDirectory("graft-cutA")}/t"
+    val idxA = tmp()
+    ManifestTable.write((0L until 40L).map(i => (i, s"alpha w$i common"))
+      .toDF("doc_id", "text"), corpusA, "doc_id", 2)
+    Bm25Index.sync(spark, idxA, corpusA, "doc_id", "text", nBuckets = 2)
+    val cutA = spark.sql(s"GRAFT DESCRIBE '$idxA'").collect()
+      .head.getString(13)
+    assert(cutA == "c@k10=20 (floor 2k)", s"got: $cutA")
+
+    // a 200-doc index reports the corpus-scaled regime with the cut
+    val corpusB = s"${Files.createTempDirectory("graft-cutB")}/t"
+    val idxB = tmp()
+    ManifestTable.write((0L until 200L).map(i => (i, s"alpha w$i common"))
+      .toDF("doc_id", "text"), corpusB, "doc_id", 2)
+    Bm25Index.sync(spark, idxB, corpusB, "doc_id", "text", nBuckets = 2)
+    val cutB = spark.sql(s"GRAFT DESCRIBE '$idxB'").collect()
+      .head.getString(13)
+    assert(cutB == "c@k10=33 (corpus-scaled)", s"got: $cutB")
+
+    // plain tables and non-bm25 indexes keep the column empty
+    assert(spark.sql(s"GRAFT DESCRIBE '$corpusB'").collect()
+      .head.getString(13) == "")
+  }
 }
