@@ -205,4 +205,177 @@ class IndexConflictWalkSpec extends SparkSpec {
     info(s"mid-window appends landed: $midLanded of 50")
     assert(midLanded >= 5, s"seed exercised only $midLanded mid-window races")
   }
+
+  /** VERDICT r16 directive #4: `GRAFT DROP INDEX` racing an in-flight
+    * sync, and hybrid reads racing syncs of BOTH backing indexes, were
+    * untested interleavings. Invariants:
+    *
+    *  - a DROP landing inside a sync's head-pin→commit window must
+    *    CONVERGE CLEANLY: afterwards the index path is either fully
+    *    absent or a fully consistent index (the sync, finding the
+    *    postings/lists gone, rebuilds from scratch under its pinned
+    *    head) — never a torn directory with data but no definition;
+    *  - hybrid reads fired INSIDE sync windows (of either index, or
+    *    between the two indexes' interleaved syncs) never see a torn
+    *    pair: they return well-formed fusions (contiguous per-query
+    *    ranks, positive rrf, known query ids) over the pre-commit
+    *    snapshot;
+    *  - the usual walk contract holds throughout: watermark
+    *    monotonicity, exactly-once postings, drained raced index ≡
+    *    fresh one-shot build.
+    */
+  test("DROP + hybrid walk: 50 schedules of DROP INDEX and hybrid reads racing dual-index syncs") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(4242)
+    val tCorpus = tmp(); val vCorpus = tmp(); val qtab = tmp()
+    val tIdx = tmp(); val vIdx = tmp()
+    val postings = s"$tIdx/postings"
+    var nextDoc = 0L
+    def docBatch(n: Int): DataFrame = {
+      val rows = (0 until n).map { _ =>
+        val i = nextDoc; nextDoc += 1
+        (i, s"w${i % 7} w${i % 7} common x${i % 11} t${i % 5} tail${i % 3}")
+      }
+      rows.toDF("doc_id", "text")
+    }
+    var nextVec = 0L
+    def vecBatch(n: Int): DataFrame = {
+      val rows = (0 until n).map { _ =>
+        val i = nextVec; nextVec += 1
+        (i, Array.tabulate(16)(d =>
+          (math.sin(i * 16 + d) * 3 + (if (d % 4 == i % 4) 5 else 0)).toFloat))
+      }
+      rows.toDF("vec_id", "embedding")
+    }
+    ManifestTable.write(docBatch(20), tCorpus, "doc_id", 2)
+    val firstVecs = vecBatch(60)
+    ManifestTable.write(firstVecs, vCorpus, "vec_id", 2)
+    ManifestTable.write(firstVecs.limit(2), qtab, "vec_id", 2)
+    def syncT(): Boolean =
+      Bm25Index.sync(spark, tIdx, tCorpus, "doc_id", "text", nBuckets = 4)
+    def syncV(): Boolean =
+      PqIndex.sync(spark, vIdx, vCorpus, "vec_id", "embedding",
+        kLists = 2, m = 4, k = 8, nBuckets = 2)
+    assert(syncT()); assert(syncV())
+    var lastTWm = ManifestTable.txnVersion(spark, postings, Bm25Index.AppId).get
+
+    def hybridRead(tag: String): Unit = {
+      val rows = SearchRelations.hybrid(spark, tIdx, vIdx,
+          Seq("common", "w1"), qtab, k = 5, nProbe = 2)
+        .select($"query_id", $"rank", $"rrf")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.nonEmpty, s"$tag: hybrid returned nothing")
+      val byQ = rows.groupBy(_._1)
+      assert(byQ.keySet.subsetOf(Set(0L, 1L)), s"$tag: alien query ids $byQ")
+      byQ.foreach { case (q, rs) =>
+        val ranks = rs.map(_._2).sorted.toSeq
+        assert(ranks == (1L to ranks.length.toLong),
+          s"$tag: ranks not contiguous for query $q: $ranks")
+        assert(rs.forall(_._3 > 0), s"$tag: non-positive rrf for query $q")
+      }
+    }
+    def assertNotTorn(path: String): Unit = {
+      if (new java.io.File(path).exists())
+        assert(graft.ops.IndexAudit.isIndex(spark, path),
+          s"TORN index at $path: data directory without a definition")
+    }
+
+    var midReads = 0; var drops = 0; var dualSyncs = 0
+    (1 to 50).foreach { step =>
+      var fired = false
+      var pending: () => Unit = () => ()
+      def arm(body: => Unit): Unit =
+        pending = () => if (!fired) { fired = true; body }
+      Bm25Index.withSyncMidHook(() => pending()) {
+        rnd.nextInt(6) match {
+          case 0 => // hybrid read inside the TEXT sync window
+            ManifestTable.append(spark, tCorpus, docBatch(1 + rnd.nextInt(2)),
+              "doc_id")
+            arm { midReads += 1; hybridRead(s"step $step mid-text-sync") }
+            syncT()
+            assert(fired, s"step $step: hook must fire")
+          case 1 => // hybrid read inside the VECTOR sync window
+            ManifestTable.append(spark, vCorpus, vecBatch(2), "vec_id")
+            arm { midReads += 1; hybridRead(s"step $step mid-vec-sync") }
+            syncV()
+            assert(fired, s"step $step: hook must fire")
+          case 2 => // the two indexes' syncs INTERLEAVE: vIdx syncs
+            // inside tIdx's window (the hook re-enters the seam; the
+            // fired guard stops recursion), then both drain
+            ManifestTable.append(spark, tCorpus, docBatch(1), "doc_id")
+            ManifestTable.append(spark, vCorpus, vecBatch(2), "vec_id")
+            arm { dualSyncs += 1; syncV() }
+            syncT()
+            assert(fired, s"step $step: hook must fire")
+          case 3 => // DROP INDEX lands inside the text sync's window —
+            // the sync pinned head, the index vanishes, the sync must
+            // rebuild from scratch under its pinned head (clean
+            // convergence), never leave a torn directory
+            ManifestTable.append(spark, tCorpus, docBatch(1), "doc_id")
+            arm { drops += 1
+              assert(spark.sql(s"GRAFT DROP INDEX '$tIdx'").collect()
+                .head.getString(1) == "drop_index") }
+            syncT()
+            assert(fired, s"step $step: hook must fire")
+            assert(graft.ops.IndexAudit.isIndex(spark, tIdx),
+              s"step $step: sync after mid-window DROP must have rebuilt")
+            lastTWm = ManifestTable.txnVersion(spark, postings,
+              Bm25Index.AppId).get
+          case 4 => // DROP INDEX inside the vector sync's window
+            ManifestTable.append(spark, vCorpus, vecBatch(2), "vec_id")
+            arm { drops += 1
+              assert(spark.sql(s"GRAFT DROP INDEX '$vIdx'").collect()
+                .head.getString(1) == "drop_index") }
+            syncV()
+            assert(fired, s"step $step: hook must fire")
+            assert(graft.ops.IndexAudit.isIndex(spark, vIdx),
+              s"step $step: sync after mid-window DROP must have rebuilt")
+          case _ => // both corpora move; only one index follows
+            ManifestTable.append(spark, tCorpus, docBatch(1), "doc_id")
+            ManifestTable.append(spark, vCorpus, vecBatch(1), "vec_id")
+            syncT()
+        }
+      }
+
+      // ---- invariants on every schedule ----
+      assertNotTorn(tIdx); assertNotTorn(vIdx)
+      val wm = ManifestTable.txnVersion(spark, postings, Bm25Index.AppId).get
+      assert(wm >= lastTWm,
+        s"step $step: text watermark moved backward ($lastTWm -> $wm)")
+      lastTWm = wm
+      val dups = ManifestTable.read(spark, postings)
+        .groupBy("doc_id", "term").count().filter(col("count") > 1).count()
+      assert(dups == 0L, s"step $step: duplicated postings after races")
+      hybridRead(s"step $step post-action")
+
+      if (step % 10 == 0) { // drain both, then the deep oracles
+        while (syncT()) (); while (syncV()) ()
+        val failT = spark.sql(s"GRAFT VERIFY '$tIdx'").collect()
+          .filter(_.getString(2) == "FAIL")
+        val failV = spark.sql(s"GRAFT VERIFY '$vIdx'").collect()
+          .filter(_.getString(2) == "FAIL")
+        assert(failT.isEmpty && failV.isEmpty,
+          s"step $step: VERIFY FAIL rows after drain: " +
+            s"${(failT ++ failV).toSeq}")
+        val fresh = tmp()
+        Bm25Index.build(spark, fresh, ManifestTable.read(spark, tCorpus),
+          "doc_id", "text", nBuckets = 4)
+        val qterms = Seq("common", "w1", "t2").toDF("term")
+        val raced = Bm25Index.search(spark, tIdx, qterms, k = 50)
+          .as[(Long, Long, Double)].collect().toSet
+        val oneShot = Bm25Index.search(spark, fresh, qterms, k = 50)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(raced == oneShot,
+          s"step $step: raced text index diverged from one-shot build")
+        assert(ManifestTable.read(spark, s"$vIdx/lists").count() ==
+          ManifestTable.read(spark, vCorpus).count(),
+          s"step $step: coded inventory != corpus after drain")
+      }
+    }
+    info(s"mid-sync hybrid reads: $midReads, mid-sync DROPs: $drops, " +
+      s"interleaved dual syncs: $dualSyncs of 50")
+    assert(drops >= 8, s"seed exercised only $drops mid-window drops")
+    assert(midReads >= 8, s"seed exercised only $midReads mid-sync reads")
+    assert(dualSyncs >= 4, s"seed exercised only $dualSyncs dual syncs")
+  }
 }
