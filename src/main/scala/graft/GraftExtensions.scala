@@ -112,6 +112,10 @@ object GraftExtensions {
     *  - `graft_search_vector(idx, queriesPath, k, probe[, refineFactor])`
     *    → (query_id, neighbor_id, score, rank); a 5th arg runs the
     *    exact re-rank (pq indexes)
+    *  - `graft_search_vector_filtered(idx, queriesPath, k, probe, pred[,
+    *    refineFactor])` → filtered ANN: `pred` (SQL boolean over the
+    *    index's source-corpus columns) pre-filters candidates BEFORE
+    *    ranking — rank-then-filter under-fills, this doesn't
     *  - `graft_search_hybrid(tIdx, vIdx, terms, queriesPath[, k[, probe]])`
     *    → RRF fusion, ONE shared term set per call
     *  - `graft_search_hybrid_col(tIdx, vIdx, queriesPath, termsCol[, k[,
@@ -155,6 +159,20 @@ object GraftExtensions {
           termList(strArg(es(2), "terms")), strArg(es(3), "queries_path"),
           if (es.size > 4) intArg(es(4), "k") else 10,
           nProbe = if (es.size > 5) intArg(es(5), "probe") else 2)
+        .queryExecution.logical
+    }),
+    "graft_search_vector_filtered" -> (es => {
+      requireArity(es, 5, 6,
+        "graft_search_vector_filtered(index, queries_path, k, probe, " +
+          "predicate[, refine_factor]) — predicate is a SQL boolean " +
+          "expression over the index's source-corpus columns")
+      graft.sources.SearchRelations.vector(SparkSession.active,
+          strArg(es(0), "index"), strArg(es(1), "queries_path"),
+          intArg(es(2), "k"), intArg(es(3), "probe"),
+          refine = es.size > 5,
+          refineFactor = if (es.size > 5) intArg(es(5), "refine_factor")
+                         else 8,
+          filterPred = Some(strArg(es(4), "predicate")))
         .queryExecution.logical
     }),
     "graft_search_hybrid_col" -> (es => {

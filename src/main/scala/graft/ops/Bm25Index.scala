@@ -67,6 +67,19 @@ object Bm25Index {
   private[graft] val DefFile = "_index.json"
   private def postingsPath(indexPath: String) = s"$indexPath/postings"
 
+  /** Per-query term-count ceiling for the BATCH text surfaces
+    * ([[searchPerQuery]] via `SearchRelations.hybridPerQuery` and the
+    * `TERMS COLUMN` verb/TVF forms). Exists so the hint gate's pair
+    * bound can be derived FREE from the queries manifest's rowcount
+    * (pairs ≤ nQueries × MaxQueryArity) instead of paying a
+    * distinct+count shuffle of the exploded terms frame per call —
+    * the text-side twin of the ANN probe bound (VERDICT r15 #1). A
+    * query exceeding the cap raises IN-PLAN (never silent truncation);
+    * the same contract as Lucene's `BooleanQuery.maxClauseCount`,
+    * whose default this value mirrors.
+    */
+  val MaxQueryArity = 1024
+
   /** First sync persists the maintenance definition, so the index is
     * refreshable by path alone (`GRAFT REFRESH '<idx>'`, [[refresh]]).
     * OVERWRITES any existing def: the writer branches here only while

@@ -136,10 +136,27 @@ object Ivf {
     * `Pq.BroadcastRowCap` (unknown → one count of the query frame);
     * over the cap the equi-join on the list id shuffles instead of
     * forcing a multi-GB broadcast (VERDICT r15).
+    *
+    * `allowed`: optional PRE-FILTER — a one-column frame of permitted
+    * neighbor ids (any corpus predicate, evaluated by the caller so
+    * Catalyst pushes it into the corpus scan). Candidates are
+    * semi-joined to it BEFORE the rank window, so ranks are dense over
+    * the allowed docs and k survivors come back whenever the probed
+    * lists hold k allowed docs — the filtered-ANN contract every
+    * production vector store exposes, as opposed to filtering AFTER
+    * ranking, which silently returns < k rows whenever a disallowed
+    * doc occupied a top slot. Recall under a SELECTIVE filter is the
+    * classic filtered-ANN trade: the probed lists were chosen by
+    * vector geometry, not by the filter, so raise nProbe as filter
+    * selectivity grows (nProbe = nLists is the exact regime). The
+    * semi-join is keyed on the id and deliberately unhinted — the
+    * allowed set is corpus-sized in the worst case; AQE broadcasts it
+    * at runtime when it measures small.
     */
   def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, model: Model,
-                 nProbe: Int = 3, queryBound: Long = -1L): DataFrame = {
+                 nProbe: Int = 3, queryBound: Long = -1L,
+                 allowed: Option[DataFrame] = None): DataFrame = {
     val indexed = index(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
         .withColumn("cn", l2Norm(col("cv"))), "cv", model)
@@ -154,7 +171,11 @@ object Ivf {
     val cands = indexed.join(
       Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
       col("list_id") === col("probe") && col("query_id") =!= col("neighbor_id"))
-    cands
+    val kept = allowed.fold(cands) { a =>
+      cands.join(a.select(col(a.columns.head).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+    }
+    kept
       .withColumn("sim",
         when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rank", row_number().over(

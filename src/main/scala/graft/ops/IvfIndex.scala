@@ -160,10 +160,16 @@ object IvfIndex {
     * `Pq.BroadcastRowCap` (unknown → one count of the query frame —
     * SQL entry points pass the queries manifest's rowcount instead);
     * over the cap the list-id equi-join shuffles (VERDICT r15).
+    *
+    * `allowed`: optional filtered-ANN PRE-FILTER (one column of
+    * permitted neighbor ids) — candidates are semi-joined to it BEFORE
+    * the rank window; see [[Ivf.searchTopK]] for the semantics,
+    * recall-vs-nProbe trade, and why the semi-join stays unhinted.
     */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int = 5,
-             nProbe: Int = 3, queryBound: Long = -1L): DataFrame = {
+             nProbe: Int = 3, queryBound: Long = -1L,
+             allowed: Option[DataFrame] = None): DataFrame = {
     val model = loadModel(spark, indexPath)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -174,8 +180,14 @@ object IvfIndex {
     val indexed = ManifestTable.readBuckets(spark, listsPath(indexPath),
       probes.select(col("probe").as("list_id")))
     val nQ = if (queryBound >= 0) queryBound else queries.count()
-    indexed.join(Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
-        col("list_id") === col("probe") && col("query_id") =!= col("id"))
+    val cands = indexed.join(
+      Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
+      col("list_id") === col("probe") && col("query_id") =!= col("id"))
+    val kept = allowed.fold(cands) { a =>
+      cands.join(a.select(col(a.columns.head).as("id")),
+        Seq("id"), "left_semi")
+    }
+    kept
       .withColumn("sim", when(col("qn") * col("norm") > 0,
         dot(col("qv"), col("vec")) / (col("qn") * col("norm"))))
       .withColumn("rank", row_number().over(

@@ -190,11 +190,14 @@ object PqIndex {
     * nearest-coarse-centroid lists, open ONLY their manifest buckets,
     * reconstruct candidates from their code bytes, rank by the
     * single-fold L2 distance. Output: (query_id, neighbor_id, dist,
-    * rank).
+    * rank). `allowed`: optional filtered-ANN PRE-FILTER (one column of
+    * permitted neighbor ids), semi-joined before the rank window — see
+    * [[Ivf.searchTopK]].
     */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              idCol: String, vecCol: String, topK: Int = 5,
-             nProbe: Int = 2, queryBound: Long = -1L): DataFrame = {
+             nProbe: Int = 2, queryBound: Long = -1L,
+             allowed: Option[DataFrame] = None): DataFrame = {
     val coarse = loadCoarse(spark, indexPath)
     val pq = loadPq(spark, indexPath)
     val probes = queries
@@ -207,8 +210,14 @@ object PqIndex {
     // caller-known cap; unknown → one count of the query frame (the SQL
     // entry passes the queries manifest's rowcount — VERDICT r15)
     val nQ = if (queryBound >= 0) queryBound else queries.count()
-    indexed.join(Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
-        col("list_id") === col("probe") && col("query_id") =!= col("id"))
+    val cands = indexed.join(
+      Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
+      col("list_id") === col("probe") && col("query_id") =!= col("id"))
+    val kept = allowed.fold(cands) { a =>
+      cands.join(a.select(col(a.columns.head).cast("long").as("id")),
+        Seq("id"), "left_semi")
+    }
+    kept
       .withColumn("dist", qdistSq(col("qq"), Pq.reconCol(col("codes"), pq)))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist"), col("id")))
@@ -236,13 +245,16 @@ object PqIndex {
                     queries: DataFrame, exactCorpus: DataFrame,
                     idCol: String, vecCol: String, topK: Int = 5,
                     nProbe: Int = 2, refineFactor: Int = 4,
-                    queryBound: Long = -1L): DataFrame = {
+                    queryBound: Long = -1L,
+                    allowed: Option[DataFrame] = None): DataFrame = {
     // broadcast hints on the probe AND refine joins are gated on the
     // query-batch size (see Pq.refineExact); one count of the QUERY
     // frame decides when the caller doesn't know the bound
     val nQ = if (queryBound >= 0) queryBound else queries.count()
+    // the filtered-ANN pre-filter applies in the ADC stage, so the
+    // refine candidate budget (c per query) is spent on ALLOWED docs
     val candidates = search(spark, indexPath, queries, idCol, vecCol,
-        topK * refineFactor, nProbe, queryBound = nQ)
+        topK * refineFactor, nProbe, queryBound = nQ, allowed = allowed)
       .select("query_id", "neighbor_id")
     val candBound = Pq.mulBound(nQ, topK.toLong * refineFactor)
     Pq.refineExact(candidates,

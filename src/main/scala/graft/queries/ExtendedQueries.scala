@@ -3410,6 +3410,33 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED ANN — the production vector-store query shape ("nearest
+    * neighbors WHERE label = 2"): the allowed set (a predicate on the
+    * embeddings table, pushed into its scan by Catalyst) pre-filters
+    * candidates BEFORE the rank window, so the top-5 is dense over
+    * eligible docs — rank-then-filter would return < 5 rows whenever a
+    * disallowed doc occupied a top slot, and on this fixture it
+    * provably would (labels are independent of geometry, so ~3 of any
+    * unfiltered top-5 fail `label = 2`). Same trained index, probes,
+    * and raw-sim ranking as `ann_topk_ivf` (the oracle retrains
+    * CTE-for-CTE and applies the same pre-filter in the same place);
+    * queries themselves need not satisfy the filter. Recall under
+    * selective filters is the classic filtered-ANN trade — raise
+    * nProbe with selectivity (nProbe = nLists is the exact regime);
+    * the semi-join is id-keyed and unhinted (allowed is corpus-sized
+    * in the worst case — AQE broadcasts it when it measures small).
+    */
+  def annTopkIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
+    graft.ops.Ivf.searchTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, model, nProbe = 2, queryBound = 10L,
+        allowed = Some(emb.filter(col("label") === 2).select(col("vec_id"))))
+      .withColumn("sim_r", round(col("sim"), 6))
+      .select("query_id", "neighbor_id", "sim_r", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine nearest neighbor for a bounded query slice
     * (vec_id < 50) against the FULL corpus — the exact-NN verification
     * primitive, gate-registered in its scale-safe shape: the 50-row query
@@ -3982,6 +4009,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "simhash_nn" -> simhashNn _,
     "ann_topk_lsh" -> annTopkLsh _,
     "ann_topk_ivf" -> annTopkIvf _,
+    "ann_topk_ivf_filtered" -> annTopkIvfFiltered _,
     "ann_topk_sq8" -> annTopkSq8 _,
     "embedding_kmeans" -> embeddingKmeans _,
     "ann_topk_pq" -> annTopkPq _,
@@ -4264,6 +4292,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
+    "ann_topk_ivf_filtered" -> IvfOracle.annTopkIvfFilteredSql(),
     "ann_topk_sq8" -> annTopkSq8Sql,
     "embedding_kmeans" -> embeddingKmeansSql(),
     "ann_topk_pq" -> annTopkPqSql(),

@@ -108,8 +108,14 @@ object IvfOracle {
     * `ivfrk` (exact-scored, ranked candidates) over the trained
     * centroids; rank on the RAW sim exactly like `searchTopK` (both
     * engines' sims are bit-identical folds, so raw-sim ranking agrees).
+    * `candPred` mirrors the filtered-ANN pre-filter: candidates whose
+    * id fails the embeddings-table predicate are dropped BEFORE the
+    * rank window, exactly where `Ivf.searchTopK`'s `allowed` semi-join
+    * sits, so filtered ranks are dense over the allowed docs on both
+    * engines.
     */
-  private def searchCtes(cent: String, nProbe: Int, queryPred: String): String =
+  private def searchCtes(cent: String, nProbe: Int, queryPred: String,
+                         candPred: String = "TRUE"): String =
     s"""cidx AS MATERIALIZED (
        |  SELECT id AS neighbor_id, v AS cv, sqrt(vss) AS cn, cid AS list_id FROM (
        |    SELECT e.id, e.v, e.vss, c.cid,
@@ -127,7 +133,9 @@ object IvfOracle {
        |         CASE WHEN p.qn * x.cn > 0
        |              THEN ${dotS("p.qv", "x.cv")} / (p.qn * x.cn) END AS sim
        |  FROM prb p JOIN cidx x
-       |    ON x.list_id = p.probe AND p.query_id <> x.neighbor_id),
+       |    ON x.list_id = p.probe AND p.query_id <> x.neighbor_id
+       |  WHERE x.neighbor_id IN
+       |    (SELECT vec_id FROM embeddings WHERE $candPred)),
        |ivfrk AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, sim,
        |         row_number() OVER (PARTITION BY query_id
@@ -141,6 +149,22 @@ object IvfOracle {
                     nProbe: Int = 2, topK: Int = 5): String =
     s"""WITH ${centroidCtes(k, iterations, dim)},
        |${searchCtes(s"cent$iterations", nProbe, "e.id < 10")}
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim_r,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ivfrk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** ann_topk_ivf_filtered: the same trained index and probes, with the
+    * filtered-ANN pre-filter `label = 2` — candidate rows failing the
+    * predicate drop BEFORE ranking, so ranks are dense over allowed
+    * docs (rank-then-filter would instead under-fill the top-k). Same
+    * queries (vec_id < 10 — queries need not satisfy the filter),
+    * nProbe=2, top-5.
+    */
+  def annTopkIvfFilteredSql(k: Int = 8, iterations: Int = 5, dim: Int = 64,
+                            nProbe: Int = 2, topK: Int = 5,
+                            candPred: String = "label = 2"): String =
+    s"""WITH ${centroidCtes(k, iterations, dim)},
+       |${searchCtes(s"cent$iterations", nProbe, "e.id < 10", candPred)}
        |SELECT query_id, neighbor_id, round(sim, 6) AS sim_r,
        |       CAST(rank AS BIGINT) AS rank
        |FROM ivfrk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin

@@ -39,7 +39,11 @@ import graft.sinks.ManifestTable
   *                                       FACTOR sets the candidate cut f·k,
   *                                       default scales with the corpus
   * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE 2]
-  *   [REFINE [FACTOR 8]]              -- ANN probe (+ exact re-rank on PQ)
+  *   [REFINE [FACTOR 8]] [FILTER (label = 2)]
+  *                                    -- ANN probe (+ exact re-rank on PQ;
+  *                                       FILTER = filtered ANN, predicate
+  *                                       over the source corpus pre-filters
+  *                                       candidates BEFORE ranking)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS ('a', 'b')
   *   FROM '/queries' [TOP 10] [PROBE 2] [REFINE [FACTOR 8]]
   *                                    -- reciprocal-rank fusion (REFINE:
@@ -157,7 +161,7 @@ object GraftSqlParser {
   private val SearchHybridCol =
     """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
   private val SearchVector =
-    """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val Refresh =
     """(?is)\s*GRAFT\s+REFRESH\s+'([^']+)'\s*""".r
   private val Rebuild =
@@ -318,12 +322,14 @@ object GraftSqlParser {
           Option(probe).map(_.toInt).getOrElse(2),
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8)))
-      case SearchVector(idx, queries, top, probe, refine, factor) =>
+      case SearchVector(idx, queries, top, probe, refine, factor,
+                        filterPred) =>
         Some(GraftSearchVectorCommand(idx, queries,
           Option(top).map(_.toInt).getOrElse(5),
           Option(probe).map(_.toInt).getOrElse(2),
           refine = refine != null,
-          refineFactor = Option(factor).map(_.toInt).getOrElse(8)))
+          refineFactor = Option(factor).map(_.toInt).getOrElse(8),
+          filterPred = Option(filterPred).map(_.trim)))
       case Refresh(view) => Some(GraftRefreshCommand(view))
       case Rebuild(view) =>
         Some(GraftMaintenanceCommand(view, "rebuild", s =>
@@ -627,19 +633,31 @@ case class GraftSearchTextCommand(idx: String, terms: Seq[String],
 }
 
 /** `GRAFT SEARCH VECTOR '<idx>' FROM '<queries>' [TOP n] [PROBE p]
-  * [REFINE [FACTOR f]]` — ANN against a persisted IVF / IVF-PQ index
-  * from SQL: every row of the queries table (manifest table, read at
-  * its head snapshot) is a query, addressed by the index definition's
-  * own key/vector column names. REFINE runs the exact re-rank stage
-  * on PQ indexes ([[graft.ops.PqIndex.searchRefined]], exact vectors
-  * fetched from the defined source corpus); plain ivf indexes already
-  * re-score exact cosine and refuse the flag rather than implying a
-  * second refinement exists. `score` is the index's metric (exact
-  * int8 L2 for refined PQ, ADC distance unrefined, cosine for ivf).
+  * [REFINE [FACTOR f]] [FILTER (<pred>)]` — ANN against a persisted
+  * IVF / IVF-PQ index from SQL: every row of the queries table
+  * (manifest table, read at its head snapshot) is a query, addressed
+  * by the index definition's own key/vector column names. REFINE runs
+  * the exact re-rank stage on PQ indexes
+  * ([[graft.ops.PqIndex.searchRefined]], exact vectors fetched from
+  * the defined source corpus); plain ivf indexes already re-score
+  * exact cosine and refuse the flag rather than implying a second
+  * refinement exists. `score` is the index's metric (exact int8 L2
+  * for refined PQ, ADC distance unrefined, cosine for ivf).
+  *
+  * FILTER runs filtered ANN: `<pred>` is a SQL boolean expression
+  * over the index's SOURCE CORPUS columns (e.g.
+  * `FILTER (label = 2)`) selecting which neighbors are eligible —
+  * candidates are PRE-filtered before ranking, so TOP n eligible
+  * survivors come back whenever the probed lists hold n (see
+  * [[SearchRelations.vector]]; selective filters want a higher
+  * PROBE). The verb form takes no nested parentheses in the
+  * predicate — use `graft_search_vector_filtered(...)` for arbitrary
+  * expressions.
   */
 case class GraftSearchVectorCommand(idx: String, queriesPath: String,
                                     topK: Int, nProbe: Int,
-                                    refine: Boolean, refineFactor: Int)
+                                    refine: Boolean, refineFactor: Int,
+                                    filterPred: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -652,7 +670,7 @@ case class GraftSearchVectorCommand(idx: String, queriesPath: String,
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.vector(sparkSession, idx, queriesPath, topK, nProbe,
-      refine, refineFactor).collect().toSeq
+      refine, refineFactor, filterPred = filterPred).collect().toSeq
 }
 
 /** `GRAFT SEARCH HYBRID TEXT '<tidx>' VECTOR '<vidx>' TERMS ('a', 'b')

@@ -96,10 +96,22 @@ object SearchRelations {
     * (query_id, neighbor_id, score, rank) — score is the index's
     * metric (cosine for ivf, ADC distance unrefined, exact int8 L2
     * refined).
+    *
+    * `filterPred`: optional filtered-ANN predicate — a SQL boolean
+    * expression over the index's SOURCE CORPUS columns (`FILTER '…'`
+    * on the verb, the trailing argument of
+    * `graft_search_vector_filtered`). It selects the ALLOWED neighbor
+    * ids by reading the source corpus WHERE pred (Catalyst pushes the
+    * predicate into that scan) and pre-filters candidates BEFORE the
+    * rank window, so k allowed survivors come back whenever the probed
+    * lists hold k — not the post-join WHERE's rank-then-filter, which
+    * silently under-fills. Selective filters want a higher PROBE (see
+    * [[graft.ops.Ivf.searchTopK]]).
     */
   def vector(spark: SparkSession, idx: String, queriesPath: String,
              k: Int, nProbe: Int, refine: Boolean,
-             refineFactor: Int): DataFrame = {
+             refineFactor: Int,
+             filterPred: Option[String] = None): DataFrame = {
     val d = Bm25Index.readDef(spark, idx)
     val queries = ManifestTable.read(spark, queriesPath)
     // the probe/refine broadcast hints are gated on the query-batch
@@ -107,6 +119,9 @@ object SearchRelations {
     // rowcount — a user-supplied 10M-row queries table must shuffle,
     // not force a multi-GB broadcast (VERDICT r15)
     val qBound = ManifestTable.rowCount(spark, queriesPath).getOrElse(-1L)
+    val allowed = filterPred.map(p =>
+      ManifestTable.read(spark, d("sourcePath"))
+        .where(expr(p)).select(col(d("idCol"))))
     d.getOrElse("kind", "?") match {
       case "ivfpq" =>
         val base =
@@ -114,10 +129,11 @@ object SearchRelations {
             PqIndex.searchRefined(spark, idx, queries,
               ManifestTable.read(spark, d("sourcePath")),
               d("idCol"), d("vecCol"), k, nProbe, refineFactor,
-              queryBound = qBound)
+              queryBound = qBound, allowed = allowed)
           else
             PqIndex.search(spark, idx, queries,
-              d("idCol"), d("vecCol"), k, nProbe, queryBound = qBound)
+              d("idCol"), d("vecCol"), k, nProbe, queryBound = qBound,
+              allowed = allowed)
         base.select(col("query_id"), col("neighbor_id"),
           col("dist").as("score"), col("rank"))
       case "ivf" =>
@@ -125,7 +141,8 @@ object SearchRelations {
           "REFINE applies to PQ indexes — an ivf index already " +
             "re-scores candidates with exact cosine")
         IvfIndex.search(spark, idx, queries,
-            d("idCol"), d("vecCol"), k, nProbe, queryBound = qBound)
+            d("idCol"), d("vecCol"), k, nProbe, queryBound = qBound,
+            allowed = allowed)
           .select(col("query_id").cast("long").as("query_id"),
             col("neighbor_id").cast("long").as("neighbor_id"),
             col("sim").as("score"), col("rank"))
@@ -190,6 +207,15 @@ object SearchRelations {
     * text-only (both lists enter [[fuseRrfKeyed]]'s full-outer join).
     * Output matches [[hybrid]]. List depth c = max(2k, 20) per list
     * per query, the same deliberately k-proportional cut.
+    *
+    * Scale shape of the hint gate: the postings-probe broadcast bound
+    * is nQueries × [[Bm25Index.MaxQueryArity]] — the queries manifest's
+    * rowcount (free metadata) times the documented per-query term cap,
+    * which an over-arity term list trips IN-PLAN instead of silently
+    * truncating. A sound upper bound with zero extra jobs; its
+    * pessimism only costs a missed broadcast hint on mid-sized batches
+    * (AQE still converts at runtime when the actual exploded frame is
+    * small), never an OOM the other way.
     */
   def hybridPerQuery(spark: SparkSession, textIdx: String, vecIdx: String,
                      queriesPath: String, termsCol: String, k: Int,
@@ -207,12 +233,27 @@ object SearchRelations {
         s"terms column '$termsCol' must be ARRAY<STRING> or STRING, " +
           s"got $other")
     }
+    // in-plan arity cap: keeps nQueries × MaxQueryArity a SOUND pair
+    // bound for the hint gate below, and refuses (never truncates) a
+    // term list no BM25 engine would accept (Lucene maxClauseCount)
+    val guarded = when(size(termsExpr) <= Bm25Index.MaxQueryArity,
+      termsExpr).otherwise(raise_error(concat(
+      lit(s"GRAFT SEARCH HYBRID: a query's term list exceeds " +
+        s"MaxQueryArity=${Bm25Index.MaxQueryArity} (got "),
+      size(termsExpr).cast("string"),
+      lit(s" terms in column '$termsCol')"))))
     val qt = queries
       .select(col(vd("idCol")).cast("long").as("query_id"),
-        explode(termsExpr).as("term"))
+        explode(guarded).as("term"))
       .select(col("query_id"), trim(col("term")).as("term"))
       .filter(length(col("term")) > 0)
-    val tRank = textPerQuery(spark, textIdx, qt, k = c)
+    // pairs ≤ manifest rowcount × the in-plan arity cap — known with
+    // zero jobs, so no surface pays searchPerQuery's count fallback
+    val pairBound = graft.ops.Pq.mulBound(
+      ManifestTable.rowCount(spark, queriesPath).getOrElse(-1L),
+      Bm25Index.MaxQueryArity.toLong)
+    val tRank = textPerQuery(spark, textIdx, qt, k = c,
+        pairBound = pairBound)
       .select(col("query_id"), col("doc_id"),
         col("rank").as("rank_text"))
     val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,

@@ -129,6 +129,113 @@ class ProbeHintGateSpec extends SparkSpec {
     }
   }
 
+  test("per-query TEXT pair bound gates the postings-probe hints; hybrid derives it job-free; over-arity raises in-plan") {
+    import graft.ops.Bm25Index
+    val corpus = tmp(); val tIdx = tmp()
+    val docs = (0L until 40L).map(i => (i, s"alpha word$i tail${i % 5}"))
+    ManifestTable.write(docs.toDF("doc_id", "text"), corpus, "doc_id", 2)
+    Bm25Index.sync(spark, tIdx, corpus, "doc_id", "text", nBuckets = 4)
+
+    // searchPerQuery hints THREE frames off one pair bound (the term
+    // set pruning the probed buckets, the per-term df, the fan-out
+    // term→query join) — all drop together over the cap, answers don't
+    val qt = Seq((0L, "alpha"), (0L, "word1"), (1L, "alpha"), (1L, "word2"))
+      .toDF("query_id", "term")
+    val small = Bm25Index.searchPerQuery(spark, tIdx, qt, k = 5,
+      pairBound = 4L)
+    val large = Bm25Index.searchPerQuery(spark, tIdx, qt, k = 5,
+      pairBound = OverCap)
+    // 4 ResolvedHint NODES in the analyzed tree: the term-set hint
+    // appears under BOTH consumers of the probed postings (the df agg
+    // and the contrib join), plus the df hint and the fan-out hint
+    assert(hints(small) == hints(large) + 4,
+      s"text pair-bound must gate every vocabulary-side hint — " +
+        s"small=${hints(small)} large=${hints(large)}")
+    assert(small.collect().map(_.toString).sorted.toSeq ==
+      large.collect().map(_.toString).sorted.toSeq,
+      "strategy changes, per-query BM25 answers must not")
+
+    // the hybrid TERMS COLUMN surface derives its pair bound FREE:
+    // queries-manifest rowcount × the in-plan MaxQueryArity cap — a
+    // small manifest keeps the text-side hints, one big enough that
+    // rows × MaxQueryArity tops the cap sheds exactly those three,
+    // with no count job of the exploded terms frame either way
+    val vcorpus = tmp(); val vIdx = tmp()
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == (i % 4).toInt) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat))
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding"), vcorpus,
+      "vec_id", 2)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    val qSmall = tmp(); val qBig = tmp()
+    ManifestTable.write(
+      vecs.take(3).map { case (i, v) => (i, v, "alpha word1") }
+        .toDF("vec_id", "embedding", "qterms"), qSmall, "vec_id", 2)
+    val bigRows = ((Pq.BroadcastRowCap / Bm25Index.MaxQueryArity) + 1).toInt
+    ManifestTable.write(
+      (0L until bigRows.toLong).map(i =>
+        (i, vecs((i % 40).toInt)._2, "alpha word1"))
+        .toDF("vec_id", "embedding", "qterms"), qBig, "vec_id", 4)
+    import graft.sources.SearchRelations
+    val hSmall = SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
+      qSmall, "qterms", k = 5, nProbe = 2)
+    val hBig = SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
+      qBig, "qterms", k = 5, nProbe = 2)
+    assert(hints(hSmall) == hints(hBig) + 4,
+      s"rows×MaxQueryArity over the cap must shed the four text-side " +
+        s"hint nodes (vector probe bound stays under) — " +
+        s"small=${hints(hSmall)} big=${hints(hBig)}")
+    assert(hSmall.filter($"query_id" === 0L).count() > 0,
+      "the small-manifest hybrid still answers")
+
+    // a term list past MaxQueryArity refuses IN-PLAN — the cap is a
+    // contract (Lucene maxClauseCount), never a silent truncation
+    val qOver = tmp()
+    val overList = (0 until Bm25Index.MaxQueryArity + 1)
+      .map(i => s"t$i").mkString(" ")
+    ManifestTable.write(
+      Seq((0L, vecs(0)._2, overList), (1L, vecs(1)._2, "alpha"))
+        .toDF("vec_id", "embedding", "qterms"), qOver, "vec_id", 2)
+    val err = intercept[Exception] {
+      SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
+        qOver, "qterms", k = 5, nProbe = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("MaxQueryArity")),
+      s"over-arity must raise the documented cap error, got: $err")
+  }
+
+  test("searchPerQuery probes the postings ONCE for the union of terms — planned scans don't grow with query count") {
+    import graft.ops.Bm25Index
+    val corpus = tmp(); val tIdx = tmp()
+    val docs = (0L until 40L).map(i => (i, s"alpha word${i % 8} tail${i % 5}"))
+    ManifestTable.write(docs.toDF("doc_id", "text"), corpus, "doc_id", 2)
+    Bm25Index.sync(spark, tIdx, corpus, "doc_id", "text", nBuckets = 4)
+    // the scaladoc's scale claim, pinned as a WORK METRIC (load-immune):
+    // per-(doc, term) contributions are computed from one postings
+    // probe and fanned out term-keyed, so the PLANNED parquet scans of
+    // a 2-query batch and an 8-query batch are identical — a shape
+    // that re-probed per query would grow 4×
+    def scansFor(nQ: Int): Int = WorkMeter.plannedParquetScans(spark) {
+      val qt = (0 until nQ).flatMap(q =>
+        Seq((q.toLong, "alpha"), (q.toLong, s"word${q % 8}")))
+        .toDF("query_id", "term")
+      Bm25Index.searchPerQuery(spark, tIdx, qt, k = 5,
+        pairBound = 2L * nQ).collect()
+    }
+    val two = scansFor(2)
+    val eight = scansFor(8)
+    assert(two == eight,
+      s"postings probes must not grow with the query batch: " +
+        s"2 queries → $two planned scans, 8 queries → $eight")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bm25Index, PqIndex}
+import graft.ops.{Bm25Index, IvfIndex, PqIndex, Similarity}
 import graft.sinks.ManifestTable
 
 /** `graft_search_text` / `graft_search_vector` as TABLE-VALUED
@@ -361,5 +361,97 @@ class SearchTvfSpec extends SparkSpec {
     // the vRank-derived universe (no queryIds) is what dropped it
     assert(SearchRelations.fuseRrf(t, v, k = 5)
       .filter($"query_id" === 7).count() == 0)
+  }
+
+  test("filtered ANN: the predicate pre-filters BEFORE ranking, fills k, pushes into the corpus scan, and agrees across surfaces") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(41)
+    val vcorpus = tmp(); val vIdx = tmp(); val qtab = tmp()
+    // geometry: 4 gaussian clusters (i % 4); labels alternate WITHIN
+    // each cluster ((i / 4) % 2 — cluster members are 4 apart), so any
+    // unfiltered top-5 mixes labels and a post-join WHERE would
+    // under-fill — the case pre-filtering exists for
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat), ((i / 4) % 2).toInt)
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding", "label"),
+      vcorpus, "vec_id", 2)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(
+      vecs.take(3).map { case (i, v, _) => (i, v) }
+        .toDF("vec_id", "embedding"), qtab, "vec_id", 2)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+    val api = SearchRelations.vector(spark, vIdx, qtab, k = 5,
+      nProbe = 4, refine = false, refineFactor = 4,
+      filterPred = Some("label = 1"))
+    val verb = spark.sql(s"GRAFT SEARCH VECTOR '$vIdx' FROM '$qtab' " +
+      "TOP 5 PROBE 4 FILTER (label = 1)")
+    val tvf = spark.sql("SELECT * FROM graft_search_vector_filtered(" +
+      s"'$vIdx', '$qtab', 5, 4, 'label = 1')")
+    assert(rows(api) == rows(verb) && rows(verb) == rows(tvf),
+      s"three surfaces, one filtered answer:\napi=${rows(api)}\n" +
+        s"verb=${rows(verb)}\ntvf=${rows(tvf)}")
+
+    // every neighbor satisfies the predicate, every query fills k —
+    // the probed lists hold plenty of allowed docs (probe-all here)
+    val out = rows(api)
+    assert(out.forall(_._2 / 4 % 2 == 1), s"only label=1 neighbors: $out")
+    assert(out.groupBy(_._1).forall(_._2.size == 5),
+      s"pre-filtering must FILL the top-5 from allowed docs: $out")
+    // …while rank-then-filter (the post-join WHERE) under-fills: the
+    // unfiltered top-5 mixes labels by construction
+    val post = SearchRelations.vector(spark, vIdx, qtab, k = 5,
+        nProbe = 4, refine = false, refineFactor = 4)
+      .filter(floor(col("neighbor_id") / 4) % 2 === 1)
+    assert(post.groupBy("query_id").count()
+        .filter(col("count") < 5).count() > 0,
+      "fixture must make post-filtering visibly under-fill")
+
+    // exactness regime: probe-all filtered IVF ≡ brute-force cosine
+    // top-5 over the label-filtered corpus (self-exclusion matches)
+    val emb = ManifestTable.read(spark, vcorpus)
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("label") === 1), emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5, queryBound = 3L)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(out == brute,
+      s"probe-all filtered IVF must equal filtered brute force:\n" +
+        s"ivf=$out\nbrute=$brute")
+
+    // the predicate lands in the SOURCE CORPUS scan's pushed filters —
+    // filtered ANN pays a pruned scan, not a post-join Filter
+    // (sparkPlan, not executedPlan: AQE hides scans until execution)
+    val scans = api.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val labelScans = scans.filter(
+      _.metadata.getOrElse("PushedFilters", "").contains("label"))
+    assert(labelScans.nonEmpty,
+      s"no allowed-side scan with a label filter:\n" +
+        scans.map(_.metadata.getOrElse("PushedFilters", "")))
+    assert(labelScans.exists(_.metadata.getOrElse("PushedFilters", "")
+        .contains("EqualTo(label,1)")),
+      "the filter predicate must reach the corpus scan: " +
+        s"${labelScans.map(_.metadata.getOrElse("PushedFilters", ""))}")
+
+    // the PQ path honors the same pre-filter (ADC stage + refine)
+    val pqIdx = tmp()
+    PqIndex.sync(spark, pqIdx, vcorpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4)
+    val pq = spark.sql("SELECT * FROM graft_search_vector_filtered(" +
+      s"'$pqIdx', '$qtab', 5, 4, 'label = 1', 8)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pq.nonEmpty && pq.forall(_._2 / 4 % 2 == 1),
+      s"refined PQ filtered search must only return allowed docs: $pq")
   }
 }
