@@ -121,6 +121,12 @@ object GraftExtensions {
     *  - `graft_search_hybrid_col(tIdx, vIdx, queriesPath, termsCol[, k[,
     *    probe]])` → RRF fusion with PER-QUERY term sets read from a
     *    column of the queries table (the batch form)
+    *  - `graft_search_text_filtered(idx, terms, k, pred)` and the
+    *    trailing optional `pred` of `_rescored` / `_hybrid` /
+    *    `_hybrid_col` → filtered search: the predicate (SQL boolean
+    *    over the source corpus — the TEXT index's source for the
+    *    hybrid forms) pre-filters candidates BEFORE ranking; corpus
+    *    statistics (df/dl/N) stay global
     */
   val tableBuilders: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     "graft_search_text" -> (es => {
@@ -130,13 +136,27 @@ object GraftExtensions {
           if (es.size > 2) intArg(es(2), "k") else 20)
         .queryExecution.logical
     }),
+    "graft_search_text_filtered" -> (es => {
+      requireArity(es, 4, 4,
+        "graft_search_text_filtered(index, terms, k, predicate) — " +
+          "predicate is a SQL boolean expression over the index's " +
+          "source-corpus columns; candidates pre-filter before ranking")
+      graft.sources.SearchRelations.text(SparkSession.active,
+          strArg(es(0), "index_path"), termList(strArg(es(1), "terms")),
+          intArg(es(2), "k"),
+          filterPred = Some(strArg(es(3), "predicate")))
+        .queryExecution.logical
+    }),
     "graft_search_text_rescored" -> (es => {
-      requireArity(es, 2, 4,
-        "graft_search_text_rescored(index, terms[, k[, factor]])")
+      requireArity(es, 2, 5,
+        "graft_search_text_rescored(index, terms[, k[, factor[, " +
+          "predicate]]])")
       graft.sources.SearchRelations.textRescored(SparkSession.active,
           strArg(es(0), "index_path"), termList(strArg(es(1), "terms")),
           if (es.size > 2) intArg(es(2), "k") else 10,
-          if (es.size > 3) Some(intArg(es(3), "factor")) else None)
+          if (es.size > 3) Some(intArg(es(3), "factor")) else None,
+          filterPred =
+            if (es.size > 4) Some(strArg(es(4), "predicate")) else None)
         .queryExecution.logical
     }),
     "graft_search_vector" -> (es => {
@@ -151,14 +171,16 @@ object GraftExtensions {
         .queryExecution.logical
     }),
     "graft_search_hybrid" -> (es => {
-      requireArity(es, 4, 6,
+      requireArity(es, 4, 7,
         "graft_search_hybrid(text_index, vector_index, terms, " +
-          "queries_path[, k[, probe]])")
+          "queries_path[, k[, probe[, predicate]]])")
       graft.sources.SearchRelations.hybrid(SparkSession.active,
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
           termList(strArg(es(2), "terms")), strArg(es(3), "queries_path"),
           if (es.size > 4) intArg(es(4), "k") else 10,
-          nProbe = if (es.size > 5) intArg(es(5), "probe") else 2)
+          nProbe = if (es.size > 5) intArg(es(5), "probe") else 2,
+          filterPred =
+            if (es.size > 6) Some(strArg(es(6), "predicate")) else None)
         .queryExecution.logical
     }),
     "graft_search_vector_filtered" -> (es => {
@@ -176,14 +198,16 @@ object GraftExtensions {
         .queryExecution.logical
     }),
     "graft_search_hybrid_col" -> (es => {
-      requireArity(es, 4, 6,
+      requireArity(es, 4, 7,
         "graft_search_hybrid_col(text_index, vector_index, " +
-          "queries_path, terms_col[, k[, probe]])")
+          "queries_path, terms_col[, k[, probe[, predicate]]])")
       graft.sources.SearchRelations.hybridPerQuery(SparkSession.active,
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
           strArg(es(2), "queries_path"), strArg(es(3), "terms_col"),
           if (es.size > 4) intArg(es(4), "k") else 10,
-          nProbe = if (es.size > 5) intArg(es(5), "probe") else 2)
+          nProbe = if (es.size > 5) intArg(es(5), "probe") else 2,
+          filterPred =
+            if (es.size > 6) Some(strArg(es(6), "predicate")) else None)
         .queryExecution.logical
     })
   )

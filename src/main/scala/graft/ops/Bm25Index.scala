@@ -503,17 +503,31 @@ object Bm25Index {
 
   /** Two-stage retrieval against the PERSISTED index: BM25 top-c from
     * the postings (index IO only), then [[proximityRescore]] over the
-    * candidates' text fetched from `docs`.
+    * candidates' text fetched from `docs`. `allowed` pre-filters the
+    * stage-1 candidates (see [[search]]), so the whole candidate
+    * budget c is spent on eligible docs before the re-rank.
     */
   def searchRescored(spark: SparkSession, indexPath: String,
                      terms: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String, k: Int = 10, c: Int = 20,
-                     qArity: Int = -1): DataFrame =
-    proximityRescore(search(spark, indexPath, terms, c), docs, terms,
-      idCol, textCol, k, candBound = c.toLong, qArity = qArity)
+                     qArity: Int = -1,
+                     allowed: Option[DataFrame] = None): DataFrame =
+    proximityRescore(search(spark, indexPath, terms, c, allowed), docs,
+      terms, idCol, textCol, k, candBound = c.toLong, qArity = qArity)
 
+  /** BM25 top-k from the postings. `allowed`: optional filtered-search
+    * PRE-FILTER (one column of permitted doc ids) — per-(doc, term)
+    * contributions semi-join it BEFORE aggregation and ranking, so the
+    * top-k is dense over eligible docs (rank-then-filter under-fills).
+    * df/dl/N stay CORPUS-GLOBAL: a filter restricts who can be
+    * RETURNED, never what the corpus statistics are, so a surviving
+    * doc scores identically filtered or not — the semantics every
+    * search engine's filter clause has. The semi-join is id-keyed and
+    * unhinted (the allowed set is corpus-sized in the worst case; AQE
+    * broadcasts it when it measures small).
+    */
   def search(spark: SparkSession, indexPath: String, terms: DataFrame,
-             k: Int = 20): DataFrame = {
+             k: Int = 20, allowed: Option[DataFrame] = None): DataFrame = {
     val (nDocs, totalToks) = readStats(spark, indexPath)
     val q = terms.select(col("term")).na.drop().distinct()
     val probed = ManifestTable.readBuckets(spark, postingsPath(indexPath),
@@ -529,7 +543,11 @@ object Bm25Index {
           (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") /
               (lit(totalToks.toDouble) / lit(nDocs.toDouble)))))
-    contrib.groupBy("doc_id")
+    val kept = allowed.fold(contrib) { a =>
+      contrib.join(a.select(col(a.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
+    kept.groupBy("doc_id")
       .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
@@ -556,10 +574,17 @@ object Bm25Index {
     * (`Pq.hintIfSmall`); unknown → one count of the caller's frame.
     * The vocabulary-side broadcasts (`q`, `df`) are bounded by the
     * same figure — distinct terms never exceed the pair count.
+    *
+    * `allowed`: optional filtered-search pre-filter shared by ALL
+    * queries of the batch (one column of permitted doc ids) — applied
+    * to the per-(doc, term) contributions before the fan-out, so every
+    * query's top-k is dense over eligible docs while df stays
+    * corpus-global (see [[search]]).
     */
   def searchPerQuery(spark: SparkSession, indexPath: String,
                      queryTerms: DataFrame, k: Int = 20,
-                     pairBound: Long = -1L): DataFrame = {
+                     pairBound: Long = -1L,
+                     allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (nDocs, totalToks) = readStats(spark, indexPath)
     val qt = queryTerms.select(col("query_id").cast("long").as("query_id"),
@@ -579,7 +604,11 @@ object Bm25Index {
           (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") /
               (lit(totalToks.toDouble) / lit(nDocs.toDouble)))))
-    contrib.join(Pq.hintIfSmall(qt, nPairs), "term")
+    val kept = allowed.fold(contrib) { a =>
+      contrib.join(a.select(col(a.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
+    kept.join(Pq.hintIfSmall(qt, nPairs), "term")
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
       .withColumn("rank", row_number().over(

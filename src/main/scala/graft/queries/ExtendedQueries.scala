@@ -1838,8 +1838,9 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * materialized tf exchange (a re-derivation with a different plan
     * shape re-exploded the corpus — ExecutedPlanSpec pins the count).
     */
-  private def bm25Parts(spark: SparkSession,
-                        dir: String): (DataFrame, DataFrame) = {
+  private def bm25Parts(spark: SparkSession, dir: String,
+                        allowed: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -1866,13 +1867,59 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
           (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
-    val cands = contrib.groupBy("doc_id")
+    // filtered search drops ineligible docs HERE — after df/dl/N are
+    // fixed (corpus-global statistics), before aggregation and ranking
+    val kept = allowed.fold(contrib)(a =>
+      contrib.join(a, Seq("doc_id"), "left_semi"))
+    val cands = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(20)
       .select("doc_id", "matched_terms", "score")
     (cands, qterms.select("term"))
   }
+
+  /** FILTERED BM25 — `bm25_search` restricted to `lang = 'de'` docs
+    * (~14% of the corpus, so the unfiltered top-20 provably differs):
+    * the per-(doc, term) contributions semi-join the allowed ids
+    * BEFORE aggregation/ranking, while df, doc lengths, and N stay
+    * CORPUS-GLOBAL — a filter restricts who can be returned, never the
+    * collection statistics, so every surviving doc's score is
+    * bit-identical to its unfiltered `bm25_search` score (the oracle
+    * applies the same pre-filter in the same place and the engines'
+    * scores hash-match by the same argument as `bm25_search`). This is
+    * the in-query twin of the production
+    * [[graft.ops.Bm25Index.search]] `allowed` path / `GRAFT SEARCH
+    * TEXT … FILTER (pred)`.
+    */
+  def bm25SearchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bm25Parts(spark, dir, allowed = Some(
+      docs.filter(col("lang") === "de").select("doc_id")))._1
+  }
+
+  private val bm25SearchFilteredSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+      |q AS (SELECT term FROM (SELECT term, count(*) AS gtf FROM toks
+      |                        GROUP BY 1 ORDER BY gtf DESC, term LIMIT 3)),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |         ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+      |         (tf.tf * 2.2) /
+      |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.total_toks / n.n))) AS c
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot
+      |  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de'))
+      |SELECT doc_id, count(*) AS matched_terms, round(sum(c), 6) AS score
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   private val bm25SearchSql =
     """WITH toks AS (
@@ -3992,6 +4039,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "fuzzy_name_join" -> fuzzyNameJoin _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "bm25_search" -> bm25Search _,
+    "bm25_search_filtered" -> bm25SearchFiltered _,
     "bm25_rescore" -> bm25Rescore _,
     "bm25_rescore_gate" -> bm25RescoreGate _,
     "hybrid_rrf" -> hybridRrf _,
@@ -4284,6 +4332,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "fuzzy_name_join" -> fuzzyNameJoinSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "bm25_search" -> bm25SearchSql,
+    "bm25_search_filtered" -> bm25SearchFilteredSql,
     "bm25_rescore" -> bm25RescoreSql,
     "bm25_rescore_gate" -> bm25RescoreGateSql,
     "hybrid_rrf" -> hybridRrfSql,

@@ -35,9 +35,12 @@ import graft.sinks.ManifestTable
   * GRAFT CREATE VECTOR INDEX '/idx' FROM '/t' KEY id VECTOR emb
   *   [LISTS 16] [BUCKETS 8] [USING PQ]            -- PQ: coded IVF-PQ lists
   * GRAFT SEARCH TEXT '/idx' TERMS ('a', 'b') [TOP 20] [RESCORE [FACTOR f]]
-  *                                    -- BM25 (+ proximity re-rank) from SQL;
+  *   [FILTER (lang = 'en')]           -- BM25 (+ proximity re-rank) from SQL;
   *                                       FACTOR sets the candidate cut f·k,
-  *                                       default scales with the corpus
+  *                                       default scales with the corpus;
+  *                                       FILTER pre-filters candidates on a
+  *                                       source-corpus predicate (df stays
+  *                                       corpus-global)
   * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE 2]
   *   [REFINE [FACTOR 8]] [FILTER (label = 2)]
   *                                    -- ANN probe (+ exact re-rank on PQ;
@@ -46,11 +49,14 @@ import graft.sinks.ManifestTable
   *                                       candidates BEFORE ranking)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS ('a', 'b')
   *   FROM '/queries' [TOP 10] [PROBE 2] [REFINE [FACTOR 8]]
-  *                                    -- reciprocal-rank fusion (REFINE:
-  *                                       exact-re-ranked vector list, PQ)
+  *   [FILTER (lang = 'en')]           -- reciprocal-rank fusion (REFINE:
+  *                                       exact-re-ranked vector list, PQ;
+  *                                       FILTER: one allowed set off the
+  *                                       TEXT index's source pre-filters
+  *                                       BOTH lists)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS COLUMN qterms
   *   FROM '/queries' [TOP 10] [PROBE 2] [REFINE [FACTOR 8]]
-  *                                    -- per-query term sets from a
+  *   [FILTER (lang = 'en')]           -- per-query term sets from a
   *                                       queries-table column (batch form)
   *                                    -- (composable forms: the
   *                                       graft_search_* table functions)
@@ -155,11 +161,11 @@ object GraftSqlParser {
   private val CreateChangeFeed =
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
   private val SearchText =
-    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybrid =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybridCol =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchVector =
     """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val Refresh =
@@ -292,7 +298,7 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
           graft.streaming.ChangeFeed.create(s, feed, src,
             Option(fromV).map(_.toInt))))
-      case SearchText(idx, termsRaw, top, rescore, factor) =>
+      case SearchText(idx, termsRaw, top, rescore, factor, textFilter) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
           .map(_.group(1)).toSeq
         if (terms.isEmpty) throw new IllegalArgumentException(
@@ -300,18 +306,20 @@ object GraftSqlParser {
             s"comma-separated; got: $termsRaw")
         Some(GraftSearchTextCommand(idx, terms,
           Option(top).map(_.toInt).getOrElse(20), rescore != null,
-          Option(factor).map(_.toInt)))
+          Option(factor).map(_.toInt),
+          filterPred = Option(textFilter).map(_.trim)))
       case SearchHybridCol(tIdx, vIdx, termsCol, queries, top, probe,
-                           refine, factor) =>
+                           refine, factor, filterPred) =>
         // per-query term sets: each queries-table row carries its own
         // terms in <termsCol> — the batch-retrieval form
         Some(GraftSearchHybridColCommand(tIdx, vIdx, termsCol, queries,
           Option(top).map(_.toInt).getOrElse(10),
           Option(probe).map(_.toInt).getOrElse(2),
           refine = refine != null,
-          refineFactor = Option(factor).map(_.toInt).getOrElse(8)))
+          refineFactor = Option(factor).map(_.toInt).getOrElse(8),
+          filterPred = Option(filterPred).map(_.trim)))
       case SearchHybrid(tIdx, vIdx, termsRaw, queries, top, probe,
-                        refine, factor) =>
+                        refine, factor, filterPred) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
           .map(_.group(1)).toSeq
         if (terms.isEmpty) throw new IllegalArgumentException(
@@ -321,7 +329,8 @@ object GraftSqlParser {
           Option(top).map(_.toInt).getOrElse(10),
           Option(probe).map(_.toInt).getOrElse(2),
           refine = refine != null,
-          refineFactor = Option(factor).map(_.toInt).getOrElse(8)))
+          refineFactor = Option(factor).map(_.toInt).getOrElse(8),
+          filterPred = Option(filterPred).map(_.trim)))
       case SearchVector(idx, queries, top, probe, refine, factor,
                         filterPred) =>
         Some(GraftSearchVectorCommand(idx, queries,
@@ -609,7 +618,8 @@ case class GraftMaintainCommand(path: String, dryRun: Boolean)
   */
 case class GraftSearchTextCommand(idx: String, terms: Seq[String],
                                   topK: Int, rescore: Boolean,
-                                  factor: Option[Int] = None)
+                                  factor: Option[Int] = None,
+                                  filterPred: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (rescore) Seq(
@@ -625,9 +635,11 @@ case class GraftSearchTextCommand(idx: String, terms: Seq[String],
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val res =
       if (rescore)
-        SearchRelations.textRescored(sparkSession, idx, terms, topK, factor)
+        SearchRelations.textRescored(sparkSession, idx, terms, topK,
+          factor, filterPred = filterPred)
       else
-        SearchRelations.text(sparkSession, idx, terms, topK)
+        SearchRelations.text(sparkSession, idx, terms, topK,
+          filterPred = filterPred)
     res.collect().toSeq
   }
 }
@@ -684,7 +696,8 @@ case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
                                     terms: Seq[String], queriesPath: String,
                                     topK: Int, nProbe: Int,
                                     refine: Boolean = false,
-                                    refineFactor: Int = 8)
+                                    refineFactor: Int = 8,
+                                    filterPred: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -699,7 +712,8 @@ case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.hybrid(sparkSession, textIdx, vecIdx, terms,
       queriesPath, topK, nProbe, refine = refine,
-      refineFactor = refineFactor).collect().toSeq
+      refineFactor = refineFactor,
+      filterPred = filterPred).collect().toSeq
 }
 
 /** `GRAFT SEARCH HYBRID TEXT '<tidx>' VECTOR '<vidx>' TERMS COLUMN
@@ -714,7 +728,8 @@ case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
                                        termsCol: String, queriesPath: String,
                                        topK: Int, nProbe: Int,
                                        refine: Boolean = false,
-                                       refineFactor: Int = 8)
+                                       refineFactor: Int = 8,
+                                       filterPred: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -727,7 +742,8 @@ case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.hybridPerQuery(sparkSession, textIdx, vecIdx,
       queriesPath, termsCol, topK, nProbe, refine = refine,
-      refineFactor = refineFactor).collect().toSeq
+      refineFactor = refineFactor,
+      filterPred = filterPred).collect().toSeq
 }
 
 /** `GRAFT REFRESH '<view>'` — incremental materialized-view refresh

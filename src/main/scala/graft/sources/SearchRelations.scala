@@ -48,12 +48,27 @@ object SearchRelations {
     math.min(math.max(2L * k, math.min(nDocs / 6, 64L * k)),
       Int.MaxValue.toLong).toInt
 
-  /** BM25 top-k from the postings — (doc_id, matched_terms, score). */
+  /** The filtered-search allowed-id frame: the index's SOURCE corpus
+    * WHERE `pred` (Catalyst pushes the predicate into that scan),
+    * projected to the index's id column. Shared by every `FILTER`
+    * surface — text, vector, hybrid.
+    */
+  private def allowedIds(spark: SparkSession, d: Map[String, String],
+                         pred: Option[String]): Option[DataFrame] =
+    pred.map(p => ManifestTable.read(spark, d("sourcePath"))
+      .where(expr(p)).select(col(d("idCol"))))
+
+  /** BM25 top-k from the postings — (doc_id, matched_terms, score).
+    * `filterPred`: filtered search — a SQL boolean expression over the
+    * index's SOURCE corpus columns; candidates are pre-filtered before
+    * ranking while df/dl/N stay corpus-global ([[Bm25Index.search]]).
+    */
   def text(spark: SparkSession, idx: String, terms: Seq[String],
-           k: Int): DataFrame = {
-    requireKind(spark, idx, "bm25")
+           k: Int, filterPred: Option[String] = None): DataFrame = {
+    val d = requireKind(spark, idx, "bm25")
     import spark.implicits._
-    Bm25Index.search(spark, idx, terms.toDF("term"), k = k)
+    Bm25Index.search(spark, idx, terms.toDF("term"), k = k,
+        allowed = allowedIds(spark, d, filterPred))
       .select(col("doc_id").cast("long").as("doc_id"),
         col("matched_terms"), col("score"))
   }
@@ -61,9 +76,12 @@ object SearchRelations {
   /** Two-stage text retrieval — BM25 top-c candidates, proximity
     * re-rank over their fetched text; c = factor·k, or [[scaledCut]]
     * when no factor is given. (doc_id, matched_terms, span, rescored).
+    * `filterPred` pre-filters the stage-1 candidates, so the whole
+    * candidate budget c re-ranks eligible docs.
     */
   def textRescored(spark: SparkSession, idx: String, terms: Seq[String],
-                   k: Int, factor: Option[Int]): DataFrame = {
+                   k: Int, factor: Option[Int],
+                   filterPred: Option[String] = None): DataFrame = {
     val d = requireKind(spark, idx, "bm25")
     import spark.implicits._
     val c = factor match {
@@ -76,18 +94,21 @@ object SearchRelations {
     }
     Bm25Index.searchRescored(spark, idx, terms.toDF("term"),
       ManifestTable.read(spark, d("sourcePath")),
-      d("idCol"), d("textCol"), k = k, c = c, qArity = terms.size)
+      d("idCol"), d("textCol"), k = k, c = c, qArity = terms.size,
+      allowed = allowedIds(spark, d, filterPred))
   }
 
   /** Per-query BM25 from the postings ([[Bm25Index.searchPerQuery]]):
     * `queryTerms` carries (query_id, term). (query_id, doc_id,
-    * matched_terms, score, rank).
+    * matched_terms, score, rank). `allowed` is the batch-shared
+    * filtered-search pre-filter.
     */
   def textPerQuery(spark: SparkSession, idx: String, queryTerms: DataFrame,
-                   k: Int, pairBound: Long = -1L): DataFrame = {
+                   k: Int, pairBound: Long = -1L,
+                   allowed: Option[DataFrame] = None): DataFrame = {
     requireKind(spark, idx, "bm25")
     Bm25Index.searchPerQuery(spark, idx, queryTerms, k = k,
-      pairBound = pairBound)
+      pairBound = pairBound, allowed = allowed)
   }
 
   /** ANN against a persisted ivf / ivfpq index; queries come from a
@@ -111,7 +132,8 @@ object SearchRelations {
   def vector(spark: SparkSession, idx: String, queriesPath: String,
              k: Int, nProbe: Int, refine: Boolean,
              refineFactor: Int,
-             filterPred: Option[String] = None): DataFrame = {
+             filterPred: Option[String] = None,
+             allowedOverride: Option[DataFrame] = None): DataFrame = {
     val d = Bm25Index.readDef(spark, idx)
     val queries = ManifestTable.read(spark, queriesPath)
     // the probe/refine broadcast hints are gated on the query-batch
@@ -119,9 +141,12 @@ object SearchRelations {
     // rowcount — a user-supplied 10M-row queries table must shuffle,
     // not force a multi-GB broadcast (VERDICT r15)
     val qBound = ManifestTable.rowCount(spark, queriesPath).getOrElse(-1L)
-    val allowed = filterPred.map(p =>
-      ManifestTable.read(spark, d("sourcePath"))
-        .where(expr(p)).select(col(d("idCol"))))
+    // allowedOverride: the hybrid forms evaluate the predicate against
+    // the TEXT index's source (where document attributes live — the
+    // fused doc-id space is shared by contract) and hand the id frame
+    // down here, instead of re-deriving it from this index's source
+    val allowed = allowedOverride.orElse(
+      allowedIds(spark, d, filterPred))
     d.getOrElse("kind", "?") match {
       case "ivfpq" =>
         val base =
@@ -175,15 +200,22 @@ object SearchRelations {
   def hybrid(spark: SparkSession, textIdx: String, vecIdx: String,
              terms: Seq[String], queriesPath: String, k: Int,
              nProbe: Int = 2, rrfK: Int = 60, refine: Boolean = false,
-             refineFactor: Int = 8): DataFrame = {
+             refineFactor: Int = 8,
+             filterPred: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = math.max(2 * k, 20)
-    val tRank = text(spark, textIdx, terms, c)
+    // FILTER on hybrid evaluates against the TEXT index's source — the
+    // document store carrying the attributes — and the one allowed-id
+    // set pre-filters BOTH lists (fusion's doc-id space is shared)
+    val allowed = allowedIds(spark,
+      requireKind(spark, textIdx, "bm25"), filterPred)
+    val tRank = text(spark, textIdx, terms, c, filterPred = filterPred)
       .select(col("doc_id"),
         row_number().over(Window.orderBy(desc("score"), col("doc_id")))
           .cast("long").as("rank_text"))
     val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
-        refine = refine, refineFactor = refineFactor)
+        refine = refine, refineFactor = refineFactor,
+        allowedOverride = allowed)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
     // the query-id universe comes from the QUERIES TABLE, not from
@@ -221,9 +253,14 @@ object SearchRelations {
                      queriesPath: String, termsCol: String, k: Int,
                      nProbe: Int = 2, rrfK: Int = 60,
                      refine: Boolean = false,
-                     refineFactor: Int = 8): DataFrame = {
+                     refineFactor: Int = 8,
+                     filterPred: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
     val c = math.max(2 * k, 20)
+    // one allowed-id set off the TEXT index's source filters BOTH
+    // lists, batch-shared across queries (see hybrid)
+    val allowed = allowedIds(spark,
+      requireKind(spark, textIdx, "bm25"), filterPred)
     val vd = Bm25Index.readDef(spark, vecIdx)
     val queries = ManifestTable.read(spark, queriesPath)
     val termsExpr = queries.schema(termsCol).dataType match {
@@ -253,11 +290,12 @@ object SearchRelations {
       ManifestTable.rowCount(spark, queriesPath).getOrElse(-1L),
       Bm25Index.MaxQueryArity.toLong)
     val tRank = textPerQuery(spark, textIdx, qt, k = c,
-        pairBound = pairBound)
+        pairBound = pairBound, allowed = allowed)
       .select(col("query_id"), col("doc_id"),
         col("rank").as("rank_text"))
     val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
-        refine = refine, refineFactor = refineFactor)
+        refine = refine, refineFactor = refineFactor,
+        allowedOverride = allowed)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
     fuseRrfKeyed(tRank, vRank, k, rrfK)

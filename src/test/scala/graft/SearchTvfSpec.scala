@@ -363,6 +363,84 @@ class SearchTvfSpec extends SparkSpec {
       .filter($"query_id" === 7).count() == 0)
   }
 
+  test("filtered TEXT + HYBRID: pre-filter before rank, corpus-global df (survivor scores unchanged), one allowed set filters both hybrid lists") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(57)
+    val corpus = tmp(); val tIdx = tmp()
+    val vcorpus = tmp(); val vIdx = tmp(); val qtab = tmp()
+    // even docs en, odd docs de; all docs share 'alpha'
+    val docs = (0L until 40L).map { i =>
+      val par = if (i % 2 == 0) "evenword" else "oddword"
+      (i, s"alpha $par word$i tail${i % 5}",
+        if (i % 2 == 0) "en" else "de")
+    }
+    ManifestTable.write(docs.toDF("doc_id", "text", "lang"), corpus,
+      "doc_id", 2)
+    Bm25Index.sync(spark, tIdx, corpus, "doc_id", "text", nBuckets = 4)
+
+    // verb ≡ TVF ≡ API on the filtered text search
+    def trows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val api = trows(SearchRelations.text(spark, tIdx,
+      Seq("alpha", "evenword"), k = 10, filterPred = Some("lang = 'de'")))
+    val verb = trows(spark.sql(s"GRAFT SEARCH TEXT '$tIdx' " +
+      "TERMS ('alpha', 'evenword') TOP 10 FILTER (lang = 'de')"))
+    val tvf = trows(spark.sql("SELECT * FROM graft_search_text_filtered(" +
+      s"'$tIdx', 'alpha evenword', 10, 'lang = ''de''')"))
+    assert(api == verb && verb == tvf,
+      s"three filtered-text surfaces, one answer:\n$api\n$verb\n$tvf")
+    assert(api.nonEmpty && api.forall(_._1 % 2 == 1),
+      s"only de (odd) docs may return: $api")
+
+    // THE filtered-search semantic: df/dl/N stay corpus-global, so a
+    // surviving doc scores EXACTLY what it scores unfiltered —
+    // filter-then-index would recompute df over de docs only and every
+    // idf would shift
+    val unfiltered = trows(SearchRelations.text(spark, tIdx,
+      Seq("alpha", "evenword"), k = 40)).map(t => t._1 -> t._3).toMap
+    assert(api.forall { case (id, _, score) => unfiltered(id) == score },
+      s"survivor scores must be bit-identical to unfiltered: $api " +
+        s"vs ${api.map(t => unfiltered(t._1))}")
+
+    // rescored + filtered: stage-1 candidates are all eligible
+    val resc = spark.sql(s"GRAFT SEARCH TEXT '$tIdx' " +
+      "TERMS ('alpha', 'oddword') TOP 5 RESCORE FILTER (lang = 'de')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(resc.nonEmpty && resc.forall(_ % 2 == 1),
+      s"filtered rescore returns only eligible docs: $resc")
+
+    // hybrid TERMS COLUMN + FILTER: ONE allowed set (from the TEXT
+    // index's source, where the attributes live) filters BOTH lists
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat))
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding"), vcorpus,
+      "vec_id", 2)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(
+      vecs.take(2).map { case (i, v) => (i, v, "alpha oddword") }
+        .toDF("vec_id", "embedding", "qterms"), qtab, "vec_id", 2)
+    val hyb = spark.sql(s"GRAFT SEARCH HYBRID TEXT '$tIdx' " +
+      s"VECTOR '$vIdx' TERMS COLUMN qterms FROM '$qtab' " +
+      "TOP 5 PROBE 4 FILTER (lang = 'de')").collect()
+    assert(hyb.nonEmpty && hyb.forall(_.getLong(1) % 2 == 1),
+      s"both fused lists must be pre-filtered to de docs: " +
+        s"${hyb.map(r => (r.getLong(0), r.getLong(1))).toSeq}")
+    // the vector list contributed eligible docs (not text-only fusion)
+    assert(hyb.exists(!_.isNullAt(3)),
+      "the ANN list must survive the filter, not just the text list")
+    val hybTvf = spark.sql("SELECT * FROM graft_search_hybrid_col(" +
+      s"'$tIdx', '$vIdx', '$qtab', 'qterms', 5, 4, 'lang = ''de''')")
+      .collect()
+    assert(hyb.map(_.toString).sorted.toSeq ==
+      hybTvf.map(_.toString).sorted.toSeq,
+      "hybrid verb ≡ TVF under FILTER")
+  }
+
   test("filtered ANN: the predicate pre-filters BEFORE ranking, fills k, pushes into the corpus scan, and agrees across surfaces") {
     import graft.sources.SearchRelations
     val rnd = new scala.util.Random(41)
