@@ -119,7 +119,7 @@ object SearchRelations {
     * refined).
     *
     * `filterPred`: optional filtered-ANN predicate — a SQL boolean
-    * expression over the index's SOURCE CORPUS columns (`FILTER '…'`
+    * expression over the index's SOURCE CORPUS columns (`FILTER (…)`
     * on the verb, the trailing argument of
     * `graft_search_vector_filtered`). It selects the ALLOWED neighbor
     * ids by reading the source corpus WHERE pred (Catalyst pushes the
