@@ -61,6 +61,18 @@ object GraftExtensions {
       s"$name must be a string literal, got $other")
   }
 
+  /** Probe argument of the vector/hybrid TVFs: a positive int, or
+    * `'auto'` / `-1` → [[graft.sources.SearchRelations.ProbeAuto]]
+    * (selectivity-scaled widening, resolved at plan-build time — the
+    * verbs' `PROBE AUTO`).
+    */
+  private def probeArg(e: Expression, name: String): Int = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _)
+        if v.toString.equalsIgnoreCase("auto") =>
+      graft.sources.SearchRelations.ProbeAuto
+    case other => intArg(other, name)
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> (es => DotProductExpr(es(0), es(1))),
     "sig_agree" -> (es => SigAgreeExpr(es(0), es(1))),
@@ -110,6 +122,8 @@ object GraftExtensions {
     *    (doc_id, matched_terms, span, rescored); candidate cut f·k, or
     *    corpus-scaled when omitted
     *  - `graft_search_vector(idx, queriesPath, k, probe[, refineFactor])`
+    *    — probe may be `'auto'`/`-1`: selectivity-scaled widening
+    *    (all vector/hybrid probe args accept it)
     *    → (query_id, neighbor_id, score, rank); a 5th arg runs the
     *    exact re-rank (pq indexes)
     *  - `graft_search_vector_filtered(idx, queriesPath, k, probe, pred[,
@@ -165,7 +179,7 @@ object GraftExtensions {
       graft.sources.SearchRelations.vector(SparkSession.active,
           strArg(es(0), "index_path"), strArg(es(1), "queries_path"),
           if (es.size > 2) intArg(es(2), "k") else 5,
-          if (es.size > 3) intArg(es(3), "probe") else 2,
+          if (es.size > 3) probeArg(es(3), "probe") else 2,
           refine = es.size > 4,
           refineFactor = if (es.size > 4) intArg(es(4), "refine_factor") else 8)
         .queryExecution.logical
@@ -178,7 +192,7 @@ object GraftExtensions {
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
           termList(strArg(es(2), "terms")), strArg(es(3), "queries_path"),
           if (es.size > 4) intArg(es(4), "k") else 10,
-          nProbe = if (es.size > 5) intArg(es(5), "probe") else 2,
+          nProbe = if (es.size > 5) probeArg(es(5), "probe") else 2,
           filterPred =
             if (es.size > 6) Some(strArg(es(6), "predicate")) else None)
         .queryExecution.logical
@@ -190,7 +204,7 @@ object GraftExtensions {
           "expression over the index's source-corpus columns")
       graft.sources.SearchRelations.vector(SparkSession.active,
           strArg(es(0), "index"), strArg(es(1), "queries_path"),
-          intArg(es(2), "k"), intArg(es(3), "probe"),
+          intArg(es(2), "k"), probeArg(es(3), "probe"),
           refine = es.size > 5,
           refineFactor = if (es.size > 5) intArg(es(5), "refine_factor")
                          else 8,
@@ -205,7 +219,7 @@ object GraftExtensions {
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
           strArg(es(2), "queries_path"), strArg(es(3), "terms_col"),
           if (es.size > 4) intArg(es(4), "k") else 10,
-          nProbe = if (es.size > 5) intArg(es(5), "probe") else 2,
+          nProbe = if (es.size > 5) probeArg(es(5), "probe") else 2,
           filterPred =
             if (es.size > 6) Some(strArg(es(6), "predicate")) else None)
         .queryExecution.logical

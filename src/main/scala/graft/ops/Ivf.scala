@@ -184,6 +184,46 @@ object Ivf {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Selectivity-scaled probe widening for FILTERED ANN (`PROBE AUTO`)
+    * — the automatic form of this file's own advice ("raise nProbe as
+    * filter selectivity grows"). A fixed nProbe under a selective
+    * filter under-fills the top-k: the probed lists are chosen by
+    * vector geometry, not by the filter, so the expected number of
+    * ELIGIBLE candidates they hold shrinks linearly with the filter's
+    * selectivity s = allowedCount/corpusCount. Widening the probe by
+    * 1/s restores the expected eligible-candidate volume of the
+    * unfiltered search:
+    *
+    *   pEff = clamp( ceil(pBase · corpusCount / allowedCount),
+    *                 pBase, nLists )
+    *
+    * All-integer arithmetic (exact ceiling division — an oracle
+    * replays it bit-for-bit with `//`), clamped below by the caller's
+    * base probe (a permissive filter never NARROWS the search) and
+    * above by nLists (probing every list is the exact regime — also
+    * the answer for an empty allowed set, where any probe returns
+    * nothing). This is the iterative-widening behavior production
+    * vector stores document for filtered search, resolved in ONE step
+    * from two counts instead of probe-check-reprobe rounds — the
+    * Spark-shaped trade: one extra bounded stats job beats a driver
+    * loop of candidate-fill probes.
+    *
+    * `corpusCount <= 0` means the caller could not learn the corpus
+    * size; widening is skipped (pBase) rather than guessed.
+    */
+  def autoProbe(pBase: Int, nLists: Int, corpusCount: Long,
+                allowedCount: Long): Int = {
+    require(pBase >= 1, s"base probe must be >= 1, got $pBase")
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    if (corpusCount <= 0L) math.min(pBase, nLists)
+    else if (allowedCount <= 0L) nLists
+    else {
+      val need = (pBase.toLong * corpusCount + allowedCount - 1L) /
+        allowedCount
+      math.min(nLists.toLong, math.max(pBase.toLong, need)).toInt
+    }
+  }
+
   /** Array of the nProbe nearest centroid ids for a vector column. */
   private[graft] def probeLists(vec: org.apache.spark.sql.Column, model: Model,
                                 nProbe: Int): org.apache.spark.sql.Column = {

@@ -39,7 +39,16 @@ import graft.sinks.ManifestTable
 object IvfIndex {
 
   private val CentroidsDir = "_centroids"
-  private def listsPath(indexPath: String) = s"$indexPath/lists"
+  private[graft] def listsPath(indexPath: String) = s"$indexPath/lists"
+
+  /** List count of a persisted vector index — the centroid table's
+    * cardinality (k rows; parquet footer count, no data IO). The
+    * `_centroids` layout is shared with [[PqIndex]] (whose coarse
+    * centroids live under the same name), so `PROBE AUTO` resolution
+    * reads either kind through this one helper.
+    */
+  private[graft] def nLists(spark: SparkSession, indexPath: String): Int =
+    spark.read.parquet(s"$indexPath/$CentroidsDir").count().toInt
 
   /** Train on the corpus and persist centroids + assigned lists. */
   def build(spark: SparkSession, indexPath: String, corpus: DataFrame,

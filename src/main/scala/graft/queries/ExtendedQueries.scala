@@ -3484,6 +3484,33 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       .orderBy("query_id", "rank")
   }
 
+  /** Filtered ANN with PROBE AUTO — the selectivity-scaled widening
+    * (`Ivf.autoProbe`) oracled end to end: the allowed set here is
+    * `label <= 4` (~half the corpus), so the widened probe lands
+    * STRICTLY BETWEEN the base (2) and probe-all (8) — the mid-range
+    * regime where the formula's exact ceiling division actually
+    * decides which lists open. Both engines compute
+    * p_eff = clamp(ceil(2·corpus/allowed), 2, 8) from the same two
+    * exact counts (the oracle as an all-integer scalar subquery —
+    * `IvfOracle.annTopkIvfFilteredAutoSql`), then run the identical
+    * trained index, probes, and pre-filtered ranking of
+    * `ann_topk_ivf_filtered`. The two count jobs are the documented
+    * cost of AUTO (`SearchRelations.resolveProbe`); everything after
+    * is probe-bound exactly like the fixed-probe path.
+    */
+  def annTopkIvfFilteredAuto(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8)
+    val allowed = emb.filter(col("label") <= 4)
+    val pEff = graft.ops.Ivf.autoProbe(2, 8, emb.count(), allowed.count())
+    graft.ops.Ivf.searchTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, model, nProbe = pEff,
+        queryBound = 10L, allowed = Some(allowed.select(col("vec_id"))))
+      .withColumn("sim_r", round(col("sim"), 6))
+      .select("query_id", "neighbor_id", "sim_r", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine nearest neighbor for a bounded query slice
     * (vec_id < 50) against the FULL corpus — the exact-NN verification
     * primitive, gate-registered in its scale-safe shape: the 50-row query
@@ -4058,6 +4085,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_lsh" -> annTopkLsh _,
     "ann_topk_ivf" -> annTopkIvf _,
     "ann_topk_ivf_filtered" -> annTopkIvfFiltered _,
+    "ann_topk_ivf_filtered_auto" -> annTopkIvfFilteredAuto _,
     "ann_topk_sq8" -> annTopkSq8 _,
     "embedding_kmeans" -> embeddingKmeans _,
     "ann_topk_pq" -> annTopkPq _,
@@ -4342,6 +4370,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "ann_topk_lsh" -> annTopkLshSql,
     "ann_topk_ivf" -> IvfOracle.annTopkIvfSql(),
     "ann_topk_ivf_filtered" -> IvfOracle.annTopkIvfFilteredSql(),
+    "ann_topk_ivf_filtered_auto" -> IvfOracle.annTopkIvfFilteredAutoSql(),
     "ann_topk_sq8" -> annTopkSq8Sql,
     "embedding_kmeans" -> embeddingKmeansSql(),
     "ann_topk_pq" -> annTopkPqSql(),

@@ -114,7 +114,7 @@ object IvfOracle {
     * sits, so filtered ranks are dense over the allowed docs on both
     * engines.
     */
-  private def searchCtes(cent: String, nProbe: Int, queryPred: String,
+  private def searchCtes(cent: String, nProbe: String, queryPred: String,
                          candPred: String = "TRUE"): String =
     s"""cidx AS MATERIALIZED (
        |  SELECT id AS neighbor_id, v AS cv, sqrt(vss) AS cn, cid AS list_id FROM (
@@ -148,7 +148,7 @@ object IvfOracle {
   def annTopkIvfSql(k: Int = 8, iterations: Int = 5, dim: Int = 64,
                     nProbe: Int = 2, topK: Int = 5): String =
     s"""WITH ${centroidCtes(k, iterations, dim)},
-       |${searchCtes(s"cent$iterations", nProbe, "e.id < 10")}
+       |${searchCtes(s"cent$iterations", nProbe.toString, "e.id < 10")}
        |SELECT query_id, neighbor_id, round(sim, 6) AS sim_r,
        |       CAST(rank AS BIGINT) AS rank
        |FROM ivfrk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
@@ -164,7 +164,33 @@ object IvfOracle {
                             nProbe: Int = 2, topK: Int = 5,
                             candPred: String = "label = 2"): String =
     s"""WITH ${centroidCtes(k, iterations, dim)},
-       |${searchCtes(s"cent$iterations", nProbe, "e.id < 10", candPred)}
+       |${searchCtes(s"cent$iterations", nProbe.toString, "e.id < 10", candPred)}
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim_r,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ivfrk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** ann_topk_ivf_filtered_auto: filtered ANN with PROBE AUTO — the
+    * effective probe is computed IN SQL from the same two exact counts
+    * the engine reads (corpus rows, allowed rows), replaying
+    * `Ivf.autoProbe`'s all-integer ceiling division bit-for-bit:
+    * p_eff = least(nLists, greatest(pBase,
+    * (pBase·corpus + allowed − 1) // allowed)). The ranked-probe
+    * window then cuts at the scalar subquery instead of a literal —
+    * the rest of the trained index, probes, and filtered ranking is
+    * `annTopkIvfFilteredSql` unchanged.
+    */
+  def annTopkIvfFilteredAutoSql(k: Int = 8, iterations: Int = 5,
+                                dim: Int = 64, pBase: Int = 2,
+                                topK: Int = 5,
+                                candPred: String = "label <= 4"): String =
+    s"""WITH ${centroidCtes(k, iterations, dim)},
+       |pe AS MATERIALIZED (
+       |  SELECT least($k, greatest($pBase,
+       |    ($pBase * (SELECT count(*) FROM embeddings)
+       |     + (SELECT count(*) FROM embeddings WHERE $candPred) - 1)
+       |    // (SELECT count(*) FROM embeddings WHERE $candPred))) AS p_eff),
+       |${searchCtes(s"cent$iterations", "(SELECT p_eff FROM pe)",
+                     "e.id < 10", candPred)}
        |SELECT query_id, neighbor_id, round(sim, 6) AS sim_r,
        |       CAST(rank AS BIGINT) AS rank
        |FROM ivfrk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
@@ -176,7 +202,7 @@ object IvfOracle {
   def ivfRecallSql(k: Int = 8, iterations: Int = 5, dim: Int = 64,
                    nProbe: Int = 5, topK: Int = 5): String =
     s"""WITH ${centroidCtes(k, iterations, dim)},
-       |${searchCtes(s"cent$iterations", nProbe, "e.id < 10")},
+       |${searchCtes(s"cent$iterations", nProbe.toString, "e.id < 10")},
        |ivf5 AS MATERIALIZED (SELECT query_id, neighbor_id FROM ivfrk WHERE rank <= $topK),
        |flat AS (
        |  SELECT vec_id, unnest(embedding) AS x,

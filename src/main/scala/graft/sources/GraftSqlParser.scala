@@ -41,21 +41,23 @@ import graft.sinks.ManifestTable
   *                                       FILTER pre-filters candidates on a
   *                                       source-corpus predicate (df stays
   *                                       corpus-global)
-  * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE 2]
+  * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE p|AUTO]
   *   [REFINE [FACTOR 8]] [FILTER (label = 2)]
   *                                    -- ANN probe (+ exact re-rank on PQ;
   *                                       FILTER = filtered ANN, predicate
   *                                       over the source corpus pre-filters
-  *                                       candidates BEFORE ranking)
+  *                                       candidates BEFORE ranking;
+  *                                       PROBE AUTO widens the probe by
+  *                                       the filter's measured selectivity)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS ('a', 'b')
-  *   FROM '/queries' [TOP 10] [PROBE 2] [REFINE [FACTOR 8]]
+  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [REFINE [FACTOR 8]]
   *   [FILTER (lang = 'en')]           -- reciprocal-rank fusion (REFINE:
   *                                       exact-re-ranked vector list, PQ;
   *                                       FILTER: one allowed set off the
   *                                       TEXT index's source pre-filters
   *                                       BOTH lists)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS COLUMN qterms
-  *   FROM '/queries' [TOP 10] [PROBE 2] [REFINE [FACTOR 8]]
+  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [REFINE [FACTOR 8]]
   *   [FILTER (lang = 'en')]           -- per-query term sets from a
   *                                       queries-table column (batch form)
   *                                    -- (composable forms: the
@@ -163,16 +165,25 @@ object GraftSqlParser {
   private val SearchText =
     """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybrid =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybridCol =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchVector =
-    """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val Refresh =
     """(?is)\s*GRAFT\s+REFRESH\s+'([^']+)'\s*""".r
   private val Rebuild =
     """(?is)\s*GRAFT\s+REBUILD\s+'([^']+)'\s*""".r
   private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
+
+  /** `PROBE` clause value: an explicit width, `AUTO` (selectivity-
+    * scaled at plan-build time — [[SearchRelations.ProbeAuto]]), or
+    * absent → [[SearchRelations.DefaultProbe]].
+    */
+  private def probeArg(raw: String): Int =
+    if (raw == null) SearchRelations.DefaultProbe
+    else if (raw.equalsIgnoreCase("AUTO")) SearchRelations.ProbeAuto
+    else raw.toInt
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
     sql match {
@@ -314,7 +325,7 @@ object GraftSqlParser {
         // terms in <termsCol> — the batch-retrieval form
         Some(GraftSearchHybridColCommand(tIdx, vIdx, termsCol, queries,
           Option(top).map(_.toInt).getOrElse(10),
-          Option(probe).map(_.toInt).getOrElse(2),
+          probeArg(probe),
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
           filterPred = Option(filterPred).map(_.trim)))
@@ -327,7 +338,7 @@ object GraftSqlParser {
             s"comma-separated; got: $termsRaw")
         Some(GraftSearchHybridCommand(tIdx, vIdx, terms, queries,
           Option(top).map(_.toInt).getOrElse(10),
-          Option(probe).map(_.toInt).getOrElse(2),
+          probeArg(probe),
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
           filterPred = Option(filterPred).map(_.trim)))
@@ -335,7 +346,7 @@ object GraftSqlParser {
                         filterPred) =>
         Some(GraftSearchVectorCommand(idx, queries,
           Option(top).map(_.toInt).getOrElse(5),
-          Option(probe).map(_.toInt).getOrElse(2),
+          probeArg(probe),
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
           filterPred = Option(filterPred).map(_.trim)))

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bm25Index, IvfIndex, PqIndex}
+import graft.ops.{Bm25Index, Ivf, IvfIndex, PqIndex}
 import graft.sinks.ManifestTable
 
 /** The RELATIONAL face of persisted-index search — one shared
@@ -47,6 +47,59 @@ object SearchRelations {
     // extreme k, and a wrapped cut would silently shrink stage 2
     math.min(math.max(2L * k, math.min(nDocs / 6, 64L * k)),
       Int.MaxValue.toLong).toInt
+
+  /** Sentinel probe width — `PROBE AUTO` on the verbs, `'auto'` (or
+    * `-1`) as the TVFs' probe argument: the probe count resolves at
+    * plan-build time from the filter's measured selectivity
+    * ([[graft.ops.Ivf.autoProbe]] — widen [[DefaultProbe]] by
+    * corpus/allowed, clamped to [base, nLists]). Resolution runs in
+    * [[vector]] so every surface (verb, TVF, hybrid, API) shares it;
+    * the sentinel never reaches an index kernel.
+    */
+  val ProbeAuto: Int = -1
+
+  /** The search surfaces' default probe width — also the base that
+    * `PROBE AUTO` widens from.
+    */
+  val DefaultProbe: Int = 2
+
+  /** Resolve the effective probe width. Explicit probes pass through
+    * (validated ≥ 1 — the kernels take nProbe uninspected, so the
+    * [[ProbeAuto]] sentinel must not leak past here). AUTO reads two
+    * counts and applies [[Ivf.autoProbe]]:
+    *
+    *  - nLists from the index's centroid table (a k-row parquet —
+    *    footer-count, no data IO);
+    *  - the indexed-vector count from the lists manifest's metadata
+    *    rowcount (zero IO; the SOURCE manifest is the fallback for
+    *    lists predating rowcount tracking);
+    *  - the allowed count — ONE count job over the filtered corpus
+    *    scan (count-only: Catalyst prunes to the predicate columns).
+    *    No filter ⇒ selectivity 1 ⇒ the base probe, job skipped.
+    *
+    * Like the TVF builders' index-metadata reads, AUTO is deliberate
+    * plan-build-time driver work: the probe width SHAPES the plan
+    * (which lists' buckets are even listed), so it cannot wait for
+    * executors. EXPLAIN of an AUTO query therefore pays the one count.
+    */
+  private def resolveProbe(spark: SparkSession, idx: String,
+                           d: Map[String, String], nProbe: Int,
+                           allowed: Option[DataFrame]): Int = {
+    if (nProbe != ProbeAuto) {
+      require(nProbe >= 1, s"PROBE must be >= 1 or AUTO, got $nProbe")
+      nProbe
+    } else {
+      val nLists = IvfIndex.nLists(spark, idx)
+      allowed match {
+        case None => math.min(DefaultProbe, nLists)
+        case Some(a) =>
+          val indexed = ManifestTable.rowCount(spark, IvfIndex.listsPath(idx))
+            .orElse(ManifestTable.rowCount(spark, d("sourcePath")))
+            .getOrElse(-1L)
+          Ivf.autoProbe(DefaultProbe, nLists, indexed, a.count())
+      }
+    }
+  }
 
   /** The filtered-search allowed-id frame: the index's SOURCE corpus
     * WHERE `pred` (Catalyst pushes the predicate into that scan),
@@ -127,7 +180,9 @@ object SearchRelations {
     * rank window, so k allowed survivors come back whenever the probed
     * lists hold k — not the post-join WHERE's rank-then-filter, which
     * silently under-fills. Selective filters want a higher PROBE (see
-    * [[graft.ops.Ivf.searchTopK]]).
+    * [[graft.ops.Ivf.searchTopK]]) — `nProbe = ` [[ProbeAuto]]
+    * (`PROBE AUTO`) resolves that width automatically from the
+    * filter's measured selectivity ([[resolveProbe]]).
     */
   def vector(spark: SparkSession, idx: String, queriesPath: String,
              k: Int, nProbe: Int, refine: Boolean,
@@ -147,17 +202,18 @@ object SearchRelations {
     // down here, instead of re-deriving it from this index's source
     val allowed = allowedOverride.orElse(
       allowedIds(spark, d, filterPred))
+    val pEff = resolveProbe(spark, idx, d, nProbe, allowed)
     d.getOrElse("kind", "?") match {
       case "ivfpq" =>
         val base =
           if (refine)
             PqIndex.searchRefined(spark, idx, queries,
               ManifestTable.read(spark, d("sourcePath")),
-              d("idCol"), d("vecCol"), k, nProbe, refineFactor,
+              d("idCol"), d("vecCol"), k, pEff, refineFactor,
               queryBound = qBound, allowed = allowed)
           else
             PqIndex.search(spark, idx, queries,
-              d("idCol"), d("vecCol"), k, nProbe, queryBound = qBound,
+              d("idCol"), d("vecCol"), k, pEff, queryBound = qBound,
               allowed = allowed)
         base.select(col("query_id"), col("neighbor_id"),
           col("dist").as("score"), col("rank"))
@@ -166,7 +222,7 @@ object SearchRelations {
           "REFINE applies to PQ indexes — an ivf index already " +
             "re-scores candidates with exact cosine")
         IvfIndex.search(spark, idx, queries,
-            d("idCol"), d("vecCol"), k, nProbe, queryBound = qBound,
+            d("idCol"), d("vecCol"), k, pEff, queryBound = qBound,
             allowed = allowed)
           .select(col("query_id").cast("long").as("query_id"),
             col("neighbor_id").cast("long").as("neighbor_id"),

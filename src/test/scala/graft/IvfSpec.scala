@@ -76,4 +76,28 @@ class IvfSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b"), ("b", "c")))
     assert(bpe.getSeq[String](bpe.fieldIndex("m")).toSeq == Seq("a b", "c"))
   }
+  test("autoProbe: exact ceiling widening, clamped to [base, nLists]") {
+    // s = allowed/corpus; need = ceil(base·corpus/allowed), all-integer
+    assert(Ivf.autoProbe(2, 8, 1000L, 500L) == 4)   // s=1/2  → 4
+    assert(Ivf.autoProbe(2, 8, 1000L, 334L) == 6)   // ceil(5.99) = 6
+    assert(Ivf.autoProbe(2, 8, 1000L, 333L) == 7)   // ceil(6.006) = 7
+    assert(Ivf.autoProbe(2, 8, 999L, 333L) == 6)    // exact 6 — no +1
+    // permissive filters never NARROW the search (clamp low = base)
+    assert(Ivf.autoProbe(2, 8, 1000L, 1000L) == 2)
+    assert(Ivf.autoProbe(2, 8, 1000L, 4000L) == 2)  // allowed ⊃ indexed
+    // selective filters saturate at probe-all (the exact regime)
+    assert(Ivf.autoProbe(2, 8, 1000L, 10L) == 8)
+    // empty allowed set → probe-all (any probe returns nothing anyway)
+    assert(Ivf.autoProbe(2, 8, 1000L, 0L) == 8)
+    // unknown corpus count → no widening, never a guess
+    assert(Ivf.autoProbe(2, 8, -1L, 500L) == 2)
+    assert(Ivf.autoProbe(2, 8, 0L, 500L) == 2)
+    // base beyond nLists clamps down even unfiltered
+    assert(Ivf.autoProbe(9, 8, -1L, 500L) == 8)
+    assert(Ivf.autoProbe(9, 8, 1000L, 1000L) == 8)
+    // no Long overflow: base·corpus at extreme corpus sizes
+    assert(Ivf.autoProbe(64, 1024, 1L << 40, 1L) == 1024)
+    intercept[IllegalArgumentException](Ivf.autoProbe(0, 8, 10L, 5L))
+    intercept[IllegalArgumentException](Ivf.autoProbe(2, 0, 10L, 5L))
+  }
 }

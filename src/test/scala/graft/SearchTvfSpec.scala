@@ -532,4 +532,91 @@ class SearchTvfSpec extends SparkSpec {
     assert(pq.nonEmpty && pq.forall(_._2 / 4 % 2 == 1),
       s"refined PQ filtered search must only return allowed docs: $pq")
   }
+  test("PROBE AUTO: filter selectivity widens the probe to the exact regime; surfaces agree; unfiltered AUTO = default") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(43)
+    val vcorpus = tmp(); val vIdx = tmp(); val qtab = tmp()
+    // 4 clean gaussian clusters (i % 4); allowed docs live ONLY in
+    // clusters 2 and 3 (label 1), queries come from cluster 0 — so a
+    // FIXED default probe (2 lists, chosen by vector geometry alone)
+    // sees few/none of the allowed docs, while AUTO measures
+    // selectivity 1/2 → ceil(2·80/40) = 4 = nLists = the exact regime
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat), if (i % 4 >= 2) 1 else 0)
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding", "label"),
+      vcorpus, "vec_id", 2)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(
+      vecs.filter(_._1 % 4 == 0).take(3).map { case (i, v, _) => (i, v) }
+        .toDF("vec_id", "embedding"), qtab, "vec_id", 2)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+    // AUTO under the selective filter ≡ filtered brute force: the
+    // measured selectivity saturates the probe at nLists, the exact
+    // regime (self-exclusion matches searchTopK's)
+    val auto = SearchRelations.vector(spark, vIdx, qtab, k = 5,
+      nProbe = SearchRelations.ProbeAuto, refine = false,
+      refineFactor = 4, filterPred = Some("label = 1"))
+    val emb = ManifestTable.read(spark, vcorpus)
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("label") === 1), emb.filter(col("vec_id") % 4 === 0)
+          .filter(col("vec_id") < 12),
+        "vec_id", "embedding", k = 5, queryBound = 3L)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(rows(auto) == brute,
+      s"AUTO must reach the exact regime here:\nauto=${rows(auto)}\nbrute=$brute")
+
+    // …where the FIXED default probe provably degrades on this
+    // fixture: the 2 geometrically-nearest lists miss allowed docs
+    val fixed = SearchRelations.vector(spark, vIdx, qtab, k = 5,
+      nProbe = SearchRelations.DefaultProbe, refine = false,
+      refineFactor = 4, filterPred = Some("label = 1"))
+    val fixedFills = rows(fixed).groupBy(_._1).forall(_._2.size == 5)
+    assert(rows(fixed) != brute || !fixedFills,
+      "fixture must make the fixed default probe visibly under-fill " +
+        s"or mis-rank: fixed=${rows(fixed)}")
+
+    // all three surfaces resolve AUTO identically
+    val verb = spark.sql(s"GRAFT SEARCH VECTOR '$vIdx' FROM '$qtab' " +
+      "TOP 5 PROBE AUTO FILTER (label = 1)")
+    val tvf = spark.sql("SELECT * FROM graft_search_vector_filtered(" +
+      s"'$vIdx', '$qtab', 5, 'auto', 'label = 1')")
+    assert(rows(verb) == rows(auto) && rows(tvf) == rows(auto),
+      s"verb/tvf/api disagree:\nverb=${rows(verb)}\ntvf=${rows(tvf)}")
+
+    // unfiltered AUTO is exactly the default probe (no widening, and
+    // the selectivity count job is skipped — no filter, no allowed set)
+    val unf = SearchRelations.vector(spark, vIdx, qtab, k = 5,
+      nProbe = SearchRelations.ProbeAuto, refine = false, refineFactor = 4)
+    val dflt = SearchRelations.vector(spark, vIdx, qtab, k = 5,
+      nProbe = SearchRelations.DefaultProbe, refine = false,
+      refineFactor = 4)
+    assert(rows(unf) == rows(dflt), "unfiltered AUTO must equal PROBE 2")
+
+    // the PQ path shares the resolution (hybrid inherits via vector())
+    val pqIdx = tmp()
+    PqIndex.sync(spark, pqIdx, vcorpus, "vec_id", "embedding",
+      kLists = 4, nBuckets = 4)
+    val pq = spark.sql(s"GRAFT SEARCH VECTOR '$pqIdx' FROM '$qtab' " +
+      "TOP 5 PROBE AUTO FILTER (label = 1)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pq.nonEmpty && pq.forall(_._2 % 4 >= 2),
+      s"PQ AUTO filtered search must fill from allowed docs only: $pq")
+
+    // the sentinel never leaks: an explicit nonsense probe still fails
+    val e = intercept[IllegalArgumentException](
+      SearchRelations.vector(spark, vIdx, qtab, k = 5, nProbe = -7,
+        refine = false, refineFactor = 4))
+    assert(e.getMessage.contains("PROBE must be >= 1 or AUTO"))
+  }
 }
