@@ -121,6 +121,10 @@ object GraftExtensions {
     *  - `graft_search_text_rescored(idx, terms, k[, factor])` →
     *    (doc_id, matched_terms, span, rescored); candidate cut f·k, or
     *    corpus-scaled when omitted
+    *  - `graft_search_text_snippets(idx, terms[, k[, pad[, factor[,
+    *    pred]]]])` → the rescored columns plus `snippet`: the winning
+    *    cover window ± pad tokens, query-term hits bracketed (the
+    *    verbs' `RESCORE SNIPPET [PAD p]`)
     *  - `graft_search_vector(idx, queriesPath, k, probe[, refineFactor])`
     *    — probe may be `'auto'`/`-1`: selectivity-scaled widening
     *    (all vector/hybrid probe args accept it)
@@ -171,6 +175,20 @@ object GraftExtensions {
           if (es.size > 3) Some(intArg(es(3), "factor")) else None,
           filterPred =
             if (es.size > 4) Some(strArg(es(4), "predicate")) else None)
+        .queryExecution.logical
+    }),
+    "graft_search_text_snippets" -> (es => {
+      requireArity(es, 2, 6,
+        "graft_search_text_snippets(index, terms[, k[, pad[, factor[, " +
+          "predicate]]]]) — the rescored search plus a highlighted " +
+          "cover-window excerpt (± pad tokens, default 3)")
+      graft.sources.SearchRelations.textRescored(SparkSession.active,
+          strArg(es(0), "index_path"), termList(strArg(es(1), "terms")),
+          if (es.size > 2) intArg(es(2), "k") else 10,
+          if (es.size > 4) Some(intArg(es(4), "factor")) else None,
+          filterPred =
+            if (es.size > 5) Some(strArg(es(5), "predicate")) else None,
+          snippetPad = if (es.size > 3) intArg(es(3), "pad") else 3)
         .queryExecution.logical
     }),
     "graft_search_vector" -> (es => {

@@ -416,10 +416,25 @@ object Bm25Index {
     * than silently shrinking the cover (the r14 bug class). Pass a
     * negative value to have this method collect the tiny distinct-term
     * set once and derive the exact arity (the raw-API fallback).
+    *
+    * `snippetPad` ≥ 0 adds a `snippet` column: the best cover window's
+    * tokens ± pad (clamped at document edges), space-joined, with every
+    * query-term occurrence inside the window wrapped in `[...]` — the
+    * highlighted excerpt every production search stack returns next to
+    * the score. The sweep already visits the winning window (the FIRST
+    * minimal cover in end-position order — deterministic, so an oracle
+    * can replay the exact window choice); snippet mode just records its
+    * (start, end) in two extra state slots and pays ONE extra
+    * candidate-bound narrow pass over `docs` for the token arrays (the
+    * occurrence explode must not carry whole-document arrays per token
+    * row — that transient is O(doc_len²) per candidate and dies on long
+    * documents; two bounded passes beat it at any scale). Negative
+    * (default): no snippet, byte-identical plan to before the feature.
     */
   def proximityRescore(cands: DataFrame, docs: DataFrame, qterms: DataFrame,
                        idCol: String, textCol: String, topK: Int,
-                       candBound: Long = -1L, qArity: Int = -1): DataFrame = {
+                       candBound: Long = -1L, qArity: Int = -1,
+                       snippetPad: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // DISTINCT query terms indexed 1..nQ — the sweep's state carries
     // one last-seen slot per term, so the state arity is derived from
@@ -474,11 +489,17 @@ object Bm25Index {
     // PRESENT terms at -1 so they do) and the best window ending at
     // each occurrence is pos - min(last-seen) + 1.
     val bigM = Int.MaxValue
+    val withSnippet = snippetPad >= 0
     def lastInit(i: Int): Column =
       when(exists(col("os"), e => e.getField("tidx") === i), lit(-1))
         .otherwise(lit(bigM))
+    // snippet mode carries the winning window's bounds (bs, be) in two
+    // extra state slots; plain mode keeps the original state shape so
+    // its plan (and the PLANS.md pin of bm25_rescore) is untouched
     val init = struct(
-      (1 to nQ).map(i => lastInit(i).as(s"l$i")) :+ lit(bigM).as("best"): _*)
+      ((1 to nQ).map(i => lastInit(i).as(s"l$i")) :+ lit(bigM).as("best")) ++
+        (if (withSnippet) Seq(lit(-1).as("bs"), lit(-1).as("be"))
+         else Nil): _*)
     val sweep = aggregate(col("os"), init,
       (st, e) => {
         val ls = (1 to nQ).map(i =>
@@ -486,19 +507,54 @@ object Bm25Index {
             .otherwise(st.getField(s"l$i")))
         val mn = least(ls: _*)
         val win = e.getField("pos") - mn + 1
+        val better = mn >= 0 && win < st.getField("best")
         struct(
-          ls.zipWithIndex.map { case (l, i) => l.as(s"l${i + 1}") } :+
-            when(mn >= 0 && win < st.getField("best"), win)
-              .otherwise(st.getField("best")).as("best"): _*)
+          (ls.zipWithIndex.map { case (l, i) => l.as(s"l${i + 1}") } :+
+            when(better, win).otherwise(st.getField("best")).as("best")) ++
+            (if (withSnippet) Seq(
+              when(better, mn).otherwise(st.getField("bs")).as("bs"),
+              when(better, e.getField("pos")).otherwise(st.getField("be"))
+                .as("be"))
+             else Nil): _*)
       },
-      st => st.getField("best"))
-    val span = occ.select(col("doc_id"), sweep.cast("long").as("span"))
-    candsL.join(span, "doc_id") // every candidate matched ≥ 1 term
+      st =>
+        if (withSnippet) struct(st.getField("best").as("best"),
+          st.getField("bs").as("bs"), st.getField("be").as("be"))
+        else st.getField("best"))
+    val ranked =
+      if (!withSnippet) {
+        val span = occ.select(col("doc_id"), sweep.cast("long").as("span"))
+        candsL.join(span, "doc_id") // every candidate matched ≥ 1 term
+      } else {
+        // second candidate-bound narrow pass: the token arrays of the
+        // candidate docs only (see scaladoc — never carried through
+        // the occurrence explode)
+        val toks = docs
+          .select(col(idCol).cast("long").as("doc_id"),
+            TextAnalysis.tokens(col(textCol)).as("toks"))
+          .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound),
+            "doc_id")
+        val sw = occ.select(col("doc_id"), col("os"), sweep.as("sw"))
+          .join(toks, "doc_id")
+        val s2 = greatest(col("sw").getField("bs") - lit(snippetPad), lit(0))
+        val e2 = least(col("sw").getField("be") + lit(snippetPad),
+          size(col("toks")) - 1)
+        val snip = array_join(
+          transform(sequence(s2, e2), i =>
+            when(exists(col("os"), o => o.getField("pos") === i),
+              concat(lit("["), get(col("toks"), i), lit("]")))
+              .otherwise(get(col("toks"), i))), " ")
+        candsL.join(sw.select(col("doc_id"),
+          col("sw").getField("best").cast("long").as("span"),
+          snip.as("snippet")), "doc_id")
+      }
+    ranked
       .withColumn("rescored", round(col("score") +
         col("matched_terms").cast("double") / col("span"), 6))
       .orderBy(desc("rescored"), col("doc_id"))
       .limit(topK)
-      .select("doc_id", "matched_terms", "span", "rescored")
+      .select(Seq("doc_id", "matched_terms", "span", "rescored") ++
+        (if (withSnippet) Seq("snippet") else Nil) map col: _*)
   }
 
   /** Two-stage retrieval against the PERSISTED index: BM25 top-c from
@@ -511,9 +567,11 @@ object Bm25Index {
                      terms: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String, k: Int = 10, c: Int = 20,
                      qArity: Int = -1,
-                     allowed: Option[DataFrame] = None): DataFrame =
+                     allowed: Option[DataFrame] = None,
+                     snippetPad: Int = -1): DataFrame =
     proximityRescore(search(spark, indexPath, terms, c, allowed), docs,
-      terms, idCol, textCol, k, candBound = c.toLong, qArity = qArity)
+      terms, idCol, textCol, k, candBound = c.toLong, qArity = qArity,
+      snippetPad = snippetPad)
 
   /** BM25 top-k from the postings. `allowed`: optional filtered-search
     * PRE-FILTER (one column of permitted doc ids) — per-(doc, term)

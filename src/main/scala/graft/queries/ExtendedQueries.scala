@@ -2418,6 +2418,52 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |WHERE round(hits_re / n_gold, 6) >= round(hits_bm / n_gold, 6)
       |  AND round(hits_re / n_gold, 6) >= 0.7""".stripMargin
 
+  /** The rescored top-10 WITH highlighted snippets — the excerpt every
+    * production search result page carries, oracled: the winning cover
+    * window is deterministic (the FIRST minimal cover in end-position
+    * order — `proximityRescore`'s sweep updates best only on strictly
+    * smaller, so the oracle picks it as row_number over (len ASC,
+    * e ASC); any global-minimal window is necessarily the tightest at
+    * its end position, so the orderings agree), the snippet is its
+    * tokens ± 3 (clamped at document edges) space-joined with every
+    * query-term occurrence inside the window bracketed. Both engines
+    * build the string from the SAME whitespace tokens, so the column
+    * hash-matches exactly.
+    */
+  def bm25Snippets(spark: SparkSession, dir: String): DataFrame = {
+    val (cands, qterms) = bm25Parts(spark, dir)
+    graft.ops.Bm25Index.proximityRescore(
+      cands, Tables.documents(spark, dir), qterms, "doc_id", "text",
+      topK = 10, candBound = 20L, qArity = 3, snippetPad = 3)
+  }
+
+  private val bm25SnippetsSql = bm25RescoreCtes +
+    """,
+      |best AS (
+      |  SELECT doc_id, s, e FROM (
+      |    SELECT c.doc_id, c.s, c.e,
+      |           row_number() OVER (PARTITION BY c.doc_id
+      |             ORDER BY (c.e - c.s + 1) ASC, c.e ASC, c.s DESC) AS rk
+      |    FROM cover c JOIN present pr ON pr.doc_id = c.doc_id
+      |                                AND c.n_in = pr.n_present)
+      |  WHERE rk = 1),
+      |snip AS (
+      |  SELECT b.doc_id,
+      |         string_agg(CASE WHEN p2.pos IS NOT NULL
+      |                         THEN '[' || cp.term || ']' ELSE cp.term END,
+      |                    ' ' ORDER BY cp.pos) AS snippet
+      |  FROM best b
+      |  JOIN cpos cp ON cp.doc_id = b.doc_id
+      |              AND cp.pos BETWEEN b.s - 3 AND b.e + 3
+      |  LEFT JOIN p p2 ON p2.doc_id = cp.doc_id AND p2.pos = cp.pos
+      |  GROUP BY b.doc_id)
+      |SELECT cand.doc_id, cand.matched_terms, span.span,
+      |       round(cand.score +
+      |             CAST(cand.matched_terms AS DOUBLE) / span.span, 6) AS rescored,
+      |       snip.snippet
+      |FROM cand JOIN span USING (doc_id) JOIN snip USING (doc_id)
+      |ORDER BY rescored DESC, doc_id LIMIT 10""".stripMargin
+
   private val bm25RescoreSql = bm25RescoreCtes +
     """
       |SELECT cand.doc_id, cand.matched_terms, span.span,
@@ -4068,6 +4114,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_search" -> bm25Search _,
     "bm25_search_filtered" -> bm25SearchFiltered _,
     "bm25_rescore" -> bm25Rescore _,
+    "bm25_snippets" -> bm25Snippets _,
     "bm25_rescore_gate" -> bm25RescoreGate _,
     "hybrid_rrf" -> hybridRrf _,
     "hybrid_rrf_per_query" -> hybridRrfPerQuery _,
@@ -4362,6 +4409,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_search" -> bm25SearchSql,
     "bm25_search_filtered" -> bm25SearchFilteredSql,
     "bm25_rescore" -> bm25RescoreSql,
+    "bm25_snippets" -> bm25SnippetsSql,
     "bm25_rescore_gate" -> bm25RescoreGateSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_per_query" -> hybridRrfPerQuerySql,

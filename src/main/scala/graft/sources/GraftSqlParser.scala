@@ -35,9 +35,12 @@ import graft.sinks.ManifestTable
   * GRAFT CREATE VECTOR INDEX '/idx' FROM '/t' KEY id VECTOR emb
   *   [LISTS 16] [BUCKETS 8] [USING PQ]            -- PQ: coded IVF-PQ lists
   * GRAFT SEARCH TEXT '/idx' TERMS ('a', 'b') [TOP 20] [RESCORE [FACTOR f]]
-  *   [FILTER (lang = 'en')]           -- BM25 (+ proximity re-rank) from SQL;
+  *   [SNIPPET [PAD p]] [FILTER (lang = 'en')]
+  *                                    -- BM25 (+ proximity re-rank) from SQL;
   *                                       FACTOR sets the candidate cut f·k,
   *                                       default scales with the corpus;
+  *                                       SNIPPET (needs RESCORE) adds the
+  *                                       highlighted cover-window excerpt;
   *                                       FILTER pre-filters candidates on a
   *                                       source-corpus predicate (df stays
   *                                       corpus-global)
@@ -163,7 +166,7 @@ object GraftSqlParser {
   private val CreateChangeFeed =
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
   private val SearchText =
-    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybrid =
     """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybridCol =
@@ -175,6 +178,11 @@ object GraftSqlParser {
   private val Rebuild =
     """(?is)\s*GRAFT\s+REBUILD\s+'([^']+)'\s*""".r
   private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
+
+  /** `SNIPPET` without `PAD`: tokens of context on each side of the
+    * cover window.
+    */
+  private val DefaultSnippetPad = 3
 
   /** `PROBE` clause value: an explicit width, `AUTO` (selectivity-
     * scaled at plan-build time — [[SearchRelations.ProbeAuto]]), or
@@ -309,15 +317,23 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
           graft.streaming.ChangeFeed.create(s, feed, src,
             Option(fromV).map(_.toInt))))
-      case SearchText(idx, termsRaw, top, rescore, factor, textFilter) =>
+      case SearchText(idx, termsRaw, top, rescore, factor, snippet,
+                      pad, textFilter) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
           .map(_.group(1)).toSeq
         if (terms.isEmpty) throw new IllegalArgumentException(
           "GRAFT SEARCH TEXT needs TERMS ('a', 'b', ...) — quoted, " +
             s"comma-separated; got: $termsRaw")
+        if (snippet != null && rescore == null)
+          throw new IllegalArgumentException(
+            "SNIPPET requires RESCORE — the excerpt is the re-rank's " +
+              "cover window (GRAFT SEARCH TEXT ... RESCORE SNIPPET)")
         Some(GraftSearchTextCommand(idx, terms,
           Option(top).map(_.toInt).getOrElse(20), rescore != null,
           Option(factor).map(_.toInt),
+          snippetPad = if (snippet == null) -1
+                       else Option(pad).map(_.toInt)
+                         .getOrElse(DefaultSnippetPad),
           filterPred = Option(textFilter).map(_.trim)))
       case SearchHybridCol(tIdx, vIdx, termsCol, queries, top, probe,
                            refine, factor, filterPred) =>
@@ -630,6 +646,7 @@ case class GraftMaintainCommand(path: String, dryRun: Boolean)
 case class GraftSearchTextCommand(idx: String, terms: Seq[String],
                                   topK: Int, rescore: Boolean,
                                   factor: Option[Int] = None,
+                                  snippetPad: Int = -1,
                                   filterPred: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -637,7 +654,10 @@ case class GraftSearchTextCommand(idx: String, terms: Seq[String],
       AttributeReference("doc_id", LongType, nullable = false)(),
       AttributeReference("matched_terms", LongType, nullable = false)(),
       AttributeReference("span", LongType, nullable = false)(),
-      AttributeReference("rescored", DoubleType, nullable = false)())
+      AttributeReference("rescored", DoubleType, nullable = false)()) ++
+      (if (snippetPad >= 0) Seq(
+        AttributeReference("snippet", StringType, nullable = true)())
+       else Nil)
     else Seq(
       AttributeReference("doc_id", LongType, nullable = false)(),
       AttributeReference("matched_terms", LongType, nullable = false)(),
@@ -647,7 +667,7 @@ case class GraftSearchTextCommand(idx: String, terms: Seq[String],
     val res =
       if (rescore)
         SearchRelations.textRescored(sparkSession, idx, terms, topK,
-          factor, filterPred = filterPred)
+          factor, filterPred = filterPred, snippetPad = snippetPad)
       else
         SearchRelations.text(sparkSession, idx, terms, topK,
           filterPred = filterPred)

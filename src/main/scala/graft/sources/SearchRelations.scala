@@ -130,11 +130,15 @@ object SearchRelations {
     * re-rank over their fetched text; c = factor·k, or [[scaledCut]]
     * when no factor is given. (doc_id, matched_terms, span, rescored).
     * `filterPred` pre-filters the stage-1 candidates, so the whole
-    * candidate budget c re-ranks eligible docs.
+    * candidate budget c re-ranks eligible docs. `snippetPad` ≥ 0 adds
+    * a highlighted-excerpt `snippet` column — the winning cover window
+    * ± pad tokens, query-term hits bracketed
+    * ([[graft.ops.Bm25Index.proximityRescore]]).
     */
   def textRescored(spark: SparkSession, idx: String, terms: Seq[String],
                    k: Int, factor: Option[Int],
-                   filterPred: Option[String] = None): DataFrame = {
+                   filterPred: Option[String] = None,
+                   snippetPad: Int = -1): DataFrame = {
     val d = requireKind(spark, idx, "bm25")
     import spark.implicits._
     val c = factor match {
@@ -148,7 +152,8 @@ object SearchRelations {
     Bm25Index.searchRescored(spark, idx, terms.toDF("term"),
       ManifestTable.read(spark, d("sourcePath")),
       d("idCol"), d("textCol"), k = k, c = c, qArity = terms.size,
-      allowed = allowedIds(spark, d, filterPred))
+      allowed = allowedIds(spark, d, filterPred),
+      snippetPad = snippetPad)
   }
 
   /** Per-query BM25 from the postings ([[Bm25Index.searchPerQuery]]):

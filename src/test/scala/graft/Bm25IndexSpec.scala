@@ -297,6 +297,53 @@ class Bm25IndexSpec extends SparkSpec {
       s"span-4 doc outranks span-11 at equal matched_terms: ${res.toSeq}")
   }
 
+  test("snippets: the highlighted excerpt is the FIRST minimal cover window ± pad, clamped, all hits marked") {
+    import spark.implicits._
+    val docs = Seq(
+      // two minimal windows (alpha beta at 0-1 and again at 6-7): the
+      // sweep records the FIRST in end-position order
+      (1L, "alpha beta x y z w alpha beta tail1 tail2"),
+      // window at the very START: the left pad must clamp to pos 0
+      (2L, "alpha beta c d e f g"),
+      // window at the very END: the right pad clamps to the last token
+      (3L, "c d e f g alpha beta"),
+      // an extra ALPHA inside the padded range but outside the cover
+      // window is still a query-term hit — it gets marked too
+      (4L, "alpha x alpha beta y z w v u")
+    ).toDF("doc_id", "text")
+    val qterms = Seq("alpha", "beta").toDF("term")
+    val path = tmp()
+    Bm25Index.build(spark, path, docs, "doc_id", "text", nBuckets = 2)
+    val out = Bm25Index.searchRescored(spark, path, qterms, docs,
+        "doc_id", "text", k = 4, c = 4, snippetPad = 2)
+      .select("doc_id", "snippet").as[(Long, String)].collect().toMap
+    assert(out(1L) == "[alpha] [beta] x y",
+      s"first minimal window wins, right pad = 2: ${out(1L)}")
+    assert(out(2L) == "[alpha] [beta] c d",
+      s"left pad clamps at the document start: ${out(2L)}")
+    assert(out(3L) == "f g [alpha] [beta]",
+      s"right pad clamps at the document end: ${out(3L)}")
+    assert(out(4L) == "[alpha] x [alpha] [beta] y z",
+      s"every query-term hit inside the padded window is marked: ${out(4L)}")
+
+    // pad 0 = the bare cover window; the rescored ordering columns are
+    // byte-identical to the snippet-less call (the snippet is an ADDED
+    // column, never a changed ranking)
+    val plain = Bm25Index.searchRescored(spark, path, qterms, docs,
+      "doc_id", "text", k = 4, c = 4)
+    assert(plain.columns.toSeq ==
+      Seq("doc_id", "matched_terms", "span", "rescored"),
+      "snippet-less output schema must not grow a snippet column")
+    val snip0 = Bm25Index.searchRescored(spark, path, qterms, docs,
+      "doc_id", "text", k = 4, c = 4, snippetPad = 0)
+    assert(snip0.drop("snippet").collect().map(_.toString).toSeq ==
+      plain.collect().map(_.toString).toSeq,
+      "snippet mode must not perturb the rescored ranking")
+    assert(snip0.select("snippet").as[String].collect()
+      .forall(sn => sn.startsWith("[") && sn.endsWith("]")),
+      "pad 0 windows start and end on matched terms")
+  }
+
   test("proximityRescore: duplicate TERMS entries don't corrupt the sweep") {
     import spark.implicits._
     val docs = Seq(

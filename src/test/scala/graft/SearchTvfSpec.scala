@@ -619,4 +619,37 @@ class SearchTvfSpec extends SparkSpec {
         refine = false, refineFactor = 4))
     assert(e.getMessage.contains("PROBE must be >= 1 or AUTO"))
   }
+  test("SNIPPET: verb ≡ TVF ≡ API; needs RESCORE; hits bracketed") {
+    import graft.sources.SearchRelations
+    val (_, idx) = textFixture
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "rescored", "snippet").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    val api = SearchRelations.textRescored(spark, idx,
+      Seq("alpha", "tail1"), k = 5, factor = Some(4), snippetPad = 2)
+    val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' " +
+      "TERMS ('alpha', 'tail1') TOP 5 RESCORE FACTOR 4 SNIPPET PAD 2")
+    val tvf = spark.sql("SELECT * FROM graft_search_text_snippets(" +
+      s"'$idx', 'alpha tail1', 5, 2, 4)")
+    assert(rows(api) == rows(verb) && rows(verb) == rows(tvf),
+      s"three surfaces, one snippet:\napi=${rows(api)}\n" +
+        s"verb=${rows(verb)}\ntvf=${rows(tvf)}")
+    assert(rows(api).nonEmpty && rows(api).forall { case (_, _, sn) =>
+      sn.contains("[alpha]") && sn.contains("[tail1]") },
+      s"snippets bracket both query terms: ${rows(api)}")
+
+    // SNIPPET is the re-rank's cover window — without RESCORE it must
+    // refuse loudly, not silently ignore the clause
+    val e = intercept[Exception](spark.sql(
+      s"GRAFT SEARCH TEXT '$idx' TERMS ('alpha') TOP 5 SNIPPET"))
+    assert(e.getMessage.contains("SNIPPET requires RESCORE"),
+      s"got: ${e.getMessage}")
+
+    // default pad (no PAD clause / TVF pad arg) is 3 on both surfaces
+    val verbD = spark.sql(s"GRAFT SEARCH TEXT '$idx' " +
+      "TERMS ('alpha', 'tail1') TOP 5 RESCORE SNIPPET")
+    val apiD = SearchRelations.textRescored(spark, idx,
+      Seq("alpha", "tail1"), k = 5, factor = None, snippetPad = 3)
+    assert(rows(verbD) == rows(apiD), "default PAD must be 3")
+  }
 }
