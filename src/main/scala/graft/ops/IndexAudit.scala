@@ -19,6 +19,12 @@ import graft.sinks.ManifestTable
   * /lists manifest table passes its own fsck (delegated, prefixed
   * `lists:`).
   *
+  * DEEP also adds the per-list BALANCE audit for vector indexes
+  * ([[balanceCheck]]): exact list occupancy from one narrow scan,
+  * WARN when the fat list exceeds [[BalanceFactor]]× the mean — the
+  * frozen-centroid drift mode where appends pile into one list and
+  * degrade both probe cost and recall with no storage-level symptom.
+  *
   * DEEP adds the recall audit for vector indexes (ivf/ivfpq): sample
   * the `q` lowest-id corpus vectors as queries (deterministic — the
   * audit is re-runnable and diffable), answer them through the index's
@@ -180,11 +186,69 @@ object IndexAudit {
 
     val recallRows =
       if (deep && (kind == "ivf" || kind == "ivfpq"))
-        Seq(recallCheck(spark, path, kind, src, d("idCol"), d("vecCol")))
+        Seq(recallCheck(spark, path, kind, src, d("idCol"), d("vecCol")),
+          balanceCheck(spark, path))
       else Seq.empty
 
     Seq(defRow) ++ modelRows ++ freshRows ++ listRows ++ recallRows
   }
+
+  /** Above this max-list/mean-list ratio the DEEP balance audit reports
+    * WARN. IVF imbalance is the quiet quality-AND-perf drift mode of a
+    * frozen-centroid index: appends assign to the nearest TRAINED
+    * centroid, so a corpus whose distribution moved piles into one
+    * list — probes that hit the fat list approach a brute-force scan
+    * of it, probes that miss it starve (recall), and neither shows up
+    * in any storage fsck. 4× tolerates natural cluster-size variance;
+    * a healthy trained index measures ~1-2×.
+    *
+    * The ratio is bounded above by the TRAINED list count (one list
+    * holding everything = trained× the mean), so for small-list
+    * indexes the effective threshold is `min(BalanceFactor,
+    * max(trained/2, 1.5))` — a 4-list index piling into one list
+    * saturates near 4× and must still WARN, while a 1-list index
+    * (ratio identically 1) never can.
+    */
+  val BalanceFactor = 4.0
+
+  private[graft] def balanceThreshold(trained: Int): Double =
+    math.min(BalanceFactor, math.max(trained / 2.0, 1.5))
+
+  /** Exact per-list occupancy audit for the vector kinds. DEEP-only by
+    * design: it scans ONE narrow column (list_id) of the lists table —
+    * cheap next to the recall audit's corpus scan, but a real data
+    * scan, which the fast check set promises never to do (and which an
+    * auto-maintain cadence must not pay per corpus commit). Counts are
+    * exact and the collect is nLists-bounded (model-sized). Empty
+    * trained lists count toward the mean — a list no vector lands in
+    * is itself drift signal.
+    */
+  private def balanceCheck(spark: SparkSession,
+                           path: String): (String, String, String) =
+    try {
+      val (_, _, dataPath) = indexLayout(spark, path)
+      val trained = IvfIndex.nLists(spark, path)
+      val sizes = ManifestTable.read(spark, dataPath)
+        .groupBy("list_id").agg(count(lit(1)).as("n"))
+        .select(col("n").cast("long"))
+        .collect().map(_.getLong(0))
+      val total = sizes.sum
+      val maxList = if (sizes.isEmpty) 0L else sizes.max
+      val mean = total.toDouble / math.max(trained, 1)
+      val ratio = if (mean > 0) maxList / mean else 0.0
+      val detail = f"$trained trained / ${sizes.length} occupied lists, " +
+        f"$total vectors, max list $maxList (${ratio}%.2fx mean, " +
+        f"threshold ${balanceThreshold(trained)}%.1fx)"
+      if (ratio <= balanceThreshold(trained)) ("index_balance", "ok", detail)
+      else ("index_balance", "WARN",
+        s"$detail — probes hitting the fat list approach a brute scan " +
+          "of it and probes missing it starve recall; frozen centroids " +
+          "cannot rebalance — rebuild (GRAFT DROP INDEX + GRAFT CREATE " +
+          "VECTOR INDEX) to retrain on the current corpus")
+    } catch {
+      case e: Throwable =>
+        ("index_balance", "FAIL", s"audit failed: ${e.getMessage}")
+    }
 
   private def modelCheck(name: String, detail: => String): (String, String, String) =
     try (name, "ok", detail)

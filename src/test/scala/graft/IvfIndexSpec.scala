@@ -103,6 +103,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows.find(_.getString(1) == "index_freshness").get.getString(2) == "ok")
   }
 
+  test("VERIFY DEEP balance audit: healthy index ok; a piled-up append WARNs with exact occupancy") {
+    val all = clustered(200, 12)
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(all.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    def balance() = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+      .find(_.getString(1) == "index_balance")
+      .getOrElse(fail("vector VERIFY DEEP must include index_balance"))
+    val healthy = balance()
+    assert(healthy.getString(2) == "ok",
+      s"4 even generator clusters are balanced: ${healthy.getString(3)}")
+    assert(healthy.getString(3).contains("4 trained"),
+      s"detail names the trained list count: ${healthy.getString(3)}")
+
+    // the frozen-centroid drift mode: every appended vector is a
+    // near-duplicate of ONE existing cluster member, so the whole
+    // 1000-row batch assigns to that member's list — max/mean = 3.5x,
+    // past the 4-list effective threshold min(4.0, 4/2) = 2.0 (the
+    // ratio is bounded by trained=4, which is why the threshold is
+    // list-count-aware)
+    val seed = all.head._2
+    val piled = (1000L until 2000L).map(i =>
+      (i, seed.map(x => x + 0.001f * ((i % 7) - 3))))
+    ManifestTable.append(spark, corpus,
+      piled.toDF("vec_id", "embedding"), "vec_id")
+    spark.sql(s"GRAFT MAINTAIN '$idx'") // folds the delta (frozen model)
+    val drifted = balance()
+    assert(drifted.getString(2) == "WARN",
+      s"1000 near-dup appends into one list must WARN: ${drifted.getString(3)}")
+    assert(drifted.getString(3).contains("1200 vectors") &&
+      drifted.getString(3).contains("rebuild"),
+      s"detail carries exact totals and the retrain action: ${drifted.getString(3)}")
+    // exact fat-list count: 1000 appends + the seed's own cluster (50
+    // of 200 initial vectors sit in the seed's generator cluster)
+    assert(drifted.getString(3).contains("max list 1050"),
+      s"occupancy is exact, not sampled: ${drifted.getString(3)}")
+  }
+
   test("sync: exactly-once maintenance from a manifest corpus") {
     val all = clustered(240, 12)
     val (a, b) = all.splitAt(160)
