@@ -125,6 +125,13 @@ object GraftExtensions {
     *    pred]]]])` → the rescored columns plus `snippet`: the winning
     *    cover window ± pad tokens, query-term hits bracketed (the
     *    verbs' `RESCORE SNIPPET [PAD p]`)
+    *  - `graft_search_text_col(idx, queriesPath, termsCol[, k[, pred]])`
+    *    → batch BM25, per-query term sets from a queries-table column
+    *    (the verbs' `TERMS COLUMN` form)
+    *  - `graft_search_text_col_rescored(idx, queriesPath, termsCol[, k[,
+    *    factor[, pad[, pred]]]])` → the batch two-stage re-rank;
+    *    factor 0 = corpus-scaled cut, pad ≥ 0 adds per-(query, doc)
+    *    snippets
     *  - `graft_search_vector(idx, queriesPath, k, probe[, refineFactor])`
     *    — probe may be `'auto'`/`-1`: selectivity-scaled widening
     *    (all vector/hybrid probe args accept it)
@@ -189,6 +196,38 @@ object GraftExtensions {
           filterPred =
             if (es.size > 5) Some(strArg(es(5), "predicate")) else None,
           snippetPad = if (es.size > 3) intArg(es(3), "pad") else 3)
+        .queryExecution.logical
+    }),
+    "graft_search_text_col" -> (es => {
+      requireArity(es, 3, 5,
+        "graft_search_text_col(index, queries_path, terms_col[, k[, " +
+          "predicate]]) — batch BM25: per-query term sets from a " +
+          "queries-table column")
+      graft.sources.SearchRelations.textPerQueryRelation(
+          SparkSession.active,
+          strArg(es(0), "index_path"), strArg(es(1), "queries_path"),
+          strArg(es(2), "terms_col"),
+          if (es.size > 3) intArg(es(3), "k") else 10,
+          filterPred =
+            if (es.size > 4) Some(strArg(es(4), "predicate")) else None)
+        .queryExecution.logical
+    }),
+    "graft_search_text_col_rescored" -> (es => {
+      requireArity(es, 3, 7,
+        "graft_search_text_col_rescored(index, queries_path, terms_col" +
+          "[, k[, factor[, pad[, predicate]]]]) — batch two-stage " +
+          "retrieval; factor 0 = corpus-scaled cut, pad >= 0 adds " +
+          "snippets, pad -1 (default) none")
+      val factor = if (es.size > 4) intArg(es(4), "factor") else 0
+      graft.sources.SearchRelations.textRescoredPerQuery(
+          SparkSession.active,
+          strArg(es(0), "index_path"), strArg(es(1), "queries_path"),
+          strArg(es(2), "terms_col"),
+          if (es.size > 3) intArg(es(3), "k") else 10,
+          if (factor > 0) Some(factor) else None,
+          filterPred =
+            if (es.size > 6) Some(strArg(es(6), "predicate")) else None,
+          snippetPad = if (es.size > 5) intArg(es(5), "pad") else -1)
         .queryExecution.logical
     }),
     "graft_search_vector" -> (es => {

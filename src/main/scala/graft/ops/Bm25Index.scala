@@ -488,19 +488,62 @@ object Bm25Index {
     // pinned to a huge sentinel so they never gate coverage, unseen
     // PRESENT terms at -1 so they do) and the best window ending at
     // each occurrence is pos - min(last-seen) + 1.
-    val bigM = Int.MaxValue
     val withSnippet = snippetPad >= 0
+    val sweep = coverSweep(nQ, withSnippet)
+    val ranked =
+      if (!withSnippet) {
+        val span = occ.select(col("doc_id"), sweep.cast("long").as("span"))
+        candsL.join(span, "doc_id") // every candidate matched ≥ 1 term
+      } else {
+        // second candidate-bound narrow pass: the token arrays of the
+        // candidate docs only (see scaladoc — never carried through
+        // the occurrence explode)
+        val toks = docs
+          .select(col(idCol).cast("long").as("doc_id"),
+            TextAnalysis.tokens(col(textCol)).as("toks"))
+          .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound),
+            "doc_id")
+        val sw = occ.select(col("doc_id"), col("os"), sweep.as("sw"))
+          .join(toks, "doc_id")
+        candsL.join(sw.select(col("doc_id"),
+          col("sw").getField("best").cast("long").as("span"),
+          snippetExpr(snippetPad).as("snippet")), "doc_id")
+      }
+    ranked
+      .withColumn("rescored", round(col("score") +
+        col("matched_terms").cast("double") / col("span"), 6))
+      .orderBy(desc("rescored"), col("doc_id"))
+      .limit(topK)
+      .select(Seq("doc_id", "matched_terms", "span", "rescored") ++
+        (if (withSnippet) Seq("snippet") else Nil) map col: _*)
+  }
+
+  /** The min-cover sweep over an `os` column (position-sorted (pos,
+    * tidx) occurrence pairs, tidx ∈ 1..nQ): the classic single
+    * left-to-right pass — O(occ), one fold; a relational
+    * occurrence-pair enumeration would self-join the set, and AQE's
+    * broadcast conversion of those tiny joins re-ran the corpus scan
+    * per leg (ExecutedPlanSpec pins the count). The state carries the
+    * last-seen position per term (absent terms pinned to a huge
+    * sentinel so they never gate coverage, unseen PRESENT terms at -1
+    * so they do); the best window ending at each occurrence is
+    * pos - min(last-seen) + 1. Snippet mode carries the winning
+    * window's bounds (bs, be) in two extra state slots; plain mode
+    * keeps the original state shape so its plan (and the PLANS.md pin
+    * of bm25_rescore) is untouched. Shared by [[proximityRescore]] and
+    * [[proximityRescorePerQuery]] — the batch form groups os by
+    * (query_id, doc_id), the expression is identical.
+    */
+  private def coverSweep(nQ: Int, withSnippet: Boolean): Column = {
+    val bigM = Int.MaxValue
     def lastInit(i: Int): Column =
       when(exists(col("os"), e => e.getField("tidx") === i), lit(-1))
         .otherwise(lit(bigM))
-    // snippet mode carries the winning window's bounds (bs, be) in two
-    // extra state slots; plain mode keeps the original state shape so
-    // its plan (and the PLANS.md pin of bm25_rescore) is untouched
     val init = struct(
       ((1 to nQ).map(i => lastInit(i).as(s"l$i")) :+ lit(bigM).as("best")) ++
         (if (withSnippet) Seq(lit(-1).as("bs"), lit(-1).as("be"))
          else Nil): _*)
-    val sweep = aggregate(col("os"), init,
+    aggregate(col("os"), init,
       (st, e) => {
         val ls = (1 to nQ).map(i =>
           when(e.getField("tidx") === i, e.getField("pos"))
@@ -521,41 +564,137 @@ object Bm25Index {
         if (withSnippet) struct(st.getField("best").as("best"),
           st.getField("bs").as("bs"), st.getField("be").as("be"))
         else st.getField("best"))
+  }
+
+  /** The highlighted-excerpt expression over (sw: the snippet-mode
+    * sweep result, toks: the document's token array, os: the
+    * occurrence pairs): the winning window ± pad tokens, clamped at
+    * the document edges, every query-term occurrence inside the padded
+    * window bracketed.
+    */
+  private def snippetExpr(snippetPad: Int): Column = {
+    val s2 = greatest(col("sw").getField("bs") - lit(snippetPad), lit(0))
+    val e2 = least(col("sw").getField("be") + lit(snippetPad),
+      size(col("toks")) - 1)
+    array_join(
+      transform(sequence(s2, e2), i =>
+        when(exists(col("os"), o => o.getField("pos") === i),
+          concat(lit("["), get(col("toks"), i), lit("]")))
+          .otherwise(get(col("toks"), i))), " ")
+  }
+
+  /** Batch form of [[proximityRescore]] — N queries' candidate sets
+    * re-ranked in ONE plan: `cands` carries (query_id, doc_id,
+    * matched_terms, score) — per-query stage-1 output
+    * ([[searchPerQuery]] at k = c) — and `queryTerms` carries
+    * (query_id, term), each query's OWN term set. Output: (query_id,
+    * doc_id, matched_terms, span, rescored, rank), top-k per query
+    * (+ `snippet` when `snippetPad` ≥ 0 — same contract as the
+    * single-query form).
+    *
+    * Shape: tidx is assigned PER QUERY (row_number within query_id in
+    * term order), so the same [[coverSweep]] state serves every query —
+    * the fold runs per (query_id, doc_id) group and a term slot means
+    * "this query's i-th term". One narrow corpus pass fetches the
+    * DISTINCT candidate docs' occurrences; the per-query fan-out joins
+    * occurrences to each query's term rows and then SEMI-joins the
+    * candidate PAIRS, so a doc in q1's candidate set but not q2's
+    * contributes no q2 group. All three small frames (distinct docs,
+    * per-query term index, pair set) hint under the caller-known
+    * `pairBound` ([[Pq.hintIfSmall]]).
+    *
+    * `qArityBound` sizes the sweep state (slots are driver-composed,
+    * like the single-query `qArity`): a query with more distinct terms
+    * raises IN-PLAN. Pass a negative value to MEASURE it — one narrow
+    * max-arity job over `queryTerms` (a queries-batch-sized frame, the
+    * PROBE-AUTO precedent: a bounded stats job beats a wrong constant);
+    * the measured or given bound must stay ≤ [[MaxSweepArity]] — the
+    * sweep is a per-term-slot codegen struct, and a 1024-wide state is
+    * where whole-stage codegen gives up (that regime wants a different
+    * scorer, not a wider window).
+    */
+  def proximityRescorePerQuery(cands: DataFrame, docs: DataFrame,
+                               queryTerms: DataFrame, idCol: String,
+                               textCol: String, topK: Int,
+                               pairBound: Long = -1L, qArityBound: Int = -1,
+                               snippetPad: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = queryTerms
+      .select(col("query_id").cast("long").as("query_id"), col("term"))
+      .na.drop().distinct()
+    val nQ =
+      if (qArityBound >= 1) qArityBound
+      else {
+        val m = qt.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect().head
+        require(!m.isNullAt(0), "proximityRescorePerQuery needs at " +
+          "least one (query_id, term) row")
+        m.getLong(0).toInt
+      }
+    require(nQ >= 1 && nQ <= MaxSweepArity,
+      s"per-query sweep arity must be in 1..$MaxSweepArity, got $nQ")
+    val qIdx = qt
+      .withColumn("tidx", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("term"))))
+      .withColumn("tidx",
+        when(col("tidx") <= nQ, col("tidx")).otherwise(raise_error(
+          concat(lit(s"proximityRescorePerQuery: arity bound $nQ is " +
+            "below a query's distinct term count — term '"), col("term"),
+            lit("' would be silently ignored")))))
+    val bound = if (pairBound >= 0) pairBound else cands.count()
+    val candsL = cands
+      .withColumn("query_id", col("query_id").cast("long"))
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("matched_terms", col("matched_terms").cast("long"))
+    // docs repeat across queries' candidate sets — fetch each once
+    val candDocs = candsL.select(col("doc_id")).distinct()
+    val occ = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+      .join(Pq.hintIfSmall(candDocs, bound), "doc_id")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(Pq.hintIfSmall(qIdx, bound), "term")
+      .join(candsL.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tidx")))).as("os"))
+    val withSnippet = snippetPad >= 0
+    val sweep = coverSweep(nQ, withSnippet)
     val ranked =
       if (!withSnippet) {
-        val span = occ.select(col("doc_id"), sweep.cast("long").as("span"))
-        candsL.join(span, "doc_id") // every candidate matched ≥ 1 term
+        val span = occ.select(col("query_id"), col("doc_id"),
+          sweep.cast("long").as("span"))
+        candsL.join(span, Seq("query_id", "doc_id"))
       } else {
-        // second candidate-bound narrow pass: the token arrays of the
-        // candidate docs only (see scaladoc — never carried through
-        // the occurrence explode)
         val toks = docs
           .select(col(idCol).cast("long").as("doc_id"),
             TextAnalysis.tokens(col(textCol)).as("toks"))
-          .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound),
-            "doc_id")
-        val sw = occ.select(col("doc_id"), col("os"), sweep.as("sw"))
+          .join(Pq.hintIfSmall(candDocs, bound), "doc_id")
+        val sw = occ.select(col("query_id"), col("doc_id"), col("os"),
+            sweep.as("sw"))
           .join(toks, "doc_id")
-        val s2 = greatest(col("sw").getField("bs") - lit(snippetPad), lit(0))
-        val e2 = least(col("sw").getField("be") + lit(snippetPad),
-          size(col("toks")) - 1)
-        val snip = array_join(
-          transform(sequence(s2, e2), i =>
-            when(exists(col("os"), o => o.getField("pos") === i),
-              concat(lit("["), get(col("toks"), i), lit("]")))
-              .otherwise(get(col("toks"), i))), " ")
-        candsL.join(sw.select(col("doc_id"),
+        candsL.join(sw.select(col("query_id"), col("doc_id"),
           col("sw").getField("best").cast("long").as("span"),
-          snip.as("snippet")), "doc_id")
+          snippetExpr(snippetPad).as("snippet")), Seq("query_id", "doc_id"))
       }
     ranked
       .withColumn("rescored", round(col("score") +
         col("matched_terms").cast("double") / col("span"), 6))
-      .orderBy(desc("rescored"), col("doc_id"))
-      .limit(topK)
-      .select(Seq("doc_id", "matched_terms", "span", "rescored") ++
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("rescored"), col("doc_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(Seq("query_id", "doc_id", "matched_terms", "span",
+        "rescored", "rank") ++
         (if (withSnippet) Seq("snippet") else Nil) map col: _*)
   }
+
+  /** Ceiling on the per-query sweep arity ([[proximityRescorePerQuery]]):
+    * each slot is a field of the codegen'd fold state, so the bound is
+    * a struct-width limit, not a query-semantics one — proximity
+    * windows over more than this many distinct terms have stopped
+    * meaning "a phrase" anyway.
+    */
+  val MaxSweepArity = 64
 
   /** Two-stage retrieval against the PERSISTED index: BM25 top-c from
     * the postings (index IO only), then [[proximityRescore]] over the
@@ -572,6 +711,31 @@ object Bm25Index {
     proximityRescore(search(spark, indexPath, terms, c, allowed), docs,
       terms, idCol, textCol, k, candBound = c.toLong, qArity = qArity,
       snippetPad = snippetPad)
+
+  /** Batch two-stage retrieval against the PERSISTED index: per-query
+    * BM25 top-c from the postings ([[searchPerQuery]] — one probe for
+    * the union of all queries' terms), then
+    * [[proximityRescorePerQuery]] over the candidates' fetched text.
+    * `pairBound` bounds the (query, term) pairs, as in
+    * [[searchPerQuery]]; the CANDIDATE-pair bound handed to the rescore
+    * stage is derived soundly from it as pairBound × c (every query
+    * carries ≥ 1 term, so nQueries ≤ pairBound and candidate pairs
+    * ≤ nQueries × c) — pessimistic only costs a missed hint, never an
+    * unsound one.
+    */
+  def searchRescoredPerQuery(spark: SparkSession, indexPath: String,
+                             queryTerms: DataFrame, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 10, c: Int = 20,
+                             pairBound: Long = -1L, qArityBound: Int = -1,
+                             allowed: Option[DataFrame] = None,
+                             snippetPad: Int = -1): DataFrame =
+    proximityRescorePerQuery(
+      searchPerQuery(spark, indexPath, queryTerms, k = c,
+        pairBound = pairBound, allowed = allowed),
+      docs, queryTerms, idCol, textCol, k,
+      pairBound = Pq.mulBound(pairBound, c.toLong),
+      qArityBound = qArityBound, snippetPad = snippetPad)
 
   /** BM25 top-k from the postings. `allowed`: optional filtered-search
     * PRE-FILTER (one column of permitted doc ids) — per-(doc, term)

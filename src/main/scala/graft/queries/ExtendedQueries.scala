@@ -2418,6 +2418,121 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |WHERE round(hits_re / n_gold, 6) >= round(hits_bm / n_gold, 6)
       |  AND round(hits_re / n_gold, 6) >= 0.7""".stripMargin
 
+  /** BATCH two-stage retrieval oracled end to end — N queries' BM25
+    * candidate sets proximity-re-ranked in ONE plan
+    * (`Bm25Index.proximityRescorePerQuery`): global-tf ranks 1-3 form
+    * query 0's term set, ranks 4-6 query 1's (the `hybrid_rrf_per_query`
+    * derivation — two DISTINCT per-query term sets, portable), each
+    * query's top-20 candidates re-rank on ITS OWN min-cover span. The
+    * sweep state is per-query (tidx = row_number within query_id), so
+    * the same 3-slot fold serves both queries; the oracle replays the
+    * cover per (query_id, doc_id) with the window enumeration
+    * restricted to candidate PAIRS, exactly where the engine's
+    * semi-join sits.
+    */
+  def bm25RescorePerQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
+    val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
+      count(lit(1)).cast("double").as("df"))
+    val qt = byTerm
+      .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
+      .filter(col("r") <= 6)
+      .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
+        col("term"), col("df"))
+    val contrib = tf.join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(totDf))
+      .withColumn("c",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
+    val cands = contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))))
+      .filter(col("rk") <= 20).drop("rk")
+    graft.ops.Bm25Index.proximityRescorePerQuery(cands, docs,
+        qt.select("query_id", "term"), "doc_id", "text",
+        topK = 10, pairBound = 6L, qArityBound = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  private val bm25RescorePerQuerySql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+      |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |qq AS (
+      |  SELECT CAST(floor((r - 1) / 3) AS BIGINT) AS query_id, term, df
+      |  FROM (SELECT t.term, d.df,
+      |               row_number() OVER (ORDER BY t.gtf DESC, t.term) AS r
+      |        FROM (SELECT term, count(*) AS gtf FROM toks GROUP BY 1) t
+      |        JOIN dfreq d USING (term)) WHERE r <= 6),
+      |contrib AS (
+      |  SELECT qq.query_id, tf.doc_id,
+      |         ln((n.n - qq.df + 0.5) / (qq.df + 0.5) + 1.0) *
+      |         (tf.tf * 2.2) /
+      |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.total_toks / n.n))) AS c
+      |  FROM tf JOIN qq USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
+      |cand AS (
+      |  SELECT query_id, doc_id, matched_terms, score FROM (
+      |    SELECT query_id, doc_id, count(*) AS matched_terms,
+      |           round(sum(c), 6) AS score,
+      |           row_number() OVER (PARTITION BY query_id
+      |             ORDER BY round(sum(c), 6) DESC, doc_id) AS rk
+      |    FROM contrib GROUP BY query_id, doc_id) WHERE rk <= 20),
+      |cdocs AS (SELECT DISTINCT doc_id FROM cand),
+      |cpos AS (
+      |  SELECT d.doc_id,
+      |         unnest(string_split_regex(trim(d.text), '\s+')) AS term,
+      |         generate_subscripts(string_split_regex(trim(d.text), '\s+'), 1) AS pos
+      |  FROM documents d JOIN cdocs USING (doc_id)),
+      |p AS (
+      |  SELECT c.query_id, c.doc_id, cp.pos, cp.term
+      |  FROM cpos cp JOIN qq ON qq.term = cp.term
+      |  JOIN cand c ON c.query_id = qq.query_id AND c.doc_id = cp.doc_id),
+      |present AS (SELECT query_id, doc_id, count(DISTINCT term) AS n_present
+      |            FROM p GROUP BY 1, 2),
+      |wins AS (SELECT a.query_id, a.doc_id, a.pos AS s, b.pos AS e
+      |         FROM p a JOIN p b ON a.query_id = b.query_id
+      |                          AND a.doc_id = b.doc_id AND b.pos >= a.pos),
+      |cover AS (
+      |  SELECT w.query_id, w.doc_id, w.s, w.e, count(DISTINCT p.term) AS n_in
+      |  FROM wins w JOIN p ON p.query_id = w.query_id
+      |                    AND p.doc_id = w.doc_id
+      |                    AND p.pos BETWEEN w.s AND w.e
+      |  GROUP BY 1, 2, 3, 4),
+      |span AS (
+      |  SELECT c.query_id, c.doc_id, CAST(min(c.e - c.s + 1) AS BIGINT) AS span
+      |  FROM cover c JOIN present pr ON pr.query_id = c.query_id
+      |                              AND pr.doc_id = c.doc_id
+      |                              AND c.n_in = pr.n_present
+      |  GROUP BY 1, 2),
+      |fin AS (
+      |  SELECT cand.query_id, cand.doc_id, cand.matched_terms, span.span,
+      |         round(cand.score +
+      |               CAST(cand.matched_terms AS DOUBLE) / span.span, 6) AS rescored
+      |  FROM cand JOIN span USING (query_id, doc_id))
+      |SELECT query_id, doc_id, matched_terms, span, rescored,
+      |       CAST(rk AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rescored DESC, doc_id) AS rk FROM fin)
+      |WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** The rescored top-10 WITH highlighted snippets — the excerpt every
     * production search result page carries, oracled: the winning cover
     * window is deterministic (the FIRST minimal cover in end-position
@@ -4115,6 +4230,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_search_filtered" -> bm25SearchFiltered _,
     "bm25_rescore" -> bm25Rescore _,
     "bm25_snippets" -> bm25Snippets _,
+    "bm25_rescore_per_query" -> bm25RescorePerQuery _,
     "bm25_rescore_gate" -> bm25RescoreGate _,
     "hybrid_rrf" -> hybridRrf _,
     "hybrid_rrf_per_query" -> hybridRrfPerQuery _,
@@ -4410,6 +4526,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_search_filtered" -> bm25SearchFilteredSql,
     "bm25_rescore" -> bm25RescoreSql,
     "bm25_snippets" -> bm25SnippetsSql,
+    "bm25_rescore_per_query" -> bm25RescorePerQuerySql,
     "bm25_rescore_gate" -> bm25RescoreGateSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_per_query" -> hybridRrfPerQuerySql,

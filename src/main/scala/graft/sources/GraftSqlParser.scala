@@ -44,6 +44,11 @@ import graft.sinks.ManifestTable
   *                                       FILTER pre-filters candidates on a
   *                                       source-corpus predicate (df stays
   *                                       corpus-global)
+  * GRAFT SEARCH TEXT '/idx' TERMS COLUMN qterms FROM '/queries'
+  *   [TOP 10] [RESCORE [FACTOR f]] [SNIPPET [PAD p]] [FILTER (...)]
+  *                                    -- batch form: per-query term sets
+  *                                       from a queries-table column, one
+  *                                       plan for N queries
   * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE p|AUTO]
   *   [REFINE [FACTOR 8]] [FILTER (label = 2)]
   *                                    -- ANN probe (+ exact re-rank on PQ;
@@ -165,6 +170,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CREATE\s+TABLE\s+'([^']+)'\s*\((.+?)\)\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)\s+BUCKETS\s+(\d+)\s*(?:BLOOM\s*\(([^)]*)\)\s*)?""".r
   private val CreateChangeFeed =
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
+  private val SearchTextCol =
+    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchText =
     """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybrid =
@@ -317,6 +324,21 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
           graft.streaming.ChangeFeed.create(s, feed, src,
             Option(fromV).map(_.toInt))))
+      case SearchTextCol(idx, termsCol, queries, top, rescore, factor,
+                         snippet, pad, textFilter) =>
+        // per-query term sets: each queries-table row carries its own
+        // terms in <termsCol> — the batch form of SEARCH TEXT
+        if (snippet != null && rescore == null)
+          throw new IllegalArgumentException(
+            "SNIPPET requires RESCORE — the excerpt is the re-rank's " +
+              "cover window (GRAFT SEARCH TEXT ... RESCORE SNIPPET)")
+        Some(GraftSearchTextColCommand(idx, termsCol, queries,
+          Option(top).map(_.toInt).getOrElse(10), rescore != null,
+          Option(factor).map(_.toInt),
+          snippetPad = if (snippet == null) -1
+                       else Option(pad).map(_.toInt)
+                         .getOrElse(DefaultSnippetPad),
+          filterPred = Option(textFilter).map(_.trim)))
       case SearchText(idx, termsRaw, top, rescore, factor, snippet,
                       pad, textFilter) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
@@ -671,6 +693,56 @@ case class GraftSearchTextCommand(idx: String, terms: Seq[String],
       else
         SearchRelations.text(sparkSession, idx, terms, topK,
           filterPred = filterPred)
+    res.collect().toSeq
+  }
+}
+
+/** `GRAFT SEARCH TEXT '<idx>' TERMS COLUMN <col> FROM '<queries>'
+  * [TOP n] [RESCORE [FACTOR f]] [SNIPPET [PAD p]] [FILTER (<pred>)]` —
+  * the BATCH form of SEARCH TEXT: every row of the queries table
+  * (manifest table, keyed by its own key column) carries its own term
+  * set in `<col>` (ARRAY<STRING>, or STRING split on commas or
+  * whitespace), and all queries run as ONE plan — one postings probe
+  * for the union of all terms, per-query ranking
+  * ([[graft.sources.SearchRelations.textPerQueryRelation]]). RESCORE
+  * runs the per-query two-stage proximity re-rank
+  * ([[SearchRelations.textRescoredPerQuery]]); SNIPPET adds the
+  * highlighted cover-window excerpt per (query, doc).
+  */
+case class GraftSearchTextColCommand(idx: String, termsCol: String,
+                                     queriesPath: String, topK: Int,
+                                     rescore: Boolean,
+                                     factor: Option[Int] = None,
+                                     snippetPad: Int = -1,
+                                     filterPred: Option[String] = None)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (rescore) Seq(
+      AttributeReference("query_id", LongType, nullable = false)(),
+      AttributeReference("doc_id", LongType, nullable = false)(),
+      AttributeReference("matched_terms", LongType, nullable = false)(),
+      AttributeReference("span", LongType, nullable = false)(),
+      AttributeReference("rescored", DoubleType, nullable = false)(),
+      AttributeReference("rank", LongType, nullable = false)()) ++
+      (if (snippetPad >= 0) Seq(
+        AttributeReference("snippet", StringType, nullable = true)())
+       else Nil)
+    else Seq(
+      AttributeReference("query_id", LongType, nullable = false)(),
+      AttributeReference("doc_id", LongType, nullable = false)(),
+      AttributeReference("matched_terms", LongType, nullable = false)(),
+      AttributeReference("score", DoubleType, nullable = false)(),
+      AttributeReference("rank", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val res =
+      if (rescore)
+        SearchRelations.textRescoredPerQuery(sparkSession, idx,
+          queriesPath, termsCol, topK, factor, filterPred = filterPred,
+          snippetPad = snippetPad)
+      else
+        SearchRelations.textPerQueryRelation(sparkSession, idx,
+          queriesPath, termsCol, topK, filterPred = filterPred)
     res.collect().toSeq
   }
 }

@@ -310,19 +310,23 @@ object SearchRelations {
     * (AQE still converts at runtime when the actual exploded frame is
     * small), never an OOM the other way.
     */
-  def hybridPerQuery(spark: SparkSession, textIdx: String, vecIdx: String,
-                     queriesPath: String, termsCol: String, k: Int,
-                     nProbe: Int = 2, rrfK: Int = 60,
-                     refine: Boolean = false,
-                     refineFactor: Int = 8,
-                     filterPred: Option[String] = None): DataFrame = {
+  /** (query_id, term) rows exploded from a queries-table column, plus
+    * the zero-job pair bound — the shared front half of every
+    * `TERMS COLUMN` surface ([[hybridPerQuery]],
+    * [[textPerQueryRelation]], [[textRescoredPerQuery]]): `termsCol`
+    * is ARRAY<STRING> or a STRING split on commas/whitespace, an
+    * in-plan [[Bm25Index.MaxQueryArity]] cap refuses (never truncates)
+    * a term list no BM25 engine would accept (Lucene maxClauseCount) —
+    * which keeps nQueries × MaxQueryArity a SOUND pair bound derived
+    * from the queries manifest's metadata rowcount with zero jobs, so
+    * no surface pays `searchPerQuery`'s count fallback. Pessimism only
+    * costs a missed broadcast hint (AQE still converts small frames at
+    * runtime), never an OOM the other way.
+    */
+  private def explodedQueryTerms(spark: SparkSession, queriesPath: String,
+                                 termsCol: String, idCol: String)
+      : (DataFrame, Long) = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val c = math.max(2 * k, 20)
-    // one allowed-id set off the TEXT index's source filters BOTH
-    // lists, batch-shared across queries (see hybrid)
-    val allowed = allowedIds(spark,
-      requireKind(spark, textIdx, "bm25"), filterPred)
-    val vd = Bm25Index.readDef(spark, vecIdx)
     val queries = ManifestTable.read(spark, queriesPath)
     val termsExpr = queries.schema(termsCol).dataType match {
       case ArrayType(StringType, _) => col(termsCol)
@@ -331,25 +335,91 @@ object SearchRelations {
         s"terms column '$termsCol' must be ARRAY<STRING> or STRING, " +
           s"got $other")
     }
-    // in-plan arity cap: keeps nQueries × MaxQueryArity a SOUND pair
-    // bound for the hint gate below, and refuses (never truncates) a
-    // term list no BM25 engine would accept (Lucene maxClauseCount)
     val guarded = when(size(termsExpr) <= Bm25Index.MaxQueryArity,
       termsExpr).otherwise(raise_error(concat(
-      lit(s"GRAFT SEARCH HYBRID: a query's term list exceeds " +
+      lit(s"GRAFT SEARCH: a query's term list exceeds " +
         s"MaxQueryArity=${Bm25Index.MaxQueryArity} (got "),
       size(termsExpr).cast("string"),
       lit(s" terms in column '$termsCol')"))))
     val qt = queries
-      .select(col(vd("idCol")).cast("long").as("query_id"),
+      .select(col(idCol).cast("long").as("query_id"),
         explode(guarded).as("term"))
       .select(col("query_id"), trim(col("term")).as("term"))
       .filter(length(col("term")) > 0)
-    // pairs ≤ manifest rowcount × the in-plan arity cap — known with
-    // zero jobs, so no surface pays searchPerQuery's count fallback
-    val pairBound = graft.ops.Pq.mulBound(
+    (qt, graft.ops.Pq.mulBound(
       ManifestTable.rowCount(spark, queriesPath).getOrElse(-1L),
-      Bm25Index.MaxQueryArity.toLong)
+      Bm25Index.MaxQueryArity.toLong))
+  }
+
+  /** Batch BM25 from a queries TABLE — [[textPerQuery]] with the term
+    * sets read from `termsCol` (the `TERMS COLUMN` form of
+    * `GRAFT SEARCH TEXT` and `graft_search_text_col`): each row of the
+    * manifest table at `queriesPath` is one query, keyed by the
+    * table's own key column. (query_id, doc_id, matched_terms, score,
+    * rank), top-k per query; `filterPred` is the shared filtered-search
+    * pre-filter over the index's source corpus.
+    */
+  def textPerQueryRelation(spark: SparkSession, idx: String,
+                           queriesPath: String, termsCol: String, k: Int,
+                           filterPred: Option[String] = None): DataFrame = {
+    val d = requireKind(spark, idx, "bm25")
+    val keyCol = ManifestTable.describeManifest(spark, queriesPath).keyCol
+    val (qt, pairBound) =
+      explodedQueryTerms(spark, queriesPath, termsCol, keyCol)
+    textPerQuery(spark, idx, qt, k = k, pairBound = pairBound,
+      allowed = allowedIds(spark, d, filterPred))
+  }
+
+  /** Batch TWO-STAGE text retrieval from a queries table — the
+    * `TERMS COLUMN` twin of [[textRescored]]: per-query BM25 top-c
+    * (one postings probe for the union of all queries' terms), then
+    * the per-query proximity re-rank
+    * ([[graft.ops.Bm25Index.searchRescoredPerQuery]]), all in ONE
+    * plan. c = factor·k, or [[scaledCut]] when no factor is given —
+    * the same corpus-scaled default, applied per query. `snippetPad`
+    * ≥ 0 adds the highlighted excerpt per (query, doc). The sweep
+    * arity is measured with one narrow max-arity job over the exploded
+    * terms (bounded by the in-plan MaxQueryArity guard and
+    * [[graft.ops.Bm25Index.MaxSweepArity]]).
+    */
+  def textRescoredPerQuery(spark: SparkSession, idx: String,
+                           queriesPath: String, termsCol: String, k: Int,
+                           factor: Option[Int],
+                           filterPred: Option[String] = None,
+                           snippetPad: Int = -1): DataFrame = {
+    val d = requireKind(spark, idx, "bm25")
+    val keyCol = ManifestTable.describeManifest(spark, queriesPath).keyCol
+    val (qt, pairBound) =
+      explodedQueryTerms(spark, queriesPath, termsCol, keyCol)
+    val c = factor match {
+      case Some(f) =>
+        require(f >= 1, s"RESCORE FACTOR must be >= 1, got $f")
+        math.min(math.max(f.toLong * k, k.toLong), Int.MaxValue.toLong).toInt
+      case None => scaledCut(Bm25Index.readStats(spark, idx)._1, k)
+    }
+    Bm25Index.searchRescoredPerQuery(spark, idx, qt,
+      ManifestTable.read(spark, d("sourcePath")),
+      d("idCol"), d("textCol"), k = k, c = c, pairBound = pairBound,
+      allowed = allowedIds(spark, d, filterPred),
+      snippetPad = snippetPad)
+  }
+
+  def hybridPerQuery(spark: SparkSession, textIdx: String, vecIdx: String,
+                     queriesPath: String, termsCol: String, k: Int,
+                     nProbe: Int = 2, rrfK: Int = 60,
+                     refine: Boolean = false,
+                     refineFactor: Int = 8,
+                     filterPred: Option[String] = None): DataFrame = {
+    val c = math.max(2 * k, 20)
+    // one allowed-id set off the TEXT index's source filters BOTH
+    // lists, batch-shared across queries (see hybrid)
+    val allowed = allowedIds(spark,
+      requireKind(spark, textIdx, "bm25"), filterPred)
+    val vd = Bm25Index.readDef(spark, vecIdx)
+    // per-query ids come from the VECTOR index's id column — the
+    // contract that lets the ANN pass share the same queries table
+    val (qt, pairBound) =
+      explodedQueryTerms(spark, queriesPath, termsCol, vd("idCol"))
     val tRank = textPerQuery(spark, textIdx, qt, k = c,
         pairBound = pairBound, allowed = allowed)
       .select(col("query_id"), col("doc_id"),

@@ -344,6 +344,37 @@ class Bm25IndexSpec extends SparkSpec {
       "pad 0 windows start and end on matched terms")
   }
 
+  test("proximityRescorePerQuery: an arity bound below a query's term count fails loudly; measured arity just works") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma x y"),
+      (2L, "alpha z beta gamma w")).toDF("doc_id", "text")
+    val qt = Seq((0L, "alpha"), (0L, "beta"), (0L, "gamma"),
+      (1L, "alpha")).toDF("query_id", "term")
+    val path = tmp()
+    Bm25Index.build(spark, path, docs, "doc_id", "text", nBuckets = 2)
+    val cands = Bm25Index.searchPerQuery(spark, path, qt, k = 2)
+      .select("query_id", "doc_id", "matched_terms", "score")
+    // bound 2 < query 0's 3 distinct terms — must raise in-plan, never
+    // silently min-cover a 2-term subset (the r14 bug class, per query)
+    val e = intercept[Exception](
+      Bm25Index.proximityRescorePerQuery(cands, docs, qt, "doc_id",
+        "text", topK = 2, qArityBound = 2).collect())
+    assert(e.getMessage != null &&
+      (e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+        .contains("arity bound"), s"got: $e")
+    // measured (-1): one max-arity job sizes the state to 3 slots and
+    // query 0's cover spans alpha..gamma
+    val out = Bm25Index.proximityRescorePerQuery(cands, docs, qt,
+        "doc_id", "text", topK = 2)
+      .select("query_id", "doc_id", "span").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out.contains((0L, 1L, 3L)) && out.contains((0L, 2L, 4L)),
+      s"per-query spans must cover each query's own terms: $out")
+    assert(out.contains((1L, 1L, 1L)) && out.contains((1L, 2L, 1L)),
+      s"a 1-term query's span is 1 regardless of the shared state: $out")
+  }
+
   test("proximityRescore: duplicate TERMS entries don't corrupt the sweep") {
     import spark.implicits._
     val docs = Seq(

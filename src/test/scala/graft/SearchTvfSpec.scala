@@ -652,4 +652,70 @@ class SearchTvfSpec extends SparkSpec {
       Seq("alpha", "tail1"), k = 5, factor = None, snippetPad = 3)
     assert(rows(verbD) == rows(apiD), "default PAD must be 3")
   }
+  test("batch SEARCH TEXT (TERMS COLUMN): verb ≡ TVF ≡ API; each query ≡ its single-query call; snippets per (query, doc)") {
+    import graft.sources.SearchRelations
+    val (_, idx) = textFixture
+    val qtab = tmp()
+    // STRING terms column (split form); table keyed by qid
+    ManifestTable.write(Seq(
+      (0L, "alpha tail1"),
+      (1L, "beta tail2 word7")).toDF("qid", "qterms"), qtab, "qid", 2)
+
+    def plain(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "matched_terms", "score", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 5)
+    val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
+      s"FROM '$qtab' TOP 5")
+    val tvf = spark.sql(
+      s"SELECT * FROM graft_search_text_col('$idx', '$qtab', 'qterms', 5)")
+    assert(plain(api) == plain(verb) && plain(verb) == plain(tvf),
+      s"three surfaces, one batch answer:\napi=${plain(api)}\n" +
+        s"verb=${plain(verb)}\ntvf=${plain(tvf)}")
+
+    // the batch slice for each query must equal the SINGLE-query call
+    // with that query's terms — one union probe, per-query semantics
+    def slice(qid: Long) = api.filter(col("query_id") === qid)
+      .select("doc_id", "matched_terms", "score")
+      .collect().map(_.toString).sorted.toSeq
+    def single(terms: Seq[String]) = Bm25Index.search(spark, idx,
+        terms.toDF("term"), k = 5)
+      .select(col("doc_id").cast("long"), col("matched_terms"), col("score"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(slice(0L) == single(Seq("alpha", "tail1")),
+      "query 0's batch slice must equal its single-query search")
+    assert(slice(1L) == single(Seq("beta", "tail2", "word7")),
+      "query 1's batch slice must equal its single-query search")
+
+    // RESCORE + SNIPPET: the same three-surface agreement, and each
+    // query's re-ranked slice equals its single-query textRescored
+    def resc(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "matched_terms", "span", "rescored",
+        "rank", "snippet")
+      .collect().map(_.toString).sorted.toSeq
+    val apiR = SearchRelations.textRescoredPerQuery(spark, idx, qtab,
+      "qterms", k = 5, factor = Some(4), snippetPad = 2)
+    val verbR = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
+      s"FROM '$qtab' TOP 5 RESCORE FACTOR 4 SNIPPET PAD 2")
+    val tvfR = spark.sql("SELECT * FROM graft_search_text_col_rescored(" +
+      s"'$idx', '$qtab', 'qterms', 5, 4, 2)")
+    assert(resc(apiR) == resc(verbR) && resc(verbR) == resc(tvfR),
+      s"rescored batch surfaces disagree:\napi=${resc(apiR)}\n" +
+        s"verb=${resc(verbR)}\ntvf=${resc(tvfR)}")
+    def sliceR(qid: Long) = apiR.filter(col("query_id") === qid)
+      .select("doc_id", "matched_terms", "span", "rescored", "snippet")
+      .collect().map(_.toString).sorted.toSeq
+    def singleR(terms: Seq[String]) = SearchRelations.textRescored(spark,
+        idx, terms, k = 5, factor = Some(4), snippetPad = 2)
+      .select("doc_id", "matched_terms", "span", "rescored", "snippet")
+      .collect().map(_.toString).sorted.toSeq
+    assert(sliceR(0L) == singleR(Seq("alpha", "tail1")) &&
+      sliceR(1L) == singleR(Seq("beta", "tail2", "word7")),
+      "per-query rescored slices must equal the single-query re-rank " +
+        s"(same sweep, same snippet):\n0=${sliceR(0L)}\nvs ${singleR(Seq("alpha", "tail1"))}")
+    assert(resc(apiR).nonEmpty && apiR.select("snippet")
+      .collect().forall(_.getString(0).contains("[")),
+      "batch snippets bracket hits")
+  }
 }
