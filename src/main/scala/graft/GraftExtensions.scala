@@ -143,6 +143,10 @@ object GraftExtensions {
     *    ranking — rank-then-filter under-fills, this doesn't
     *  - `graft_search_hybrid(tIdx, vIdx, terms, queriesPath[, k[, probe]])`
     *    → RRF fusion, ONE shared term set per call
+    *  - `graft_search_hybrid_rescored(...)` / `graft_search_hybrid_col_
+    *    rescored(...)` → the same fusions with the TEXT list
+    *    proximity-RESCORED before ranks enter (the verbs' `RESCORE
+    *    [FACTOR f]`; factor 0 = corpus-scaled cut)
     *  - `graft_search_hybrid_col(tIdx, vIdx, queriesPath, termsCol[, k[,
     *    probe]])` → RRF fusion with PER-QUERY term sets read from a
     *    column of the queries table (the batch form)
@@ -252,6 +256,42 @@ object GraftExtensions {
           nProbe = if (es.size > 5) probeArg(es(5), "probe") else 2,
           filterPred =
             if (es.size > 6) Some(strArg(es(6), "predicate")) else None)
+        .queryExecution.logical
+    }),
+    "graft_search_hybrid_rescored" -> (es => {
+      requireArity(es, 4, 8,
+        "graft_search_hybrid_rescored(text_index, vector_index, terms, " +
+          "queries_path[, k[, probe[, factor[, predicate]]]]) — hybrid " +
+          "fusion with the proximity-RESCORED text list; factor 0 = " +
+          "corpus-scaled cut")
+      val factor = if (es.size > 6) intArg(es(6), "factor") else 0
+      graft.sources.SearchRelations.hybrid(SparkSession.active,
+          strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
+          termList(strArg(es(2), "terms")), strArg(es(3), "queries_path"),
+          if (es.size > 4) intArg(es(4), "k") else 10,
+          nProbe = if (es.size > 5) probeArg(es(5), "probe") else 2,
+          filterPred =
+            if (es.size > 7) Some(strArg(es(7), "predicate")) else None,
+          rescoreText = true,
+          rescoreFactor = if (factor > 0) Some(factor) else None)
+        .queryExecution.logical
+    }),
+    "graft_search_hybrid_col_rescored" -> (es => {
+      requireArity(es, 4, 8,
+        "graft_search_hybrid_col_rescored(text_index, vector_index, " +
+          "queries_path, terms_col[, k[, probe[, factor[, " +
+          "predicate]]]]) — the batch hybrid with per-query " +
+          "proximity-rescored text lists")
+      val factor = if (es.size > 6) intArg(es(6), "factor") else 0
+      graft.sources.SearchRelations.hybridPerQuery(SparkSession.active,
+          strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
+          strArg(es(2), "queries_path"), strArg(es(3), "terms_col"),
+          if (es.size > 4) intArg(es(4), "k") else 10,
+          nProbe = if (es.size > 5) probeArg(es(5), "probe") else 2,
+          filterPred =
+            if (es.size > 7) Some(strArg(es(7), "predicate")) else None,
+          rescoreText = true,
+          rescoreFactor = if (factor > 0) Some(factor) else None)
         .queryExecution.logical
     }),
     "graft_search_vector_filtered" -> (es => {

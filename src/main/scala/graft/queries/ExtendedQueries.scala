@@ -2090,6 +2090,83 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
       |ORDER BY rrf_r DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Hybrid fusion with the PROXIMITY-RESCORED text list — the
+    * production hybrid shape (re-rank each list, THEN fuse ranks):
+    * the text ranking entering RRF is the two-stage re-rank's order
+    * (`bm25_rescore`'s exact kernel over the same top-20 candidates,
+    * re-ranked in full), the vector list is unchanged, and the fusion
+    * arithmetic is `hybrid_rrf`'s. Oracled: both stages are already
+    * individually hash-verified, so the only new surface is the rank
+    * assignment over the rescored ordering — rescored is rounded
+    * before ranking on both engines.
+    */
+  def hybridRrfRescored(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cands, qterms) = bm25Parts(spark, dir)
+    val tRank = graft.ops.Bm25Index.proximityRescore(
+        cands, Tables.documents(spark, dir), qterms, "doc_id", "text",
+        topK = 20, candBound = 20L, qArity = 3)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(desc("rescored"), col("doc_id")))
+          .cast("long").as("rank_text"))
+    val emb = Tables.embeddings(spark, dir)
+    val vRank = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 20, roundTo = Some(6), queryBound = 1L)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    tRank.join(vRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_r", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6))
+      .orderBy(desc("rrf_r"), col("doc_id"))
+      .limit(10)
+      .select("doc_id", "rank_text", "rank_vec", "rrf_r")
+  }
+
+  private val hybridRrfRescoredSql = bm25RescoreCtes +
+    """,
+      |hflat AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |hnorms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM hflat GROUP BY vec_id),
+      |hdots AS (
+      |  SELECT c.vec_id AS neighbor_id,
+      |         sum(CAST(qv.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+      |  FROM hflat qv JOIN hflat c ON qv.i = c.i
+      |  WHERE qv.vec_id = 0 AND c.vec_id <> 0
+      |  GROUP BY 1),
+      |hscored AS (
+      |  SELECT neighbor_id,
+      |         round(dot / (nq.nrm * nc.nrm), 6) AS sim_r
+      |  FROM hdots
+      |  JOIN hnorms nq ON nq.vec_id = 0
+      |  JOIN hnorms nc ON nc.vec_id = neighbor_id),
+      |vrank AS (
+      |  SELECT doc_id, rank_vec FROM (
+      |    SELECT neighbor_id AS doc_id,
+      |           CAST(row_number() OVER (ORDER BY sim_r DESC, neighbor_id)
+      |                AS BIGINT) AS rank_vec
+      |    FROM hscored) WHERE rank_vec <= 20),
+      |trank AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY rescored DESC, doc_id)
+      |              AS BIGINT) AS rank_text
+      |  FROM (SELECT cand.doc_id,
+      |               round(cand.score +
+      |                     CAST(cand.matched_terms AS DOUBLE) / span.span,
+      |                     6) AS rescored
+      |        FROM cand JOIN span USING (doc_id)))
+      |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |       t.rank_text, v.rank_vec,
+      |       round(COALESCE(1.0 / (60 + t.rank_text), 0) +
+      |             COALESCE(1.0 / (60 + v.rank_vec), 0), 6) AS rrf_r
+      |FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+      |ORDER BY rrf_r DESC, doc_id LIMIT 10""".stripMargin
+
   /** Hybrid retrieval with PER-QUERY TERM SETS — the batch form of
     * `hybrid_rrf` (VERDICT r15 What's-missing #1: one shared term set
     * made HYBRID a single-query verb wearing a batch signature). Two
@@ -4234,6 +4311,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_rescore_gate" -> bm25RescoreGate _,
     "hybrid_rrf" -> hybridRrf _,
     "hybrid_rrf_per_query" -> hybridRrfPerQuery _,
+    "hybrid_rrf_rescored" -> hybridRrfRescored _,
     "hybrid_recall_gate" -> hybridRecallGate _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
@@ -4530,6 +4608,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "bm25_rescore_gate" -> bm25RescoreGateSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_per_query" -> hybridRrfPerQuerySql,
+    "hybrid_rrf_rescored" -> hybridRrfRescoredSql,
     "hybrid_recall_gate" -> hybridRecallGateSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,

@@ -58,15 +58,18 @@ import graft.sinks.ManifestTable
   *                                       PROBE AUTO widens the probe by
   *                                       the filter's measured selectivity)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS ('a', 'b')
-  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [REFINE [FACTOR 8]]
-  *   [FILTER (lang = 'en')]           -- reciprocal-rank fusion (REFINE:
-  *                                       exact-re-ranked vector list, PQ;
-  *                                       FILTER: one allowed set off the
-  *                                       TEXT index's source pre-filters
-  *                                       BOTH lists)
+  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [RESCORE [FACTOR f]]
+  *   [REFINE [FACTOR 8]] [FILTER (lang = 'en')]
+  *                                    -- reciprocal-rank fusion (RESCORE:
+  *                                       proximity-re-ranked text list;
+  *                                       REFINE: exact-re-ranked vector
+  *                                       list, PQ; FILTER: one allowed set
+  *                                       off the TEXT index's source
+  *                                       pre-filters BOTH lists)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS COLUMN qterms
-  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [REFINE [FACTOR 8]]
-  *   [FILTER (lang = 'en')]           -- per-query term sets from a
+  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [RESCORE [FACTOR f]]
+  *   [REFINE [FACTOR 8]] [FILTER (lang = 'en')]
+  *                                    -- per-query term sets from a
   *                                       queries-table column (batch form)
   *                                    -- (composable forms: the
   *                                       graft_search_* table functions)
@@ -175,9 +178,9 @@ object GraftSqlParser {
   private val SearchText =
     """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybrid =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybridCol =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchVector =
     """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val Refresh =
@@ -358,7 +361,7 @@ object GraftSqlParser {
                          .getOrElse(DefaultSnippetPad),
           filterPred = Option(textFilter).map(_.trim)))
       case SearchHybridCol(tIdx, vIdx, termsCol, queries, top, probe,
-                           refine, factor, filterPred) =>
+                           rescore, rfactor, refine, factor, filterPred) =>
         // per-query term sets: each queries-table row carries its own
         // terms in <termsCol> — the batch-retrieval form
         Some(GraftSearchHybridColCommand(tIdx, vIdx, termsCol, queries,
@@ -366,9 +369,11 @@ object GraftSqlParser {
           probeArg(probe),
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
-          filterPred = Option(filterPred).map(_.trim)))
+          filterPred = Option(filterPred).map(_.trim),
+          rescoreText = rescore != null,
+          rescoreFactor = Option(rfactor).map(_.toInt)))
       case SearchHybrid(tIdx, vIdx, termsRaw, queries, top, probe,
-                        refine, factor, filterPred) =>
+                        rescore, rfactor, refine, factor, filterPred) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
           .map(_.group(1)).toSeq
         if (terms.isEmpty) throw new IllegalArgumentException(
@@ -379,7 +384,9 @@ object GraftSqlParser {
           probeArg(probe),
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
-          filterPred = Option(filterPred).map(_.trim)))
+          filterPred = Option(filterPred).map(_.trim),
+          rescoreText = rescore != null,
+          rescoreFactor = Option(rfactor).map(_.toInt)))
       case SearchVector(idx, queries, top, probe, refine, factor,
                         filterPred) =>
         Some(GraftSearchVectorCommand(idx, queries,
@@ -789,18 +796,23 @@ case class GraftSearchVectorCommand(idx: String, queriesPath: String,
 }
 
 /** `GRAFT SEARCH HYBRID TEXT '<tidx>' VECTOR '<vidx>' TERMS ('a', 'b')
-  * FROM '<queries>' [TOP n] [PROBE p]` — reciprocal-rank fusion of the
-  * BM25 keyword list and each query row's ANN list
-  * ([[SearchRelations.hybrid]]): the production hybrid-search verb.
-  * Rank-only fusion, so it works unchanged over ivf and ivfpq vector
-  * indexes. For composable output use `graft_search_hybrid(...)`.
+  * FROM '<queries>' [TOP n] [PROBE p] [RESCORE [FACTOR f]]
+  * [REFINE [FACTOR g]]` — reciprocal-rank fusion of the BM25 keyword
+  * list and each query row's ANN list ([[SearchRelations.hybrid]]):
+  * the production hybrid-search verb. RESCORE re-ranks the TEXT list
+  * with the two-stage proximity pass before fusion (REFINE is the
+  * vector twin — exact re-rank of the ANN list); fusion stays
+  * rank-only and metric-agnostic either way. For composable output
+  * use `graft_search_hybrid(...)` / `graft_search_hybrid_rescored(...)`.
   */
 case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
                                     terms: Seq[String], queriesPath: String,
                                     topK: Int, nProbe: Int,
                                     refine: Boolean = false,
                                     refineFactor: Int = 8,
-                                    filterPred: Option[String] = None)
+                                    filterPred: Option[String] = None,
+                                    rescoreText: Boolean = false,
+                                    rescoreFactor: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -816,7 +828,8 @@ case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
     SearchRelations.hybrid(sparkSession, textIdx, vecIdx, terms,
       queriesPath, topK, nProbe, refine = refine,
       refineFactor = refineFactor,
-      filterPred = filterPred).collect().toSeq
+      filterPred = filterPred, rescoreText = rescoreText,
+      rescoreFactor = rescoreFactor).collect().toSeq
 }
 
 /** `GRAFT SEARCH HYBRID TEXT '<tidx>' VECTOR '<vidx>' TERMS COLUMN
@@ -832,7 +845,9 @@ case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
                                        topK: Int, nProbe: Int,
                                        refine: Boolean = false,
                                        refineFactor: Int = 8,
-                                       filterPred: Option[String] = None)
+                                       filterPred: Option[String] = None,
+                                       rescoreText: Boolean = false,
+                                       rescoreFactor: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -846,7 +861,8 @@ case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
     SearchRelations.hybridPerQuery(sparkSession, textIdx, vecIdx,
       queriesPath, termsCol, topK, nProbe, refine = refine,
       refineFactor = refineFactor,
-      filterPred = filterPred).collect().toSeq
+      filterPred = filterPred, rescoreText = rescoreText,
+      rescoreFactor = rescoreFactor).collect().toSeq
 }
 
 /** `GRAFT REFRESH '<view>'` — incremental materialized-view refresh

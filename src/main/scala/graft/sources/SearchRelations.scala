@@ -262,7 +262,9 @@ object SearchRelations {
              terms: Seq[String], queriesPath: String, k: Int,
              nProbe: Int = 2, rrfK: Int = 60, refine: Boolean = false,
              refineFactor: Int = 8,
-             filterPred: Option[String] = None): DataFrame = {
+             filterPred: Option[String] = None,
+             rescoreText: Boolean = false,
+             rescoreFactor: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = math.max(2 * k, 20)
     // FILTER on hybrid evaluates against the TEXT index's source — the
@@ -270,10 +272,22 @@ object SearchRelations {
     // set pre-filters BOTH lists (fusion's doc-id space is shared)
     val allowed = allowedIds(spark,
       requireKind(spark, textIdx, "bm25"), filterPred)
-    val tRank = text(spark, textIdx, terms, c, filterPred = filterPred)
-      .select(col("doc_id"),
-        row_number().over(Window.orderBy(desc("score"), col("doc_id")))
-          .cast("long").as("rank_text"))
+    // RESCORE: the text list entering fusion is the two-stage
+    // proximity re-rank's ordering, not raw BM25 — the production
+    // hybrid shape (re-rank each list, THEN fuse ranks). The vector
+    // twin is REFINE; both recompute a list's ranks, fusion stays
+    // rank-only and metric-agnostic either way.
+    val tRank =
+      if (rescoreText)
+        textRescored(spark, textIdx, terms, c, rescoreFactor,
+            filterPred = filterPred)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(desc("rescored"), col("doc_id")))
+              .cast("long").as("rank_text"))
+      else text(spark, textIdx, terms, c, filterPred = filterPred)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+            .cast("long").as("rank_text"))
     val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
         refine = refine, refineFactor = refineFactor,
         allowedOverride = allowed)
@@ -409,21 +423,40 @@ object SearchRelations {
                      nProbe: Int = 2, rrfK: Int = 60,
                      refine: Boolean = false,
                      refineFactor: Int = 8,
-                     filterPred: Option[String] = None): DataFrame = {
+                     filterPred: Option[String] = None,
+                     rescoreText: Boolean = false,
+                     rescoreFactor: Option[Int] = None): DataFrame = {
     val c = math.max(2 * k, 20)
     // one allowed-id set off the TEXT index's source filters BOTH
     // lists, batch-shared across queries (see hybrid)
-    val allowed = allowedIds(spark,
-      requireKind(spark, textIdx, "bm25"), filterPred)
+    val td = requireKind(spark, textIdx, "bm25")
+    val allowed = allowedIds(spark, td, filterPred)
     val vd = Bm25Index.readDef(spark, vecIdx)
     // per-query ids come from the VECTOR index's id column — the
     // contract that lets the ANN pass share the same queries table
     val (qt, pairBound) =
       explodedQueryTerms(spark, queriesPath, termsCol, vd("idCol"))
-    val tRank = textPerQuery(spark, textIdx, qt, k = c,
-        pairBound = pairBound, allowed = allowed)
-      .select(col("query_id"), col("doc_id"),
-        col("rank").as("rank_text"))
+    // RESCORE: each query's text list is its own two-stage re-rank
+    // (see hybrid) — the batch sweep, then per-query rank by rescored
+    val tRank =
+      if (rescoreText) {
+        val cut = rescoreFactor match {
+          case Some(f) =>
+            require(f >= 1, s"RESCORE FACTOR must be >= 1, got $f")
+            math.min(math.max(f.toLong * c, c.toLong),
+              Int.MaxValue.toLong).toInt
+          case None => scaledCut(Bm25Index.readStats(spark, textIdx)._1, c)
+        }
+        Bm25Index.searchRescoredPerQuery(spark, textIdx, qt,
+            ManifestTable.read(spark, td("sourcePath")),
+            td("idCol"), td("textCol"), k = c, c = cut,
+            pairBound = pairBound, allowed = allowed)
+          .select(col("query_id"), col("doc_id"),
+            col("rank").as("rank_text"))
+      } else textPerQuery(spark, textIdx, qt, k = c,
+          pairBound = pairBound, allowed = allowed)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("rank_text"))
     val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
         refine = refine, refineFactor = refineFactor,
         allowedOverride = allowed)

@@ -718,4 +718,88 @@ class SearchTvfSpec extends SparkSpec {
       .collect().forall(_.getString(0).contains("[")),
       "batch snippets bracket hits")
   }
+  test("hybrid RESCORE: the proximity-re-ranked text list enters fusion; surfaces agree; batch form matches") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(17)
+    val corpus = tmp(); val tIdx = tmp(); val vIdx = tmp(); val qtab = tmp()
+    // proximity must FLIP the text ranking: docs 0 and 1 have
+    // IDENTICAL tf and dl (bit-equal BM25 scores — the tie breaks on
+    // doc_id, so BM25-alone ranks doc 0 first), but doc 1 holds the
+    // terms ADJACENT while doc 0 scatters them — the matched/span
+    // boost (1.0 vs 2/32) flips the rescored order
+    val far = (1 to 30).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha $far beta $far alpha $far beta"),
+      (1L, s"alpha beta alpha beta $far $far $far"),
+      (2L, s"gamma $far"),
+      (3L, s"alpha $far")) ++ (4L until 20L).map(i => (i, s"filler$i $far"))
+    ManifestTable.write(docs.toDF("doc_id", "text"), corpus, "doc_id", 2)
+    Bm25Index.sync(spark, tIdx, corpus, "doc_id", "text", nBuckets = 4)
+    val vecs = (0L until 20L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) + rnd.nextDouble() * 0.5).toFloat))
+    }
+    val vcorpus = tmp()
+    ManifestTable.write(vecs.toDF("vec_id", "embedding"), vcorpus, "vec_id", 2)
+    graft.ops.IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(vecs.take(1).toDF("vec_id", "embedding"), qtab,
+      "vec_id", 2)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._6)).toSeq
+
+    val terms = Seq("alpha", "beta")
+    val plainH = rows(SearchRelations.hybrid(spark, tIdx, vIdx,
+      terms, qtab, k = 5))
+    val rescH = rows(SearchRelations.hybrid(spark, tIdx, vIdx,
+      terms, qtab, k = 5, rescoreText = true))
+    // the two text orders provably differ (doc 1 overtakes doc 0), so
+    // the fused rank_text columns must differ
+    def textRankOf(rs: Seq[(Long, Long, Long, Long, Double, Long)], d: Long) =
+      rs.find(_._2 == d).map(_._3).getOrElse(-1L)
+    assert(textRankOf(rescH, 1L) < textRankOf(rescH, 0L) ||
+      textRankOf(plainH, 0L) != textRankOf(rescH, 0L),
+      s"rescore must change the fused text ranks:\nplain=$plainH\nresc=$rescH")
+    // BM25-alone ties the two docs (same tf, same dl) and the id
+    // tie-break puts the scattered doc 0 first — the re-rank flips it:
+    // adjacency wins at equal term statistics
+    assert(textRankOf(plainH, 0L) < textRankOf(plainH, 1L),
+      s"fixture must make BM25 rank the scattered doc first: $plainH")
+    assert(textRankOf(rescH, 1L) < textRankOf(rescH, 0L),
+      s"the rescored list must favor the adjacent doc: $rescH")
+
+    val verb = rows(spark.sql(
+      s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$vIdx' " +
+        s"TERMS ('alpha', 'beta') FROM '$qtab' TOP 5 PROBE 2 " +
+        "RESCORE FACTOR 4"))
+    val tvf = rows(spark.sql(
+      s"SELECT * FROM graft_search_hybrid_rescored('$tIdx', '$vIdx', " +
+        s"'alpha beta', '$qtab', 5, 2, 4)"))
+    val apiF = rows(SearchRelations.hybrid(spark, tIdx, vIdx, terms,
+      qtab, k = 5, rescoreText = true, rescoreFactor = Some(4)))
+    assert(verb == apiF && tvf == apiF,
+      s"rescored hybrid surfaces disagree:\nverb=$verb\ntvf=$tvf\napi=$apiF")
+
+    // batch (TERMS COLUMN) rescored hybrid ≡ the single-query form for
+    // a 1-query table carrying the same terms
+    val qtab2 = tmp()
+    ManifestTable.write(Seq((0L, "alpha beta", vecs.head._2))
+      .toDF("vec_id", "qterms", "embedding"), qtab2, "vec_id", 2)
+    val colVerb = rows(spark.sql(
+      s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$vIdx' " +
+        s"TERMS COLUMN qterms FROM '$qtab2' TOP 5 PROBE 2 " +
+        "RESCORE FACTOR 4"))
+    val colTvf = rows(spark.sql(
+      "SELECT * FROM graft_search_hybrid_col_rescored(" +
+        s"'$tIdx', '$vIdx', '$qtab2', 'qterms', 5, 2, 4)"))
+    assert(colVerb == apiF && colTvf == apiF,
+      s"batch rescored hybrid must equal the single-query form:\n" +
+        s"colVerb=$colVerb\ncolTvf=$colTvf\napi=$apiF")
+  }
 }
