@@ -548,7 +548,10 @@ object Bm25Index {
         val ls = (1 to nQ).map(i =>
           when(e.getField("tidx") === i, e.getField("pos"))
             .otherwise(st.getField(s"l$i")))
-        val mn = least(ls: _*)
+        // least() refuses a single argument — a 1-term query's min IS
+        // its one slot (found by the batch≡single property test: every
+        // prior caller happened to pass ≥ 2 distinct terms)
+        val mn = if (ls.size == 1) ls.head else least(ls: _*)
         val win = e.getField("pos") - mn + 1
         val better = mn >= 0 && win < st.getField("best")
         struct(

@@ -98,8 +98,43 @@ object IndexAudit {
             s"${head - asOf} version(s) — queries miss committed data"))
       case _ => Seq.empty
     }
-    stale ++ ManifestTable.maintenanceAdvice(spark, dataPath,
-      targetFileBytes, maxVersions)
+    stale ++ bucketSkewAdvice(spark, kind, dataPath) ++
+      ManifestTable.maintenanceAdvice(spark, dataPath,
+        targetFileBytes, maxVersions)
+  }
+
+  /** Metadata-only early warning for IVF imbalance: inverted lists
+    * hash into the lists table's buckets, so ONE bucket directory
+    * dominating the bytes means fat list(s) underneath. Byte totals
+    * per bucket come from the manifest's file lists — zero data IO,
+    * safe at [[graft.streaming.AutoMaintain]]'s per-corpus-commit
+    * cadence where the exact per-list scan ([[balanceCheck]]) would be
+    * read tax. The advice is a POINTER, not an action: it names
+    * `GRAFT VERIFY DEEP`, whose balance audit pays the one narrow scan
+    * for exact occupancy. Same bucket-count-aware threshold shape as
+    * [[balanceThreshold]] (max/mean is bounded by the bucket count).
+    * A proxy can miss skew that hash-collides into balanced buckets —
+    * it fires on the common drift mode (appends piling into ONE list),
+    * never instead of the exact audit.
+    */
+  private def bucketSkewAdvice(spark: SparkSession, kind: String,
+                               dataPath: String)
+      : Seq[ManifestTable.MaintenanceAdvice] = {
+    if (kind != "ivf" && kind != "ivfpq") return Seq.empty
+    val m = ManifestTable.describeManifest(spark, dataPath)
+    val perBucket = m.buckets.toSeq.map { case (_, rels) =>
+      rels.flatMap(r => m.dirFiles.getOrElse(r, Seq.empty).map(_._2)).sum }
+    val total = perBucket.sum
+    val nb = perBucket.size
+    if (nb < 2 || total <= 0) return Seq.empty
+    val mx = perBucket.max
+    val ratio = mx.toDouble * nb / total
+    if (ratio <= balanceThreshold(nb)) Seq.empty
+    else Seq(ManifestTable.MaintenanceAdvice("verify-deep",
+      f"one lists bucket holds $mx of $total bytes " +
+        f"(${ratio}%.2fx the mean across $nb buckets) — likely fat " +
+        "inverted list(s) from frozen-centroid drift; run GRAFT VERIFY " +
+        "DEEP on the index for the exact per-list balance audit"))
   }
 
   /** `GRAFT MAINTAIN` for an index root: the refresh runs FIRST (folds
@@ -135,8 +170,13 @@ object IndexAudit {
             s"${head - asOf} version(s) — queries miss committed data") ->
           ManifestTable.headVersion(spark, dataPath).getOrElse(0)
     }
-    refreshRows ++ ManifestTable.maintain(spark, dataPath, targetFileBytes,
-      maxVersions, keepVersions)
+    // advice-only row (no action to run): the skew pointer is computed
+    // AFTER the refresh so it sees the folded delta's bytes — a full
+    // retrain is an operator decision, never auto-run here
+    val skewRows = bucketSkewAdvice(spark, kind, dataPath).map(
+      _ -> ManifestTable.headVersion(spark, dataPath).getOrElse(0))
+    refreshRows ++ skewRows ++ ManifestTable.maintain(spark, dataPath,
+      targetFileBytes, maxVersions, keepVersions)
   }
 
   /** One (check, status, detail) row per audit — status ok/WARN/FAIL. */

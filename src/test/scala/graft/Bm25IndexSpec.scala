@@ -375,6 +375,52 @@ class Bm25IndexSpec extends SparkSpec {
       s"a 1-term query's span is 1 regardless of the shared state: $out")
   }
 
+  test("property: batch search and rescore equal their single-query calls over 10 random term sets") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val path = tmp()
+    Bm25Index.build(spark, path, docs, "doc_id", "text", nBuckets = 8)
+    // seeded random queries drawn from the corpus vocabulary (plus one
+    // out-of-vocab term, which BM25 simply never matches)
+    val vocab = docs.select(explode(graft.ops.TextAnalysis
+        .tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(desc("count"), col("t"))
+      .limit(200).collect().map(_.getString(0))
+    // q0 pinned to ONE term: the single-slot sweep regression (least()
+    // refuses one argument — 1-term RESCORE crashed at analysis until
+    // this test found it)
+    val rnd = new scala.util.Random(163)
+    val queries = (0L until 10L).map { q =>
+      val n = if (q == 0L) 1 else 1 + rnd.nextInt(4)
+      val ts = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).distinct ++
+        (if (q == 7L) Seq("zz-never-in-corpus") else Nil)
+      (q, ts)
+    }
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+
+    val batch = Bm25Index.searchPerQuery(spark, path, qt, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).groupBy(_._1)
+    val batchR = Bm25Index.searchRescoredPerQuery(spark, path, qt, docs,
+        "doc_id", "text", k = 5, c = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4))).groupBy(_._1)
+    queries.foreach { case (q, ts) =>
+      val single = Bm25Index.search(spark, path, ts.toDF("term"), k = 5)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      assert(batch.getOrElse(q, Array.empty).toSeq.sorted == single,
+        s"query $q ($ts): batch slice != single search")
+      val singleR = Bm25Index.searchRescored(spark, path, ts.toDF("term"),
+          docs, "doc_id", "text", k = 5, c = 10)
+        .collect().map(r => (q, r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      assert(batchR.getOrElse(q, Array.empty).toSeq.sorted == singleR,
+        s"query $q ($ts): batch rescore slice != single rescore")
+    }
+  }
+
   test("proximityRescore: duplicate TERMS entries don't corrupt the sweep") {
     import spark.implicits._
     val docs = Seq(

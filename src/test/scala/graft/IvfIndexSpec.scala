@@ -117,6 +117,11 @@ class IvfIndexSpec extends SparkSpec {
       s"4 even generator clusters are balanced: ${healthy.getString(3)}")
     assert(healthy.getString(3).contains("4 trained"),
       s"detail names the trained list count: ${healthy.getString(3)}")
+    // a balanced index earns no skew pointer from MAINTAIN's
+    // metadata-only advice
+    assert(!spark.sql(s"GRAFT MAINTAIN '$idx' DRY").collect()
+      .exists(_.getString(1) == "verify-deep"),
+      "healthy index must not be told to run the balance audit")
 
     // the frozen-centroid drift mode: every appended vector is a
     // near-duplicate of ONE existing cluster member, so the whole
@@ -140,6 +145,18 @@ class IvfIndexSpec extends SparkSpec {
     // of 200 initial vectors sit in the seed's generator cluster)
     assert(drifted.getString(3).contains("max list 1050"),
       s"occupancy is exact, not sampled: ${drifted.getString(3)}")
+
+    // the METADATA-ONLY early warning: MAINTAIN (and its DRY advice)
+    // flags the byte-skewed lists bucket and points at VERIFY DEEP —
+    // zero data IO, so the auto-maintain cadence can afford it
+    val dry = spark.sql(s"GRAFT MAINTAIN '$idx' DRY").collect()
+    val skew = dry.filter(_.getString(1) == "verify-deep")
+    assert(skew.nonEmpty,
+      s"drifted index must surface the bucket-skew pointer: " +
+        s"${dry.map(_.getString(1)).toSeq}")
+    assert(skew.head.getString(2).contains("VERIFY") &&
+      skew.head.getString(2).contains("fat"),
+      s"the advice names the exact audit: ${skew.head.getString(2)}")
   }
 
   test("sync: exactly-once maintenance from a manifest corpus") {
