@@ -483,6 +483,10 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
     // growth — an operator must SEE that and raise FACTOR/k, the same
     // observability the staleness watermark gives REFRESH (VERDICT r15
     // #6). Reported at the verbs' default k=10.
+    // vector indexes report their PROBE AUTO inputs in the same
+    // column: trained list count (one tiny footer read) and indexed
+    // vector count (manifest metadata) — what an operator needs to
+    // read a probe width or a balance WARN
     val rescoreCut =
       if (isIdx &&
           graft.ops.IndexAudit.indexLayout(sparkSession, path)._1 == "bm25") {
@@ -494,6 +498,13 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
             "recall degrades with corpus growth; raise RESCORE FACTOR or TOP)"
         else if (nDocs / 6 < 2L * k) s"c@k$k=$cut (floor 2k)"
         else s"c@k$k=$cut (corpus-scaled)"
+      } else if (isIdx) {
+        val nLists = graft.ops.IvfIndex.nLists(sparkSession, path)
+        val indexed = ManifestTable.rowCount(sparkSession,
+          graft.ops.IvfIndex.listsPath(path)).map(_.toString).getOrElse("?")
+        s"lists=$nLists, indexed=$indexed (PROBE AUTO widens " +
+          s"${graft.sources.SearchRelations.DefaultProbe}..$nLists " +
+          "by filter selectivity)"
       } else ""
     val m = ManifestTable.describeManifest(sparkSession, dataPath)
     val dirs = m.buckets.values.flatten.toSeq

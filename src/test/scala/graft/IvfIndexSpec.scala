@@ -122,6 +122,12 @@ class IvfIndexSpec extends SparkSpec {
     assert(!spark.sql(s"GRAFT MAINTAIN '$idx' DRY").collect()
       .exists(_.getString(1) == "verify-deep"),
       "healthy index must not be told to run the balance audit")
+    // DESCRIBE reports the PROBE AUTO inputs for vector indexes: the
+    // trained list count and the indexed rowcount
+    val vital = spark.sql(s"GRAFT DESCRIBE '$idx'").collect()
+      .head.getString(13)
+    assert(vital.startsWith("lists=4, indexed=200"),
+      s"vector DESCRIBE must carry lists/indexed vitals: $vital")
 
     // the frozen-centroid drift mode: every appended vector is a
     // near-duplicate of ONE existing cluster member, so the whole
