@@ -802,4 +802,53 @@ class SearchTvfSpec extends SparkSpec {
       s"batch rescored hybrid must equal the single-query form:\n" +
         s"colVerb=$colVerb\ncolTvf=$colTvf\napi=$apiF")
   }
+  test("SNIPPET composes with FACTOR and FILTER on every surface; filtered snippets mark only query terms") {
+    import graft.sources.SearchRelations
+    val corpus = tmp(); val tIdx = tmp()
+    val docs = (0L until 40L).map { i =>
+      val par = if (i % 2 == 0) "evenword" else "oddword"
+      (i, s"alpha $par word$i tail${i % 5}",
+        if (i % 2 == 0) "en" else "de")
+    }
+    ManifestTable.write(docs.toDF("doc_id", "text", "lang"), corpus,
+      "doc_id", 2)
+    Bm25Index.sync(spark, tIdx, corpus, "doc_id", "text", nBuckets = 4)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "rescored", "snippet").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // all three clauses together, all three surfaces
+    val api = rows(SearchRelations.textRescored(spark, tIdx,
+      Seq("alpha", "oddword"), k = 5, factor = Some(2),
+      filterPred = Some("lang = 'de'"), snippetPad = 1))
+    val verb = rows(spark.sql(s"GRAFT SEARCH TEXT '$tIdx' " +
+      "TERMS ('alpha', 'oddword') TOP 5 RESCORE FACTOR 2 " +
+      "SNIPPET PAD 1 FILTER (lang = 'de')"))
+    val sqlPred = "'lang = " + "''de''" + "'"
+    val tvf = rows(spark.sql("SELECT * FROM graft_search_text_snippets(" +
+      s"'$tIdx', 'alpha oddword', 5, 1, 2, $sqlPred)"))
+    assert(api == verb && verb == tvf,
+      s"SNIPPET x FACTOR x FILTER must agree:\napi=$api\nverb=$verb\ntvf=$tvf")
+    // only de (odd) docs, full k, and the snippet is the 2-term cover
+    // (alpha ... oddword are 1 apart) plus 1 pad each side
+    assert(api.size == 5 && api.forall(_._1 % 2 == 1),
+      s"filtered snippets must fill k from allowed docs only: $api")
+    api.foreach { case (d, _, sn) =>
+      assert(sn == s"[alpha] [oddword] word$d",
+        s"doc $d: cover window [0,1] + right pad 1, left pad clamped: $sn")
+    }
+
+    // batch form: the same three clauses through TERMS COLUMN
+    val qtab = tmp()
+    ManifestTable.write(Seq((0L, "alpha oddword"))
+      .toDF("qid", "qterms"), qtab, "qid", 2)
+    val batch = spark.sql(s"GRAFT SEARCH TEXT '$tIdx' TERMS COLUMN " +
+      s"qterms FROM '$qtab' TOP 5 RESCORE FACTOR 2 SNIPPET PAD 1 " +
+      "FILTER (lang = 'de')")
+      .select("doc_id", "rescored", "snippet").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(batch == api,
+      s"batch TERMS COLUMN with all clauses must equal the single " +
+        s"form:\nbatch=$batch\napi=$api")
+  }
 }
