@@ -399,9 +399,10 @@ object Bm25Index {
     * (doc_id, matched_terms, score); `qterms` carries (term).
     *
     * `candBound`: an upper bound on `cands`' row count when the caller
-    * knows one (top-c search output does); below [[Pq.BroadcastRowCap]]
-    * the id fetch is broadcast-hinted, above it AQE picks the join
-    * strategy. Pass a negative value to have this method count `cands`
+    * knows one (top-c search output does); while rows ×
+    * [[Pq.IdPairRowBytes]] stays under [[Pq.BroadcastByteCap]] the id
+    * fetch is broadcast-hinted, above it AQE picks the join strategy.
+    * Pass a negative value to have this method count `cands`
     * once (the raw-API fallback — re-executes the candidate plan).
     *
     * `qArity`: an UPPER BOUND on the number of distinct query terms
@@ -474,7 +475,8 @@ object Bm25Index {
     // ONE narrow corpus pass: candidate docs' query-term occurrences,
     // collected per doc in position order (candidate-bound array)
     val occ = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
-      .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound), "doc_id")
+      .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound,
+        Pq.IdPairRowBytes), "doc_id")
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
       .join(broadcast(qIdx), "term")
@@ -501,8 +503,8 @@ object Bm25Index {
         val toks = docs
           .select(col(idCol).cast("long").as("doc_id"),
             TextAnalysis.tokens(col(textCol)).as("toks"))
-          .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound),
-            "doc_id")
+          .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound,
+            Pq.IdPairRowBytes), "doc_id")
         val sw = occ.select(col("doc_id"), col("os"), sweep.as("sw"))
           .join(toks, "doc_id")
         candsL.join(sw.select(col("doc_id"),
@@ -645,6 +647,12 @@ object Bm25Index {
             "below a query's distinct term count — term '"), col("term"),
             lit("' would be silently ignored")))))
     val bound = if (pairBound >= 0) pairBound else cands.count()
+    // qIdx has exactly qt's row count ((query, term) pairs) — when the
+    // caller passed no pairBound, the cands.count() fallback above does
+    // NOT bound it (few candidates + many query terms → an over-wide
+    // forced broadcast, ADVICE r16), so qIdx gets its OWN bound: the
+    // supplied pairBound, else one count of the queries-batch-sized qt
+    val qBound = if (pairBound >= 0) pairBound else qt.count()
     val candsL = cands
       .withColumn("query_id", col("query_id").cast("long"))
       .withColumn("doc_id", col("doc_id").cast("long"))
@@ -652,10 +660,10 @@ object Bm25Index {
     // docs repeat across queries' candidate sets — fetch each once
     val candDocs = candsL.select(col("doc_id")).distinct()
     val occ = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
-      .join(Pq.hintIfSmall(candDocs, bound), "doc_id")
+      .join(Pq.hintIfSmall(candDocs, bound, Pq.IdPairRowBytes), "doc_id")
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
-      .join(Pq.hintIfSmall(qIdx, bound), "term")
+      .join(Pq.hintIfSmall(qIdx, qBound, Pq.TermRowBytes), "term")
       .join(candsL.select(col("query_id"), col("doc_id")),
         Seq("query_id", "doc_id"), "left_semi")
       .groupBy("query_id", "doc_id")
@@ -671,7 +679,7 @@ object Bm25Index {
         val toks = docs
           .select(col(idCol).cast("long").as("doc_id"),
             TextAnalysis.tokens(col(textCol)).as("toks"))
-          .join(Pq.hintIfSmall(candDocs, bound), "doc_id")
+          .join(Pq.hintIfSmall(candDocs, bound, Pq.IdPairRowBytes), "doc_id")
         val sw = occ.select(col("query_id"), col("doc_id"), col("os"),
             sweep.as("sw"))
           .join(toks, "doc_id")
@@ -818,10 +826,11 @@ object Bm25Index {
     val q = qt.select("term").distinct()
     val probed = ManifestTable.readBuckets(spark, postingsPath(indexPath),
         q)
-      .join(Pq.hintIfSmall(q, nPairs), "term")
+      .join(Pq.hintIfSmall(q, nPairs, Pq.TermRowBytes), "term")
     val df = probed.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
-    val contrib = probed.join(Pq.hintIfSmall(df, nPairs), "term")
+    val contrib = probed.join(Pq.hintIfSmall(df, nPairs, Pq.TermRowBytes),
+      "term")
       .withColumn("c",
         log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)) *
@@ -833,7 +842,7 @@ object Bm25Index {
       contrib.join(a.select(col(a.columns.head).as("doc_id")),
         Seq("doc_id"), "left_semi")
     }
-    kept.join(Pq.hintIfSmall(qt, nPairs), "term")
+    kept.join(Pq.hintIfSmall(qt, nPairs, Pq.TermRowBytes), "term")
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("matched_terms"), round(sum(col("c")), 6).as("score"))
       .withColumn("rank", row_number().over(

@@ -164,11 +164,14 @@ object IvfIndex {
   /** Top-k neighbors per query from the persisted lists: probe the
     * nProbe nearest lists, open ONLY their buckets, exact-score, rank.
     * Output matches [[Ivf.searchTopK]]: (query_id, neighbor_id, sim,
-    * rank). The probe side (nQueries × nProbe rows) is broadcast-HINTED
-    * only when the caller-known `queryBound` keeps it under
-    * `Pq.BroadcastRowCap` (unknown → one count of the query frame —
+    * rank). The probe side (nQueries × nProbe rows, each carrying the
+    * FULL query vector) is broadcast-HINTED only when the caller-known
+    * `queryBound` keeps rows × `Pq.vecRowBytes(dim)` under
+    * `Pq.BroadcastByteCap` (unknown → one count of the query frame —
     * SQL entry points pass the queries manifest's rowcount instead);
-    * over the cap the list-id equi-join shuffles (VERDICT r15).
+    * over the cap the list-id equi-join shuffles (VERDICT r15/r16 —
+    * the byte-aware bound closes the wide-payload band the row cap
+    * missed).
     *
     * `allowed`: optional filtered-ANN PRE-FILTER (one column of
     * permitted neighbor ids) — candidates are semi-joined to it BEFORE
@@ -190,7 +193,8 @@ object IvfIndex {
       probes.select(col("probe").as("list_id")))
     val nQ = if (queryBound >= 0) queryBound else queries.count()
     val cands = indexed.join(
-      Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
+      Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong),
+        Pq.vecRowBytes(model.centroids.head.length)),
       col("list_id") === col("probe") && col("query_id") =!= col("id"))
     val kept = allowed.fold(cands) { a =>
       cands.join(a.select(col(a.columns.head).as("id")),

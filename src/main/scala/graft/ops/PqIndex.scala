@@ -206,12 +206,15 @@ object PqIndex {
       .withColumn("probe", explode(probeLists(col("qq"), coarse, nProbe)))
     val indexed = ManifestTable.readBuckets(spark, listsPath(indexPath),
       probes.select(col("probe").as("list_id")))
-    // probe side (nQueries × nProbe rows) hinted only under the
-    // caller-known cap; unknown → one count of the query frame (the SQL
-    // entry passes the queries manifest's rowcount — VERDICT r15)
+    // probe side (nQueries × nProbe rows, each carrying the dim-byte
+    // int8 query payload) hinted only under the byte cap at
+    // Pq.codeRowBytes(dim); unknown bound → one count of the query
+    // frame (the SQL entry passes the queries manifest's rowcount —
+    // VERDICT r15/r16)
     val nQ = if (queryBound >= 0) queryBound else queries.count()
     val cands = indexed.join(
-      Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong)),
+      Pq.hintIfSmall(probes, Pq.mulBound(nQ, nProbe.toLong),
+        Pq.codeRowBytes(coarse.head.length)),
       col("list_id") === col("probe") && col("query_id") =!= col("id"))
     val kept = allowed.fold(cands) { a =>
       cands.join(a.select(col(a.columns.head).cast("long").as("id")),
@@ -257,12 +260,16 @@ object PqIndex {
         topK * refineFactor, nProbe, queryBound = nQ, allowed = allowed)
       .select("query_id", "neighbor_id")
     val candBound = Pq.mulBound(nQ, topK.toLong * refineFactor)
+    // the refine query side carries the dim-byte quantized payload; dim
+    // comes from the persisted coarse centroids (tiny parquet, already
+    // read by the ADC stage)
+    val dim = loadCoarse(spark, indexPath).head.length
     Pq.refineExact(candidates,
       exactCorpus.select(col(idCol).cast("long").as("neighbor_id"),
         int8Quantize(col(vecCol)).as("qn")),
       queries.select(col(idCol).cast("long").as("query_id"),
         int8Quantize(col(vecCol)).as("qq")),
-      topK, candBound = candBound, queryBound = nQ)
+      topK, candBound = candBound, queryBound = nQ, dim = dim)
   }
 
   /** The nProbe nearest coarse lists for a quantized query column —

