@@ -630,11 +630,22 @@ object Bm25Index {
     val nQ =
       if (qArityBound >= 1) qArityBound
       else {
+        // argmax carried alongside the max so an over-arity batch
+        // fails NAMING the offending query, not with an anonymous
+        // whole-batch require (ADVICE r16 — the SQL surfaces
+        // additionally refuse in-plan at explode time)
         val m = qt.groupBy("query_id").agg(count(lit(1)).as("n"))
-          .agg(max(col("n"))).collect().head
+          .agg(max(struct(col("n"), col("query_id"))).as("top"))
+          .collect().head
         require(!m.isNullAt(0), "proximityRescorePerQuery needs at " +
           "least one (query_id, term) row")
-        m.getLong(0).toInt
+        val top = m.getStruct(0)
+        require(top.getLong(0) <= MaxSweepArity,
+          s"per-query sweep arity must be <= MaxSweepArity=" +
+            s"$MaxSweepArity — query '${top.getLong(1)}' has " +
+            s"${top.getLong(0)} distinct terms (that regime wants a " +
+            "different scorer, not a wider proximity window)")
+        top.getLong(0).toInt
       }
     require(nQ >= 1 && nQ <= MaxSweepArity,
       s"per-query sweep arity must be in 1..$MaxSweepArity, got $nQ")

@@ -45,7 +45,7 @@ import graft.sinks.ManifestTable
   *                                       source-corpus predicate (df stays
   *                                       corpus-global)
   * GRAFT SEARCH TEXT '/idx' TERMS COLUMN qterms FROM '/queries'
-  *   [TOP 10] [RESCORE [FACTOR f]] [SNIPPET [PAD p]] [FILTER (...)]
+  *   [TOP 20] [RESCORE [FACTOR f]] [SNIPPET [PAD p]] [FILTER (...)]
   *                                    -- batch form: per-query term sets
   *                                       from a queries-table column, one
   *                                       plan for N queries
@@ -335,8 +335,11 @@ object GraftSqlParser {
           throw new IllegalArgumentException(
             "SNIPPET requires RESCORE — the excerpt is the re-rank's " +
               "cover window (GRAFT SEARCH TEXT ... RESCORE SNIPPET)")
+        // default TOP matches the single-query TERMS (...) form (20) —
+        // the two forms of one verb must not have different implicit k
+        // (ADVICE r16)
         Some(GraftSearchTextColCommand(idx, termsCol, queries,
-          Option(top).map(_.toInt).getOrElse(10), rescore != null,
+          Option(top).map(_.toInt).getOrElse(20), rescore != null,
           Option(factor).map(_.toInt),
           snippetPad = if (snippet == null) -1
                        else Option(pad).map(_.toInt)
@@ -499,12 +502,23 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
         else if (nDocs / 6 < 2L * k) s"c@k$k=$cut (floor 2k)"
         else s"c@k$k=$cut (corpus-scaled)"
       } else if (isIdx) {
-        val nLists = graft.ops.IvfIndex.nLists(sparkSession, path)
-        val indexed = ManifestTable.rowCount(sparkSession,
-          graft.ops.IvfIndex.listsPath(path)).map(_.toString).getOrElse("?")
-        s"lists=$nLists, indexed=$indexed (PROBE AUTO widens " +
-          s"${graft.sources.SearchRelations.DefaultProbe}..$nLists " +
-          "by filter selectivity)"
+        // gate on the DECLARED kind: a corrupt or unknown-kind _def
+        // must degrade to a diagnostic, not throw from nLists reading a
+        // _centroids dir that isn't there and take the whole DESCRIBE
+        // down with it (ADVICE r16)
+        graft.ops.IndexAudit.indexLayout(sparkSession, path)._1 match {
+          case "ivf" | "ivfpq" =>
+            val nLists = graft.ops.IvfIndex.nLists(sparkSession, path)
+            val indexed = ManifestTable.rowCount(sparkSession,
+              graft.ops.IvfIndex.listsPath(path)).map(_.toString)
+              .getOrElse("?")
+            s"lists=$nLists, indexed=$indexed (PROBE AUTO widens " +
+              s"${graft.sources.SearchRelations.DefaultProbe}..$nLists " +
+              "by filter selectivity)"
+          case other =>
+            s"unknown index kind '$other' — no search vitals " +
+              "(run GRAFT VERIFY to diagnose)"
+        }
       } else ""
     val m = ManifestTable.describeManifest(sparkSession, dataPath)
     val dirs = m.buckets.values.flatten.toSeq

@@ -338,7 +338,9 @@ object SearchRelations {
     * runtime), never an OOM the other way.
     */
   private def explodedQueryTerms(spark: SparkSession, queriesPath: String,
-                                 termsCol: String, idCol: String)
+                                 termsCol: String, idCol: String,
+                                 arityCap: Int = Bm25Index.MaxQueryArity,
+                                 capName: String = "MaxQueryArity")
       : (DataFrame, Long) = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
     val queries = ManifestTable.read(spark, queriesPath)
@@ -349,10 +351,15 @@ object SearchRelations {
         s"terms column '$termsCol' must be ARRAY<STRING> or STRING, " +
           s"got $other")
     }
-    val guarded = when(size(termsExpr) <= Bm25Index.MaxQueryArity,
+    // the cap is checked IN-PLAN, per row, NAMING the offending query —
+    // RESCORE surfaces pass MaxSweepArity (the codegen sweep's
+    // per-query slot ceiling, below MaxQueryArity): before r17 a
+    // 65-1024-term batch RESCORE passed this guard and then died in
+    // proximityRescorePerQuery's anonymous driver require (ADVICE r16)
+    val guarded = when(size(termsExpr) <= arityCap,
       termsExpr).otherwise(raise_error(concat(
-      lit(s"GRAFT SEARCH: a query's term list exceeds " +
-        s"MaxQueryArity=${Bm25Index.MaxQueryArity} (got "),
+      lit(s"GRAFT SEARCH: query '"), col(idCol).cast("string"),
+      lit(s"' exceeds $capName=$arityCap (got "),
       size(termsExpr).cast("string"),
       lit(s" terms in column '$termsCol')"))))
     val qt = queries
@@ -362,7 +369,7 @@ object SearchRelations {
       .filter(length(col("term")) > 0)
     (qt, graft.ops.Pq.mulBound(
       ManifestTable.rowCount(spark, queriesPath).getOrElse(-1L),
-      Bm25Index.MaxQueryArity.toLong))
+      arityCap.toLong))
   }
 
   /** Batch BM25 from a queries TABLE — [[textPerQuery]] with the term
@@ -403,8 +410,13 @@ object SearchRelations {
                            snippetPad: Int = -1): DataFrame = {
     val d = requireKind(spark, idx, "bm25")
     val keyCol = ManifestTable.describeManifest(spark, queriesPath).keyCol
+    // the sweep state is one codegen slot per distinct query term, so
+    // the RESCORE surface's arity ceiling is MaxSweepArity, enforced
+    // here in-plan with the query named (ADVICE r16)
     val (qt, pairBound) =
-      explodedQueryTerms(spark, queriesPath, termsCol, keyCol)
+      explodedQueryTerms(spark, queriesPath, termsCol, keyCol,
+        arityCap = graft.ops.Bm25Index.MaxSweepArity,
+        capName = "MaxSweepArity")
     val c = factor match {
       case Some(f) =>
         require(f >= 1, s"RESCORE FACTOR must be >= 1, got $f")
@@ -433,9 +445,15 @@ object SearchRelations {
     val allowed = allowedIds(spark, td, filterPred)
     val vd = Bm25Index.readDef(spark, vecIdx)
     // per-query ids come from the VECTOR index's id column — the
-    // contract that lets the ANN pass share the same queries table
+    // contract that lets the ANN pass share the same queries table.
+    // With RESCORE the text lists run the per-query codegen sweep, so
+    // the arity ceiling tightens to MaxSweepArity (named per query
+    // in-plan — ADVICE r16); plain fusion keeps MaxQueryArity
     val (qt, pairBound) =
-      explodedQueryTerms(spark, queriesPath, termsCol, vd("idCol"))
+      if (rescoreText)
+        explodedQueryTerms(spark, queriesPath, termsCol, vd("idCol"),
+          arityCap = Bm25Index.MaxSweepArity, capName = "MaxSweepArity")
+      else explodedQueryTerms(spark, queriesPath, termsCol, vd("idCol"))
     // RESCORE: each query's text list is its own two-stage re-rank
     // (see hybrid) — the batch sweep, then per-query rank by rescored
     val tRank =

@@ -103,6 +103,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows.find(_.getString(1) == "index_freshness").get.getString(2) == "ok")
   }
 
+  test("DESCRIBE degrades to a diagnostic on an unknown index kind instead of throwing from the vector-vitals read") {
+    // an index root whose _def declares a kind this engine doesn't
+    // know (corrupt def, or a future format) must not take the whole
+    // DESCRIBE down by reading _centroids that aren't there
+    // (ADVICE r16): the vitals branch is gated on the DECLARED kind
+    val all = clustered(60, 12)
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(all.toDF("vec_id", "embedding"), corpus, "vec_id", 2)
+    IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    // rewrite the def's kind and remove the centroid table — the
+    // failure shape the old code threw on
+    val defPath = java.nio.file.Paths.get(idx, "_index.json")
+    val body = new String(java.nio.file.Files.readAllBytes(defPath), "UTF-8")
+    java.nio.file.Files.write(defPath,
+      body.replace("\"kind\":\"ivf\"", "\"kind\":\"hnsw\"")
+        .getBytes("UTF-8"))
+    // the raw rewrite invalidates Hadoop's local-FS checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idx, "._index.json.crc"))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(java.nio.file.Paths.get(idx, "_centroids"))
+    val vital = spark.sql(s"GRAFT DESCRIBE '$idx'").collect()
+      .head.getString(13)
+    assert(vital.contains("unknown index kind 'hnsw'"),
+      s"DESCRIBE must degrade to a named diagnostic: $vital")
+  }
+
   test("VERIFY DEEP balance audit: healthy index ok; a piled-up append WARNs with exact occupancy") {
     val all = clustered(200, 12)
     val corpus = tmp(); val idx = tmp()

@@ -718,6 +718,68 @@ class SearchTvfSpec extends SparkSpec {
       .collect().forall(_.getString(0).contains("[")),
       "batch snippets bracket hits")
   }
+  test("batch RESCORE enforces MaxSweepArity at the surface naming the query; plain batch takes the same width; TOP defaults agree") {
+    import graft.sources.SearchRelations
+    val (corpus, idx) = textFixture
+    val qtab = tmp()
+    // 65 distinct terms: past the sweep's 64-slot codegen ceiling,
+    // well under the 1024-term query cap — before r17 this passed the
+    // explode guard and died in an anonymous whole-batch require
+    // (ADVICE r16)
+    val wide = (0 to Bm25Index.MaxSweepArity).map(i => s"t$i").mkString(" ")
+    ManifestTable.write(Seq((0L, "alpha tail1"), (7L, wide))
+      .toDF("qid", "qterms"), qtab, "qid", 2)
+    // the plain (non-rescored) batch form accepts the same width
+    assert(spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
+      s"FROM '$qtab' TOP 5").collect().nonEmpty,
+      "non-rescored batch must accept widths up to MaxQueryArity")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // the RESCORE form refuses IN-PLAN, naming cap and query
+    val e = intercept[Exception](spark.sql(
+      s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms FROM '$qtab' " +
+        "TOP 5 RESCORE").collect())
+    assert(messages(e).exists(m =>
+      m.contains("MaxSweepArity") && m.contains("'7'")),
+      s"rescore surface must name the sweep cap AND the query, got: $e")
+    // the hybrid RESCORE batch surface shares the tightened cap
+    val vIdx = tmp(); val vcorpus = tmp(); val qtabV = tmp()
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(16)(d => (d + i % 4).toFloat)))
+    ManifestTable.write(vecs.toDF("vec_id", "embedding"), vcorpus,
+      "vec_id", 2)
+    graft.ops.IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(Seq((0L, vecs(0)._2, "alpha"), (7L, vecs(7)._2,
+      wide)).toDF("vec_id", "embedding", "qterms"), qtabV, "vec_id", 2)
+    val eh = intercept[Exception](SearchRelations.hybridPerQuery(spark,
+      idx, vIdx, qtabV, "qterms", k = 5, nProbe = 2,
+      rescoreText = true).collect())
+    assert(messages(eh).exists(m =>
+      m.contains("MaxSweepArity") && m.contains("'7'")),
+      s"hybrid rescore surface must share the sweep cap, got: $eh")
+    // the direct API's measure path names the offending query too
+    val qtWide = (0 to Bm25Index.MaxSweepArity).map(i => (7L, s"t$i"))
+      .toDF("query_id", "term")
+    val ea = intercept[Exception](Bm25Index.searchRescoredPerQuery(spark,
+      idx, qtWide, ManifestTable.read(spark, corpus), "doc_id", "text",
+      k = 5))
+    assert(messages(ea).exists(m =>
+      m.contains("MaxSweepArity") && m.contains("'7'")),
+      s"API measure path must name the offending query, got: $ea")
+
+    // the two forms of SEARCH TEXT share one implicit TOP (ADVICE r16:
+    // TERMS (...) defaulted 20 while TERMS COLUMN defaulted 10)
+    val defCol = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN " +
+      s"qterms FROM '$qtab'")
+    val top20Col = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN " +
+      s"qterms FROM '$qtab' TOP 20")
+    assert(defCol.collect().map(_.toString).sorted.toSeq ==
+      top20Col.collect().map(_.toString).sorted.toSeq,
+      "TERMS COLUMN default TOP must be 20, matching TERMS (...)")
+  }
+
   test("hybrid RESCORE: the proximity-re-ranked text list enters fusion; surfaces agree; batch form matches") {
     import graft.sources.SearchRelations
     val rnd = new scala.util.Random(17)
