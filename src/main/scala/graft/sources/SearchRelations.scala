@@ -80,11 +80,17 @@ object SearchRelations {
     * Like the TVF builders' index-metadata reads, AUTO is deliberate
     * plan-build-time driver work: the probe width SHAPES the plan
     * (which lists' buckets are even listed), so it cannot wait for
-    * executors. EXPLAIN of an AUTO query therefore pays the one count.
+    * executors. The one count is CACHED per (allowed-source path, its
+    * head snapshot version, predicate text) — see
+    * [[autoSelectivityCache]] — so only the FIRST plan build of a
+    * filtered-AUTO query at a given corpus snapshot pays it; repeat
+    * EXPLAINs and re-plans at the same snapshot are job-free
+    * (VERDICT r16 next #5).
     */
   private def resolveProbe(spark: SparkSession, idx: String,
                            d: Map[String, String], nProbe: Int,
-                           allowed: Option[DataFrame]): Int = {
+                           allowed: Option[DataFrame],
+                           autoKey: Option[(String, String)] = None): Int = {
     if (nProbe != ProbeAuto) {
       require(nProbe >= 1, s"PROBE must be >= 1 or AUTO, got $nProbe")
       nProbe
@@ -96,9 +102,34 @@ object SearchRelations {
           val indexed = ManifestTable.rowCount(spark, IvfIndex.listsPath(idx))
             .orElse(ManifestTable.rowCount(spark, d("sourcePath")))
             .getOrElse(-1L)
-          Ivf.autoProbe(DefaultProbe, nLists, indexed, a.count())
+          val allowedCount = autoKey.flatMap { case (src, pred) =>
+            ManifestTable.headVersion(spark, src).map { v =>
+              autoSelectivityCache.computeIfAbsent((src, v.toLong, pred),
+                _ => a.count())
+            }
+          }.getOrElse(a.count())
+          Ivf.autoProbe(DefaultProbe, nLists, indexed, allowedCount)
       }
     }
+  }
+
+  /** PROBE AUTO's selectivity cache: (allowed-source path, its head
+    * snapshot version, predicate text) → allowed-row count. The count
+    * is a full predicate-column scan, and it runs at plan-BUILD time —
+    * uncached, every EXPLAIN of the same filtered-AUTO query re-paid it
+    * (a full scan per plan build at 100 TB). The snapshot version in
+    * the key makes staleness structural: a corpus commit moves the head
+    * version, so a cached count can never serve a newer snapshot —
+    * same-snapshot counts are deterministic, so the entry is safe
+    * process-wide (not per-session). Entries are one Long each.
+    */
+  private val autoSelectivityCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), Long]()
+
+  /** Test hook: entries currently cached for `src`. */
+  private[graft] def cachedSelectivities(src: String): Int = {
+    import scala.jdk.CollectionConverters._
+    autoSelectivityCache.keySet.asScala.count(_._1 == src)
   }
 
   /** The filtered-search allowed-id frame: the index's SOURCE corpus
@@ -193,7 +224,8 @@ object SearchRelations {
              k: Int, nProbe: Int, refine: Boolean,
              refineFactor: Int,
              filterPred: Option[String] = None,
-             allowedOverride: Option[DataFrame] = None): DataFrame = {
+             allowedOverride: Option[DataFrame] = None,
+             autoKeyOverride: Option[(String, String)] = None): DataFrame = {
     val d = Bm25Index.readDef(spark, idx)
     val queries = ManifestTable.read(spark, queriesPath)
     // the probe/refine broadcast hints are gated on the query-batch
@@ -204,10 +236,14 @@ object SearchRelations {
     // allowedOverride: the hybrid forms evaluate the predicate against
     // the TEXT index's source (where document attributes live — the
     // fused doc-id space is shared by contract) and hand the id frame
-    // down here, instead of re-deriving it from this index's source
+    // down here, instead of re-deriving it from this index's source;
+    // autoKeyOverride is that frame's (source, predicate) cache key so
+    // PROBE AUTO's selectivity count stays cacheable through hybrid
     val allowed = allowedOverride.orElse(
       allowedIds(spark, d, filterPred))
-    val pEff = resolveProbe(spark, idx, d, nProbe, allowed)
+    val autoKey = autoKeyOverride.orElse(
+      filterPred.map(p => (d("sourcePath"), p)))
+    val pEff = resolveProbe(spark, idx, d, nProbe, allowed, autoKey)
     d.getOrElse("kind", "?") match {
       case "ivfpq" =>
         val base =
@@ -270,8 +306,8 @@ object SearchRelations {
     // FILTER on hybrid evaluates against the TEXT index's source — the
     // document store carrying the attributes — and the one allowed-id
     // set pre-filters BOTH lists (fusion's doc-id space is shared)
-    val allowed = allowedIds(spark,
-      requireKind(spark, textIdx, "bm25"), filterPred)
+    val td = requireKind(spark, textIdx, "bm25")
+    val allowed = allowedIds(spark, td, filterPred)
     // RESCORE: the text list entering fusion is the two-stage
     // proximity re-rank's ordering, not raw BM25 — the production
     // hybrid shape (re-rank each list, THEN fuse ranks). The vector
@@ -290,7 +326,8 @@ object SearchRelations {
             .cast("long").as("rank_text"))
     val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
         refine = refine, refineFactor = refineFactor,
-        allowedOverride = allowed)
+        allowedOverride = allowed,
+        autoKeyOverride = filterPred.map(p => (td("sourcePath"), p)))
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
     // the query-id universe comes from the QUERIES TABLE, not from
@@ -477,7 +514,8 @@ object SearchRelations {
           col("rank").as("rank_text"))
     val vRank = vector(spark, vecIdx, queriesPath, c, nProbe,
         refine = refine, refineFactor = refineFactor,
-        allowedOverride = allowed)
+        allowedOverride = allowed,
+        autoKeyOverride = filterPred.map(p => (td("sourcePath"), p)))
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
     fuseRrfKeyed(tRank, vRank, k, rrfK)

@@ -619,6 +619,59 @@ class SearchTvfSpec extends SparkSpec {
         refine = false, refineFactor = 4))
     assert(e.getMessage.contains("PROBE must be >= 1 or AUTO"))
   }
+  test("PROBE AUTO's selectivity count is cached per (source, snapshot, predicate): repeat plan builds are one job cheaper; a commit re-pays it") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(47)
+    val vcorpus = tmp(); val vIdx = tmp(); val qtab = tmp()
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat), if (i % 4 >= 2) 1 else 0)
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding", "label"),
+      vcorpus, "vec_id", 2)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(vecs.take(2).map { case (i, v, _) => (i, v) }
+      .toDF("vec_id", "embedding"), qtab, "vec_id", 2)
+    def build(): Unit = SearchRelations.vector(spark, vIdx, qtab, k = 5,
+      nProbe = SearchRelations.ProbeAuto, refine = false,
+      refineFactor = 4, filterPred = Some("label = 1"))
+    // before r17 EVERY plan build (every EXPLAIN) re-ran the
+    // allowed.count() — a full predicate-column scan per plan build at
+    // 100 TB (VERDICT r16 next #5). Now the first build pays it and
+    // caches under (source path, head snapshot version, predicate)
+    val first = WorkMeter.jobsStarted(spark) { build() }
+    assert(SearchRelations.cachedSelectivities(vcorpus) >= 1,
+      "first filtered-AUTO build must populate the selectivity cache")
+    val second = WorkMeter.jobsStarted(spark) { build() }
+    assert(second < first,
+      s"repeat build at the same snapshot must skip the count job: " +
+        s"first=$first jobs, second=$second")
+    // steady state: a third build schedules exactly the second's jobs
+    val third = WorkMeter.jobsStarted(spark) { build() }
+    assert(third == second,
+      s"steady-state builds must be job-stable: second=$second third=$third")
+    // a different predicate is a different key — pays its own count
+    val otherPred = WorkMeter.jobsStarted(spark) {
+      SearchRelations.vector(spark, vIdx, qtab, k = 5,
+        nProbe = SearchRelations.ProbeAuto, refine = false,
+        refineFactor = 4, filterPred = Some("label = 0"))
+    }
+    assert(otherPred > second,
+      s"a new predicate must pay its own count: other=$otherPred vs $second")
+    assert(SearchRelations.cachedSelectivities(vcorpus) >= 2)
+    // a corpus COMMIT moves the head version: the stale entry cannot
+    // serve the new snapshot, so the next build re-pays the count
+    ManifestTable.append(spark,
+      vcorpus, Seq((100L, Array.fill(16)(0.1f), 1))
+        .toDF("vec_id", "embedding", "label"), "vec_id")
+    val afterCommit = WorkMeter.jobsStarted(spark) { build() }
+    assert(afterCommit > second,
+      s"a new snapshot must re-measure selectivity: after=$afterCommit " +
+        s"vs steady $second")
+  }
   test("SNIPPET: verb ≡ TVF ≡ API; needs RESCORE; hits bracketed") {
     import graft.sources.SearchRelations
     val (_, idx) = textFixture

@@ -99,6 +99,45 @@ object WorkMeter {
     }
   }
 
+  /** Count the Spark JOBS the measured thread submits — the
+    * "this plan build is job-free" pin (e.g. PROBE AUTO's cached
+    * selectivity count: a repeat plan build at the same snapshot must
+    * schedule strictly fewer jobs than the first). Attribution through
+    * the job group, like [[measure]]; the quiet-wait is unnecessary
+    * because onJobStart fires synchronously with submission and `run`
+    * returning means every eager driver job has been submitted.
+    */
+  def jobsStarted(spark: SparkSession)(run: => Unit): Int = {
+    val sc = spark.sparkContext
+    val group = s"graft-jobmeter-${java.util.UUID.randomUUID()}"
+    val jobs = new LongAdder
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.increment()
+    }
+    sc.addSparkListener(listener)
+    sc.setJobGroup(group, "graft job count", interruptOnCancel = false)
+    try {
+      run
+      // the async bus may still be draining submissions made before
+      // `run` returned — poll until the counter is quiet
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1L
+      var cur = jobs.sum()
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur
+        Thread.sleep(100)
+        cur = jobs.sum()
+      }
+      cur.toInt
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+
   def measure(spark: SparkSession)(run: => Unit): Work = {
     val sc = spark.sparkContext
     val group = s"graft-workmeter-${java.util.UUID.randomUUID()}"
