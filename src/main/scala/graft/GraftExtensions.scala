@@ -259,11 +259,12 @@ object GraftExtensions {
         .queryExecution.logical
     }),
     "graft_search_hybrid_rescored" -> (es => {
-      requireArity(es, 4, 8,
+      requireArity(es, 4, 9,
         "graft_search_hybrid_rescored(text_index, vector_index, terms, " +
-          "queries_path[, k[, probe[, factor[, predicate]]]]) — hybrid " +
-          "fusion with the proximity-RESCORED text list; factor 0 = " +
-          "corpus-scaled cut")
+          "queries_path[, k[, probe[, factor[, predicate[, pad]]]]]) — " +
+          "hybrid fusion with the proximity-RESCORED text list; factor " +
+          "0 = corpus-scaled cut; predicate '' = unfiltered; pad ≥ 0 " +
+          "adds the snippet column through the fusion")
       val factor = if (es.size > 6) intArg(es(6), "factor") else 0
       graft.sources.SearchRelations.hybrid(SparkSession.active,
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
@@ -271,17 +272,21 @@ object GraftExtensions {
           if (es.size > 4) intArg(es(4), "k") else 10,
           nProbe = if (es.size > 5) probeArg(es(5), "probe") else 2,
           filterPred =
-            if (es.size > 7) Some(strArg(es(7), "predicate")) else None,
+            if (es.size > 7) Some(strArg(es(7), "predicate"))
+              .filter(_.trim.nonEmpty)
+            else None,
           rescoreText = true,
-          rescoreFactor = if (factor > 0) Some(factor) else None)
+          rescoreFactor = if (factor > 0) Some(factor) else None,
+          snippetPad = if (es.size > 8) intArg(es(8), "pad") else -1)
         .queryExecution.logical
     }),
     "graft_search_hybrid_col_rescored" -> (es => {
-      requireArity(es, 4, 8,
+      requireArity(es, 4, 9,
         "graft_search_hybrid_col_rescored(text_index, vector_index, " +
           "queries_path, terms_col[, k[, probe[, factor[, " +
-          "predicate]]]]) — the batch hybrid with per-query " +
-          "proximity-rescored text lists")
+          "predicate[, pad]]]]]) — the batch hybrid with per-query " +
+          "proximity-rescored text lists; predicate '' = unfiltered; " +
+          "pad ≥ 0 adds the snippet column through the fusion")
       val factor = if (es.size > 6) intArg(es(6), "factor") else 0
       graft.sources.SearchRelations.hybridPerQuery(SparkSession.active,
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
@@ -289,9 +294,12 @@ object GraftExtensions {
           if (es.size > 4) intArg(es(4), "k") else 10,
           nProbe = if (es.size > 5) probeArg(es(5), "probe") else 2,
           filterPred =
-            if (es.size > 7) Some(strArg(es(7), "predicate")) else None,
+            if (es.size > 7) Some(strArg(es(7), "predicate"))
+              .filter(_.trim.nonEmpty)
+            else None,
           rescoreText = true,
-          rescoreFactor = if (factor > 0) Some(factor) else None)
+          rescoreFactor = if (factor > 0) Some(factor) else None,
+          snippetPad = if (es.size > 8) intArg(es(8), "pad") else -1)
         .queryExecution.logical
     }),
     "graft_search_vector_filtered" -> (es => {

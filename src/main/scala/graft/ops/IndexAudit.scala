@@ -201,10 +201,11 @@ object IndexAudit {
 
     val modelRows = kind match {
       case "ivf" =>
-        Seq(modelCheck("index_models", s"centroids ${centroidSummary(spark, path)}"))
+        Seq(modelCheck("index_models",
+          s"centroids ${centroidSummary(spark, path, kind)}"))
       case "ivfpq" =>
         Seq(modelCheck("index_models",
-          s"centroids ${centroidSummary(spark, path)}, " +
+          s"centroids ${centroidSummary(spark, path, kind)}, " +
             s"codebooks ${codebookSummary(spark, path)}"))
       case _ => Seq.empty
     }
@@ -283,8 +284,9 @@ object IndexAudit {
       else ("index_balance", "WARN",
         s"$detail — probes hitting the fat list approach a brute scan " +
           "of it and probes missing it starve recall; frozen centroids " +
-          "cannot rebalance — rebuild (GRAFT DROP INDEX + GRAFT CREATE " +
-          "VECTOR INDEX) to retrain on the current corpus")
+          "cannot rebalance — run GRAFT REBUILD INDEX to retrain on " +
+          "the current corpus (atomic swap: the index keeps answering " +
+          "and the definition survives a failed rebuild)")
     } catch {
       case e: Throwable =>
         ("index_balance", "FAIL", s"audit failed: ${e.getMessage}")
@@ -294,11 +296,22 @@ object IndexAudit {
     try (name, "ok", detail)
     catch { case e: Throwable => (name, "FAIL", s"model load failed: ${e.getMessage}") }
 
-  private def centroidSummary(spark: SparkSession, path: String): String = {
-    val c = PqIndex.loadCoarse(spark, path)
-    require(c.nonEmpty && c.forall(_.length == c.head.length),
+  /** kind-aware: ivf centroids are FLOAT arrays (IvfIndex's model),
+    * ivfpq coarse centroids are DOUBLE (Clustering.lloyd's) — reading
+    * either through the other's loader ClassCastExceptions, which made
+    * every ivf VERIFY report `index_models FAIL` since the check
+    * existed (latent until RebuildIndexSpec asserted zero FAIL rows on
+    * an ivf index).
+    */
+  private def centroidSummary(spark: SparkSession, path: String,
+                              kind: String): String = {
+    val widths: Array[Int] = kind match {
+      case "ivf" => IvfIndex.loadModel(spark, path).centroids.map(_.length)
+      case _ => PqIndex.loadCoarse(spark, path).map(_.length)
+    }
+    require(widths.nonEmpty && widths.forall(_ == widths.head),
       "centroid rows are empty or ragged")
-    s"${c.length}x${c.head.length}"
+    s"${widths.length}x${widths.head}"
   }
 
   private def codebookSummary(spark: SparkSession, path: String): String = {

@@ -156,10 +156,17 @@ object Ivf {
     * allowed set is corpus-sized in the worst case; AQE broadcasts it
     * at runtime when it measures small.
     */
+  /** `allowedPairs`: optional PER-QUERY pre-filter — (query_id,
+    * neighbor_id) pairs of permitted matches (multi-tenant batches:
+    * each query row carries its own eligibility set); candidates
+    * semi-join it BEFORE the rank window, composing with `allowed`
+    * (intersection). Unhinted like `allowed`.
+    */
   def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, model: Model,
                  nProbe: Int = 3, queryBound: Long = -1L,
-                 allowed: Option[DataFrame] = None): DataFrame = {
+                 allowed: Option[DataFrame] = None,
+                 allowedPairs: Option[DataFrame] = None): DataFrame = {
     val indexed = index(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
         .withColumn("cn", l2Norm(col("cv"))), "cv", model)
@@ -179,7 +186,12 @@ object Ivf {
       cands.join(a.select(col(a.columns.head).as("neighbor_id")),
         Seq("neighbor_id"), "left_semi")
     }
-    kept
+    val keptP = allowedPairs.fold(kept) { ap =>
+      kept.join(ap.select(col(ap.columns.head).as("query_id"),
+        col(ap.columns(1)).as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+    }
+    keptP
       .withColumn("sim",
         when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rank", row_number().over(

@@ -41,14 +41,31 @@ object IvfIndex {
   private val CentroidsDir = "_centroids"
   private[graft] def listsPath(indexPath: String) = s"$indexPath/lists"
 
+  /** Generation G's centroid dir — `_centroids` for the legacy G ≤ 0
+    * layout, `_centroids-g<G>` after a REBUILD (the generation pointer
+    * lives in the lists manifest's txns under [[Bm25Index.GenKey]], so
+    * the model swap rides the lists' atomic replace commit). Shared
+    * naming with [[PqIndex]]'s coarse centroids.
+    */
+  private[graft] def centroidsDirAt(indexPath: String, g: Long): String =
+    if (g <= 0) s"$indexPath/$CentroidsDir" else s"$indexPath/$CentroidsDir-g$g"
+
+  private[graft] def generation(spark: SparkSession,
+                                indexPath: String): Long =
+    ManifestTable.txnVersion(spark, listsPath(indexPath), Bm25Index.GenKey)
+      .getOrElse(0L)
+
   /** List count of a persisted vector index — the centroid table's
-    * cardinality (k rows; parquet footer count, no data IO). The
-    * `_centroids` layout is shared with [[PqIndex]] (whose coarse
-    * centroids live under the same name), so `PROBE AUTO` resolution
-    * reads either kind through this one helper.
+    * cardinality (k rows; parquet footer count, no data IO, plus one
+    * manifest read to resolve the model generation). The centroid
+    * layout is shared with [[PqIndex]] (whose coarse centroids live
+    * under the same name), so `PROBE AUTO` resolution reads either
+    * kind through this one helper.
     */
   private[graft] def nLists(spark: SparkSession, indexPath: String): Int =
-    spark.read.parquet(s"$indexPath/$CentroidsDir").count().toInt
+    spark.read.parquet(
+      centroidsDirAt(indexPath, generation(spark, indexPath)))
+      .count().toInt
 
   /** Train on the corpus and persist centroids + assigned lists. */
   def build(spark: SparkSession, indexPath: String, corpus: DataFrame,
@@ -138,13 +155,69 @@ object IvfIndex {
     require((before -- after).isEmpty && mFrom.tombstones == mTo.tombstones,
       s"corpus at $corpusPath changed non-append between versions $last " +
         s"and $head (rewrite or delete): lists cannot subtract — " +
-        "rebuild the index")
+        "run GRAFT REBUILD INDEX")
     val newDirs = (after -- before).toSeq.sorted
     if (newDirs.isEmpty) return false
     val batch = spark.read.parquet(newDirs.map(r => s"$corpusPath/$r"): _*)
     ManifestTable.appendOnce(spark, lists,
       assigned(batch, idCol, vecCol, loadModel(spark, indexPath)),
       "list_id", AppId, head.toLong)
+  }
+
+  /** Full RETRAIN + REASSIGN at the corpus head — `GRAFT REBUILD
+    * INDEX`, the safe form of the balance WARN's old "DROP + CREATE"
+    * remedy (VERDICT r16 What's-missing #3: an index-less window for
+    * the whole rebuild, and a failed rebuild lost the definition) and
+    * the escape hatch [[sync]]'s non-append refusal names. The new
+    * generation's centroids are built under a SHADOW dir no reader
+    * resolves ([[centroidsDirAt]] at G+1); the complete reassigned
+    * lists, the new sync watermark, and the generation pointer then
+    * land in ONE atomic manifest commit ([[ManifestTable
+    * .writeWithTxns]]) — a reader's pinned manifest resolves
+    * old-lists-with-old-centroids or new-with-new, never a torn pair,
+    * and the index answers queries throughout. The definition is
+    * re-written after the commit (idempotent; converges a DROP landing
+    * inside the rebuild window to a consistent rebuilt index, sync's
+    * documented behavior for the same race). A crashed rebuild leaves
+    * only an unreferenced shadow dir — the live index is untouched.
+    *
+    * `k` < 1 keeps the current trained list count. Returns the corpus
+    * head version rebuilt against; later syncs continue incrementally
+    * from it.
+    */
+  def rebuild(spark: SparkSession, indexPath: String, k: Int = -1,
+              iterations: Int = 5, maxSample: Int = 2000): Int = {
+    val d = Bm25Index.readDef(spark, indexPath)
+    require(d.get("kind").contains("ivf"),
+      s"index at $indexPath is not an ivf index: ${d.get("kind")}")
+    val corpusPath = d("sourcePath")
+    val head = ManifestTable.headVersion(spark, corpusPath).getOrElse(
+      throw new IllegalArgumentException(s"no committed corpus at $corpusPath"))
+    val lists = listsPath(indexPath)
+    // everything the rebuild needs from the OLD index is snapshotted
+    // BEFORE the walk seam: a DROP landing inside the window then finds
+    // nothing left to read, and the commit below converges the race to
+    // a complete consistent index (the conflict walk pins this)
+    val mOld = ManifestTable.describeManifest(spark, lists)
+    val kEff = if (k >= 1) k else nLists(spark, indexPath)
+    val g = mOld.txns.getOrElse(Bm25Index.GenKey, 0L) + 1
+    Bm25Index.syncMidHook() // shared walk seam
+    val docs = ManifestTable.readVersion(spark, corpusPath, head)
+    val model = Ivf.train(docs, d("idCol"), d("vecCol"), kEff,
+      iterations, maxSample)
+    import spark.implicits._
+    // shadow write (overwrite: a CRASHED rebuild's leftover at this
+    // generation is unreferenced, and the retrain reproduces it)
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(centroidsDirAt(indexPath, g))
+    // THE swap: complete lists + watermark + generation, one commit
+    ManifestTable.writeWithTxns(assigned(docs, d("idCol"), d("vecCol"),
+        model), lists, "list_id", mOld.nBuckets,
+      Map(AppId -> head.toLong, Bm25Index.GenKey -> g))
+    writeDef(spark, indexPath, corpusPath, d("idCol"), d("vecCol"))
+    head
   }
 
   private def assigned(rows: DataFrame, idCol: String, vecCol: String,
@@ -154,10 +227,17 @@ object IvfIndex {
       .select("list_id", "id", "vec", "norm")
 
   /** The persisted model: k rows collected (k × dim floats — dimension
-    *-table sized, like [[Ivf.train]]'s own output).
+    *-table sized, like [[Ivf.train]]'s own output). Resolves the
+    * CURRENT generation's centroids; search pins a manifest snapshot
+    * and loads through [[loadModelAt]] instead, so its model and
+    * bucket pointers come from ONE read.
     */
   def loadModel(spark: SparkSession, indexPath: String): Ivf.Model =
-    Ivf.Model(spark.read.parquet(s"$indexPath/$CentroidsDir")
+    loadModelAt(spark, indexPath, generation(spark, indexPath))
+
+  private[graft] def loadModelAt(spark: SparkSession, indexPath: String,
+                                 g: Long): Ivf.Model =
+    Ivf.Model(spark.read.parquet(centroidsDirAt(indexPath, g))
       .orderBy("list_id").collect()
       .map(_.getSeq[Float](1).toArray))
 
@@ -181,15 +261,23 @@ object IvfIndex {
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int = 5,
              nProbe: Int = 3, queryBound: Long = -1L,
-             allowed: Option[DataFrame] = None): DataFrame = {
-    val model = loadModel(spark, indexPath)
+             allowed: Option[DataFrame] = None,
+             allowedPairs: Option[DataFrame] = None): DataFrame = {
+    // ONE pinned manifest read resolves the model generation AND the
+    // bucket pointers, so a concurrent REBUILD's atomic swap can never
+    // hand this search new lists with the old centroids (or vice
+    // versa) — old-with-old or new-with-new, by construction
+    val mPin = ManifestTable.describeManifest(spark, listsPath(indexPath))
+    val model = loadModelAt(spark, indexPath,
+      mPin.txns.getOrElse(Bm25Index.GenKey, 0L))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .withColumn("probe", explode(Ivf.probeLists(col("qv"), model, nProbe)))
     // manifest-level cut: only buckets the probed list ids hash into are
     // listed or opened; unprobed lists sharing a bucket are joined away
-    val indexed = ManifestTable.readBuckets(spark, listsPath(indexPath),
+    val indexed = ManifestTable.readBucketsPinned(spark,
+      listsPath(indexPath), mPin,
       probes.select(col("probe").as("list_id")))
     val nQ = if (queryBound >= 0) queryBound else queries.count()
     val cands = indexed.join(
@@ -200,7 +288,14 @@ object IvfIndex {
       cands.join(a.select(col(a.columns.head).as("id")),
         Seq("id"), "left_semi")
     }
-    kept
+    // per-query pre-filter (see Ivf.searchTopK): semi-join the
+    // (query, candidate) pairs before the rank window
+    val keptP = allowedPairs.fold(kept) { ap =>
+      kept.join(ap.select(col(ap.columns.head).as("query_id"),
+        col(ap.columns(1)).as("id")),
+        Seq("query_id", "id"), "left_semi")
+    }
+    keptP
       .withColumn("sim", when(col("qn") * col("norm") > 0,
         dot(col("qv"), col("vec")) / (col("qn") * col("norm"))))
       .withColumn("rank", row_number().over(

@@ -42,6 +42,20 @@ object PqIndex {
   private val CodebooksDir = "_codebooks"
   private def listsPath(indexPath: String) = s"$indexPath/lists"
 
+  /** Generation G's model dirs — the legacy unsuffixed layout at
+    * G ≤ 0, `-g<G>` after a REBUILD; the pointer lives in the lists
+    * manifest's txns under [[Bm25Index.GenKey]] (see
+    * [[IvfIndex.centroidsDirAt]] — both vector kinds swap models by
+    * riding the lists table's atomic replace commit).
+    */
+  private def coarseDirAt(indexPath: String, g: Long): String =
+    if (g <= 0) s"$indexPath/$CentroidsDir" else s"$indexPath/$CentroidsDir-g$g"
+  private def codebooksDirAt(indexPath: String, g: Long): String =
+    if (g <= 0) s"$indexPath/$CodebooksDir" else s"$indexPath/$CodebooksDir-g$g"
+  private def generation(spark: SparkSession, indexPath: String): Long =
+    ManifestTable.txnVersion(spark, listsPath(indexPath), Bm25Index.GenKey)
+      .getOrElse(0L)
+
   /** Train coarse + PQ on the corpus, persist both models and the
     * coded inverted lists. Driver state: kLists·dim + m·k·subDim
     * doubles — model-sized, never corpus-sized.
@@ -148,7 +162,7 @@ object PqIndex {
     require((before -- after).isEmpty && mFrom.tombstones == mTo.tombstones,
       s"corpus at $corpusPath changed non-append between versions $last " +
         s"and $head (rewrite or delete): coded lists cannot subtract — " +
-        "rebuild the index")
+        "run GRAFT REBUILD INDEX")
     val newDirs = (after -- before).toSeq.sorted
     if (newDirs.isEmpty) return false
     val batch = spark.read.parquet(newDirs.map(r => s"$corpusPath/$r"): _*)
@@ -156,6 +170,67 @@ object PqIndex {
       assigned(quantized(batch, idCol, vecCol),
         loadCoarse(spark, indexPath), loadPq(spark, indexPath)),
       "list_id", AppId, head.toLong)
+  }
+
+  /** Full RETRAIN (coarse + PQ codebooks) + RE-ENCODE at the corpus
+    * head — `GRAFT REBUILD INDEX` for the ivfpq kind; the contract is
+    * [[IvfIndex.rebuild]]'s: both new models land under SHADOW
+    * generation dirs no reader resolves, then the complete re-encoded
+    * lists, the sync watermark, and the generation pointer swap in ONE
+    * atomic manifest commit — readers pin a manifest and see
+    * old-with-old or new-with-new, never ADC codes decoded against the
+    * wrong codebooks. `kLists` / `m` / `k` < 1 keep the CURRENT
+    * model's shape (trained list count, subspace count, codes per
+    * subspace — read from the persisted models, since the def records
+    * only source/columns). Returns the corpus head version rebuilt
+    * against.
+    */
+  def rebuild(spark: SparkSession, indexPath: String, kLists: Int = -1,
+              m: Int = -1, k: Int = -1, updates: Int = 1): Int = {
+    val d = Bm25Index.readDef(spark, indexPath)
+    require(d.get("kind").contains("ivfpq"),
+      s"index at $indexPath is not an ivfpq index: ${d.get("kind")}")
+    val corpusPath = d("sourcePath")
+    val head = ManifestTable.headVersion(spark, corpusPath).getOrElse(
+      throw new IllegalArgumentException(s"no committed corpus at $corpusPath"))
+    val lists = listsPath(indexPath)
+    // old-index reads all land BEFORE the walk seam — a DROP inside
+    // the window then finds nothing to read, and the commit below
+    // converges the race to a complete consistent index (see
+    // IvfIndex.rebuild)
+    val mOld = ManifestTable.describeManifest(spark, lists)
+    val kEff = if (kLists >= 1) kLists else IvfIndex.nLists(spark, indexPath)
+    val pqOld = loadPq(spark, indexPath)
+    val mEff = if (m >= 1) m else pqOld.m
+    val cEff = if (k >= 1) k else pqOld.k
+    val g = mOld.txns.getOrElse(Bm25Index.GenKey, 0L) + 1
+    Bm25Index.syncMidHook() // shared walk seam
+    val docs = ManifestTable.readVersion(spark, corpusPath, head)
+    val dimRow = docs.select(size(col(d("vecCol")))).take(1)
+    require(dimRow.nonEmpty,
+      s"empty corpus at $corpusPath — nothing to train on")
+    val dim = dimRow.head.getInt(0)
+    import spark.implicits._
+    Clustering.withPersistedQ(quantized(docs, d("idCol"), d("vecCol"))) { q =>
+      val coarse = Clustering.lloyd(q, kEff, updates)
+      val pq = Pq.trainQuantized(q, dim, mEff, cEff, updates)
+      // shadow writes (overwrite: a crashed rebuild's leftovers at this
+      // generation are unreferenced; the retrain reproduces them)
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(coarseDirAt(indexPath, g))
+      (for { s <- 0 until pq.m; j <- 0 until pq.k }
+        yield (s, j, pq.codebooks(s)(j).toSeq)).toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(codebooksDirAt(indexPath, g))
+      // THE swap: complete coded lists + watermark + generation
+      ManifestTable.writeWithTxns(assigned(q, coarse, pq), lists,
+        "list_id", mOld.nBuckets,
+        Map(AppId -> head.toLong, Bm25Index.GenKey -> g))
+    }
+    writeDef(spark, indexPath, corpusPath, d("idCol"), d("vecCol"))
+    head
   }
 
   private def quantized(rows: DataFrame, idCol: String,
@@ -171,12 +246,20 @@ object PqIndex {
         Pq.codesCol(col("q"), pq).as("codes"))
 
   def loadCoarse(spark: SparkSession, indexPath: String): Array[Array[Double]] =
-    spark.read.parquet(s"$indexPath/$CentroidsDir")
+    loadCoarseAt(spark, indexPath, generation(spark, indexPath))
+
+  private def loadCoarseAt(spark: SparkSession, indexPath: String,
+                           g: Long): Array[Array[Double]] =
+    spark.read.parquet(coarseDirAt(indexPath, g))
       .orderBy("list_id").collect()
       .map(_.getSeq[Double](1).toArray)
 
-  def loadPq(spark: SparkSession, indexPath: String): Pq.Model = {
-    val rows = spark.read.parquet(s"$indexPath/$CodebooksDir")
+  def loadPq(spark: SparkSession, indexPath: String): Pq.Model =
+    loadPqAt(spark, indexPath, generation(spark, indexPath))
+
+  private def loadPqAt(spark: SparkSession, indexPath: String,
+                       g: Long): Pq.Model = {
+    val rows = spark.read.parquet(codebooksDirAt(indexPath, g))
       .orderBy("sub", "code").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
@@ -197,14 +280,21 @@ object PqIndex {
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              idCol: String, vecCol: String, topK: Int = 5,
              nProbe: Int = 2, queryBound: Long = -1L,
-             allowed: Option[DataFrame] = None): DataFrame = {
-    val coarse = loadCoarse(spark, indexPath)
-    val pq = loadPq(spark, indexPath)
+             allowed: Option[DataFrame] = None,
+             allowedPairs: Option[DataFrame] = None): DataFrame = {
+    // ONE pinned manifest read resolves both models' generation AND
+    // the bucket pointers — a concurrent REBUILD can never hand this
+    // search new lists with old models (see IvfIndex.search)
+    val mPin = ManifestTable.describeManifest(spark, listsPath(indexPath))
+    val g = mPin.txns.getOrElse(Bm25Index.GenKey, 0L)
+    val coarse = loadCoarseAt(spark, indexPath, g)
+    val pq = loadPqAt(spark, indexPath, g)
     val probes = queries
       .select(col(idCol).cast("long").as("query_id"),
         int8Quantize(col(vecCol)).as("qq"))
       .withColumn("probe", explode(probeLists(col("qq"), coarse, nProbe)))
-    val indexed = ManifestTable.readBuckets(spark, listsPath(indexPath),
+    val indexed = ManifestTable.readBucketsPinned(spark,
+      listsPath(indexPath), mPin,
       probes.select(col("probe").as("list_id")))
     // probe side (nQueries × nProbe rows, each carrying the dim-byte
     // int8 query payload) hinted only under the byte cap at
@@ -220,7 +310,14 @@ object PqIndex {
       cands.join(a.select(col(a.columns.head).cast("long").as("id")),
         Seq("id"), "left_semi")
     }
-    kept
+    // per-query pre-filter (see Ivf.searchTopK)
+    val keptP = allowedPairs.fold(kept) { ap =>
+      kept.join(ap.select(
+        col(ap.columns.head).cast("long").as("query_id"),
+        col(ap.columns(1)).cast("long").as("id")),
+        Seq("query_id", "id"), "left_semi")
+    }
+    keptP
       .withColumn("dist", qdistSq(col("qq"), Pq.reconCol(col("codes"), pq)))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist"), col("id")))
@@ -249,15 +346,18 @@ object PqIndex {
                     idCol: String, vecCol: String, topK: Int = 5,
                     nProbe: Int = 2, refineFactor: Int = 4,
                     queryBound: Long = -1L,
-                    allowed: Option[DataFrame] = None): DataFrame = {
+                    allowed: Option[DataFrame] = None,
+                    allowedPairs: Option[DataFrame] = None): DataFrame = {
     // broadcast hints on the probe AND refine joins are gated on the
     // query-batch size (see Pq.refineExact); one count of the QUERY
     // frame decides when the caller doesn't know the bound
     val nQ = if (queryBound >= 0) queryBound else queries.count()
-    // the filtered-ANN pre-filter applies in the ADC stage, so the
-    // refine candidate budget (c per query) is spent on ALLOWED docs
+    // the filtered-ANN pre-filters (shared AND per-query) apply in the
+    // ADC stage, so the refine candidate budget (c per query) is spent
+    // on each query's ALLOWED docs
     val candidates = search(spark, indexPath, queries, idCol, vecCol,
-        topK * refineFactor, nProbe, queryBound = nQ, allowed = allowed)
+        topK * refineFactor, nProbe, queryBound = nQ, allowed = allowed,
+        allowedPairs = allowedPairs)
       .select("query_id", "neighbor_id")
     val candBound = Pq.mulBound(nQ, topK.toLong * refineFactor)
     // the refine query side carries the dim-byte quantized payload; dim

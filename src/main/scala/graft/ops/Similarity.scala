@@ -37,11 +37,20 @@ object Similarity {
     * engines computing the same cosine differ at ~1e-15, so ranking on the
     * rounded value (ties broken by id) makes top-k reproducible anywhere.
     */
+  /** `allowedPairs`: optional PER-QUERY pre-filter — a two-column
+    * (query_id, neighbor_id) frame of permitted pairs (the multi-tenant
+    * batch-retrieval idiom: each query row carries its OWN eligibility
+    * set). Scored pairs semi-join it BEFORE the rank window, so every
+    * query's top-k is dense over ITS eligible docs. Unhinted — the
+    * pairs frame is queries × corpus in the worst case; AQE broadcasts
+    * it when it measures small.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
                      roundTo: Option[Int] = None,
                      queryBound: Long = -1L,
-                     dim: Int = Pq.AssumedDim): DataFrame = {
+                     dim: Int = Pq.AssumedDim,
+                     allowedPairs: Option[DataFrame] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -52,7 +61,12 @@ object Similarity {
     val scored = c.join(Pq.hintIfSmall(q, nQ, Pq.vecRowBytes(dim)),
       col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
-    scored
+    val kept = allowedPairs.fold(scored) { ap =>
+      scored.join(ap.select(col(ap.columns.head).as("query_id"),
+        col(ap.columns(1)).as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+    }
+    kept
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))).cast("long"))
       .filter(col("rank") <= k)

@@ -2420,6 +2420,267 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Hybrid RESCORE fusion WITH SNIPPETS — the standard search-page
+    * payload (fused ranking + highlighted excerpt) in one result
+    * (VERDICT r16 next #6): `hybrid_rrf_rescored`'s fusion with the
+    * text re-rank's cover-window excerpt riding through — text-list
+    * docs carry their `bm25_snippets` excerpt (the cover window is a
+    * (terms, doc) property, independent of ranking), vector-only docs
+    * fuse with a NULL snippet exactly as their rank_text is NULL. The
+    * production twin is `GRAFT SEARCH HYBRID … RESCORE SNIPPET [PAD]`
+    * ([[graft.sources.SearchRelations.hybrid]] snippetPad).
+    */
+  def hybridRrfSnippets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cands, qterms) = bm25Parts(spark, dir)
+    val resc = graft.ops.Bm25Index.proximityRescore(
+      cands, Tables.documents(spark, dir), qterms, "doc_id", "text",
+      topK = 20, candBound = 20L, qArity = 3, snippetPad = 3)
+    val tRank = resc.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("rescored"), col("doc_id")))
+        .cast("long").as("rank_text"),
+      col("snippet"))
+    val emb = Tables.embeddings(spark, dir)
+    val vRank = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 20, roundTo = Some(6), queryBound = 1L, dim = 64)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    tRank.join(vRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_r", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6))
+      .orderBy(desc("rrf_r"), col("doc_id"))
+      .limit(10)
+      .select("doc_id", "rank_text", "rank_vec", "rrf_r", "snippet")
+  }
+
+  /** The snippeted-fusion oracle: `bm25_snippets`' best/snip CTEs over
+    * the shared rescore CTEs, `hybrid_rrf_rescored`'s trank/vrank and
+    * fusion arithmetic, snippets LEFT-joined so vector-only docs keep
+    * NULL.
+    */
+  private val hybridRrfSnippetsSql = bm25RescoreCtes +
+    """,
+      |best AS (
+      |  SELECT doc_id, s, e FROM (
+      |    SELECT c.doc_id, c.s, c.e,
+      |           row_number() OVER (PARTITION BY c.doc_id
+      |             ORDER BY (c.e - c.s + 1) ASC, c.e ASC, c.s DESC) AS rk
+      |    FROM cover c JOIN present pr ON pr.doc_id = c.doc_id
+      |                                AND c.n_in = pr.n_present)
+      |  WHERE rk = 1),
+      |snip AS (
+      |  SELECT b.doc_id,
+      |         string_agg(CASE WHEN p2.pos IS NOT NULL
+      |                         THEN '[' || cp.term || ']' ELSE cp.term END,
+      |                    ' ' ORDER BY cp.pos) AS snippet
+      |  FROM best b
+      |  JOIN cpos cp ON cp.doc_id = b.doc_id
+      |              AND cp.pos BETWEEN b.s - 3 AND b.e + 3
+      |  LEFT JOIN p p2 ON p2.doc_id = cp.doc_id AND p2.pos = cp.pos
+      |  GROUP BY b.doc_id),
+      |hflat AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |hnorms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM hflat GROUP BY vec_id),
+      |hdots AS (
+      |  SELECT c.vec_id AS neighbor_id,
+      |         sum(CAST(qv.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+      |  FROM hflat qv JOIN hflat c ON qv.i = c.i
+      |  WHERE qv.vec_id = 0 AND c.vec_id <> 0
+      |  GROUP BY 1),
+      |hscored AS (
+      |  SELECT neighbor_id,
+      |         round(dot / (nq.nrm * nc.nrm), 6) AS sim_r
+      |  FROM hdots
+      |  JOIN hnorms nq ON nq.vec_id = 0
+      |  JOIN hnorms nc ON nc.vec_id = neighbor_id),
+      |vrank AS (
+      |  SELECT doc_id, rank_vec FROM (
+      |    SELECT neighbor_id AS doc_id,
+      |           CAST(row_number() OVER (ORDER BY sim_r DESC, neighbor_id)
+      |                AS BIGINT) AS rank_vec
+      |    FROM hscored) WHERE rank_vec <= 20),
+      |trank AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY rescored DESC, doc_id)
+      |              AS BIGINT) AS rank_text
+      |  FROM (SELECT cand.doc_id,
+      |               round(cand.score +
+      |                     CAST(cand.matched_terms AS DOUBLE) / span.span,
+      |                     6) AS rescored
+      |        FROM cand JOIN span USING (doc_id)))
+      |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |       t.rank_text, v.rank_vec,
+      |       round(COALESCE(1.0 / (60 + t.rank_text), 0) +
+      |             COALESCE(1.0 / (60 + v.rank_vec), 0), 6) AS rrf_r,
+      |       sn.snippet
+      |FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+      |LEFT JOIN snip sn ON sn.doc_id = t.doc_id
+      |ORDER BY rrf_r DESC, doc_id LIMIT 10""".stripMargin
+
+  /** PER-QUERY-FILTERED hybrid retrieval — the batch multi-tenant
+    * idiom (VERDICT r16 What's-missing #2): each query row carries its
+    * OWN eligibility predicate, modeled as the `MATCH (qcol = doccol)`
+    * surface's allowed-PAIRS frame — query 0 may only see `lang='de'`
+    * docs, query 1 only `lang='en'` (provably different filters: the
+    * two queries share NO eligible docs, so their top-k sets are
+    * disjoint by construction). Both lists semi-join the pairs BEFORE
+    * their rank windows (dense per-query ranks over each query's
+    * eligible docs; BM25 df/dl/N corpus-global as always); the term
+    * sets and fusion arithmetic are `hybrid_rrf_per_query`'s.
+    *
+    * Scale shape: the pairs frame is ONE equi-join (queries ⋈ docs on
+    * the matched attribute) and two semi-joins — no per-predicate plan
+    * branches however many tenants the batch spans.
+    */
+  def hybridRrfPerQueryFiltered(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // the per-query filter table — the MATCH idiom's queries-side
+    // attribute, joined once against the corpus attribute
+    val qf = Seq((0L, "de"), (1L, "en")).toDF("query_id", "qlang")
+    val pairs = qf
+      .join(docs.select(col("doc_id"), col("lang").as("qlang")),
+        Seq("qlang"))
+      .select("query_id", "doc_id")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
+    val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
+      count(lit(1)).cast("double").as("df"))
+    val qt = byTerm
+      .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
+      .filter(col("r") <= 6)
+      .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
+        col("term"), col("df"))
+    val contrib = tf.join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(totDf))
+      .withColumn("c",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
+    // the per-query pre-filter: semi-join the (query, doc) pairs
+    // BEFORE aggregation and the rank window — searchPerQuery's shape
+    val tRank = contrib
+      .join(pairs, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 6).as("score"))
+      .withColumn("rank_text", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rank_text") <= 20)
+      .select("query_id", "doc_id", "rank_text")
+    val emb = Tables.embeddings(spark, dir)
+    val vRank = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        k = 20, roundTo = Some(6), queryBound = 2L, dim = 64,
+        allowedPairs = Some(pairs))
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank_vec"))
+    graft.sources.SearchRelations.fuseRrfKeyed(tRank, vRank, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank_text"),
+        col("rank_vec"), col("rrf").as("rrf_r"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The per-query-filtered RRF oracle: `hybrid_rrf_per_query`'s CTEs
+    * plus an allowed-pairs CTE (the VALUES filter table joined on
+    * lang), semi-joined into both lists before their rank windows.
+    */
+  private val hybridRrfPerQueryFilteredSql =
+    """WITH qf AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, qlang
+      |  FROM (VALUES (0, 'de'), (1, 'en')) AS t(query_id, qlang)),
+      |allowedp AS (
+      |  SELECT qf.query_id, d.doc_id
+      |  FROM qf JOIN documents d ON d.lang = qf.qlang),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+      |byterm AS (SELECT term, sum(tf) AS gtf, CAST(count(*) AS DOUBLE) AS df
+      |           FROM tf GROUP BY 1),
+      |qt AS (
+      |  SELECT CAST(floor((r - 1) / 3) AS BIGINT) AS query_id, term, df
+      |  FROM (SELECT term, df,
+      |               row_number() OVER (ORDER BY gtf DESC, term) AS r
+      |        FROM byterm)
+      |  WHERE r <= 6),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         ln((n.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |         (tf.tf * 2.2) /
+      |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.total_toks / n.n))) AS c
+      |  FROM tf JOIN qt USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot
+      |       JOIN allowedp ap ON ap.query_id = qt.query_id
+      |                       AND ap.doc_id = tf.doc_id),
+      |trank AS (
+      |  SELECT query_id, doc_id, rank_text FROM (
+      |    SELECT query_id, doc_id,
+      |           CAST(row_number() OVER (PARTITION BY query_id
+      |                ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
+      |    FROM (SELECT query_id, doc_id, round(sum(c), 6) AS score
+      |          FROM contrib GROUP BY 1, 2))
+      |  WHERE rank_text <= 20),
+      |hflat AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |hnorms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM hflat GROUP BY vec_id),
+      |hdots AS (
+      |  SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         sum(CAST(qv.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+      |  FROM hflat qv JOIN hflat c ON qv.i = c.i
+      |  JOIN allowedp ap ON ap.query_id = qv.vec_id
+      |                  AND ap.doc_id = c.vec_id
+      |  WHERE qv.vec_id < 2 AND c.vec_id <> qv.vec_id
+      |  GROUP BY 1, 2),
+      |vrank AS (
+      |  SELECT query_id, doc_id, rank_vec FROM (
+      |    SELECT h.query_id, h.neighbor_id AS doc_id,
+      |           CAST(row_number() OVER (PARTITION BY h.query_id
+      |                ORDER BY round(h.dot / (nq.nrm * nc.nrm), 6) DESC,
+      |                         h.neighbor_id) AS BIGINT) AS rank_vec
+      |    FROM hdots h
+      |    JOIN hnorms nq ON nq.vec_id = h.query_id
+      |    JOIN hnorms nc ON nc.vec_id = h.neighbor_id)
+      |  WHERE rank_vec <= 20),
+      |fused AS (
+      |  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+      |         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |         t.rank_text, v.rank_vec,
+      |         round(COALESCE(1.0 / (60 + t.rank_text), 0) +
+      |               COALESCE(1.0 / (60 + v.rank_vec), 0), 6) AS rrf_r
+      |  FROM trank t FULL OUTER JOIN vrank v
+      |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+      |SELECT query_id, doc_id, rank_text, rank_vec, rrf_r, rank FROM (
+      |  SELECT query_id, doc_id, rank_text, rank_vec, rrf_r,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS rank
+      |  FROM fused)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Recall gate for HYBRID FUSION — the `bm25_rescore_gate` discipline
     * one level up (VERDICT r15 #3): fusing two lists must never do
     * worse than the better single list against a cross-modal gold set.
@@ -4425,7 +4686,9 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "hybrid_rrf" -> hybridRrf _,
     "hybrid_rrf_filtered" -> hybridRrfFiltered _,
     "hybrid_rrf_per_query" -> hybridRrfPerQuery _,
+    "hybrid_rrf_per_query_filtered" -> hybridRrfPerQueryFiltered _,
     "hybrid_rrf_rescored" -> hybridRrfRescored _,
+    "hybrid_rrf_snippets" -> hybridRrfSnippets _,
     "hybrid_recall_gate" -> hybridRecallGate _,
     "ann_topk_brute" -> annTopkBrute _,
     "embedding_norms" -> embeddingNorms _,
@@ -4723,7 +4986,9 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_filtered" -> hybridRrfFilteredSql,
     "hybrid_rrf_per_query" -> hybridRrfPerQuerySql,
+    "hybrid_rrf_per_query_filtered" -> hybridRrfPerQueryFilteredSql,
     "hybrid_rrf_rescored" -> hybridRrfRescoredSql,
+    "hybrid_rrf_snippets" -> hybridRrfSnippetsSql,
     "hybrid_recall_gate" -> hybridRecallGateSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_topk_lsh" -> annTopkLshSql,

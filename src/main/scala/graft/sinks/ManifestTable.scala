@@ -1355,6 +1355,17 @@ object ManifestTable {
                                   version: Long): Unit =
     writeInternal(df, path, keyCol, nBuckets, Seq.empty, Map(appId -> version))
 
+  /** [[writeWithTxn]] with SEVERAL watermarks landing in the one
+    * commit — the index-REBUILD path: the complete recomputed table,
+    * the sync watermark it reflects, and the model GENERATION pointer
+    * (`Bm25Index.GenKey`) must swap atomically, so readers resolve
+    * old-lists-with-old-model or new-with-new, never a torn pair.
+    */
+  private[graft] def writeWithTxns(df: DataFrame, path: String,
+                                   keyCol: String, nBuckets: Int,
+                                   txns: Map[String, Long]): Unit =
+    writeInternal(df, path, keyCol, nBuckets, Seq.empty, txns)
+
   private def writeInternal(df: DataFrame, path: String, keyCol: String,
                             nBuckets: Int, bloomCols: Seq[String],
                             txns: Map[String, Long]): Unit = {
@@ -1824,8 +1835,18 @@ object ManifestTable {
     * driver materializes only the distinct BUCKET ids (≤ nBuckets
     * ints), never the keys.
     */
-  def readBuckets(spark: SparkSession, path: String, keys: DataFrame): DataFrame = {
-    val m = currentManifest(spark, path)
+  def readBuckets(spark: SparkSession, path: String, keys: DataFrame): DataFrame =
+    readBucketsPinned(spark, path, currentManifest(spark, path), keys)
+
+  /** [[readBuckets]] against a caller-PINNED manifest snapshot — the
+    * vector-search read path: the search resolves the model generation
+    * and the bucket pointers from ONE manifest read, so a concurrent
+    * REBUILD's atomic swap can never hand it new lists with the old
+    * centroids (or vice versa).
+    */
+  private[graft] def readBucketsPinned(spark: SparkSession, path: String,
+                                       m: Manifest,
+                                       keys: DataFrame): DataFrame = {
     val keyField = keys.columns.head
     requireKeyType(m, keys.schema(keyField).dataType, "readBuckets")
     val touched = keys

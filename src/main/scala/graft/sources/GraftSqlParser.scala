@@ -45,10 +45,14 @@ import graft.sinks.ManifestTable
   *                                       source-corpus predicate (df stays
   *                                       corpus-global)
   * GRAFT SEARCH TEXT '/idx' TERMS COLUMN qterms FROM '/queries'
-  *   [TOP 20] [RESCORE [FACTOR f]] [SNIPPET [PAD p]] [FILTER (...)]
+  *   [TOP 20] [MATCH (qcol = doccol)] [RESCORE [FACTOR f]]
+  *   [SNIPPET [PAD p]] [FILTER (...)]
   *                                    -- batch form: per-query term sets
   *                                       from a queries-table column, one
-  *                                       plan for N queries
+  *                                       plan for N queries; MATCH = the
+  *                                       PER-QUERY filter (each query is
+  *                                       eligible only for docs sharing
+  *                                       its attribute — multi-tenant)
   * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE p|AUTO]
   *   [REFINE [FACTOR 8]] [FILTER (label = 2)]
   *                                    -- ANN probe (+ exact re-rank on PQ;
@@ -67,12 +71,18 @@ import graft.sinks.ManifestTable
   *                                       off the TEXT index's source
   *                                       pre-filters BOTH lists)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS COLUMN qterms
-  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [RESCORE [FACTOR f]]
-  *   [REFINE [FACTOR 8]] [FILTER (lang = 'en')]
+  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [MATCH (qcol = doccol)]
+  *   [RESCORE [FACTOR f]] [REFINE [FACTOR 8]] [FILTER (lang = 'en')]
   *                                    -- per-query term sets from a
-  *                                       queries-table column (batch form)
+  *                                       queries-table column (batch
+  *                                       form); MATCH filters BOTH fused
+  *                                       lists per query
   *                                    -- (composable forms: the
   *                                       graft_search_* table functions)
+  * GRAFT REBUILD INDEX '/idx'       -- full retrain/recompute at the
+  *                                     corpus head; shadow-built, ONE
+  *                                     atomic swap commit (readers see
+  *                                     old-or-new, def survives failure)
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
@@ -174,19 +184,21 @@ object GraftSqlParser {
   private val CreateChangeFeed =
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
   private val SearchTextCol =
-    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+MATCH\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchText =
     """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybrid =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybridCol =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+MATCH\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchVector =
     """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val Refresh =
     """(?is)\s*GRAFT\s+REFRESH\s+'([^']+)'\s*""".r
   private val Rebuild =
     """(?is)\s*GRAFT\s+REBUILD\s+'([^']+)'\s*""".r
+  private val RebuildIndex =
+    """(?is)\s*GRAFT\s+REBUILD\s+INDEX\s+'([^']+)'\s*""".r
   private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
 
   /** `SNIPPET` without `PAD`: tokens of context on each side of the
@@ -327,10 +339,12 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
           graft.streaming.ChangeFeed.create(s, feed, src,
             Option(fromV).map(_.toInt))))
-      case SearchTextCol(idx, termsCol, queries, top, rescore, factor,
-                         snippet, pad, textFilter) =>
+      case SearchTextCol(idx, termsCol, queries, top, matchQ, matchD,
+                         rescore, factor, snippet, pad, textFilter) =>
         // per-query term sets: each queries-table row carries its own
-        // terms in <termsCol> — the batch form of SEARCH TEXT
+        // terms in <termsCol> — the batch form of SEARCH TEXT. MATCH
+        // (qcol = doccol) adds the PER-QUERY filter: a query is
+        // eligible only for docs sharing its attribute value
         if (snippet != null && rescore == null)
           throw new IllegalArgumentException(
             "SNIPPET requires RESCORE — the excerpt is the re-rank's " +
@@ -344,7 +358,8 @@ object GraftSqlParser {
           snippetPad = if (snippet == null) -1
                        else Option(pad).map(_.toInt)
                          .getOrElse(DefaultSnippetPad),
-          filterPred = Option(textFilter).map(_.trim)))
+          filterPred = Option(textFilter).map(_.trim),
+          matchCols = Option(matchQ).map(q => (q, matchD))))
       case SearchText(idx, termsRaw, top, rescore, factor, snippet,
                       pad, textFilter) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
@@ -364,24 +379,41 @@ object GraftSqlParser {
                          .getOrElse(DefaultSnippetPad),
           filterPred = Option(textFilter).map(_.trim)))
       case SearchHybridCol(tIdx, vIdx, termsCol, queries, top, probe,
-                           rescore, rfactor, refine, factor, filterPred) =>
+                           matchQ, matchD, rescore, rfactor, snippet,
+                           pad, refine, factor, filterPred) =>
         // per-query term sets: each queries-table row carries its own
-        // terms in <termsCol> — the batch-retrieval form
+        // terms in <termsCol> — the batch-retrieval form. MATCH adds
+        // the per-query filter over both fused lists; SNIPPET (needs
+        // RESCORE) carries each text hit's highlighted excerpt through
+        // the fusion
+        if (snippet != null && rescore == null)
+          throw new IllegalArgumentException(
+            "SNIPPET requires RESCORE — the excerpt is the text " +
+              "re-rank's cover window")
         Some(GraftSearchHybridColCommand(tIdx, vIdx, termsCol, queries,
           Option(top).map(_.toInt).getOrElse(10),
           probeArg(probe),
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
           filterPred = Option(filterPred).map(_.trim),
+          matchCols = Option(matchQ).map(q => (q, matchD)),
           rescoreText = rescore != null,
-          rescoreFactor = Option(rfactor).map(_.toInt)))
+          rescoreFactor = Option(rfactor).map(_.toInt),
+          snippetPad = if (snippet == null) -1
+                       else Option(pad).map(_.toInt)
+                         .getOrElse(DefaultSnippetPad)))
       case SearchHybrid(tIdx, vIdx, termsRaw, queries, top, probe,
-                        rescore, rfactor, refine, factor, filterPred) =>
+                        rescore, rfactor, snippet, pad, refine, factor,
+                        filterPred) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
           .map(_.group(1)).toSeq
         if (terms.isEmpty) throw new IllegalArgumentException(
           "GRAFT SEARCH HYBRID needs TERMS ('a', 'b', ...) — quoted, " +
             s"comma-separated; got: $termsRaw")
+        if (snippet != null && rescore == null)
+          throw new IllegalArgumentException(
+            "SNIPPET requires RESCORE — the excerpt is the text " +
+              "re-rank's cover window")
         Some(GraftSearchHybridCommand(tIdx, vIdx, terms, queries,
           Option(top).map(_.toInt).getOrElse(10),
           probeArg(probe),
@@ -389,7 +421,10 @@ object GraftSqlParser {
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
           filterPred = Option(filterPred).map(_.trim),
           rescoreText = rescore != null,
-          rescoreFactor = Option(rfactor).map(_.toInt)))
+          rescoreFactor = Option(rfactor).map(_.toInt),
+          snippetPad = if (snippet == null) -1
+                       else Option(pad).map(_.toInt)
+                         .getOrElse(DefaultSnippetPad)))
       case SearchVector(idx, queries, top, probe, refine, factor,
                         filterPred) =>
         Some(GraftSearchVectorCommand(idx, queries,
@@ -399,6 +434,21 @@ object GraftSqlParser {
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
           filterPred = Option(filterPred).map(_.trim)))
       case Refresh(view) => Some(GraftRefreshCommand(view))
+      case RebuildIndex(path) =>
+        // atomic index rebuild: shadow-built model + one-commit swap —
+        // the safe form of DROP + CREATE (readers see old-or-new, the
+        // definition survives a failed rebuild); dispatches on the
+        // persisted kind
+        Some(GraftMaintenanceCommand(path, "rebuild_index", s => {
+          graft.ops.IndexAudit.indexLayout(s, path)._1 match {
+            case "bm25" => graft.ops.Bm25Index.rebuild(s, path)
+            case "ivf" => graft.ops.IvfIndex.rebuild(s, path)
+            case "ivfpq" => graft.ops.PqIndex.rebuild(s, path)
+            case other => throw new IllegalArgumentException(
+              s"GRAFT REBUILD INDEX: unknown index kind '$other' at $path")
+          }
+          ()
+        }))
       case Rebuild(view) =>
         Some(GraftMaintenanceCommand(view, "rebuild", s =>
           graft.sinks.MaterializedAgg.rebuild(s, view)))
@@ -413,7 +463,7 @@ object GraftSqlParser {
             "MAINTAIN | CREATE TABLE | CREATE AGG VIEW | CREATE CHANGE " +
             "FEED | CREATE TEXT INDEX | CREATE VECTOR INDEX | SEARCH " +
             "TEXT | SEARCH VECTOR | SEARCH HYBRID | REFRESH | " +
-            "REBUILD with a " +
+            "REBUILD | REBUILD INDEX with a " +
             s"quoted table path, got: $sql")
       case _ => None
     }
@@ -746,7 +796,9 @@ case class GraftSearchTextColCommand(idx: String, termsCol: String,
                                      rescore: Boolean,
                                      factor: Option[Int] = None,
                                      snippetPad: Int = -1,
-                                     filterPred: Option[String] = None)
+                                     filterPred: Option[String] = None,
+                                     matchCols: Option[(String, String)] =
+                                       None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (rescore) Seq(
@@ -771,10 +823,11 @@ case class GraftSearchTextColCommand(idx: String, termsCol: String,
       if (rescore)
         SearchRelations.textRescoredPerQuery(sparkSession, idx,
           queriesPath, termsCol, topK, factor, filterPred = filterPred,
-          snippetPad = snippetPad)
+          matchCols = matchCols, snippetPad = snippetPad)
       else
         SearchRelations.textPerQueryRelation(sparkSession, idx,
-          queriesPath, termsCol, topK, filterPred = filterPred)
+          queriesPath, termsCol, topK, filterPred = filterPred,
+          matchCols = matchCols)
     res.collect().toSeq
   }
 }
@@ -837,7 +890,8 @@ case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
                                     refineFactor: Int = 8,
                                     filterPred: Option[String] = None,
                                     rescoreText: Boolean = false,
-                                    rescoreFactor: Option[Int] = None)
+                                    rescoreFactor: Option[Int] = None,
+                                    snippetPad: Int = -1)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -847,14 +901,20 @@ case class GraftSearchHybridCommand(textIdx: String, vecIdx: String,
     AttributeReference("rank_text", LongType, nullable = true)(),
     AttributeReference("rank_vec", LongType, nullable = true)(),
     AttributeReference("rrf", DoubleType, nullable = false)(),
-    AttributeReference("rank", LongType, nullable = false)())
+    AttributeReference("rank", LongType, nullable = false)()) ++
+    // SNIPPET: the text re-rank's excerpt rides the fusion, NULL for
+    // vector-only docs (like their rank_text)
+    (if (snippetPad >= 0) Seq(
+      AttributeReference("snippet", StringType, nullable = true)())
+     else Nil)
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.hybrid(sparkSession, textIdx, vecIdx, terms,
       queriesPath, topK, nProbe, refine = refine,
       refineFactor = refineFactor,
       filterPred = filterPred, rescoreText = rescoreText,
-      rescoreFactor = rescoreFactor).collect().toSeq
+      rescoreFactor = rescoreFactor,
+      snippetPad = snippetPad).collect().toSeq
 }
 
 /** `GRAFT SEARCH HYBRID TEXT '<tidx>' VECTOR '<vidx>' TERMS COLUMN
@@ -871,8 +931,11 @@ case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
                                        refine: Boolean = false,
                                        refineFactor: Int = 8,
                                        filterPred: Option[String] = None,
+                                       matchCols: Option[(String, String)] =
+                                         None,
                                        rescoreText: Boolean = false,
-                                       rescoreFactor: Option[Int] = None)
+                                       rescoreFactor: Option[Int] = None,
+                                       snippetPad: Int = -1)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -880,14 +943,19 @@ case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
     AttributeReference("rank_text", LongType, nullable = true)(),
     AttributeReference("rank_vec", LongType, nullable = true)(),
     AttributeReference("rrf", DoubleType, nullable = false)(),
-    AttributeReference("rank", LongType, nullable = false)())
+    AttributeReference("rank", LongType, nullable = false)()) ++
+    (if (snippetPad >= 0) Seq(
+      AttributeReference("snippet", StringType, nullable = true)())
+     else Nil)
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.hybridPerQuery(sparkSession, textIdx, vecIdx,
       queriesPath, termsCol, topK, nProbe, refine = refine,
       refineFactor = refineFactor,
-      filterPred = filterPred, rescoreText = rescoreText,
-      rescoreFactor = rescoreFactor).collect().toSeq
+      filterPred = filterPred, matchCols = matchCols,
+      rescoreText = rescoreText,
+      rescoreFactor = rescoreFactor,
+      snippetPad = snippetPad).collect().toSeq
 }
 
 /** `GRAFT REFRESH '<view>'` — incremental materialized-view refresh

@@ -181,7 +181,7 @@ class Bm25IndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Bm25Index.sync(spark, idx, corpus, "doc_id", "text")
     }
-    assert(e.getMessage.contains("rebuild"))
+    assert(e.getMessage.contains("REBUILD INDEX"))
   }
 
   test("SQL lifecycle: CREATE TEXT INDEX builds, REFRESH maintains") {
@@ -418,6 +418,46 @@ class Bm25IndexSpec extends SparkSpec {
         .toSeq.sorted
       assert(batchR.getOrElse(q, Array.empty).toSeq.sorted == singleR,
         s"query $q ($ts): batch rescore slice != single rescore")
+    }
+
+    // PER-QUERY FILTER leg (VERDICT r16 #4 done-criterion): each query
+    // draws its own random lang restriction; the batch with an
+    // allowed-PAIRS frame must equal N single calls each with that
+    // query's shared-allowed set — search AND the rescored two-stage
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).sorted
+    val qLang = queries.map { case (q, _) =>
+      q -> langs(rnd.nextInt(langs.length)) }.toMap
+    val pairs = qLang.toSeq.map { case (q, l) => (q, l) }
+      .toDF("query_id", "qlang")
+      .join(docs.select(col("doc_id"), col("lang").as("qlang")),
+        Seq("qlang"))
+      .select("query_id", "doc_id")
+    val batchF = Bm25Index.searchPerQuery(spark, path, qt, k = 5,
+        allowedPairs = Some(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).groupBy(_._1)
+    val batchFR = Bm25Index.searchRescoredPerQuery(spark, path, qt, docs,
+        "doc_id", "text", k = 5, c = 10, allowedPairs = Some(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4))).groupBy(_._1)
+    queries.foreach { case (q, ts) =>
+      val allowed = Some(docs.filter(col("lang") === qLang(q))
+        .select("doc_id"))
+      val single = Bm25Index.search(spark, path, ts.toDF("term"), k = 5,
+          allowed = allowed)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      assert(batchF.getOrElse(q, Array.empty).toSeq.sorted == single,
+        s"query $q (${qLang(q)}): per-query-filtered batch slice != " +
+          "single filtered search")
+      val singleR = Bm25Index.searchRescored(spark, path, ts.toDF("term"),
+          docs, "doc_id", "text", k = 5, c = 10, allowed = allowed)
+        .collect().map(r => (q, r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      assert(batchFR.getOrElse(q, Array.empty).toSeq.sorted == singleR,
+        s"query $q (${qLang(q)}): per-query-filtered rescore slice != " +
+          "single filtered rescore")
     }
   }
 

@@ -206,6 +206,158 @@ class IndexConflictWalkSpec extends SparkSpec {
     assert(midLanded >= 5, s"seed exercised only $midLanded mid-window races")
   }
 
+  /** VERDICT r17 (r16 next #3): `GRAFT REBUILD INDEX` racing corpus
+    * appends, syncs, searches, and DROPs. The rebuild contract under
+    * race:
+    *
+    *  - a rebuild pins the corpus head like a sync; appends landing
+    *    inside its window stay un-indexed until the NEXT sync — the
+    *    rebuilt index reflects exactly the pinned snapshot;
+    *  - searches fired inside the rebuild window are well-formed over
+    *    the pre-swap snapshot (the pinned-manifest read: a consistent
+    *    (model, lists) pair, contiguous ranks) — the index answers
+    *    THROUGHOUT the rebuild, the whole point of the atomic swap;
+    *  - a DROP inside the window converges to a CONSISTENT index
+    *    (rebuild re-writes the definition after its commit — sync's
+    *    documented behavior for the same race), never a torn root;
+    *  - a SYNC inside the window re-baselines cleanly: the rebuild's
+    *    whole-table replace re-anchors the watermark to ITS pinned
+    *    head (a true claim about the replaced content — watermark
+    *    monotonicity is a per-APPEND invariant, not a replace one),
+    *    the raced sync's appendOnce no-ops or is replaced away, and
+    *    draining reaches exactly-once full inventory;
+    *  - exactly-once always: no vector coded twice, and the drained
+    *    raced index ≡ a fresh one-shot sync, bit-for-bit.
+    */
+  test("REBUILD walk: 60 schedules of REBUILD INDEX racing appends/syncs/reads/DROP") {
+    val rnd = new scala.util.Random(7171)
+    val corpus = tmp(); val idx = tmp()
+    val lists = s"$idx/lists"
+    var nextId = 0L
+    def batch(n: Int): DataFrame = {
+      val rows = (0 until n).map { _ =>
+        val i = nextId; nextId += 1
+        (i, Array.tabulate(16)(d =>
+          (math.sin(i * 16 + d) * 3 + (if (d % 4 == i % 4) 5 else 0)).toFloat))
+      }
+      rows.toDF("vec_id", "embedding")
+    }
+    ManifestTable.write(batch(60), corpus, "vec_id", 2)
+    def syncIt(): Boolean = graft.ops.IvfIndex.sync(spark, idx, corpus,
+      "vec_id", "embedding", k = 4, nBuckets = 4)
+    assert(syncIt())
+
+    def searchRead(tag: String): Unit = {
+      val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 2)
+      val rows = graft.ops.IvfIndex.search(spark, idx, q,
+          "vec_id", "embedding", k = 3, nProbe = 2, queryBound = 2L)
+        .select($"query_id", $"rank").as[(Long, Long)].collect()
+      assert(rows.nonEmpty, s"$tag: search returned nothing")
+      rows.groupBy(_._1).foreach { case (qid, rs) =>
+        val ranks = rs.map(_._2).sorted.toSeq
+        assert(ranks == (1L to ranks.length.toLong),
+          s"$tag: ranks not contiguous for query $qid: $ranks")
+      }
+    }
+
+    var midAppends = 0; var midReads = 0; var midDrops = 0; var midSyncs = 0
+    (1 to 60).foreach { step =>
+      var fired = false
+      var pending: () => Unit = () => ()
+      def arm(body: => Unit): Unit =
+        pending = () => if (!fired) { fired = true; body }
+      def rebuild(): Unit =
+        assert(spark.sql(s"GRAFT REBUILD INDEX '$idx'").collect()
+          .head.getString(1) == "rebuild_index")
+      Bm25Index.withSyncMidHook(() => pending()) {
+        rnd.nextInt(6) match {
+          case 0 => // plain append then rebuild: full retrain at head
+            ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(3)),
+              "vec_id")
+            rebuild()
+          case 1 => // append lands INSIDE the rebuild window — the
+            // rebuild indexes exactly through its pinned head
+            val before = ManifestTable.read(spark, corpus).count()
+            arm { midAppends += 1
+              ManifestTable.append(spark, corpus, batch(2), "vec_id") }
+            rebuild()
+            assert(fired, s"step $step: hook must fire")
+            assert(ManifestTable.read(spark, lists).count() == before,
+              s"step $step: rebuild must reflect exactly the pinned head")
+          case 2 => // search inside the rebuild window: pre-swap
+            // snapshot, consistent (model, lists), well-formed ranks
+            arm { midReads += 1; searchRead(s"step $step mid-rebuild") }
+            rebuild()
+            assert(fired, s"step $step: hook must fire")
+          case 3 => // DROP inside the rebuild window: converge, not torn
+            arm { midDrops += 1
+              assert(spark.sql(s"GRAFT DROP INDEX '$idx'").collect()
+                .head.getString(1) == "drop_index") }
+            rebuild()
+            assert(fired, s"step $step: hook must fire")
+            assert(graft.ops.IndexAudit.isIndex(spark, idx),
+              s"step $step: rebuild after mid-window DROP must converge " +
+                "to a consistent index")
+          case 4 => // a SYNC fires inside the rebuild window (after an
+            // append): the replace re-baselines; drains converge below
+            ManifestTable.append(spark, corpus, batch(1), "vec_id")
+            arm { midSyncs += 1; syncIt() }
+            rebuild()
+            assert(fired, s"step $step: hook must fire")
+          case _ => // corpus moves, index left stale for later steps
+            ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(2)),
+              "vec_id")
+        }
+      }
+
+      // ---- invariants on every schedule ----
+      if (new java.io.File(idx).exists())
+        assert(graft.ops.IndexAudit.isIndex(spark, idx),
+          s"step $step: TORN index root (data without definition)")
+      val dup = ManifestTable.read(spark, lists)
+        .groupBy("id").count().filter(col("count") > 1).count()
+      assert(dup == 0L,
+        s"step $step: $dup vectors indexed twice after the race")
+      searchRead(s"step $step post-action")
+
+      if (step % 10 == 0) { // drain, then the deep oracle
+        while (syncIt()) ()
+        assert(ManifestTable.read(spark, lists).count() ==
+          ManifestTable.read(spark, corpus).count(),
+          s"step $step: drained inventory != corpus")
+        assert(ManifestTable.txnVersion(spark, lists,
+          graft.ops.IvfIndex.AppId).get ==
+          ManifestTable.headVersion(spark, corpus).get.toLong,
+          s"step $step: drained watermark must equal corpus head")
+        // rebuild-now ≡ fresh first-sync: deterministic retrain over
+        // the same snapshot, so the raced-and-rebuilt index and a
+        // from-scratch index answer bit-for-bit
+        graft.ops.IvfIndex.rebuild(spark, idx)
+        val fresh = tmp()
+        assert(graft.ops.IvfIndex.sync(spark, fresh, corpus,
+          "vec_id", "embedding", k = 4, nBuckets = 4))
+        val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 3)
+        def rows(p: String) = graft.ops.IvfIndex.search(spark, p, q,
+            "vec_id", "embedding", k = 5, nProbe = 2, queryBound = 3L)
+          .withColumn("sim_r", round($"sim", 9))
+          .select("query_id", "neighbor_id", "sim_r", "rank")
+          .collect().map(_.toString).sorted.toSeq
+        assert(rows(idx) == rows(fresh),
+          s"step $step: raced+rebuilt index diverged from fresh build")
+        val failRows = spark.sql(s"GRAFT VERIFY '$idx'").collect()
+          .filter(_.getString(2) == "FAIL")
+        assert(failRows.isEmpty,
+          s"step $step: VERIFY FAIL after drain: ${failRows.toSeq}")
+      }
+    }
+    info(s"mid-window: $midAppends appends, $midReads reads, " +
+      s"$midDrops drops, $midSyncs syncs of 60")
+    assert(midAppends >= 5, s"seed exercised only $midAppends mid-appends")
+    assert(midReads >= 5, s"seed exercised only $midReads mid-reads")
+    assert(midDrops >= 5, s"seed exercised only $midDrops mid-drops")
+    assert(midSyncs >= 5, s"seed exercised only $midSyncs mid-syncs")
+  }
+
   /** VERDICT r16 directive #4: `GRAFT DROP INDEX` racing an in-flight
     * sync, and hybrid reads racing syncs of BOTH backing indexes, were
     * untested interleavings. Invariants:

@@ -177,7 +177,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(drifted.getString(2) == "WARN",
       s"1000 near-dup appends into one list must WARN: ${drifted.getString(3)}")
     assert(drifted.getString(3).contains("1200 vectors") &&
-      drifted.getString(3).contains("rebuild"),
+      drifted.getString(3).contains("REBUILD INDEX"),
       s"detail carries exact totals and the retrain action: ${drifted.getString(3)}")
     // exact fat-list count: 1000 appends + the seed's own cluster (50
     // of 200 initial vectors sit in the seed's generator cluster)
@@ -240,6 +240,6 @@ class IvfIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding")
     }
-    assert(e.getMessage.contains("rebuild"))
+    assert(e.getMessage.contains("REBUILD INDEX"))
   }
 }

@@ -178,7 +178,7 @@ class PqIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       PqIndex.sync(spark, idx, corpus, "vec_id", "embedding")
     }
-    assert(e.getMessage.contains("rebuild"))
+    assert(e.getMessage.contains("REBUILD INDEX"))
   }
 
   test("GRAFT VERIFY DEEP audits index recall and names a centroid-drifted index") {

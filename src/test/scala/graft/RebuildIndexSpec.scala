@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bm25Index, IvfIndex, PqIndex}
+import graft.sinks.ManifestTable
+
+/** `GRAFT REBUILD INDEX` — the atomic form of the old "DROP + CREATE"
+  * remedy (VERDICT r16 What's-missing #3). Contract pinned here:
+  *
+  *  - the rebuilt index answers EXACTLY like a fresh first-sync over
+  *    the same corpus snapshot (training is deterministic, so this is
+  *    bit-for-bit, not approximate);
+  *  - the swap is ONE manifest commit carrying the new sync watermark
+  *    AND the model-generation pointer, so the index keeps answering
+  *    throughout and a reader's pinned manifest resolves a CONSISTENT
+  *    (model, lists) pair;
+  *  - rebuild is the escape hatch sync's non-append refusal names: a
+  *    rewritten/deleted corpus that sync refuses folds cleanly through
+  *    a rebuild, and later syncs continue INCREMENTALLY from it;
+  *  - the balance WARN's remedy works: a piled-up index rebuilds to
+  *    a healthy occupancy without ever losing its definition.
+  */
+class RebuildIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = s"${Files.createTempDirectory("graft-rebuild")}/t"
+
+  private def clustered(n: Int, spread: Int): Seq[(Long, Array[Float])] =
+    (0L until n.toLong).map { i =>
+      (i, Array.tabulate(16)(d =>
+        (math.sin(i * 16 + d) * spread +
+          (if (d % 4 == i % 4) 5 else 0)).toFloat))
+    }
+
+  test("ivf rebuild: retrain + reassign in one atomic swap; search ≡ fresh first-sync; generation bumps; sync continues incrementally") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(80, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    // skew the index: a pile of near-duplicates of one member, assigned
+    // with the FROZEN centroids, lands in one list (the balance WARN's
+    // fixture shape)
+    val seed = clustered(1, 3).head._2
+    ManifestTable.append(spark, corpus,
+      (1000L until 1400L).map(i =>
+        (i, seed.map(x => x + 0.001f * ((i % 7) - 3))))
+        .toDF("vec_id", "embedding"), "vec_id")
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding"))
+    def balance() = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+      .find(_.getString(1) == "index_balance").get
+    assert(balance().getString(2) == "WARN",
+      s"fixture must skew the frozen-centroid index: ${balance().getString(3)}")
+    assert(balance().getString(3).contains("GRAFT REBUILD INDEX"),
+      "the WARN must name the atomic remedy")
+    assert(IvfIndex.generation(spark, idx) == 0L, "legacy layout is gen 0")
+
+    // THE REMEDY — via the SQL verb
+    val out = spark.sql(s"GRAFT REBUILD INDEX '$idx'").collect().head
+    assert(out.getString(1) == "rebuild_index")
+    assert(IvfIndex.generation(spark, idx) == 1L,
+      "rebuild must bump the model generation")
+    assert(graft.ops.IndexAudit.isIndex(spark, idx),
+      "the definition must survive the rebuild")
+
+    // rebuilt ≡ a FRESH first-sync over the same corpus (deterministic
+    // training ⇒ bit-identical search AND bit-identical balance: any
+    // skew remaining after the rebuild is the DATA's — a 400-near-dup
+    // blob is one k-means cluster however often you retrain — exactly
+    // what DROP + CREATE would have produced, minus the outage window)
+    val fresh = tmp()
+    assert(IvfIndex.sync(spark, fresh, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    def balanceDetail(p: String) = spark.sql(s"GRAFT VERIFY '$p' DEEP")
+      .collect().find(_.getString(1) == "index_balance").get.getString(3)
+    assert(balanceDetail(idx).takeWhile(_ != '—') ==
+      balanceDetail(fresh).takeWhile(_ != '—'),
+      s"rebuilt occupancy must equal a fresh build's: " +
+        s"${balanceDetail(idx)} vs ${balanceDetail(fresh)}")
+    val queries = ManifestTable.read(spark, corpus).filter($"vec_id" < 3)
+    def rows(p: String) = IvfIndex.search(spark, p, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2, queryBound = 3L)
+      .withColumn("sim_r", round($"sim", 9))
+      .select("query_id", "neighbor_id", "sim_r", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(idx) == rows(fresh),
+      "rebuilt index must answer exactly like a fresh first-sync")
+
+    // VERIFY stays clean end to end (model load, recall, freshness)
+    val vfy = spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .filter(_.getString(2) == "FAIL")
+    assert(vfy.isEmpty, s"VERIFY FAIL rows after rebuild: ${vfy.toSeq}")
+
+    // later syncs continue INCREMENTALLY from the rebuilt watermark
+    ManifestTable.append(spark, corpus,
+      clustered(2000, 3).take(5).map { case (i, v) => (i + 5000L, v) }
+        .toDF("vec_id", "embedding"), "vec_id")
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding"),
+      "post-rebuild sync must fold the delta")
+    assert(ManifestTable.read(spark, s"$idx/lists").count() ==
+      ManifestTable.read(spark, corpus).count(),
+      "post-rebuild incremental sync must reach full inventory")
+    assert(IvfIndex.generation(spark, idx) == 1L,
+      "incremental sync must not move the generation")
+  }
+
+  test("bm25 rebuild: the escape hatch sync's non-append refusal names — a rewritten corpus folds through rebuild; stats exact") {
+    val corpus = tmp(); val idx = tmp()
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha w${i % 7} common tail${i % 3}"))
+    ManifestTable.write(docs.toDF("doc_id", "text"), corpus, "doc_id", 2)
+    assert(Bm25Index.sync(spark, idx, corpus, "doc_id", "text",
+      nBuckets = 4))
+    // corpus REWRITE (keyed update): postings cannot subtract — sync
+    // must refuse and name the remedy
+    ManifestTable.upsert(spark, corpus,
+      Seq((0L, "zeta zeta zeta")).toDF("doc_id", "text"), "doc_id")
+    val e = intercept[IllegalArgumentException](
+      Bm25Index.sync(spark, idx, corpus, "doc_id", "text"))
+    assert(e.getMessage.contains("GRAFT REBUILD INDEX"),
+      s"refusal must name the verb: ${e.getMessage}")
+
+    assert(Bm25Index.rebuild(spark, idx) ==
+      ManifestTable.headVersion(spark, corpus).get)
+    // the rebuilt index ≡ a fresh build over the current corpus
+    val fresh = tmp()
+    Bm25Index.build(spark, fresh, ManifestTable.read(spark, corpus),
+      "doc_id", "text", nBuckets = 4)
+    val qterms = Seq("zeta", "common", "w1").toDF("term")
+    def res(p: String) = Bm25Index.search(spark, p, qterms, k = 50)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(res(idx) == res(fresh),
+      "rebuilt postings must equal a fresh build over the rewritten corpus")
+    // the old doc 0 postings are GONE (the whole point of the rebuild)
+    assert(ManifestTable.read(spark, s"$idx/postings")
+      .filter($"term" === "alpha" && $"doc_id" === 0L).count() == 0L,
+      "rewritten-away postings must not survive the rebuild")
+    // stats reflect the rebuilt corpus exactly; sync is quiescent after
+    assert(!Bm25Index.sync(spark, idx, corpus, "doc_id", "text"),
+      "post-rebuild sync at the same head must be a no-op")
+    // and future appends fold incrementally
+    ManifestTable.append(spark, corpus,
+      Seq((100L, "common omega")).toDF("doc_id", "text"), "doc_id")
+    assert(Bm25Index.sync(spark, idx, corpus, "doc_id", "text"))
+    assert(res(idx) != res(fresh), "the delta must be searchable")
+  }
+
+  test("ivfpq rebuild: both models swap with the lists in one commit; search ≡ fresh first-sync; verb dispatches by kind") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(PqIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      kLists = 2, m = 4, k = 8, nBuckets = 2))
+    ManifestTable.append(spark, corpus,
+      clustered(80, 3).drop(60).map { case (i, v) => (i + 100L, v) }
+        .toDF("vec_id", "embedding"), "vec_id")
+    assert(PqIndex.sync(spark, idx, corpus, "vec_id", "embedding"))
+
+    spark.sql(s"GRAFT REBUILD INDEX '$idx'").collect()
+    val fresh = tmp()
+    assert(PqIndex.sync(spark, fresh, corpus, "vec_id", "embedding",
+      kLists = 2, m = 4, k = 8, nBuckets = 2))
+    val queries = ManifestTable.read(spark, corpus).filter($"vec_id" < 3)
+    def rows(p: String) = PqIndex.search(spark, p, queries,
+        "vec_id", "embedding", topK = 5, nProbe = 2, queryBound = 3L)
+      .select("query_id", "neighbor_id", "dist", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(idx) == rows(fresh),
+      "rebuilt ivfpq must answer exactly like a fresh first-sync " +
+        "(both models retrained at the head, lists re-encoded)")
+    assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .exists(_.getString(2) == "FAIL"))
+    // the legacy-generation model dirs still exist but are unreferenced
+    // (vacuumable); the def survived
+    assert(graft.ops.IndexAudit.isIndex(spark, idx))
+  }
+}

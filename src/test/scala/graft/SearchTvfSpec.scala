@@ -771,6 +771,103 @@ class SearchTvfSpec extends SparkSpec {
       .collect().forall(_.getString(0).contains("[")),
       "batch snippets bracket hits")
   }
+  test("per-query MATCH filter: verb ≡ API; same terms + different filters rank disjoint docs; batch ≡ N single filtered calls; hybrid shares it") {
+    import graft.sources.SearchRelations
+    val corpus = tmp(); val idx = tmp(); val qtab = tmp()
+    // even docs are 'de', odd 'en'; both queries ask the SAME terms —
+    // only the per-query filter separates their top-k, so the two
+    // slices must be DISJOINT (the VERDICT r16 #4 done-criterion:
+    // different filters whose top-k provably differ)
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta word${i % 8} tail${i % 3}",
+        if (i % 2 == 0) "de" else "en"))
+    ManifestTable.write(docs.toDF("doc_id", "text", "lang"), corpus,
+      "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4)
+    ManifestTable.write(Seq(
+      (0L, "alpha beta", "de"), (1L, "alpha beta", "en"))
+      .toDF("qid", "qterms", "qlang"), qtab, "qid", 2)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "matched_terms", "score")
+      .collect().map(_.toString).sorted.toSeq
+    val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
+      s"FROM '$qtab' TOP 5 MATCH (qlang = lang)")
+    val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 5, matchCols = Some(("qlang", "lang")))
+    assert(rows(verb) == rows(api),
+      s"MATCH verb ≡ API:\nverb=${rows(verb)}\napi=${rows(api)}")
+    val byQ = api.select("query_id", "doc_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, ds) => q -> ds.map(_._2).toSet }
+    assert(byQ(0L).nonEmpty && byQ(1L).nonEmpty &&
+      byQ(0L).forall(_ % 2 == 0) && byQ(1L).forall(_ % 2 == 1),
+      s"each query must rank ONLY its own tenant's docs: $byQ")
+    assert((byQ(0L) & byQ(1L)).isEmpty,
+      "same terms, different filters: the top-k sets must be disjoint")
+
+    // batch ≡ N single filtered calls (the shared-FILTER form, one
+    // query at a time) — scores included, since df stays corpus-global
+    Seq(0L -> "de", 1L -> "en").foreach { case (q, lang) =>
+      val single = SearchRelations.text(spark, idx, Seq("alpha", "beta"),
+          k = 5, filterPred = Some(s"lang = '$lang'"))
+        .select("doc_id", "matched_terms", "score")
+        .collect().map(_.toString).sorted.toSeq
+      val slice = api.filter(col("query_id") === q)
+        .select("doc_id", "matched_terms", "score")
+        .collect().map(_.toString).sorted.toSeq
+      assert(slice == single,
+        s"query $q: batch MATCH slice must equal the single filtered " +
+          s"call:\nslice=$slice\nsingle=$single")
+    }
+
+    // RESCORE composes: per-query re-rank over per-query-filtered cands
+    val verbR = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN " +
+      s"qterms FROM '$qtab' TOP 5 MATCH (qlang = lang) RESCORE FACTOR 4")
+    Seq(0L -> "de", 1L -> "en").foreach { case (q, lang) =>
+      val singleR = SearchRelations.textRescored(spark, idx,
+          Seq("alpha", "beta"), k = 5, factor = Some(4),
+          filterPred = Some(s"lang = '$lang'"))
+        .select("doc_id", "matched_terms", "span", "rescored")
+        .collect().map(_.toString).sorted.toSeq
+      val sliceR = verbR.filter(col("query_id") === q)
+        .select("doc_id", "matched_terms", "span", "rescored")
+        .collect().map(_.toString).sorted.toSeq
+      assert(sliceR == singleR,
+        s"query $q: rescored MATCH slice != single filtered rescore")
+    }
+
+    // hybrid: ONE pairs frame filters BOTH fused lists
+    val vIdx = tmp(); val vcorpus = tmp(); val qtabV = tmp()
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) + rnd.nextDouble() * 0.5).toFloat))
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding"), vcorpus,
+      "vec_id", 2)
+    graft.ops.IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(Seq(
+      (0L, vecs(0)._2, "alpha beta", "de"),
+      (1L, vecs(1)._2, "alpha beta", "en"))
+      .toDF("vec_id", "embedding", "qterms", "qlang"), qtabV, "vec_id", 2)
+    val hVerb = spark.sql(s"GRAFT SEARCH HYBRID TEXT '$idx' " +
+      s"VECTOR '$vIdx' TERMS COLUMN qterms FROM '$qtabV' TOP 5 " +
+      "PROBE 4 MATCH (qlang = lang)")
+    val hApi = SearchRelations.hybridPerQuery(spark, idx, vIdx, qtabV,
+      "qterms", k = 5, nProbe = 4, matchCols = Some(("qlang", "lang")))
+    def hrows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toString).sorted.toSeq
+    assert(hrows(hVerb) == hrows(hApi), "hybrid MATCH verb ≡ API")
+    val hByQ = hApi.select("query_id", "doc_id").as[(Long, Long)]
+      .collect().groupBy(_._1)
+      .map { case (q, ds) => q -> ds.map(_._2).toSet }
+    assert(hByQ(0L).nonEmpty && hByQ(0L).forall(_ % 2 == 0) &&
+      hByQ(1L).nonEmpty && hByQ(1L).forall(_ % 2 == 1),
+      s"hybrid MATCH must filter BOTH lists per query: $hByQ")
+  }
+
   test("batch RESCORE enforces MaxSweepArity at the surface naming the query; plain batch takes the same width; TOP defaults agree") {
     import graft.sources.SearchRelations
     val (corpus, idx) = textFixture
@@ -916,6 +1013,63 @@ class SearchTvfSpec extends SparkSpec {
     assert(colVerb == apiF && colTvf == apiF,
       s"batch rescored hybrid must equal the single-query form:\n" +
         s"colVerb=$colVerb\ncolTvf=$colTvf\napi=$apiF")
+
+    // SNIPPET through hybrid RESCORE (VERDICT r16 next #6): the fused
+    // rows carry the text re-rank's excerpt; every text-list doc's
+    // snippet equals the TEXT surface's for the same doc (the cover
+    // window is a (terms, doc) property, independent of ranking), and
+    // vector-only docs fuse with a NULL snippet like their NULL
+    // rank_text. All five surfaces agree.
+    def snips(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "rank_text", "snippet")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val apiS = SearchRelations.hybrid(spark, tIdx, vIdx, terms, qtab,
+      k = 5, rescoreText = true, rescoreFactor = Some(4), snippetPad = 2)
+    val verbS = spark.sql(
+      s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$vIdx' " +
+        s"TERMS ('alpha', 'beta') FROM '$qtab' TOP 5 PROBE 2 " +
+        "RESCORE FACTOR 4 SNIPPET PAD 2")
+    val tvfS = spark.sql(
+      s"SELECT * FROM graft_search_hybrid_rescored('$tIdx', '$vIdx', " +
+        s"'alpha beta', '$qtab', 5, 2, 4, '', 2)")
+    val colVerbS = spark.sql(
+      s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$vIdx' " +
+        s"TERMS COLUMN qterms FROM '$qtab2' TOP 5 PROBE 2 " +
+        "RESCORE FACTOR 4 SNIPPET PAD 2")
+    val colTvfS = spark.sql(
+      "SELECT * FROM graft_search_hybrid_col_rescored(" +
+        s"'$tIdx', '$vIdx', '$qtab2', 'qterms', 5, 2, 4, '', 2)")
+    assert(snips(verbS) == snips(apiS) && snips(tvfS) == snips(apiS) &&
+      snips(colVerbS) == snips(apiS) && snips(colTvfS) == snips(apiS),
+      s"hybrid SNIPPET surfaces disagree:\napi=${snips(apiS)}\n" +
+        s"verb=${snips(verbS)}\ntvf=${snips(tvfS)}\n" +
+        s"colVerb=${snips(colVerbS)}\ncolTvf=${snips(colTvfS)}")
+    // ≡ the text surface's snippet per doc; NULL exactly off-list
+    val textSnips = SearchRelations.textRescored(spark, tIdx, terms,
+        k = 20, factor = Some(4), snippetPad = 2)
+      .select("doc_id", "snippet").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fusedRows = snips(apiS)
+    assert(fusedRows.exists(_._3 > 0) && fusedRows.exists(_._3 < 0),
+      s"fixture must fuse both text-list and vector-only docs: $fusedRows")
+    fusedRows.foreach { case (_, d, rt, sn) =>
+      if (rt > 0)
+        assert(sn == textSnips(d),
+          s"doc $d: hybrid snippet must equal the text surface's " +
+            s"('$sn' vs '${textSnips(d)}')")
+      else assert(sn == null,
+        s"vector-only doc $d must carry a NULL snippet, got '$sn'")
+    }
+    assert(fusedRows.filter(_._3 > 0).forall(_._4.contains("[")),
+      "text-list snippets bracket hits through the fusion")
+    // SNIPPET without RESCORE refuses on both hybrid verbs
+    val eh = intercept[Exception](spark.sql(
+      s"GRAFT SEARCH HYBRID TEXT '$tIdx' VECTOR '$vIdx' " +
+        s"TERMS ('alpha') FROM '$qtab' TOP 5 SNIPPET"))
+    assert(eh.getMessage.contains("SNIPPET requires RESCORE"))
   }
   test("SNIPPET composes with FACTOR and FILTER on every surface; filtered snippets mark only query terms") {
     import graft.sources.SearchRelations
