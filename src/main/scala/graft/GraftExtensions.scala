@@ -61,6 +61,22 @@ object GraftExtensions {
       s"$name must be a string literal, got $other")
   }
 
+  /** The batch TVFs' per-query-filter argument: `'qcol = doccol'` →
+    * the MATCH pair (each query row eligible only for corpus docs
+    * sharing its attribute — the verbs' `MATCH (qcol = doccol)`);
+    * `''` → no per-query filter.
+    */
+  private def matchSpec(raw: String): Option[(String, String)] = {
+    val t = raw.trim
+    if (t.isEmpty) None
+    else t.split("=") match {
+      case Array(q, d) if q.trim.nonEmpty && d.trim.nonEmpty =>
+        Some((q.trim, d.trim))
+      case _ => throw new IllegalArgumentException(
+        s"match must be 'qcol = doccol', got: $raw")
+    }
+  }
+
   /** Probe argument of the vector/hybrid TVFs: a positive int, or
     * `'auto'` / `-1` → [[graft.sources.SearchRelations.ProbeAuto]]
     * (selectivity-scaled widening, resolved at plan-build time — the
@@ -203,25 +219,31 @@ object GraftExtensions {
         .queryExecution.logical
     }),
     "graft_search_text_col" -> (es => {
-      requireArity(es, 3, 5,
+      requireArity(es, 3, 6,
         "graft_search_text_col(index, queries_path, terms_col[, k[, " +
-          "predicate]]) — batch BM25: per-query term sets from a " +
-          "queries-table column")
+          "predicate[, match]]]) — batch BM25: per-query term sets " +
+          "from a queries-table column; predicate '' = unfiltered; " +
+          "match 'qcol = doccol' = the per-query filter")
       graft.sources.SearchRelations.textPerQueryRelation(
           SparkSession.active,
           strArg(es(0), "index_path"), strArg(es(1), "queries_path"),
           strArg(es(2), "terms_col"),
           if (es.size > 3) intArg(es(3), "k") else 10,
           filterPred =
-            if (es.size > 4) Some(strArg(es(4), "predicate")) else None)
+            if (es.size > 4) Some(strArg(es(4), "predicate"))
+              .filter(_.trim.nonEmpty)
+            else None,
+          matchCols =
+            if (es.size > 5) matchSpec(strArg(es(5), "match")) else None)
         .queryExecution.logical
     }),
     "graft_search_text_col_rescored" -> (es => {
-      requireArity(es, 3, 7,
+      requireArity(es, 3, 8,
         "graft_search_text_col_rescored(index, queries_path, terms_col" +
-          "[, k[, factor[, pad[, predicate]]]]) — batch two-stage " +
-          "retrieval; factor 0 = corpus-scaled cut, pad >= 0 adds " +
-          "snippets, pad -1 (default) none")
+          "[, k[, factor[, pad[, predicate[, match]]]]]) — batch " +
+          "two-stage retrieval; factor 0 = corpus-scaled cut, pad >= 0 " +
+          "adds snippets, pad -1 (default) none; predicate '' = " +
+          "unfiltered; match 'qcol = doccol' = the per-query filter")
       val factor = if (es.size > 4) intArg(es(4), "factor") else 0
       graft.sources.SearchRelations.textRescoredPerQuery(
           SparkSession.active,
@@ -230,7 +252,11 @@ object GraftExtensions {
           if (es.size > 3) intArg(es(3), "k") else 10,
           if (factor > 0) Some(factor) else None,
           filterPred =
-            if (es.size > 6) Some(strArg(es(6), "predicate")) else None,
+            if (es.size > 6) Some(strArg(es(6), "predicate"))
+              .filter(_.trim.nonEmpty)
+            else None,
+          matchCols =
+            if (es.size > 7) matchSpec(strArg(es(7), "match")) else None,
           snippetPad = if (es.size > 5) intArg(es(5), "pad") else -1)
         .queryExecution.logical
     }),
@@ -281,12 +307,13 @@ object GraftExtensions {
         .queryExecution.logical
     }),
     "graft_search_hybrid_col_rescored" -> (es => {
-      requireArity(es, 4, 9,
+      requireArity(es, 4, 10,
         "graft_search_hybrid_col_rescored(text_index, vector_index, " +
           "queries_path, terms_col[, k[, probe[, factor[, " +
-          "predicate[, pad]]]]]) — the batch hybrid with per-query " +
-          "proximity-rescored text lists; predicate '' = unfiltered; " +
-          "pad ≥ 0 adds the snippet column through the fusion")
+          "predicate[, pad[, match]]]]]]) — the batch hybrid with " +
+          "per-query proximity-rescored text lists; predicate '' = " +
+          "unfiltered; pad >= 0 adds the snippet column through the " +
+          "fusion; match 'qcol = doccol' = the per-query filter")
       val factor = if (es.size > 6) intArg(es(6), "factor") else 0
       graft.sources.SearchRelations.hybridPerQuery(SparkSession.active,
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
@@ -297,6 +324,8 @@ object GraftExtensions {
             if (es.size > 7) Some(strArg(es(7), "predicate"))
               .filter(_.trim.nonEmpty)
             else None,
+          matchCols =
+            if (es.size > 9) matchSpec(strArg(es(9), "match")) else None,
           rescoreText = true,
           rescoreFactor = if (factor > 0) Some(factor) else None,
           snippetPad = if (es.size > 8) intArg(es(8), "pad") else -1)
@@ -317,16 +346,22 @@ object GraftExtensions {
         .queryExecution.logical
     }),
     "graft_search_hybrid_col" -> (es => {
-      requireArity(es, 4, 7,
+      requireArity(es, 4, 8,
         "graft_search_hybrid_col(text_index, vector_index, " +
-          "queries_path, terms_col[, k[, probe[, predicate]]])")
+          "queries_path, terms_col[, k[, probe[, predicate[, " +
+          "match]]]]) — predicate '' = unfiltered; match 'qcol = " +
+          "doccol' = the per-query filter over both lists")
       graft.sources.SearchRelations.hybridPerQuery(SparkSession.active,
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
           strArg(es(2), "queries_path"), strArg(es(3), "terms_col"),
           if (es.size > 4) intArg(es(4), "k") else 10,
           nProbe = if (es.size > 5) probeArg(es(5), "probe") else 2,
           filterPred =
-            if (es.size > 6) Some(strArg(es(6), "predicate")) else None)
+            if (es.size > 6) Some(strArg(es(6), "predicate"))
+              .filter(_.trim.nonEmpty)
+            else None,
+          matchCols =
+            if (es.size > 7) matchSpec(strArg(es(7), "match")) else None)
         .queryExecution.logical
     })
   )

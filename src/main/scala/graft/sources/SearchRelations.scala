@@ -104,8 +104,14 @@ object SearchRelations {
             .getOrElse(-1L)
           val allowedCount = autoKey.flatMap { case (src, pred) =>
             ManifestTable.headVersion(spark, src).map { v =>
-              autoSelectivityCache.computeIfAbsent((src, v.toLong, pred),
-                _ => a.count())
+              val n = autoSelectivityCache.computeIfAbsent(
+                (src, v.toLong, pred), _ => a.count())
+              // evict superseded snapshots of the same (source, pred):
+              // a commit-every-minute corpus must not grow the map one
+              // dead Long per commit forever
+              autoSelectivityCache.keySet.removeIf(k =>
+                k._1 == src && k._3 == pred && k._2 < v.toLong)
+              n
             }
           }.getOrElse(a.count())
           Ivf.autoProbe(DefaultProbe, nLists, indexed, allowedCount)

@@ -247,14 +247,20 @@ class IndexConflictWalkSpec extends SparkSpec {
       "vec_id", "embedding", k = 4, nBuckets = 4)
     assert(syncIt())
 
-    def searchRead(tag: String): Unit = {
+    def searchRows(): Seq[(Long, Long, Double, Long)] = {
       val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 2)
-      val rows = graft.ops.IvfIndex.search(spark, idx, q,
+      graft.ops.IvfIndex.search(spark, idx, q,
           "vec_id", "embedding", k = 3, nProbe = 2, queryBound = 2L)
-        .select($"query_id", $"rank").as[(Long, Long)].collect()
+        .withColumn("sim_r", round($"sim", 9))
+        .select($"query_id", $"neighbor_id", $"sim_r", $"rank")
+        .as[(Long, Long, Double, Long)].collect()
+        .sortBy(t => (t._1, t._4)).toSeq
+    }
+    def searchRead(tag: String): Unit = {
+      val rows = searchRows()
       assert(rows.nonEmpty, s"$tag: search returned nothing")
       rows.groupBy(_._1).foreach { case (qid, rs) =>
-        val ranks = rs.map(_._2).sorted.toSeq
+        val ranks = rs.map(_._4).sorted.toSeq
         assert(ranks == (1L to ranks.length.toLong),
           s"$tag: ranks not contiguous for query $qid: $ranks")
       }
@@ -284,9 +290,17 @@ class IndexConflictWalkSpec extends SparkSpec {
             assert(fired, s"step $step: hook must fire")
             assert(ManifestTable.read(spark, lists).count() == before,
               s"step $step: rebuild must reflect exactly the pinned head")
-          case 2 => // search inside the rebuild window: pre-swap
-            // snapshot, consistent (model, lists), well-formed ranks
-            arm { midReads += 1; searchRead(s"step $step mid-rebuild") }
+          case 2 => // search inside the rebuild window must see EXACTLY
+            // the pre-swap snapshot — the pinned-manifest read's
+            // old-or-new contract, pinned as bit-equality (the commit
+            // has not happened at the seam, so "old" is the only legal
+            // answer; a torn (model, lists) pair would change sims)
+            val preSwap = searchRows()
+            arm { midReads += 1
+              searchRead(s"step $step mid-rebuild")
+              assert(searchRows() == preSwap,
+                s"step $step: a mid-rebuild search must equal the " +
+                  "pre-swap answer bit-for-bit") }
             rebuild()
             assert(fired, s"step $step: hook must fire")
           case 3 => // DROP inside the rebuild window: converge, not torn

@@ -795,8 +795,11 @@ class SearchTvfSpec extends SparkSpec {
       s"FROM '$qtab' TOP 5 MATCH (qlang = lang)")
     val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
       "qterms", k = 5, matchCols = Some(("qlang", "lang")))
-    assert(rows(verb) == rows(api),
-      s"MATCH verb ≡ API:\nverb=${rows(verb)}\napi=${rows(api)}")
+    val tvf = spark.sql("SELECT * FROM graft_search_text_col(" +
+      s"'$idx', '$qtab', 'qterms', 5, '', 'qlang = lang')")
+    assert(rows(verb) == rows(api) && rows(tvf) == rows(api),
+      s"MATCH verb ≡ API ≡ TVF:\nverb=${rows(verb)}\napi=${rows(api)}" +
+        s"\ntvf=${rows(tvf)}")
     val byQ = api.select("query_id", "doc_id").as[(Long, Long)]
       .collect().groupBy(_._1).map { case (q, ds) => q -> ds.map(_._2).toSet }
     assert(byQ(0L).nonEmpty && byQ(1L).nonEmpty &&
@@ -857,9 +860,12 @@ class SearchTvfSpec extends SparkSpec {
       "PROBE 4 MATCH (qlang = lang)")
     val hApi = SearchRelations.hybridPerQuery(spark, idx, vIdx, qtabV,
       "qterms", k = 5, nProbe = 4, matchCols = Some(("qlang", "lang")))
+    val hTvf = spark.sql("SELECT * FROM graft_search_hybrid_col(" +
+      s"'$idx', '$vIdx', '$qtabV', 'qterms', 5, 4, '', 'qlang = lang')")
     def hrows(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(_.toString).sorted.toSeq
-    assert(hrows(hVerb) == hrows(hApi), "hybrid MATCH verb ≡ API")
+    assert(hrows(hVerb) == hrows(hApi) && hrows(hTvf) == hrows(hApi),
+      "hybrid MATCH verb ≡ API ≡ TVF")
     val hByQ = hApi.select("query_id", "doc_id").as[(Long, Long)]
       .collect().groupBy(_._1)
       .map { case (q, ds) => q -> ds.map(_._2).toSet }
