@@ -137,6 +137,43 @@ object IndexAudit {
         "DEEP on the index for the exact per-list balance audit"))
   }
 
+  /** Reclaim SUPERSEDED model-generation dirs after REBUILDs: a
+    * rebuild leaves the previous generation's `_centroids[-gN]` (and
+    * `_codebooks[-gN]` for ivfpq) on disk — unreferenced by the HEAD
+    * manifest, but possibly still needed by a RETAINED older lists
+    * version (a time-travel read resolves its models through the
+    * generation recorded in ITS manifest). Deletion therefore follows
+    * the manifest table's own retention discipline: collect the
+    * generation pointer of EVERY retained lists version and delete
+    * only model dirs whose generation none references. Generations
+    * ABOVE the maximum retained one are always kept — that is an
+    * in-flight rebuild's shadow (or a crashed one's leftover, which
+    * the next rebuild overwrites at the same name); deleting it would
+    * race the shadow build. Returns the deleted dir names.
+    */
+  private[graft] def vacuumModelGenerations(spark: SparkSession,
+                                            path: String): Seq[String] = {
+    val (kind, _, dataPath) = indexLayout(spark, path)
+    if (kind != "ivf" && kind != "ivfpq") return Seq.empty
+    val referenced: Set[Long] = ManifestTable.versions(spark, dataPath)
+      .map(v => ManifestTable.readManifest(spark, dataPath, v)
+        .txns.getOrElse(Bm25Index.GenKey, 0L)).toSet
+    if (referenced.isEmpty) return Seq.empty
+    val maxRef = referenced.max
+    val genRe = "_(?:centroids|codebooks)(?:-g(\\d+))?".r
+    def genOf(name: String): Option[Long] = name match {
+      case genRe(g) => Some(Option(g).map(_.toLong).getOrElse(0L))
+      case _ => None
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .map(_.getPath)
+      .filter(p => genOf(p.getName)
+        .exists(g => g < maxRef && !referenced.contains(g)))
+      .map { p => fs.delete(p, true); p.getName }
+  }
+
   /** `GRAFT MAINTAIN` for an index root: the refresh runs FIRST (folds
     * the corpus delta through the kind's sync — frozen models,
     * O(delta)), and the lists/postings table's layout advice is
@@ -175,8 +212,20 @@ object IndexAudit {
     // retrain is an operator decision, never auto-run here
     val skewRows = bucketSkewAdvice(spark, kind, dataPath).map(
       _ -> ManifestTable.headVersion(spark, dataPath).getOrElse(0))
-    refreshRows ++ skewRows ++ ManifestTable.maintain(spark, dataPath,
+    val tableRows = ManifestTable.maintain(spark, dataPath,
       targetFileBytes, maxVersions, keepVersions)
+    // AFTER the table maintain (whose vacuum trims retained versions):
+    // reclaim model-generation dirs no retained lists version resolves
+    val modelRows = {
+      val deleted = vacuumModelGenerations(spark, path)
+      if (deleted.isEmpty) Seq.empty
+      else Seq(ManifestTable.MaintenanceAdvice("vacuum-models",
+        s"reclaimed superseded model generation dir(s) " +
+          s"${deleted.sorted.mkString(", ")} — unreferenced by any " +
+          "retained lists version (REBUILD leftovers)") ->
+        ManifestTable.headVersion(spark, dataPath).getOrElse(0))
+    }
+    refreshRows ++ skewRows ++ tableRows ++ modelRows
   }
 
   /** One (check, status, detail) row per audit — status ok/WARN/FAIL. */

@@ -108,6 +108,49 @@ class RebuildIndexSpec extends SparkSpec {
       "incremental sync must not move the generation")
   }
 
+  test("MAINTAIN reclaims superseded model generations under the lists table's retention; in-flight shadows survive") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    // two rebuilds → generations 1 and 2; appends roll the retained
+    // version window forward so older generations drop out of it
+    IvfIndex.rebuild(spark, idx)
+    ManifestTable.append(spark, corpus,
+      Seq((500L, clustered(1, 3).head._2)).toDF("vec_id", "embedding"),
+      "vec_id")
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding"))
+    IvfIndex.rebuild(spark, idx)
+    assert(IvfIndex.generation(spark, idx) == 2L)
+    def dirs() = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("_centroids")).sorted.toSeq
+    assert(dirs() == Seq("_centroids", "_centroids-g1", "_centroids-g2"),
+      s"both old generations must still be on disk pre-vacuum: ${dirs()}")
+    // a FUTURE generation dir is an in-flight rebuild's shadow — the
+    // vacuum must never race it
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(idx, "_centroids-g99"))
+
+    val rows = graft.ops.IndexAudit.maintainIndex(spark, idx,
+      maxVersions = 1, keepVersions = 1)
+    assert(rows.exists(_._1.action == "vacuum-models"),
+      s"maintain must report the model vacuum: ${rows.map(_._1)}")
+    assert(dirs() == Seq("_centroids-g2", "_centroids-g99"),
+      s"superseded generations reclaimed, current + shadow kept: ${dirs()}")
+    // the index still answers and audits clean on the current generation
+    val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 2)
+    assert(IvfIndex.search(spark, idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 2, queryBound = 2L).count() > 0)
+    assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .exists(_.getString(2) == "FAIL"))
+    // a second maintain finds nothing left to reclaim (fixpoint)
+    assert(!graft.ops.IndexAudit.maintainIndex(spark, idx,
+      maxVersions = 1, keepVersions = 1)
+      .exists(_._1.action == "vacuum-models"),
+      "model vacuum must be a fixpoint")
+  }
+
   test("bm25 rebuild: the escape hatch sync's non-append refusal names — a rewritten corpus folds through rebuild; stats exact") {
     val corpus = tmp(); val idx = tmp()
     val docs = (0L until 40L).map(i =>
