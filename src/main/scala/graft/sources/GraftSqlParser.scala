@@ -79,10 +79,13 @@ import graft.sinks.ManifestTable
   *                                       lists per query
   *                                    -- (composable forms: the
   *                                       graft_search_* table functions)
-  * GRAFT REBUILD INDEX '/idx'       -- full retrain/recompute at the
+  * GRAFT REBUILD INDEX '/idx' [LISTS k]
+  *                                  -- full retrain/recompute at the
   *                                     corpus head; shadow-built, ONE
   *                                     atomic swap commit (readers see
-  *                                     old-or-new, def survives failure)
+  *                                     old-or-new, def survives failure);
+  *                                     LISTS k retrains a vector index
+  *                                     with a different list count
   * GRAFT RESTORE '/path/t' TO VERSION 7            -- roll back, one commit
   * GRAFT RESTORE '/path/t' TO TIMESTAMP '2026-01-01 00:00:00'
   * GRAFT HISTORY '/path/t' [LIMIT n]               -- retained versions
@@ -198,7 +201,7 @@ object GraftSqlParser {
   private val Rebuild =
     """(?is)\s*GRAFT\s+REBUILD\s+'([^']+)'\s*""".r
   private val RebuildIndex =
-    """(?is)\s*GRAFT\s+REBUILD\s+INDEX\s+'([^']+)'\s*""".r
+    """(?is)\s*GRAFT\s+REBUILD\s+INDEX\s+'([^']+)'(?:\s+LISTS\s+(\d+))?\s*""".r
   private val AnyGraft = """(?is)\s*GRAFT\b.*""".r
 
   /** `SNIPPET` without `PAD`: tokens of context on each side of the
@@ -434,16 +437,23 @@ object GraftSqlParser {
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
           filterPred = Option(filterPred).map(_.trim)))
       case Refresh(view) => Some(GraftRefreshCommand(view))
-      case RebuildIndex(path) =>
+      case RebuildIndex(path, lists) =>
         // atomic index rebuild: shadow-built model + one-commit swap —
         // the safe form of DROP + CREATE (readers see old-or-new, the
         // definition survives a failed rebuild); dispatches on the
-        // persisted kind
+        // persisted kind. LISTS k retrains with a different list count
+        // (the skew remedy often wants more lists than the first
+        // build); omitted = keep the current trained count.
+        val k = Option(lists).map(_.toInt).getOrElse(-1)
         Some(GraftMaintenanceCommand(path, "rebuild_index", s => {
           graft.ops.IndexAudit.indexLayout(s, path)._1 match {
-            case "bm25" => graft.ops.Bm25Index.rebuild(s, path)
-            case "ivf" => graft.ops.IvfIndex.rebuild(s, path)
-            case "ivfpq" => graft.ops.PqIndex.rebuild(s, path)
+            case "bm25" =>
+              if (k >= 1) throw new IllegalArgumentException(
+                "LISTS applies to vector indexes — a bm25 rebuild has " +
+                  "no list count")
+              graft.ops.Bm25Index.rebuild(s, path)
+            case "ivf" => graft.ops.IvfIndex.rebuild(s, path, k = k)
+            case "ivfpq" => graft.ops.PqIndex.rebuild(s, path, kLists = k)
             case other => throw new IllegalArgumentException(
               s"GRAFT REBUILD INDEX: unknown index kind '$other' at $path")
           }
@@ -562,7 +572,11 @@ case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
             val indexed = ManifestTable.rowCount(sparkSession,
               graft.ops.IvfIndex.listsPath(path)).map(_.toString)
               .getOrElse("?")
-            s"lists=$nLists, indexed=$indexed (PROBE AUTO widens " +
+            // model generation: 0 = as first-built, >0 = REBUILDs ran
+            // (the lists-manifest pointer searches resolve through)
+            val gen = graft.ops.IvfIndex.generation(sparkSession, path)
+            s"lists=$nLists, indexed=$indexed, model_gen=$gen " +
+              s"(PROBE AUTO widens " +
               s"${graft.sources.SearchRelations.DefaultProbe}..$nLists " +
               "by filter selectivity)"
           case other =>

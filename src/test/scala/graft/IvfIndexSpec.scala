@@ -158,8 +158,8 @@ class IvfIndexSpec extends SparkSpec {
     // trained list count and the indexed rowcount
     val vital = spark.sql(s"GRAFT DESCRIBE '$idx'").collect()
       .head.getString(13)
-    assert(vital.startsWith("lists=4, indexed=200"),
-      s"vector DESCRIBE must carry lists/indexed vitals: $vital")
+    assert(vital.startsWith("lists=4, indexed=200, model_gen=0"),
+      s"vector DESCRIBE must carry lists/indexed/generation vitals: $vital")
 
     // the frozen-centroid drift mode: every appended vector is a
     // near-duplicate of ONE existing cluster member, so the whole

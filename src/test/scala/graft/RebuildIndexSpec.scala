@@ -66,6 +66,10 @@ class RebuildIndexSpec extends SparkSpec {
       "rebuild must bump the model generation")
     assert(graft.ops.IndexAudit.isIndex(spark, idx),
       "the definition must survive the rebuild")
+    // the operator can SEE the rebuild in DESCRIBE's vitals
+    assert(spark.sql(s"GRAFT DESCRIBE '$idx'").collect()
+      .head.getString(13).contains("model_gen=1"),
+      "DESCRIBE must surface the bumped model generation")
 
     // rebuilt ≡ a FRESH first-sync over the same corpus (deterministic
     // training ⇒ bit-identical search AND bit-identical balance: any
@@ -106,6 +110,16 @@ class RebuildIndexSpec extends SparkSpec {
       "post-rebuild incremental sync must reach full inventory")
     assert(IvfIndex.generation(spark, idx) == 1L,
       "incremental sync must not move the generation")
+
+    // LISTS k retrains with a different list count — the skew remedy
+    // often wants more lists than the first build chose
+    spark.sql(s"GRAFT REBUILD INDEX '$idx' LISTS 8").collect()
+    assert(IvfIndex.nLists(spark, idx) == 8,
+      "LISTS override must retrain with the requested list count")
+    assert(IvfIndex.generation(spark, idx) == 2L)
+    assert(IvfIndex.search(spark, idx, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2, queryBound = 3L).count() > 0,
+      "the re-listed index must answer")
   }
 
   test("MAINTAIN reclaims superseded model generations under the lists table's retention; in-flight shadows survive") {
