@@ -217,15 +217,31 @@ class RebuildIndexSpec extends SparkSpec {
         .toDF("vec_id", "embedding"), "vec_id")
     assert(PqIndex.sync(spark, idx, corpus, "vec_id", "embedding"))
 
-    spark.sql(s"GRAFT REBUILD INDEX '$idx'").collect()
-    val fresh = tmp()
-    assert(PqIndex.sync(spark, fresh, corpus, "vec_id", "embedding",
-      kLists = 2, m = 4, k = 8, nBuckets = 2))
     val queries = ManifestTable.read(spark, corpus).filter($"vec_id" < 3)
     def rows(p: String) = PqIndex.search(spark, p, queries,
         "vec_id", "embedding", topK = 5, nProbe = 2, queryBound = 3L)
       .select("query_id", "neighbor_id", "dist", "rank")
       .collect().map(_.toString).sorted.toSeq
+
+    // a search INSIDE the rebuild window must see exactly the pre-swap
+    // (coarse, codebooks, lists) TRIPLE — ADC distances decode codes
+    // against codebooks, so a torn pair would CHANGE values, not just
+    // rankings; the pinned-manifest read makes bit-equality the only
+    // legal answer
+    val preSwap = rows(idx)
+    var fired = false
+    Bm25Index.withSyncMidHook(() =>
+      if (!fired) { fired = true
+        assert(rows(idx) == preSwap,
+          "a mid-rebuild ivfpq search must equal the pre-swap answer " +
+            "bit-for-bit (consistent model/lists triple)") }) {
+      spark.sql(s"GRAFT REBUILD INDEX '$idx'").collect()
+    }
+    assert(fired, "the walk seam must fire inside the rebuild")
+
+    val fresh = tmp()
+    assert(PqIndex.sync(spark, fresh, corpus, "vec_id", "embedding",
+      kLists = 2, m = 4, k = 8, nBuckets = 2))
     assert(rows(idx) == rows(fresh),
       "rebuilt ivfpq must answer exactly like a fresh first-sync " +
         "(both models retrained at the head, lists re-encoded)")
