@@ -222,10 +222,12 @@ object SearchRelations {
     */
   def textPerQuery(spark: SparkSession, idx: String, queryTerms: DataFrame,
                    k: Int, pairBound: Long = -1L,
-                   allowed: Option[DataFrame] = None): DataFrame = {
+                   allowed: Option[DataFrame] = None,
+                   allowedPairs: Option[DataFrame] = None): DataFrame = {
     requireKind(spark, idx, "bm25")
     Bm25Index.searchPerQuery(spark, idx, queryTerms, k = k,
-      pairBound = pairBound, allowed = allowed)
+      pairBound = pairBound, allowed = allowed,
+      allowedPairs = allowedPairs)
   }
 
   /** ANN against a persisted ivf / ivfpq index; queries come from a
@@ -468,8 +470,7 @@ object SearchRelations {
     val keyCol = ManifestTable.describeManifest(spark, queriesPath).keyCol
     val (qt, pairBound) =
       explodedQueryTerms(spark, queriesPath, termsCol, keyCol)
-    Bm25Index.searchPerQuery(spark, idx, qt, k = k,
-      pairBound = pairBound,
+    textPerQuery(spark, idx, qt, k = k, pairBound = pairBound,
       allowed = allowedIds(spark, d, filterPred),
       allowedPairs = matchCols.map { case (qc, dc) =>
         matchedPairs(spark, queriesPath, keyCol, qc, d, dc) })
