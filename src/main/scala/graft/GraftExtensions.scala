@@ -228,7 +228,10 @@ object GraftExtensions {
           SparkSession.active,
           strArg(es(0), "index_path"), strArg(es(1), "queries_path"),
           strArg(es(2), "terms_col"),
-          if (es.size > 3) intArg(es(3), "k") else 10,
+          // default k matches the TERMS COLUMN verb's implicit TOP
+          // (20) — ADVICE r16 aligned the verb forms; the TVF twin
+          // must not re-open the divergence (review r17)
+          if (es.size > 3) intArg(es(3), "k") else 20,
           filterPred =
             if (es.size > 4) Some(strArg(es(4), "predicate"))
               .filter(_.trim.nonEmpty)
@@ -249,7 +252,8 @@ object GraftExtensions {
           SparkSession.active,
           strArg(es(0), "index_path"), strArg(es(1), "queries_path"),
           strArg(es(2), "terms_col"),
-          if (es.size > 3) intArg(es(3), "k") else 10,
+          // default k = 20, matching the verb (see graft_search_text_col)
+          if (es.size > 3) intArg(es(3), "k") else 20,
           if (factor > 0) Some(factor) else None,
           filterPred =
             if (es.size > 6) Some(strArg(es(6), "predicate"))

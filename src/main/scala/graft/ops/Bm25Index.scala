@@ -677,11 +677,19 @@ object Bm25Index {
     * where whole-stage codegen gives up (that regime wants a different
     * scorer, not a wider window).
     */
+  /** `qtBound`: caller-known bound on `queryTerms`' ROW count ((query,
+    * term) pairs), gating the term-index broadcast hint separately
+    * from `pairBound` (which bounds CANDIDATE pairs — a frame that can
+    * be small while the term set is huge, so reusing it for the term
+    * index was OOM-unsound the other way; review r17). Unknown → one
+    * count of the queries-batch-sized term frame.
+    */
   def proximityRescorePerQuery(cands: DataFrame, docs: DataFrame,
                                queryTerms: DataFrame, idCol: String,
                                textCol: String, topK: Int,
                                pairBound: Long = -1L, qArityBound: Int = -1,
-                               snippetPad: Int = -1): DataFrame = {
+                               snippetPad: Int = -1,
+                               qtBound: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qt = queryTerms
       .select(col("query_id").cast("long").as("query_id"), col("term"))
@@ -717,12 +725,13 @@ object Bm25Index {
             "below a query's distinct term count — term '"), col("term"),
             lit("' would be silently ignored")))))
     val bound = if (pairBound >= 0) pairBound else cands.count()
-    // qIdx has exactly qt's row count ((query, term) pairs) — when the
-    // caller passed no pairBound, the cands.count() fallback above does
-    // NOT bound it (few candidates + many query terms → an over-wide
-    // forced broadcast, ADVICE r16), so qIdx gets its OWN bound: the
-    // supplied pairBound, else one count of the queries-batch-sized qt
-    val qBound = if (pairBound >= 0) pairBound else qt.count()
+    // qIdx has exactly qt's row count ((query, term) pairs). pairBound
+    // bounds CANDIDATE pairs — a different population that can be tiny
+    // while the term set is huge — so qIdx rides its OWN caller bound
+    // (`qtBound`; the index-backed path passes the original (query,
+    // term) bound), else one count of the queries-batch-sized qt
+    // (ADVICE r16 + review r17)
+    val qBound = if (qtBound >= 0) qtBound else qt.count()
     val candsL = cands
       .withColumn("query_id", col("query_id").cast("long"))
       .withColumn("doc_id", col("doc_id").cast("long"))
@@ -821,7 +830,8 @@ object Bm25Index {
         allowedPairs = allowedPairs),
       docs, queryTerms, idCol, textCol, k,
       pairBound = Pq.mulBound(pairBound, c.toLong),
-      qArityBound = qArityBound, snippetPad = snippetPad)
+      qArityBound = qArityBound, snippetPad = snippetPad,
+      qtBound = pairBound)
 
   /** BM25 top-k from the postings. `allowed`: optional filtered-search
     * PRE-FILTER (one column of permitted doc ids) — per-(doc, term)

@@ -55,6 +55,25 @@ object IvfIndex {
     ManifestTable.txnVersion(spark, listsPath(indexPath), Bm25Index.GenKey)
       .getOrElse(0L)
 
+  /** Highest model-generation number present ON DISK under the index
+    * root (committed, crashed-shadow, or in-flight) — the rebuild
+    * allocator takes max(committed, on-disk) + 1 so a new shadow never
+    * lands on a dir another attempt wrote: a crashed rebuild's orphan
+    * is SKIPPED (and reclaimed by vacuum-models once a later rebuild
+    * commits past it), and two rebuilds that serialize past each
+    * other's shadow write pick distinct dirs. Shared by [[PqIndex]].
+    */
+  private[graft] def maxOnDiskGen(spark: SparkSession,
+                                  indexPath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val genRe = "_(?:centroids|codebooks)-g(\\d+)".r
+    fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case genRe(g) => g.toLong
+    }.foldLeft(0L)(math.max)
+  }
+
   /** List count of a persisted vector index — the centroid table's
     * cardinality (k rows; parquet footer count, no data IO, plus one
     * manifest read to resolve the model generation). The centroid
@@ -200,24 +219,60 @@ object IvfIndex {
     // a complete consistent index (the conflict walk pins this)
     val mOld = ManifestTable.describeManifest(spark, lists)
     val kEff = if (k >= 1) k else nLists(spark, indexPath)
-    val g = mOld.txns.getOrElse(Bm25Index.GenKey, 0L) + 1
+    // shadow-generation allocation: past both the committed pointer
+    // AND anything on disk, so concurrent/crashed attempts never share
+    // a dir (see maxOnDiskGen)
+    val baseGen = mOld.txns.getOrElse(Bm25Index.GenKey, 0L)
+    val g = math.max(baseGen, maxOnDiskGen(spark, indexPath)) + 1
     Bm25Index.syncMidHook() // shared walk seam
     val docs = ManifestTable.readVersion(spark, corpusPath, head)
     val model = Ivf.train(docs, d("idCol"), d("vecCol"), kEff,
       iterations, maxSample)
     import spark.implicits._
-    // shadow write (overwrite: a CRASHED rebuild's leftover at this
-    // generation is unreferenced, and the retrain reproduces it)
     model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite")
       .parquet(centroidsDirAt(indexPath, g))
-    // THE swap: complete lists + watermark + generation, one commit
-    ManifestTable.writeWithTxns(assigned(docs, d("idCol"), d("vecCol"),
-        model), lists, "list_id", mOld.nBuckets,
-      Map(AppId -> head.toLong, Bm25Index.GenKey -> g))
+    // pre-commit read-back: a rebuild racing through the allocator's
+    // listing window could have overwritten this shadow with a model
+    // trained on a DIFFERENT snapshot — committing would then point
+    // the generation at foreign centroids (the torn pair again).
+    // Identical content means identical models (deterministic
+    // training), so equality is the exact safety condition.
+    val persisted = loadModelAt(spark, indexPath, g)
+    require(persisted.centroids.map(_.toSeq).toSeq ==
+        model.centroids.map(_.toSeq).toSeq,
+      s"rebuild shadow at generation $g was overwritten by a " +
+        "concurrent rebuild — re-run GRAFT REBUILD INDEX")
+    // THE swap: complete lists + watermark + generation, one commit;
+    // the expectTxn guard refuses if a racing rebuild committed first
+    // (or a DROP emptied the table under a rebuilt index's feet)
+    try {
+      ManifestTable.writeWithTxns(assigned(docs, d("idCol"), d("vecCol"),
+          model), lists, "list_id", mOld.nBuckets,
+        Map(AppId -> head.toLong, Bm25Index.GenKey -> g),
+        expectTxn = Some((Bm25Index.GenKey, baseGen)))
+    } catch {
+      case e: IllegalStateException =>
+        cleanupShadow(spark, indexPath, Seq(centroidsDirAt(indexPath, g)))
+        throw e
+    }
     writeDef(spark, indexPath, corpusPath, d("idCol"), d("vecCol"))
     head
+  }
+
+  /** Remove a REFUSED rebuild's shadow dirs (and the index root when
+    * the refusal left it empty — a DROP that raced the rebuild must
+    * win cleanly, not leave a defless shell). Shared by [[PqIndex]].
+    */
+  private[graft] def cleanupShadow(spark: SparkSession, indexPath: String,
+                                   shadowDirs: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    shadowDirs.foreach(dir =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+    if (fs.exists(root) && fs.listStatus(root).isEmpty)
+      fs.delete(root, true)
   }
 
   private def assigned(rows: DataFrame, idCol: String, vecCol: String,

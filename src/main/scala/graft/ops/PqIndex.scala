@@ -203,7 +203,11 @@ object PqIndex {
     val pqOld = loadPq(spark, indexPath)
     val mEff = if (m >= 1) m else pqOld.m
     val cEff = if (k >= 1) k else pqOld.k
-    val g = mOld.txns.getOrElse(Bm25Index.GenKey, 0L) + 1
+    // shadow-generation allocation past committed AND on-disk gens —
+    // see IvfIndex.maxOnDiskGen
+    val baseGen = mOld.txns.getOrElse(Bm25Index.GenKey, 0L)
+    val g = math.max(baseGen,
+      IvfIndex.maxOnDiskGen(spark, indexPath)) + 1
     Bm25Index.syncMidHook() // shared walk seam
     val docs = ManifestTable.readVersion(spark, corpusPath, head)
     val dimRow = docs.select(size(col(d("vecCol")))).take(1)
@@ -224,10 +228,29 @@ object PqIndex {
         yield (s, j, pq.codebooks(s)(j).toSeq)).toDF("sub", "code", "centroid")
         .coalesce(1).write.mode("overwrite")
         .parquet(codebooksDirAt(indexPath, g))
-      // THE swap: complete coded lists + watermark + generation
-      ManifestTable.writeWithTxns(assigned(q, coarse, pq), lists,
-        "list_id", mOld.nBuckets,
-        Map(AppId -> head.toLong, Bm25Index.GenKey -> g))
+      // pre-commit read-back of BOTH models: a rebuild racing through
+      // the allocator's listing window must not get its shadows
+      // silently swapped for a different snapshot's (see
+      // IvfIndex.rebuild)
+      require(loadCoarseAt(spark, indexPath, g).map(_.toSeq).toSeq ==
+          coarse.map(_.toSeq).toSeq &&
+          loadPqAt(spark, indexPath, g).codebooks.map(_.map(_.toSeq).toSeq)
+            .toSeq == pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+        s"rebuild shadows at generation $g were overwritten by a " +
+          "concurrent rebuild — re-run GRAFT REBUILD INDEX")
+      // THE swap: complete coded lists + watermark + generation; the
+      // expectTxn guard refuses if a racing rebuild committed first
+      try {
+        ManifestTable.writeWithTxns(assigned(q, coarse, pq), lists,
+          "list_id", mOld.nBuckets,
+          Map(AppId -> head.toLong, Bm25Index.GenKey -> g),
+          expectTxn = Some((Bm25Index.GenKey, baseGen)))
+      } catch {
+        case e: IllegalStateException =>
+          IvfIndex.cleanupShadow(spark, indexPath,
+            Seq(coarseDirAt(indexPath, g), codebooksDirAt(indexPath, g)))
+          throw e
+      }
     }
     writeDef(spark, indexPath, corpusPath, d("idCol"), d("vecCol"))
     head

@@ -1360,15 +1360,26 @@ object ManifestTable {
     * the sync watermark it reflects, and the model GENERATION pointer
     * (`Bm25Index.GenKey`) must swap atomically, so readers resolve
     * old-lists-with-old-model or new-with-new, never a torn pair.
+    *
+    * `expectTxn`: optimistic-concurrency guard — the commit REFUSES
+    * (loudly, per attempt) unless the current head's txn for the key
+    * still equals the expected value (absent counted as 0). Two
+    * concurrent REBUILDs of one index both base on generation G and
+    * propose G+1; without the guard the loser's whole-table replace
+    * would silently overwrite the winner's — with it, the first commit
+    * wins and the second fails telling the operator to re-run.
     */
   private[graft] def writeWithTxns(df: DataFrame, path: String,
                                    keyCol: String, nBuckets: Int,
-                                   txns: Map[String, Long]): Unit =
-    writeInternal(df, path, keyCol, nBuckets, Seq.empty, txns)
+                                   txns: Map[String, Long],
+                                   expectTxn: Option[(String, Long)] = None)
+      : Unit =
+    writeInternal(df, path, keyCol, nBuckets, Seq.empty, txns, expectTxn)
 
   private def writeInternal(df: DataFrame, path: String, keyCol: String,
                             nBuckets: Int, bloomCols: Seq[String],
-                            txns: Map[String, Long]): Unit = {
+                            txns: Map[String, Long],
+                            expectTxn: Option[(String, Long)] = None): Unit = {
     val spark = df.sparkSession
     // A whole-table replace of an EXISTING table keeps its CHECK
     // constraints: they are durable table metadata (as in Delta), so
@@ -1389,6 +1400,19 @@ object ManifestTable {
     var tries = 0
     var done = false
     while (!done) {
+      // per-attempt optimistic guard: refuse when a concurrent writer
+      // already advanced the expected txn (e.g. a racing REBUILD
+      // committed its generation first) — re-checked on every retry so
+      // a lost version race cannot slip past it
+      expectTxn.foreach { case (key, expected) =>
+        val cur =
+          if (versions(spark, path).isEmpty) 0L
+          else currentManifest(spark, path).txns.getOrElse(key, 0L)
+        if (cur != expected) throw new IllegalStateException(
+          s"concurrent commit moved txn '$key' of $path to $cur " +
+            s"(expected $expected) — a racing rebuild won; re-run " +
+            "against the new state")
+      }
       val v = headVersion(spark, path).getOrElse(0) + 1
       try {
         publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
@@ -2484,7 +2508,24 @@ object ManifestTable {
         // lose a commit race, the retry fails loudly here instead of
         // publishing pointers to reclaimed data
         val target = readManifest(spark, path, toVersion)
-        Some(target.copy(version = m.version + 1, txns = m.txns))
+        // txns are kept from the HEAD — they are exactly-once
+        // watermarks, and rolling them back would double-fold replayed
+        // batches. ONE exception: the model-GENERATION pointer
+        // (GenKey) is a DATA pointer, not a watermark — it names which
+        // `_centroids[-gN]` the restored bucket pointers were assigned
+        // under, so it must travel WITH the target (keeping the head's
+        // generation would hand readers a rebuilt model over
+        // pre-rebuild list assignments: the exact torn pair the
+        // rebuild's atomic swap exists to prevent). vacuum-models
+        // honors this: it never deletes a generation any RETAINED
+        // version references, and restore targets must be retained.
+        val gen = target.txns.get(graft.ops.Bm25Index.GenKey)
+        val txns = gen match {
+          case Some(g) =>
+            m.txns.updated(graft.ops.Bm25Index.GenKey, g)
+          case None => m.txns - graft.ops.Bm25Index.GenKey
+        }
+        Some(target.copy(version = m.version + 1, txns = txns))
       }
     }
   }

@@ -104,14 +104,27 @@ object SearchRelations {
             .getOrElse(-1L)
           val allowedCount = autoKey.flatMap { case (src, pred) =>
             ManifestTable.headVersion(spark, src).map { v =>
-              val n = autoSelectivityCache.computeIfAbsent(
-                (src, v.toLong, pred), _ => a.count())
+              val key = (src, v.toLong, pred)
+              // the count runs OUTSIDE the map (a cluster-scale scan
+              // inside computeIfAbsent would hold the bin lock and
+              // stall unrelated plan builds — review r17); a racing
+              // duplicate compute is benign (same snapshot → same n)
+              val n = Option(autoSelectivityCache.get(key)).getOrElse {
+                val c = java.lang.Long.valueOf(a.count())
+                autoSelectivityCache.put(key, c)
+                c
+              }
               // evict superseded snapshots of the same (source, pred):
               // a commit-every-minute corpus must not grow the map one
-              // dead Long per commit forever
+              // dead Long per commit forever; and bound the whole map
+              // (distinct predicate TEXTS are unbounded in a
+              // long-running service) — a full reset just re-pays one
+              // count per live query shape
               autoSelectivityCache.keySet.removeIf(k =>
                 k._1 == src && k._3 == pred && k._2 < v.toLong)
-              n
+              if (autoSelectivityCache.size > 512)
+                autoSelectivityCache.clear()
+              n.longValue
             }
           }.getOrElse(a.count())
           Ivf.autoProbe(DefaultProbe, nLists, indexed, allowedCount)
@@ -129,8 +142,12 @@ object SearchRelations {
     * same-snapshot counts are deterministic, so the entry is safe
     * process-wide (not per-session). Entries are one Long each.
     */
+  // value is java.lang.Long ON PURPOSE: with a Scala Long value type,
+  // CHM.get on a missing key unboxes null to 0 — which Option() would
+  // happily wrap as a cached "0 allowed rows"
   private val autoSelectivityCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      java.lang.Long]()
 
   /** Test hook: entries currently cached for `src`. */
   private[graft] def cachedSelectivities(src: String): Int = {

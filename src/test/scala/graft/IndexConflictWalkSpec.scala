@@ -303,15 +303,37 @@ class IndexConflictWalkSpec extends SparkSpec {
                   "pre-swap answer bit-for-bit") }
             rebuild()
             assert(fired, s"step $step: hook must fire")
-          case 3 => // DROP inside the rebuild window: converge, not torn
+          case 3 => // DROP inside the rebuild window: REFUSE (the
+            // commit guard sees the generation pointer vanished and
+            // the refusal cleanup removes the shadow — the DROP wins
+            // cleanly) or CONVERGE to a consistent index (a
+            // never-rebuilt gen-0 index recreates, sync's precedent) —
+            // never a torn root either way
             arm { midDrops += 1
               assert(spark.sql(s"GRAFT DROP INDEX '$idx'").collect()
                 .head.getString(1) == "drop_index") }
-            rebuild()
+            val converged =
+              try { rebuild(); true }
+              catch { case e: Exception =>
+                def msgs(t: Throwable): Seq[String] =
+                  Option(t).toSeq.flatMap(x =>
+                    Option(x.getMessage).toSeq ++ msgs(x.getCause))
+                assert(msgs(e).exists(_.contains("racing rebuild")),
+                  s"step $step: unexpected rebuild failure: $e")
+                false
+              }
             assert(fired, s"step $step: hook must fire")
-            assert(graft.ops.IndexAudit.isIndex(spark, idx),
-              s"step $step: rebuild after mid-window DROP must converge " +
-                "to a consistent index")
+            if (converged)
+              assert(graft.ops.IndexAudit.isIndex(spark, idx),
+                s"step $step: converged rebuild must leave a " +
+                  "consistent index")
+            else {
+              assert(!new java.io.File(idx).exists(),
+                s"step $step: a refused rebuild must leave the DROP's " +
+                  "result — nothing — not a defless shell")
+              // the walk needs its index back for the next steps
+              assert(syncIt(), s"step $step: re-sync after refusal")
+            }
           case 4 => // a SYNC fires inside the rebuild window (after an
             // append): the replace re-baselines; drains converge below
             ManifestTable.append(spark, corpus, batch(1), "vec_id")

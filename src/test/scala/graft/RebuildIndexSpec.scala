@@ -122,6 +122,42 @@ class RebuildIndexSpec extends SparkSpec {
       "the re-listed index must answer")
   }
 
+  test("RESTORE of a rebuilt index's lists travels WITH its generation: pre-rebuild pointers resolve the pre-rebuild model") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(80, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    val queries = ManifestTable.read(spark, corpus).filter($"vec_id" < 3)
+    def rows() = IvfIndex.search(spark, idx, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2, queryBound = 3L)
+      .withColumn("sim_r", round($"sim", 9))
+      .select("query_id", "neighbor_id", "sim_r", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    val preRebuild = rows()
+    val preVersion = ManifestTable.headVersion(spark, s"$idx/lists").get
+    // retrain with a DIFFERENT list count so the generations' models
+    // provably differ — a torn (old lists, new model) pair could not
+    // reproduce the pre-rebuild answers
+    spark.sql(s"GRAFT REBUILD INDEX '$idx' LISTS 8").collect()
+    assert(rows() != preRebuild || IvfIndex.nLists(spark, idx) == 8,
+      "fixture sanity: the rebuild changed the model")
+    // the fix under test: restore() keeps head txns (watermarks) but
+    // the GENERATION pointer is a data pointer — it must come from the
+    // RESTORED version, or searches would decode old list assignments
+    // against the new model (silent garbage, VERDICT-review finding)
+    spark.sql(s"GRAFT RESTORE '$idx/lists' TO VERSION $preVersion")
+      .collect()
+    assert(IvfIndex.generation(spark, idx) == 0L,
+      "restored lists must resolve the generation they were assigned " +
+        "under")
+    assert(rows() == preRebuild,
+      "post-restore search must reproduce the pre-rebuild answers " +
+        "bit-for-bit (consistent (model, lists) pair)")
+    assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .exists(_.getString(2) == "FAIL"))
+  }
+
   test("MAINTAIN reclaims superseded model generations under the lists table's retention; in-flight shadows survive") {
     val corpus = tmp(); val idx = tmp()
     ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
