@@ -66,15 +66,10 @@ object GraftExtensions {
     * sharing its attribute — the verbs' `MATCH (qcol = doccol)`);
     * `''` → no per-query filter.
     */
-  private def matchSpec(raw: String): Option[(String, String)] = {
+  private def matchSpec(raw: String): Seq[(String, String)] = {
     val t = raw.trim
-    if (t.isEmpty) None
-    else t.split("=") match {
-      case Array(q, d) if q.trim.nonEmpty && d.trim.nonEmpty =>
-        Some((q.trim, d.trim))
-      case _ => throw new IllegalArgumentException(
-        s"match must be 'qcol = doccol', got: $raw")
-    }
+    if (t.isEmpty) Nil
+    else graft.sources.GraftSqlParser.parseMatchPairs(t)
   }
 
   /** Probe argument of the vector/hybrid TVFs: a positive int, or
@@ -223,7 +218,7 @@ object GraftExtensions {
         "graft_search_text_col(index, queries_path, terms_col[, k[, " +
           "predicate[, match]]]) — batch BM25: per-query term sets " +
           "from a queries-table column; predicate '' = unfiltered; " +
-          "match 'qcol = doccol' = the per-query filter")
+          "match 'qcol = doccol[, ...]' = the per-query filter")
       graft.sources.SearchRelations.textPerQueryRelation(
           SparkSession.active,
           strArg(es(0), "index_path"), strArg(es(1), "queries_path"),
@@ -237,7 +232,7 @@ object GraftExtensions {
               .filter(_.trim.nonEmpty)
             else None,
           matchCols =
-            if (es.size > 5) matchSpec(strArg(es(5), "match")) else None)
+            if (es.size > 5) matchSpec(strArg(es(5), "match")) else Nil)
         .queryExecution.logical
     }),
     "graft_search_text_col_rescored" -> (es => {
@@ -246,7 +241,7 @@ object GraftExtensions {
           "[, k[, factor[, pad[, predicate[, match]]]]]) — batch " +
           "two-stage retrieval; factor 0 = corpus-scaled cut, pad >= 0 " +
           "adds snippets, pad -1 (default) none; predicate '' = " +
-          "unfiltered; match 'qcol = doccol' = the per-query filter")
+          "unfiltered; match 'qcol = doccol[, ...]' = the per-query filter")
       val factor = if (es.size > 4) intArg(es(4), "factor") else 0
       graft.sources.SearchRelations.textRescoredPerQuery(
           SparkSession.active,
@@ -260,7 +255,7 @@ object GraftExtensions {
               .filter(_.trim.nonEmpty)
             else None,
           matchCols =
-            if (es.size > 7) matchSpec(strArg(es(7), "match")) else None,
+            if (es.size > 7) matchSpec(strArg(es(7), "match")) else Nil,
           snippetPad = if (es.size > 5) intArg(es(5), "pad") else -1)
         .queryExecution.logical
     }),
@@ -317,7 +312,7 @@ object GraftExtensions {
           "predicate[, pad[, match]]]]]]) — the batch hybrid with " +
           "per-query proximity-rescored text lists; predicate '' = " +
           "unfiltered; pad >= 0 adds the snippet column through the " +
-          "fusion; match 'qcol = doccol' = the per-query filter")
+          "fusion; match 'qcol = doccol[, ...]' = the per-query filter")
       val factor = if (es.size > 6) intArg(es(6), "factor") else 0
       graft.sources.SearchRelations.hybridPerQuery(SparkSession.active,
           strArg(es(0), "text_index"), strArg(es(1), "vector_index"),
@@ -329,7 +324,7 @@ object GraftExtensions {
               .filter(_.trim.nonEmpty)
             else None,
           matchCols =
-            if (es.size > 9) matchSpec(strArg(es(9), "match")) else None,
+            if (es.size > 9) matchSpec(strArg(es(9), "match")) else Nil,
           rescoreText = true,
           rescoreFactor = if (factor > 0) Some(factor) else None,
           snippetPad = if (es.size > 8) intArg(es(8), "pad") else -1)
@@ -365,7 +360,7 @@ object GraftExtensions {
               .filter(_.trim.nonEmpty)
             else None,
           matchCols =
-            if (es.size > 7) matchSpec(strArg(es(7), "match")) else None)
+            if (es.size > 7) matchSpec(strArg(es(7), "match")) else Nil)
         .queryExecution.logical
     })
   )

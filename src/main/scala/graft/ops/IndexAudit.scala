@@ -137,22 +137,60 @@ object IndexAudit {
         "DEEP on the index for the exact per-list balance audit"))
   }
 
-  /** Reclaim SUPERSEDED model-generation dirs after REBUILDs: a
-    * rebuild leaves the previous generation's `_centroids[-gN]` (and
-    * `_codebooks[-gN]` for ivfpq) on disk — unreferenced by the HEAD
-    * manifest, but possibly still needed by a RETAINED older lists
-    * version (a time-travel read resolves its models through the
-    * generation recorded in ITS manifest). Deletion therefore follows
-    * the manifest table's own retention discipline: collect the
-    * generation pointer of EVERY retained lists version and delete
-    * only model dirs whose generation none references. Generations
-    * ABOVE the maximum retained one are always kept — that is an
-    * in-flight rebuild's shadow (or a crashed one's leftover, which
-    * the next rebuild overwrites at the same name); deleting it would
-    * race the shadow build. Returns the deleted dir names.
+  private val GenDirRe = "_(?:centroids|codebooks)(?:-g(\\d+))?".r
+  private val GenClaimRe = "_gen-(\\d+)\\.claim".r
+
+  /** The model generation a root-level artifact (model dir or claim
+    * marker) belongs to — None for unrelated names.
+    */
+  private def genOf(name: String): Option[Long] = name match {
+    case GenClaimRe(g) => Some(g.toLong) // allocation marker travels with its gen
+    case GenDirRe(g) => Some(Option(g).map(_.toLong).getOrElse(0L))
+    case _ => None
+  }
+
+  /** Root-level model artifacts (generation dirs + claim markers) whose
+    * generation NO retained lists version references — superseded
+    * REBUILD leftovers, or a crashed rebuild's shadow (which may also
+    * be an IN-FLIGHT rebuild's: detection cannot tell, reclaim can via
+    * its grace period). Detection only, surfaced by `GRAFT VERIFY
+    * DEEP`; [[vacuumModelGenerations]] reclaims.
+    */
+  private[graft] def orphanGenArtifacts(spark: SparkSession,
+                                        path: String): Seq[String] = {
+    val (kind, _, dataPath) = indexLayout(spark, path)
+    if (kind != "ivf" && kind != "ivfpq") return Seq.empty
+    val referenced: Set[Long] = ManifestTable.versions(spark, dataPath)
+      .map(v => ManifestTable.readManifest(spark, dataPath, v)
+        .txns.getOrElse(Bm25Index.GenKey, 0L)).toSet
+    if (referenced.isEmpty) return Seq.empty
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => genOf(n).exists(g => !referenced.contains(g)))
+      .sorted
+  }
+
+  /** Reclaim model-generation artifacts after REBUILDs: a rebuild
+    * leaves the previous generation's `_centroids[-gN]` (and
+    * `_codebooks[-gN]` for ivfpq, plus the `_gen-N.claim` allocation
+    * marker) on disk — unreferenced by the HEAD manifest, but possibly
+    * still needed by a RETAINED older lists version (a time-travel
+    * read resolves its models through the generation recorded in ITS
+    * manifest). Deletion therefore follows the manifest table's own
+    * retention discipline: collect the generation pointer of EVERY
+    * retained lists version and delete only artifacts whose generation
+    * none references. Generations ABOVE the maximum retained one may
+    * be an IN-FLIGHT rebuild's shadow — those are reclaimed only past
+    * `shadowGraceMs` (a crashed rebuild's orphan goes quiet; a live
+    * one keeps writing), the staged-data vacuum's discipline. Returns
+    * the deleted artifact names.
     */
   private[graft] def vacuumModelGenerations(spark: SparkSession,
-                                            path: String): Seq[String] = {
+                                            path: String,
+                                            shadowGraceMs: Long =
+                                              3600L * 1000): Seq[String] = {
     val (kind, _, dataPath) = indexLayout(spark, path)
     if (kind != "ivf" && kind != "ivfpq") return Seq.empty
     val referenced: Set[Long] = ManifestTable.versions(spark, dataPath)
@@ -160,17 +198,23 @@ object IndexAudit {
         .txns.getOrElse(Bm25Index.GenKey, 0L)).toSet
     if (referenced.isEmpty) return Seq.empty
     val maxRef = referenced.max
-    val genRe = "_(?:centroids|codebooks)(?:-g(\\d+))?".r
-    def genOf(name: String): Option[Long] = name match {
-      case genRe(g) => Some(Option(g).map(_.toLong).getOrElse(0L))
-      case _ => None
-    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else fs.listStatus(p).foldLeft(st.getModificationTime) { (acc, c) =>
+        math.max(acc,
+          if (c.isDirectory) newestMtime(c.getPath) else c.getModificationTime)
+      }
+    }
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
       .map(_.getPath)
-      .filter(p => genOf(p.getName)
-        .exists(g => g < maxRef && !referenced.contains(g)))
+      .filter(p => genOf(p.getName).exists(g =>
+        !referenced.contains(g) &&
+          (g < maxRef || shadowGraceMs <= 0 ||
+            newestMtime(p) <= now - shadowGraceMs)))
       .map { p => fs.delete(p, true); p.getName }
   }
 
@@ -188,7 +232,9 @@ object IndexAudit {
   def maintainIndex(spark: SparkSession, path: String,
                     targetFileBytes: Long = 128L << 20,
                     maxVersions: Int = 10, keepVersions: Int = 2,
-                    dryRun: Boolean = false): Seq[(ManifestTable.MaintenanceAdvice, Int)] = {
+                    dryRun: Boolean = false,
+                    shadowGraceMs: Long = 3600L * 1000)
+      : Seq[(ManifestTable.MaintenanceAdvice, Int)] = {
     val (kind, _, dataPath) = indexLayout(spark, path)
     if (dryRun) {
       val v = ManifestTable.headVersion(spark, dataPath).getOrElse(0)
@@ -215,17 +261,29 @@ object IndexAudit {
     val tableRows = ManifestTable.maintain(spark, dataPath,
       targetFileBytes, maxVersions, keepVersions)
     // AFTER the table maintain (whose vacuum trims retained versions):
-    // reclaim model-generation dirs no retained lists version resolves
+    // reclaim model-generation artifacts no retained lists version
+    // resolves, and orphaned staged dirs (crashed refused writes) —
+    // the two residue classes GRAFT VERIFY DEEP reports
     val modelRows = {
-      val deleted = vacuumModelGenerations(spark, path)
+      val deleted = vacuumModelGenerations(spark, path, shadowGraceMs)
       if (deleted.isEmpty) Seq.empty
       else Seq(ManifestTable.MaintenanceAdvice("vacuum-models",
-        s"reclaimed superseded model generation dir(s) " +
+        s"reclaimed superseded model generation artifact(s) " +
           s"${deleted.sorted.mkString(", ")} — unreferenced by any " +
           "retained lists version (REBUILD leftovers)") ->
         ManifestTable.headVersion(spark, dataPath).getOrElse(0))
     }
-    refreshRows ++ skewRows ++ tableRows ++ modelRows
+    val stagedRows = {
+      val deleted = ManifestTable.vacuumOrphanStaged(spark, dataPath,
+        shadowGraceMs)
+      if (deleted.isEmpty) Seq.empty
+      else Seq(ManifestTable.MaintenanceAdvice("vacuum-staged",
+        s"reclaimed ${deleted.size} orphaned staged dir(s) under the " +
+          s"data table — refused/crashed write residue no retained " +
+          s"version references") ->
+        ManifestTable.headVersion(spark, dataPath).getOrElse(0))
+    }
+    refreshRows ++ skewRows ++ tableRows ++ modelRows ++ stagedRows
   }
 
   /** One (check, status, detail) row per audit — status ok/WARN/FAIL. */
@@ -280,7 +338,31 @@ object IndexAudit {
           balanceCheck(spark, path))
       else Seq.empty
 
-    Seq(defRow) ++ modelRows ++ freshRows ++ listRows ++ recallRows
+    // DEEP residue audit: orphaned staged dirs (a crashed refused
+    // write's leak) and unreferenced model-generation artifacts (a
+    // crashed rebuild's shadow) — the failure class the REBUILD
+    // conflict walk forbids, surfaced as an operator-visible check
+    // with GRAFT MAINTAIN as the named remedy (VERDICT r17 next #6)
+    val residueRows =
+      if (deep) {
+        val staged = ManifestTable.orphanStagedDirs(spark, dataPath)
+        val gens = orphanGenArtifacts(spark, path)
+        if (staged.isEmpty && gens.isEmpty)
+          Seq(("index_residue", "ok",
+            "no orphaned staged dirs, no unreferenced model generations"))
+        else
+          Seq(("index_residue", "WARN",
+            s"${staged.size} orphaned staged dir(s)" +
+              (if (staged.isEmpty) "" else s" [${staged.take(3).mkString(", ")}]") +
+              s", ${gens.size} unreferenced model-generation artifact(s)" +
+              (if (gens.isEmpty) "" else s" [${gens.take(3).mkString(", ")}]") +
+              " — crashed/refused rebuild or write residue (a fresh " +
+              "one may be an in-flight rebuild's shadow); run GRAFT " +
+              "MAINTAIN to reclaim past the grace period"))
+      } else Seq.empty
+
+    Seq(defRow) ++ modelRows ++ freshRows ++ listRows ++ recallRows ++
+      residueRows
   }
 
   /** Above this max-list/mean-list ratio the DEEP balance audit reports

@@ -156,17 +156,17 @@ object Ivf {
     * allowed set is corpus-sized in the worst case; AQE broadcasts it
     * at runtime when it measures small.
     */
-  /** `allowedPairs`: optional PER-QUERY pre-filter — (query_id,
-    * neighbor_id) pairs of permitted matches (multi-tenant batches:
-    * each query row carries its own eligibility set); candidates
-    * semi-join it BEFORE the rank window, composing with `allowed`
-    * (intersection). Unhinted like `allowed`.
+  /** `matchF`: optional PER-QUERY pre-filter ([[MatchFilter]] —
+    * multi-tenant batches: each query row carries its own eligibility
+    * set); candidates are attribute-joined and equality-filtered
+    * BEFORE the rank window (candidate-bound, VERDICT r17 #3),
+    * composing with `allowed` (intersection).
     */
   def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, model: Model,
                  nProbe: Int = 3, queryBound: Long = -1L,
                  allowed: Option[DataFrame] = None,
-                 allowedPairs: Option[DataFrame] = None): DataFrame = {
+                 matchF: Option[MatchFilter] = None): DataFrame = {
     val indexed = index(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
         .withColumn("cn", l2Norm(col("cv"))), "cv", model)
@@ -186,11 +186,7 @@ object Ivf {
       cands.join(a.select(col(a.columns.head).as("neighbor_id")),
         Seq("neighbor_id"), "left_semi")
     }
-    val keptP = allowedPairs.fold(kept) { ap =>
-      kept.join(ap.select(col(ap.columns.head).as("query_id"),
-        col(ap.columns(1)).as("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-    }
+    val keptP = matchF.fold(kept)(_.keep(kept, "neighbor_id"))
     keptP
       .withColumn("sim",
         when(col("qn") * col("cn") > 0, dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))

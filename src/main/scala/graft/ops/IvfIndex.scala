@@ -69,9 +69,47 @@ object IvfIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     val genRe = "_(?:centroids|codebooks)-g(\\d+)".r
+    val claimRe = "_gen-(\\d+)\\.claim".r
     fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
       case genRe(g) => g.toLong
+      case claimRe(g) => g.toLong
     }.foldLeft(0L)(math.max)
+  }
+
+  /** Generation `g`'s claim marker — see [[claimGen]]. */
+  private[graft] def genClaimPath(indexPath: String, g: Long): String =
+    s"$indexPath/_gen-$g.claim"
+
+  /** Allocate a FRESH model generation with create-EXCLUSIVE semantics:
+    * the `_gen-<g>.claim` marker is created atomically (`fs.create(…,
+    * overwrite = false)`), probing upward from `floor + 1` past any
+    * claim another attempt holds. Two rebuilds racing through
+    * [[maxOnDiskGen]]'s listing window therefore can NEVER share a
+    * generation: the loser's refusal cleanup only ever deletes its OWN
+    * shadow dirs (never the committed winner's — they have different
+    * g), and a committed model can never be silently overwritten by a
+    * concurrent retrain landing on the same name. Shared by
+    * [[PqIndex]].
+    */
+  private[graft] def claimGen(spark: SparkSession, indexPath: String,
+                              floor: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var g = floor + 1
+    while (true) {
+      val claim = new org.apache.hadoop.fs.Path(genClaimPath(indexPath, g))
+      try {
+        fs.create(claim, false).close()
+        return g
+      } catch {
+        // claimed by a concurrent attempt (either exception shape,
+        // depending on the FileSystem impl) — probe the next slot
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => g += 1
+        case e: java.io.IOException =>
+          if (fs.exists(claim)) g += 1 else throw e
+      }
+    }
+    g // unreachable
   }
 
   /** List count of a persisted vector index — the centroid table's
@@ -220,10 +258,11 @@ object IvfIndex {
     val mOld = ManifestTable.describeManifest(spark, lists)
     val kEff = if (k >= 1) k else nLists(spark, indexPath)
     // shadow-generation allocation: past both the committed pointer
-    // AND anything on disk, so concurrent/crashed attempts never share
-    // a dir (see maxOnDiskGen)
+    // AND anything on disk, claimed create-exclusively so concurrent/
+    // crashed attempts never share a dir (see claimGen/maxOnDiskGen)
     val baseGen = mOld.txns.getOrElse(Bm25Index.GenKey, 0L)
-    val g = math.max(baseGen, maxOnDiskGen(spark, indexPath)) + 1
+    val g = claimGen(spark, indexPath,
+      math.max(baseGen, maxOnDiskGen(spark, indexPath)))
     Bm25Index.syncMidHook() // shared walk seam
     val docs = ManifestTable.readVersion(spark, corpusPath, head)
     val model = Ivf.train(docs, d("idCol"), d("vecCol"), kEff,
@@ -254,7 +293,8 @@ object IvfIndex {
         expectTxn = Some((Bm25Index.GenKey, baseGen)))
     } catch {
       case e: IllegalStateException =>
-        cleanupShadow(spark, indexPath, Seq(centroidsDirAt(indexPath, g)))
+        cleanupShadow(spark, indexPath, Seq(centroidsDirAt(indexPath, g),
+          genClaimPath(indexPath, g)))
         throw e
     }
     writeDef(spark, indexPath, corpusPath, d("idCol"), d("vecCol"))
@@ -263,7 +303,13 @@ object IvfIndex {
 
   /** Remove a REFUSED rebuild's shadow dirs (and the index root when
     * the refusal left it empty — a DROP that raced the rebuild must
-    * win cleanly, not leave a defless shell). Shared by [[PqIndex]].
+    * win cleanly, not leave a defless shell). Before the emptiness
+    * check, UNCOMMITTED lists residue is purged: bytes under a lists
+    * table with no committed version are nobody's data
+    * (`ManifestTable.writeInternal` discards its own refused staging,
+    * but a crash inside the refusal path can still leave them), and
+    * sparing them would leave exactly the defless shell the conflict
+    * walks forbid. Shared by [[PqIndex]].
     */
   private[graft] def cleanupShadow(spark: SparkSession, indexPath: String,
                                    shadowDirs: Seq[String]): Unit = {
@@ -271,6 +317,10 @@ object IvfIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     shadowDirs.foreach(dir =>
       fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+    val lists = new org.apache.hadoop.fs.Path(listsPath(indexPath))
+    if (fs.exists(lists) &&
+        ManifestTable.versions(spark, listsPath(indexPath)).isEmpty)
+      fs.delete(lists, true)
     if (fs.exists(root) && fs.listStatus(root).isEmpty)
       fs.delete(root, true)
   }
@@ -317,7 +367,7 @@ object IvfIndex {
              idCol: String, vecCol: String, k: Int = 5,
              nProbe: Int = 3, queryBound: Long = -1L,
              allowed: Option[DataFrame] = None,
-             allowedPairs: Option[DataFrame] = None): DataFrame = {
+             matchF: Option[MatchFilter] = None): DataFrame = {
     // ONE pinned manifest read resolves the model generation AND the
     // bucket pointers, so a concurrent REBUILD's atomic swap can never
     // hand this search new lists with the old centroids (or vice
@@ -343,13 +393,9 @@ object IvfIndex {
       cands.join(a.select(col(a.columns.head).as("id")),
         Seq("id"), "left_semi")
     }
-    // per-query pre-filter (see Ivf.searchTopK): semi-join the
-    // (query, candidate) pairs before the rank window
-    val keptP = allowedPairs.fold(kept) { ap =>
-      kept.join(ap.select(col(ap.columns.head).as("query_id"),
-        col(ap.columns(1)).as("id")),
-        Seq("query_id", "id"), "left_semi")
-    }
+    // per-query pre-filter (see Ivf.searchTopK), candidate-bound:
+    // attribute joins + equality filter before the rank window
+    val keptP = matchF.fold(kept)(_.keep(kept, "id"))
     keptP
       .withColumn("sim", when(col("qn") * col("norm") > 0,
         dot(col("qv"), col("vec")) / (col("qn") * col("norm"))))

@@ -203,11 +203,11 @@ object PqIndex {
     val pqOld = loadPq(spark, indexPath)
     val mEff = if (m >= 1) m else pqOld.m
     val cEff = if (k >= 1) k else pqOld.k
-    // shadow-generation allocation past committed AND on-disk gens —
-    // see IvfIndex.maxOnDiskGen
+    // shadow-generation allocation past committed AND on-disk gens,
+    // claimed create-exclusively — see IvfIndex.claimGen/maxOnDiskGen
     val baseGen = mOld.txns.getOrElse(Bm25Index.GenKey, 0L)
-    val g = math.max(baseGen,
-      IvfIndex.maxOnDiskGen(spark, indexPath)) + 1
+    val g = IvfIndex.claimGen(spark, indexPath,
+      math.max(baseGen, IvfIndex.maxOnDiskGen(spark, indexPath)))
     Bm25Index.syncMidHook() // shared walk seam
     val docs = ManifestTable.readVersion(spark, corpusPath, head)
     val dimRow = docs.select(size(col(d("vecCol")))).take(1)
@@ -248,7 +248,8 @@ object PqIndex {
       } catch {
         case e: IllegalStateException =>
           IvfIndex.cleanupShadow(spark, indexPath,
-            Seq(coarseDirAt(indexPath, g), codebooksDirAt(indexPath, g)))
+            Seq(coarseDirAt(indexPath, g), codebooksDirAt(indexPath, g),
+              IvfIndex.genClaimPath(indexPath, g)))
           throw e
       }
     }
@@ -304,7 +305,7 @@ object PqIndex {
              idCol: String, vecCol: String, topK: Int = 5,
              nProbe: Int = 2, queryBound: Long = -1L,
              allowed: Option[DataFrame] = None,
-             allowedPairs: Option[DataFrame] = None): DataFrame = {
+             matchF: Option[MatchFilter] = None): DataFrame = {
     // ONE pinned manifest read resolves both models' generation AND
     // the bucket pointers — a concurrent REBUILD can never hand this
     // search new lists with old models (see IvfIndex.search)
@@ -333,13 +334,8 @@ object PqIndex {
       cands.join(a.select(col(a.columns.head).cast("long").as("id")),
         Seq("id"), "left_semi")
     }
-    // per-query pre-filter (see Ivf.searchTopK)
-    val keptP = allowedPairs.fold(kept) { ap =>
-      kept.join(ap.select(
-        col(ap.columns.head).cast("long").as("query_id"),
-        col(ap.columns(1)).cast("long").as("id")),
-        Seq("query_id", "id"), "left_semi")
-    }
+    // per-query pre-filter (see Ivf.searchTopK), candidate-bound
+    val keptP = matchF.fold(kept)(_.keep(kept, "id"))
     keptP
       .withColumn("dist", qdistSq(col("qq"), Pq.reconCol(col("codes"), pq)))
       .withColumn("rank", row_number().over(
@@ -370,7 +366,7 @@ object PqIndex {
                     nProbe: Int = 2, refineFactor: Int = 4,
                     queryBound: Long = -1L,
                     allowed: Option[DataFrame] = None,
-                    allowedPairs: Option[DataFrame] = None): DataFrame = {
+                    matchF: Option[MatchFilter] = None): DataFrame = {
     // broadcast hints on the probe AND refine joins are gated on the
     // query-batch size (see Pq.refineExact); one count of the QUERY
     // frame decides when the caller doesn't know the bound
@@ -380,7 +376,7 @@ object PqIndex {
     // on each query's ALLOWED docs
     val candidates = search(spark, indexPath, queries, idCol, vecCol,
         topK * refineFactor, nProbe, queryBound = nQ, allowed = allowed,
-        allowedPairs = allowedPairs)
+        matchF = matchF)
       .select("query_id", "neighbor_id")
     val candBound = Pq.mulBound(nQ, topK.toLong * refineFactor)
     // the refine query side carries the dim-byte quantized payload; dim

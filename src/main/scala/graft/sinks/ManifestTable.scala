@@ -1399,39 +1399,85 @@ object ManifestTable {
     // (the staged dirs are the complete next table regardless of base)
     var tries = 0
     var done = false
-    while (!done) {
-      // per-attempt optimistic guard: refuse when a concurrent writer
-      // already advanced the expected txn (e.g. a racing REBUILD
-      // committed its generation first) — re-checked on every retry so
-      // a lost version race cannot slip past it
-      expectTxn.foreach { case (key, expected) =>
-        val cur =
-          if (versions(spark, path).isEmpty) 0L
-          else currentManifest(spark, path).txns.getOrElse(key, 0L)
-        if (cur != expected) throw new IllegalStateException(
-          s"concurrent commit moved txn '$key' of $path to $cur " +
-            s"(expected $expected) — a racing rebuild won; re-run " +
-            "against the new state")
+    try {
+      while (!done) {
+        // per-attempt optimistic guard: refuse when a concurrent writer
+        // already advanced the expected txn (e.g. a racing REBUILD
+        // committed its generation first) — re-checked on every retry so
+        // a lost version race cannot slip past it
+        expectTxn.foreach { case (key, expected) =>
+          val cur =
+            if (versions(spark, path).isEmpty) 0L
+            else currentManifest(spark, path).txns.getOrElse(key, 0L)
+          if (cur != expected) throw new IllegalStateException(
+            s"concurrent commit moved txn '$key' of $path to $cur " +
+              s"(expected $expected) — a racing rebuild won; re-run " +
+              "against the new state")
+        }
+        val v = headVersion(spark, path).getOrElse(0) + 1
+        try {
+          publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
+            staged.map { case (b, d) => b -> Seq(d) }, bloomCols = bloomCols,
+            txns = txns, writerVersion = CurrentWriterVersion,
+            constraints = cons))
+          done = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            tries += 1
+            if (tries >= 5) throw e
+            // the staged rows were validated against `cons`; if a racing
+            // ALTER changed the constraint set, committing them would
+            // bypass the new contract — refuse and let the caller retry
+            if (currentManifest(spark, path).constraints != cons)
+              throw new IllegalStateException(
+                "concurrent ALTER changed the table's CHECK constraints " +
+                  "during a whole-table write — re-run the write so the " +
+                  "rows are validated against the current set")
+        }
       }
-      val v = headVersion(spark, path).getOrElse(0) + 1
-      try {
-        publish(spark, path, Manifest(v, nBuckets, keyCol, slice.schema.toDDL,
-          staged.map { case (b, d) => b -> Seq(d) }, bloomCols = bloomCols,
-          txns = txns, writerVersion = CurrentWriterVersion,
-          constraints = cons))
-        done = true
-      } catch {
-        case e: ConcurrentCommitException =>
-          tries += 1
-          if (tries >= 5) throw e
-          // the staged rows were validated against `cons`; if a racing
-          // ALTER changed the constraint set, committing them would
-          // bypass the new contract — refuse and let the caller retry
-          if (currentManifest(spark, path).constraints != cons)
-            throw new IllegalStateException(
-              "concurrent ALTER changed the table's CHECK constraints " +
-                "during a whole-table write — re-run the write so the " +
-                "rows are validated against the current set")
+    } finally {
+      // a refused commit must not leak data: the staging above ran
+      // BEFORE the expectTxn guard, so a refusal (or exhausted retry)
+      // would otherwise orphan a complete copy of the table — and worse,
+      // leave bytes under a table root a concurrent DROP just emptied
+      // (a defless index shell, the conflict walks' torn-root state).
+      // Guarded by a head-manifest reference check, not just `done`:
+      // publish's post-commit checkpoint write can throw AFTER the
+      // manifest is durable, and deleting then would reclaim live data.
+      if (!done && !stagedCommitted(spark, path, staged.values.toSeq))
+        discardStaged(spark, path, staged.values.toSeq)
+    }
+  }
+
+  /** Did any of this write's staged dirs make it into a committed
+    * manifest? ([[writeInternal]]'s refusal path must never delete
+    * dirs a durable commit references.)
+    */
+  private def stagedCommitted(spark: SparkSession, path: String,
+                              rels: Seq[String]): Boolean =
+    versions(spark, path).nonEmpty && {
+      val refs = currentManifest(spark, path).buckets.values.flatten.toSet
+      rels.exists(refs.contains)
+    }
+
+  /** Remove a refused whole-table write's staged dirs, then every
+    * emptied ancestor up to and including the table root: a refused
+    * write against a table a concurrent DROP removed must leave
+    * NOTHING behind (refused commits never leak data, for ANY caller).
+    */
+  private def discardStaged(spark: SparkSession, path: String,
+                            rels: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    rels.foreach(rel => f.delete(new Path(path, rel), true))
+    // the staged dirs share one data/<uuid> parent that is exclusively
+    // this write's (fresh UUID) — remove it whole (it still holds the
+    // writer's _SUCCESS marker), then the data root and the table root
+    // when (and only when) emptied
+    rels.headOption.foreach { rel =>
+      val parent = new Path(path, rel).getParent
+      f.delete(parent, true)
+      Seq(parent.getParent, new Path(path)).foreach { p =>
+        if (f.exists(p) && f.listStatus(p).isEmpty) f.delete(p, true)
       }
     }
   }
@@ -3085,6 +3131,50 @@ object ManifestTable {
       }
       a -> headVersion(spark, path).getOrElse(0)
     }
+  }
+
+  /** Staged `data/<uuid>` dirs NO retained manifest version references —
+    * the residue a CRASHED refused whole-table write (or a lost append
+    * race) leaves behind ([[writeInternal]] discards its own refused
+    * staging, but a crash inside the refusal path cannot). Detection
+    * only — `GRAFT VERIFY DEEP` surfaces these; [[vacuumOrphanStaged]]
+    * (via GRAFT MAINTAIN) reclaims them under a grace period.
+    */
+  private[graft] def orphanStagedDirs(spark: SparkSession,
+                                      path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val dataRoot = new Path(path, DataDir)
+    if (!f.exists(dataRoot)) return Seq.empty
+    val live: Set[String] = versions(spark, path).flatMap { v =>
+      val mm = readManifest(spark, path, v)
+      mm.buckets.values.flatten ++ mm.tombstones.values.flatten.map(_._1)
+    }.map(rel => rel.split('/')(1)).toSet
+    f.listStatus(dataRoot).map(_.getPath.getName)
+      .filterNot(live.contains).toSeq.sorted
+  }
+
+  /** Reclaim [[orphanStagedDirs]] older than `graceMs` (the same
+    * in-flight-writer discipline as [[vacuum]]'s data reclaim: a dir
+    * younger than the grace may be a concurrent write's staging).
+    * Returns the deleted dir names.
+    */
+  private[graft] def vacuumOrphanStaged(spark: SparkSession, path: String,
+                                        graceMs: Long = 3600L * 1000)
+      : Seq[String] = {
+    val f = fs(spark, path)
+    val now = System.currentTimeMillis()
+    def newestMtime(p: Path): Long = {
+      val st = f.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else f.listStatus(p).foldLeft(st.getModificationTime) { (acc, c) =>
+        math.max(acc,
+          if (c.isDirectory) newestMtime(c.getPath) else c.getModificationTime)
+      }
+    }
+    orphanStagedDirs(spark, path).filter { n =>
+      graceMs <= 0 ||
+        newestMtime(new Path(new Path(path, DataDir), n)) <= now - graceMs
+    }.map { n => f.delete(new Path(new Path(path, DataDir), n), true); n }
   }
 
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,

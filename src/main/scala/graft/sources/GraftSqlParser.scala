@@ -45,7 +45,8 @@ import graft.sinks.ManifestTable
   *                                       source-corpus predicate (df stays
   *                                       corpus-global)
   * GRAFT SEARCH TEXT '/idx' TERMS COLUMN qterms FROM '/queries'
-  *   [TOP 20] [MATCH (qcol = doccol)] [RESCORE [FACTOR f]]
+  *   [TOP 20] [MATCH (qcol = doccol[, qcol2 = doccol2 ...])]
+  *   [RESCORE [FACTOR f]]
   *   [SNIPPET [PAD p]] [FILTER (...)]
   *                                    -- batch form: per-query term sets
   *                                       from a queries-table column, one
@@ -71,7 +72,8 @@ import graft.sinks.ManifestTable
   *                                       off the TEXT index's source
   *                                       pre-filters BOTH lists)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS COLUMN qterms
-  *   FROM '/queries' [TOP 10] [PROBE p|AUTO] [MATCH (qcol = doccol)]
+  *   FROM '/queries' [TOP 10] [PROBE p|AUTO]
+  *   [MATCH (qcol = doccol[, qcol2 = doccol2 ...])]
   *   [RESCORE [FACTOR f]] [REFINE [FACTOR 8]] [FILTER (lang = 'en')]
   *                                    -- per-query term sets from a
   *                                       queries-table column (batch
@@ -187,13 +189,13 @@ object GraftSqlParser {
   private val CreateChangeFeed =
     """(?is)\s*GRAFT\s+CREATE\s+CHANGE\s+FEED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:STARTING\s+VERSION\s+(\d+)\s*)?""".r
   private val SearchTextCol =
-    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+MATCH\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+MATCH\s*\(([^)]+)\))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchText =
     """(?is)\s*GRAFT\s+SEARCH\s+TEXT\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)(?:\s+TOP\s+(\d+))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybrid =
     """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s*\(([^)]+)\)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchHybridCol =
-    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+MATCH\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+MATCH\s*\(([^)]+)\))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchVector =
     """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val Refresh =
@@ -217,6 +219,25 @@ object GraftSqlParser {
     if (raw == null) SearchRelations.DefaultProbe
     else if (raw.equalsIgnoreCase("AUTO")) SearchRelations.ProbeAuto
     else raw.toInt
+
+  /** `MATCH (qcol = doccol[, qcol2 = doccol2 ...])` — one (queries
+    * column, corpus column) pair per CONJUNCT (the tenant-AND-language
+    * ACL idiom, VERDICT r17 next #4); a query row is eligible only for
+    * docs agreeing on every pair. Malformed specs fail at parse time.
+    */
+  private[graft] def parseMatchPairs(raw: String): Seq[(String, String)] =
+    if (raw == null) Nil
+    else raw.split(",").toSeq.map { part =>
+      part.split("=") match {
+        case Array(q, d)
+            if q.trim.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+              d.trim.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+          (q.trim, d.trim)
+        case _ => throw new IllegalArgumentException(
+          "MATCH needs (qcol = doccol[, qcol2 = doccol2 ...]) — " +
+            s"identifier pairs, comma-separated; got: $raw")
+      }
+    }
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
     sql match {
@@ -342,12 +363,12 @@ object GraftSqlParser {
         Some(GraftMaintenanceCommand(feed, "create_change_feed", s =>
           graft.streaming.ChangeFeed.create(s, feed, src,
             Option(fromV).map(_.toInt))))
-      case SearchTextCol(idx, termsCol, queries, top, matchQ, matchD,
+      case SearchTextCol(idx, termsCol, queries, top, matchRaw,
                          rescore, factor, snippet, pad, textFilter) =>
         // per-query term sets: each queries-table row carries its own
         // terms in <termsCol> — the batch form of SEARCH TEXT. MATCH
-        // (qcol = doccol) adds the PER-QUERY filter: a query is
-        // eligible only for docs sharing its attribute value
+        // (qcol = doccol[, ...]) adds the PER-QUERY filter: a query is
+        // eligible only for docs agreeing on EVERY listed attribute
         if (snippet != null && rescore == null)
           throw new IllegalArgumentException(
             "SNIPPET requires RESCORE — the excerpt is the re-rank's " +
@@ -362,7 +383,7 @@ object GraftSqlParser {
                        else Option(pad).map(_.toInt)
                          .getOrElse(DefaultSnippetPad),
           filterPred = Option(textFilter).map(_.trim),
-          matchCols = Option(matchQ).map(q => (q, matchD))))
+          matchCols = parseMatchPairs(matchRaw)))
       case SearchText(idx, termsRaw, top, rescore, factor, snippet,
                       pad, textFilter) =>
         val terms = "'([^']*)'".r.findAllMatchIn(termsRaw)
@@ -382,7 +403,7 @@ object GraftSqlParser {
                          .getOrElse(DefaultSnippetPad),
           filterPred = Option(textFilter).map(_.trim)))
       case SearchHybridCol(tIdx, vIdx, termsCol, queries, top, probe,
-                           matchQ, matchD, rescore, rfactor, snippet,
+                           matchRaw, rescore, rfactor, snippet,
                            pad, refine, factor, filterPred) =>
         // per-query term sets: each queries-table row carries its own
         // terms in <termsCol> — the batch-retrieval form. MATCH adds
@@ -399,7 +420,7 @@ object GraftSqlParser {
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
           filterPred = Option(filterPred).map(_.trim),
-          matchCols = Option(matchQ).map(q => (q, matchD)),
+          matchCols = parseMatchPairs(matchRaw),
           rescoreText = rescore != null,
           rescoreFactor = Option(rfactor).map(_.toInt),
           snippetPad = if (snippet == null) -1
@@ -811,8 +832,8 @@ case class GraftSearchTextColCommand(idx: String, termsCol: String,
                                      factor: Option[Int] = None,
                                      snippetPad: Int = -1,
                                      filterPred: Option[String] = None,
-                                     matchCols: Option[(String, String)] =
-                                       None)
+                                     matchCols: Seq[(String, String)] =
+                                       Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (rescore) Seq(
@@ -945,8 +966,8 @@ case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
                                        refine: Boolean = false,
                                        refineFactor: Int = 8,
                                        filterPred: Option[String] = None,
-                                       matchCols: Option[(String, String)] =
-                                         None,
+                                       matchCols: Seq[(String, String)] =
+                                         Nil,
                                        rescoreText: Boolean = false,
                                        rescoreFactor: Option[Int] = None,
                                        snippetPad: Int = -1)

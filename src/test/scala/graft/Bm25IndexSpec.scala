@@ -428,17 +428,15 @@ class Bm25IndexSpec extends SparkSpec {
       .map(_.getString(0)).sorted
     val qLang = queries.map { case (q, _) =>
       q -> langs(rnd.nextInt(langs.length)) }.toMap
-    val pairs = qLang.toSeq.map { case (q, l) => (q, l) }
-      .toDF("query_id", "qlang")
-      .join(docs.select(col("doc_id"), col("lang").as("qlang")),
-        Seq("qlang"))
-      .select("query_id", "doc_id")
+    val mf = graft.ops.MatchFilter(
+      qLang.toSeq.map { case (q, l) => (q, l) }.toDF("query_id", "qlang"),
+      "query_id", docs, "doc_id", Seq(("qlang", "lang")))
     val batchF = Bm25Index.searchPerQuery(spark, path, qt, k = 5,
-        allowedPairs = Some(pairs))
+        matchF = Some(mf))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).groupBy(_._1)
     val batchFR = Bm25Index.searchRescoredPerQuery(spark, path, qt, docs,
-        "doc_id", "text", k = 5, c = 10, allowedPairs = Some(pairs))
+        "doc_id", "text", k = 5, c = 10, matchF = Some(mf))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
         r.getDouble(4))).groupBy(_._1)
     queries.foreach { case (q, ts) =>

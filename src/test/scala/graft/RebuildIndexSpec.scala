@@ -175,8 +175,12 @@ class RebuildIndexSpec extends SparkSpec {
     assert(IvfIndex.generation(spark, idx) == 2L)
     def dirs() = new java.io.File(idx).listFiles()
       .map(_.getName).filter(_.startsWith("_centroids")).sorted.toSeq
+    def claims() = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.endsWith(".claim")).sorted.toSeq
     assert(dirs() == Seq("_centroids", "_centroids-g1", "_centroids-g2"),
       s"both old generations must still be on disk pre-vacuum: ${dirs()}")
+    assert(claims() == Seq("_gen-1.claim", "_gen-2.claim"),
+      s"each rebuild must hold its generation claim: ${claims()}")
     // a FUTURE generation dir is an in-flight rebuild's shadow — the
     // vacuum must never race it
     java.nio.file.Files.createDirectory(
@@ -188,6 +192,8 @@ class RebuildIndexSpec extends SparkSpec {
       s"maintain must report the model vacuum: ${rows.map(_._1)}")
     assert(dirs() == Seq("_centroids-g2", "_centroids-g99"),
       s"superseded generations reclaimed, current + shadow kept: ${dirs()}")
+    assert(claims() == Seq("_gen-2.claim"),
+      s"a superseded generation's claim marker goes with it: ${claims()}")
     // the index still answers and audits clean on the current generation
     val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 2)
     assert(IvfIndex.search(spark, idx, q, "vec_id", "embedding",
@@ -286,5 +292,138 @@ class RebuildIndexSpec extends SparkSpec {
     // the legacy-generation model dirs still exist but are unreferenced
     // (vacuumable); the def survived
     assert(graft.ops.IndexAudit.isIndex(spark, idx))
+  }
+
+  test("a REFUSED whole-table write leaves zero new files under the table root (VERDICT r17 #1)") {
+    def ls(p: String): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) :+ f.getPath
+        else Seq(f.getPath)
+      val root = new java.io.File(p)
+      if (root.exists) walk(root).toSet else Set.empty
+    }
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // fresh root: the staging runs before the expectTxn guard, so the
+    // refusal must remove everything it created — including the root
+    // itself (a DROP racing a rebuild must win with NOTHING left)
+    val fresh = tmp()
+    intercept[IllegalStateException] {
+      ManifestTable.writeWithTxns(df, fresh, "id", 2, Map.empty,
+        expectTxn = Some(("gen", 7L)))
+    }
+    assert(!new java.io.File(fresh).exists,
+      "a refused write on a fresh root must leave nothing behind")
+    // existing table: the refusal must leave the file set untouched
+    val existing = tmp()
+    ManifestTable.write(df, existing, "id", 2)
+    val before = ls(existing)
+    intercept[IllegalStateException] {
+      ManifestTable.writeWithTxns(df, existing, "id", 2, Map.empty,
+        expectTxn = Some(("gen", 7L)))
+    }
+    assert(ls(existing) == before,
+      "a refused write must add zero files under an existing table root")
+  }
+
+  test("racing rebuilds claim DISTINCT generations — the loser's refusal cleanup never touches the winner's committed model (ADVICE r17)") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(80, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    assert(IvfIndex.generation(spark, idx) == 0L)
+    // a FULL second rebuild runs inside the first's window (the shared
+    // walk seam): without create-exclusive generation claims both
+    // attempts allocate g=1 — the inner one commits centroids-g1, the
+    // outer overwrites then REFUSES, and its cleanup deletes the dir
+    // the committed manifest references (the r17 ADVICE scenario).
+    var fired = false
+    val e = intercept[IllegalStateException] {
+      Bm25Index.withSyncMidHook(() => if (!fired) { fired = true
+        assert(spark.sql(s"GRAFT REBUILD INDEX '$idx'").collect()
+          .head.getString(1) == "rebuild_index") }) {
+        IvfIndex.rebuild(spark, idx)
+      }
+    }
+    assert(fired, "the inner rebuild must have run inside the window")
+    assert(e.getMessage.contains("racing rebuild"),
+      s"the outer rebuild must refuse loudly: ${e.getMessage}")
+    // the outer attempt claimed g=1 BEFORE the seam, so the inner one
+    // claim-probed past it to g=2 and committed that
+    assert(IvfIndex.generation(spark, idx) == 2L,
+      "the winner's committed generation survives the loser's refusal")
+    assert(new java.io.File(IvfIndex.centroidsDirAt(idx, 2L)).exists,
+      "the committed model dir must survive the loser's cleanup")
+    assert(!new java.io.File(IvfIndex.centroidsDirAt(idx, 1L)).exists &&
+      !new java.io.File(IvfIndex.genClaimPath(idx, 1L)).exists,
+      "the loser's own shadow dir and claim must be reclaimed")
+    // the index answers — exactly like a fresh build over the snapshot
+    val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 3)
+    val fresh = tmp()
+    assert(IvfIndex.sync(spark, fresh, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    def rows(p: String) = IvfIndex.search(spark, p, q,
+        "vec_id", "embedding", k = 5, nProbe = 2, queryBound = 3L)
+      .withColumn("sim_r", round($"sim", 9))
+      .select("query_id", "neighbor_id", "sim_r", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(idx) == rows(fresh),
+      "the surviving index must answer exactly like a fresh first-sync")
+    assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .exists(_.getString(2) == "FAIL"))
+  }
+
+  test("VERIFY DEEP surfaces rebuild residue (orphan staged dirs + unreferenced generations); MAINTAIN reclaims; DEEP clean (VERDICT r17 #6)") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    IvfIndex.rebuild(spark, idx) // gen 1 committed; gen-0 legacy retained
+    def residue() = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+      .find(_.getString(1) == "index_residue")
+      .getOrElse(fail("DEEP audit must include index_residue"))
+    assert(residue().getString(2) == "ok",
+      s"clean index must audit residue-free: ${residue().getString(3)}")
+
+    // plant BOTH residue classes: a crashed refused write's staged dir
+    // under lists/data, and a crashed rebuild's shadow (dir + claim)
+    val staged = java.nio.file.Paths.get(idx, "lists", "data",
+      "00000000-dead-beef-0000-000000000000", "b=0")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("part-orphan.parquet"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(idx, "_centroids-g9"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(idx, "_gen-9.claim"))
+
+    val warn = residue()
+    assert(warn.getString(2) == "WARN",
+      s"planted residue must surface: ${warn.getString(3)}")
+    assert(warn.getString(3).contains("1 orphaned staged dir(s)") &&
+      warn.getString(3).contains("_centroids-g9") &&
+      warn.getString(3).contains("GRAFT MAINTAIN"),
+      s"the WARN must name both classes and the remedy: ${warn.getString(3)}")
+
+    // MAINTAIN reclaims both (grace 0: the spec's orphans are fresh;
+    // production default leaves an in-flight rebuild's shadow alone)
+    val rows = graft.ops.IndexAudit.maintainIndex(spark, idx,
+      maxVersions = 1, keepVersions = 1, shadowGraceMs = 0L)
+    assert(rows.exists(_._1.action == "vacuum-models") &&
+      rows.exists(_._1.action == "vacuum-staged"),
+      s"maintain must report both reclaims: ${rows.map(_._1)}")
+    assert(!java.nio.file.Files.exists(staged.getParent) &&
+      !new java.io.File(s"$idx/_centroids-g9").exists &&
+      !new java.io.File(s"$idx/_gen-9.claim").exists,
+      "the planted residue must be gone")
+    assert(residue().getString(2) == "ok",
+      s"post-maintain DEEP must be clean: ${residue().getString(3)}")
+    // the live index is untouched: current generation answers, no FAILs
+    val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 2)
+    assert(IvfIndex.search(spark, idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 2, queryBound = 2L).count() > 0)
+    assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .exists(_.getString(2) == "FAIL"))
   }
 }

@@ -794,7 +794,7 @@ class SearchTvfSpec extends SparkSpec {
     val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
       s"FROM '$qtab' TOP 5 MATCH (qlang = lang)")
     val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
-      "qterms", k = 5, matchCols = Some(("qlang", "lang")))
+      "qterms", k = 5, matchCols = Seq(("qlang", "lang")))
     val tvf = spark.sql("SELECT * FROM graft_search_text_col(" +
       s"'$idx', '$qtab', 'qterms', 5, '', 'qlang = lang')")
     assert(rows(verb) == rows(api) && rows(tvf) == rows(api),
@@ -859,7 +859,7 @@ class SearchTvfSpec extends SparkSpec {
       s"VECTOR '$vIdx' TERMS COLUMN qterms FROM '$qtabV' TOP 5 " +
       "PROBE 4 MATCH (qlang = lang)")
     val hApi = SearchRelations.hybridPerQuery(spark, idx, vIdx, qtabV,
-      "qterms", k = 5, nProbe = 4, matchCols = Some(("qlang", "lang")))
+      "qterms", k = 5, nProbe = 4, matchCols = Seq(("qlang", "lang")))
     val hTvf = spark.sql("SELECT * FROM graft_search_hybrid_col(" +
       s"'$idx', '$vIdx', '$qtabV', 'qterms', 5, 4, '', 'qlang = lang')")
     def hrows(df: org.apache.spark.sql.DataFrame) = df
@@ -1125,5 +1125,179 @@ class SearchTvfSpec extends SparkSpec {
     assert(batch == api,
       s"batch TERMS COLUMN with all clauses must equal the single " +
         s"form:\nbatch=$batch\napi=$api")
+  }
+
+  test("compound MATCH (2 conjuncts): verb ≡ API ≡ TVF; intersection differs from either conjunct alone; batch ≡ N single compound-filtered calls") {
+    import graft.sources.SearchRelations
+    val corpus = tmp(); val idx = tmp(); val qtab = tmp()
+    // lang halves the docs, cat quarters them: the compound match
+    // selects the INTERSECTION — provably different from either
+    // conjunct alone (VERDICT r17 next #4's done-criterion)
+    val docs = (0L until 48L).map(i =>
+      (i, s"alpha beta word${i % 8}",
+        if (i % 2 == 0) "de" else "en",
+        if (i % 4 < 2) "a" else "b"))
+    ManifestTable.write(docs.toDF("doc_id", "text", "lang", "cat"),
+      corpus, "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4)
+    ManifestTable.write(Seq(
+      (0L, "alpha beta", "de", "a"), (1L, "alpha beta", "en", "b"))
+      .toDF("qid", "qterms", "qlang", "qcat"), qtab, "qid", 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "matched_terms", "score")
+      .collect().map(_.toString).sorted.toSeq
+    val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 8, matchCols = Seq(("qlang", "lang"), ("qcat", "cat")))
+    val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN " +
+      s"qterms FROM '$qtab' TOP 8 MATCH (qlang = lang, qcat = cat)")
+    val tvf = spark.sql("SELECT * FROM graft_search_text_col(" +
+      s"'$idx', '$qtab', 'qterms', 8, '', 'qlang = lang, qcat = cat')")
+    assert(rows(verb) == rows(api) && rows(tvf) == rows(api),
+      s"compound MATCH verb ≡ API ≡ TVF:\nverb=${rows(verb)}" +
+        s"\napi=${rows(api)}\ntvf=${rows(tvf)}")
+    // doc membership: q0 = (de, a) → i % 4 == 0; q1 = (en, b) → i % 4 == 3
+    val byQ = api.select("query_id", "doc_id").as[(Long, Long)]
+      .collect().groupBy(_._1)
+      .map { case (q, ds) => q -> ds.map(_._2).toSet }
+    assert(byQ(0L).nonEmpty && byQ(0L).forall(_ % 4 == 0) &&
+      byQ(1L).nonEmpty && byQ(1L).forall(_ % 4 == 3),
+      s"each query must rank ONLY the docs matching BOTH conjuncts: $byQ")
+    // strictly narrower than either conjunct alone
+    val langOnly = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 8, matchCols = Seq(("qlang", "lang")))
+    val catOnly = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 8, matchCols = Seq(("qcat", "cat")))
+    assert(rows(langOnly) != rows(api) && rows(catOnly) != rows(api),
+      "the 2-conjunct top-k must differ from either single conjunct's")
+    // batch ≡ N single compound-filtered calls (scores included — df
+    // stays corpus-global under the per-query filter)
+    Seq(0L -> ("de", "a"), 1L -> ("en", "b")).foreach { case (q, (l, c)) =>
+      val single = SearchRelations.text(spark, idx, Seq("alpha", "beta"),
+          k = 8, filterPred = Some(s"lang = '$l' AND cat = '$c'"))
+        .select("doc_id", "matched_terms", "score")
+        .collect().map(_.toString).sorted.toSeq
+      val slice = api.filter(col("query_id") === q)
+        .select("doc_id", "matched_terms", "score")
+        .collect().map(_.toString).sorted.toSeq
+      assert(slice == single,
+        s"query $q: compound MATCH slice must equal the single " +
+          s"compound-filtered call:\nslice=$slice\nsingle=$single")
+    }
+    // malformed specs fail at parse time, naming the grammar
+    val bad = intercept[Exception] {
+      spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
+        s"FROM '$qtab' TOP 8 MATCH (qlang = lang, qcat)").collect()
+    }
+    assert(bad.getMessage.contains("MATCH needs"),
+      s"malformed MATCH must fail loudly at parse: ${bad.getMessage}")
+  }
+
+  test("MATCH is candidate-bound: shuffle records stay O(corpus + candidates), never queries × corpus, on a 1-value match key (VERDICT r17 #3)") {
+    import graft.sources.SearchRelations
+    val corpus = tmp(); val idx = tmp(); val qtab = tmp()
+    val D = 4000; val Q = 20
+    // ONE match value across the board — the retired pairs shape mints
+    // Q × D = 80k pair rows and shuffles them (≥ 2·Q·D records); the
+    // candidate-bound shape moves the corpus-attribute projection
+    // (≈ 2·D) plus the candidates (~Q · D/100)
+    val docs = (0L until D.toLong).map(i =>
+      (i, s"term${i % 100} filler common", "xx"))
+    ManifestTable.write(docs.toDF("doc_id", "text", "lang"), corpus,
+      "doc_id", 4)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4)
+    ManifestTable.write((0L until Q.toLong).map(q =>
+      (q, s"term$q", "xx")).toDF("qid", "qterms", "qlang"), qtab, "qid", 2)
+    def run(withMatch: Boolean): Unit =
+      SearchRelations.textPerQueryRelation(spark, idx, qtab, "qterms",
+        k = 5,
+        matchCols = if (withMatch) Seq(("qlang", "lang")) else Nil)
+      .collect()
+    // joins must be VISIBLE to the meter: suspend runtime broadcasts
+    // (explicit in-kernel hints are batch-size-gated and identical on
+    // both legs, so they cancel out of the comparison)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val base = WorkMeter.measure(spark) { run(withMatch = false) }
+      val matched = WorkMeter.measure(spark) { run(withMatch = true) }
+      val extra = matched.total - base.total
+      assert(extra < 10L * D,
+        s"MATCH must add O(corpus + candidates) shuffle records, got " +
+          s"extra=$extra over base=${base.total} (pairs shape would " +
+          s"add >= ${2L * Q * D})")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("PROBE AUTO reads MATCH selectivity: a selective per-query match widens probes to the exact regime; count cached, repeat builds job-free (VERDICT r17 #5)") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(53)
+    val vcorpus = tmp(); val tIdx = tmp(); val vIdx = tmp(); val qtab = tmp()
+    // 4 clean clusters; every batch query MATCHes lang 'bb', whose docs
+    // live ONLY in clusters 2/3 — query vectors come from cluster 0, so
+    // the FIXED default probe (2 lists by geometry) sees few/no eligible
+    // docs while AUTO measures the match key's per-value count (40/80)
+    // and widens to ceil(2·80/40) = 4 = nLists, the exact regime.
+    // Before r17 #5 AUTO read the SHARED filter's selectivity only and
+    // this batch under-filled silently.
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat),
+        "filler text", if (i % 4 >= 2) "bb" else "aa")
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding", "text", "lang"),
+      vcorpus, "vec_id", 2)
+    Bm25Index.sync(spark, tIdx, vcorpus, "vec_id", "text", nBuckets = 4)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    // query terms hit NO postings, so the fused list is the vector list
+    // alone — the assertion reads pure ANN behavior through the fusion
+    ManifestTable.write(Seq(
+      (0L, vecs(0)._2, "zzz", "bb"), (4L, vecs(4)._2, "zzz", "bb"))
+      .toDF("vec_id", "embedding", "qterms", "qlang"), qtab, "vec_id", 2)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "rank_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    def build(p: Int) = SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
+      qtab, "qterms", k = 5, nProbe = p,
+      matchCols = Seq(("qlang", "lang")))
+
+    val auto = rows(build(SearchRelations.ProbeAuto))
+    val emb = ManifestTable.read(spark, vcorpus)
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("lang") === "bb"),
+        emb.filter(col("vec_id") === 0 || col("vec_id") === 4),
+        "vec_id", "embedding", k = 5, queryBound = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(auto == brute,
+      s"MATCH-aware AUTO must reach the exact regime — the same floor " +
+        s"the shared-filter AUTO case pins:\nauto=$auto\nbrute=$brute")
+    assert(SearchRelations.cachedMatchSelectivities(vcorpus) >= 1,
+      "the MATCH per-value count must land in its cache")
+
+    // the fixture must make the fixed default probe visibly worse
+    val fixed = rows(build(SearchRelations.DefaultProbe))
+    val fixedFills = fixed.groupBy(_._1).forall(_._2.size == 5)
+    assert(fixed != brute || !fixedFills,
+      s"fixture must under-fill or mis-rank at the fixed default " +
+        s"probe: $fixed")
+
+    // repeat plan builds at the same snapshots skip the count job
+    val first = WorkMeter.jobsStarted(spark) { build(SearchRelations.ProbeAuto) }
+    val second = WorkMeter.jobsStarted(spark) { build(SearchRelations.ProbeAuto) }
+    assert(second <= first,
+      s"repeat MATCH-AUTO build must not add jobs: first=$first second=$second")
+    val third = WorkMeter.jobsStarted(spark) { build(SearchRelations.ProbeAuto) }
+    assert(third == second,
+      s"steady-state MATCH-AUTO builds must be job-stable: $second vs $third")
   }
 }
