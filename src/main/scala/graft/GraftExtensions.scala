@@ -66,7 +66,7 @@ object GraftExtensions {
     * sharing its attribute — the verbs' `MATCH (qcol = doccol)`);
     * `''` → no per-query filter.
     */
-  private def matchSpec(raw: String): Seq[(String, String)] = {
+  private def matchSpec(raw: String): Seq[graft.ops.MatchPair] = {
     val t = raw.trim
     if (t.isEmpty) Nil
     else graft.sources.GraftSqlParser.parseMatchPairs(t)

@@ -33,17 +33,26 @@ import org.apache.spark.sql.functions._
   * BM25 df/dl/N stay corpus-global.
   *
   * Conjunctions (VERDICT r17 next #4 — tenant AND language) are just
-  * more attribute columns in the same two joins: `cols` carries one
-  * (queries column, corpus column) pair per conjunct, and a candidate
-  * survives only when EVERY pair matches (SQL equality — a NULL
-  * attribute on either side never matches, exactly like the retired
-  * pairs equi-join).
+  * more attribute columns in the same two joins: one [[MatchPair]]
+  * per conjunct, and a candidate survives only when EVERY pair
+  * matches (SQL comparison semantics — a NULL attribute on either
+  * side never matches, exactly like the retired pairs equi-join).
+  *
+  * Beyond equality, a pair may carry any comparison operator
+  * (`MATCH (qmin <= doclen)`) — the per-row-predicate ACL idiom
+  * (r17 What's-missing #1's second half: "conjunctions … or a
+  * per-row predicate"). The candidate-bound shape makes this free:
+  * the pairs semi-join could only express equi-joins, an attribute
+  * join + filter expresses any row predicate at the same
+  * O(candidates) cost.
   *
   * Reference idiom: stacked conditional equality predicates,
   * `/root/reference/src/app/api/companies/route.ts:18-37`.
   */
 case class MatchFilter private (qAttrs: DataFrame, dAttrs: DataFrame,
-                                nCols: Int) {
+                                ops: Seq[String]) {
+
+  private def nCols = ops.size
 
   /** Filter `cands` — a frame carrying `query_id` plus the doc id
     * under `docCol` — to the rows whose query and doc agree on every
@@ -57,29 +66,59 @@ case class MatchFilter private (qAttrs: DataFrame, dAttrs: DataFrame,
       .join(qAttrs, cands("query_id") === qAttrs("_mq_id"))
       .join(dAttrs, cands(docCol) === dAttrs("_md_id"))
     (0 until nCols)
-      .foldLeft(joined)((df, i) => df.filter(col(s"_mq$i") === col(s"_md$i")))
+      .foldLeft(joined)((df, i) =>
+        df.filter(MatchFilter.cmp(ops(i), col(s"_mq$i"), col(s"_md$i"))))
       .drop("_mq_id", "_md_id")
       .drop((0 until nCols).flatMap(i => Seq(s"_mq$i", s"_md$i")): _*)
   }
 }
 
+/** One `MATCH` conjunct: queries-table column `qCol` compared to
+  * corpus column `dCol` under `op` (`=`, `!=`, `<`, `<=`, `>`, `>=`).
+  */
+case class MatchPair(qCol: String, dCol: String, op: String = "=") {
+  require(MatchFilter.Ops.contains(op),
+    s"MATCH operator must be one of ${MatchFilter.Ops.mkString(" ")}, got: $op")
+}
+
 object MatchFilter {
 
-  /** Build from the two tables and the `MATCH` column pairs:
-    * `cols` = one (queries-table column, corpus column) pair per
-    * conjunct. `qIdCol` / `dIdCol` are the tables' key columns —
-    * cast to long to mirror the kernels' query_id/doc_id typing.
+  private[graft] val Ops = Set("=", "!=", "<", "<=", ">", ">=")
+
+  private def cmp(op: String, a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    op match {
+      case "=" => a === b
+      case "!=" => a =!= b
+      case "<" => a < b
+      case "<=" => a <= b
+      case ">" => a > b
+      case ">=" => a >= b
+    }
+
+  /** Equality-only shorthand: one (queries column, corpus column)
+    * pair per conjunct.
     */
   def apply(queries: DataFrame, qIdCol: String,
             corpus: DataFrame, dIdCol: String,
-            cols: Seq[(String, String)]): MatchFilter = {
-    require(cols.nonEmpty, "MATCH needs at least one qcol = doccol pair")
+            cols: Seq[(String, String)]): MatchFilter =
+    of(queries, qIdCol, corpus, dIdCol,
+      cols.map { case (q, d) => MatchPair(q, d) })
+
+  /** Build from the two tables and the `MATCH` conjuncts. `qIdCol` /
+    * `dIdCol` are the tables' key columns — cast to long to mirror
+    * the kernels' query_id/doc_id typing.
+    */
+  def of(queries: DataFrame, qIdCol: String,
+         corpus: DataFrame, dIdCol: String,
+         pairs: Seq[MatchPair]): MatchFilter = {
+    require(pairs.nonEmpty, "MATCH needs at least one qcol = doccol pair")
     val q = queries.select(
       col(qIdCol).cast("long").as("_mq_id") +:
-        cols.zipWithIndex.map { case ((qc, _), i) => col(qc).as(s"_mq$i") }: _*)
+        pairs.zipWithIndex.map { case (p, i) => col(p.qCol).as(s"_mq$i") }: _*)
     val d = corpus.select(
       col(dIdCol).cast("long").as("_md_id") +:
-        cols.zipWithIndex.map { case ((_, dc), i) => col(dc).as(s"_md$i") }: _*)
-    new MatchFilter(q, d, cols.size)
+        pairs.zipWithIndex.map { case (p, i) => col(p.dCol).as(s"_md$i") }: _*)
+    new MatchFilter(q, d, pairs.map(_.op))
   }
 }

@@ -220,23 +220,25 @@ object GraftSqlParser {
     else if (raw.equalsIgnoreCase("AUTO")) SearchRelations.ProbeAuto
     else raw.toInt
 
-  /** `MATCH (qcol = doccol[, qcol2 = doccol2 ...])` — one (queries
-    * column, corpus column) pair per CONJUNCT (the tenant-AND-language
-    * ACL idiom, VERDICT r17 next #4); a query row is eligible only for
-    * docs agreeing on every pair. Malformed specs fail at parse time.
+  private val MatchPairRe =
+    ("^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(=|!=|<=|>=|<|>)\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
+
+  /** `MATCH (qcol = doccol[, qcol2 <= doccol2 ...])` — one (queries
+    * column, operator, corpus column) CONJUNCT per comma (the
+    * tenant-AND-language ACL idiom, VERDICT r17 next #4; comparison
+    * operators cover the per-row-predicate idiom — `qmin <= doclen`);
+    * a query row is eligible only for docs satisfying every conjunct.
+    * Malformed specs fail at parse time.
     */
-  private[graft] def parseMatchPairs(raw: String): Seq[(String, String)] =
+  private[graft] def parseMatchPairs(raw: String): Seq[graft.ops.MatchPair] =
     if (raw == null) Nil
-    else raw.split(",").toSeq.map { part =>
-      part.split("=") match {
-        case Array(q, d)
-            if q.trim.matches("[A-Za-z_][A-Za-z0-9_]*") &&
-              d.trim.matches("[A-Za-z_][A-Za-z0-9_]*") =>
-          (q.trim, d.trim)
-        case _ => throw new IllegalArgumentException(
-          "MATCH needs (qcol = doccol[, qcol2 = doccol2 ...]) — " +
-            s"identifier pairs, comma-separated; got: $raw")
-      }
+    else raw.split(",").toSeq.map {
+      case MatchPairRe(q, op, d) => graft.ops.MatchPair(q, d, op)
+      case part => throw new IllegalArgumentException(
+        "MATCH needs (qcol = doccol[, qcol2 <= doccol2 ...]) — " +
+          "identifier OP identifier conjuncts (OP: = != < <= > >=), " +
+          s"comma-separated; got: ${part.trim}")
     }
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =
@@ -832,7 +834,7 @@ case class GraftSearchTextColCommand(idx: String, termsCol: String,
                                      factor: Option[Int] = None,
                                      snippetPad: Int = -1,
                                      filterPred: Option[String] = None,
-                                     matchCols: Seq[(String, String)] =
+                                     matchCols: Seq[graft.ops.MatchPair] =
                                        Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -966,7 +968,7 @@ case class GraftSearchHybridColCommand(textIdx: String, vecIdx: String,
                                        refine: Boolean = false,
                                        refineFactor: Int = 8,
                                        filterPred: Option[String] = None,
-                                       matchCols: Seq[(String, String)] =
+                                       matchCols: Seq[graft.ops.MatchPair] =
                                          Nil,
                                        rescoreText: Boolean = false,
                                        rescoreFactor: Option[Int] = None,

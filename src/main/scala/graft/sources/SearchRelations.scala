@@ -156,22 +156,27 @@ object SearchRelations {
 
   private def matchMinCount(spark: SparkSession, queriesPath: String,
                             srcPath: String,
-                            matchCols: Seq[(String, String)]): Option[Long] =
+                            matchCols0: Seq[graft.ops.MatchPair]): Option[Long] = {
+    // per-VALUE counts are an equality concept: selectivity widening
+    // reads the equality conjuncts only (a range conjunct narrows
+    // further — probes end at least as wide as the equalities ask)
+    val matchCols = matchCols0.filter(_.op == "=")
+    if (matchCols.isEmpty) return None
     for {
       sv <- ManifestTable.headVersion(spark, srcPath)
       qv <- ManifestTable.headVersion(spark, queriesPath)
     } yield {
       val key = (srcPath, sv.toLong,
-        matchCols.map { case (q, c) => s"$q=$c" }.mkString(","),
+        matchCols.map(p => s"${p.qCol}=${p.dCol}").mkString(","),
         queriesPath, qv.toLong)
       val n = Option(matchSelectivityCache.get(key)).getOrElse {
         val keys = matchCols.indices.map(i => s"_mv$i")
         val batchVals = ManifestTable.read(spark, queriesPath)
-          .select(matchCols.zipWithIndex.map { case ((qc, _), i) =>
-            col(qc).as(s"_mv$i") }: _*).distinct()
+          .select(matchCols.zipWithIndex.map { case (p, i) =>
+            col(p.qCol).as(s"_mv$i") }: _*).distinct()
         val counts = ManifestTable.read(spark, srcPath)
-          .groupBy(matchCols.zipWithIndex.map { case ((_, dc), i) =>
-            col(dc).as(s"_mv$i") }: _*)
+          .groupBy(matchCols.zipWithIndex.map { case (p, i) =>
+            col(p.dCol).as(s"_mv$i") }: _*)
           .agg(count(lit(1)).as("_mvn"))
         // min over PRESENT values only; a batch value absent from the
         // corpus contributes nothing (its list fill is empty at any
@@ -190,6 +195,7 @@ object SearchRelations {
       if (matchSelectivityCache.size > 512) matchSelectivityCache.clear()
       n.longValue
     }
+  }
 
   /** Test hook: MATCH-selectivity entries currently cached for `src`. */
   private[graft] def cachedMatchSelectivities(src: String): Int = {
@@ -243,8 +249,8 @@ object SearchRelations {
     */
   private def matchFilter(spark: SparkSession, queriesPath: String,
                           qIdCol: String, d: Map[String, String],
-                          cols: Seq[(String, String)]): graft.ops.MatchFilter =
-    graft.ops.MatchFilter(
+                          cols: Seq[graft.ops.MatchPair]): graft.ops.MatchFilter =
+    graft.ops.MatchFilter.of(
       ManifestTable.read(spark, queriesPath), qIdCol,
       ManifestTable.read(spark, d("sourcePath")), d("idCol"), cols)
 
@@ -544,7 +550,7 @@ object SearchRelations {
   def textPerQueryRelation(spark: SparkSession, idx: String,
                            queriesPath: String, termsCol: String, k: Int,
                            filterPred: Option[String] = None,
-                           matchCols: Seq[(String, String)] = Nil)
+                           matchCols: Seq[graft.ops.MatchPair] = Nil)
       : DataFrame = {
     val d = requireKind(spark, idx, "bm25")
     val keyCol = ManifestTable.describeManifest(spark, queriesPath).keyCol
@@ -572,7 +578,7 @@ object SearchRelations {
                            queriesPath: String, termsCol: String, k: Int,
                            factor: Option[Int],
                            filterPred: Option[String] = None,
-                           matchCols: Seq[(String, String)] = Nil,
+                           matchCols: Seq[graft.ops.MatchPair] = Nil,
                            snippetPad: Int = -1): DataFrame = {
     val d = requireKind(spark, idx, "bm25")
     val keyCol = ManifestTable.describeManifest(spark, queriesPath).keyCol
@@ -614,7 +620,7 @@ object SearchRelations {
                      refine: Boolean = false,
                      refineFactor: Int = 8,
                      filterPred: Option[String] = None,
-                     matchCols: Seq[(String, String)] = Nil,
+                     matchCols: Seq[graft.ops.MatchPair] = Nil,
                      rescoreText: Boolean = false,
                      rescoreFactor: Option[Int] = None,
                      snippetPad: Int = -1): DataFrame = {

@@ -794,7 +794,7 @@ class SearchTvfSpec extends SparkSpec {
     val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
       s"FROM '$qtab' TOP 5 MATCH (qlang = lang)")
     val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
-      "qterms", k = 5, matchCols = Seq(("qlang", "lang")))
+      "qterms", k = 5, matchCols = Seq(graft.ops.MatchPair("qlang", "lang")))
     val tvf = spark.sql("SELECT * FROM graft_search_text_col(" +
       s"'$idx', '$qtab', 'qterms', 5, '', 'qlang = lang')")
     assert(rows(verb) == rows(api) && rows(tvf) == rows(api),
@@ -859,7 +859,7 @@ class SearchTvfSpec extends SparkSpec {
       s"VECTOR '$vIdx' TERMS COLUMN qterms FROM '$qtabV' TOP 5 " +
       "PROBE 4 MATCH (qlang = lang)")
     val hApi = SearchRelations.hybridPerQuery(spark, idx, vIdx, qtabV,
-      "qterms", k = 5, nProbe = 4, matchCols = Seq(("qlang", "lang")))
+      "qterms", k = 5, nProbe = 4, matchCols = Seq(graft.ops.MatchPair("qlang", "lang")))
     val hTvf = spark.sql("SELECT * FROM graft_search_hybrid_col(" +
       s"'$idx', '$vIdx', '$qtabV', 'qterms', 5, 4, '', 'qlang = lang')")
     def hrows(df: org.apache.spark.sql.DataFrame) = df
@@ -1147,7 +1147,7 @@ class SearchTvfSpec extends SparkSpec {
       .select("query_id", "doc_id", "matched_terms", "score")
       .collect().map(_.toString).sorted.toSeq
     val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
-      "qterms", k = 8, matchCols = Seq(("qlang", "lang"), ("qcat", "cat")))
+      "qterms", k = 8, matchCols = Seq(graft.ops.MatchPair("qlang", "lang"), graft.ops.MatchPair("qcat", "cat")))
     val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN " +
       s"qterms FROM '$qtab' TOP 8 MATCH (qlang = lang, qcat = cat)")
     val tvf = spark.sql("SELECT * FROM graft_search_text_col(" +
@@ -1164,9 +1164,9 @@ class SearchTvfSpec extends SparkSpec {
       s"each query must rank ONLY the docs matching BOTH conjuncts: $byQ")
     // strictly narrower than either conjunct alone
     val langOnly = SearchRelations.textPerQueryRelation(spark, idx, qtab,
-      "qterms", k = 8, matchCols = Seq(("qlang", "lang")))
+      "qterms", k = 8, matchCols = Seq(graft.ops.MatchPair("qlang", "lang")))
     val catOnly = SearchRelations.textPerQueryRelation(spark, idx, qtab,
-      "qterms", k = 8, matchCols = Seq(("qcat", "cat")))
+      "qterms", k = 8, matchCols = Seq(graft.ops.MatchPair("qcat", "cat")))
     assert(rows(langOnly) != rows(api) && rows(catOnly) != rows(api),
       "the 2-conjunct top-k must differ from either single conjunct's")
     // batch ≡ N single compound-filtered calls (scores included — df
@@ -1210,7 +1210,7 @@ class SearchTvfSpec extends SparkSpec {
     def run(withMatch: Boolean): Unit =
       SearchRelations.textPerQueryRelation(spark, idx, qtab, "qterms",
         k = 5,
-        matchCols = if (withMatch) Seq(("qlang", "lang")) else Nil)
+        matchCols = if (withMatch) Seq(graft.ops.MatchPair("qlang", "lang")) else Nil)
       .collect()
     // joins must be VISIBLE to the meter: suspend runtime broadcasts
     // (explicit in-kernel hints are batch-size-gated and identical on
@@ -1268,7 +1268,7 @@ class SearchTvfSpec extends SparkSpec {
       .sortBy(t => (t._1, t._3)).toSeq
     def build(p: Int) = SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
       qtab, "qterms", k = 5, nProbe = p,
-      matchCols = Seq(("qlang", "lang")))
+      matchCols = Seq(graft.ops.MatchPair("qlang", "lang")))
 
     val auto = rows(build(SearchRelations.ProbeAuto))
     val emb = ManifestTable.read(spark, vcorpus)
@@ -1299,5 +1299,64 @@ class SearchTvfSpec extends SparkSpec {
     val third = WorkMeter.jobsStarted(spark) { build(SearchRelations.ProbeAuto) }
     assert(third == second,
       s"steady-state MATCH-AUTO builds must be job-stable: $second vs $third")
+  }
+
+  test("MATCH comparison operators: per-row range conjuncts (qmin <= len) compose with equality; verb ≡ API ≡ TVF; batch ≡ N single filtered calls") {
+    import graft.sources.SearchRelations
+    import graft.ops.MatchPair
+    val corpus = tmp(); val idx = tmp(); val qtab = tmp()
+    // 'len' rises with doc id; each query row carries its OWN minimum —
+    // eligibility is a per-row RANGE predicate (the r17 What's-missing
+    // #1 "per-row predicate" idiom), conjoined with a tenant equality
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta word${i % 8}",
+        if (i % 2 == 0) "de" else "en", i * 10))
+    ManifestTable.write(docs.toDF("doc_id", "text", "lang", "len"),
+      corpus, "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4)
+    ManifestTable.write(Seq(
+      (0L, "alpha beta", "de", 100L), (1L, "alpha beta", "en", 250L))
+      .toDF("qid", "qterms", "qlang", "qmin"), qtab, "qid", 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "matched_terms", "score")
+      .collect().map(_.toString).sorted.toSeq
+    val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 8, matchCols =
+        Seq(MatchPair("qlang", "lang"), MatchPair("qmin", "len", "<=")))
+    val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN " +
+      s"qterms FROM '$qtab' TOP 8 MATCH (qlang = lang, qmin <= len)")
+    val tvf = spark.sql("SELECT * FROM graft_search_text_col(" +
+      s"'$idx', '$qtab', 'qterms', 8, '', 'qlang = lang, qmin <= len')")
+    assert(rows(verb) == rows(api) && rows(tvf) == rows(api),
+      s"range MATCH verb ≡ API ≡ TVF:\nverb=${rows(verb)}" +
+        s"\napi=${rows(api)}\ntvf=${rows(tvf)}")
+    // q0 = de AND len >= 100 → even ids >= 10; q1 = en AND len >= 250
+    // → odd ids >= 25
+    val byQ = api.select("query_id", "doc_id").as[(Long, Long)]
+      .collect().groupBy(_._1)
+      .map { case (q, ds) => q -> ds.map(_._2).toSet }
+    assert(byQ(0L).nonEmpty && byQ(0L).forall(i => i % 2 == 0 && i >= 10) &&
+      byQ(1L).nonEmpty && byQ(1L).forall(i => i % 2 == 1 && i >= 25),
+      s"each query must rank only docs satisfying BOTH conjuncts: $byQ")
+    // batch ≡ N single filtered calls with the equivalent predicate
+    Seq(0L -> ("de", 100L), 1L -> ("en", 250L)).foreach { case (q, (l, mn)) =>
+      val single = SearchRelations.text(spark, idx, Seq("alpha", "beta"),
+          k = 8, filterPred = Some(s"lang = '$l' AND len >= $mn"))
+        .select("doc_id", "matched_terms", "score")
+        .collect().map(_.toString).sorted.toSeq
+      val slice = api.filter(col("query_id") === q)
+        .select("doc_id", "matched_terms", "score")
+        .collect().map(_.toString).sorted.toSeq
+      assert(slice == single,
+        s"query $q: range-MATCH slice must equal the single filtered " +
+          s"call:\nslice=$slice\nsingle=$single")
+    }
+    // an unknown operator fails at parse time
+    val bad = intercept[Exception] {
+      spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
+        s"FROM '$qtab' TOP 8 MATCH (qmin ~ len)").collect()
+    }
+    assert(bad.getMessage.contains("MATCH needs"),
+      s"unknown MATCH operator must fail loudly: ${bad.getMessage}")
   }
 }
