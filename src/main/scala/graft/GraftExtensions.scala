@@ -330,6 +330,25 @@ object GraftExtensions {
           snippetPad = if (es.size > 8) intArg(es(8), "pad") else -1)
         .queryExecution.logical
     }),
+    "graft_search_vector_matched" -> (es => {
+      requireArity(es, 3, 6,
+        "graft_search_vector_matched(index, queries_path, match[, k[, " +
+          "probe[, predicate]]]) — per-query MATCH for pure ANN " +
+          "batches; match 'qcol = doccol[, ...]' (operators: = != < " +
+          "<= > >=); predicate '' = no shared filter")
+      graft.sources.SearchRelations.vector(SparkSession.active,
+          strArg(es(0), "index"), strArg(es(1), "queries_path"),
+          k = if (es.size > 3) intArg(es(3), "k") else 5,
+          nProbe = if (es.size > 4) probeArg(es(4), "probe")
+                   else graft.sources.SearchRelations.DefaultProbe,
+          refine = false, refineFactor = 8,
+          filterPred =
+            if (es.size > 5) Some(strArg(es(5), "predicate"))
+              .filter(_.trim.nonEmpty)
+            else None,
+          matchCols = matchSpec(strArg(es(2), "match")))
+        .queryExecution.logical
+    }),
     "graft_search_vector_filtered" -> (es => {
       requireArity(es, 5, 6,
         "graft_search_vector_filtered(index, queries_path, k, probe, " +

@@ -55,6 +55,7 @@ import graft.sinks.ManifestTable
   *                                       eligible only for docs sharing
   *                                       its attribute — multi-tenant)
   * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE p|AUTO]
+  *   [MATCH (qcol = doccol[, ...])]
   *   [REFINE [FACTOR 8]] [FILTER (label = 2)]
   *                                    -- ANN probe (+ exact re-rank on PQ;
   *                                       FILTER = filtered ANN, predicate
@@ -197,7 +198,7 @@ object GraftSqlParser {
   private val SearchHybridCol =
     """(?is)\s*GRAFT\s+SEARCH\s+HYBRID\s+TEXT\s+'([^']+)'\s+VECTOR\s+'([^']+)'\s+TERMS\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+MATCH\s*\(([^)]+)\))?(?:\s+(RESCORE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+(SNIPPET)(?:\s+PAD\s+(\d+))?)?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val SearchVector =
-    """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+SEARCH\s+VECTOR\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+TOP\s+(\d+))?(?:\s+PROBE\s+(\d+|AUTO))?(?:\s+MATCH\s*\(([^)]+)\))?(?:\s+(REFINE)(?:\s+FACTOR\s+(\d+))?)?(?:\s+FILTER\s*\(([^)]+)\))?\s*""".r
   private val Refresh =
     """(?is)\s*GRAFT\s+REFRESH\s+'([^']+)'\s*""".r
   private val Rebuild =
@@ -451,14 +452,15 @@ object GraftSqlParser {
           snippetPad = if (snippet == null) -1
                        else Option(pad).map(_.toInt)
                          .getOrElse(DefaultSnippetPad)))
-      case SearchVector(idx, queries, top, probe, refine, factor,
-                        filterPred) =>
+      case SearchVector(idx, queries, top, probe, matchRaw, refine,
+                        factor, filterPred) =>
         Some(GraftSearchVectorCommand(idx, queries,
           Option(top).map(_.toInt).getOrElse(5),
           probeArg(probe),
           refine = refine != null,
           refineFactor = Option(factor).map(_.toInt).getOrElse(8),
-          filterPred = Option(filterPred).map(_.trim)))
+          filterPred = Option(filterPred).map(_.trim),
+          matchCols = parseMatchPairs(matchRaw)))
       case Refresh(view) => Some(GraftRefreshCommand(view))
       case RebuildIndex(path, lists) =>
         // atomic index rebuild: shadow-built model + one-commit swap —
@@ -894,7 +896,9 @@ case class GraftSearchTextColCommand(idx: String, termsCol: String,
 case class GraftSearchVectorCommand(idx: String, queriesPath: String,
                                     topK: Int, nProbe: Int,
                                     refine: Boolean, refineFactor: Int,
-                                    filterPred: Option[String] = None)
+                                    filterPred: Option[String] = None,
+                                    matchCols: Seq[graft.ops.MatchPair] =
+                                      Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
@@ -907,7 +911,8 @@ case class GraftSearchVectorCommand(idx: String, queriesPath: String,
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     SearchRelations.vector(sparkSession, idx, queriesPath, topK, nProbe,
-      refine, refineFactor, filterPred = filterPred).collect().toSeq
+      refine, refineFactor, filterPred = filterPred,
+      matchCols = matchCols).collect().toSeq
 }
 
 /** `GRAFT SEARCH HYBRID TEXT '<tidx>' VECTOR '<vidx>' TERMS ('a', 'b')

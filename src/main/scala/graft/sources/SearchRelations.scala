@@ -341,9 +341,21 @@ object SearchRelations {
              allowedOverride: Option[DataFrame] = None,
              autoKeyOverride: Option[(String, String)] = None,
              matchF: Option[graft.ops.MatchFilter] = None,
-             matchMinOverride: Option[Long] = None): DataFrame = {
+             matchMinOverride: Option[Long] = None,
+             matchCols: Seq[graft.ops.MatchPair] = Nil): DataFrame = {
     val d = Bm25Index.readDef(spark, idx)
     val queries = ManifestTable.read(spark, queriesPath)
+    // the VECTOR verb/TVF's own per-query MATCH: attributes live on
+    // THIS index's source corpus (the hybrid forms pass a prebuilt
+    // matchF evaluated against the text source instead)
+    require(matchF.isEmpty || matchCols.isEmpty,
+      "matchF and matchCols are alternative spellings of one filter")
+    val mfEff = matchF.orElse(Option.when(matchCols.nonEmpty)(
+      matchFilter(spark, queriesPath, d("idCol"), d, matchCols)))
+    val matchMinEff = matchMinOverride.orElse(
+      if (matchCols.nonEmpty && nProbe == ProbeAuto)
+        matchMinCount(spark, queriesPath, d("sourcePath"), matchCols)
+      else None)
     // the probe/refine broadcast hints are gated on the query-batch
     // size, known here for FREE from the queries manifest's metadata
     // rowcount — a user-supplied 10M-row queries table must shuffle,
@@ -360,7 +372,7 @@ object SearchRelations {
     val autoKey = autoKeyOverride.orElse(
       filterPred.map(p => (d("sourcePath"), p)))
     val pEff = resolveProbe(spark, idx, d, nProbe, allowed, autoKey,
-      matchMin = matchMinOverride)
+      matchMin = matchMinEff)
     d.getOrElse("kind", "?") match {
       case "ivfpq" =>
         val base =
@@ -369,11 +381,11 @@ object SearchRelations {
               ManifestTable.read(spark, d("sourcePath")),
               d("idCol"), d("vecCol"), k, pEff, refineFactor,
               queryBound = qBound, allowed = allowed,
-              matchF = matchF)
+              matchF = mfEff)
           else
             PqIndex.search(spark, idx, queries,
               d("idCol"), d("vecCol"), k, pEff, queryBound = qBound,
-              allowed = allowed, matchF = matchF)
+              allowed = allowed, matchF = mfEff)
         base.select(col("query_id"), col("neighbor_id"),
           col("dist").as("score"), col("rank"))
       case "ivf" =>
@@ -382,7 +394,7 @@ object SearchRelations {
             "re-scores candidates with exact cosine")
         IvfIndex.search(spark, idx, queries,
             d("idCol"), d("vecCol"), k, pEff, queryBound = qBound,
-            allowed = allowed, matchF = matchF)
+            allowed = allowed, matchF = mfEff)
           .select(col("query_id").cast("long").as("query_id"),
             col("neighbor_id").cast("long").as("neighbor_id"),
             col("sim").as("score"), col("rank"))

@@ -1359,4 +1359,52 @@ class SearchTvfSpec extends SparkSpec {
     assert(bad.getMessage.contains("MATCH needs"),
       s"unknown MATCH operator must fail loudly: ${bad.getMessage}")
   }
+
+  test("per-query MATCH on the pure VECTOR verb: verb ≡ TVF; each query ranks only its own tenant's vectors (exact regime ≡ filtered brute force)") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(61)
+    val vcorpus = tmp(); val vIdx = tmp(); val qtab = tmp()
+    // clusters 0/1 are tenant 'aa', clusters 2/3 tenant 'bb'; PROBE 4
+    // = nLists = the exact regime, so the MATCHed verb must equal the
+    // per-tenant filtered brute force exactly
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat),
+        if (i % 4 < 2) "aa" else "bb")
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding", "lang"),
+      vcorpus, "vec_id", 2)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(Seq(
+      (0L, vecs(0)._2, "aa"), (2L, vecs(2)._2, "bb"))
+      .toDF("vec_id", "embedding", "qlang"), qtab, "vec_id", 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val verb = spark.sql(s"GRAFT SEARCH VECTOR '$vIdx' FROM '$qtab' " +
+      "TOP 5 PROBE 4 MATCH (qlang = lang)")
+    val tvf = spark.sql("SELECT * FROM graft_search_vector_matched(" +
+      s"'$vIdx', '$qtab', 'qlang = lang', 5, 4)")
+    assert(rows(verb) == rows(tvf),
+      s"vector MATCH verb ≡ TVF:\nverb=${rows(verb)}\ntvf=${rows(tvf)}")
+    val emb = ManifestTable.read(spark, vcorpus)
+    val brute = Seq(0L -> "aa", 2L -> "bb").flatMap { case (q, l) =>
+      graft.ops.Similarity.bruteForceTopK(
+          emb.filter(col("lang") === l), emb.filter(col("vec_id") === q),
+          "vec_id", "embedding", k = 5, queryBound = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    }.sortBy(t => (t._1, t._3))
+    assert(rows(verb) == brute,
+      s"MATCHed exact-regime ANN must equal the per-tenant filtered " +
+        s"brute force:\nverb=${rows(verb)}\nbrute=$brute")
+    // tenant isolation: query 0 never sees 'bb' vectors and vice versa
+    val byQ = rows(verb).groupBy(_._1)
+      .map { case (q, ds) => q -> ds.map(_._2).toSet }
+    assert(byQ(0L).forall(_ % 4 < 2) && byQ(2L).forall(_ % 4 >= 2),
+      s"each query must rank only its own tenant's vectors: $byQ")
+  }
 }
