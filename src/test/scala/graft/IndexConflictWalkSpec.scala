@@ -65,7 +65,7 @@ class IndexConflictWalkSpec extends SparkSpec {
             ManifestTable.append(spark, corpus, batch(n), "doc_id") }
       }
       Bm25Index.withSyncMidHook(() => pending()) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 => // plain append then sync
             ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(3)),
               "doc_id")
@@ -226,10 +226,15 @@ class IndexConflictWalkSpec extends SparkSpec {
     *    monotonicity is a per-APPEND invariant, not a replace one),
     *    the raced sync's appendOnce no-ops or is replaced away, and
     *    draining reaches exactly-once full inventory;
+    *  - a SECOND REBUILD inside the window claims a DISTINCT
+    *    generation (create-exclusive `_gen-N.claim`): the inner
+    *    attempt commits, the outer refuses loudly, and the loser's
+    *    cleanup reclaims only its OWN shadow + claim — the winner's
+    *    committed model is untouchable by construction;
     *  - exactly-once always: no vector coded twice, and the drained
     *    raced index ≡ a fresh one-shot sync, bit-for-bit.
     */
-  test("REBUILD walk: 60 schedules of REBUILD INDEX racing appends/syncs/reads/DROP") {
+  test("REBUILD walk: 60 schedules of REBUILD INDEX racing appends/syncs/reads/DROP/rebuilds") {
     val rnd = new scala.util.Random(7171)
     val corpus = tmp(); val idx = tmp()
     val lists = s"$idx/lists"
@@ -267,6 +272,10 @@ class IndexConflictWalkSpec extends SparkSpec {
     }
 
     var midAppends = 0; var midReads = 0; var midDrops = 0; var midSyncs = 0
+    var midRebuilds = 0
+    def failMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ failMsgs(x.getCause))
     (1 to 60).foreach { step =>
       var fired = false
       var pending: () => Unit = () => ()
@@ -276,7 +285,7 @@ class IndexConflictWalkSpec extends SparkSpec {
         assert(spark.sql(s"GRAFT REBUILD INDEX '$idx'").collect()
           .head.getString(1) == "rebuild_index")
       Bm25Index.withSyncMidHook(() => pending()) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // plain append then rebuild: full retrain at head
             ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(3)),
               "vec_id")
@@ -340,6 +349,44 @@ class IndexConflictWalkSpec extends SparkSpec {
             arm { midSyncs += 1; syncIt() }
             rebuild()
             assert(fired, s"step $step: hook must fire")
+          case 5 => // a FULL second REBUILD lands INSIDE the rebuild
+            // window: create-exclusive generation claims force the two
+            // attempts onto DISTINCT generations — the inner (winner)
+            // commits, the outer refuses loudly, and the loser's
+            // cleanup only ever touches its OWN artifacts (ADVICE r17:
+            // without claims both allocate one g and the loser's
+            // refusal deletes the winner's committed model)
+            val floor = math.max(graft.ops.IvfIndex.generation(spark, idx),
+              graft.ops.IvfIndex.maxOnDiskGen(spark, idx))
+            arm { midRebuilds += 1; rebuild() }
+            val refused =
+              try { rebuild(); false }
+              catch { case e: Exception =>
+                assert(failMsgs(e).exists(_.contains("racing rebuild")),
+                  s"step $step: unexpected rebuild failure: $e")
+                true
+              }
+            assert(fired, s"step $step: hook must fire")
+            assert(refused,
+              s"step $step: the outer rebuild must lose to the inner " +
+                "commit (the inner moved the generation pointer)")
+            assert(graft.ops.IndexAudit.isIndex(spark, idx),
+              s"step $step: index must stay consistent through the race")
+            assert(graft.ops.IvfIndex.generation(spark, idx) == floor + 2,
+              s"step $step: the winner's generation (claimed past the " +
+                s"loser's) must be committed: " +
+                s"${graft.ops.IvfIndex.generation(spark, idx)} vs " +
+                s"floor $floor")
+            assert(!new java.io.File(
+                graft.ops.IvfIndex.centroidsDirAt(idx, floor + 1)).exists &&
+              !new java.io.File(
+                graft.ops.IvfIndex.genClaimPath(idx, floor + 1)).exists,
+              s"step $step: the loser's shadow dir and claim must be " +
+                "reclaimed by its own refusal cleanup")
+            assert(new java.io.File(
+                graft.ops.IvfIndex.centroidsDirAt(idx, floor + 2)).exists,
+              s"step $step: the winner's committed model dir must " +
+                "survive the loser's cleanup")
           case _ => // corpus moves, index left stale for later steps
             ManifestTable.append(spark, corpus, batch(1 + rnd.nextInt(2)),
               "vec_id")
@@ -387,11 +434,13 @@ class IndexConflictWalkSpec extends SparkSpec {
       }
     }
     info(s"mid-window: $midAppends appends, $midReads reads, " +
-      s"$midDrops drops, $midSyncs syncs of 60")
+      s"$midDrops drops, $midSyncs syncs, $midRebuilds rebuilds of 60")
     assert(midAppends >= 5, s"seed exercised only $midAppends mid-appends")
     assert(midReads >= 5, s"seed exercised only $midReads mid-reads")
     assert(midDrops >= 5, s"seed exercised only $midDrops mid-drops")
     assert(midSyncs >= 5, s"seed exercised only $midSyncs mid-syncs")
+    assert(midRebuilds >= 5,
+      s"seed exercised only $midRebuilds mid-rebuilds")
   }
 
   /** VERDICT r16 directive #4: `GRAFT DROP INDEX` racing an in-flight
@@ -475,7 +524,7 @@ class IndexConflictWalkSpec extends SparkSpec {
       def arm(body: => Unit): Unit =
         pending = () => if (!fired) { fired = true; body }
       Bm25Index.withSyncMidHook(() => pending()) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // hybrid read inside the TEXT sync window
             ManifestTable.append(spark, tCorpus, docBatch(1 + rnd.nextInt(2)),
               "doc_id")
