@@ -163,7 +163,12 @@ object IndexAudit {
     val referenced: Set[Long] = ManifestTable.versions(spark, dataPath)
       .map(v => ManifestTable.readManifest(spark, dataPath, v)
         .txns.getOrElse(Bm25Index.GenKey, 0L)).toSet
-    if (referenced.isEmpty) return Seq.empty
+    // NO committed lists version (VERDICT r18 next #5): every
+    // gen-artifact under the root is residue of a build that never
+    // committed (or an in-flight first build's shadow — detection
+    // cannot tell, the WARN text says so and reclaim's grace decides).
+    // Before this, a crashed FIRST rebuild's claim + shadow reported
+    // `index_residue: ok` — exactly the class the check exists for.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
@@ -184,8 +189,20 @@ object IndexAudit {
     * none references. Generations ABOVE the maximum retained one may
     * be an IN-FLIGHT rebuild's shadow — those are reclaimed only past
     * `shadowGraceMs` (a crashed rebuild's orphan goes quiet; a live
-    * one keeps writing), the staged-data vacuum's discipline. Returns
-    * the deleted artifact names.
+    * one keeps writing), the staged-data vacuum's discipline, and the
+    * decision is PER GENERATION over ALL its artifacts together
+    * (ADVICE r18): a `_gen-N.claim`'s mtime never advances after
+    * creation and the shadow model dir lands only AFTER training, so
+    * a retrain longer than the grace would otherwise have its claim
+    * (its only on-disk artifact) deleted mid-flight — letting a third
+    * rebuild re-claim the same generation, the same-g collision
+    * [[IvfIndex.claimGen]] exists to prevent. A claim with NO shadow
+    * dir is therefore exempt (an empty marker file is harmless; it
+    * only skips a gen number), and a claim+shadow group is reclaimed
+    * only once its NEWEST artifact mtime is past the grace. A root
+    * with no committed lists version at all (crashed first build —
+    * VERDICT r18 next #5) follows the same above-maxRef rule for
+    * every on-disk generation. Returns the deleted artifact names.
     */
   private[graft] def vacuumModelGenerations(spark: SparkSession,
                                             path: String,
@@ -196,8 +213,7 @@ object IndexAudit {
     val referenced: Set[Long] = ManifestTable.versions(spark, dataPath)
       .map(v => ManifestTable.readManifest(spark, dataPath, v)
         .txns.getOrElse(Bm25Index.GenKey, 0L)).toSet
-    if (referenced.isEmpty) return Seq.empty
-    val maxRef = referenced.max
+    val maxRef = if (referenced.isEmpty) Long.MinValue else referenced.max
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val now = System.currentTimeMillis()
@@ -209,13 +225,24 @@ object IndexAudit {
           if (c.isDirectory) newestMtime(c.getPath) else c.getModificationTime)
       }
     }
-    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .map(_.getPath)
-      .filter(p => genOf(p.getName).exists(g =>
-        !referenced.contains(g) &&
-          (g < maxRef || shadowGraceMs <= 0 ||
-            newestMtime(p) <= now - shadowGraceMs)))
-      .map { p => fs.delete(p, true); p.getName }
+    def isClaim(p: org.apache.hadoop.fs.Path): Boolean =
+      GenClaimRe.pattern.matcher(p.getName).matches()
+    val byGen: Map[Long, Seq[org.apache.hadoop.fs.Path]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .map(_.getPath)
+        .flatMap(p => genOf(p.getName).collect {
+          case g if !referenced.contains(g) => g -> p
+        })
+        .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2) }
+    byGen.toSeq.sortBy(_._1).flatMap { case (g, arts) =>
+      val reclaim =
+        if (g < maxRef) true // superseded past generation: no shadow risk
+        else if (shadowGraceMs <= 0) true // operator-forced reclaim
+        else arts.exists(!isClaim(_)) && // claim-only gen = pre-shadow retrain
+          arts.forall(p => newestMtime(p) <= now - shadowGraceMs)
+      if (reclaim) arts.map { p => fs.delete(p, true); p.getName }
+      else Seq.empty
+    }
   }
 
   /** `GRAFT MAINTAIN` for an index root: the refresh runs FIRST (folds
@@ -236,7 +263,14 @@ object IndexAudit {
                     shadowGraceMs: Long = 3600L * 1000)
       : Seq[(ManifestTable.MaintenanceAdvice, Int)] = {
     val (kind, _, dataPath) = indexLayout(spark, path)
+    // a never-committed lists table (crashed first build / DROP-raced
+    // rebuild — VERDICT r18 next #5) has nothing to refresh, advise
+    // on, or compact, but its residue (shadow models, claims, staged
+    // dirs) still wants reclaiming: skip the manifest-backed passes
+    // and run the two vacuums, which handle the versionless root.
+    val hasVersions = ManifestTable.versions(spark, dataPath).nonEmpty
     if (dryRun) {
+      if (!hasVersions) return Seq.empty
       val v = ManifestTable.headVersion(spark, dataPath).getOrElse(0)
       return indexAdvice(spark, path, staleLag = 0, targetFileBytes,
         maxVersions).map(_ -> v)
@@ -256,10 +290,14 @@ object IndexAudit {
     // advice-only row (no action to run): the skew pointer is computed
     // AFTER the refresh so it sees the folded delta's bytes — a full
     // retrain is an operator decision, never auto-run here
-    val skewRows = bucketSkewAdvice(spark, kind, dataPath).map(
-      _ -> ManifestTable.headVersion(spark, dataPath).getOrElse(0))
-    val tableRows = ManifestTable.maintain(spark, dataPath,
-      targetFileBytes, maxVersions, keepVersions)
+    val skewRows =
+      if (!hasVersions) Seq.empty
+      else bucketSkewAdvice(spark, kind, dataPath).map(
+        _ -> ManifestTable.headVersion(spark, dataPath).getOrElse(0))
+    val tableRows =
+      if (!hasVersions) Seq.empty
+      else ManifestTable.maintain(spark, dataPath,
+        targetFileBytes, maxVersions, keepVersions)
     // AFTER the table maintain (whose vacuum trims retained versions):
     // reclaim model-generation artifacts no retained lists version
     // resolves, and orphaned staged dirs (crashed refused writes) —
@@ -327,13 +365,24 @@ object IndexAudit {
     }
 
     val dataPath = if (kind == "bm25") s"$path/postings" else s"$path/lists"
-    val listRows = ManifestTable.verifyTable(spark, dataPath, deep).map {
-      case (check, ok, detail) =>
-        (s"lists:$check", if (ok) "ok" else "FAIL", detail)
-    }
+    // a never-committed lists table (crashed first build, or a DROP
+    // that raced a rebuild) must AUDIT, not crash: the fsck ladder
+    // needs a manifest, so it reports one FAIL row and the residue
+    // check below still runs — the whole point for such a root
+    // (VERDICT r18 next #5)
+    val listRows =
+      if (ManifestTable.versions(spark, dataPath).isEmpty)
+        Seq((s"lists:manifest", "FAIL",
+          s"no committed version at $dataPath — crashed first build " +
+            "or a concurrent DROP; GRAFT MAINTAIN reclaims the residue"))
+      else ManifestTable.verifyTable(spark, dataPath, deep).map {
+        case (check, ok, detail) =>
+          (s"lists:$check", if (ok) "ok" else "FAIL", detail)
+      }
 
     val recallRows =
-      if (deep && (kind == "ivf" || kind == "ivfpq"))
+      if (deep && (kind == "ivf" || kind == "ivfpq") &&
+          ManifestTable.versions(spark, dataPath).nonEmpty)
         Seq(recallCheck(spark, path, kind, src, d("idCol"), d("vecCol")),
           balanceCheck(spark, path))
       else Seq.empty

@@ -1451,14 +1451,25 @@ object ManifestTable {
 
   /** Did any of this write's staged dirs make it into a committed
     * manifest? ([[writeInternal]]'s refusal path must never delete
-    * dirs a durable commit references.)
+    * dirs a durable commit references.) The reference set spans ALL
+    * retained versions, not just the head (ADVICE r18): publish can
+    * make version v durable and then throw in the post-commit
+    * checkpoint, and a concurrent whole-table write can commit v+1
+    * (replacing every bucket ref) before the refusal cleanup runs —
+    * a head-only check would then delete dirs retained version v
+    * still references, breaking time-travel reads for that version.
     */
-  private def stagedCommitted(spark: SparkSession, path: String,
-                              rels: Seq[String]): Boolean =
-    versions(spark, path).nonEmpty && {
-      val refs = currentManifest(spark, path).buckets.values.flatten.toSet
+  private[graft] def stagedCommitted(spark: SparkSession, path: String,
+                                     rels: Seq[String]): Boolean = {
+    val vs = versions(spark, path)
+    vs.nonEmpty && {
+      val refs: Set[String] = vs.flatMap { v =>
+        val m = readManifest(spark, path, v)
+        m.buckets.values.flatten ++ m.tombstones.values.flatten.map(_._1)
+      }.toSet
       rels.exists(refs.contains)
     }
+  }
 
   /** Remove a refused whole-table write's staged dirs, then every
     * emptied ancestor up to and including the table root: a refused

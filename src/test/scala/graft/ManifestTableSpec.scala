@@ -710,4 +710,34 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.headVersion(spark, path).contains(105))
     assert(ManifestTable.read(spark, path).count() == 8 + 104)
   }
+
+  test("stagedCommitted spans ALL retained versions: a refusal cleanup must never delete dirs a superseded-but-retained version references (ADVICE r18)") {
+    val path = s"${Files.createTempDirectory("graft-manifest")}/tbl"
+    seed(path, n = 20, nB = 2) // version 1
+    val v1Dirs = ManifestTable.readManifest(spark, path, 1)
+      .buckets.values.flatten.toSeq
+    assert(v1Dirs.nonEmpty)
+    // a whole-table overwrite commits version 2, replacing EVERY head
+    // bucket ref — the window ADVICE r18 names: if a writer of v1 hits
+    // a post-commit checkpoint failure and its refusal cleanup runs
+    // AFTER this overwrite, a head-only reference check would call
+    // v1's dirs unreferenced and delete data retained version 1 (and
+    // its time-travel reads) still resolve
+    ManifestTable.write(
+      (100L until 120L).map(i => (i, s"name-$i", i * 10.0))
+        .toDF("id", "name", "score"), path, "id", 2)
+    val headDirs = ManifestTable.readManifest(spark, path, 2)
+      .buckets.values.flatten.toSet
+    assert(v1Dirs.forall(!headDirs.contains(_)),
+      "fixture: the overwrite must replace every head bucket ref")
+    assert(ManifestTable.stagedCommitted(spark, path, v1Dirs),
+      "dirs referenced by RETAINED version 1 are committed data even " +
+        "though the head manifest no longer references them")
+    // genuinely refused staging (no manifest references it) stays
+    // deletable — the discard path must not go inert
+    assert(!ManifestTable.stagedCommitted(spark, path,
+      Seq("data/00000000-dead-beef-0000-000000000000/b=0")))
+    // and version-1 snapshot reads still resolve
+    assert(ManifestTable.readVersion(spark, path, 1).count() == 20)
+  }
 }

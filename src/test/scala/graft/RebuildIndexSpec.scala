@@ -426,4 +426,92 @@ class RebuildIndexSpec extends SparkSpec {
     assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
       .exists(_.getString(2) == "FAIL"))
   }
+
+  test("a NEVER-COMMITTED index root (crashed first build) audits its residue — no crash — and MAINTAIN reclaims it (VERDICT r18 next #5)") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    // simulate the crash window: the lists commit never became durable
+    // (first sync died mid-commit, or a DROP raced a rebuild and the
+    // refusal cleanup crashed) — the root holds def + model + a claimed
+    // shadow, and NO committed manifest references any generation.
+    // Before r19 this exact root reported `index_residue: ok`.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(s"$idx/lists"))
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(idx, "_centroids-g9"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(idx, "_gen-9.claim"))
+
+    val rows = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+    val residue = rows.find(_.getString(1) == "index_residue")
+      .getOrElse(fail(s"DEEP must still include index_residue: " +
+        s"${rows.map(_.getString(1)).toSeq}"))
+    assert(residue.getString(2) == "WARN" &&
+      residue.getString(3).contains("_centroids"),
+      s"every on-disk generation of a never-committed root is residue: " +
+        s"${residue.getString(3)}")
+    assert(rows.exists(r => r.getString(1) == "lists:manifest" &&
+      r.getString(2) == "FAIL"),
+      s"the missing manifest must surface as a FAIL row, not a crash: " +
+        s"${rows.map(r => (r.getString(1), r.getString(2))).toSeq}")
+
+    // MAINTAIN (operator-forced grace) reclaims every generation
+    // artifact — nothing committed references them
+    val acts = graft.ops.IndexAudit.maintainIndex(spark, idx,
+      shadowGraceMs = 0L)
+    assert(acts.exists(_._1.action == "vacuum-models"),
+      s"maintain must report the reclaim: ${acts.map(_._1)}")
+    assert(!new java.io.File(s"$idx/_centroids").exists &&
+      !new java.io.File(s"$idx/_centroids-g9").exists &&
+      !new java.io.File(s"$idx/_gen-9.claim").exists,
+      "no generation artifact may survive under a never-committed root")
+    val after = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+      .find(_.getString(1) == "index_residue").get
+    assert(after.getString(2) == "ok",
+      s"post-maintain residue must be clean: ${after.getString(3)}")
+  }
+
+  test("vacuum-models never deletes a pre-shadow claim above maxRef: a retrain longer than the grace keeps its generation (ADVICE r18)") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)) // gen 0 committed and referenced
+    // an in-flight rebuild claimed gen 1 and is STILL TRAINING: the
+    // claim is its ONLY on-disk artifact, and a claim's mtime never
+    // advances — age it past the grace to model a long retrain
+    val claim = new java.io.File(s"$idx/_gen-1.claim")
+    java.nio.file.Files.createFile(claim.toPath)
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    assert(claim.setLastModified(old))
+    graft.ops.IndexAudit.maintainIndex(spark, idx) // default 1 h grace
+    assert(claim.exists,
+      "a claim with no shadow dir is a live retrain's allocation — " +
+        "deleting it would let a third rebuild re-claim the same " +
+        "generation (the same-g collision claimGen prevents)")
+    // training finishes: the shadow dir lands, then the rebuild crashes
+    // before committing — once claim AND shadow are BOTH stale, the
+    // generation reclaims as a group
+    val shadow = new java.io.File(s"$idx/_centroids-g1")
+    java.nio.file.Files.createDirectory(shadow.toPath)
+    val part = new java.io.File(shadow, "stale.bin")
+    java.nio.file.Files.write(part.toPath, Array[Byte](1))
+    graft.ops.IndexAudit.maintainIndex(spark, idx)
+    assert(claim.exists && shadow.exists,
+      "a FRESH shadow is an in-flight rebuild's — the grace protects it")
+    assert(part.setLastModified(old) && shadow.setLastModified(old))
+    graft.ops.IndexAudit.maintainIndex(spark, idx)
+    assert(!claim.exists && !shadow.exists,
+      "a stale claim+shadow group is a crashed rebuild's residue")
+    // the committed generation is untouched throughout
+    assert(new java.io.File(s"$idx/_centroids").exists)
+    assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .exists(_.getString(2) == "FAIL"))
+  }
 }
