@@ -106,26 +106,24 @@ object SearchRelations {
         autoKey.flatMap { case (src, pred) =>
           ManifestTable.headVersion(spark, src).map { v =>
             val key = (src, v.toLong, pred)
-            // the count runs OUTSIDE the map (a cluster-scale scan
-            // inside computeIfAbsent would hold the bin lock and
+            // the count runs OUTSIDE the cache lock (a cluster-scale
+            // scan inside computeIfAbsent would hold the bin lock and
             // stall unrelated plan builds — review r17); a racing
             // duplicate compute is benign (same snapshot → same n)
-            val n = Option(autoSelectivityCache.get(key)).getOrElse {
-              val c = java.lang.Long.valueOf(a.count())
+            val n = autoSelectivityCache.get(key).getOrElse {
+              val c = a.count()
               autoSelectivityCache.put(key, c)
               c
             }
             // evict superseded snapshots of the same (source, pred):
             // a commit-every-minute corpus must not grow the map one
-            // dead Long per commit forever; and bound the whole map
-            // (distinct predicate TEXTS are unbounded in a
-            // long-running service) — a full reset just re-pays one
-            // count per live query shape
-            autoSelectivityCache.keySet.removeIf(k =>
+            // dead Long per commit forever (the LRU bound handles
+            // unbounded distinct predicate TEXTS gracefully — hot
+            // shapes survive, cold ones age out one at a time, never
+            // the r18 clear()-everything thrash past 512 live keys)
+            autoSelectivityCache.removeIf(k =>
               k._1 == src && k._3 == pred && k._2 < v.toLong)
-            if (autoSelectivityCache.size > 512)
-              autoSelectivityCache.clear()
-            n.longValue
+            n
           }
         }.getOrElse(a.count())
       }
@@ -133,7 +131,15 @@ object SearchRelations {
       // intersection; its size is unknown at plan build, so AUTO
       // widens from the TIGHTER of the two measured selectivities —
       // probes end at least as wide as either constraint alone asks
-      val eff = (allowedCount.toSeq ++ matchMin.toSeq).min
+      val effRaw = (allowedCount.toSeq ++ matchMin.toSeq).min
+      // clamp matchMinCount's 'no batch value present in the corpus'
+      // sentinel (Long.MaxValue) to the indexed count: every eligible
+      // set is empty, so ANY probe returns nothing — resolve the base
+      // probe (eff = corpus ⇒ need = pBase) instead of feeding
+      // MaxValue into autoProbe's ceiling arithmetic, whose
+      // pBase·corpus + eff − 1 would overflow Long and only yielded
+      // the right answer via signed wraparound (ADVICE r18)
+      val eff = if (indexed > 0) math.min(effRaw, indexed) else effRaw
       Ivf.autoProbe(DefaultProbe, nLists, indexed, eff)
     }
   }
@@ -143,16 +149,37 @@ object SearchRelations {
     * the batch (VERDICT r17 next #5 — before this, AUTO read the
     * SHARED filter's selectivity only, so a selective per-tenant match
     * silently under-filled ANN lists unless the operator hand-raised
-    * PROBE). One groupBy over the matched corpus attribute(s) joined
-    * to the batch's distinct values, min-aggregated — a single count
-    * job at plan build, cached like the shared-filter count but keyed
-    * on BOTH snapshots: (corpus source, its head version, the matched
-    * column pairs, queries path, ITS head version) — a commit to
-    * either table structurally invalidates the entry.
+    * PROBE).
+    *
+    * SPLIT CACHE (VERDICT r18 next #1): the expensive half of the
+    * measurement — the per-value `groupBy(attr).count()` over the FULL
+    * corpus — depends only on (corpus path, corpus snapshot, matched
+    * corpus columns), but the old single memo keyed it on the QUERIES
+    * snapshot too. A batch-search service writes a fresh queries
+    * snapshot per batch, so that cache never hit across batches and
+    * every batch's plan build re-scanned the corpus — at 100 TB the
+    * scan dwarfs the probed search it tunes. Now the corpus counts
+    * frame is persisted once per (corpus snapshot, columns) in
+    * [[matchCountsCache]] and each batch pays only the tiny join of
+    * ITS distinct values against the cached counts; the resulting min
+    * is still memoized per (both snapshots) in
+    * [[matchSelectivityCache]] so repeat plan builds of the SAME batch
+    * stay job-free. Split ≡ fused by construction: the join/min runs
+    * over the identical counts relation, only its storage moved.
     */
   private val matchSelectivityCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, String, String, Long), java.lang.Long]()
+    new LruCache[(String, Long, String, String, Long), Long](512)
+
+  /** Corpus-side per-value match counts, keyed on the CORPUS snapshot
+    * only — (source path, its head version, matched corpus columns) —
+    * and persisted (MEMORY_AND_DISK) so every later batch's min-join
+    * reads cluster-cached blocks instead of re-scanning the corpus.
+    * Evicted frames are unpersisted (both on LRU overflow and on
+    * snapshot supersession).
+    */
+  private val matchCountsCache =
+    new LruCache[(String, Long, String), DataFrame](64,
+      onEvict = _.unpersist(false))
 
   private def matchMinCount(spark: SparkSession, queriesPath: String,
                             srcPath: String,
@@ -166,42 +193,60 @@ object SearchRelations {
       sv <- ManifestTable.headVersion(spark, srcPath)
       qv <- ManifestTable.headVersion(spark, queriesPath)
     } yield {
+      val dKey = matchCols.map(_.dCol).mkString(",")
       val key = (srcPath, sv.toLong,
         matchCols.map(p => s"${p.qCol}=${p.dCol}").mkString(","),
         queriesPath, qv.toLong)
-      val n = Option(matchSelectivityCache.get(key)).getOrElse {
+      val n = matchSelectivityCache.get(key).getOrElse {
         val keys = matchCols.indices.map(i => s"_mv$i")
-        val batchVals = ManifestTable.read(spark, queriesPath)
+        // the snapshot in the key is the snapshot READ: resolving the
+        // head again here could see a newer commit than the version
+        // just keyed (racing writer), caching counts under a stale key
+        val counts = matchCountsCache
+          .get((srcPath, sv.toLong, dKey)).getOrElse {
+            val c = ManifestTable.readVersion(spark, srcPath, sv)
+              .groupBy(matchCols.zipWithIndex.map { case (p, i) =>
+                col(p.dCol).as(s"_mv$i") }: _*)
+              .agg(count(lit(1)).as("_mvn"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // lost put races leak nothing: LRU put of a duplicate key
+            // evicts (unpersists) the earlier frame
+            matchCountsCache.put((srcPath, sv.toLong, dKey), c)
+            c
+          }
+        val batchVals = ManifestTable.readVersion(spark, queriesPath, qv)
           .select(matchCols.zipWithIndex.map { case (p, i) =>
             col(p.qCol).as(s"_mv$i") }: _*).distinct()
-        val counts = ManifestTable.read(spark, srcPath)
-          .groupBy(matchCols.zipWithIndex.map { case (p, i) =>
-            col(p.dCol).as(s"_mv$i") }: _*)
-          .agg(count(lit(1)).as("_mvn"))
         // min over PRESENT values only; a batch value absent from the
         // corpus contributes nothing (its list fill is empty at any
         // probe width) — coalesce(0) would otherwise max out probes
-        // on one typo'd tenant id
-        val c = java.lang.Long.valueOf(
-          counts.join(batchVals, keys)
-            .agg(coalesce(min(col("_mvn")), lit(Long.MaxValue)))
-            .head().getLong(0))
+        // on one typo'd tenant id. The sentinel is clamped to the
+        // indexed count in resolveProbe before any arithmetic.
+        val c = counts.join(batchVals, keys)
+          .agg(coalesce(min(col("_mvn")), lit(Long.MaxValue)))
+          .head().getLong(0)
         matchSelectivityCache.put(key, c)
         c
       }
-      matchSelectivityCache.keySet.removeIf(k =>
+      // evict superseded snapshots of the same shape: a
+      // commit-every-minute workload must not hold one dead entry (or
+      // worse, one dead PERSISTED frame) per past commit
+      matchSelectivityCache.removeIf(k =>
         k._1 == key._1 && k._3 == key._3 && k._4 == key._4 &&
           (k._2 < key._2 || k._5 < key._5))
-      if (matchSelectivityCache.size > 512) matchSelectivityCache.clear()
-      n.longValue
+      matchCountsCache.removeIf(k =>
+        k._1 == srcPath && k._3 == dKey && k._2 < sv.toLong)
+      n
     }
   }
 
   /** Test hook: MATCH-selectivity entries currently cached for `src`. */
-  private[graft] def cachedMatchSelectivities(src: String): Int = {
-    import scala.jdk.CollectionConverters._
-    matchSelectivityCache.keySet.asScala.count(_._1 == src)
-  }
+  private[graft] def cachedMatchSelectivities(src: String): Int =
+    matchSelectivityCache.keys.count(_._1 == src)
+
+  /** Test hook: corpus-side per-value count frames cached for `src`. */
+  private[graft] def cachedMatchCounts(src: String): Int =
+    matchCountsCache.keys.count(_._1 == src)
 
   /** PROBE AUTO's selectivity cache: (allowed-source path, its head
     * snapshot version, predicate text) → allowed-row count. The count
@@ -213,18 +258,12 @@ object SearchRelations {
     * same-snapshot counts are deterministic, so the entry is safe
     * process-wide (not per-session). Entries are one Long each.
     */
-  // value is java.lang.Long ON PURPOSE: with a Scala Long value type,
-  // CHM.get on a missing key unboxes null to 0 — which Option() would
-  // happily wrap as a cached "0 allowed rows"
   private val autoSelectivityCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
-      java.lang.Long]()
+    new LruCache[(String, Long, String), Long](512)
 
   /** Test hook: entries currently cached for `src`. */
-  private[graft] def cachedSelectivities(src: String): Int = {
-    import scala.jdk.CollectionConverters._
-    autoSelectivityCache.keySet.asScala.count(_._1 == src)
-  }
+  private[graft] def cachedSelectivities(src: String): Int =
+    autoSelectivityCache.keys.count(_._1 == src)
 
   /** The filtered-search allowed-id frame: the index's SOURCE corpus
     * WHERE `pred` (Catalyst pushes the predicate into that scan),
@@ -756,4 +795,43 @@ object SearchRelations {
       s"search needs a $kind index; $idx is ${d.get("kind")}")
     d
   }
+}
+
+/** Size-bounded LRU for the plan-build selectivity memos (VERDICT r18
+  * next #4): the old maps wiped EVERYTHING at 512 entries, so a busy
+  * multi-tenant service with >512 live (source, predicate/match) keys
+  * thrashed to a zero hit rate and re-paid every count. Access-ordered
+  * LinkedHashMap, one eldest entry evicted per overflow — hot keys
+  * survive, cold ones age out. `onEvict` releases resources an entry
+  * holds (the match-counts cache unpersists its frame), fired for LRU
+  * overflow AND `removeIf` supersession. All operations synchronize on
+  * the map: values are cheap (a Long, or a lazy DataFrame handle) and
+  * callers keep cluster-scale work OUTSIDE the lock — the
+  * compute-then-put discipline the r17 review set for the CHM version.
+  */
+private[graft] final class LruCache[K, V](max: Int,
+                                          onEvict: V => Unit = (_: V) => ()) {
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      if (this.size() > max) { onEvict(e.getValue); true } else false
+  }
+  def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+  def put(k: K, v: V): Unit = m.synchronized {
+    val prev = m.put(k, v)
+    // replacing a key releases the displaced value (a racing duplicate
+    // compute of the same persisted frame must not leak its loser)
+    if (prev != null && !(prev == v)) onEvict(prev)
+  }
+  def removeIf(p: K => Boolean): Unit = m.synchronized {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (p(e.getKey)) { onEvict(e.getValue); it.remove() }
+    }
+  }
+  def keys: Seq[K] = m.synchronized {
+    import scala.jdk.CollectionConverters._
+    m.keySet().asScala.toSeq
+  }
+  def size: Int = m.synchronized(m.size())
 }

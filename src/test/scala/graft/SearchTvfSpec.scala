@@ -1407,4 +1407,112 @@ class SearchTvfSpec extends SparkSpec {
     assert(byQ(0L).forall(_ % 4 < 2) && byQ(2L).forall(_ % 4 >= 2),
       s"each query must rank only its own tenant's vectors: $byQ")
   }
+
+  test("split MATCH-selectivity cache: a NEW query batch plans with ZERO corpus scans — per-value counts amortize per corpus snapshot (VERDICT r18 #1)") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(71)
+    val vcorpus = tmp(); val tIdx = tmp(); val vIdx = tmp(); val qtab = tmp()
+    // the MATCH-AUTO pin's fixture shape: lang 'bb' docs live only in
+    // clusters 2/3, query vectors come from cluster 0, so correctness
+    // REQUIRES the measured selectivity to widen probes to the exact
+    // regime — proving the cached counts still drive AUTO after the
+    // split (split ≡ fused)
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat),
+        "filler text", if (i % 4 >= 2) "bb" else "aa")
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding", "text", "lang"),
+      vcorpus, "vec_id", 2)
+    Bm25Index.sync(spark, tIdx, vcorpus, "vec_id", "text", nBuckets = 4)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    ManifestTable.write(Seq((0L, vecs(0)._2, "zzz", "bb"))
+      .toDF("vec_id", "embedding", "qterms", "qlang"), qtab, "vec_id", 2)
+
+    def build() = SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
+      qtab, "qterms", k = 5, nProbe = SearchRelations.ProbeAuto,
+      matchCols = Seq(graft.ops.MatchPair("qlang", "lang")))
+
+    // batch 1 pays the one corpus groupBy that fills the counts cache:
+    // its plan-build jobs read the whole 80-row corpus
+    val firstIn = WorkMeter.inputRecords(spark) { build() }
+    assert(firstIn >= 80,
+      s"the FIRST batch pays the per-value corpus count: read $firstIn")
+    assert(SearchRelations.cachedMatchCounts(vcorpus) == 1,
+      "the counts frame must be cached per corpus snapshot")
+
+    // batch 2 = a FRESH queries snapshot (the production cadence that
+    // made the old fused cache never hit) — its plan build must NOT
+    // re-scan the corpus: the min-join reads the handful of persisted
+    // count rows (plus the tiny queries/centroid frames), never the
+    // corpus rows the fused cache re-read per batch
+    ManifestTable.append(spark, qtab,
+      Seq((4L, vecs(4)._2, "zzz", "bb"))
+        .toDF("vec_id", "embedding", "qterms", "qlang"), "vec_id")
+    val secondIn = WorkMeter.inputRecords(spark) { build() }
+    assert(secondIn < 40,
+      s"a new batch at the same corpus snapshot must not re-read the " +
+        s"corpus (fused cache re-paid the full groupBy): read $secondIn")
+    assert(SearchRelations.cachedMatchCounts(vcorpus) == 1,
+      "the second batch reuses the one counts frame, not a duplicate")
+
+    // and the cached counts still steer AUTO to the exact regime: the
+    // two-query batch matches the per-tenant brute force exactly
+    val auto = build().select("query_id", "doc_id", "rank_vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val emb = ManifestTable.read(spark, vcorpus)
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("lang") === "bb"),
+        emb.filter(col("vec_id") === 0 || col("vec_id") === 4),
+        "vec_id", "embedding", k = 5, queryBound = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(auto == brute,
+      s"split-cache AUTO must still reach the exact regime (split ≡ " +
+        s"fused):\nauto=$auto\nbrute=$brute")
+
+    // a corpus COMMIT supersedes the counts frame: the stale snapshot's
+    // entry is evicted (and unpersisted), the new snapshot re-counts
+    ManifestTable.append(spark, vcorpus,
+      Seq((1000L, vecs(0)._2, "filler text", "bb"))
+        .toDF("vec_id", "embedding", "text", "lang"), "vec_id")
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding")
+    val thirdIn = WorkMeter.inputRecords(spark) { build() }
+    assert(thirdIn >= 81 &&
+      SearchRelations.cachedMatchCounts(vcorpus) == 1,
+      s"a corpus commit must re-count once (81 rows) and supersede to " +
+        s"ONE live counts frame: read=$thirdIn cached=${
+          SearchRelations.cachedMatchCounts(vcorpus)}")
+  }
+
+  test("MATCH values absent from the corpus: AUTO resolves the base probe — the sentinel clamps to the indexed count, no overflow arithmetic (ADVICE r18)") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(73)
+    val vcorpus = tmp(); val vIdx = tmp(); val qtab = tmp()
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == i % 4) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat), "aa")
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding", "lang"),
+      vcorpus, "vec_id", 2)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    // every batch value is a typo'd tenant: no corpus row matches
+    ManifestTable.write(Seq((0L, vecs(0)._2, "zz"))
+      .toDF("vec_id", "embedding", "qlang"), qtab, "vec_id", 2)
+    val out = SearchRelations.vector(spark, vIdx, qtab, k = 5,
+      nProbe = SearchRelations.ProbeAuto, refine = false,
+      refineFactor = 8,
+      matchCols = Seq(graft.ops.MatchPair("qlang", "lang")))
+    assert(out.count() == 0,
+      "an all-absent match batch has empty eligible sets at any probe")
+    // the clamp itself, unit-level: eff = indexed resolves the base
+    // probe; the unclamped sentinel would overflow pBase·corpus+eff−1
+    assert(graft.ops.Ivf.autoProbe(2, 4, 40L, 40L) == 2)
+  }
 }

@@ -138,6 +138,46 @@ object WorkMeter {
     }
   }
 
+  /** Total INPUT records the measured jobs read — file rows on a real
+    * scan, cached rows on an InMemoryTableScan hit, so "this build no
+    * longer re-scans the corpus" pins as `inputRecords ≪ corpus size`
+    * (the split MATCH-selectivity cache: batch 2's min-join reads the
+    * handful of persisted count rows, a regression re-reads the whole
+    * corpus). Attribution and quiet-wait as in [[measure]].
+    */
+  def inputRecords(spark: SparkSession)(run: => Unit): Long = {
+    val sc = spark.sparkContext
+    val group = s"graft-inputmeter-${java.util.UUID.randomUUID()}"
+    val stages = ConcurrentHashMap.newKeySet[Int]()
+    val read = new LongAdder
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageIds.foreach(stages.add(_))
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (stages.contains(t.stageId) && t.taskMetrics != null)
+          read.add(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    sc.addSparkListener(listener)
+    sc.setJobGroup(group, "graft input measurement", interruptOnCancel = false)
+    try {
+      run
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1L
+      var cur = read.sum()
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur
+        Thread.sleep(100)
+        cur = read.sum()
+      }
+      cur
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+
   def measure(spark: SparkSession)(run: => Unit): Work = {
     val sc = spark.sparkContext
     val group = s"graft-workmeter-${java.util.UUID.randomUUID()}"
