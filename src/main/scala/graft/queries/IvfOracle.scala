@@ -115,7 +115,8 @@ object IvfOracle {
     * engines.
     */
   private def searchCtes(cent: String, nProbe: String, queryPred: String,
-                         candPred: String = "TRUE"): String =
+                         candPred: String = "TRUE",
+                         matchJoin: String = ""): String =
     s"""cidx AS MATERIALIZED (
        |  SELECT id AS neighbor_id, v AS cv, sqrt(vss) AS cn, cid AS list_id FROM (
        |    SELECT e.id, e.v, e.vss, c.cid,
@@ -134,6 +135,7 @@ object IvfOracle {
        |              THEN ${dotS("p.qv", "x.cv")} / (p.qn * x.cn) END AS sim
        |  FROM prb p JOIN cidx x
        |    ON x.list_id = p.probe AND p.query_id <> x.neighbor_id
+       |  $matchJoin
        |  WHERE x.neighbor_id IN
        |    (SELECT vec_id FROM embeddings WHERE $candPred)),
        |ivfrk AS MATERIALIZED (
@@ -191,6 +193,50 @@ object IvfOracle {
        |    // (SELECT count(*) FROM embeddings WHERE $candPred))) AS p_eff),
        |${searchCtes(s"cent$iterations", "(SELECT p_eff FROM pe)",
                      "e.id < 10", candPred)}
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim_r,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ivfrk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** ann_topk_ivf_matched_auto: per-query MATCHED ANN with PROBE AUTO —
+    * the multi-tenant idiom end to end (VERDICT r18 next #2). The
+    * oracle derives BOTH halves independently:
+    *
+    *  - p_eff replays the MATCH-aware widening
+    *    (`SearchRelations.matchMinCount` → `Ivf.autoProbe`): the
+    *    per-value corpus counts of the matched attribute (`label % 2`),
+    *    joined to the batch's DISTINCT values, min-aggregated — the
+    *    worst-case per-tenant eligible size — then the same all-integer
+    *    ceiling division, clamped [pBase, k];
+    *  - eligibility is PER QUERY: a candidate survives only when its
+    *    attribute equals the QUERY row's (the attrs self-join in
+    *    `ivfsc`), applied BEFORE the rank window exactly where the
+    *    engine's candidate-bound [[graft.ops.MatchFilter]] sits, so
+    *    each query's top-k is dense over ITS tenant's docs.
+    *
+    * The trained index, probes, and scoring arithmetic are the shared
+    * CTEs; the engine side runs the whole thing through the PERSISTED
+    * IvfIndex + SearchRelations.vector (build-then-search ≡ in-query
+    * searchTopK is spec-pinned, so one oracle covers both).
+    */
+  def annTopkIvfMatchedAutoSql(k: Int = 8, iterations: Int = 5,
+                               dim: Int = 64, pBase: Int = 2,
+                               topK: Int = 5): String =
+    s"""WITH ${centroidCtes(k, iterations, dim)},
+       |attrs AS MATERIALIZED (
+       |  SELECT vec_id AS id, label % 2 AS grp FROM embeddings),
+       |mm AS MATERIALIZED (
+       |  SELECT min(n) AS m FROM
+       |    (SELECT grp, count(*) AS n FROM attrs GROUP BY grp) c
+       |    JOIN (SELECT DISTINCT grp FROM attrs WHERE id < 10) b USING (grp)),
+       |pe AS MATERIALIZED (
+       |  SELECT least($k, greatest($pBase,
+       |    ($pBase * (SELECT count(*) FROM embeddings) + m - 1) // m)) AS p_eff
+       |  FROM mm),
+       |${searchCtes(s"cent$iterations", "(SELECT p_eff FROM pe)",
+                     "e.id < 10",
+                     matchJoin = "JOIN attrs qa ON qa.id = p.query_id\n" +
+                       "  JOIN attrs xa ON xa.id = x.neighbor_id " +
+                       "AND xa.grp = qa.grp")}
        |SELECT query_id, neighbor_id, round(sim, 6) AS sim_r,
        |       CAST(rank AS BIGINT) AS rank
        |FROM ivfrk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
