@@ -46,17 +46,31 @@ import org.apache.spark.sql.functions._
   * join + filter expresses any row predicate at the same
   * O(candidates) cost.
   *
-  * Reference idiom: stacked conditional equality predicates,
-  * `/root/reference/src/app/api/companies/route.ts:18-37`.
+  * DISJUNCTION (VERDICT r18 next #3): the spec is CNF — comma-
+  * separated conjuncts, each a chain of `OR`-linked alternatives
+  * (`MATCH (qtenant = tenant OR qvis = visibility, qmin <= len)`:
+  * "my tenant OR my visibility class, AND long enough"). An OR chain
+  * is flattened into consecutive [[MatchPair]]s linked by `orNext`,
+  * so the wire type stays `Seq[MatchPair]` across every surface; the
+  * predicate evaluates per CANDIDATE over the same two attribute
+  * joins — a disjunct is just another column pair, no new join shape,
+  * still O(candidates). (Without this, a disjunctive ACL took two
+  * batch calls plus manual fusion.) SQL tri-state semantics: a NULL
+  * comparison is not-a-match for THAT alternative, other alternatives
+  * in the clause can still match.
+  *
+  * The idiom mirrored here is the reference's stacked conditional
+  * predicates composed on one query before a single execution.
   */
 case class MatchFilter private (qAttrs: DataFrame, dAttrs: DataFrame,
-                                ops: Seq[String]) {
+                                clauseOps: Seq[Seq[(String, Int)]]) {
 
-  private def nCols = ops.size
+  private def nCols = clauseOps.map(_.size).sum
 
   /** Filter `cands` — a frame carrying `query_id` plus the doc id
     * under `docCol` — to the rows whose query and doc agree on every
-    * matched attribute. O(|cands|) rows out of each join; unhinted
+    * matched CLAUSE (each clause: at least one of its alternatives
+    * compares true). O(|cands|) rows out of each join; unhinted
     * (the corpus-side attribute frame is corpus-sized in the worst
     * case — AQE broadcasts it when it measures small, the `allowed`
     * semi-join's discipline).
@@ -65,18 +79,26 @@ case class MatchFilter private (qAttrs: DataFrame, dAttrs: DataFrame,
     val joined = cands
       .join(qAttrs, cands("query_id") === qAttrs("_mq_id"))
       .join(dAttrs, cands(docCol) === dAttrs("_md_id"))
-    (0 until nCols)
-      .foldLeft(joined)((df, i) =>
-        df.filter(MatchFilter.cmp(ops(i), col(s"_mq$i"), col(s"_md$i"))))
+    val pred = clauseOps.map { clause =>
+      clause.map { case (op, i) =>
+        MatchFilter.cmp(op, col(s"_mq$i"), col(s"_md$i"))
+      }.reduce(_ || _)
+    }.reduce(_ && _)
+    joined.filter(pred)
       .drop("_mq_id", "_md_id")
       .drop((0 until nCols).flatMap(i => Seq(s"_mq$i", s"_md$i")): _*)
   }
 }
 
-/** One `MATCH` conjunct: queries-table column `qCol` compared to
+/** One `MATCH` comparison: queries-table column `qCol` compared to
   * corpus column `dCol` under `op` (`=`, `!=`, `<`, `<=`, `>`, `>=`).
+  * `orNext` links this pair DISJUNCTIVELY to the pair that follows it
+  * in the flattened spec (`a = b OR c = d` ⇒ `MatchPair(a,b,
+  * orNext=true), MatchPair(c,d)`); unlinked pairs are conjuncts — the
+  * default, so every pre-r19 call site keeps its meaning.
   */
-case class MatchPair(qCol: String, dCol: String, op: String = "=") {
+case class MatchPair(qCol: String, dCol: String, op: String = "=",
+                     orNext: Boolean = false) {
   require(MatchFilter.Ops.contains(op),
     s"MATCH operator must be one of ${MatchFilter.Ops.mkString(" ")}, got: $op")
 }
@@ -96,8 +118,25 @@ object MatchFilter {
       case ">=" => a >= b
     }
 
+  /** Group a flattened spec into its CNF clauses: each `orNext` chain
+    * is one clause (a disjunction), an unlinked pair a singleton
+    * clause (a plain conjunct). A trailing `orNext` is malformed — the
+    * chain names a next pair that does not exist.
+    */
+  private[graft] def clauses(pairs: Seq[MatchPair]): Seq[Seq[MatchPair]] = {
+    require(pairs.isEmpty || !pairs.last.orNext,
+      "MATCH: a trailing OR names no right-hand side")
+    val out = scala.collection.mutable.ArrayBuffer[Seq[MatchPair]]()
+    val cur = scala.collection.mutable.ArrayBuffer[MatchPair]()
+    pairs.foreach { p =>
+      cur += p
+      if (!p.orNext) { out += cur.toSeq; cur.clear() }
+    }
+    out.toSeq
+  }
+
   /** Equality-only shorthand: one (queries column, corpus column)
-    * pair per conjunct.
+    * CONJUNCT per pair.
     */
   def apply(queries: DataFrame, qIdCol: String,
             corpus: DataFrame, dIdCol: String,
@@ -105,20 +144,25 @@ object MatchFilter {
     of(queries, qIdCol, corpus, dIdCol,
       cols.map { case (q, d) => MatchPair(q, d) })
 
-  /** Build from the two tables and the `MATCH` conjuncts. `qIdCol` /
-    * `dIdCol` are the tables' key columns — cast to long to mirror
-    * the kernels' query_id/doc_id typing.
+  /** Build from the two tables and the flattened `MATCH` spec
+    * ([[clauses]] recovers the CNF). `qIdCol` / `dIdCol` are the
+    * tables' key columns — cast to long to mirror the kernels'
+    * query_id/doc_id typing.
     */
   def of(queries: DataFrame, qIdCol: String,
          corpus: DataFrame, dIdCol: String,
          pairs: Seq[MatchPair]): MatchFilter = {
     require(pairs.nonEmpty, "MATCH needs at least one qcol = doccol pair")
+    val cls = clauses(pairs) // validates the chain shape up front
     val q = queries.select(
       col(qIdCol).cast("long").as("_mq_id") +:
         pairs.zipWithIndex.map { case (p, i) => col(p.qCol).as(s"_mq$i") }: _*)
     val d = corpus.select(
       col(dIdCol).cast("long").as("_md_id") +:
         pairs.zipWithIndex.map { case (p, i) => col(p.dCol).as(s"_md$i") }: _*)
-    new MatchFilter(q, d, pairs.map(_.op))
+    // clause flattening preserves spec order, so sequential index
+    // assignment recovers each pair's _mq<i>/_md<i> column pair
+    var i = -1
+    new MatchFilter(q, d, cls.map(_.map { p => i += 1; (p.op, i) }))
   }
 }

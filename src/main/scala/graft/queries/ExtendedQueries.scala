@@ -2790,6 +2790,106 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Per-query BM25 under a DISJUNCTIVE MATCH — `MATCH (qlang = lang
+    * OR qsource = source)`, the "my tenant OR my visibility class" ACL
+    * idiom (VERDICT r18 next #3). Before this a disjunctive ACL took
+    * two batch calls plus manual result fusion; now the OR chain is
+    * one clause of [[graft.ops.MatchFilter]]'s CNF — evaluated per
+    * CANDIDATE over the same two attribute joins, no new join shape,
+    * still O(candidates). The fixture crosses the two attributes so
+    * each query's eligible set (and top-k) provably differs from
+    * either branch alone. BM25 globals stay corpus-global; the filter
+    * lands before aggregation and the rank window.
+    */
+  def bm25MatchDisjunctive(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val qf = Seq((0L, "en", "src2"), (1L, "de", "src1"))
+      .toDF("query_id", "qlang", "qsource")
+    val mf = graft.ops.MatchFilter.of(qf, "query_id", docs, "doc_id",
+      Seq(graft.ops.MatchPair("qlang", "lang", orNext = true),
+        graft.ops.MatchPair("qsource", "source")))
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
+    val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
+      count(lit(1)).cast("double").as("df"))
+    val qt = byTerm
+      .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
+      .filter(col("r") <= 6)
+      .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
+        col("term"), col("df"))
+    val contrib = tf.join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(totDf))
+      .withColumn("c",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
+    mf.keep(contrib, "doc_id")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The disjunctive-MATCH oracle: the per-query BM25 CTEs with an
+    * OR eligibility join — DuckDB derives the eligible pairs
+    * relationally; the Spark side must produce identical rows from the
+    * candidate-bound CNF evaluation.
+    */
+  private val bm25MatchDisjunctiveSql =
+    """WITH qf AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, qlang, qsource
+      |  FROM (VALUES (0, 'en', 'src2'), (1, 'de', 'src1'))
+      |    AS t(query_id, qlang, qsource)),
+      |allowedp AS (
+      |  SELECT qf.query_id, d.doc_id
+      |  FROM qf JOIN documents d
+      |    ON d.lang = qf.qlang OR d.source = qf.qsource),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+      |byterm AS (SELECT term, sum(tf) AS gtf, CAST(count(*) AS DOUBLE) AS df
+      |           FROM tf GROUP BY 1),
+      |qt AS (
+      |  SELECT CAST(floor((r - 1) / 3) AS BIGINT) AS query_id, term, df
+      |  FROM (SELECT term, df,
+      |               row_number() OVER (ORDER BY gtf DESC, term) AS r
+      |        FROM byterm)
+      |  WHERE r <= 6),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         ln((n.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+      |         (tf.tf * 2.2) /
+      |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.total_toks / n.n))) AS c
+      |  FROM tf JOIN qt USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot
+      |       JOIN allowedp ap ON ap.query_id = qt.query_id
+      |                       AND ap.doc_id = tf.doc_id)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT query_id, doc_id, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM (SELECT query_id, doc_id, round(sum(c), 6) AS score
+      |        FROM contrib GROUP BY 1, 2))
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Recall gate for HYBRID FUSION — the `bm25_rescore_gate` discipline
     * one level up (VERDICT r15 #3): fusing two lists must never do
     * worse than the better single list against a cross-modal gold set.
@@ -4855,6 +4955,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "hybrid_rrf_per_query" -> hybridRrfPerQuery _,
     "hybrid_rrf_per_query_filtered" -> hybridRrfPerQueryFiltered _,
     "bm25_match_compound" -> bm25MatchCompound _,
+    "bm25_match_disjunctive" -> bm25MatchDisjunctive _,
     "hybrid_rrf_rescored" -> hybridRrfRescored _,
     "hybrid_rrf_snippets" -> hybridRrfSnippets _,
     "hybrid_recall_gate" -> hybridRecallGate _,
@@ -5157,6 +5258,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "hybrid_rrf_per_query" -> hybridRrfPerQuerySql,
     "hybrid_rrf_per_query_filtered" -> hybridRrfPerQueryFilteredSql,
     "bm25_match_compound" -> bm25MatchCompoundSql,
+    "bm25_match_disjunctive" -> bm25MatchDisjunctiveSql,
     "hybrid_rrf_rescored" -> hybridRrfRescoredSql,
     "hybrid_rrf_snippets" -> hybridRrfSnippetsSql,
     "hybrid_recall_gate" -> hybridRecallGateSql,

@@ -225,21 +225,28 @@ object GraftSqlParser {
     ("^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(=|!=|<=|>=|<|>)\\s*" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
 
-  /** `MATCH (qcol = doccol[, qcol2 <= doccol2 ...])` — one (queries
-    * column, operator, corpus column) CONJUNCT per comma (the
-    * tenant-AND-language ACL idiom, VERDICT r17 next #4; comparison
-    * operators cover the per-row-predicate idiom — `qmin <= doclen`);
-    * a query row is eligible only for docs satisfying every conjunct.
-    * Malformed specs fail at parse time.
+  /** `MATCH (qcol = doccol [OR qcol2 = doccol2 ...][, ...])` — CNF:
+    * one CLAUSE per comma (the tenant-AND-language ACL idiom, VERDICT
+    * r17 next #4), each clause one or more `OR`-linked comparisons
+    * (the disjunctive ACL — "my tenant OR public", VERDICT r18 next
+    * #3). Comparison operators cover the per-row-predicate idiom
+    * (`qmin <= doclen`). A query row is eligible only for docs
+    * satisfying every clause; a clause is satisfied by any of its
+    * alternatives. Flattened to [[graft.ops.MatchPair]]s with
+    * `orNext` links; malformed specs fail at parse time.
     */
   private[graft] def parseMatchPairs(raw: String): Seq[graft.ops.MatchPair] =
     if (raw == null) Nil
-    else raw.split(",").toSeq.map {
-      case MatchPairRe(q, op, d) => graft.ops.MatchPair(q, d, op)
-      case part => throw new IllegalArgumentException(
-        "MATCH needs (qcol = doccol[, qcol2 <= doccol2 ...]) — " +
-          "identifier OP identifier conjuncts (OP: = != < <= > >=), " +
-          s"comma-separated; got: ${part.trim}")
+    else raw.split(",").toSeq.flatMap { clause =>
+      val alts = clause.split("(?i)\\s+OR\\s+").toSeq.map {
+        case MatchPairRe(q, op, d) => graft.ops.MatchPair(q, d, op)
+        case part => throw new IllegalArgumentException(
+          "MATCH needs (qcol = doccol [OR qcol2 <= doccol2 ...][, ...]) " +
+            "— identifier OP identifier comparisons (OP: = != < <= > " +
+            ">=), OR-linked within a clause, clauses comma-separated; " +
+            s"got: ${part.trim}")
+      }
+      alts.init.map(_.copy(orNext = true)) :+ alts.last
     }
 
   private[sources] def parseMaintenance(sql: String): Option[LogicalPlan] =

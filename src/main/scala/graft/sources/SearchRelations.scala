@@ -185,9 +185,12 @@ object SearchRelations {
                             srcPath: String,
                             matchCols0: Seq[graft.ops.MatchPair]): Option[Long] = {
     // per-VALUE counts are an equality concept: selectivity widening
-    // reads the equality conjuncts only (a range conjunct narrows
-    // further — probes end at least as wide as the equalities ask)
-    val matchCols = matchCols0.filter(_.op == "=")
+    // reads SINGLETON equality clauses only — a range conjunct narrows
+    // further and an OR clause widens eligibility beyond any single
+    // value's count, so both are conservatively ignored: probes end at
+    // least as wide as the plain equalities ask, never narrower
+    val matchCols = graft.ops.MatchFilter.clauses(matchCols0)
+      .collect { case Seq(p) if p.op == "=" => p }
     if (matchCols.isEmpty) return None
     for {
       sv <- ManifestTable.headVersion(spark, srcPath)

@@ -1408,6 +1408,92 @@ class SearchTvfSpec extends SparkSpec {
       s"each query must rank only its own tenant's vectors: $byQ")
   }
 
+  test("MATCH disjunction: OR clauses in CNF — verb ≡ API ≡ TVF; top-k provably differs from each branch alone; batch ≡ N single OR-filtered calls (VERDICT r18 #3)") {
+    import graft.sources.SearchRelations
+    import graft.ops.MatchPair
+    val corpus = tmp(); val idx = tmp(); val qtab = tmp()
+    // lang and cat CROSS so the OR set is a strict superset of either
+    // branch; identical texts make scores tie → ranks are pure doc_id
+    // order over the eligible set, so membership differences are
+    // VISIBLE in the top-k
+    val docs = (0L until 40L).map(i =>
+      (i, "alpha beta filler",
+        if (i % 2 == 0) "de" else "en",
+        if (i % 4 < 2) "a" else "b", i * 10))
+    ManifestTable.write(docs.toDF("doc_id", "text", "lang", "cat", "len"),
+      corpus, "doc_id", 2)
+    Bm25Index.sync(spark, idx, corpus, "doc_id", "text", nBuckets = 4)
+    ManifestTable.write(Seq(
+      (0L, "alpha beta", "de", "a", 0L), (1L, "alpha beta", "en", "b", 0L))
+      .toDF("qid", "qterms", "qlang", "qcat", "qmin"), qtab, "qid", 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "matched_terms", "score")
+      .collect().map(_.toString).sorted.toSeq
+    val orCols = Seq(MatchPair("qlang", "lang", orNext = true),
+      MatchPair("qcat", "cat"))
+    val api = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 8, matchCols = orCols)
+    val verb = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN " +
+      s"qterms FROM '$qtab' TOP 8 MATCH (qlang = lang OR qcat = cat)")
+    val tvf = spark.sql("SELECT * FROM graft_search_text_col(" +
+      s"'$idx', '$qtab', 'qterms', 8, '', 'qlang = lang OR qcat = cat')")
+    assert(rows(verb) == rows(api) && rows(tvf) == rows(api),
+      s"disjunctive MATCH verb ≡ API ≡ TVF:\nverb=${rows(verb)}" +
+        s"\napi=${rows(api)}\ntvf=${rows(tvf)}")
+    // q0 eligible: de OR a → i%2==0 OR i%4<2; q1: en OR b
+    val byQ = api.select("query_id", "doc_id").as[(Long, Long)]
+      .collect().groupBy(_._1)
+      .map { case (q, ds) => q -> ds.map(_._2).toSet }
+    assert(byQ(0L).nonEmpty &&
+      byQ(0L).forall(i => i % 2 == 0 || i % 4 < 2) &&
+      byQ(1L).nonEmpty &&
+      byQ(1L).forall(i => i % 2 == 1 || i % 4 >= 2),
+      s"each query must rank only docs satisfying its OR clause: $byQ")
+    // the OR top-k provably differs from EITHER branch alone
+    val langOnly = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 8, matchCols = Seq(MatchPair("qlang", "lang")))
+    val catOnly = SearchRelations.textPerQueryRelation(spark, idx, qtab,
+      "qterms", k = 8, matchCols = Seq(MatchPair("qcat", "cat")))
+    assert(rows(langOnly) != rows(api) && rows(catOnly) != rows(api),
+      "the OR top-k must differ from each single branch's")
+    // batch ≡ N single calls filtered with the equivalent OR predicate
+    Seq(0L -> ("de", "a"), 1L -> ("en", "b")).foreach { case (q, (l, c)) =>
+      val single = SearchRelations.text(spark, idx, Seq("alpha", "beta"),
+          k = 8, filterPred = Some(s"lang = '$l' OR cat = '$c'"))
+        .select("doc_id", "matched_terms", "score")
+        .collect().map(_.toString).sorted.toSeq
+      val slice = api.filter(col("query_id") === q)
+        .select("doc_id", "matched_terms", "score")
+        .collect().map(_.toString).sorted.toSeq
+      assert(slice == single,
+        s"query $q: OR-MATCH slice must equal the single OR-filtered " +
+          s"call:\nslice=$slice\nsingle=$single")
+    }
+    // CNF: an OR clause composes with a range conjunct — (de OR a)
+    // AND len >= qmin, per row
+    ManifestTable.upsert(spark, qtab, Seq(
+      (0L, "alpha beta", "de", "a", 150L), (1L, "alpha beta", "en", "b", 250L))
+      .toDF("qid", "qterms", "qlang", "qcat", "qmin"), "qid")
+    val cnf = spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN " +
+      s"qterms FROM '$qtab' TOP 8 " +
+      "MATCH (qlang = lang OR qcat = cat, qmin <= len)")
+    val byQ2 = cnf.select("query_id", "doc_id").as[(Long, Long)]
+      .collect().groupBy(_._1)
+      .map { case (q, ds) => q -> ds.map(_._2).toSet }
+    assert(byQ2(0L).nonEmpty &&
+      byQ2(0L).forall(i => (i % 2 == 0 || i % 4 < 2) && i * 10 >= 150) &&
+      byQ2(1L).nonEmpty &&
+      byQ2(1L).forall(i => (i % 2 == 1 || i % 4 >= 2) && i * 10 >= 250),
+      s"CNF: every clause must hold — OR clause AND range conjunct: $byQ2")
+    // a trailing OR names no right-hand side: parse-time failure
+    val bad = intercept[Exception] {
+      spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
+        s"FROM '$qtab' TOP 8 MATCH (qlang = lang OR)").collect()
+    }
+    assert(bad.getMessage.contains("MATCH"),
+      s"trailing OR must fail loudly at parse: ${bad.getMessage}")
+  }
+
   test("split MATCH-selectivity cache: a NEW query batch plans with ZERO corpus scans — per-value counts amortize per corpus snapshot (VERDICT r18 #1)") {
     import graft.sources.SearchRelations
     val rnd = new scala.util.Random(71)
