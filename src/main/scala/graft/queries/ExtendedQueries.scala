@@ -2696,8 +2696,9 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * BM25 globals (df/dl/N) stay corpus-global, the filter lands
     * before aggregation and the rank window
     * (pre-filter-before-rank, the engine-wide filtered-search
-    * discipline). Reference idiom: stacked conditional equality
-    * predicates, `/root/reference/src/app/api/companies/route.ts:18-37`.
+    * discipline). The query shape mirrored is stacked conditional
+    * predicates composed as conjuncts on one query before a single
+    * execution.
     */
   def bm25MatchCompound(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
