@@ -61,10 +61,11 @@ object GraftExtensions {
       s"$name must be a string literal, got $other")
   }
 
-  /** The batch TVFs' per-query-filter argument: `'qcol = doccol'` →
-    * the MATCH pair (each query row eligible only for corpus docs
-    * sharing its attribute — the verbs' `MATCH (qcol = doccol)`);
-    * `''` → no per-query filter.
+  /** The batch TVFs' per-query-filter argument: the verbs' MATCH spec
+    * as a string — CNF, `'qcol = doccol [OR qcol2 = doccol2][, ...]'`
+    * (comma = AND, OR within a clause; each query row eligible only
+    * for corpus docs satisfying every clause); `''` → no per-query
+    * filter.
     */
   private def matchSpec(raw: String): Seq[graft.ops.MatchPair] = {
     val t = raw.trim

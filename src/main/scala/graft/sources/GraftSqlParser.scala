@@ -45,17 +45,19 @@ import graft.sinks.ManifestTable
   *                                       source-corpus predicate (df stays
   *                                       corpus-global)
   * GRAFT SEARCH TEXT '/idx' TERMS COLUMN qterms FROM '/queries'
-  *   [TOP 20] [MATCH (qcol = doccol[, qcol2 = doccol2 ...])]
+  *   [TOP 20] [MATCH (qcol = doccol [OR qcol2 = doccol2][, ...])]
   *   [RESCORE [FACTOR f]]
   *   [SNIPPET [PAD p]] [FILTER (...)]
   *                                    -- batch form: per-query term sets
   *                                       from a queries-table column, one
   *                                       plan for N queries; MATCH = the
-  *                                       PER-QUERY filter (each query is
-  *                                       eligible only for docs sharing
-  *                                       its attribute — multi-tenant)
+  *                                       PER-QUERY filter in CNF (comma =
+  *                                       AND, OR within a clause — each
+  *                                       query eligible only for docs
+  *                                       satisfying every clause;
+  *                                       multi-tenant / disjunctive ACL)
   * GRAFT SEARCH VECTOR '/idx' FROM '/queries' [TOP 5] [PROBE p|AUTO]
-  *   [MATCH (qcol = doccol[, ...])]
+  *   [MATCH (qcol = doccol [OR ...][, ...])]
   *   [REFINE [FACTOR 8]] [FILTER (label = 2)]
   *                                    -- ANN probe (+ exact re-rank on PQ;
   *                                       FILTER = filtered ANN, predicate
@@ -74,7 +76,7 @@ import graft.sinks.ManifestTable
   *                                       pre-filters BOTH lists)
   * GRAFT SEARCH HYBRID TEXT '/tidx' VECTOR '/vidx' TERMS COLUMN qterms
   *   FROM '/queries' [TOP 10] [PROBE p|AUTO]
-  *   [MATCH (qcol = doccol[, qcol2 = doccol2 ...])]
+  *   [MATCH (qcol = doccol [OR qcol2 = doccol2][, ...])]
   *   [RESCORE [FACTOR f]] [REFINE [FACTOR 8]] [FILTER (lang = 'en')]
   *                                    -- per-query term sets from a
   *                                       queries-table column (batch

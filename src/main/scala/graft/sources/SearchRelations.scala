@@ -658,11 +658,13 @@ object SearchRelations {
       snippetPad = snippetPad)
   }
 
-  /** `matchCols`: PER-QUERY filter for the batch — one `(queries-table
-    * column, corpus column)` pair per conjunct: each query row is
-    * eligible only for corpus docs agreeing on EVERY pair (the
-    * multi-tenant / per-user-ACL idiom, VERDICT r16 What's-missing #2;
-    * conjunctions per r17 next #4). Candidate-bound
+  /** `matchCols`: PER-QUERY filter for the batch — the flattened CNF
+    * of `(queries-table column, op, corpus column)` comparisons
+    * ([[graft.ops.MatchFilter.clauses]]): each query row is eligible
+    * only for corpus docs satisfying EVERY clause, a clause being one
+    * comparison or an `orNext`-linked OR chain (the multi-tenant /
+    * per-user-ACL idiom, VERDICT r16 What's-missing #2; conjunctions
+    * per r17 next #4; disjunction per r18 next #3). Candidate-bound
     * ([[matchFilter]]): BOTH lists filter their candidates before
     * their rank windows, so each query's fused top-k is dense over
     * ITS eligible docs. Composes with the shared `filterPred`
