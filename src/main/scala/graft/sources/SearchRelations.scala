@@ -176,10 +176,33 @@ object SearchRelations {
     * reads cluster-cached blocks instead of re-scanning the corpus.
     * Evicted frames are unpersisted (both on LRU overflow and on
     * snapshot supersession).
+    *
+    * CARDINALITY GUARD: the counts frame is O(distinct match values) —
+    * a low-cardinality ACL key (tenant, lang) yields a few rows, but a
+    * near-unique key (`MATCH (qref = doc_natural_key)`) would pin a
+    * corpus-sized frame in cluster storage, and up to 64 of them. So a
+    * frame is retained only when its row count is within
+    * [[MatchCountsCacheMaxRows]]; an oversized shape caches `None`
+    * instead — a "known too big" sentinel — and every batch at that
+    * shape computes its min via a BOUNDED semi-join (corpus ⋈ the
+    * batch's distinct values, then count): still one column-pruned
+    * corpus scan per batch — exactly the pre-split cost — but zero
+    * retained state, which is the right trade when per-value counts
+    * hover at 1 and cannot amortize.
     */
   private val matchCountsCache =
-    new LruCache[(String, Long, String), DataFrame](64,
-      onEvict = _.unpersist(false))
+    new LruCache[(String, Long, String), Option[DataFrame]](64,
+      onEvict = _.foreach(_.unpersist(false)))
+
+  /** Retention ceiling (rows) for a cached per-value counts frame; an
+    * operator can widen or tighten it per workload
+    * (`spark.conf.set("graft.search.matchCountsCacheMaxRows", n)`).
+    * The default bounds one frame to ~1M grouped rows — tens of MB —
+    * so even a full 64-slot cache stays cluster-negligible.
+    */
+  private[graft] val MatchCountsCacheMaxRowsKey =
+    "graft.search.matchCountsCacheMaxRows"
+  private val MatchCountsCacheMaxRowsDefault = 1L << 20
 
   private def matchMinCount(spark: SparkSession, queriesPath: String,
                             srcPath: String,
@@ -202,21 +225,7 @@ object SearchRelations {
         queriesPath, qv.toLong)
       val n = matchSelectivityCache.get(key).getOrElse {
         val keys = matchCols.indices.map(i => s"_mv$i")
-        // the snapshot in the key is the snapshot READ: resolving the
-        // head again here could see a newer commit than the version
-        // just keyed (racing writer), caching counts under a stale key
-        val counts = matchCountsCache
-          .get((srcPath, sv.toLong, dKey)).getOrElse {
-            val c = ManifestTable.readVersion(spark, srcPath, sv)
-              .groupBy(matchCols.zipWithIndex.map { case (p, i) =>
-                col(p.dCol).as(s"_mv$i") }: _*)
-              .agg(count(lit(1)).as("_mvn"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            // lost put races leak nothing: LRU put of a duplicate key
-            // evicts (unpersists) the earlier frame
-            matchCountsCache.put((srcPath, sv.toLong, dKey), c)
-            c
-          }
+        val ck = (srcPath, sv.toLong, dKey)
         val batchVals = ManifestTable.readVersion(spark, queriesPath, qv)
           .select(matchCols.zipWithIndex.map { case (p, i) =>
             col(p.qCol).as(s"_mv$i") }: _*).distinct()
@@ -225,9 +234,51 @@ object SearchRelations {
         // probe width) — coalesce(0) would otherwise max out probes
         // on one typo'd tenant id. The sentinel is clamped to the
         // indexed count in resolveProbe before any arithmetic.
-        val c = counts.join(batchVals, keys)
+        def minJoin(counts: DataFrame): Long = counts.join(batchVals, keys)
           .agg(coalesce(min(col("_mvn")), lit(Long.MaxValue)))
           .head().getLong(0)
+        // the BOUNDED path for an oversized shape: count only the
+        // batch's values — one column-pruned corpus scan joined to the
+        // tiny distinct-values frame (AQE broadcasts it), grouped on
+        // O(batch) keys. Same result as minJoin over the full counts
+        // frame restricted to present values, no retained state.
+        def boundedMin(): Long = ManifestTable
+          .readVersion(spark, srcPath, sv)
+          .select(matchCols.zipWithIndex.map { case (p, i) =>
+            col(p.dCol).as(s"_mv$i") }: _*)
+          .join(batchVals, keys)
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_mvn"))
+          .agg(coalesce(min(col("_mvn")), lit(Long.MaxValue)))
+          .head().getLong(0)
+        // the snapshot in the key is the snapshot READ: resolving the
+        // head again here could see a newer commit than the version
+        // just keyed (racing writer), caching counts under a stale key
+        val c = matchCountsCache.get(ck) match {
+          case Some(Some(counts)) => minJoin(counts)
+          case Some(None) => boundedMin() // known oversized — stay O(0) state
+          case None =>
+            val counts = ManifestTable.readVersion(spark, srcPath, sv)
+              .groupBy(matchCols.zipWithIndex.map { case (p, i) =>
+                col(p.dCol).as(s"_mv$i") }: _*)
+              .agg(count(lit(1)).as("_mvn"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // ONE corpus scan materializes the frame and prices it;
+            // the retain/discard decision then reads cached blocks
+            val sz = counts.count()
+            val cap = spark.conf.getOption(MatchCountsCacheMaxRowsKey)
+              .map(_.toLong).getOrElse(MatchCountsCacheMaxRowsDefault)
+            if (sz <= cap) {
+              // lost put races leak nothing: LRU put of a duplicate
+              // key evicts (unpersists) the earlier frame
+              matchCountsCache.put(ck, Some(counts))
+              minJoin(counts)
+            } else {
+              val m = minJoin(counts) // blocks are hot — use them once
+              counts.unpersist(false)
+              matchCountsCache.put(ck, None)
+              m
+            }
+        }
         matchSelectivityCache.put(key, c)
         c
       }
@@ -247,9 +298,15 @@ object SearchRelations {
   private[graft] def cachedMatchSelectivities(src: String): Int =
     matchSelectivityCache.keys.count(_._1 == src)
 
-  /** Test hook: corpus-side per-value count frames cached for `src`. */
+  /** Test hook: corpus-side per-value count frames RETAINED for `src`
+    * (oversized-shape sentinels excluded).
+    */
   private[graft] def cachedMatchCounts(src: String): Int =
-    matchCountsCache.keys.count(_._1 == src)
+    matchCountsCache.entries.count(e => e._1._1 == src && e._2.isDefined)
+
+  /** Test hook: known-oversized (`None`) sentinels cached for `src`. */
+  private[graft] def cachedMatchCountSentinels(src: String): Int =
+    matchCountsCache.entries.count(e => e._1._1 == src && e._2.isEmpty)
 
   /** PROBE AUTO's selectivity cache: (allowed-source path, its head
     * snapshot version, predicate text) → allowed-row count. The count
@@ -837,6 +894,10 @@ private[graft] final class LruCache[K, V](max: Int,
   def keys: Seq[K] = m.synchronized {
     import scala.jdk.CollectionConverters._
     m.keySet().asScala.toSeq
+  }
+  def entries: Seq[(K, V)] = m.synchronized {
+    import scala.jdk.CollectionConverters._
+    m.entrySet().asScala.map(e => (e.getKey, e.getValue)).toSeq
   }
   def size: Int = m.synchronized(m.size())
 }

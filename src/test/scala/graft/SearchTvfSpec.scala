@@ -1575,6 +1575,72 @@ class SearchTvfSpec extends SparkSpec {
           SearchRelations.cachedMatchCounts(vcorpus)}")
   }
 
+  test("oversized MATCH-counts frames are NOT retained: a near-unique match key caches a sentinel, batches fall back to the bounded semi-join, AUTO stays exact") {
+    import graft.sources.SearchRelations
+    val rnd = new scala.util.Random(79)
+    val vcorpus = tmp(); val tIdx = tmp(); val vIdx = tmp(); val qtab = tmp()
+    // near-unique match key: one distinct `ref` per doc — the per-value
+    // counts frame would be corpus-sized (80 rows here, corpus-scale in
+    // production). Cap the retention ceiling BELOW it so the guard
+    // trips at test scale.
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        ((if (d % 4 == c) 3.0 else 0.0) +
+          rnd.nextDouble() * 0.5).toFloat),
+        "filler text", s"r$i")
+    }
+    ManifestTable.write(vecs.toDF("vec_id", "embedding", "text", "ref"),
+      vcorpus, "vec_id", 2)
+    Bm25Index.sync(spark, tIdx, vcorpus, "vec_id", "text", nBuckets = 4)
+    IvfIndex.sync(spark, vIdx, vcorpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)
+    // query vector lives in cluster 0, its matched doc (ref r2) in
+    // cluster 2 — only a widened probe reaches it, so correctness
+    // PROVES the bounded path still feeds AUTO the measured min (1)
+    ManifestTable.write(Seq((0L, vecs(0)._2, "zzz", "r2"))
+      .toDF("vec_id", "embedding", "qterms", "qref"), qtab, "vec_id", 2)
+    spark.conf.set(SearchRelations.MatchCountsCacheMaxRowsKey, "8")
+    try {
+      def build() = SearchRelations.hybridPerQuery(spark, tIdx, vIdx,
+        qtab, "qterms", k = 5, nProbe = SearchRelations.ProbeAuto,
+        matchCols = Seq(graft.ops.MatchPair("qref", "ref")))
+      val firstIn = WorkMeter.inputRecords(spark) { build() }
+      assert(firstIn >= 80,
+        s"the first batch prices the counts frame (one corpus scan): " +
+          s"read $firstIn")
+      assert(SearchRelations.cachedMatchCounts(vcorpus) == 0 &&
+        SearchRelations.cachedMatchCountSentinels(vcorpus) == 1,
+        s"an oversized shape must retain NO frame, only the sentinel: " +
+          s"frames=${SearchRelations.cachedMatchCounts(vcorpus)} " +
+          s"sentinels=${SearchRelations.cachedMatchCountSentinels(vcorpus)}")
+      // the matched doc is found despite living outside the query's
+      // home cluster: min per-value count = 1 widened the probe
+      val hits = build().select("query_id", "doc_id").as[(Long, Long)]
+        .collect().toSet
+      assert(hits == Set((0L, 2L)),
+        s"bounded-path AUTO must reach the one eligible doc: $hits")
+      // a FRESH batch at the oversized shape re-pays one bounded scan
+      // (by design — no state retained), never re-prices the frame
+      ManifestTable.append(spark, qtab,
+        Seq((4L, vecs(4)._2, "zzz", "r3"))
+          .toDF("vec_id", "embedding", "qterms", "qref"), "vec_id")
+      val secondIn = WorkMeter.inputRecords(spark) { build() }
+      assert(secondIn >= 80,
+        s"a new batch takes the bounded semi-join (one corpus scan): " +
+          s"read $secondIn")
+      assert(SearchRelations.cachedMatchCounts(vcorpus) == 0 &&
+        SearchRelations.cachedMatchCountSentinels(vcorpus) == 1,
+        "the sentinel is cached once, no frame ever retained")
+      // the per-batch memo still holds: a REPEAT plan build of the
+      // same batch runs no corpus job at all
+      val repeatIn = WorkMeter.inputRecords(spark) { build() }
+      assert(repeatIn < 40,
+        s"repeat plan builds of the same batch stay corpus-job-free: " +
+          s"read $repeatIn")
+    } finally spark.conf.unset(SearchRelations.MatchCountsCacheMaxRowsKey)
+  }
+
   test("MATCH values absent from the corpus: AUTO resolves the base probe — the sentinel clamps to the indexed count, no overflow arithmetic (ADVICE r18)") {
     import graft.sources.SearchRelations
     val rnd = new scala.util.Random(73)
