@@ -2701,15 +2701,29 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * execution.
     */
   def bm25MatchCompound(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val qf = Seq((0L, "en", "src1", 300L), (1L, "de", "src2", 250L))
-      .toDF("query_id", "qlang", "qsource", "qmin")
-    val mf = graft.ops.MatchFilter.of(qf, "query_id", docs, "doc_id",
+    bm25MatchedTopK(spark, dir,
+      Seq((0L, "en", "src1", 300L), (1L, "de", "src2", 250L))
+        .toDF("query_id", "qlang", "qsource", "qmin"),
       Seq(graft.ops.MatchPair("qlang", "lang"),
         graft.ops.MatchPair("qsource", "source"),
         graft.ops.MatchPair("qmin", "n_chars", "<=")))
+  }
+
+  /** The shared kernel of the MATCH-oracle family: the per-query BM25
+    * derivation (two synthetic queries over the top-6 global terms,
+    * corpus-global df/dl/N) with an arbitrary [[graft.ops.MatchFilter]]
+    * spec applied candidate-bound BEFORE aggregation and the rank
+    * window. Each public query differs only in its query frame and
+    * MATCH spec — the grammar surface under test — so the BM25 plumbing
+    * lives once.
+    */
+  private def bm25MatchedTopK(spark: SparkSession, dir: String,
+                              qf: DataFrame,
+                              pairs: Seq[graft.ops.MatchPair]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val mf = graft.ops.MatchFilter.of(qf, "query_id", docs, "doc_id", pairs)
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -2748,18 +2762,28 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * length floor) — DuckDB derives the pairs relationally; the Spark
     * side must produce identical rows from the candidate-bound plan.
     */
-  private val bm25MatchCompoundSql =
-    """WITH qf AS (
-      |  SELECT CAST(query_id AS BIGINT) AS query_id, qlang, qsource, qmin
+  private val bm25MatchCompoundSql = bm25MatchSql(
+    """  SELECT CAST(query_id AS BIGINT) AS query_id, qlang, qsource, qmin
       |  FROM (VALUES (0, 'en', 'src1', 300), (1, 'de', 'src2', 250))
-      |    AS t(query_id, qlang, qsource, qmin)),
+      |    AS t(query_id, qlang, qsource, qmin)""".stripMargin,
+    """d.lang = qf.qlang AND d.source = qf.qsource
+      |   AND d.n_chars >= qf.qmin""".stripMargin)
+
+  /** The MATCH-oracle family's shared SQL: DuckDB derives the eligible
+    * (query, doc) pairs RELATIONALLY from the caller's query frame and
+    * join condition — the structurally-independent derivation the
+    * candidate-bound Spark plan must hash-match — then runs the
+    * identical per-query BM25 CTE chain.
+    */
+  private def bm25MatchSql(qfBody: String, joinCond: String): String =
+    s"""WITH qf AS (
+      |$qfBody),
       |allowedp AS (
       |  SELECT qf.query_id, d.doc_id
       |  FROM qf JOIN documents d
-      |    ON d.lang = qf.qlang AND d.source = qf.qsource
-      |   AND d.n_chars >= qf.qmin),
+      |    ON $joinCond),
       |toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
@@ -2803,93 +2827,58 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * lands before aggregation and the rank window.
     */
   def bm25MatchDisjunctive(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val qf = Seq((0L, "en", "src2"), (1L, "de", "src1"))
-      .toDF("query_id", "qlang", "qsource")
-    val mf = graft.ops.MatchFilter.of(qf, "query_id", docs, "doc_id",
+    bm25MatchedTopK(spark, dir,
+      Seq((0L, "en", "src2"), (1L, "de", "src1"))
+        .toDF("query_id", "qlang", "qsource"),
       Seq(graft.ops.MatchPair("qlang", "lang", orNext = true),
         graft.ops.MatchPair("qsource", "source")))
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
-    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
-    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
-    val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
-      count(lit(1)).cast("double").as("df"))
-    val qt = byTerm
-      .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
-      .filter(col("r") <= 6)
-      .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
-        col("term"), col("df"))
-    val contrib = tf.join(broadcast(qt), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(nDf))
-      .crossJoin(broadcast(totDf))
-      .withColumn("c",
-        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") / (col("total_toks") / col("n")))))
-    mf.keep(contrib, "doc_id")
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum(col("c")), 6).as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id")))
-        .cast("long"))
-      .filter(col("rank") <= 10)
-      .select("query_id", "doc_id", "score", "rank")
-      .orderBy("query_id", "rank")
   }
+
+  /** Per-query BM25 under a MIXED CNF MATCH — an OR clause whose
+    * alternatives mix an EQUALITY and a per-row COMPARISON, composed
+    * with an equality conjunct: `MATCH (qlang = lang OR qmin <=
+    * n_chars, qsource = source)` — "my language, or any document long
+    * enough; and always my source". This is the one grammar regime the
+    * compound (conjunct comparisons) and disjunctive (OR of
+    * equalities) oracles leave unpinned: a comparison INSIDE a
+    * disjunction. The fixture's length floors sit inside the corpus
+    * n_chars range, so each query's eligible set provably differs
+    * from both the lang-only and the floor-only branch. Same
+    * candidate-bound evaluation, no new join shape.
+    */
+  def bm25MatchCnf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25MatchedTopK(spark, dir,
+      Seq((0L, "en", 300L, "src2"), (1L, "de", 250L, "src1"))
+        .toDF("query_id", "qlang", "qmin", "qsource"),
+      Seq(graft.ops.MatchPair("qlang", "lang", orNext = true),
+        graft.ops.MatchPair("qmin", "n_chars", "<="),
+        graft.ops.MatchPair("qsource", "source")))
+  }
+
+  /** See [[bm25MatchCnf]]: DuckDB derives the mixed-CNF eligible pairs
+    * with `(lang-eq OR length-floor) AND source-eq` — parenthesized so
+    * the AND binds outside the disjunction, exactly the CNF the Spark
+    * side evaluates per candidate.
+    */
+  private val bm25MatchCnfSql = bm25MatchSql(
+    """  SELECT CAST(query_id AS BIGINT) AS query_id, qlang, qmin, qsource
+      |  FROM (VALUES (0, 'en', 300, 'src2'), (1, 'de', 250, 'src1'))
+      |    AS t(query_id, qlang, qmin, qsource)""".stripMargin,
+    """(d.lang = qf.qlang OR d.n_chars >= qf.qmin)
+      |   AND d.source = qf.qsource""".stripMargin)
 
   /** The disjunctive-MATCH oracle: the per-query BM25 CTEs with an
     * OR eligibility join — DuckDB derives the eligible pairs
     * relationally; the Spark side must produce identical rows from the
     * candidate-bound CNF evaluation.
     */
-  private val bm25MatchDisjunctiveSql =
-    """WITH qf AS (
-      |  SELECT CAST(query_id AS BIGINT) AS query_id, qlang, qsource
+  private val bm25MatchDisjunctiveSql = bm25MatchSql(
+    """  SELECT CAST(query_id AS BIGINT) AS query_id, qlang, qsource
       |  FROM (VALUES (0, 'en', 'src2'), (1, 'de', 'src1'))
-      |    AS t(query_id, qlang, qsource)),
-      |allowedp AS (
-      |  SELECT qf.query_id, d.doc_id
-      |  FROM qf JOIN documents d
-      |    ON d.lang = qf.qlang OR d.source = qf.qsource),
-      |toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-      |  FROM documents),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
-      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
-      |byterm AS (SELECT term, sum(tf) AS gtf, CAST(count(*) AS DOUBLE) AS df
-      |           FROM tf GROUP BY 1),
-      |qt AS (
-      |  SELECT CAST(floor((r - 1) / 3) AS BIGINT) AS query_id, term, df
-      |  FROM (SELECT term, df,
-      |               row_number() OVER (ORDER BY gtf DESC, term) AS r
-      |        FROM byterm)
-      |  WHERE r <= 6),
-      |contrib AS (
-      |  SELECT qt.query_id, tf.doc_id,
-      |         ln((n.n - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
-      |         (tf.tf * 2.2) /
-      |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.total_toks / n.n))) AS c
-      |  FROM tf JOIN qt USING (term)
-      |       JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot
-      |       JOIN allowedp ap ON ap.query_id = qt.query_id
-      |                       AND ap.doc_id = tf.doc_id)
-      |SELECT query_id, doc_id, score, rank FROM (
-      |  SELECT query_id, doc_id, score,
-      |         CAST(row_number() OVER (PARTITION BY query_id
-      |              ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-      |  FROM (SELECT query_id, doc_id, round(sum(c), 6) AS score
-      |        FROM contrib GROUP BY 1, 2))
-      |WHERE rank <= 10
-      |ORDER BY query_id, rank""".stripMargin
+      |    AS t(query_id, qlang, qsource)""".stripMargin,
+    "d.lang = qf.qlang OR d.source = qf.qsource")
 
   /** Recall gate for HYBRID FUSION — the `bm25_rescore_gate` discipline
     * one level up (VERDICT r15 #3): fusing two lists must never do
@@ -4957,6 +4946,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "hybrid_rrf_per_query_filtered" -> hybridRrfPerQueryFiltered _,
     "bm25_match_compound" -> bm25MatchCompound _,
     "bm25_match_disjunctive" -> bm25MatchDisjunctive _,
+    "bm25_match_cnf" -> bm25MatchCnf _,
     "hybrid_rrf_rescored" -> hybridRrfRescored _,
     "hybrid_rrf_snippets" -> hybridRrfSnippets _,
     "hybrid_recall_gate" -> hybridRecallGate _,
@@ -5327,6 +5317,7 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     "hybrid_rrf_per_query_filtered" -> hybridRrfPerQueryFilteredSql,
     "bm25_match_compound" -> bm25MatchCompoundSql,
     "bm25_match_disjunctive" -> bm25MatchDisjunctiveSql,
+    "bm25_match_cnf" -> bm25MatchCnfSql,
     "hybrid_rrf_rescored" -> hybridRrfRescoredSql,
     "hybrid_rrf_snippets" -> hybridRrfSnippetsSql,
     "hybrid_recall_gate" -> hybridRecallGateSql,
