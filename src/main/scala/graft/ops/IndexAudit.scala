@@ -155,6 +155,15 @@ object IndexAudit {
     * be an IN-FLIGHT rebuild's: detection cannot tell, reclaim can via
     * its grace period). Detection only, surfaced by `GRAFT VERIFY
     * DEEP`; [[vacuumModelGenerations]] reclaims.
+    *
+    * Detection tracks what reclaim will EVENTUALLY act on, so the
+    * operator loop `WARN → GRAFT MAINTAIN → clean` converges: an
+    * UNCOMMITTED claim with no shadow artifacts is a live retrain's
+    * allocation, permanently exempt from the vacuum (deleting it would
+    * re-open the same-generation collision) — reporting it would WARN
+    * forever with no remedy, so it is not residue. Every other
+    * unreferenced artifact reclaims immediately or once stale past the
+    * grace.
     */
   private[graft] def orphanGenArtifacts(spark: SparkSession,
                                         path: String): Seq[String] = {
@@ -172,8 +181,18 @@ object IndexAudit {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => genOf(n).exists(g => !referenced.contains(g)))
+      .map(_.getPath)
+      .flatMap(p => genOf(p.getName).collect {
+        case g if !referenced.contains(g) => g -> p
+      })
+      .groupBy(_._1).values.toSeq
+      .flatMap { pairs =>
+        val arts = pairs.map(_._2)
+        val claimOnly = arts.forall(p =>
+          GenClaimRe.pattern.matcher(p.getName).matches() &&
+            fs.getFileStatus(p).getLen == 0)
+        if (claimOnly) Seq.empty else arts.map(_.getName)
+      }
       .sorted
   }
 
@@ -186,23 +205,31 @@ object IndexAudit {
     * manifest). Deletion therefore follows the manifest table's own
     * retention discipline: collect the generation pointer of EVERY
     * retained lists version and delete only artifacts whose generation
-    * none references. Generations ABOVE the maximum retained one may
-    * be an IN-FLIGHT rebuild's shadow — those are reclaimed only past
-    * `shadowGraceMs` (a crashed rebuild's orphan goes quiet; a live
-    * one keeps writing), the staged-data vacuum's discipline, and the
-    * decision is PER GENERATION over ALL its artifacts together
-    * (ADVICE r18): a `_gen-N.claim`'s mtime never advances after
-    * creation and the shadow model dir lands only AFTER training, so
-    * a retrain longer than the grace would otherwise have its claim
-    * (its only on-disk artifact) deleted mid-flight — letting a third
-    * rebuild re-claim the same generation, the same-g collision
-    * [[IvfIndex.claimGen]] exists to prevent. A claim with NO shadow
-    * dir is therefore exempt (an empty marker file is harmless; it
-    * only skips a gen number), and a claim+shadow group is reclaimed
-    * only once its NEWEST artifact mtime is past the grace. A root
-    * with no committed lists version at all (crashed first build —
-    * VERDICT r18 next #5) follows the same above-maxRef rule for
-    * every on-disk generation. Returns the deleted artifact names.
+    * none references. An unreferenced generation may still be an
+    * IN-FLIGHT rebuild's — and commit order diverges from generation
+    * order under racing rebuilds (a slower retrain's gen can sit BELOW
+    * a faster winner's committed one), so position against the newest
+    * referenced generation cannot make the in-flight call. The claim's
+    * COMMIT MARK can ([[IvfIndex.markGenCommitted]]): a non-empty
+    * claim means that generation's rebuild finished its swap, nobody
+    * can still be training toward it — plain superseded residue,
+    * reclaimed immediately. A claimless generation below the newest
+    * referenced one is the same class (the first build's gen-0 model,
+    * pre-claim legacy). Everything else might be in flight and follows
+    * the grace discipline, PER GENERATION over ALL its artifacts
+    * together (ADVICE r18): a `_gen-N.claim`'s mtime never advances
+    * after creation and the shadow model dir lands only AFTER
+    * training, so a retrain longer than the grace would otherwise have
+    * its claim (its only on-disk artifact) deleted mid-flight. An
+    * uncommitted claim with NO shadow dir is therefore exempt (an
+    * empty marker file is harmless; it only skips a gen number), and a
+    * claim+shadow group is reclaimed only once its NEWEST artifact
+    * mtime is past `shadowGraceMs` (a crashed rebuild's orphan goes
+    * quiet; a live one keeps writing — the staged-data vacuum's
+    * discipline). A root with no committed lists version at all
+    * (crashed first build — VERDICT r18 next #5) follows the same
+    * rules for every on-disk generation. Returns the deleted artifact
+    * names.
     */
   private[graft] def vacuumModelGenerations(spark: SparkSession,
                                             path: String,
@@ -235,10 +262,22 @@ object IndexAudit {
         })
         .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2) }
     byGen.toSeq.sortBy(_._1).flatMap { case (g, arts) =>
+      val claims = arts.filter(isClaim)
       val reclaim =
-        if (g < maxRef) true // superseded past generation: no shadow risk
-        else if (shadowGraceMs <= 0) true // operator-forced reclaim
-        else arts.exists(!isClaim(_)) && // claim-only gen = pre-shadow retrain
+        if (shadowGraceMs <= 0) true // operator-forced reclaim
+        // non-empty claim = that rebuild COMMITTED its swap: nobody
+        // can still be training toward g — superseded residue
+        else if (claims.exists(p => fs.getFileStatus(p).getLen > 0)) true
+        // claimless below the newest referenced gen: the first build's
+        // gen-0 model (claims did not exist yet) — superseded residue.
+        // Claimless AT/ABOVE it might be a shadow mid-write whose claim
+        // hasn't been listed (or a planted future gen): grace decides.
+        else if (claims.isEmpty && g < maxRef) true
+        // uncommitted claim with no shadow = pre-shadow retrain: exempt
+        // at ANY generation position — a slower rebuild's gen sits
+        // below a faster winner's committed one, and deleting its
+        // claim mid-train kills the retrain it protects
+        else arts.exists(!isClaim(_)) &&
           arts.forall(p => newestMtime(p) <= now - shadowGraceMs)
       if (reclaim) arts.map { p => fs.delete(p, true); p.getName }
       else Seq.empty

@@ -80,6 +80,32 @@ object IvfIndex {
   private[graft] def genClaimPath(indexPath: String, g: Long): String =
     s"$indexPath/_gen-$g.claim"
 
+  /** Record that generation `g`'s rebuild COMMITTED by writing a byte
+    * into its claim marker (created empty by [[claimGen]]). The claim's
+    * content is the vacuum's lifecycle discriminator: an EMPTY claim
+    * marks a generation some rebuild may still be training toward —
+    * reclaim must wait out the grace — while a non-empty one marks a
+    * generation that finished its swap, so once retention drops its
+    * last referencing lists version it is plain superseded residue,
+    * reclaimable immediately (no in-flight holder can exist — the
+    * holder committed). Racing rebuilds make commit order diverge from
+    * generation order (`GRAFT MAINTAIN` runs concurrently with
+    * retrains), so position against the newest referenced generation
+    * alone cannot make this call. A crash between the lists commit and
+    * this marker write leaves the claim empty — benign: the generation
+    * is HEAD-referenced (not vacuum-eligible), and if later superseded
+    * it reclaims under the uncommitted grace discipline instead of
+    * immediately.
+    */
+  private[graft] def markGenCommitted(spark: SparkSession,
+                                      indexPath: String, g: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(genClaimPath(indexPath, g))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("committed".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
   /** Allocate a FRESH model generation with create-EXCLUSIVE semantics:
     * the `_gen-<g>.claim` marker is created atomically (`fs.create(…,
     * overwrite = false)`), probing upward from `floor + 1` past any
@@ -297,6 +323,7 @@ object IvfIndex {
           genClaimPath(indexPath, g)))
         throw e
     }
+    markGenCommitted(spark, indexPath, g)
     writeDef(spark, indexPath, corpusPath, d("idCol"), d("vecCol"))
     head
   }

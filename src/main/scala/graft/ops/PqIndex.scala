@@ -252,6 +252,7 @@ object PqIndex {
               IvfIndex.genClaimPath(indexPath, g)))
           throw e
       }
+      IvfIndex.markGenCommitted(spark, indexPath, g)
     }
     writeDef(spark, indexPath, corpusPath, d("idCol"), d("vecCol"))
     head

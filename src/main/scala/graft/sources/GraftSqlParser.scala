@@ -239,9 +239,17 @@ object GraftSqlParser {
     */
   private[graft] def parseMatchPairs(raw: String): Seq[graft.ops.MatchPair] =
     if (raw == null) Nil
-    else raw.split(",").toSeq.flatMap { clause =>
-      val alts = clause.split("(?i)\\s+OR\\s+").toSeq.map {
+    // split with limit -1: Java's default split DROPS trailing empty
+    // tokens, so `a = b OR ` (typo'd disjunction) or `a = b,` would
+    // silently parse as a plain conjunct list — the stricter AND where
+    // the user asked for OR. Keeping empties routes them to the
+    // malformed-spec error below: malformed fails at parse time.
+    else raw.split(",", -1).toSeq.flatMap { clause =>
+      val alts = clause.split("(?i)\\s+OR\\s+", -1).toSeq.map {
         case MatchPairRe(q, op, d) => graft.ops.MatchPair(q, d, op)
+        case part if part.trim.isEmpty => throw new IllegalArgumentException(
+          "MATCH: an empty clause or OR alternative (dangling OR or " +
+            s"comma?) in: ${raw.trim}")
         case part => throw new IllegalArgumentException(
           "MATCH needs (qcol = doccol [OR qcol2 <= doccol2 ...][, ...]) " +
             "— identifier OP identifier comparisons (OP: = != < <= > " +

@@ -192,7 +192,11 @@ object SearchRelations {
     */
   private val matchCountsCache =
     new LruCache[(String, Long, String), Option[DataFrame]](64,
-      onEvict = _.foreach(_.unpersist(false)))
+      // a frame evicted AFTER its owning session stopped (same-JVM
+      // restart) throws from unpersist — swallow it: the blocks died
+      // with the context, there is nothing left to release
+      onEvict = _.foreach(f => try f.unpersist(false)
+        catch { case _: Exception => () }))
 
   /** Retention ceiling (rows) for a cached per-value counts frame; an
     * operator can widen or tighten it per workload
@@ -254,9 +258,17 @@ object SearchRelations {
         // head again here could see a newer commit than the version
         // just keyed (racing writer), caching counts under a stale key
         val c = matchCountsCache.get(ck) match {
-          case Some(Some(counts)) => minJoin(counts)
+          // a cached frame is bound to the session that built it: after
+          // a same-JVM SparkSession restart the key (path + version)
+          // still hits but the plan targets a STOPPED context — treat
+          // it as a miss (the recompute's put replaces the dead entry,
+          // whose unpersist is a no-op under the eviction guard). The
+          // sibling caches hold plain Longs and stay session-free.
+          case Some(Some(counts))
+            if !counts.sparkSession.sparkContext.isStopped =>
+            minJoin(counts)
           case Some(None) => boundedMin() // known oversized — stay O(0) state
-          case None =>
+          case _ =>
             val counts = ManifestTable.readVersion(spark, srcPath, sv)
               .groupBy(matchCols.zipWithIndex.map { case (p, i) =>
                 col(p.dCol).as(s"_mv$i") }: _*)

@@ -514,4 +514,82 @@ class RebuildIndexSpec extends SparkSpec {
     assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
       .exists(_.getString(2) == "FAIL"))
   }
+
+  test("a slower rebuild's uncommitted generation BELOW a committed winner survives the vacuum; the commit mark reclaims superseded gens instantly") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)) // gen 0 committed and referenced
+    // a SLOW retrain claims gen 1 and is still training — the claim is
+    // its only artifact, aged past the grace (claim mtimes never move)
+    val claim1 = new java.io.File(s"$idx/_gen-1.claim")
+    java.nio.file.Files.createFile(claim1.toPath)
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    assert(claim1.setLastModified(old))
+    // an uncommitted claim-only allocation is NOT residue: the vacuum
+    // (by design) never reclaims it, so a WARN would never clear —
+    // detection must agree with reclaim or the operator loop
+    // WARN → MAINTAIN → clean wedges open
+    val res0 = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+      .find(_.getString(1) == "index_residue").get
+    assert(res0.getString(2) == "ok",
+      s"a live allocation must not WARN forever: ${res0.getString(3)}")
+    // a FASTER rebuild probes past the held claim and commits gen 2:
+    // the slow retrain's generation now sits BELOW the committed one —
+    // the regime where position-based vacuuming deleted it mid-train
+    IvfIndex.rebuild(spark, idx)
+    assert(IvfIndex.generation(spark, idx) == 2L,
+      "the winner must claim past the held generation")
+    graft.ops.IndexAudit.maintainIndex(spark, idx) // default 1 h grace
+    assert(claim1.exists,
+      "an uncommitted claim below the winner's committed generation " +
+        "is a live retrain's — deleting it mid-train kills the retrain " +
+        "the grace discipline protects")
+    // the slow retrain finishes: its shadow lands FRESH — still an
+    // in-flight group (it is about to learn its commit is refused)
+    val shadow1 = new java.io.File(s"$idx/_centroids-g1")
+    java.nio.file.Files.createDirectory(shadow1.toPath)
+    val part1 = new java.io.File(shadow1, "stale.bin")
+    java.nio.file.Files.write(part1.toPath, Array[Byte](1))
+    graft.ops.IndexAudit.maintainIndex(spark, idx)
+    assert(claim1.exists && shadow1.exists,
+      "a fresh shadow below the committed generation is protected too")
+    // it crashed before its (refused) commit: once the WHOLE group is
+    // stale it reclaims — crashed residue, not in-flight work
+    assert(part1.setLastModified(old) && shadow1.setLastModified(old))
+    graft.ops.IndexAudit.maintainIndex(spark, idx)
+    assert(!claim1.exists && !shadow1.exists,
+      "a stale uncommitted claim+shadow group below maxRef is residue")
+    // the WINNER's claim carries the commit mark: once retention drops
+    // its lists versions, the superseded generation reclaims
+    // IMMEDIATELY even with fresh mtimes — committed means nobody is
+    // still training toward it
+    ManifestTable.append(spark, corpus,
+      Seq((500L, clustered(1, 3).head._2)).toDF("vec_id", "embedding"),
+      "vec_id")
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding"))
+    IvfIndex.rebuild(spark, idx)
+    assert(IvfIndex.generation(spark, idx) == 3L)
+    graft.ops.IndexAudit.maintainIndex(spark, idx,
+      maxVersions = 1, keepVersions = 1) // default grace — no forcing
+    assert(!new java.io.File(s"$idx/_centroids-g2").exists &&
+      !new java.io.File(s"$idx/_gen-2.claim").exists,
+      "a superseded COMMITTED generation reclaims without waiting out " +
+        "the grace — its claim is marked at commit")
+    assert(new java.io.File(s"$idx/_centroids-g3").exists &&
+      new java.io.File(s"$idx/_gen-3.claim").exists,
+      "the live generation and its claim survive")
+    // the index answers, audits residue-free, and has no FAILs
+    val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 2)
+    assert(IvfIndex.search(spark, idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 2, queryBound = 2L).count() > 0)
+    // the GENERATION ledger is clean (fresh retention-trimmed staged
+    // dirs may still WARN until their own grace passes — that half is
+    // the staged vacuum's, not this lifecycle's)
+    assert(graft.ops.IndexAudit.orphanGenArtifacts(spark, idx).isEmpty,
+      "no unreferenced generation artifact may survive")
+    assert(!spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+      .exists(_.getString(2) == "FAIL"))
+  }
 }

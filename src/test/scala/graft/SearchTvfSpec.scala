@@ -1492,6 +1492,18 @@ class SearchTvfSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("MATCH"),
       s"trailing OR must fail loudly at parse: ${bad.getMessage}")
+    // the whitespace/comma variants must not silently DEGRADE either:
+    // Java's default split drops trailing empty tokens, so a typo'd
+    // `OR ,` once parsed as a plain CONJUNCT list — the stricter AND
+    // where the user asked for OR — with no error at all
+    for (spec <- Seq("qlang = lang OR , qcat = cat", "qlang = lang,")) {
+      val e = intercept[Exception] {
+        spark.sql(s"GRAFT SEARCH TEXT '$idx' TERMS COLUMN qterms " +
+          s"FROM '$qtab' TOP 8 MATCH ($spec)").collect()
+      }
+      assert(e.getMessage.contains("MATCH"),
+        s"'$spec' must fail loudly at parse: ${e.getMessage}")
+    }
   }
 
   test("split MATCH-selectivity cache: a NEW query batch plans with ZERO corpus scans — per-value counts amortize per corpus snapshot (VERDICT r18 #1)") {
