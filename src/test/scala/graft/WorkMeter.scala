@@ -145,11 +145,32 @@ object WorkMeter {
     * handful of persisted count rows, a regression re-reads the whole
     * corpus). Attribution and quiet-wait as in [[measure]].
     */
-  def inputRecords(spark: SparkSession)(run: => Unit): Long = {
+  def inputRecords(spark: SparkSession)(run: => Unit): Long =
+    taskMetricSums(spark, "inputmeter",
+      Seq(_.inputMetrics.recordsRead))(run).head
+
+  def measure(spark: SparkSession)(run: => Unit): Work = {
+    val sums = taskMetricSums(spark, "workmeter",
+      Seq(_.shuffleReadMetrics.recordsRead,
+        _.shuffleWriteMetrics.recordsWritten))(run)
+    Work(sums(0), sums(1))
+  }
+
+  /** The task-metric meters' shared scaffold: tag the measured thread's
+    * jobs with a unique group, map the group to its stage ids at
+    * job-start, sum each of `fields` over the task metrics of exactly
+    * those stages, and poll the async bus until every sum goes quiet
+    * (two identical reads 100 ms apart, bounded at 30 s). One code
+    * path, so an attribution or quiet-wait fix can never skew one
+    * meter and not the other.
+    */
+  private def taskMetricSums(spark: SparkSession, desc: String,
+      fields: Seq[org.apache.spark.executor.TaskMetrics => Long])
+      (run: => Unit): Seq[Long] = {
     val sc = spark.sparkContext
-    val group = s"graft-inputmeter-${java.util.UUID.randomUUID()}"
+    val group = s"graft-$desc-${java.util.UUID.randomUUID()}"
     val stages = ConcurrentHashMap.newKeySet[Int]()
-    val read = new LongAdder
+    val sums = fields.map(_ => new LongAdder)
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         if (j.properties != null &&
@@ -157,59 +178,23 @@ object WorkMeter {
           j.stageIds.foreach(stages.add(_))
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (stages.contains(t.stageId) && t.taskMetrics != null)
-          read.add(t.taskMetrics.inputMetrics.recordsRead)
+          fields.lazyZip(sums).foreach((f, s) => s.add(f(t.taskMetrics)))
     }
     sc.addSparkListener(listener)
-    sc.setJobGroup(group, "graft input measurement", interruptOnCancel = false)
+    sc.setJobGroup(group, s"graft $desc", interruptOnCancel = false)
     try {
       run
+      // quiet-wait: all jobs are done once `run` returns; give the
+      // async bus until the counters stop moving
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var last = -1L
-      var cur = read.sum()
+      var last: Seq[Long] = null
+      var cur = sums.map(_.sum())
       while (cur != last && System.nanoTime() < deadline) {
         last = cur
         Thread.sleep(100)
-        cur = read.sum()
+        cur = sums.map(_.sum())
       }
       cur
-    } finally {
-      sc.clearJobGroup()
-      sc.removeSparkListener(listener)
-    }
-  }
-
-  def measure(spark: SparkSession)(run: => Unit): Work = {
-    val sc = spark.sparkContext
-    val group = s"graft-workmeter-${java.util.UUID.randomUUID()}"
-    val stages = ConcurrentHashMap.newKeySet[Int]()
-    val read = new LongAdder
-    val written = new LongAdder
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (j.properties != null &&
-            group == j.properties.getProperty("spark.jobGroup.id"))
-          j.stageIds.foreach(stages.add(_))
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (stages.contains(t.stageId) && t.taskMetrics != null) {
-          read.add(t.taskMetrics.shuffleReadMetrics.recordsRead)
-          written.add(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
-        }
-    }
-    sc.addSparkListener(listener)
-    sc.setJobGroup(group, "graft work measurement", interruptOnCancel = false)
-    try {
-      run
-      // quiet-wait: all jobs are done once `run` returns; give the async
-      // bus until the counters stop moving (bounded at 30 s)
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var last = (-1L, -1L)
-      var cur = (read.sum(), written.sum())
-      while (cur != last && System.nanoTime() < deadline) {
-        last = cur
-        Thread.sleep(100)
-        cur = (read.sum(), written.sum())
-      }
-      Work(cur._1, cur._2)
     } finally {
       sc.clearJobGroup()
       sc.removeSparkListener(listener)
