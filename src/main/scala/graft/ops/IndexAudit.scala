@@ -159,11 +159,12 @@ object IndexAudit {
     * Detection tracks what reclaim will EVENTUALLY act on, so the
     * operator loop `WARN → GRAFT MAINTAIN → clean` converges: an
     * UNCOMMITTED claim with no shadow artifacts is a live retrain's
-    * allocation, permanently exempt from the vacuum (deleting it would
-    * re-open the same-generation collision) — reporting it would WARN
-    * forever with no remedy, so it is not residue. Every other
-    * unreferenced artifact reclaims immediately or once stale past the
-    * grace.
+    * allocation, exempt from the vacuum until the claim TTL
+    * ([[ClaimTtlMs]] — deleting it sooner would re-open the
+    * same-generation collision) — reporting it before the TTL would
+    * WARN with no clearing remedy, so a younger one is not residue.
+    * Every other unreferenced artifact reclaims immediately or once
+    * stale past its bound.
     */
   private[graft] def orphanGenArtifacts(spark: SparkSession,
                                         path: String): Seq[String] = {
@@ -180,18 +181,22 @@ object IndexAudit {
     // `index_residue: ok` — exactly the class the check exists for.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    // read the listing's own FileStatus — no re-stat RPC, no crash
+    // window against a concurrent reclaim deleting the file in between
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .map(_.getPath)
-      .flatMap(p => genOf(p.getName).collect {
-        case g if !referenced.contains(g) => g -> p
+      .flatMap(st => genOf(st.getPath.getName).collect {
+        case g if !referenced.contains(g) => g -> st
       })
       .groupBy(_._1).values.toSeq
       .flatMap { pairs =>
         val arts = pairs.map(_._2)
-        val claimOnly = arts.forall(p =>
-          GenClaimRe.pattern.matcher(p.getName).matches() &&
-            fs.getFileStatus(p).getLen == 0)
-        if (claimOnly) Seq.empty else arts.map(_.getName)
+        val liveAllocation = arts.forall(st =>
+          GenClaimRe.pattern.matcher(st.getPath.getName).matches() &&
+            st.getLen == 0 &&
+            st.getModificationTime > now - ClaimTtlMs)
+        if (liveAllocation) Seq.empty
+        else arts.map(_.getPath.getName)
       }
       .sorted
   }
@@ -221,15 +226,21 @@ object IndexAudit {
     * after creation and the shadow model dir lands only AFTER
     * training, so a retrain longer than the grace would otherwise have
     * its claim (its only on-disk artifact) deleted mid-flight. An
-    * uncommitted claim with NO shadow dir is therefore exempt (an
-    * empty marker file is harmless; it only skips a gen number), and a
+    * uncommitted claim with NO shadow dir is therefore exempt until
+    * the much larger [[ClaimTtlMs]] (bounding the leak a crash-looping
+    * pre-shadow retrain would otherwise accumulate), and a
     * claim+shadow group is reclaimed only once its NEWEST artifact
     * mtime is past `shadowGraceMs` (a crashed rebuild's orphan goes
     * quiet; a live one keeps writing — the staged-data vacuum's
-    * discipline). A root with no committed lists version at all
-    * (crashed first build — VERDICT r18 next #5) follows the same
-    * rules for every on-disk generation. Returns the deleted artifact
-    * names.
+    * discipline). The committed fast path carries a `g < maxRef`
+    * guard: commits are monotonic, so a committed-looking generation
+    * AT/ABOVE the newest referenced one means the commit landed after
+    * the referenced set was read (a retrain finishing mid-vacuum,
+    * head-referenced by now) — reclaiming it would delete the live
+    * head model; it waits for the next pass instead. A root with no
+    * committed lists version at all (crashed first build — VERDICT
+    * r18 next #5) follows the same rules for every on-disk
+    * generation. Returns the deleted artifact names.
     */
   private[graft] def vacuumModelGenerations(spark: SparkSession,
                                             path: String,
@@ -244,30 +255,44 @@ object IndexAudit {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val now = System.currentTimeMillis()
-    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
-      val st = fs.getFileStatus(p)
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
       if (!st.isDirectory) st.getModificationTime
-      else fs.listStatus(p).foldLeft(st.getModificationTime) { (acc, c) =>
-        math.max(acc,
-          if (c.isDirectory) newestMtime(c.getPath) else c.getModificationTime)
+      else {
+        // a subtree vanishing mid-walk (concurrent cleanupShadow /
+        // racing MAINTAIN) must not abort the vacuum: the parent's
+        // own mtime stands for the gone children
+        val children = try fs.listStatus(st.getPath).toSeq catch {
+          case _: java.io.FileNotFoundException => Seq.empty
+        }
+        children.foldLeft(st.getModificationTime)(
+          (acc, c) => math.max(acc, newestMtime(c)))
       }
-    }
     def isClaim(p: org.apache.hadoop.fs.Path): Boolean =
       GenClaimRe.pattern.matcher(p.getName).matches()
-    val byGen: Map[Long, Seq[org.apache.hadoop.fs.Path]] =
+    // decisions read the FileStatus the listing already returned — a
+    // re-stat would add an RPC per artifact AND a crash window when a
+    // concurrent cleanup deletes the file between list and stat
+    val byGen: Map[Long, Seq[org.apache.hadoop.fs.FileStatus]] =
       fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-        .map(_.getPath)
-        .flatMap(p => genOf(p.getName).collect {
-          case g if !referenced.contains(g) => g -> p
+        .flatMap(st => genOf(st.getPath.getName).collect {
+          case g if !referenced.contains(g) => g -> st
         })
         .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2) }
     byGen.toSeq.sortBy(_._1).flatMap { case (g, arts) =>
-      val claims = arts.filter(isClaim)
+      val claims = arts.filter(st => isClaim(st.getPath))
+      val claimOnly = claims.nonEmpty && claims.size == arts.size
       val reclaim =
         if (shadowGraceMs <= 0) true // operator-forced reclaim
-        // non-empty claim = that rebuild COMMITTED its swap: nobody
-        // can still be training toward g — superseded residue
-        else if (claims.exists(p => fs.getFileStatus(p).getLen > 0)) true
+        // non-empty claim = that rebuild COMMITTED its swap: nobody can
+        // still be training toward g — superseded residue. The g <
+        // maxRef guard makes the fast path race-safe: commits are
+        // monotonic (expectTxn), so a TRULY superseded committed gen
+        // always sits below the newest referenced one; a committed
+        // claim AT/ABOVE maxRef means the commit landed AFTER the
+        // referenced set was read (a retrain finishing mid-vacuum — its
+        // gen is head-referenced by now) or a RESTORE abandoned it —
+        // both fall through to the grace discipline below
+        else if (claims.exists(_.getLen > 0) && g < maxRef) true
         // claimless below the newest referenced gen: the first build's
         // gen-0 model (claims did not exist yet) — superseded residue.
         // Claimless AT/ABOVE it might be a shadow mid-write whose claim
@@ -275,14 +300,30 @@ object IndexAudit {
         else if (claims.isEmpty && g < maxRef) true
         // uncommitted claim with no shadow = pre-shadow retrain: exempt
         // at ANY generation position — a slower rebuild's gen sits
-        // below a faster winner's committed one, and deleting its
-        // claim mid-train kills the retrain it protects
-        else arts.exists(!isClaim(_)) &&
-          arts.forall(p => newestMtime(p) <= now - shadowGraceMs)
-      if (reclaim) arts.map { p => fs.delete(p, true); p.getName }
+        // below a faster winner's committed one, and deleting its claim
+        // mid-train kills the retrain it protects. The exemption is
+        // bounded by the claim TTL so a crash-looping retrain (claim,
+        // die pre-shadow, repeat) cannot grow the root forever
+        else if (claimOnly)
+          arts.forall(_.getModificationTime <= now - ClaimTtlMs)
+        else arts.exists(st => !isClaim(st.getPath)) &&
+          arts.forall(st => newestMtime(st) <= now - shadowGraceMs)
+      if (reclaim) arts.map { st =>
+        fs.delete(st.getPath, true); st.getPath.getName
+      }
       else Seq.empty
     }
   }
+
+  /** Reclaim (and residue-report) bound for UNCOMMITTED claim-only
+    * generations: a live retrain's claim is its only artifact and its
+    * mtime never advances, so the shadow grace cannot judge it — but a
+    * permanent exemption would let a crash-looping retrain (claim a
+    * gen, die before the shadow lands, repeat) grow the index root
+    * unboundedly with no operator remedy. A week outlasts any
+    * plausible retrain; `shadowGraceMs <= 0` still force-reclaims.
+    */
+  private[graft] val ClaimTtlMs: Long = 7L * 24 * 3600 * 1000
 
   /** `GRAFT MAINTAIN` for an index root: the refresh runs FIRST (folds
     * the corpus delta through the kind's sync — frozen models,

@@ -193,10 +193,11 @@ object SearchRelations {
   private val matchCountsCache =
     new LruCache[(String, Long, String), Option[DataFrame]](64,
       // a frame evicted AFTER its owning session stopped (same-JVM
-      // restart) throws from unpersist — swallow it: the blocks died
-      // with the context, there is nothing left to release
-      onEvict = _.foreach(f => try f.unpersist(false)
-        catch { case _: Exception => () }))
+      // restart) has nothing left to release — its blocks died with
+      // the context, and unpersist would throw. A LIVE frame's
+      // unpersist failures stay visible (no blanket catch).
+      onEvict = _.foreach(f =>
+        if (!f.sparkSession.sparkContext.isStopped) f.unpersist(false)))
 
   /** Retention ceiling (rows) for a cached per-value counts frame; an
     * operator can widen or tighten it per workload

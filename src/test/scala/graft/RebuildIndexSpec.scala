@@ -515,6 +515,47 @@ class RebuildIndexSpec extends SparkSpec {
       .exists(_.getString(2) == "FAIL"))
   }
 
+  test("a crash-looping retrain's claim-only generations reclaim past the claim TTL; a commit racing the vacuum's snapshot is never reclaimed") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4)) // gen 0 committed and referenced
+    // a retrain that crash-loops BEFORE its shadow lands leaks one
+    // claim per attempt; the claim TTL bounds the leak — a week-old
+    // claim is residue (no plausible retrain), a fresh one is not
+    val leaked = new java.io.File(s"$idx/_gen-1.claim")
+    java.nio.file.Files.createFile(leaked.toPath)
+    assert(leaked.setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    def residue() = spark.sql(s"GRAFT VERIFY '$idx' DEEP").collect()
+      .find(_.getString(1) == "index_residue").get
+    assert(residue().getString(2) == "WARN" &&
+      residue().getString(3).contains("_gen-1.claim"),
+      s"a TTL-expired claim is residue: ${residue().getString(3)}")
+    graft.ops.IndexAudit.maintainIndex(spark, idx) // default grace
+    assert(!leaked.exists,
+      "a TTL-expired claim-only generation reclaims at default grace")
+    assert(residue().getString(2) == "ok",
+      s"the operator loop converges: ${residue().getString(3)}")
+    // a generation whose claim reads COMMITTED but sits ABOVE the
+    // newest referenced one is a retrain that finished AFTER the
+    // vacuum snapshotted its referenced set (it is head-referenced by
+    // now) — the fast path must NOT touch it, fresh or not
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "_gen-5.claim"),
+      "committed".getBytes("UTF-8"))
+    val racedDir = new java.io.File(s"$idx/_centroids-g5")
+    java.nio.file.Files.createDirectory(racedDir.toPath)
+    java.nio.file.Files.write(racedDir.toPath.resolve("model.bin"),
+      Array[Byte](1))
+    graft.ops.IndexAudit.maintainIndex(spark, idx) // default grace
+    assert(new java.io.File(s"$idx/_gen-5.claim").exists &&
+      racedDir.exists,
+      "a committed claim above maxRef is a mid-vacuum commit race — " +
+        "reclaiming it would delete the live head model")
+  }
+
   test("a slower rebuild's uncommitted generation BELOW a committed winner survives the vacuum; the commit mark reclaims superseded gens instantly") {
     val corpus = tmp(); val idx = tmp()
     ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
