@@ -373,6 +373,58 @@ class RebuildIndexSpec extends SparkSpec {
       .exists(_.getString(2) == "FAIL"))
   }
 
+  test("GRAFT MAINTAIN racing a rebuild's training window: the in-flight claim below the winner's committed generation survives; the winner's model is untouched") {
+    val corpus = tmp(); val idx = tmp()
+    ManifestTable.write(clustered(80, 3).toDF("vec_id", "embedding"),
+      corpus, "vec_id", 2)
+    assert(IvfIndex.sync(spark, idx, corpus, "vec_id", "embedding",
+      k = 4, nBuckets = 4))
+    // the outer (slow) rebuild claims gen 1, then INSIDE its window:
+    // (a) a fast rebuild claim-probes past it to gen 2, commits, and
+    //     marks its claim committed;
+    // (b) GRAFT MAINTAIN runs at the default grace — the retired
+    //     position-based vacuum saw gen 1 unreferenced BELOW maxRef=2
+    //     and deleted the slow rebuild's claim mid-train, exactly the
+    //     collision window claimGen exists to close
+    var fired = false
+    var claimSurvivedMaintain = false
+    val e = intercept[IllegalStateException] {
+      Bm25Index.withSyncMidHook(() => if (!fired) { fired = true
+        assert(spark.sql(s"GRAFT REBUILD INDEX '$idx'").collect()
+          .head.getString(1) == "rebuild_index")
+        graft.ops.IndexAudit.maintainIndex(spark, idx) // default grace
+        claimSurvivedMaintain =
+          new java.io.File(IvfIndex.genClaimPath(idx, 1L)).exists
+      }) {
+        IvfIndex.rebuild(spark, idx)
+      }
+    }
+    assert(fired, "the inner rebuild + maintain must run inside the window")
+    assert(e.getMessage.contains("racing rebuild"),
+      s"the outer rebuild must refuse loudly: ${e.getMessage}")
+    assert(claimSurvivedMaintain,
+      "MAINTAIN inside the window must NOT delete the in-flight claim " +
+        "sitting below the winner's committed generation — commit order " +
+        "diverges from generation order under racing rebuilds")
+    // the winner's committed model survived both the mid-window
+    // MAINTAIN and the loser's refusal cleanup
+    assert(IvfIndex.generation(spark, idx) == 2L)
+    assert(new java.io.File(IvfIndex.centroidsDirAt(idx, 2L)).exists,
+      "the committed model dir must survive")
+    // the loser's refusal cleanup reclaimed its OWN artifacts — the
+    // generation ledger is clean without any vacuum forcing
+    assert(!new java.io.File(IvfIndex.centroidsDirAt(idx, 1L)).exists &&
+      !new java.io.File(IvfIndex.genClaimPath(idx, 1L)).exists,
+      "the loser's shadow and claim go with its refusal")
+    assert(graft.ops.IndexAudit.orphanGenArtifacts(spark, idx).isEmpty,
+      "no unreferenced generation artifact remains")
+    val q = ManifestTable.read(spark, corpus).filter($"vec_id" < 3)
+    assert(IvfIndex.search(spark, idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 2, queryBound = 3L).count() > 0)
+    assert(!spark.sql(s"GRAFT VERIFY '$idx'").collect()
+      .exists(_.getString(2) == "FAIL"))
+  }
+
   test("VERIFY DEEP surfaces rebuild residue (orphan staged dirs + unreferenced generations); MAINTAIN reclaims; DEEP clean (VERDICT r17 #6)") {
     val corpus = tmp(); val idx = tmp()
     ManifestTable.write(clustered(60, 3).toDF("vec_id", "embedding"),
