@@ -526,18 +526,19 @@ object ExtendedQueries {
        |            ELSE 'test' END AS split
        |FROM comp ORDER BY doc_id""".stripMargin
 
-  /** One-pass table profiler (ANALYZE-style): per column, null count,
-    * EXACT distinct count, and min/max rendered portably per type
-    * (longs as-is, doubles through DECIMAL(28,4) so both engines pad
+  /** Table profiler (ANALYZE-style): per column, null count, EXACT
+    * distinct count, and min/max rendered portably per type (longs
+    * as-is, doubles through DECIMAL(28,4) so both engines pad
     * identically, timestamps second-formatted, strings binary-collated
-    * on both engines). All 24 aggregates run in ONE scan — Spark plans
-    * the multi-distinct agg with Expand (row ×6, one per distinct
-    * column), which is the single-pass trade every profiler makes; at
-    * 100 TB you would swap `countDistinct` for HLL sketches per column
+    * on both engines). One column-pruned aggregation leg PER COLUMN,
+    * unioned — each leg's scan reads only its own parquet column chunk
+    * and pre-aggregates distinct values map-side, and the independent
+    * legs run concurrently; the fused multi-distinct alternative plans
+    * an Expand that multiplies every scanned row ×(columns+1) through
+    * one serial pipeline before the first shuffle. At 100 TB you would
+    * swap `countDistinct` for HLL sketches per column
     * (`cardinality_sketch` is that path) and keep this exact version
-    * for the oracle-checkable core. The per-column unpivot is a
-    * `stack` over the one aggregated row — driver-sized, not a
-    * shuffle.
+    * for the oracle-checkable core.
     */
   private val ProfileCols: Seq[(String, String)] = Seq(
     "o_orderkey" -> "long", "o_custkey" -> "long",
@@ -552,17 +553,28 @@ object ExtendedQueries {
       case "ts"   => date_format(c, "yyyy-MM-dd HH:mm:ss")
       case _      => c
     }
-    val aggs = ProfileCols.flatMap { case (c, kind) => Seq(
-      count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      render(min(col(c)), kind).as(s"mn_$c"),
-      render(max(col(c)), kind).as(s"mx_$c"))
+    // ONE aggregation PER COLUMN, unioned — not one 25-aggregate
+    // multi-distinct. The fused form planned an Expand (row ×7: one
+    // copy per distinct column + the plain leg) feeding a single
+    // hash-aggregate whose input was every column at once — 7× the
+    // scanned rows through one serial pipeline (r19 opt: 3.4 s of task
+    // time in ONE scan task at sf0.1). Per-column aggs read only their
+    // own column (parquet column pruning per leg), pre-aggregate
+    // distinct values map-side with a 1-column key, and the 7
+    // independent legs run CONCURRENTLY under AQE — same exact
+    // aggregates, no row multiply before the shuffle (guide §2.3/§2.6).
+    val nRows = df.agg(count(lit(1)).as("n_rows"))
+    val perCol = ProfileCols.map { case (c, kind) =>
+      df.agg(
+          count(col(c)).as("n_non_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          render(min(col(c)), kind).as("min_val"),
+          render(max(col(c)), kind).as("max_val"))
+        .select(lit(c).as("col_name"), col("n_non_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
     }
-    val g = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stacked = ProfileCols.map { case (c, _) =>
-      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c" }.mkString(", ")
-    g.selectExpr("n_rows", s"stack(${ProfileCols.size}, $stacked) " +
-        "as (col_name, n_non_null, n_distinct, min_val, max_val)")
+    perCol.reduce(_ unionByName _)
+      .crossJoin(broadcast(nRows))
       .select(col("col_name"), col("n_rows"),
         (col("n_rows") - col("n_non_null")).as("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
@@ -606,18 +618,22 @@ object ExtendedQueries {
     */
   def tableProfileSketch(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.orders(spark, dir)
-    val aggs = ProfileCols.flatMap { case (c, _) => Seq(
-      count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      approx_count_distinct(col(c)).as(s"na_$c"))
+    // per-column legs for the same reason as [[tableProfile]] (r19 opt;
+    // the fused Expand form paid 9.6 s of serial task time at sf0.1 —
+    // the HLL register updates ran on the ×7-multiplied rows too)
+    val nRows = df.agg(count(lit(1)).as("n_rows"))
+    val perCol = ProfileCols.map { case (c, _) =>
+      df.agg(
+          count(col(c)).as("n_non_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          approx_count_distinct(col(c)).as("n_approx"))
+        .select(lit(c).as("col_name"), col("n_non_null"),
+          col("n_distinct"), col("n_approx"))
     }
-    val g = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stacked = ProfileCols.map { case (c, _) =>
-      s"'$c', nn_$c, nd_$c, na_$c" }.mkString(", ")
-    g.selectExpr("n_rows", s"stack(${ProfileCols.size}, $stacked) " +
-        "as (col_name, n_non_null, n_distinct, n_approx)")
+    perCol.reduce(_ unionByName _)
       .filter(abs(col("n_approx") - col("n_distinct"))
         <= col("n_distinct") * 0.15)
+      .crossJoin(broadcast(nRows))
       .select(col("col_name"), col("n_rows"),
         (col("n_rows") - col("n_non_null")).as("n_nulls"),
         col("n_distinct"), lit(true).as("approx_within_3sigma"))

@@ -1,0 +1,38 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dumps `explain("formatted")` of the named bench queries to
+  * `<outDir>/<query>_<suffix>.txt` — the per-change before/after plan
+  * evidence (`plans/r19/…`). DumpPlans regenerates the whole PLANS.md
+  * artifact; this writes one file per query so a change's plan diff is
+  * reviewable in isolation.
+  *
+  * Usage: sbt "runMain graft.tools.DumpOne <suffix> <outDir> <q1> [q2 ...]"
+  */
+object DumpOne {
+  def main(args: Array[String]): Unit = {
+    val suffix = args(0)
+    val outDir = args(1)
+    val names = args.drop(2)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      val df = SparkEntry.benchQueries(name)(spark, "/root/testdata/sf0.01")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val p = Paths.get(outDir, s"${name}_$suffix.txt")
+      Files.writeString(p, plan)
+      println(s"wrote $p")
+    }
+    spark.stop()
+  }
+}
