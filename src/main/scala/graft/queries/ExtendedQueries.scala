@@ -2928,19 +2928,33 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
         k = 20, roundTo = Some(6), queryBound = 1L)
       .select(lit(0L).as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank_vec"))
-    val fused = graft.sources.SearchRelations.fuseRrfKeyed(
-      tRank, vRank, k = 10)
-    val gold = tRank.filter(col("rank_text") <= 10).select("doc_id")
-      .union(vRank.filter(col("rank_vec") <= 10).select("doc_id"))
-      .distinct()
-    val nGold = gold.agg(count(lit(1)).cast("double").as("n_gold"))
-    val hitsT = tRank.filter(col("rank_text") <= 10).select("doc_id")
-      .join(gold, "doc_id").agg(count(lit(1)).cast("double").as("hits_t"))
-    val hitsV = vRank.filter(col("rank_vec") <= 10).select("doc_id")
-      .join(gold, "doc_id").agg(count(lit(1)).cast("double").as("hits_v"))
-    val hitsF = fused.select("doc_id")
-      .join(gold, "doc_id").agg(count(lit(1)).cast("double").as("hits_f"))
-    hitsF.crossJoin(hitsT).crossJoin(hitsV).crossJoin(nGold)
+    // gold membership, the fused top-10, and the three hit counts all
+    // derive from ONE full-outer join of the two ≤20-row rank lists —
+    // the prior shape rebuilt that join inside fuseRrfKeyed, built gold
+    // as a union+distinct, and intersected four frames with joins and
+    // 1-row crossjoins (~30 tiny AQE stages; r19 opt: 2.2 s wall, 30
+    // jobs). The rrf expression and its rank window are kept literally
+    // identical to [[graft.sources.SearchRelations.fuseRrfKeyed]]
+    // (k=10, rrfK=60) so the fused set is provably the same; results
+    // bit-identical, oracle re-verified (guide §2.4).
+    val joined = tRank.join(vRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6))
+      .withColumn("rf", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("rrf"), col("doc_id"))))
+      .withColumn("g",
+        coalesce(col("rank_text") <= 10, lit(false)) ||
+          coalesce(col("rank_vec") <= 10, lit(false)))
+    joined.agg(
+        count(when(col("g"), 1)).cast("double").as("n_gold"),
+        count(when(col("g") && col("rank_text") <= 10, 1))
+          .cast("double").as("hits_t"),
+        count(when(col("g") && col("rank_vec") <= 10, 1))
+          .cast("double").as("hits_v"),
+        count(when(col("g") && col("rf") <= 10, 1))
+          .cast("double").as("hits_f"))
       .select(col("n_gold").cast("long").as("n_gold"),
         round(col("hits_t") / col("n_gold"), 6).as("recall_text_r"),
         round(col("hits_v") / col("n_gold"), 6).as("recall_vec_r"),
@@ -3033,23 +3047,35 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     * rounded recalls) is exact, mirrored CTE-for-CTE by the oracle.
     */
   def bm25RescoreGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (cands, qterms) = bm25Parts(spark, dir)
     val docs = Tables.documents(spark, dir)
     val all20 = graft.ops.Bm25Index.proximityRescore(
       cands, docs, qterms, "doc_id", "text", topK = 20, candBound = 20L,
       qArity = 3)
-    val gold = all20.orderBy(desc("matched_terms"), col("span"), col("doc_id"))
-      .limit(10).select("doc_id")
-    val re10 = all20.orderBy(desc("rescored"), col("doc_id"))
-      .limit(10).select("doc_id")
-    val bm10 = cands.orderBy(desc("score"), col("doc_id"))
-      .limit(10).select("doc_id")
-    val m = re10.join(gold, "doc_id")
-      .agg(count(lit(1)).cast("double").as("hits_re"))
-      .crossJoin(bm10.join(gold, "doc_id")
-        .agg(count(lit(1)).cast("double").as("hits_bm")))
-      .crossJoin(gold.agg(count(lit(1)).cast("double").as("n_gold")))
-    m.select(col("n_gold").cast("long").as("n_gold"),
+    // gold / re10 / bm10 were three orderBy+limit frames intersected
+    // with joins and 1-row crossjoins — ~30 tiny AQE stages over a
+    // ≤20-row frame (r19 opt: 2.7 s wall, 21 jobs). The same sets are
+    // three rank windows over ONE single-partition frame (the frame is
+    // candidate-bound — ≤ topK rows at ANY corpus size) and the
+    // intersections one aggregation; results bit-identical, oracle
+    // re-verified (guide §2.4). `score` rides in from `cands` (the
+    // rescore output drops it), whose subplan AQE dedupes against
+    // stage 1's.
+    val ranked = all20.join(cands.select("doc_id", "score"), "doc_id")
+      .withColumn("rg", row_number().over(
+        Window.orderBy(desc("matched_terms"), col("span"), col("doc_id"))))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(desc("rescored"), col("doc_id"))))
+      .withColumn("rb", row_number().over(
+        Window.orderBy(desc("score"), col("doc_id"))))
+    ranked.agg(
+        count(when(col("rg") <= 10, 1)).cast("double").as("n_gold"),
+        count(when(col("rr") <= 10 && col("rg") <= 10, 1))
+          .cast("double").as("hits_re"),
+        count(when(col("rb") <= 10 && col("rg") <= 10, 1))
+          .cast("double").as("hits_bm"))
+      .select(col("n_gold").cast("long").as("n_gold"),
         round(col("hits_bm") / col("n_gold"), 6).as("recall_bm25_r"),
         round(col("hits_re") / col("n_gold"), 6).as("recall_rescored_r"))
       .filter(col("recall_rescored_r") >= col("recall_bm25_r") &&
