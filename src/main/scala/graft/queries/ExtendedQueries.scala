@@ -823,6 +823,15 @@ object ExtendedQueries {
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{MathExprs, Sketches}
     val B = 512L
+    // the trailing repartition("b") re-materializes db AFTER its final
+    // aggregation: db feeds two consumers (bs and the per-doc join),
+    // and without it AQE's reuse point is the PRE-aggregation exchange,
+    // so each consumer re-ran the 1.3M-key final hash-aggregate (~2 s
+    // of task time apiece at sf0.1; r19 opt). One small exchange of the
+    // aggregated rows buys both consumers the finished frame, and bs's
+    // groupBy("b") rides the same partitioning with no further shuffle
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange).
     val db = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(concat(TextAnalysis.tokens(col("text")),
@@ -830,6 +839,7 @@ object ExtendedQueries {
       .select(col("doc_id"), col("lang"),
         MathExprs.polyHash(col("gram"), B).as("b"))
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .repartition(col("b"))
     val bs = db.groupBy("b").agg(
       sum(col("c")).as("nq"),
       coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("np"))
@@ -1494,6 +1504,12 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       (if (fingerprintKeys)
         struct(xxhash64(col("g0")).as("h1"), xxhash64(col("g0"), lit(1)).as("h2"))
       else col("g0")).as("gram"))
+    // (r19 opt note: a distinct-(gram,source) + gram-self-join
+    // formulation was measured against this collect_set shape — the
+    // object-agg's sort-based fallback past 128 keys looked like the
+    // cost, but the join variant shuffles the gram stream one extra
+    // time and lost at 8 cores (1.42 s → 1.82 s) while only matching
+    // at 32; reverted.)
     val byGram = grams.groupBy("gram")
       .agg(array_sort(collect_set(col("source"))).as("ss"))
     val totals = byGram.select(explode(col("ss")).as("source"))
@@ -1600,17 +1616,30 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
   def fuzzyNameJoinLsh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Sketches
-    def prep(df: DataFrame, key: String, name: String, gCol: String) = df
+    def shingled(df: DataFrame, key: String, name: String, gCol: String) = df
       .select(col(key), Dedup.charShingles(col(name), 3).as(gCol))
+    def banded(df: DataFrame, key: String, gCol: String) = df
       .withColumn("sig", Sketches.minhash_from_shingles(col(gCol), 64))
       .withColumn("bands", Sketches.band_hashes(col("sig"), 64))
-      .select(col(key), col(gCol),
-        posexplode(col("bands")).as(Seq("band", "bh")))
-    val cust = prep(Tables.customer(spark, dir).filter(col("c_custkey") <= 200),
+      .select(col(key), posexplode(col("bands")).as(Seq("band", "bh")))
+    val custG = shingled(
+      Tables.customer(spark, dir).filter(col("c_custkey") <= 200),
       "c_custkey", "c_name", "cg")
-    val supp = prep(Tables.supplier(spark, dir), "s_suppkey", "s_name", "sg")
-    val cands = cust.join(supp, Seq("band", "bh"))
-      .select("c_custkey", "cg", "s_suppkey", "sg").distinct()
+    val suppG = shingled(Tables.supplier(spark, dir),
+      "s_suppkey", "s_name", "sg")
+    // candidate pairs dedupe on the KEYS ALONE; the shingle arrays
+    // re-attach afterwards with two key joins. Carrying both gram
+    // arrays through the band join meant the distinct hashed and
+    // shuffled ~200-byte array payloads per banded collision (×32
+    // bands per colliding pair) — 5 MB shuffled and a 1.7 s
+    // single-task distinct at sf0.1 for what is a set of 16-byte key
+    // pairs (guide §2.3: shuffle keys, not payloads; §8: decide with
+    // small rows, attach the heavy bytes once).
+    val cands = banded(custG, "c_custkey", "cg")
+      .join(banded(suppG, "s_suppkey", "sg"), Seq("band", "bh"))
+      .select("c_custkey", "s_suppkey").distinct()
+      .join(custG, "c_custkey")
+      .join(suppG, "s_suppkey")
     val w = Window.partitionBy("c_custkey")
       .orderBy(desc("trigram_jaccard"), col("s_suppkey"))
     cands

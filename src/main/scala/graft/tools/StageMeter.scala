@@ -28,17 +28,26 @@ object StageMeter {
     spark.sparkContext.setCheckpointDir(
       s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
 
+    val detail = sys.env.contains("STAGEMETER_DETAIL")
     val jobs = new AtomicInteger
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val taskNanos = new AtomicLong
     val shufWrite = new AtomicLong
     val shufReadW = new AtomicLong
+    val stageInfo =
+      new java.util.concurrent.ConcurrentHashMap[Int, (String, Int)]()
+    val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (detail)
+          stageInfo.put(s.stageInfo.stageId,
+            (s.stageInfo.name.takeWhile(_ != '\n').take(90),
+              s.stageInfo.numTasks))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
@@ -46,6 +55,9 @@ object StageMeter {
           taskNanos.addAndGet(m.executorRunTime * 1000000L)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufReadW.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          if (detail)
+            stageMs.computeIfAbsent(t.stageId, _ => new AtomicLong)
+              .addAndGet(m.executorRunTime)
         }
       }
     }
@@ -72,6 +84,15 @@ object StageMeter {
       Thread.sleep(300)
       spark.sparkContext.removeSparkListener(listener)
       println(f"$name%-34s $sec%7.2f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskNanos.get / 1e9}%8.2f ${shufWrite.get / 1e6}%7.1f")
+      if (detail) {
+        import scala.jdk.CollectionConverters._
+        stageMs.asScala.toSeq.sortBy(-_._2.get).take(8).foreach {
+          case (sid, ms) =>
+            val (nm, nt) = stageInfo.getOrDefault(sid, ("?", -1))
+            println(f"    stage $sid%4d ${ms.get / 1000.0}%7.2fs tasks=$nt%-4d $nm")
+        }
+        stageMs.clear(); stageInfo.clear()
+      }
     }
     spark.stop()
   }
