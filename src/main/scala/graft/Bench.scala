@@ -72,6 +72,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // let AQE coalesce CACHED plans too (guide §2.2): the iterative
+      // operators (BPE training, label-propagation dedup) persist their
+      // loop state, and with this off (the compatibility default) every
+      // cached round is pinned at the static shuffle-partition count —
+      // measured 32 scheduler tasks per round over kilobyte partitions
+      // at sf0.1. Scale-neutral: AQE decides from actual sizes at any
+      // scale factor or core count, so it's a conf default here, not a
+      // local tuning (overridable via SPARK_GRAFT_CACHED_AQE).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -369,8 +369,12 @@ object IvfIndex {
 
   private[graft] def loadModelAt(spark: SparkSession, indexPath: String,
                                  g: Long): Ivf.Model =
+    // model-sized frame: collect unsorted (one 1-task job) and sort
+    // driver-side — an orderBy here planned an exchange + sort stage
+    // pair per load, pure fixed cost on every search (r19 opt)
     Ivf.Model(spark.read.parquet(centroidsDirAt(indexPath, g))
-      .orderBy("list_id").collect()
+      .select("list_id", "centroid").collect()
+      .sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray))
 
   /** Top-k neighbors per query from the persisted lists: probe the

@@ -275,8 +275,12 @@ object PqIndex {
 
   private def loadCoarseAt(spark: SparkSession, indexPath: String,
                            g: Long): Array[Array[Double]] =
+    // model-sized frame: collect unsorted (one 1-task job) and sort
+    // driver-side — an orderBy here planned an exchange + sort stage
+    // pair per load, pure fixed cost on every search (r19 opt)
     spark.read.parquet(coarseDirAt(indexPath, g))
-      .orderBy("list_id").collect()
+      .select("list_id", "centroid").collect()
+      .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
 
   def loadPq(spark: SparkSession, indexPath: String): Pq.Model =
@@ -284,9 +288,11 @@ object PqIndex {
 
   private def loadPqAt(spark: SparkSession, indexPath: String,
                        g: Long): Pq.Model = {
+    // model-sized: collect unsorted, sort driver-side (see loadCoarseAt)
     val rows = spark.read.parquet(codebooksDirAt(indexPath, g))
-      .orderBy("sub", "code").collect()
+      .select("sub", "code", "centroid").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
     val m = rows.map(_._1).max + 1
     val books = (0 until m).map { s =>
       rows.filter(_._1 == s).sortBy(_._2).map(_._3)
