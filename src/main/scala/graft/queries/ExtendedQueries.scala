@@ -2356,9 +2356,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       count(lit(1)).cast("double").as("df"))
     // terms ranked 1-3 belong to query 0, ranks 4-6 to query 1:
     // two DISTINCT per-query term sets, derived portably from the data
-    val qt = byTerm
+    // top-6 via TakeOrdered (limit) BEFORE the rank window: the window
+    // alone forced a single-partition sort of the whole term dictionary
+    // to keep 6 rows (r19 opt; at scale that is a one-node sort of the
+    // full vocabulary). Same total order, so the kept set and the rank
+    // assignment over it are identical.
+    val qt = byTerm.orderBy(desc("gtf"), col("term")).limit(6)
       .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
-      .filter(col("r") <= 6)
       .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
         col("term"), col("df"))
     val contrib = tf.join(broadcast(qt), "term")
@@ -2607,9 +2611,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
     val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
       count(lit(1)).cast("double").as("df"))
-    val qt = byTerm
+    // top-6 via TakeOrdered (limit) BEFORE the rank window: the window
+    // alone forced a single-partition sort of the whole term dictionary
+    // to keep 6 rows (r19 opt; at scale that is a one-node sort of the
+    // full vocabulary). Same total order, so the kept set and the rank
+    // assignment over it are identical.
+    val qt = byTerm.orderBy(desc("gtf"), col("term")).limit(6)
       .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
-      .filter(col("r") <= 6)
       .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
         col("term"), col("df"))
     val contrib = tf.join(broadcast(qt), "term")
@@ -2777,9 +2785,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
     val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
       count(lit(1)).cast("double").as("df"))
-    val qt = byTerm
+    // top-6 via TakeOrdered (limit) BEFORE the rank window: the window
+    // alone forced a single-partition sort of the whole term dictionary
+    // to keep 6 rows (r19 opt; at scale that is a one-node sort of the
+    // full vocabulary). Same total order, so the kept set and the rank
+    // assignment over it are identical.
+    val qt = byTerm.orderBy(desc("gtf"), col("term")).limit(6)
       .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
-      .filter(col("r") <= 6)
       .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
         col("term"), col("df"))
     val contrib = tf.join(broadcast(qt), "term")
@@ -3162,9 +3174,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
     val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
       count(lit(1)).cast("double").as("df"))
-    val qt = byTerm
+    // top-6 via TakeOrdered (limit) BEFORE the rank window: the window
+    // alone forced a single-partition sort of the whole term dictionary
+    // to keep 6 rows (r19 opt; at scale that is a one-node sort of the
+    // full vocabulary). Same total order, so the kept set and the rank
+    // assignment over it are identical.
+    val qt = byTerm.orderBy(desc("gtf"), col("term")).limit(6)
       .withColumn("r", row_number().over(Window.orderBy(desc("gtf"), col("term"))))
-      .filter(col("r") <= 6)
       .select(floor((col("r") - 1) / 3).cast("long").as("query_id"),
         col("term"), col("df"))
     val contrib = tf.join(broadcast(qt), "term")
