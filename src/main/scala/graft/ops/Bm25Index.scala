@@ -529,17 +529,22 @@ object Bm25Index {
     // cands' key is normalized to long here so the output type is
     // stable across int- and long-keyed corpora (the SQL SEARCH verb
     // declares LongType for both branches)
-    val candsL = cands.withColumn("doc_id", col("doc_id").cast("long"))
-      .withColumn("matched_terms", col("matched_terms").cast("long"))
+    val candsL = cands.select(col("doc_id").cast("long").as("doc_id"),
+      col("matched_terms").cast("long").as("matched_terms"), col("score"))
     // ONE narrow corpus pass: candidate docs' query-term occurrences,
-    // collected per doc in position order (candidate-bound array)
+    // collected per doc in position order (candidate-bound array). The
+    // candidate frame rides INTO this pass with matched_terms/score as
+    // extra GROUP KEYS (doc_id determines them — one candidate row per
+    // doc), so the candidate subtree appears ONCE in the plan: the old
+    // shape derived it twice more (an id-only pre-filter and a
+    // post-span re-join), and every copy re-ran stage 1's final
+    // aggregation and top-k (guide §2.4).
     val occ = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
-      .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound,
-        Pq.IdPairRowBytes), "doc_id")
-      .select(col("doc_id"),
+      .join(Pq.hintIfSmall(candsL, bound, Pq.TermRowBytes), "doc_id")
+      .select(col("doc_id"), col("matched_terms"), col("score"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
       .join(broadcast(qIdx), "term")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "matched_terms", "score")
       .agg(sort_array(collect_list(struct(col("pos"), col("tidx")))).as("os"))
     // min cover as the classic single left-to-right sweep (O(occ), one
     // fold — a relational occurrence-pair enumeration would self-join
@@ -553,8 +558,8 @@ object Bm25Index {
     val sweep = coverSweep(nQ, withSnippet)
     val ranked =
       if (!withSnippet) {
-        val span = occ.select(col("doc_id"), sweep.cast("long").as("span"))
-        candsL.join(span, "doc_id") // every candidate matched ≥ 1 term
+        occ.select(col("doc_id"), col("matched_terms"), col("score"),
+          sweep.cast("long").as("span")) // every candidate matched ≥ 1 term
       } else {
         // second candidate-bound narrow pass: the token arrays of the
         // candidate docs only (see scaladoc — never carried through
@@ -564,11 +569,12 @@ object Bm25Index {
             TextAnalysis.tokens(col(textCol)).as("toks"))
           .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound,
             Pq.IdPairRowBytes), "doc_id")
-        val sw = occ.select(col("doc_id"), col("os"), sweep.as("sw"))
+        occ.select(col("doc_id"), col("matched_terms"), col("score"),
+            col("os"), sweep.as("sw"))
           .join(toks, "doc_id")
-        candsL.join(sw.select(col("doc_id"),
-          col("sw").getField("best").cast("long").as("span"),
-          snippetExpr(snippetPad).as("snippet")), "doc_id")
+          .select(col("doc_id"), col("matched_terms"), col("score"),
+            col("sw").getField("best").cast("long").as("span"),
+            snippetExpr(snippetPad).as("snippet"))
       }
     ranked
       .withColumn("rescored", round(col("score") +
@@ -732,39 +738,51 @@ object Bm25Index {
     // term) bound), else one count of the queries-batch-sized qt
     // (ADVICE r16 + review r17)
     val qBound = if (qtBound >= 0) qtBound else qt.count()
-    val candsL = cands
-      .withColumn("query_id", col("query_id").cast("long"))
-      .withColumn("doc_id", col("doc_id").cast("long"))
-      .withColumn("matched_terms", col("matched_terms").cast("long"))
-    // docs repeat across queries' candidate sets — fetch each once
-    val candDocs = candsL.select(col("doc_id")).distinct()
+    val candsL = cands.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("matched_terms").cast("long").as("matched_terms"), col("score"))
+    // ONE narrow corpus pass minting the (query, doc) candidate rows
+    // directly: the pair frame (bounded by pairBound) joins the corpus
+    // BEFORE the explode, carries matched_terms/score as extra group
+    // keys ((query_id, doc_id) determines them — one candidate row per
+    // pair), and each query's own occurrences are kept by the
+    // (query_id, term) join against the per-query term index. The old
+    // shape derived the candidate subtree THREE more times (a distinct
+    // doc pre-filter, a left-semi on the pairs, a post-span re-join) —
+    // every copy re-ran stage 1's final aggregation and rank window
+    // (guide §2.4). The explode runs per candidate PAIR rather than per
+    // distinct candidate doc; both are candidate-bound, and the pair
+    // form removes two joins and a distinct from the plan.
     val occ = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
-      .join(Pq.hintIfSmall(candDocs, bound, Pq.IdPairRowBytes), "doc_id")
-      .select(col("doc_id"),
+      .join(Pq.hintIfSmall(candsL, bound, Pq.TermRowBytes), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("matched_terms"),
+        col("score"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
-      .join(Pq.hintIfSmall(qIdx, qBound, Pq.TermRowBytes), "term")
-      .join(candsL.select(col("query_id"), col("doc_id")),
-        Seq("query_id", "doc_id"), "left_semi")
-      .groupBy("query_id", "doc_id")
+      .join(Pq.hintIfSmall(qIdx, qBound, Pq.TermRowBytes),
+        Seq("query_id", "term"))
+      .groupBy("query_id", "doc_id", "matched_terms", "score")
       .agg(sort_array(collect_list(struct(col("pos"), col("tidx")))).as("os"))
     val withSnippet = snippetPad >= 0
     val sweep = coverSweep(nQ, withSnippet)
     val ranked =
       if (!withSnippet) {
-        val span = occ.select(col("query_id"), col("doc_id"),
-          sweep.cast("long").as("span"))
-        candsL.join(span, Seq("query_id", "doc_id"))
+        occ.select(col("query_id"), col("doc_id"), col("matched_terms"),
+          col("score"), sweep.cast("long").as("span"))
       } else {
+        // docs repeat across queries' candidate sets — fetch the token
+        // arrays once per distinct doc
+        val candDocs = candsL.select(col("doc_id")).distinct()
         val toks = docs
           .select(col(idCol).cast("long").as("doc_id"),
             TextAnalysis.tokens(col(textCol)).as("toks"))
           .join(Pq.hintIfSmall(candDocs, bound, Pq.IdPairRowBytes), "doc_id")
-        val sw = occ.select(col("query_id"), col("doc_id"), col("os"),
-            sweep.as("sw"))
+        occ.select(col("query_id"), col("doc_id"), col("matched_terms"),
+            col("score"), col("os"), sweep.as("sw"))
           .join(toks, "doc_id")
-        candsL.join(sw.select(col("query_id"), col("doc_id"),
-          col("sw").getField("best").cast("long").as("span"),
-          snippetExpr(snippetPad).as("snippet")), Seq("query_id", "doc_id"))
+          .select(col("query_id"), col("doc_id"), col("matched_terms"),
+            col("score"),
+            col("sw").getField("best").cast("long").as("span"),
+            snippetExpr(snippetPad).as("snippet"))
       }
     ranked
       .withColumn("rescored", round(col("score") +

@@ -1898,9 +1898,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
-    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
     val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
       count(lit(1)).cast("double").as("df"))
+    // Σ gtf ≡ Σ tf (both exact long sums, cast once at the end), and
+    // the vocabulary-sized re-aggregation rides byTerm's exchange —
+    // the tf-wide global sum re-scanned the corpus-sized tf frame for
+    // the same scalar (guide §2.4)
+    val totDf = byTerm.agg(sum(col("gtf")).cast("double").as("total_toks"))
     val qterms = byTerm.orderBy(desc("gtf"), col("term")).limit(3)
       .select("term", "df")
     val contrib = tf.join(broadcast(qterms), "term")
@@ -2351,9 +2355,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
-    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
     val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
       count(lit(1)).cast("double").as("df"))
+    // Σ gtf ≡ Σ tf (both exact long sums, cast once at the end), and
+    // the vocabulary-sized re-aggregation rides byTerm's exchange —
+    // the tf-wide global sum re-scanned the corpus-sized tf frame for
+    // the same scalar (guide §2.4)
+    val totDf = byTerm.agg(sum(col("gtf")).cast("double").as("total_toks"))
     // terms ranked 1-3 belong to query 0, ranks 4-6 to query 1:
     // two DISTINCT per-query term sets, derived portably from the data
     // top-6 via TakeOrdered (limit) BEFORE the rank window: the window
@@ -2608,9 +2616,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
-    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
     val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
       count(lit(1)).cast("double").as("df"))
+    // Σ gtf ≡ Σ tf (both exact long sums, cast once at the end), and
+    // the vocabulary-sized re-aggregation rides byTerm's exchange —
+    // the tf-wide global sum re-scanned the corpus-sized tf frame for
+    // the same scalar (guide §2.4)
+    val totDf = byTerm.agg(sum(col("gtf")).cast("double").as("total_toks"))
     // top-6 via TakeOrdered (limit) BEFORE the rank window: the window
     // alone forced a single-partition sort of the whole term dictionary
     // to keep 6 rows (r19 opt; at scale that is a one-node sort of the
@@ -2782,9 +2794,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
-    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
     val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
       count(lit(1)).cast("double").as("df"))
+    // Σ gtf ≡ Σ tf (both exact long sums, cast once at the end), and
+    // the vocabulary-sized re-aggregation rides byTerm's exchange —
+    // the tf-wide global sum re-scanned the corpus-sized tf frame for
+    // the same scalar (guide §2.4)
+    val totDf = byTerm.agg(sum(col("gtf")).cast("double").as("total_toks"))
     // top-6 via TakeOrdered (limit) BEFORE the rank window: the window
     // alone forced a single-partition sort of the whole term dictionary
     // to keep 6 rows (r19 opt; at scale that is a one-node sort of the
@@ -3171,9 +3187,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
-    val totDf = tf.agg(sum(col("tf")).cast("double").as("total_toks"))
     val byTerm = tf.groupBy("term").agg(sum(col("tf")).as("gtf"),
       count(lit(1)).cast("double").as("df"))
+    // Σ gtf ≡ Σ tf (both exact long sums, cast once at the end), and
+    // the vocabulary-sized re-aggregation rides byTerm's exchange —
+    // the tf-wide global sum re-scanned the corpus-sized tf frame for
+    // the same scalar (guide §2.4)
+    val totDf = byTerm.agg(sum(col("gtf")).cast("double").as("total_toks"))
     // top-6 via TakeOrdered (limit) BEFORE the rank window: the window
     // alone forced a single-partition sort of the whole term dictionary
     // to keep 6 rows (r19 opt; at scale that is a one-node sort of the
@@ -3197,9 +3217,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))))
       .filter(col("rk") <= 20).drop("rk")
+    // pairBound: ≤ 2 queries × 20 candidates; qtBound: qt is limit(6)
+    // by construction — without it the rescore stage COUNTED the term
+    // frame, re-running the whole tokenize+byTerm derivation as a
+    // separate reuse-less job (guide §1.2/§2.4)
     graft.ops.Bm25Index.proximityRescorePerQuery(cands, docs,
         qt.select("query_id", "term"), "doc_id", "text",
-        topK = 10, pairBound = 6L, qArityBound = 3)
+        topK = 10, pairBound = 40L, qArityBound = 3, qtBound = 6L)
       .orderBy("query_id", "rank")
   }
 
