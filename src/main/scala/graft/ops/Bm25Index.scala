@@ -381,10 +381,22 @@ object Bm25Index {
       .parquet(s"$indexPath/$StatsDir")
   }
 
-  private[graft] def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
-    val (n, t, _) = readStatsResilient(spark, indexPath)
-    (n, t)
-  }
+  /** Content-keyed stats memo ([[ManifestTable.memoDir]]): every
+    * sync/append rewrites `_stats` with fresh part files, so the dir
+    * signature changes on commit and a stale entry can never be
+    * served. Storage-layer metadata caching (two longs per index), not
+    * result caching — searches still probe and score the postings
+    * every run; only the 1-row global-stats job stops repeating per
+    * search.
+    */
+  private val statsCache =
+    new graft.sources.LruCache[(String, String), (Long, Long)](256)
+
+  private[graft] def readStats(spark: SparkSession, indexPath: String): (Long, Long) =
+    ManifestTable.memoDir(statsCache, spark, s"$indexPath/$StatsDir") {
+      val (n, t, _) = readStatsResilient(spark, indexPath)
+      (n, t)
+    }
 
   private def readStatsFull(spark: SparkSession,
                             indexPath: String): (Long, Long, Int) = {

@@ -377,6 +377,21 @@ object IvfIndex {
       .sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray))
 
+  /** Content-keyed model memo for the SEARCH path (see
+    * [[PqIndex]]'s caches and [[graft.sinks.ManifestTable.memoDir]]):
+    * a committed generation's centroids dir is immutable, and the
+    * signature key self-invalidates the legacy overwritten layout too.
+    * Storage-layer caching of the trained model (driver-sized), not
+    * result caching — the lists are still probed and ranked every run.
+    */
+  private val modelCache =
+    new graft.sources.LruCache[(String, String), Ivf.Model](32)
+
+  private def loadModelCached(spark: SparkSession, indexPath: String,
+                              g: Long): Ivf.Model =
+    ManifestTable.memoDir(modelCache, spark, centroidsDirAt(indexPath, g))(
+      loadModelAt(spark, indexPath, g))
+
   /** Top-k neighbors per query from the persisted lists: probe the
     * nProbe nearest lists, open ONLY their buckets, exact-score, rank.
     * Output matches [[Ivf.searchTopK]]: (query_id, neighbor_id, sim,
@@ -404,7 +419,7 @@ object IvfIndex {
     // hand this search new lists with the old centroids (or vice
     // versa) — old-with-old or new-with-new, by construction
     val mPin = ManifestTable.describeManifest(spark, listsPath(indexPath))
-    val model = loadModelAt(spark, indexPath,
+    val model = loadModelCached(spark, indexPath,
       mPin.txns.getOrElse(Bm25Index.GenKey, 0L))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))

@@ -286,6 +286,31 @@ object PqIndex {
   def loadPq(spark: SparkSession, indexPath: String): Pq.Model =
     loadPqAt(spark, indexPath, generation(spark, indexPath))
 
+  /** Content-keyed model memos for the SEARCH path
+    * ([[ManifestTable.memoDir]]): a committed generation's model dirs
+    * are immutable (a rebuild lands generation g+1 in an atomic swap),
+    * and the signature key self-invalidates even the legacy unsuffixed
+    * layout a re-build overwrites. Storage-layer caching of an index
+    * INPUT (the trained model, driver-sized by design), not result
+    * caching — the coded lists are still probed and ranked every run;
+    * only the model collect jobs stop repeating per search. Maintenance
+    * paths (rebuild's verify) keep loading directly.
+    */
+  private val coarseCache =
+    new graft.sources.LruCache[(String, String), Array[Array[Double]]](32)
+  private val pqCache =
+    new graft.sources.LruCache[(String, String), Pq.Model](32)
+
+  private def loadCoarseCached(spark: SparkSession, indexPath: String,
+                               g: Long): Array[Array[Double]] =
+    ManifestTable.memoDir(coarseCache, spark, coarseDirAt(indexPath, g))(
+      loadCoarseAt(spark, indexPath, g))
+
+  private def loadPqCached(spark: SparkSession, indexPath: String,
+                           g: Long): Pq.Model =
+    ManifestTable.memoDir(pqCache, spark, codebooksDirAt(indexPath, g))(
+      loadPqAt(spark, indexPath, g))
+
   private def loadPqAt(spark: SparkSession, indexPath: String,
                        g: Long): Pq.Model = {
     // model-sized: collect unsorted, sort driver-side (see loadCoarseAt)
@@ -318,8 +343,8 @@ object PqIndex {
     // search new lists with old models (see IvfIndex.search)
     val mPin = ManifestTable.describeManifest(spark, listsPath(indexPath))
     val g = mPin.txns.getOrElse(Bm25Index.GenKey, 0L)
-    val coarse = loadCoarseAt(spark, indexPath, g)
-    val pq = loadPqAt(spark, indexPath, g)
+    val coarse = loadCoarseCached(spark, indexPath, g)
+    val pq = loadPqCached(spark, indexPath, g)
     val probes = queries
       .select(col(idCol).cast("long").as("query_id"),
         int8Quantize(col(vecCol)).as("qq"))
@@ -388,8 +413,9 @@ object PqIndex {
     val candBound = Pq.mulBound(nQ, topK.toLong * refineFactor)
     // the refine query side carries the dim-byte quantized payload; dim
     // comes from the persisted coarse centroids (tiny parquet, already
-    // read by the ADC stage)
-    val dim = loadCoarse(spark, indexPath).head.length
+    // read — and memoized — by the ADC stage)
+    val dim = loadCoarseCached(spark, indexPath,
+      generation(spark, indexPath)).head.length
     Pq.refineExact(candidates,
       exactCorpus.select(col(idCol).cast("long").as("neighbor_id"),
         int8Quantize(col(vecCol)).as("qn")),

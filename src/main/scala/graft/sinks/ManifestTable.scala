@@ -456,6 +456,74 @@ object ManifestTable {
   private[graft] def renderForTest(m: Manifest): String = render(m)
   private[graft] def parseForTest(s: String): Manifest = parse(s)
 
+  /** Content signature of a small metadata sidecar dir (index model /
+    * stats dirs): the sorted name:length:mtime triples of its files.
+    * Drives the storage-layer metadata memos ([[memoDir]]) — every
+    * rewrite lands new uniquely-named part files, so a changed dir
+    * yields a changed signature and a stale entry can never be served.
+    * `None` when the dir is absent or unlistable (callers then skip
+    * caching and read directly). One driver LIST per check — metadata
+    * IO, no scheduler round trip.
+    */
+  private[graft] def dirSignature(spark: SparkSession,
+                                  dir: String): Option[String] =
+    try {
+      val f = fs(spark, dir)
+      Some(f.listStatus(new Path(dir)).map(s =>
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(","))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The probe keys' values when the keys frame is driver-local (a
+    * literal TERMS list, or its `distinct()` — a grouping-only
+    * Aggregate over a LocalRelation): [[readBucketsPinned]] can then
+    * compute the touched bucket ids driver-side exactly as [[lookup]]
+    * does — same hash, same modulo — instead of paying a scheduler
+    * round trip per probe for a frame that never left the driver.
+    * Derived frames return None and take the distributed distinct.
+    */
+  private def localKeyValues(keys: DataFrame): Option[Seq[Any]] = {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+    if (keys.columns.length != 1) None
+    else {
+      val dt = keys.schema(keys.columns.head).dataType
+      (keys.queryExecution.optimizedPlan match {
+        case lr: LocalRelation if lr.output.length == 1 => Some(lr.data)
+        // distinct() plans a grouping-only Aggregate; the caller folds
+        // the values into a SET, so the child's rows serve as-is
+        case Aggregate(ge, ae, lr: LocalRelation, _)
+            if lr.output.length == 1 && ae.length == ge.length &&
+              ae.forall(_.isInstanceOf[Attribute]) &&
+              ge.forall(_.isInstanceOf[Attribute]) =>
+          Some(lr.data)
+        case _ => None
+      }).map(_.map(_.get(0, dt)))
+    }
+  }
+
+  /** Memoize a driver-side load of a metadata sidecar dir under its
+    * content signature — STORAGE-LAYER caching (the cached value is an
+    * index input: a trained model, the stats row), not result caching:
+    * queries still compute from the postings/lists data every run, and
+    * any commit that rewrites the dir changes the signature, so the
+    * entry self-invalidates. Superseded signatures of the same dir are
+    * evicted on sight.
+    */
+  private[graft] def memoDir[V](cache: graft.sources.LruCache[(String, String), V],
+                                spark: SparkSession, dir: String)
+                               (load: => V): V =
+    dirSignature(spark, dir) match {
+      case Some(sig) =>
+        cache.get((dir, sig)).getOrElse {
+          val v = load
+          cache.put((dir, sig), v)
+          cache.removeIf(k => k._1 == dir && k._2 != sig)
+          v
+        }
+      case None => load
+    }
+
   /** Committed versions, ascending; empty if the table doesn't exist.
     * A FULL log listing — needed where history is enumerated (time
     * travel bounds, the streaming source's version ranges, vacuum).
@@ -1930,10 +1998,23 @@ object ManifestTable {
                                        keys: DataFrame): DataFrame = {
     val keyField = keys.columns.head
     requireKeyType(m, keys.schema(keyField).dataType, "readBuckets")
-    val touched = keys
-      .select(pmod(xxhash64(col(keyField)), lit(m.nBuckets.toLong))
-        .cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = localKeyValues(keys) match {
+      case Some(vals) =>
+        val dt = keys.schema(keyField).dataType
+        vals.map { v =>
+          // the xxhash64 EXPRESSION passes its seed through on a null
+          // input — mirror it so a null key touches the same bucket
+          val h =
+            if (v == null) 42L
+            else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+              .hash(v, dt, 42L)
+          (((h % m.nBuckets) + m.nBuckets) % m.nBuckets).toInt
+        }.toSet
+      case None => keys
+        .select(pmod(xxhash64(col(keyField)), lit(m.nBuckets.toLong))
+          .cast("int").as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }
     val perBucket = touched.toSeq.sorted
       .map(b => b -> m.buckets.getOrElse(b, Seq.empty))
     if (perBucket.forall(_._2.isEmpty)) emptyWithSchema(spark, m)
