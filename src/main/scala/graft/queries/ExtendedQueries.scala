@@ -3758,8 +3758,13 @@ s$r AS MATERIALIZED (SELECT word, min(cnt) AS cnt,
         "vec_id", "embedding", topK = 5, model,
         refineFactor = math.max(1, c / 5), queryBound = 10L)
       .select("query_id", "neighbor_id")
+    // same projection + repartition subtree as searchTopKRefined's
+    // internal corpusQ, so AQE collapses the gold leg's scan onto the
+    // refined leg's materialized exchange (ONE corpus quantize for the
+    // whole gate — guide §2.4, VERDICT r19 #5)
     val qz = emb.select(col("vec_id").cast("long").as("neighbor_id"),
-      int8Quantize(col("embedding")).as("qn"))
+        int8Quantize(col("embedding")).as("qn"))
+      .repartition(col("neighbor_id"))
     val qs = queries.select(col("vec_id").cast("long").as("query_id"),
       int8Quantize(col("embedding")).as("qq"))
     val brute = qz.crossJoin(broadcast(qs))

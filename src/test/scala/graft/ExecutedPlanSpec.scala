@@ -96,6 +96,21 @@ class ExecutedPlanSpec extends SparkSpec {
       s"source_overlap executed $scans file scans — expected 1 after reuse")
   }
 
+  test("ann_topk_pq_refined: one quantized projection feeds ADC and the exact re-rank") {
+    // the r20 materialization point: corpusQ (quantize + repartition)
+    // must deduplicate at runtime so the corpus is scanned+quantized
+    // once for both stages — the static plan legitimately inlines the
+    // subtree per consumer (Exchange count rose 12 → 16), and only the
+    // executed plan proves the collapse
+    val (reused, scans) = executedCounts("ann_topk_pq_refined")
+    assert(reused >= 1,
+      s"ann_topk_pq_refined must reuse the shared quantized-projection " +
+        s"exchange (got $reused ReusedExchange)")
+    assert(scans <= 3,
+      s"ann_topk_pq_refined executed $scans file scans — expected ≤ 3 " +
+        "(corpusQ + the query slice + at most one uncollapsed leg)")
+  }
+
   test("hybrid_index_search: fusion adds no corpus pass — scans stay index-bound") {
     // the two-probe endpoint reads ONLY: the postings buckets (text
     // probe), the coded lists buckets (vector probe), and the queries
