@@ -68,21 +68,13 @@ object Bench {
     val envStart = envStamp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // let AQE coalesce CACHED plans too (guide §2.2): the iterative
-      // operators (BPE training, label-propagation dedup) persist their
-      // loop state, and with this off (the compatibility default) every
-      // cached round is pinned at the static shuffle-partition count —
-      // measured 32 scheduler tasks per round over kilobyte partitions
-      // at sf0.1. Scale-neutral: AQE decides from actual sizes at any
-      // scale factor or core count, so it's a conf default here, not a
-      // local tuning (overridable via SPARK_GRAFT_CACHED_AQE).
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
-      .config("spark.ui.enabled", "false")
+    // engine defaults (cached-plan AQE) come from SessionDefaults so
+    // Bench and Verify run the SAME session shape (ADVICE r19)
+    val spark = SessionDefaults.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // reliable checkpoint dir — same setup as Verify, so the benched
@@ -95,28 +87,66 @@ object Bench {
     val nameFilter = args.headOption.map(_.r).getOrElse(".*".r)
     val queryNames = SparkEntry.benchQueries.keys.filter(nameFilter.matches(_)).toSeq
 
-    def execute(name: String): Unit =
-      SparkEntry.benchQueries(name)(spark, sfDir)
+    // scheduler-shape meter (VERDICT r19 #9): per-query stage-job
+    // counts and summed executor task time ride into the bench JSON so
+    // the core-scaling probe can tell "serial tiny-SF workload" (flat
+    // c8/c32 ratios, parallelism ≈ 1) from "cores ignored", and
+    // stage-count reduction — the real 100 TB lever — becomes a
+    // tracked number. Attribution is by job DESCRIPTION tag (set per
+    // execute, guide §1.5), so async listener delivery can never
+    // credit a query with a neighbor's tail events; timings are
+    // untouched (no per-query bus settling).
+    val jobsByTag =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val taskMsByTag =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val stageTag = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val tag = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        if (tag.nonEmpty) {
+          jobsByTag.computeIfAbsent(tag,
+            _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+          j.stageInfos.foreach(si => stageTag.put(si.stageId, tag))
+        }
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val tag = stageTag.get(t.stageId)
+        if (tag != null && t.taskMetrics != null)
+          taskMsByTag.computeIfAbsent(tag,
+              _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(t.taskMetrics.executorRunTime)
+      }
+    })
+
+    def execute(name: String, tag: String): Unit = {
+      spark.sparkContext.setJobDescription(tag)
+      try SparkEntry.benchQueries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+      finally spark.sparkContext.setJobDescription(null)
+    }
 
     // warmup: every plan once, uncounted
     queryNames
-      .foreach { q => try execute(q) catch { case _: Throwable => () } }
+      .foreach { q => try execute(q, s"warm:$q") catch { case _: Throwable => () } }
 
     // a failed pass records NO timing (min over failures would report a
     // fast crash as a fast query); failed queries are listed separately
-    def measuredPass(): Map[String, Either[String, Double]] =
+    def measuredPass(pass: Int): Map[String, Either[String, Double]] =
       queryNames.map { name =>
         val t0 = System.nanoTime()
         try {
-          execute(name)
+          execute(name, s"p$pass:$name")
           name -> Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable => name -> Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }.toMap
 
-    val (p1, p2) = (measuredPass(), measuredPass())
+    val (p1, p2) = (measuredPass(1), measuredPass(2))
     val results = queryNames.flatMap { k =>
       (p1(k), p2(k)) match {
         case (Right(a), Right(b)) => Some(k -> math.min(a, b))
@@ -150,9 +180,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // one bus settle for the WHOLE run (listener delivery is async);
+    // per-query settling would inflate every timing by the wait
+    Thread.sleep(1000)
+    // scheduler shape of the pass each query's reported min came from
+    def minTag(k: String): String = (p1(k), p2(k)) match {
+      case (Right(a), Right(b)) => if (a <= b) s"p1:$k" else s"p2:$k"
+      case (Right(_), _) => s"p1:$k"
+      case _ => s"p2:$k"
+    }
+    val stageJobs = results.keys.toSeq.sorted.flatMap { k =>
+      Option(jobsByTag.get(minTag(k))).map(v => s"\"" + k + "\":" + v.get)
+    }.mkString("{", ",", "}")
+    val taskSec = results.keys.toSeq.sorted.flatMap { k =>
+      Option(taskMsByTag.get(minTag(k))).map(v =>
+        s"\"" + k + "\":" + v.get / 1e3)
+    }.mkString("{", ",", "}")
     val env = envJson(envStart, envStamp())
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"flaky":${flaky.mkString("{", ",", "}")},"env":$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"flaky":${flaky.mkString("{", ",", "}")},"stage_jobs":$stageJobs,"task_sec":$taskSec,"env":$env,"sf":"$sfDir"}"""
     println(json)
     // stdout of a driver-run sbt process gets tail-truncated (~11 of 73
     // per-query timings were lost in round 3) — the file is the durable,

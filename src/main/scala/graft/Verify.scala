@@ -10,11 +10,15 @@ object Verify {
     // the driver always runs the full set)
     val nameFilter = if (args.length > 2) args(2).r else ".*".r
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // SessionDefaults: the gate must verify the SAME session config the
+    // bench measures (ADVICE r19 — the cached-plan AQE conf was
+    // bench-only, so a partitioning-sensitive difference would never
+    // have been oracle-checked)
+    val spark = SessionDefaults.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // reliable checkpoint dir (local FS here; HDFS/object store on a real

@@ -68,7 +68,14 @@ object StageMeter {
       SparkEntry.benchQueries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    names.foreach { q => try execute(q) catch { case _: Throwable => () } } // warm
+    // warm pass: NonFatal only (swallowing OOM/interrupts silently
+    // profiled a failed query as cold — ADVICE r19), and name the
+    // failure so a cold profile is explained
+    names.foreach { q =>
+      try execute(q)
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"$q warmup failed: $e") }
+    }
 
     println(f"${"query"}%-34s ${"sec"}%7s ${"jobs"}%5s ${"stage"}%5s ${"tasks"}%6s ${"taskSec"}%8s ${"shufMB"}%7s")
     names.foreach { name =>
