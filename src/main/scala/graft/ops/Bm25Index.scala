@@ -575,12 +575,21 @@ object Bm25Index {
       } else {
         // second candidate-bound narrow pass: the token arrays of the
         // candidate docs only (see scaladoc — never carried through
-        // the occurrence explode)
+        // the occurrence explode). The pass is pruned by the SWEPT
+        // frame itself (broadcast build side — candidate-bound, and
+        // every candidate matches ≥ 1 term so sw's docs ARE the
+        // candidate docs): filtering by a re-derived candidate id list
+        // re-ran stage 1's aggregation a second time (guide §2.4).
         val toks = docs
-          .select(col(idCol).cast("long").as("doc_id"),
-            TextAnalysis.tokens(col(textCol)).as("toks"))
+          .select(col(idCol).cast("long").as("doc_id"), col(textCol))
           .join(Pq.hintIfSmall(candsL.select(col("doc_id")), bound,
             Pq.IdPairRowBytes), "doc_id")
+          // tokenize AFTER the join: the projection used to sit below
+          // it, so this pass re-tokenized the whole corpus to fetch
+          // ≤ topK arrays (the optimizer does not push joins under
+          // projections; r20 plan audit)
+          .select(col("doc_id"),
+            TextAnalysis.tokens(col(textCol)).as("toks"))
         occ.select(col("doc_id"), col("matched_terms"), col("score"),
             col("os"), sweep.as("sw"))
           .join(toks, "doc_id")
@@ -781,13 +790,19 @@ object Bm25Index {
         occ.select(col("query_id"), col("doc_id"), col("matched_terms"),
           col("score"), sweep.cast("long").as("span"))
       } else {
+        // token-array pass pruned by the SWEPT frame itself (broadcast
+        // build side, candidate-pair-bound; see the single-query form's
+        // note) — a doc in several queries' candidate sets re-reads its
+        // array from the one probe row, never a second corpus pass
         // docs repeat across queries' candidate sets — fetch the token
         // arrays once per distinct doc
         val candDocs = candsL.select(col("doc_id")).distinct()
         val toks = docs
-          .select(col(idCol).cast("long").as("doc_id"),
-            TextAnalysis.tokens(col(textCol)).as("toks"))
+          .select(col(idCol).cast("long").as("doc_id"), col(textCol))
           .join(Pq.hintIfSmall(candDocs, bound, Pq.IdPairRowBytes), "doc_id")
+          // tokenize AFTER the join (see the single-query form's note)
+          .select(col("doc_id"),
+            TextAnalysis.tokens(col(textCol)).as("toks"))
         occ.select(col("query_id"), col("doc_id"), col("matched_terms"),
             col("score"), col("os"), sweep.as("sw"))
           .join(toks, "doc_id")
